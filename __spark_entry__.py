@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's `rosbag info`
+aggregation surface, rosbag_example.cpp:37-72) on sf0.001.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB oracle; implementations live in
+``rosbag2parquet_spark`` and co-locate each oracle next to its operator.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rosbag2parquet_spark.operators import keys, relational  # noqa: E402
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Session invariants the engine relies on (UTC so timestamps hash
+    identically to the DuckDB oracle; AQE for runtime re-planning)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # immutable on some builds; harmless
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-type stats + derived rates on sf0.001 (reference
+    rosbag_example.cpp:37-72 — the `rosbag info` analog)."""
+    _configure(spark)
+    return relational.q_derived(spark, "/root/testdata/sf0.001")
+
+
+_MODULES = (relational, keys)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        for name, fn in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name {name!r}")
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            def wrapped(spark, sf_dir, _fn=fn):
+                return _fn(_configure(spark), sf_dir)
+
+            out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

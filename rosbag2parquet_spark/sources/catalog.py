@@ -1,0 +1,76 @@
+"""Fixture catalog: load the driver-generated parquet tables.
+
+The reference's source is a sequential bag scan (rosbag2parquet.cpp:44-47);
+our fixture analog is the ``events`` stream table plus the TPC-H-ish star
+schema (TESTDATA.md). Reads go through ``spark.read.parquet`` so Catalyst
+gets predicate pushdown / column pruning on every downstream query — the
+two capabilities the reference's output format exists to enable
+(reference README.md:8,10).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — one cheap driver-side
+    footer read. Spark has no nanosecond timestamp type; we read them as
+    nanos-since-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``) and
+    rebuild a microsecond TimestampType column, truncating exactly like
+    DuckDB/Arrow readers do, so cross-engine semantics agree."""
+    target = path
+    if os.path.isdir(path):
+        parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+        if not parts:
+            return ()
+        target = os.path.join(path, parts[0])
+    schema = pq.read_schema(target)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div`, not `/`: float division loses precision at 1e18 ns
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register each fixture table as a temp view for the SQL surface
+    (reference README.md:14-18 — 'you can then use spark sql ... to access
+    the data'; here the engine itself serves the SQL)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
