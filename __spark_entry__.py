@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from rosbag2parquet_spark.operators import keys, relational  # noqa: E402
+from rosbag2parquet_spark.functions import dedup, similarity, text  # noqa: E402
+from rosbag2parquet_spark.operators import asof, keys, relational, windows  # noqa: E402
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -38,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q_derived(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = (relational, keys)
+_MODULES = (relational, keys, asof, windows, text, dedup, similarity)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

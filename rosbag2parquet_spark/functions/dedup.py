@@ -1,0 +1,330 @@
+"""Deduplication over the ``documents`` table (north-star X1/X2).
+
+Four tiers, cheapest to richest:
+
+- exact        — hash-groupBy on content digest; one shuffle on the digest.
+- simhash      — 16-bit sign-of-sums signature; near-dup candidates collide.
+- minhash-lsh  — MinHash signatures banded into LSH buckets; candidate pairs
+                 from bucket joins, then exact Jaccard verification.
+- ngram-jaccard — exact Jaccard over word-3-shingles for candidate pairs
+                 sharing a shingle (the verification join MinHash avoids
+                 doing globally).
+
+All hashing is md5 (present and bit-identical in Spark and DuckDB) so every
+step has an exact SQL oracle.
+
+Scale notes (100 TB): exact dedup shuffles digests only (bytes, not text).
+MinHash-LSH is the scale path for near-dup: cost is O(docs × shingles) for
+signatures (narrow), then a shuffle keyed on (band, value) whose fan-in is
+the planted-duplicate rate, then pair verification only on candidates.
+ngram-jaccard's candidate join explodes on high-document-frequency shingles —
+at scale you'd drop shingles with df > threshold (stopword shingles carry no
+dedup signal anyway); here it stays exact to match the oracle. Skewed bucket
+keys are AQE-skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+# ------------------------------------------------------------ exact (X1)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id as the
+    canonical representative (deterministic winner — important so reruns and
+    the oracle agree). Shuffles 16-byte digests, never the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------- shingle prep
+
+_SHINGLES_EXPR = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+)
+
+_SHINGLES_SQL = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                     i -> array_to_string(w[i:i+2], ' '))) AS s
+        FROM words)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the set representation used by
+    Jaccard. Built by array transform then explode; DISTINCT dedups repeated
+    shingles within a doc (set semantics, matches the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
+        .distinct()
+    )
+
+
+# -------------------------------------------------------- minhash-lsh (X2)
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands × 2 rows — b·r = 8
+JACCARD_THRESHOLD = 0.8
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signature per doc: hash_k(doc) = min over shingles of
+    md5(k || '|' || shingle). Computed as one groupBy with n_hashes
+    conditional mins — single shuffle on doc_id, map-side partial mins."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"mh{k}")
+        for k in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-verified.
+
+    Pipeline: shingle sets → 8 MinHash values/doc → band into 4 buckets of
+    2 → self-join on (band, bucket-value) for candidates → exact Jaccard on
+    candidates → threshold. This is the canonical scale path: the quadratic
+    step only ever sees bucket collisions."""
+    sh = _doc_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.concat_ws("#", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
+                for b in range(N_HASHES // BAND_SIZE)
+            ]
+        ).alias("bands"),
+    ).select("doc_id", F.posexplode("bands").alias("band", "bucket"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("b_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.alias("za"), F.col("a_id") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("b_id") == F.col("zb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out
+
+
+ORACLE_MINHASH_LSH = (
+    _SHINGLES_SQL
+    + """,
+sig AS (
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        f"         min(md5('{k}|' || s)) AS mh{k}" for k in range(N_HASHES)
+    )
+    + """
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, mh{b * BAND_SIZE} || '#' || mh{b * BAND_SIZE + 1} AS bucket FROM sig"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    + """
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id,
+       round(inter * 1.0 / (za.n + zb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = a_id
+JOIN sizes zb ON zb.doc_id = b_id
+WHERE round(inter * 1.0 / (za.n + zb.n - inter), 6) >= """
+    + str(JACCARD_THRESHOLD)
+)
+
+
+# ------------------------------------------------------- ngram-jaccard (X2)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: candidates = pairs sharing at
+    least one 3-shingle, verified against the threshold. The ground-truth
+    variant of q_minhash_lsh (same verification, exhaustive candidates)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("a_id") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("b_id") == F.col("zb.doc_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_NGRAM_JACCARD = (
+    _SHINGLES_SQL
+    + """,
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(inter * 1.0 / (za.n + zb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = a_id
+JOIN sizes zb ON zb.doc_id = b_id
+WHERE round(inter * 1.0 / (za.n + zb.n - inter), 6) >= """
+    + str(JACCARD_THRESHOLD)
+)
+
+
+# ------------------------------------------------------------ simhash (X2)
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def _word_hash16_expr(col: str) -> str:
+    """16-bit hash of a word from the first 4 hex chars of its md5 —
+    hex→int via strpos arithmetic because it must be identical SQL in both
+    engines (Spark `conv` has no DuckDB twin)."""
+    parts = [
+        f"(instr('{_HEX}', substr(md5({col}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signature: per bit j, sum +1/-1 over distinct words
+    according to bit j of the word hash; bit set iff the sum is positive.
+    One explode + one groupBy(doc_id) with 16 conditional sums — single
+    shuffle. Near-dup docs land at small Hamming distance; grouping by the
+    signature is the O(n) near-dup partitioner."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .withColumn("h", F.expr(_word_hash16_expr("w")))
+    )
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _oracle_simhash() -> str:
+    h = _word_hash16_expr("w").replace("instr(", "strpos(")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM words
+), bit_sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bit_sums
+"""
+
+
+QUERIES = {
+    "dedup-exact": q_dedup_exact,
+    "dedup-minhash-lsh": q_minhash_lsh,
+    "dedup-ngram-jaccard": q_ngram_jaccard,
+    "dedup-simhash": q_simhash,
+}
+
+ORACLES = {
+    "dedup-exact": ORACLE_DEDUP_EXACT,
+    "dedup-minhash-lsh": ORACLE_MINHASH_LSH,
+    "dedup-ngram-jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup-simhash": _oracle_simhash(),
+}

@@ -1,0 +1,161 @@
+"""Similarity search over the ``embeddings`` table (north-star X2/X3).
+
+- knn           — brute-force cosine top-k against a query vector. The
+                  baseline: broadcast the query, one narrow pass computing
+                  the score, TakeOrderedAndProject for top-k. At 100 TB this
+                  is the exact-scan fallback; the per-row cost is a 64-wide
+                  fused arithmetic expression (JVM codegen, no Python).
+- embed-neardup — sign-LSH bucketed near-duplicate pairs: an 8-bit
+                  hyperplane-sign signature partitions vectors into 256
+                  buckets; exact cosine runs only within buckets. This is
+                  the IVF/LSH scale path — the quadratic term shrinks by the
+                  bucket count, and the bucket join shuffles on the bucket
+                  key (AQE splits skewed buckets).
+
+Dot products use ``zip_with`` + ``aggregate`` (sequential left fold) over
+double-cast arrays; DuckDB folds lists the same way, and results are rounded
+to 6 decimals so the last-ulp difference of any fold-order divergence cannot
+surface. No UDFs anywhere — pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+KNN_K = 10
+KNN_QUERY_ID = 0
+NEARDUP_THRESHOLD = 0.3
+LSH_SIGN_DIMS = 8
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ----------------------------------------------------------------- knn (X3)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest neighbours of the query vector (vec_id=0) by cosine.
+    The query row is a 1-row broadcast cross join (no shuffle of the corpus);
+    top-k is TakeOrderedAndProject with a deterministic vec_id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "e", _as_double("embedding")
+    )
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("e").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("e"), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(KNN_K)
+
+
+ORACLE_KNN = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {KNN_QUERY_ID})
+SELECT vec_id, label,
+       round(list_dot_product(embedding::DOUBLE[], qe)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id != {KNN_QUERY_ID}
+ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
+"""
+
+
+# -------------------------------------------------------- embed-neardup (X2)
+
+
+def _sign_bucket(col) -> Column:
+    """8-bit signature from the signs of the first LSH_SIGN_DIMS components —
+    a deterministic stand-in for random-hyperplane signs (the fixture vectors
+    are already isotropic; production would rotate by a seeded random matrix
+    broadcast to executors)."""
+    bucket = F.lit(0)
+    for i in range(LSH_SIGN_DIMS):
+        bucket = bucket + F.when(
+            F.element_at(col, i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing: pairs
+    sharing the sign signature get exact cosine; emit pairs above threshold.
+    Bucket-equality join means the shuffle key is the 8-bit signature —
+    the all-pairs comparison never happens."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("e", _as_double("embedding"))
+        .withColumn("bucket", _sign_bucket(F.col("e")))
+        .select("vec_id", "e", "bucket")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+
+
+def _oracle_embed_neardup() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(LSH_SIGN_DIMS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "knn": q_knn,
+    "embed-neardup": q_embed_neardup,
+}
+
+ORACLES = {
+    "knn": ORACLE_KNN,
+    "embed-neardup": _oracle_embed_neardup(),
+}

@@ -1,0 +1,250 @@
+"""Text analysis over the ``documents`` table (north-star X4).
+
+All operators are pure built-in column expressions (split / transform /
+filter / aggregate lambdas) — JVM-side, whole-stage-codegen'd, zero Python
+in the row loop. Each has an exact DuckDB oracle: the heuristics are defined
+as deterministic arithmetic so parity is by construction.
+
+Scale notes: every query is scan → narrow projection → (optional) hash-agg.
+The only shuffles are the final low-cardinality groupBys. Token/char metrics
+stay inside codegen; nothing here materializes word lists beyond the
+expression evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+# ------------------------------------------------------------- text-stats
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): doc count, char/token totals,
+    average document length. The `rosbag info` shape (per-key count/sum/min/
+    max, rosbag_example.cpp:37-49) applied to a text corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(_words())
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLE_TEXT_STATS = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+# ------------------------------------------------------------ token-count
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens plus a BPE-ish regex
+    tokenizer (alnum runs vs single punctuation marks) — the standard
+    pre-tokenization pass of an LLM data pipeline. regexp_extract_all is a
+    codegen'd JVM regex; the pattern is RE2-safe so the oracle agrees."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+            "n_re_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+       len(text) AS n_chars_measured
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- lang-id
+
+#: marker n-grams per language — a deterministic character-n-gram scoring
+#: heuristic (the classic cheap lang-ID signal). Counts occurrences of each
+#: marker; argmax wins, ties broken by language code order.
+LANG_MARKERS = (
+    ("de", " der "),
+    ("en", " the "),
+    ("es", " los "),
+    ("fr", " les "),
+    ("zh", " zh "),
+)
+
+
+def _marker_count_expr(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"(length(text) - length(replace(text, '{m}', ''))) / {len(marker)}"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification by n-gram marker scoring, evaluated against
+    the labeled ``lang`` column — emits per (true, predicted) confusion
+    counts. Scoring is substring-count arithmetic (replace+length), fully
+    codegen'd; identical expression in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs
+    for code, marker in LANG_MARKERS:
+        df = df.withColumn(f"score_{code}", F.expr(_marker_count_expr(marker)))
+    best = F.greatest(*[F.col(f"score_{c}") for c, _ in LANG_MARKERS])
+    pred = F.lit(None)
+    # first (alphabetical) language reaching the max wins — build reversed
+    pred = F.lit("unk")
+    for code, _ in reversed(LANG_MARKERS):
+        pred = F.when(F.col(f"score_{code}") == best, F.lit(code)).otherwise(pred)
+    return (
+        df.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("unk")))
+        .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _oracle_lang_id() -> str:
+    scores = ",\n       ".join(
+        f"{_marker_count_expr(m)} AS score_{c}" for c, m in LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"score_{c}" for c, _ in LANG_MARKERS) + ")"
+    chain = "'unk'"
+    for code, _ in reversed(LANG_MARKERS):
+        chain = f"CASE WHEN score_{code} = best THEN '{code}' ELSE {chain} END"
+    return f"""
+WITH scored AS (
+  SELECT lang, text, {scores}
+  FROM documents
+), best_of AS (
+  SELECT lang, {best} AS best,
+         {chain.replace("= best", f"= {best}")} AS pred0
+  FROM scored
+)
+SELECT lang AS true_lang,
+       CASE WHEN best > 0 THEN pred0 ELSE 'unk' END AS pred_lang,
+       count(*) AS n_docs
+FROM best_of GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- quality-score
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, mean word length, stopword
+    ratio) and a composite score — the heuristic-filtering stage of a
+    training-data pipeline (C4/Gopher-style rules, arithmetic only).
+    Array lambdas (filter/aggregate) run JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    mean_wlen = (F.length("text") - (n_tok - 1)) / n_tok  # chars minus spaces
+    stop_ratio = n_stop / n_tok
+    score = (
+        F.when(F.col("n_chars") < 100, 0.0)
+        .when(n_tok < 20, 0.25)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.round(0.5 + stop_ratio + F.lit(0.001) * n_tok, 6),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+ORACLE_QUALITY = f"""
+WITH feats AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ({_STOP_SQL}))) AS n_stop,
+         len(text) AS n_char_m
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round((n_char_m - (n_tok - 1)) * 1.0 / n_tok, 6) AS mean_word_len,
+       round(n_stop * 1.0 / n_tok, 6) AS stopword_ratio,
+       CASE WHEN n_chars < 100 THEN 0.0
+            WHEN n_tok < 20 THEN 0.25
+            ELSE least(1.0, round(0.5 + n_stop * 1.0 / n_tok + 0.001 * n_tok, 6))
+       END AS quality
+FROM feats
+"""
+
+
+# ------------------------------------------------------------ fingerprint
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum hash over the rolling window of word
+    3-shingles (winnowing-style content fingerprint; md5 as the rolling
+    hash). Two docs sharing the fingerprint are near-certain containment
+    candidates. Expressed as array ops — no explode, no shuffle: the
+    per-document min runs inside the projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(shingles).alias("fingerprint"),
+        F.size(shingles).alias("n_shingles"),
+    )
+
+
+ORACLE_FINGERPRINT = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                        i -> md5(array_to_string(w[i:i+2], ' '))) AS hs
+  FROM words
+)
+SELECT doc_id, list_min(hs) AS fingerprint, len(hs) AS n_shingles FROM sh
+"""
+
+
+QUERIES = {
+    "text-stats": q_text_stats,
+    "token-count": q_token_count,
+    "lang-id": q_lang_id,
+    "quality-score": q_quality_score,
+    "fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "text-stats": ORACLE_TEXT_STATS,
+    "token-count": ORACLE_TOKEN_COUNT,
+    "lang-id": _oracle_lang_id(),
+    "quality-score": ORACLE_QUALITY,
+    "fingerprint": ORACLE_FINGERPRINT,
+}

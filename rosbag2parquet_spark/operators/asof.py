@@ -1,0 +1,126 @@
+"""As-of (time-travel) join — north-star X6, the sensor-fusion pattern over
+the reference's per-type tables (join camera frames to the latest GPS fix at
+or before each frame; the reference leaves this to downstream engines,
+README.md:14-18).
+
+Spark has no native ASOF JOIN. Implementation: the union-and-carry-forward
+plan — interleave probe and quote rows on the time axis, then
+``last(value) IGNORE NULLS`` over a window partitioned by key and ordered by
+(time, side). This is the scalable formulation:
+
+- one shuffle total (the window partition on the join key), vs. a range-join
+  which Spark would execute as broadcast-nested-loop;
+- within each key-partition the window is a linear sweep — exactly the
+  merge-asof algorithm, distributed by key;
+- skewed keys are split by AQE; no driver-side state.
+
+``pd.merge_asof`` via applyInPandas would express the same thing but moves
+every row through Arrow+Python; the window formulation stays in Tungsten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+
+def asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    probe_key: str,
+    quote_key: str,
+    probe_time: str,
+    quote_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For each probe row, attach the value columns of the latest quote row
+    with the same key and quote_time <= probe_time (inclusive)."""
+    q = quotes.select(
+        F.col(quote_key).alias("__key"),
+        F.col(quote_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__q_{c}") for c in value_cols],
+    )
+    p = probes.select(
+        F.col(probe_key).alias("__key"),
+        F.col(probe_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(q.schema[f"__q_{c}"].dataType).alias(f"__q_{c}") for c in value_cols],
+        *[F.col(c) for c in probes.columns],
+    )
+    q_aligned = q.select(
+        "__key", "__t", "__side", *[f"__q_{c}" for c in value_cols],
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in probes.columns],
+    )
+    merged = q_aligned.unionByName(p)
+    # quotes (__side=0) sort before probes at the same instant → `<=` semantics
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"__q_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *probes.columns, *[f"asof_{c}" for c in value_cols]
+    )
+
+
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the customer's most recent order at or before the
+    event (events ≈ camera frames, orders ≈ the slower state stream being
+    fused in). Left semantics: events whose user never ordered before keep
+    NULL. Quotes are pre-deduplicated to one row per (key, time) — max
+    o_orderkey wins — because as-of is ill-defined under timestamp ties;
+    the oracle dedups identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    quotes = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    out = asof_join(
+        probes=events.select("event_id", "user_id", "ts"),
+        quotes=quotes,
+        probe_key="user_id",
+        quote_key="o_custkey",
+        probe_time="ts",
+        quote_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_o_orderkey").alias("last_orderkey"),
+        F.round("asof_o_totalprice", 4).alias("last_order_price"),
+    )
+
+
+ORACLE_ASOF = """
+WITH q AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       q.o_orderkey AS last_orderkey,
+       round(q.o_totalprice, 4) AS last_order_price
+FROM events ASOF LEFT JOIN q
+  ON user_id = q.o_custkey AND q.o_orderdate <= events.ts
+"""
+
+
+QUERIES = {"asof": q_asof}
+
+ORACLES = {"asof": ORACLE_ASOF}

@@ -1,0 +1,172 @@
+"""Time-windowed and sessionized aggregation over the event stream
+(north-star X5). Batch formulations here; the Structured Streaming variants
+(same logical plan + watermark) live in
+:mod:`rosbag2parquet_spark.streaming.windowed`.
+
+Scale notes: tumbling/sliding windows are hash-aggregations keyed on
+(window, type) — partial aggregation map-side, one shuffle, AQE-coalesced.
+Session windows shuffle once on the session key (user) and sweep linearly —
+the same plan Structured Streaming uses for ``session_window`` state merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+SESSION_GAP_MIN = 30
+
+
+# ------------------------------------------------------- tumbling window
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type: count + value sum. Uses the
+    native ``window()`` expression (epoch-aligned, same alignment as the
+    oracle's date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_WINDOW_TUMBLING = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------------------- sliding window
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2
+    windows). The oracle replicates by exploding each event into its two
+    candidate windows — identical semantics to Spark's sliding window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_WINDOW_SLIDING = """
+WITH cand AS (
+  SELECT value,
+         unnest([epoch_us(date_trunc('hour', ts))
+                   + CASE WHEN epoch_us(ts) - epoch_us(date_trunc('hour', ts))
+                              >= 1800000000 THEN 1800000000 ELSE 0 END,
+                 epoch_us(date_trunc('hour', ts))
+                   + CASE WHEN epoch_us(ts) - epoch_us(date_trunc('hour', ts))
+                              >= 1800000000 THEN 0 ELSE -1800000000 END])
+           AS window_start_us
+  FROM events
+)
+SELECT window_start_us, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM cand GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- session window
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions closed by a 30-minute inactivity
+    gap. Uses the native ``session_window`` expression (merge-on-overlap
+    semantics — identical to the classic lag/cumsum formulation the oracle
+    uses). Output: one row per session with span and size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
+        )
+        .select("user_id", "session_start_us", "session_last_us", "n_events")
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts)) > {SESSION_GAP_MIN * 60 * 1000000}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_last_us, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# -------------------------------------------- sessionize via lag (parity)
+
+
+def sessionize_lag(df: DataFrame, key: str, ts: str, gap_min: int) -> DataFrame:
+    """The window-function formulation of sessionization (lag + cumulative
+    sum over the gap indicator) — used by tests to cross-check
+    ``session_window`` semantics, and the portable fallback for engines
+    without a session primitive."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_us = gap_min * 60 * 1_000_000
+    marked = df.withColumn(
+        "__new",
+        F.when(
+            F.lag(ts).over(w).isNull()
+            | (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy(key, "__sid").agg(
+        F.unix_micros(F.min(ts)).alias("session_start_us"),
+        F.unix_micros(F.max(ts)).alias("session_last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES = {
+    "window-tumbling": q_window_tumbling,
+    "window-sliding": q_window_sliding,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "window-tumbling": ORACLE_WINDOW_TUMBLING,
+    "window-sliding": ORACLE_WINDOW_SLIDING,
+    "sessionize": ORACLE_SESSIONIZE,
+}
