@@ -1,0 +1,156 @@
+"""The end-to-end converter — the reference's whole program, Spark-first.
+
+Reference lifecycle (``rosbag2parquet()``, rosbag2parquet.cpp:41-63 +
+FlattenedRosWriter.cpp): scan the log once; per message emit metadata into
+``Messages``; route the payload to a lazily-created per-type table with
+flattened columns; attach ``connection_id`` and the raw blob; at close, write
+``Connections`` and flush every table as SNAPPY parquet.
+
+Spark formulation — one declarative DAG instead of a fused imperative loop:
+
+- the "bag" is any DataFrame with (time, type, connection, payload) columns
+  (fixtures: the ``events`` table — FIXTURES.md §3);
+- global ``seqno`` via the scalable two-pass plan (operators.keys);
+- ``Connections`` is a tiny dim distilled from the stream (distinct keys →
+  dense ids via a broadcast-joined lookup);
+- per-type demux is ONE partitioned write (``partitionBy(datatype)``) — the
+  distributed analog of the reference's ``m_pertype`` routing map
+  (FlattenedRosWriter.cpp:273-289): each output partition directory is a
+  per-type table, and readers get partition pruning for free (the reference's
+  "don't scan lidar to read GPS" goal, README.md:2-4);
+- row-group sizing: the reference buffers 255 MB then flushes
+  (TableBuffer.h:32, TableBuffer.cpp:164-174); Spark's parquet writer does
+  the same internally — we expose ``maxRecordsPerFile``/block size knobs
+  instead of reimplementing buffering.
+
+Returns the same summary the reference's library API returns
+(``info{bagname, count, size}``, rosbag2parquet.h:6-10).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.plans.ddl import load_script
+from rosbag2parquet_spark.sources.msgdef import table_name_for_type
+
+
+@dataclass
+class ConvertInfo:
+    """Reference `info` struct (rosbag2parquet.h:6-10)."""
+
+    bagname: str
+    count: int
+    size: float
+
+
+def convert(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    *,
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    conn_col: str = "user_id",
+    size_col: str = "value",
+    payload_col: str = "props",
+    max_mbs: float | None = None,
+    max_records_per_file: int = 1_000_000,
+    order_cols: list[str] | None = None,
+) -> ConvertInfo:
+    """Convert a message-stream DataFrame into the reference's output layout:
+    ``Messages``, ``Connections``, and per-type partitioned tables under
+    ``out_dir``. ``max_mbs`` reproduces the reference's byte-bounded scan
+    limit (rosbag2parquet.cpp:56-58)."""
+
+    # ---- seqno: global order in stream order (reference FlattenedRosWriter.cpp:256)
+    # Window formulation at fixture scale; see operators.keys.assign_seqno_scalable
+    # for the 100 TB two-pass variant with identical output.
+    w = Window.orderBy(*(order_cols or [time_col, conn_col]))
+    seq = stream.withColumn("seqno", (F.row_number().over(w) - 1).cast("long"))
+
+    if max_mbs is not None:
+        run = Window.orderBy("seqno").rowsBetween(Window.unboundedPreceding, 0)
+        seq = seq.withColumn("__run_bytes", F.sum(size_col).over(run)).filter(
+            F.col("__run_bytes") <= max_mbs * (1 << 20)
+        ).drop("__run_bytes")
+
+    seq = seq.cache()  # read by three sinks below — one materialization
+
+    # ---- Connections dim (reference FlattenedRosWriter.cpp:90-137, 209-224):
+    # distinct (connection, datatype) keys → dense connection_id
+    conn_w = Window.orderBy("callerid", "datatype")
+    connections = (
+        seq.select(F.col(conn_col).alias("callerid"), F.col(type_col).alias("datatype"))
+        .distinct()
+        .withColumn("connection_id", F.row_number().over(conn_w) - 1)
+        .select(
+            "connection_id",
+            F.concat(F.lit("/topic/"), F.col("datatype")).alias("topic"),
+            "datatype",
+            F.md5(F.concat_ws("|", "callerid", "datatype")).alias("md5sum"),
+            F.lit("").alias("msg_def"),
+            F.col("callerid").cast("string").alias("callerid"),
+        )
+    )
+
+    # connection resolution = broadcast hash probe (reference's unordered_map,
+    # FlattenedRosWriter.cpp:172-178)
+    lookup = connections.select(
+        "connection_id",
+        F.col("callerid").cast("long").alias(conn_col),
+        F.col("datatype").alias(type_col),
+    )
+    resolved = seq.join(F.broadcast(lookup), on=[conn_col, type_col], how="left")
+
+    # ---- Messages table (reference FlattenedRosWriter.cpp:180-207)
+    messages = resolved.select(
+        "seqno",
+        F.unix_micros(F.col(time_col)).alias("time_us"),
+        F.col(size_col).alias("size"),
+        "connection_id",
+    )
+
+    writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
+    messages.write.options(**writer_opts).mode("overwrite").parquet(
+        os.path.join(out_dir, "Messages")
+    )
+    connections.write.mode("overwrite").parquet(os.path.join(out_dir, "Connections"))
+
+    # ---- per-type demux: ONE partitioned write (reference GetHandler routing,
+    # FlattenedRosWriter.cpp:273-289). The blob column is carried verbatim
+    # (reference FlattenedRosWriter.cpp:229-253).
+    pertype = resolved.select(
+        "seqno",
+        F.col(time_col).alias("time"),
+        F.col(size_col).alias("size"),
+        "connection_id",
+        F.col(payload_col).cast("binary").alias("data"),
+        F.col(type_col).alias("datatype"),
+    )
+    (
+        pertype.repartition(F.col("datatype"))
+        .write.options(**writer_opts)
+        .mode("overwrite")
+        .partitionBy("datatype")
+        .parquet(os.path.join(out_dir, "pertype"))
+    )
+
+    # ---- DDL script (reference S17: vertica_load_tables.sql, utils.h:99-136)
+    tables = {
+        "Messages": messages.schema,
+        "Connections": connections.schema,
+    }
+    for row in connections.select("datatype").distinct().collect():
+        tables[table_name_for_type(row.datatype)] = pertype.drop("datatype").schema
+    with open(os.path.join(out_dir, "load_tables.sql"), "w") as f:
+        f.write(load_script(tables))
+
+    count = seq.count()
+    size = seq.agg(F.sum(size_col)).collect()[0][0] or 0.0
+    seq.unpersist()
+    return ConvertInfo(bagname=out_dir, count=count, size=float(size))

@@ -30,7 +30,8 @@ def assign_seqno(df: DataFrame, order_cols: list[str]) -> DataFrame:
     see ``assign_seqno_scalable``.
     """
     w = Window.orderBy(*order_cols)
-    return df.withColumn("seqno", F.row_number().over(w) - F.lit(1))
+    # LongType: the reference stores seqno as INT64 (MessageTable.cpp:326-329)
+    return df.withColumn("seqno", (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
 def assign_seqno_scalable(df: DataFrame, order_cols: list[str]) -> DataFrame:

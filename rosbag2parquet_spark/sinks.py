@@ -1,0 +1,88 @@
+"""Sink-side queries: demux routing (S3), parquet sink round-trip (S16).
+
+Both run the full converter (:mod:`rosbag2parquet_spark.convert`) into a
+scratch directory, then read the written layout back — exercising the write
+path end-to-end the way the reference's golden test does
+(rosbag2parquet_test.cpp:160-303: convert, then re-read with a raw parquet
+reader and assert content).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.convert import convert
+from rosbag2parquet_spark.sources.catalog import load_table
+
+_SEQ_CONN_SQL = """
+WITH seq AS (
+  SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS seqno FROM events
+),
+conns AS (
+  SELECT user_id, event_type,
+         row_number() OVER (ORDER BY user_id, event_type) - 1 AS connection_id
+  FROM (SELECT DISTINCT user_id, event_type FROM events)
+)
+"""
+
+
+def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Run the converter once per (sf_dir, session) into a deterministic
+    scratch path; reuse if already written this session."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out", tag)
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        events = load_table(spark, sf_dir, "events")
+        convert(spark, events, out, order_cols=["ts", "event_id"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type demultiplexer (reference GetHandler, FlattenedRosWriter.cpp:
+    273-289): after the partitioned write, reading ONE type touches one
+    partition directory — the partition filter prunes all others (the
+    reference's per-type scan isolation, README.md:2-4)."""
+    out = _converted_dir(spark, sf_dir)
+    pertype = spark.read.parquet(os.path.join(out, "pertype"))
+    return (
+        pertype.filter(F.col("datatype") == "purchase")
+        .select("seqno", F.unix_micros("time").alias("time_us"), "size", "connection_id")
+    )
+
+
+ORACLE_DEMUX = (
+    _SEQ_CONN_SQL
+    + """
+SELECT seqno, epoch_us(ts) AS time_us, value AS size, connection_id
+FROM seq JOIN conns USING (user_id, event_type)
+WHERE event_type = 'purchase'
+"""
+)
+
+
+def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round-trip (reference TableBuffer write path,
+    TableBuffer.cpp:10-162): the ``Messages`` table as written to disk and
+    read back — metadata projection content must survive the sink."""
+    out = _converted_dir(spark, sf_dir)
+    return spark.read.parquet(os.path.join(out, "Messages"))
+
+
+ORACLE_SINK = (
+    _SEQ_CONN_SQL
+    + """
+SELECT seqno, epoch_us(ts) AS time_us, value AS size, connection_id
+FROM seq JOIN conns USING (user_id, event_type)
+"""
+)
+
+
+QUERIES = {"demux": q_demux, "sink": q_sink}
+ORACLES = {"demux": ORACLE_DEMUX, "sink": ORACLE_SINK}

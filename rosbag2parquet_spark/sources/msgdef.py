@@ -1,0 +1,193 @@
+"""Message-definition-text → Spark StructType compiler (reference S4).
+
+The reference learns each table's schema at runtime by parsing the ROS
+message-definition text stored in the bag
+(``RosIntrospection::buildROSTypeMapFromDefinition``, reference
+MessageTable.cpp:316-320) and walking the type tree into a flat Parquet
+schema (``toParquetSchema``, MessageTable.cpp:263-303). This module is the
+same compiler as pure Python over ``pyspark.sql.types``:
+
+- builtin scalars map through the promotion table (§1.3 of SURVEY.md;
+  reference ``to_parquet_type`` MessageTable.cpp:228-260) — 1/2-byte ints
+  promote to IntegerType, uint64 stored signed (documented relaxation,
+  reference rosbag2parquet.cpp:36);
+- ``time``/``duration`` decompose into ``<name>_sec``/``<name>_nsec``
+  IntegerType pairs (reference MessageTable.cpp:284-292);
+- constants (``int32 FOO=7``) are elided (reference MessageTable.cpp:58,274);
+- arrays are skipped in parity mode (reference MessageTable.cpp:275-277 keeps
+  them only inside the raw blob) or kept as ArrayType in spark mode — Spark
+  has native arrays, an upgrade the reference explicitly couldn't do;
+- nested message types flatten depth-first with ``parent_`` name prefixes
+  (reference MessageTable.cpp:298-301, README.md:56-67).
+
+The message-definition format itself is public ROS documentation: a def file
+is ``type name`` lines; a bag-embedded definition concatenates the root type
+with its dependencies, separated by ``===`` lines each introduced by
+``MSG: <pkg>/<Type>``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+SEPARATOR = "=" * 80
+
+#: builtin ROS type → (Spark type, promoted?) — SURVEY.md §1.3
+BUILTIN_TYPES: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "int8": T.IntegerType(),
+    "uint8": T.IntegerType(),
+    "byte": T.IntegerType(),
+    "char": T.IntegerType(),
+    "int16": T.IntegerType(),
+    "uint16": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "uint32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "string": T.StringType(),
+}
+
+TIME_TYPES = {"time", "duration"}
+
+
+@dataclass
+class FieldSpec:
+    name: str
+    type_name: str
+    is_array: bool = False
+    array_len: int | None = None  # None = variable length
+
+
+@dataclass
+class MsgSpec:
+    full_name: str
+    fields: list[FieldSpec] = field(default_factory=list)
+
+
+def _parse_single(full_name: str, text: str) -> MsgSpec:
+    spec = MsgSpec(full_name)
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split(None, 1)
+        if len(parts) != 2:
+            continue
+        type_tok, rest = parts
+        if "=" in rest:
+            continue  # constant `type NAME=value` — elided (reference MessageTable.cpp:58)
+        name_tok = rest.split()[0]
+        is_array, arr_len = False, None
+        if type_tok.endswith("]"):
+            base, _, dims = type_tok.partition("[")
+            is_array = True
+            dims = dims.rstrip("]")
+            arr_len = int(dims) if dims else None
+            type_tok = base
+        spec.fields.append(FieldSpec(name_tok, type_tok, is_array, arr_len))
+    return spec
+
+
+def parse_msgdef(root_type: str, msgdef_text: str) -> dict[str, MsgSpec]:
+    """Parse a bag-style concatenated definition into specs per type name.
+    The first section is the root type; later sections start ``MSG: name``."""
+    sections = msgdef_text.split(SEPARATOR)
+    specs: dict[str, MsgSpec] = {}
+    for i, section in enumerate(sections):
+        body = section.strip("\n")
+        name = root_type if i == 0 else None
+        lines = body.splitlines()
+        content_lines = []
+        for line in lines:
+            if line.startswith("MSG:"):
+                name = line.split("MSG:", 1)[1].strip()
+            else:
+                content_lines.append(line)
+        if name is None:
+            continue
+        specs[name] = _parse_single(name, "\n".join(content_lines))
+    return specs
+
+
+def _resolve(type_name: str, pkg: str, specs: dict[str, MsgSpec]) -> MsgSpec | None:
+    """ROS name resolution: `Header` → std_msgs/Header; unqualified names
+    resolve within the referencing package."""
+    if type_name in specs:
+        return specs[type_name]
+    if type_name == "Header" and "std_msgs/Header" in specs:
+        return specs["std_msgs/Header"]
+    qualified = f"{pkg}/{type_name}"
+    return specs.get(qualified)
+
+
+def to_struct_type(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+) -> T.StructType:
+    """Compile the parsed specs into the flattened relational schema the
+    reference emits (MessageTable.cpp:263-303): scalars promoted, times
+    split, nested types flattened with ``parent_`` prefixes.
+
+    arrays='skip'  — parity: array fields are not columnarized (reference
+                     MessageTable.cpp:275-277).
+    arrays='native' — spark mode: ArrayType columns (the upgrade).
+    """
+
+    fields: list[T.StructField] = []
+
+    def walk(spec: MsgSpec, prefix: str) -> None:
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        for f in spec.fields:
+            name = f"{prefix}{f.name}"
+            if f.is_array:
+                if arrays == "skip":
+                    continue
+                elem = BUILTIN_TYPES.get(f.type_name)
+                if elem is None and f.type_name in TIME_TYPES:
+                    continue
+                if elem is None:
+                    sub = _resolve(f.type_name, pkg, specs)
+                    if sub is None:
+                        raise KeyError(f"unresolved type {f.type_name} in {spec.full_name}")
+                    elem = to_struct_type(sub.full_name, specs, arrays)
+                fields.append(T.StructField(name, T.ArrayType(elem), False))
+                continue
+            if f.type_name in TIME_TYPES:
+                fields.append(T.StructField(f"{name}_sec", T.IntegerType(), False))
+                fields.append(T.StructField(f"{name}_nsec", T.IntegerType(), False))
+            elif f.type_name in BUILTIN_TYPES:
+                fields.append(T.StructField(name, BUILTIN_TYPES[f.type_name], False))
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None:
+                    raise KeyError(f"unresolved type {f.type_name} in {spec.full_name}")
+                walk(sub, f"{name}_")
+
+    walk(specs[root_type], "")
+    return T.StructType(fields)
+
+
+def table_schema(root_type: str, msgdef_text: str, arrays: str = "skip") -> T.StructType:
+    """Full per-type table schema, reference layout (MessageTable.cpp:305-343):
+    seqno, flattened message fields, connection_id, raw data blob."""
+    specs = parse_msgdef(root_type, msgdef_text)
+    flat = to_struct_type(root_type, specs, arrays)
+    return T.StructType(
+        [T.StructField("seqno", T.LongType(), False)]
+        + list(flat.fields)
+        + [
+            T.StructField("connection_id", T.IntegerType(), False),
+            T.StructField("data", T.BinaryType(), False),
+        ]
+    )
+
+
+def table_name_for_type(datatype: str) -> str:
+    """`sensor_msgs/Imu` → `sensor_msgs_Imu` (reference MessageTable.cpp:315)."""
+    return datatype.replace("/", "_")

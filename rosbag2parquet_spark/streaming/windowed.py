@@ -1,0 +1,96 @@
+"""Streaming windowed aggregation over the event stream (north-star X5).
+
+``readStream`` over the same parquet layout the batch engine reads; the
+aggregation plan is IDENTICAL to the batch version (Catalyst incrementalizes
+it) — that's the Spark-first payoff: one logical plan, two execution modes.
+
+Watermarking: 10-minute allowed lateness; state for a window is dropped once
+the watermark passes its end — bounded state at any scale. Sinks: the memory
+sink for tests; production would use a parquet/kafka sink with checkpointing
+(exactly-once via the offset log + idempotent file commits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos in the fixture parquet
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream (file-source; each arriving parquet file is
+    a micro-batch). The file source needs a directory, so the fixture file is
+    staged (symlinked) into a scratch dir — in production this is the landing
+    directory new log files drop into. Timestamp rebuilt from nanos exactly
+    like the batch catalog."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "rosbag2parquet_spark_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour counts per type with late-data watermark — the
+    streaming twin of operators.windows.q_window_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via the native session_window state merge."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drive a streaming query over the finite fixture to completion
+    synchronously (memory sink; tests and smoke only)."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,110 @@
+"""msg-def → StructType compiler tests, driven by the sensor_msgs/Imu
+definition the reference's golden test converts (rosbag2parquet_test.cpp:
+169-197; expected flattened schema per FIXTURES.md §2). The definition text
+below is the public ROS sensor_msgs/Imu + dependencies in bag-embedded
+concatenated form."""
+
+from pyspark.sql import types as T
+
+from rosbag2parquet_spark.plans.ddl import create_table_ddl
+from rosbag2parquet_spark.sources.msgdef import (
+    SEPARATOR,
+    parse_msgdef,
+    table_name_for_type,
+    table_schema,
+    to_struct_type,
+)
+
+IMU_DEF = f"""
+Header header
+geometry_msgs/Quaternion orientation
+float64[9] orientation_covariance
+geometry_msgs/Vector3 angular_velocity
+float64[9] angular_velocity_covariance
+geometry_msgs/Vector3 linear_acceleration
+float64[9] linear_acceleration_covariance
+{SEPARATOR}
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+{SEPARATOR}
+MSG: geometry_msgs/Quaternion
+float64 x
+float64 y
+float64 z
+float64 w
+{SEPARATOR}
+MSG: geometry_msgs/Vector3
+float64 x
+float64 y
+float64 z
+"""
+
+
+def test_flattened_imu_schema_parity():
+    """Expected columns per FIXTURES.md §2 / reference MessageTable.cpp:
+    263-303: nested structs flattened with `_`, time split into sec/nsec,
+    uint32 promoted to INT32, arrays skipped."""
+    specs = parse_msgdef("sensor_msgs/Imu", IMU_DEF)
+    st = to_struct_type("sensor_msgs/Imu", specs, arrays="skip")
+    assert [f.name for f in st.fields] == [
+        "header_seq",
+        "header_stamp_sec",
+        "header_stamp_nsec",
+        "header_frame_id",
+        "orientation_x",
+        "orientation_y",
+        "orientation_z",
+        "orientation_w",
+        "angular_velocity_x",
+        "angular_velocity_y",
+        "angular_velocity_z",
+        "linear_acceleration_x",
+        "linear_acceleration_y",
+        "linear_acceleration_z",
+    ]
+    types = {f.name: f.dataType for f in st.fields}
+    assert types["header_seq"] == T.IntegerType()  # uint32 → INT32 promotion
+    assert types["header_stamp_sec"] == T.IntegerType()
+    assert types["header_frame_id"] == T.StringType()
+    assert types["orientation_w"] == T.DoubleType()
+
+
+def test_native_arrays_mode():
+    """Spark-mode upgrade: arrays become ArrayType columns instead of being
+    dropped (the reference couldn't, MessageTable.cpp:275-277)."""
+    specs = parse_msgdef("sensor_msgs/Imu", IMU_DEF)
+    st = to_struct_type("sensor_msgs/Imu", specs, arrays="native")
+    types = {f.name: f.dataType for f in st.fields}
+    assert types["orientation_covariance"] == T.ArrayType(T.DoubleType())
+
+
+def test_constants_elided():
+    spec_text = "uint8 DEBUG=1\nuint8 INFO=2\nstring name\nbyte level"
+    specs = parse_msgdef("diag/Status", spec_text)
+    st = to_struct_type("diag/Status", specs)
+    assert [f.name for f in st.fields] == ["name", "level"]
+    assert st.fields[1].dataType == T.IntegerType()  # byte promoted
+
+
+def test_full_table_schema_layout():
+    """Per-type table layout: seqno first, then fields, then connection_id,
+    then the raw blob (reference MessageTable.cpp:326-343)."""
+    st = table_schema("sensor_msgs/Imu", IMU_DEF)
+    names = [f.name for f in st.fields]
+    assert names[0] == "seqno"
+    assert names[-2:] == ["connection_id", "data"]
+    assert st.fields[-1].dataType == T.BinaryType()
+
+
+def test_table_name_mapping():
+    assert table_name_for_type("sensor_msgs/Imu") == "sensor_msgs_Imu"
+
+
+def test_ddl_from_msgdef():
+    st = table_schema("sensor_msgs/Imu", IMU_DEF)
+    ddl = create_table_ddl("sensor_msgs_Imu", st)
+    assert "seqno BIGINT NOT NULL" in ddl
+    assert "header_frame_id VARCHAR NOT NULL" in ddl
+    assert "data VARBINARY NOT NULL" in ddl

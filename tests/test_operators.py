@@ -1,0 +1,128 @@
+"""Operator-level unit tests: scalable-seqno equivalence, flatten generator,
+sessionization cross-check, asof vs pandas merge_asof, similarity math,
+physical-plan properties (the scale assertions)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.functions.similarity import cosine, dot, norm
+from rosbag2parquet_spark.operators.asof import asof_join
+from rosbag2parquet_spark.operators.keys import (
+    assign_seqno,
+    assign_seqno_scalable,
+    flatten_struct_cols,
+)
+from rosbag2parquet_spark.operators.relational import q_dim_join, q_filter, q_topk
+from rosbag2parquet_spark.operators.windows import q_sessionize, sessionize_lag
+from rosbag2parquet_spark.plans.inspect import (
+    has_pushed_filters,
+    physical_plan,
+    scan_columns,
+    uses_broadcast_join,
+)
+from rosbag2parquet_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def test_seqno_scalable_matches_window(spark):
+    """The two-pass (range-partition + zipWithIndex) seqno must equal the
+    window formulation exactly — same total order, same contiguity."""
+    ev = load_table(spark, SF_DIR, "events")
+    a = assign_seqno(ev, ["ts", "event_id"]).select("event_id", "seqno")
+    b = assign_seqno_scalable(ev, ["ts", "event_id"]).select("event_id", "seqno")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_flatten_deep_nesting(spark):
+    df = spark.createDataFrame(
+        [(1, ((2, (3, "x")),))],
+        "id int, a struct<b: struct<c: int, d: struct<e: int, f: string>>>",
+    )
+    flat = flatten_struct_cols(df)
+    assert flat.columns == ["id", "a_b_c", "a_b_d_e", "a_b_d_f"]
+    assert flat.collect()[0] == (1, 2, 3, "x")
+
+
+def test_sessionize_native_equals_lag(spark):
+    """session_window semantics == classic lag/cumsum sessionization."""
+    native = q_sessionize(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    lag = sessionize_lag(ev, "user_id", "ts", 30).select(
+        "user_id", "session_start_us", "session_last_us", "n_events"
+    )
+    assert native.exceptAll(lag).count() == 0 and lag.exceptAll(native).count() == 0
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """The union+carry-forward window plan must reproduce pd.merge_asof
+    (the de-facto as-of reference implementation)."""
+    probes = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3"), (3, 7, "p4")],
+        "key int, t int, tag string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 15, 300.0), (2, 6, 400.0)],
+        "key int, t int, v double",
+    )
+    out = (
+        asof_join(probes, quotes, "key", "key", "t", "t", ["v"])
+        .select("key", "t", "tag", "asof_v")
+        .toPandas()
+        .sort_values(["key", "t"])
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        probes.toPandas().sort_values("t"),
+        quotes.toPandas().sort_values("t"),
+        on="t",
+        by="key",
+        direction="backward",
+    ).sort_values(["key", "t"]).reset_index(drop=True)
+    assert list(out["asof_v"].fillna(-1)) == list(expected["v"].fillna(-1))
+
+
+def test_similarity_math_against_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row.d == pytest.approx(np.dot(a, b))
+    assert row.na == pytest.approx(np.linalg.norm(a))
+    assert row.c == pytest.approx(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+
+
+# ------------------------------------------------------------ plan shape
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """E1: the predicate must reach the parquet scan (chunk-stat skipping);
+    the projection must prune columns (E2)."""
+    df = q_filter(spark, SF_DIR)
+    assert has_pushed_filters(df)
+    cols = scan_columns(df)
+    assert "l_comment" not in cols and "l_tax" not in cols
+    assert set(cols) <= {
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate",
+    }
+
+
+def test_dim_join_broadcasts(spark):
+    """S11: the connections-dim probe must be a broadcast hash join — the
+    fact side must not shuffle for the join."""
+    assert uses_broadcast_join(q_dim_join(spark, SF_DIR))
+
+
+def test_topk_uses_take_ordered(spark):
+    """E8: top-k must be TakeOrderedAndProject (heap), not a global sort."""
+    plan = physical_plan(q_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
