@@ -47,9 +47,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers once with a trivial action so the first
-    # timed query doesn't pay session startup
-    spark.range(1).count()
+    # warm the JVM, codegen, and parquet datasource once so the first timed
+    # query doesn't pay session startup (one tiny real read)
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    load_table(spark, SF_DIR, "region").count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -57,7 +59,9 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = len(df.collect())
+        # Arrow-batched fetch: measures engine throughput, not py4j
+        # row-at-a-time deserialization
+        n = len(df.toPandas())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)

