@@ -1,0 +1,62 @@
+"""CLI entry — the reference's ``main()`` analog (reference main.cpp:22-59:
+flag parsing, output-dir negotiation, conversion, count/size summary).
+
+    python -m rosbag2parquet_spark --input /root/testdata/sf0.001/events.parquet \
+        --outdir /tmp/out [--max-mbs 1.5] [--verbose]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rosbag2parquet_spark")
+    ap.add_argument("--input", required=True, help="input stream parquet (the 'bag')")
+    ap.add_argument("--outdir", required=True, help="output directory")
+    ap.add_argument(
+        "--max-mbs", type=float, default=None, help="stop after this many MB (ref --max_mbs)"
+    )
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    # output-dir negotiation (ref main.cpp:35-54: derive, create, fail fast)
+    out = args.outdir
+    if os.path.exists(out) and os.listdir(out):
+        n = 1
+        while os.path.exists(f"{out}.{n}"):
+            n += 1
+        out = f"{out}.{n}"
+    os.makedirs(out, exist_ok=True)
+
+    from rosbag2parquet_spark.convert import convert
+    from rosbag2parquet_spark.session import get_spark
+
+    spark = get_spark("rosbag2parquet_spark_cli")
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    stream = spark.read.parquet(args.input)
+    if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    info = convert(
+        spark,
+        stream,
+        out,
+        max_mbs=args.max_mbs,
+        order_cols=["ts", "event_id"] if "event_id" in stream.columns else None,
+    )
+    # summary print (ref main.cpp:57-59)
+    print(f"{info.count} messages ({info.size / (1 << 20):.2f} MB) written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
