@@ -161,12 +161,104 @@ WHERE round(list_dot_product(a.e, b.e)
 """
 
 
+# ------------------------------------------------------------- knn-ivf (X3)
+
+IVF_NPROBE = 2
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+    the query searches only the ``nprobe`` nearest cells. Here the cells are
+    the per-label mean vectors (deterministic, so the oracle can rebuild
+    them; production uses k-means centroids broadcast to executors —
+    identical plan shape).
+
+    Plan: centroids = one tiny agg (explode dims → avg per (label, pos) →
+    reassemble, 64·n_labels rows); cell scores vs the query = broadcast
+    nested loop over ≤10 rows; corpus scan restricted to the chosen cells by
+    a partition-prunable ``label IN (...)`` semi-join. The expensive exact
+    scoring touches only ~nprobe/n_cells of the corpus — that ratio is the
+    whole point of IVF at 100 TB."""
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+
+    # coarse quantizer: element-wise mean per label, rebuilt as an array
+    dims = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
+    )
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("c")
+        )
+    )
+    cells = (
+        cent.crossJoin(F.broadcast(query))
+        .select(
+            "label",
+            F.round(dot(F.col("c"), F.col("qen")) / norm(F.col("c")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("label"))
+        .limit(IVF_NPROBE)
+        .select("label")
+    )
+    probed = emb.filter(F.col("vec_id") != KNN_QUERY_ID).join(
+        F.broadcast(cells), "label", "left_semi"
+    )
+    return (
+        probed.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+ORACLE_KNN_IVF = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
+dims AS (
+  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM dims GROUP BY label
+),
+cells AS (
+  SELECT label,
+         round(list_dot_product(c, qe) / (sqrt(list_dot_product(c, c))
+           * sqrt(list_dot_product(qe, qe))), 6) AS score
+  FROM cent, q
+  ORDER BY score DESC, label LIMIT {IVF_NPROBE}
+)
+SELECT vec_id, e.label,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != {KNN_QUERY_ID} AND e.label IN (SELECT label FROM cells)
+ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
+"""
+
+
 QUERIES = {
     "knn": q_knn,
+    "knn-ivf": q_knn_ivf,
     "embed-neardup": q_embed_neardup,
 }
 
 ORACLES = {
     "knn": ORACLE_KNN,
+    "knn-ivf": ORACLE_KNN_IVF,
     "embed-neardup": _oracle_embed_neardup(),
 }

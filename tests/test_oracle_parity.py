@@ -28,11 +28,21 @@ def _norm(rows, cols):
     return out
 
 
+#: queries intentionally declared without a value oracle (sketch-based
+#: estimates are engine-specific; driver records a rows-only check)
+ROWS_ONLY = {"approx-stats"}
+
+
 def test_every_query_has_oracle():
-    assert set(_QUERIES) == set(_ORACLES)
+    assert set(_QUERIES) - ROWS_ONLY == set(_ORACLES)
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_query_runs(name, spark):
+    assert _QUERIES[name](spark, SF_DIR).count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - ROWS_ONLY))
 def test_query_matches_oracle(name, spark, duck):
     sdf = _QUERIES[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
