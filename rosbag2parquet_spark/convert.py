@@ -61,6 +61,7 @@ def convert(
     max_mbs: float | None = None,
     max_records_per_file: int = 1_000_000,
     order_cols: list[str] | None = None,
+    payload_schema=None,
 ) -> ConvertInfo:
     """Convert a message-stream DataFrame into the reference's output layout:
     ``Messages``, ``Connections``, and per-type partitioned tables under
@@ -107,10 +108,15 @@ def convert(
     )
     resolved = seq.join(F.broadcast(lookup), on=[conn_col, type_col], how="left")
 
-    # ---- Messages table (reference FlattenedRosWriter.cpp:180-207)
+    # ---- Messages table (reference FlattenedRosWriter.cpp:180-207):
+    # (seqno, time_sec, time_nsec, size, connection_id) — the reference's
+    # exact column set (README.md:26-32); time decomposed per S7
+    us = F.unix_micros(F.col(time_col))
+    sec = F.expr(f"unix_micros(`{time_col}`) div 1000000")
     messages = resolved.select(
         "seqno",
-        F.unix_micros(F.col(time_col)).alias("time_us"),
+        sec.cast("int").alias("time_sec"),
+        ((us - sec * 1_000_000) * 1000).cast("int").alias("time_nsec"),
         F.col(size_col).alias("size"),
         "connection_id",
     )
@@ -122,12 +128,25 @@ def convert(
     connections.write.mode("overwrite").parquet(os.path.join(out_dir, "Connections"))
 
     # ---- per-type demux: ONE partitioned write (reference GetHandler routing,
-    # FlattenedRosWriter.cpp:273-289). The blob column is carried verbatim
-    # (reference FlattenedRosWriter.cpp:229-253).
+    # FlattenedRosWriter.cpp:273-289). Layout per MessageTable.cpp:326-343:
+    # seqno, flattened payload fields, connection_id, raw data blob. The
+    # payload is decoded and recursively flattened (S5) when a schema is
+    # given; the raw blob is carried verbatim regardless
+    # (FlattenedRosWriter.cpp:229-253).
+    flat_cols = []
+    if payload_schema is not None:
+        from rosbag2parquet_spark.operators.keys import flatten_select_cols
+
+        resolved = resolved.withColumn(
+            "__payload", F.from_json(F.col(payload_col), payload_schema)
+        )
+        flat_cols = flatten_select_cols(payload_schema, "__payload")
+
     pertype = resolved.select(
         "seqno",
         F.col(time_col).alias("time"),
         F.col(size_col).alias("size"),
+        *flat_cols,
         "connection_id",
         F.col(payload_col).cast("binary").alias("data"),
         F.col(type_col).alias("datatype"),

@@ -66,11 +66,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(_words()).alias("n_ws_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
-            "n_re_tokens"
-        ),
-        F.length("text").alias("n_chars_measured"),
+        F.size(_words()).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
     )
 
 
@@ -174,7 +174,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         score.alias("quality"),
@@ -218,7 +218,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.array_min(shingles).alias("fingerprint"),
-        F.size(shingles).alias("n_shingles"),
+        F.size(shingles).cast("long").alias("n_shingles"),
     )
 
 

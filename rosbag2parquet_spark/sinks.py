@@ -37,8 +37,16 @@ def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
     out = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out", tag)
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
+        from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
+
         events = load_table(spark, sf_dir, "events")
-        convert(spark, events, out, order_cols=["ts", "event_id"])
+        convert(
+            spark,
+            events,
+            out,
+            order_cols=["ts", "event_id"],
+            payload_schema=PROPS_SCHEMA,
+        )
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -53,14 +61,21 @@ def q_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     pertype = spark.read.parquet(os.path.join(out, "pertype"))
     return (
         pertype.filter(F.col("datatype") == "purchase")
-        .select("seqno", F.unix_micros("time").alias("time_us"), "size", "connection_id")
+        .select(
+            "seqno",
+            F.unix_micros("time").alias("time_us"),
+            "size",
+            "k",  # flattened payload field (S5 applied inside the converter)
+            "connection_id",
+        )
     )
 
 
 ORACLE_DEMUX = (
     _SEQ_CONN_SQL
     + """
-SELECT seqno, epoch_us(ts) AS time_us, value AS size, connection_id
+SELECT seqno, epoch_us(ts) AS time_us, value AS size,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k, connection_id
 FROM seq JOIN conns USING (user_id, event_type)
 WHERE event_type = 'purchase'
 """
@@ -70,7 +85,8 @@ WHERE event_type = 'purchase'
 def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink round-trip (reference TableBuffer write path,
     TableBuffer.cpp:10-162): the ``Messages`` table as written to disk and
-    read back — metadata projection content must survive the sink."""
+    read back — the reference's exact (seqno, time_sec, time_nsec, size,
+    connection_id) layout must survive the sink."""
     out = _converted_dir(spark, sf_dir)
     return spark.read.parquet(os.path.join(out, "Messages"))
 
@@ -78,7 +94,10 @@ def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SINK = (
     _SEQ_CONN_SQL
     + """
-SELECT seqno, epoch_us(ts) AS time_us, value AS size, connection_id
+SELECT seqno,
+       CAST(epoch_us(ts) // 1000000 AS INTEGER) AS time_sec,
+       CAST((epoch_us(ts) % 1000000) * 1000 AS INTEGER) AS time_nsec,
+       value AS size, connection_id
 FROM seq JOIN conns USING (user_id, event_type)
 """
 )

@@ -16,9 +16,13 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def converted(spark, tmp_path_factory):
+    from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
+
     out = str(tmp_path_factory.mktemp("convert_out"))
     events = load_table(spark, SF_DIR, "events")
-    info = convert(spark, events, out, order_cols=["ts", "event_id"])
+    info = convert(
+        spark, events, out, order_cols=["ts", "event_id"], payload_schema=PROPS_SCHEMA
+    )
     return out, info, events
 
 
@@ -31,7 +35,8 @@ def test_tables_exist_with_schema(converted, spark):
     out, _, _ = converted
     messages = spark.read.parquet(os.path.join(out, "Messages"))
     connections = spark.read.parquet(os.path.join(out, "Connections"))
-    assert set(messages.columns) == {"seqno", "time_us", "size", "connection_id"}
+    # the reference's exact Messages layout (README.md:26-32)
+    assert messages.columns == ["seqno", "time_sec", "time_nsec", "size", "connection_id"]
     assert set(connections.columns) == {
         "connection_id", "topic", "datatype", "md5sum", "msg_def", "callerid",
     }
@@ -113,6 +118,23 @@ def test_blob_round_trip(converted, spark):
         .count()
     )
     assert diff == 0
+
+
+def test_pertype_layout_and_flattened_payload(converted, spark):
+    """Per-type table layout parity (reference MessageTable.cpp:326-343:
+    seqno, flattened fields, connection_id, data) and S5 flatten applied to
+    the payload: the flattened `k` column equals the JSON-decoded blob."""
+    out, _, _ = converted
+    pertype = spark.read.parquet(os.path.join(out, "pertype"))
+    cols = [c for c in pertype.columns if c != "datatype"]
+    assert cols[0] == "seqno"
+    assert cols[-2:] == ["connection_id", "data"]
+    assert "k" in cols
+    mismatch = pertype.filter(
+        F.col("k")
+        != F.get_json_object(F.decode(F.col("data"), "utf-8"), "$.k").cast("long")
+    ).count()
+    assert mismatch == 0
 
 
 def test_ddl_script_written(converted):
