@@ -1,0 +1,62 @@
+"""Shuffle-economics utilities: bucketed co-located joins and hot-key
+salting — the two techniques (beyond AQE) that make the reference's
+seqno/connection_id join pattern (E4) survive 100 TB.
+
+- **Bucketing**: write both join sides pre-hash-partitioned on the key
+  (``bucketBy`` + ``saveAsTable``); later joins on that key read co-located
+  buckets and skip the exchange entirely. This is the persistent analog of
+  the reference's choice to key every table on seqno (README.md:119-121):
+  pay the partitioning once at write time, join shuffle-free forever.
+- **Salting**: a skewed build key (one topic with 90% of messages — typical
+  for camera topics in a bag) overloads one reducer. Salt the fact side with
+  a random-but-deterministic shard id, explode the dim side across all
+  shards, join on (key, salt) — the hot key spreads over N reducers. AQE's
+  skew-join split handles sort-merge joins; salting is the explicit plan
+  for aggregations and for engines/joins AQE can't split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> None:
+    """Persist hash-bucketed by key (sorted within buckets so merge joins
+    need no sort either)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def salted_groupby_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-phase aggregation for a skewed group key: partial counts per
+    (key, salt) — the hot key's rows spread across ``n_salts`` reducers —
+    then a final cheap merge over n_salts rows per key. Deterministic salt
+    (hash of a unique row attribute mod n) so reruns agree."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-safe equi-join: fact rows get a salt shard; the (small) dim is
+    replicated across every shard; join on (key, salt). Output columns =
+    fact ∪ dim minus bookkeeping."""
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    dim_s = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    return fact_s.join(dim_s, on=[key, "__salt"]).drop("__salt")

@@ -1,0 +1,196 @@
+"""A bag-style binary log format + custom Spark Python DataSource reader —
+the real S1 (reference rosbag2parquet.cpp:41-63: sequential scan of a binary
+message log) rather than the parquet-fixture stand-in.
+
+Format ("SBAG", little-endian, deliberately bag-shaped — a header of
+connection records followed by length-prefixed timestamped messages):
+
+    magic   4s   b"SBAG"
+    n_conn  u32
+    per connection: u32 conn_id, u16 len + topic, u16 len + datatype,
+                    u16 len + md5sum, u32 len + msg_def
+    then messages until EOF:
+      u32 record_len (payload portion that follows)
+      u32 conn_id
+      u64 time_ns
+      payload bytes (record_len - 12)
+
+The DataSource splits the message region into byte-range partitions at
+record boundaries (an index of offsets is built once, driver-side, from a
+single sequential header scan — the same pass the reference's View setup
+does). Each partition yields (offset, time_ns, conn_id, data) rows; offset
+is the stable within-file position used for seqno assignment downstream
+(contiguous global seqno = rank of offset — no timestamp ties possible).
+
+This is the distributed analog of the reference's single loop: N partitions
+scan disjoint byte ranges in parallel; schema inference for the per-type
+tables then uses the msg_def text from the header via
+:mod:`rosbag2parquet_spark.sources.msgdef` — exactly the reference's
+two-layer design (connections metadata + schema-driven payload decode).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+MAGIC = b"SBAG"
+
+MESSAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("time_ns", T.LongType(), False),
+        T.StructField("conn_id", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+@dataclass
+class ConnectionInfo:
+    conn_id: int
+    topic: str
+    datatype: str
+    md5sum: str
+    msg_def: str
+
+
+# ------------------------------------------------------------------ writer
+
+
+def write_bag(
+    path: str,
+    connections: list[ConnectionInfo],
+    messages: list[tuple[int, int, bytes]],  # (conn_id, time_ns, payload)
+) -> None:
+    """Write a bag file (tests + fixtures; the reference writes its test bag
+    the same way, rosbag2parquet_test.cpp:160-197)."""
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(connections)))
+        for c in connections:
+            f.write(struct.pack("<I", c.conn_id))
+            for s in (c.topic, c.datatype, c.md5sum):
+                b = s.encode()
+                f.write(struct.pack("<H", len(b)) + b)
+            b = c.msg_def.encode()
+            f.write(struct.pack("<I", len(b)) + b)
+        for conn_id, time_ns, payload in messages:
+            f.write(struct.pack("<I", 12 + len(payload)))
+            f.write(struct.pack("<IQ", conn_id, time_ns))
+            f.write(payload)
+
+
+def read_header(path: str) -> tuple[list[ConnectionInfo], int]:
+    """Parse the connection header; return (connections, msg_region_start)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an SBAG file")
+        (n_conn,) = struct.unpack("<I", f.read(4))
+        conns = []
+        for _ in range(n_conn):
+            (cid,) = struct.unpack("<I", f.read(4))
+            strs = []
+            for _ in range(3):
+                (ln,) = struct.unpack("<H", f.read(2))
+                strs.append(f.read(ln).decode())
+            (ln,) = struct.unpack("<I", f.read(4))
+            msg_def = f.read(ln).decode()
+            conns.append(ConnectionInfo(cid, *strs, msg_def))
+        return conns, f.tell()
+
+
+def _index_offsets(path: str, start: int) -> list[int]:
+    """One sequential pass over record-length prefixes → record offsets.
+    Cheap (seeks only); the scan of payload bytes happens distributed."""
+    offsets = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = start
+        while pos + 4 <= size:
+            f.seek(pos)
+            (rec_len,) = struct.unpack("<I", f.read(4))
+            offsets.append(pos)
+            pos += 4 + rec_len
+    return offsets
+
+
+# -------------------------------------------------------------- datasource
+
+
+class _BagPartition(InputPartition):
+    def __init__(self, path: str, offsets: list[int]):
+        self.path = path
+        self.offsets = offsets
+
+
+class _BagReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        self.n_partitions = int(options.get("numPartitions", "8"))
+
+    def partitions(self):
+        _, start = read_header(self.path)
+        offsets = _index_offsets(self.path, start)
+        if not offsets:  # header-only bag: one empty partition, zero rows
+            return [_BagPartition(self.path, [])]
+        n = max(1, min(self.n_partitions, len(offsets)))
+        chunk = (len(offsets) + n - 1) // n
+        return [
+            _BagPartition(self.path, offsets[i : i + chunk])
+            for i in range(0, len(offsets), chunk)
+        ]
+
+    def read(self, partition: _BagPartition):
+        with open(partition.path, "rb") as f:
+            for off in partition.offsets:
+                f.seek(off)
+                (rec_len,) = struct.unpack("<I", f.read(4))
+                conn_id, time_ns = struct.unpack("<IQ", f.read(12))
+                payload = f.read(rec_len - 12)
+                yield (off, time_ns, conn_id, payload)
+
+
+class BagDataSource(DataSource):
+    """spark.read.format("sbag").option("path", ...).load() — registered via
+    ``spark.dataSource.register(BagDataSource)`` (the custom-source plan
+    SURVEY.md §4 item 1 calls for)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sbag"
+
+    def schema(self):
+        return MESSAGE_SCHEMA
+
+    def reader(self, schema):
+        return _BagReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(BagDataSource)
+
+
+def read_bag(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFrame:
+    register(spark)
+    return (
+        spark.read.format("sbag")
+        .option("path", path)
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+
+
+def connections_df(spark: SparkSession, path: str) -> DataFrame:
+    """The Connections dim from the header (reference
+    FlattenedRosWriter.cpp:30-32 snapshot at open)."""
+    conns, _ = read_header(path)
+    return spark.createDataFrame(
+        [(c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def) for c in conns],
+        "connection_id int, topic string, datatype string, md5sum string, msg_def string",
+    )

@@ -148,6 +148,11 @@ def to_struct_type(
             if f.is_array:
                 if arrays == "skip":
                     continue
+                if f.type_name in ("uint8", "byte", "char"):
+                    # uint8[] is a byte buffer, not a numeric list — the
+                    # reference consumes it string-style (MessageTable.cpp:63-67)
+                    fields.append(T.StructField(name, T.BinaryType(), False))
+                    continue
                 elem = BUILTIN_TYPES.get(f.type_name)
                 if elem is None and f.type_name in TIME_TYPES:
                     continue

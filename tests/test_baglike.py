@@ -1,0 +1,163 @@
+"""Golden bag-source test — the shape of the reference's
+``two_messages_test`` (rosbag2parquet_test.cpp:160-303) on the real binary
+path: write a 2-message Imu-shaped bag with known values → read through the
+custom Python DataSource → schema-driven decode → assert flattened values,
+ordering, and full-buffer consumption."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.baglike import (
+    ConnectionInfo,
+    connections_df,
+    read_bag,
+    write_bag,
+)
+from rosbag2parquet_spark.sources.decode import decode_messages, make_decoder
+from rosbag2parquet_spark.sources.msgdef import parse_msgdef
+from tests.test_msgdef import IMU_DEF
+
+
+def _imu_payload(
+    seq: int, stamp: tuple, frame_id: str, quat: tuple, angvel: tuple, linacc: tuple
+) -> bytes:
+    """Serialize sensor_msgs/Imu little-endian, matching the ROS wire
+    layout the decoder expects (header, quaternion, 3 float64[9]
+    covariance arrays interleaved with the vectors)."""
+    b = struct.pack("<I", seq)
+    b += struct.pack("<II", *stamp)
+    fid = frame_id.encode()
+    b += struct.pack("<I", len(fid)) + fid
+    b += struct.pack("<4d", *quat)            # orientation
+    b += struct.pack("<9d", *range(9))        # orientation_covariance (skipped)
+    b += struct.pack("<3d", *angvel)          # angular_velocity
+    b += struct.pack("<9d", *range(9))        # angular_velocity_covariance
+    b += struct.pack("<3d", *linacc)          # linear_acceleration
+    b += struct.pack("<9d", *range(9))        # linear_acceleration_covariance
+    return b
+
+
+# reference test values (rosbag2parquet_test.cpp:169-197 / FIXTURES.md §1)
+SEQ, STAMP, FRAME = 42, (1, 2), "test_frame"
+QUAT = (0.0, 0.0, 0.0, 0.44)
+ANGVEL = (0.1, 0.0, 0.0)
+LINACC = (0.0, 0.0, 9.81)
+
+
+@pytest.fixture(scope="module")
+def bag_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bags") / "two_messages.sbag")
+    payload = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    write_bag(
+        path,
+        [
+            ConnectionInfo(
+                conn_id=7,
+                topic="test_topic",
+                datatype="sensor_msgs/Imu",
+                md5sum="abc123",
+                msg_def=IMU_DEF,
+            )
+        ],
+        [(7, 3_000_000_004, payload), (7, 5_000_000_006, payload)],
+    )
+    return path
+
+
+def test_bag_scan_rows_and_order(spark, bag_path):
+    """Source returns every message with stable offsets (bag order)."""
+    df = read_bag(spark, bag_path, num_partitions=2)
+    rows = df.orderBy("offset").collect()
+    assert len(rows) == 2
+    assert rows[0].time_ns == 3_000_000_004 and rows[1].time_ns == 5_000_000_006
+    assert rows[0].conn_id == rows[1].conn_id == 7
+    assert rows[0].offset < rows[1].offset
+
+
+def test_connections_header_round_trip(spark, bag_path):
+    """Connections metadata round-trips (ref test :229-244)."""
+    conns = connections_df(spark, bag_path).collect()
+    assert len(conns) == 1
+    c = conns[0]
+    assert (c.connection_id, c.topic, c.datatype, c.md5sum) == (
+        7, "test_topic", "sensor_msgs/Imu", "abc123",
+    )
+    assert "orientation" in c.msg_def
+
+
+def test_decode_flattened_values(spark, bag_path):
+    """The golden value assertions (ref test :283-301): header_seq,
+    frame_id, stamp pair, orientation_w, angular_velocity_x — through the
+    full distributed pipeline (DataSource scan → mapInPandas decode)."""
+    msgs = read_bag(spark, bag_path, num_partitions=2)
+    conns = connections_df(spark, bag_path).collect()[0]
+    flat = decode_messages(msgs, conns.datatype, conns.msg_def)
+    rows = flat.orderBy("offset").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.header_seq == SEQ
+        assert (r.header_stamp_sec, r.header_stamp_nsec) == STAMP
+        assert r.header_frame_id == FRAME
+        assert r.orientation_w == pytest.approx(0.44)
+        assert r.angular_velocity_x == pytest.approx(0.1)
+        assert r.linear_acceleration_z == pytest.approx(9.81)
+    # covariance arrays were skipped (parity: reference MessageTable.cpp:275-277)
+    assert "orientation_covariance" not in flat.columns
+
+
+def test_decoder_asserts_full_consumption(bag_path):
+    """Truncated/overlong buffers fail loudly (ref assert, MessageTable.cpp:38)."""
+    specs = parse_msgdef("sensor_msgs/Imu", IMU_DEF)
+    decode = make_decoder("sensor_msgs/Imu", specs)
+    good = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    decode(good)
+    with pytest.raises((ValueError, struct.error)):
+        decode(good[:-8])
+    with pytest.raises(ValueError):
+        decode(good + b"\x00")
+
+
+def test_partitioned_scan_consistency(spark, bag_path):
+    """Different partition counts must yield identical content — byte-range
+    splitting at record boundaries is exact."""
+    a = read_bag(spark, bag_path, num_partitions=1).collect()
+    b = read_bag(spark, bag_path, num_partitions=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bag_to_parquet_end_to_end(spark, bag_path, tmp_path):
+    """Full converter over the bag source: seqno by offset rank, per-type
+    SNAPPY parquet out — the reference's whole program on the real binary
+    path."""
+    from rosbag2parquet_spark.convert import convert
+
+    msgs = read_bag(spark, bag_path)
+    conns = connections_df(spark, bag_path)
+    stream = (
+        msgs.join(F.broadcast(conns), msgs.conn_id == conns.connection_id)
+        .select(
+            F.col("offset").alias("event_id"),
+            F.timestamp_micros(F.expr("time_ns div 1000")).alias("ts"),
+            F.col("conn_id").alias("user_id"),
+            F.col("datatype").alias("event_type"),
+            F.length("data").cast("double").alias("value"),
+            F.col("data").cast("string").alias("props"),
+        )
+    )
+    info = convert(spark, stream, str(tmp_path / "bagout"), order_cols=["event_id"])
+    assert info.count == 2
+    import os
+
+    assert os.path.isdir(str(tmp_path / "bagout" / "pertype" / "datatype=sensor_msgs%2FImu")) or any(
+        d.startswith("datatype=") for d in os.listdir(str(tmp_path / "bagout" / "pertype"))
+    )
+
+
+def test_empty_bag_yields_zero_rows(spark, tmp_path):
+    """Header-only bag (no messages) → empty DataFrame, not a partition
+    error (regression: range step 0 when the offset index is empty)."""
+    path = str(tmp_path / "empty.sbag")
+    write_bag(path, [ConnectionInfo(1, "/t", "demo/Reading", "m5", "uint32 x")], [])
+    assert read_bag(spark, path).count() == 0

@@ -80,6 +80,17 @@ def test_native_arrays_mode():
     assert types["orientation_covariance"] == T.ArrayType(T.DoubleType())
 
 
+def test_uint8_array_is_binary_in_native_mode():
+    """uint8[] → BinaryType (reference's string-style byte-buffer shortcut,
+    MessageTable.cpp:63-67), not array<int>."""
+    text = "uint8[] payload\nfloat64[] samples"
+    specs = parse_msgdef("test/Blob", text)
+    st = to_struct_type("test/Blob", specs, arrays="native")
+    types = {f.name: f.dataType for f in st.fields}
+    assert types["payload"] == T.BinaryType()
+    assert types["samples"] == T.ArrayType(T.DoubleType())
+
+
 def test_constants_elided():
     spec_text = "uint8 DEBUG=1\nuint8 INFO=2\nstring name\nbyte level"
     specs = parse_msgdef("diag/Status", spec_text)

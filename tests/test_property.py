@@ -65,7 +65,10 @@ def test_msgdef_schema_invariants(case):
             assert f"{fname}_sec" in skip_names and f"{fname}_nsec" in skip_names
         elif kind == "array":
             assert fname not in skip_names  # parity: arrays not columnarized
-            assert native_types[fname] == T.ArrayType(BUILTIN_TYPES[ftype])
+            if ftype in ("uint8", "byte", "char"):
+                assert native_types[fname] == T.BinaryType()  # byte buffer
+            else:
+                assert native_types[fname] == T.ArrayType(BUILTIN_TYPES[ftype])
         else:
             assert fname in skip_names
             idx = skip_names.index(fname)
