@@ -13,6 +13,19 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # subcommand: `info` = the rosbag-info stats companion (reference
+    # rosbag_example.cpp); anything else is the converter (reference main.cpp)
+    if argv and argv[0] == "info":
+        ip = argparse.ArgumentParser(prog="rosbag2parquet_spark info")
+        ip.add_argument("--input", required=True, help="SBAG bag file")
+        args = ip.parse_args(argv[1:])
+        from rosbag2parquet_spark.info import print_info
+        from rosbag2parquet_spark.session import get_spark
+
+        print_info(get_spark("rosbag2parquet_spark_info"), args.input)
+        return 0
+
     ap = argparse.ArgumentParser(prog="rosbag2parquet_spark")
     ap.add_argument("--input", required=True, help="input stream parquet (the 'bag')")
     ap.add_argument("--outdir", required=True, help="output directory")

@@ -1,0 +1,55 @@
+"""`rosbag info` analog — the reference's stats companion
+(rosbag_example.cpp:14-77): per-topic aggregation (count, bytes, min/max
+stamp, first-seen type), rolled up per type and globally, with derived
+frequency / data-rate metrics (rosbag_example.cpp:28-34, 71-72).
+
+One groupBy + one rollup over the bag scan — the reference's three
+sequential hash-map passes collapse into two Spark aggregations (partial
+aggregation map-side; the rollup shares the shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.baglike import connections_df, read_bag
+
+
+def bag_info(spark: SparkSession, path: str) -> DataFrame:
+    """Per-(datatype, topic) stats + per-type and global rollup rows
+    (topic NULL → per-type subtotal; both NULL → grand total)."""
+    msgs = read_bag(spark, path)
+    conns = connections_df(spark, path)
+    joined = msgs.join(F.broadcast(conns), msgs.conn_id == conns.connection_id)
+    agg = (
+        joined.rollup("datatype", "topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum(F.length("data")).alias("total_bytes"),
+            F.min("time_ns").alias("min_ns"),
+            F.max("time_ns").alias("max_ns"),
+        )
+    )
+    span_s = (F.col("max_ns") - F.col("min_ns")) / 1e9
+    return agg.select(
+        F.coalesce("datatype", F.lit("<all>")).alias("datatype"),
+        F.coalesce("topic", F.lit("<all>")).alias("topic"),
+        "n_msgs",
+        "total_bytes",
+        F.when(span_s > 0, F.round(F.col("n_msgs") / span_s, 3)).alias("freq_hz"),
+        F.when(span_s > 0, F.round(F.col("total_bytes") / span_s, 1)).alias(
+            "bytes_per_s"
+        ),
+    )
+
+
+def print_info(spark: SparkSession, path: str) -> None:
+    """Human-oriented summary (the reference prints to stdout,
+    rosbag_example.cpp:67-76)."""
+    df = bag_info(spark, path).orderBy("datatype", "topic")
+    rows = df.collect()
+    print(f"bag: {path}")
+    for r in rows:
+        tag = "TOTAL" if r.datatype == "<all>" else f"{r.datatype} {r.topic}"
+        freq = f" @ {r.freq_hz} Hz" if r.freq_hz is not None else ""
+        print(f"  {tag}: {r.n_msgs} msgs, {r.total_bytes} bytes{freq}")

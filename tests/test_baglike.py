@@ -161,3 +161,16 @@ def test_empty_bag_yields_zero_rows(spark, tmp_path):
     path = str(tmp_path / "empty.sbag")
     write_bag(path, [ConnectionInfo(1, "/t", "demo/Reading", "m5", "uint32 x")], [])
     assert read_bag(spark, path).count() == 0
+
+
+def test_bag_info_rollup(spark, bag_path):
+    """The `rosbag info` companion (reference rosbag_example.cpp:37-72):
+    per-topic stats with per-type and global rollup rows."""
+    from rosbag2parquet_spark.info import bag_info
+
+    rows = {(r.datatype, r.topic): r for r in bag_info(spark, bag_path).collect()}
+    total = rows[("<all>", "<all>")]
+    per_topic = rows[("sensor_msgs/Imu", "/topic" if ("sensor_msgs/Imu", "/topic") in rows else "test_topic")]
+    assert total.n_msgs == 2
+    assert per_topic.n_msgs == 2
+    assert total.total_bytes == per_topic.total_bytes > 0
