@@ -19,7 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rosbag2parquet_spark import sinks  # noqa: E402
 from rosbag2parquet_spark.functions import dedup, similarity, text  # noqa: E402
-from rosbag2parquet_spark.operators import asof, keys, olap, relational, tpch, windows  # noqa: E402
+from rosbag2parquet_spark.operators import (  # noqa: E402
+    analytic,
+    asof,
+    keys,
+    olap,
+    relational,
+    tpch,
+    windows,
+)
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -40,7 +48,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q_derived(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = (relational, keys, olap, tpch, asof, windows, text, dedup, similarity, sinks)
+_MODULES = (
+    relational,
+    keys,
+    olap,
+    tpch,
+    analytic,
+    asof,
+    windows,
+    text,
+    dedup,
+    similarity,
+    sinks,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -47,11 +47,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM, codegen, and parquet datasource once so the first timed
-    # query doesn't pay session startup (one tiny real read)
-    from rosbag2parquet_spark.sources.catalog import load_table
+    # warm the JVM, codegen, and the parquet footers of every fixture table
+    # so the first timed query measures the query, not session startup
+    from rosbag2parquet_spark.sources.catalog import TABLES, load_table
 
-    load_table(spark, SF_DIR, "region").count()
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -1,0 +1,188 @@
+"""Analytic-function and scalar-function surface — the remaining SQL
+breadth an engine claiming "run every query the reference's users run"
+needs: ranking/frame window functions, running aggregates, the scalar
+function library (string/date/math), null semantics, and a HAVING +
+correlated-IN subquery shape (TPC-H Q18 style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table, register_views
+
+# --------------------------------------------------------- window functions
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + frame aggregates in one pass over a single shuffle: rank,
+    dense_rank, ntile, cumulative sum, 3-row moving average, cume_dist —
+    all share the same (partition, order) so Catalyst plans ONE Window
+    operator, one exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wavg = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(wavg), 4).alias("moving_avg3"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = """
+SELECT o_orderkey, o_orderstatus,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg3,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------- scalar functions
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar library over one projection: string (upper/substr/trim/
+    lpad/replace/concat), date (year/month/day/dayofweek/date_trunc), math
+    (abs/round/floor/ceil/sqrt/ln/pow/sign) — all codegen'd JVM intrinsics,
+    identical semantics to the oracle's ANSI twins."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_repl"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("month_start_us"),
+        F.round(F.sqrt(F.abs("o_totalprice")), 6).alias("sqrt_price"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("price_k"),
+        F.round(F.ln("o_totalprice"), 6).alias("ln_price"),
+        F.round(F.pow(F.col("o_totalprice"), F.lit(0.25)), 6).alias("price_4rt"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderstatus, 1, 1) AS status_c,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(o_orderpriority, '-', '_') AS prio_repl,
+       o_orderstatus || '|' || o_orderpriority AS tag,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+       round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+       round(ln(o_totalprice), 6) AS ln_price,
+       round(pow(o_totalprice, 0.25), 6) AS price_4rt
+FROM orders
+"""
+
+
+# ------------------------------------------------------------- null handling
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: NULL injection via nullif, coalesce
+    fallback, null-safe equality (<=>), nulls-last ordering aggregation,
+    count(col) vs count(*) divergence."""
+    ev = load_table(spark, sf_dir, "events")
+    with_null = ev.withColumn(
+        "maybe_value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    return with_null.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("maybe_value").alias("n_nonnull"),
+        F.round(F.sum(F.coalesce("maybe_value", F.lit(0.0))), 4).alias("sum_coalesced"),
+        F.sum(
+            F.when(F.col("maybe_value").eqNullSafe(F.col("value")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq"),
+        F.max(F.col("maybe_value").isNull().cast("int")).alias("has_null"),
+    )
+
+
+ORACLE_NULL_SEMANTICS = """
+WITH t AS (
+  SELECT event_type, value,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS maybe_value
+  FROM events
+)
+SELECT event_type, count(*) AS n_rows, count(maybe_value) AS n_nonnull,
+       round(sum(coalesce(maybe_value, 0.0)), 4) AS sum_coalesced,
+       sum(CASE WHEN maybe_value IS NOT DISTINCT FROM value THEN 1 ELSE 0 END)
+         AS n_nullsafe_eq,
+       max(CAST(maybe_value IS NULL AS INTEGER)) AS has_null
+FROM t GROUP BY event_type
+"""
+
+
+# ----------------------------------------------------- Q18-style subquery
+
+
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume customers — orders whose lineitem
+    quantity total exceeds a threshold (HAVING), joined back to customers.
+    Catalyst rewrites the IN-subquery into a left-semi join on the
+    aggregated key set."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        """
+    )
+
+
+ORACLE_SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+"""
+
+
+QUERIES = {
+    "window-funcs": q_window_funcs,
+    "scalar-funcs": q_scalar_funcs,
+    "null-semantics": q_null_semantics,
+    "sql-q18": q_sql_q18,
+}
+
+ORACLES = {
+    "window-funcs": ORACLE_WINDOW_FUNCS,
+    "scalar-funcs": ORACLE_SCALAR_FUNCS,
+    "null-semantics": ORACLE_NULL_SEMANTICS,
+    "sql-q18": ORACLE_SQL_Q18,
+}
