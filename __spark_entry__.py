@@ -25,6 +25,7 @@ from rosbag2parquet_spark.operators import (  # noqa: E402
     keys,
     olap,
     relational,
+    setops,
     tpch,
     windows,
 )
@@ -52,6 +53,7 @@ _MODULES = (
     relational,
     keys,
     olap,
+    setops,
     tpch,
     analytic,
     asof,
