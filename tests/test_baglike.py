@@ -174,3 +174,25 @@ def test_bag_info_rollup(spark, bag_path):
     assert total.n_msgs == 2
     assert per_topic.n_msgs == 2
     assert total.total_bytes == per_topic.total_bytes > 0
+
+
+def test_decoder_variable_struct_array_skip():
+    """Variable-length arrays of nested structs are skipped positionally —
+    the recursive skip path (reference RemoveArray, MessageTable.cpp:364-391)."""
+    from rosbag2parquet_spark.sources.decode import make_decoder
+    from rosbag2parquet_spark.sources.msgdef import SEPARATOR, parse_msgdef
+
+    d = (
+        "uint32 n\npoint/P[] pts\nfloat64 tail\n"
+        + SEPARATOR
+        + "\nMSG: point/P\nfloat32 x\nfloat32 y\n"
+    )
+    specs = parse_msgdef("point/Cloud", d)
+    decode = make_decoder("point/Cloud", specs)
+    payload = (
+        struct.pack("<I", 7)
+        + struct.pack("<I", 3)          # 3 array elements
+        + struct.pack("<6f", *range(6))  # 3 × (x, y) — skipped
+        + struct.pack("<d", 2.5)
+    )
+    assert decode(payload) == (7, 2.5)
