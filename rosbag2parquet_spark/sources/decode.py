@@ -122,6 +122,89 @@ def make_decoder(root_type: str, specs: dict[str, MsgSpec]):
     return decode
 
 
+# NOTE: uint32/uint64 values above the signed range are a known relaxation
+# (stored signed — same signedness TODO as the reference, rosbag2parquet.cpp:36);
+# the vectorized path reads them as unsigned numpy and Arrow casts on output.
+_NP_DTYPE = {
+    "bool": "?",
+    "int8": "i1",
+    "uint8": "u1",
+    "byte": "i1",
+    "char": "u1",
+    "int16": "<i2",
+    "uint16": "<u2",
+    "int32": "<i4",
+    "uint32": "<u4",
+    "int64": "<i8",
+    "uint64": "<u8",
+    "float32": "<f4",
+    "float64": "<f8",
+}
+
+
+def fixed_layout(root_type: str, specs: dict[str, MsgSpec]):
+    """If every message of this type has a FIXED byte length (no strings, no
+    variable-length arrays), return the numpy structured-dtype field list
+    [(name|None, np_dtype_or_pad_bytes)] for a single vectorized
+    ``np.frombuffer`` decode of an entire batch; else None. Emitted names
+    align 1:1 with ``to_struct_type(arrays='skip')``."""
+    fields: list[tuple[str | None, object]] = []
+
+    def fixed_bytes(spec: MsgSpec) -> int | None:
+        """Fixed serialized size of a message type, or None if variable."""
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        total = 0
+        for f in spec.fields:
+            if f.type_name == "string" or (f.is_array and f.array_len is None):
+                return None
+            if f.type_name in TIME_TYPES:
+                unit = 8
+            elif f.type_name in _FIXED_SIZE:
+                unit = _FIXED_SIZE[f.type_name]
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None:
+                    return None
+                unit = fixed_bytes(sub)
+                if unit is None:
+                    return None
+            total += unit * (f.array_len if f.is_array else 1)
+        return total
+
+    def walk(spec: MsgSpec, prefix: str) -> bool:
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        for f in spec.fields:
+            name = f"{prefix}{f.name}"
+            if f.is_array:
+                if f.array_len is None:
+                    return False  # variable length → not fixed-stride
+                if f.type_name in TIME_TYPES:
+                    unit = 8
+                elif f.type_name in _FIXED_SIZE:
+                    unit = _FIXED_SIZE[f.type_name]
+                else:
+                    sub = _resolve(f.type_name, pkg, specs)
+                    unit = fixed_bytes(sub) if sub else None
+                    if unit is None:
+                        return False
+                fields.append((None, unit * f.array_len))  # pad: array skipped
+                continue
+            if f.type_name == "string":
+                return False
+            if f.type_name in TIME_TYPES:
+                fields.append((f"{name}_sec", "<u4"))
+                fields.append((f"{name}_nsec", "<u4"))
+            elif f.type_name in _NP_DTYPE:
+                fields.append((name, _NP_DTYPE[f.type_name]))
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None or not walk(sub, f"{name}_"):
+                    return False
+        return True
+
+    return fields if walk(specs[root_type], "") else None
+
+
 def decode_messages(
     df: DataFrame,
     root_type: str,
@@ -133,6 +216,8 @@ def decode_messages(
     (reference MessageTable.cpp:305-343 minus seqno/blob bookkeeping, which
     the converter adds). Arrow-batched; schema comes from the msg-def
     compiler so decode positions and column names always agree."""
+    import numpy as np
+
     specs = parse_msgdef(root_type, msgdef_text)
     flat = to_struct_type(root_type, specs, arrays="skip")
     decode = make_decoder(root_type, specs)
@@ -142,14 +227,38 @@ def decode_messages(
     )
     flat_names = [f.name for f in flat.fields]
 
+    layout = fixed_layout(root_type, specs)
+    np_dtype = None
+    if layout is not None:
+        np_fields, pad = [], 0
+        for name, spec_dt in layout:
+            if name is None:  # skipped array region → void padding bytes
+                np_fields.append((f"__pad{pad}", f"V{int(spec_dt)}"))
+                pad += 1
+            else:
+                np_fields.append((name, spec_dt))
+        np_dtype = np.dtype(np_fields)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            decoded = [decode(bytes(b)) for b in pdf[data_col]]
             cols = {c: pdf[c].values for c in keep_cols}
-            for i, name in enumerate(flat_names):
-                cols[name] = [row[i] for row in decoded]
+            if np_dtype is not None:
+                # vectorized fast path: one frombuffer over the whole batch
+                buf = b"".join(pdf[data_col])
+                if len(buf) != np_dtype.itemsize * len(pdf):
+                    raise ValueError(
+                        f"fixed-stride mismatch: {len(buf)} bytes for "
+                        f"{len(pdf)} x {np_dtype.itemsize}B records of {root_type}"
+                    )
+                arr = np.frombuffer(buf, dtype=np_dtype)
+                for name in flat_names:
+                    cols[name] = arr[name]
+            else:
+                decoded = [decode(bytes(b)) for b in pdf[data_col]]
+                for i, name in enumerate(flat_names):
+                    cols[name] = [row[i] for row in decoded]
             yield pd.DataFrame(cols)
 
     return df.select(*keep_cols, data_col).mapInPandas(run, schema=out_schema)

@@ -196,3 +196,49 @@ def test_decoder_variable_struct_array_skip():
         + struct.pack("<d", 2.5)
     )
     assert decode(payload) == (7, 2.5)
+
+
+def test_vectorized_decode_equals_row_loop(spark, tmp_path):
+    """Fixed-stride types take the numpy frombuffer fast path; it must be
+    byte-equivalent to the per-row decoder. Type: scalars + time + fixed
+    array (no strings → fixed stride)."""
+    from rosbag2parquet_spark.sources.decode import fixed_layout, make_decoder
+    from rosbag2parquet_spark.sources.msgdef import parse_msgdef
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    d = "uint32 seq\ntime stamp\nfloat64[3] vec\nfloat32 scale\nint16 mode"
+    specs = parse_msgdef("fix/Fast", d)
+    assert fixed_layout("fix/Fast", specs) is not None, "should be fixed-stride"
+
+    def pay(i):
+        return (
+            struct.pack("<I", i)
+            + struct.pack("<II", 100 + i, 200 + i)
+            + struct.pack("<3d", i, i + 0.5, i + 0.25)
+            + struct.pack("<f", i * 1.5)
+            + struct.pack("<h", -i)
+        )
+
+    path = str(tmp_path / "fast.sbag")
+    write_bag(
+        path,
+        [ConnectionInfo(1, "/t", "fix/Fast", "m", d)],
+        [(1, 10 + i, pay(i)) for i in range(6)],
+    )
+    msgs = read_bag(spark, path, num_partitions=2)
+    out = decode_messages(msgs, "fix/Fast", d).orderBy("offset").collect()
+    decode = make_decoder("fix/Fast", specs)
+    for i, r in enumerate(out):
+        assert (r.seq, r.stamp_sec, r.stamp_nsec) == (i, 100 + i, 200 + i)
+        assert r.scale == pytest.approx(i * 1.5)
+        assert r.mode == -i
+        assert decode(pay(i)) == (i, 100 + i, 200 + i, pytest.approx(i * 1.5), -i)
+    assert "vec" not in out[0].asDict()  # fixed array skipped, as schema says
+
+
+def test_string_type_falls_back_to_row_loop():
+    from rosbag2parquet_spark.sources.decode import fixed_layout
+    from rosbag2parquet_spark.sources.msgdef import parse_msgdef
+
+    specs = parse_msgdef("v/S", "uint32 a\nstring s")
+    assert fixed_layout("v/S", specs) is None
