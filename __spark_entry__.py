@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rosbag2parquet_spark import sinks  # noqa: E402
-from rosbag2parquet_spark.functions import dedup, similarity, text  # noqa: E402
+from rosbag2parquet_spark.functions import dedup, kmeans, similarity, text  # noqa: E402
 from rosbag2parquet_spark.operators import (  # noqa: E402
     analytic,
     asof,
@@ -61,6 +61,7 @@ _MODULES = (
     text,
     dedup,
     similarity,
+    kmeans,
     sinks,
 )
 

@@ -1,0 +1,115 @@
+"""Streaming incremental near-duplicate detection — MinHash-LSH as a
+continuously-updating index (the deduplication mode a live ingestion
+pipeline needs: flag each arriving document against everything seen so far).
+
+Plan shape:
+1. signatures are computed NARROWLY per arriving row (array-expression
+   minhash — transform → array_min; in a stream each row is evaluated once,
+   so the batch-mode re-evaluation hazard doesn't apply and the zero-shuffle
+   formulation is exactly right here);
+2. band/bucket explode (stateless);
+3. ``applyInPandasWithState`` keyed on (band, bucket): state = doc_ids seen
+   in this bucket; each arriving doc emits candidate pairs against the
+   bucket's history, then joins the state. State shards by bucket key
+   across executors; a production deployment adds a watermark/TTL timeout
+   to bound bucket history.
+
+Candidates are emitted unverified (the exact-Jaccard confirmation is a
+stream-static join against the corpus or a downstream batch pass — kept
+separate so the stateful operator stays single-purpose).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from rosbag2parquet_spark.functions.dedup import BAND_SIZE, N_HASHES
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+PAIRS_SCHEMA = "band int, bucket string, a_id long, b_id long"
+STATE_SCHEMA = "ids array<bigint>"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet staged as a file stream (same pattern as
+    streaming.windowed.stream_events)."""
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "rosbag2parquet_spark_docstream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(stage)
+
+
+def band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) per document — narrow minhash signature (two
+    md5 slices per shingle, same hash family as the batch pipeline so
+    streaming and batch candidates agree exactly)."""
+    sset = (
+        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+    )
+    mh = [
+        f"array_min(transform({sset}, s -> substr(md5('{k // 4}|' || s), {1 + 8 * (k % 4)}, 8)))"
+        for k in range(N_HASHES)
+    ]
+    buckets = ", ".join(
+        "concat_ws('#', " + ", ".join(mh[b * BAND_SIZE + r] for r in range(BAND_SIZE)) + ")"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return docs.select(
+        "doc_id", F.posexplode(F.expr(f"array({buckets})")).alias("band", "bucket")
+    )
+
+
+def _emit_pairs(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    band, bucket = key
+    (seen,) = state.get if state.exists else ([],)
+    seen = list(seen)
+    out_a, out_b = [], []
+    for pdf in batches:
+        for doc_id in sorted(int(x) for x in pdf["doc_id"]):
+            for prev in seen:
+                lo, hi = (prev, doc_id) if prev < doc_id else (doc_id, prev)
+                out_a.append(lo)
+                out_b.append(hi)
+            seen.append(doc_id)
+    state.update((seen,))
+    if out_a:
+        yield pd.DataFrame(
+            {"band": band, "bucket": bucket, "a_id": out_a, "b_id": out_b}
+        )
+
+
+def streaming_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs, incrementally, as documents arrive."""
+    return band_buckets(docs).groupBy("band", "bucket").applyInPandasWithState(
+        _emit_pairs,
+        outputStructType=PAIRS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

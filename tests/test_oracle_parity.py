@@ -30,7 +30,7 @@ def _norm(rows, cols):
 
 #: queries intentionally declared without a value oracle (sketch-based
 #: estimates are engine-specific; driver records a rows-only check)
-ROWS_ONLY = {"approx-stats"}
+ROWS_ONLY = {"approx-stats", "kmeans"}
 
 
 def test_every_query_has_oracle():

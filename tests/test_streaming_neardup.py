@@ -1,0 +1,59 @@
+"""Streaming incremental near-dup: the stateful candidate stream over the
+finite fixture must produce exactly the batch MinHash-LSH candidate set
+(same hash family ⇒ same buckets ⇒ same pairs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.functions.dedup import (
+    _doc_shingle_sets,
+    minhash_signatures,
+    BAND_SIZE,
+    N_HASHES,
+)
+from rosbag2parquet_spark.streaming.neardup import (
+    stream_documents,
+    streaming_candidates,
+)
+from rosbag2parquet_spark.streaming.windowed import run_to_memory
+from tests.conftest import SF_DIR
+
+
+@pytest.mark.slow
+def test_streaming_candidates_equal_batch(spark):
+    stream = stream_documents(spark, SF_DIR)
+    run_to_memory(streaming_candidates(stream), "nd_cand", mode="append")
+    streamed = {
+        (r.a_id, r.b_id)
+        for r in spark.sql("SELECT DISTINCT a_id, b_id FROM nd_cand").collect()
+    }
+
+    sig = minhash_signatures(_doc_shingle_sets(spark, SF_DIR))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                    )
+                    for b in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    batch = {
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
