@@ -319,8 +319,39 @@ SELECT count(*) AS n_pairs FROM (
 """
 
 
+# ---------------------------------------------------------- grouping sets
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    per-returnflag totals and per-linestatus totals in one pass (no
+    all-combinations expansion)."""
+    from rosbag2parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<rf>') AS l_returnflag,
+               coalesce(l_linestatus, '<ls>') AS l_linestatus,
+               count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, '<rf>') AS l_returnflag,
+       coalesce(l_linestatus, '<ls>') AS l_linestatus,
+       count(*) AS n, round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 QUERIES = {
     "first-seen": q_first_seen,
+    "grouping-sets": q_grouping_sets,
     "cube": q_cube,
     "distinct-count": q_distinct_count,
     "quantiles": q_quantiles,
@@ -335,6 +366,7 @@ QUERIES = {
 
 ORACLES = {
     "first-seen": ORACLE_FIRST_SEEN,
+    "grouping-sets": ORACLE_GROUPING_SETS,
     "cube": ORACLE_CUBE,
     "distinct-count": ORACLE_DISTINCT_COUNT,
     "quantiles": ORACLE_QUANTILES,

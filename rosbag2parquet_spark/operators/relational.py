@@ -292,16 +292,26 @@ def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # DECIMAL accumulation: the 4-decimal-exact products make double
+            # sums land exactly on round-half boundaries where engines differ
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
 
 ORACLE_JOIN = """
 SELECT c_mktsegment, o_orderstatus, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+         AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -323,7 +333,7 @@ def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                                   AS sum_qty,
                round(sum(l_extendedprice), 2)                              AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)                        AS sum_disc_price,
                round(avg(l_quantity), 6)                                   AS avg_qty,
                round(avg(l_extendedprice), 6)                              AS avg_price,
                round(avg(l_discount), 6)                                   AS avg_disc,
@@ -339,7 +349,7 @@ ORACLE_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
        round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
        round(avg(l_quantity), 6)                          AS avg_qty,
        round(avg(l_extendedprice), 6)                     AS avg_price,
        round(avg(l_discount), 6)                          AS avg_disc,

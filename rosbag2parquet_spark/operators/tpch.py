@@ -23,7 +23,7 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
                unix_micros(o_orderdate) AS orderdate_us,
                o_orderpriority
         FROM customer JOIN orders ON c_custkey = o_custkey
@@ -40,7 +40,7 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SQL_Q3 = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
        epoch_us(o_orderdate) AS orderdate_us,
        o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
@@ -62,7 +62,7 @@ def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(
         """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -74,7 +74,7 @@ def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -100,15 +100,111 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region/year — the
+    full star-chain join (region→nation→customer→orders→lineitem→supplier)
+    with the supplier-nation = customer-nation constraint. The three dims
+    broadcast; the two facts sort-merge."""
+    register_views(
+        spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem", "supplier")
+    )
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        """
+    )
+
+
+ORACLE_SQL_Q5 = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer in a quarter,
+    top 20 — join + filter on the fact flag + agg + top-k.
+
+    Revenue accumulates in DECIMAL, not DOUBLE: the fixture prices are
+    exact 2/4-decimal values, so per-customer sums frequently land exactly
+    on a round-half boundary (… .595) where the engines' double summation
+    orders fall on opposite sides. Decimal arithmetic is exact in both
+    engines, so the rounding is deterministic and identical."""
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+ORACLE_SQL_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+            AS DOUBLE) AS revenue,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "sql-q3": q_sql_q3,
+    "sql-q5": q_sql_q5,
     "sql-q6": q_sql_q6,
+    "sql-q10": q_sql_q10,
     "approx-stats": q_approx_stats,
 }
 
 ORACLES = {
     "sql-q3": ORACLE_SQL_Q3,
+    "sql-q5": ORACLE_SQL_Q5,
     "sql-q6": ORACLE_SQL_Q6,
+    "sql-q10": ORACLE_SQL_Q10,
     # approx-stats: intentionally no oracle — sketch estimates are
     # engine-specific; driver records rows-only.
 }
