@@ -334,9 +334,12 @@ def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(l_quantity), 2)                                   AS sum_qty,
                round(sum(l_extendedprice), 2)                              AS sum_base_price,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)                        AS sum_disc_price,
-               round(avg(l_quantity), 6)                                   AS avg_qty,
-               round(avg(l_extendedprice), 6)                              AS avg_price,
-               round(avg(l_discount), 6)                                   AS avg_disc,
+               -- avgs: exact decimal sum cast to double, THEN divide — both
+               -- engines then perform the identical IEEE division (a raw
+               -- avg() aggregates doubles in engine-specific order)
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)      AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)      AS avg_disc,
                count(*)                                                    AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -350,9 +353,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
        round(sum(l_extendedprice), 2)                     AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
-       round(avg(l_quantity), 6)                          AS avg_qty,
-       round(avg(l_extendedprice), 6)                     AS avg_price,
-       round(avg(l_discount), 6)                          AS avg_disc,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)      AS avg_disc,
        count(*)                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
