@@ -1,0 +1,142 @@
+"""Property-based validation of the hand-built distributed operators:
+the as-of join (union + carry-forward window) against pandas merge_asof,
+and the banded range self-join against the naive O(n²) definition — on
+randomized inputs, where hand-rolled plans usually break (ties, empty
+groups, boundary values)."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sparks(spark):
+    return spark
+
+
+_probe_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # key
+        st.integers(0, 50),     # time
+    ),
+    min_size=1,
+    max_size=25,
+)
+_quote_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 50),
+        st.floats(-100, 100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(probes=_probe_rows, quotes=_quote_rows)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_merge_asof_random(sparks, probes, quotes):
+    """Random keys/times incl. exact ties and keys with no quotes. Quote
+    (key, t) pairs are deduped (max v wins) because as-of under ties is
+    ill-defined — both sides dedup identically."""
+    from rosbag2parquet_spark.operators.asof import asof_join
+
+    spark = sparks
+    probes = [(k, t, i) for i, (k, t) in enumerate(probes)]
+    pdf_p = pd.DataFrame(probes, columns=["key", "t", "pid"])
+    pdf_q = pd.DataFrame(quotes, columns=["key", "t", "v"])
+    if len(pdf_q):
+        pdf_q = pdf_q.groupby(["key", "t"], as_index=False)["v"].max()
+
+    sp = spark.createDataFrame(pdf_p)
+    sq = (
+        spark.createDataFrame(pdf_q)
+        if len(pdf_q)
+        else spark.createDataFrame([], "key bigint, t bigint, v double")
+    )
+    got = (
+        asof_join(sp, sq, "key", "key", "t", "t", ["v"])
+        .orderBy("pid")
+        .toPandas()["asof_v"]
+        .tolist()
+    )
+
+    if len(pdf_q):
+        expected = pd.merge_asof(
+            pdf_p.sort_values("t", kind="stable"),
+            pdf_q.sort_values("t", kind="stable"),
+            on="t",
+            by="key",
+            direction="backward",
+        ).sort_values("pid")["v"].tolist()
+    else:
+        expected = [None] * len(pdf_p)
+
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        # toPandas renders NULL doubles as NaN — normalize both sides
+        g_null = g is None or (isinstance(g, float) and pd.isna(g))
+        e_null = e is None or (isinstance(e, float) and pd.isna(e))
+        if e_null:
+            assert g_null
+        else:
+            assert g == pytest.approx(e)
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # user
+        st.integers(0, 300),        # time (seconds)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(events=_events)
+@settings(max_examples=12, deadline=None)
+def test_banded_range_join_matches_naive_random(sparks, events):
+    """The banded (bucket + neighbor-bucket) range self-join must equal the
+    naive all-pairs definition for every random input — including events on
+    exact band boundaries and duplicate timestamps."""
+    spark = sparks
+    rows = [(i, u, t * 1_000_000) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0)], "event_id long, user_id long, us long"
+    )
+    if not rows:
+        df = df.limit(0)
+    window_us = 60_000_000
+
+    base = df.withColumn("band", F.expr("us div 60000000"))
+    left = base.select(
+        "event_id", "user_id", "us",
+        F.explode(F.array(F.col("band"), F.col("band") + 1)).alias("jband"),
+    )
+    right = base.select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"), F.col("band").alias("jband"),
+    )
+    banded = {
+        (r.event_id, r.b_id)
+        for r in left.join(right, ["jband"])
+        .filter(
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("event_id") < F.col("b_id"))
+            & (F.col("b_us") - F.col("us") >= 0)
+            & (F.col("b_us") - F.col("us") <= window_us)
+        )
+        .select("event_id", "b_id")
+        .distinct()
+        .collect()
+    }
+
+    naive = {
+        (a_id, b_id)
+        for a_id, a_u, a_us in rows
+        for b_id, b_u, b_us in rows
+        if a_u == b_u and a_id < b_id and 0 <= b_us - a_us <= window_us
+    }
+    assert banded == naive
