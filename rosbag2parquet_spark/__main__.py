@@ -37,7 +37,10 @@ def main(argv: list[str] | None = None) -> int:
 
     # output-dir negotiation (ref main.cpp:35-54: derive, create, fail fast)
     out = args.outdir
-    if os.path.exists(out) and os.listdir(out):
+    if os.path.exists(out) and not os.path.isdir(out):
+        print(f"error: --outdir {out} exists and is not a directory", file=sys.stderr)
+        return 2
+    if os.path.isdir(out) and os.listdir(out):
         n = 1
         while os.path.exists(f"{out}.{n}"):
             n += 1

@@ -71,8 +71,9 @@ def convert(
     # ---- seqno: global order in stream order (reference FlattenedRosWriter.cpp:256)
     # Window formulation at fixture scale; see operators.keys.assign_seqno_scalable
     # for the 100 TB two-pass variant with identical output.
-    w = Window.orderBy(*(order_cols or [time_col, conn_col]))
-    seq = stream.withColumn("seqno", (F.row_number().over(w) - 1).cast("long"))
+    from rosbag2parquet_spark.operators.keys import assign_seqno
+
+    seq = assign_seqno(stream, order_cols or [time_col, conn_col])
 
     if max_mbs is not None:
         run = Window.orderBy("seqno").rowsBetween(Window.unboundedPreceding, 0)
@@ -100,10 +101,13 @@ def convert(
     )
 
     # connection resolution = broadcast hash probe (reference's unordered_map,
-    # FlattenedRosWriter.cpp:172-178)
+    # FlattenedRosWriter.cpp:172-178). callerid is cast back to the STREAM's
+    # conn_col dtype — a hardcoded numeric cast would silently NULL every
+    # connection_id for string connection keys.
+    conn_dtype = stream.schema[conn_col].dataType
     lookup = connections.select(
         "connection_id",
-        F.col("callerid").cast("long").alias(conn_col),
+        F.col("callerid").cast(conn_dtype).alias(conn_col),
         F.col("datatype").alias(type_col),
     )
     resolved = seq.join(F.broadcast(lookup), on=[conn_col, type_col], how="left")
@@ -111,12 +115,15 @@ def convert(
     # ---- Messages table (reference FlattenedRosWriter.cpp:180-207):
     # (seqno, time_sec, time_nsec, size, connection_id) — the reference's
     # exact column set (README.md:26-32); time decomposed per S7
+    # floor semantics via non-negative pmod (integer-exact; `div` truncates
+    # toward zero, which would yield negative nsec for pre-epoch timestamps)
     us = F.unix_micros(F.col(time_col))
-    sec = F.expr(f"unix_micros(`{time_col}`) div 1000000")
+    rem = F.pmod(us, F.lit(1_000_000))
+    sec = F.expr(f"(unix_micros(`{time_col}`) - pmod(unix_micros(`{time_col}`), 1000000)) div 1000000")
     messages = resolved.select(
         "seqno",
         sec.cast("int").alias("time_sec"),
-        ((us - sec * 1_000_000) * 1000).cast("int").alias("time_nsec"),
+        (rem * 1000).cast("int").alias("time_nsec"),
         F.col(size_col).alias("size"),
         "connection_id",
     )

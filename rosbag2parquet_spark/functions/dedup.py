@@ -85,7 +85,10 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the set column 2-3 times (signature + both verification sides), and at
     scale this is the one intermediate worth memoizing (it is ~the corpus
     size, reused across near-dup passes)."""
-    key = (id(spark), sf_dir)
+    # keyed by applicationId (unique per session), NOT id(spark) — CPython
+    # reuses object addresses, which could serve a DataFrame bound to a
+    # stopped SparkContext
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SET_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         words = docs.select("doc_id", F.split("text", " ").alias("w"))

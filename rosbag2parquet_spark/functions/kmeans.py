@@ -56,7 +56,6 @@ def kmeans_fit(
     vecs: DataFrame, k: int = K, n_iter: int = N_ITER
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's iterations; returns (centroids, assigned DataFrame)."""
-    dim = len(vecs.select("e").first()["e"])
     init = [
         r["e"]
         for r in vecs.orderBy("vec_id").limit(k).select("e").collect()

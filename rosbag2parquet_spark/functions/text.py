@@ -111,7 +111,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for code, marker in LANG_MARKERS:
         df = df.withColumn(f"score_{code}", F.expr(_marker_count_expr(marker)))
     best = F.greatest(*[F.col(f"score_{c}") for c, _ in LANG_MARKERS])
-    pred = F.lit(None)
     # first (alphabetical) language reaching the max wins — build reversed
     pred = F.lit("unk")
     for code, _ in reversed(LANG_MARKERS):

@@ -73,9 +73,12 @@ def split_time(df: DataFrame, col: str) -> DataFrame:
     path: ros::Time → two INT32 columns). Spark timestamps carry micros, so
     nsec is micros*1000 — documented precision, same as reference TODO #7
     (rosbag2parquet.cpp:31-32) which wanted native timestamps anyway."""
+    # integer-exact floor decomposition: non-negative pmod keeps
+    # 0 <= nsec < 1e9 even for pre-epoch timestamps (ros::Time invariant)
     us = F.unix_micros(F.col(col))
-    sec = F.floor(us / 1_000_000).cast("long")
-    nsec = (us - sec * 1_000_000) * 1000
+    rem = F.pmod(us, F.lit(1_000_000))
+    sec = ((us - rem) / 1_000_000).cast("long")
+    nsec = rem * 1000
     return df.withColumn(f"{col}_sec", sec).withColumn(
         f"{col}_nsec", nsec.cast("long")
     )
@@ -88,9 +91,8 @@ def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TIME_SPLIT = """
 SELECT event_id,
-       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS ts_sec,
-       CAST((epoch_us(ts) - floor(epoch_us(ts) / 1000000) * 1000000) * 1000
-            AS BIGINT) AS ts_nsec
+       epoch_us(ts) // 1000000 AS ts_sec,
+       (epoch_us(ts) - (epoch_us(ts) // 1000000) * 1000000) * 1000 AS ts_nsec
 FROM events
 """
 

@@ -33,14 +33,17 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16) -> 
     )
 
 
-def salted_groupby_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+def salted_groupby_count(
+    df: DataFrame, key: str, n_salts: int = 8, salt_col: str | None = None
+) -> DataFrame:
     """Two-phase aggregation for a skewed group key: partial counts per
     (key, salt) — the hot key's rows spread across ``n_salts`` reducers —
-    then a final cheap merge over n_salts rows per key. Deterministic salt
-    (hash of a unique row attribute mod n) so reruns agree."""
-    salted = df.withColumn(
-        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    then a final cheap merge over n_salts rows per key. The FINAL result is
+    deterministic regardless of how rows shard; pass ``salt_col`` (a unique
+    row attribute to hash) if the intermediate partials themselves must be
+    rerun-stable, else an arbitrary per-task id is used."""
+    salt_src = F.col(salt_col) if salt_col else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
 
@@ -48,9 +51,10 @@ def salted_groupby_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8
 ) -> DataFrame:
-    """Skew-safe equi-join: fact rows get a salt shard; the (small) dim is
-    replicated across every shard; join on (key, salt). Output columns =
-    fact ∪ dim minus bookkeeping."""
+    """Skew-safe equi-join: fact rows get a salt shard (arbitrary but
+    uniform — the join OUTPUT is identical for any sharding); the (small)
+    dim is replicated across every shard; join on (key, salt). Output
+    columns = fact ∪ dim minus bookkeeping."""
     fact_s = fact.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     )

@@ -31,24 +31,31 @@ conns AS (
 
 
 def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Run the converter once per (sf_dir, session) into a deterministic
-    scratch path; reuse if already written this session."""
+    """Run the converter once per sf_dir into a deterministic scratch path.
+    The conversion writes into a unique temp dir and atomically renames it
+    into place — a concurrent run either wins the rename or reuses the
+    winner's output, never interleaves writes. (The scratch lives in /tmp
+    across processes; delete it after changing converter code or fixtures.)"""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out", tag)
-    marker = os.path.join(out, "_done")
-    if not os.path.exists(marker):
+    root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out")
+    out = os.path.join(root, tag)
+    if not os.path.isdir(out):
         from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
 
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
         events = load_table(spark, sf_dir, "events")
         convert(
             spark,
             events,
-            out,
+            work,
             order_cols=["ts", "event_id"],
             payload_schema=PROPS_SCHEMA,
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(work, out)  # atomic on same filesystem
+        except OSError:
+            pass  # another process won the race; its output is equivalent
     return out
 
 

@@ -102,6 +102,8 @@ def make_decoder(root_type: str, specs: dict[str, MsgSpec]):
         if f.type_name in TIME_TYPES:
             return pos + 8 * n
         sub = _resolve(f.type_name, pkg, specs)
+        if sub is None:
+            raise KeyError(f"unresolved array element type {f.type_name}")
         sink: list = []
         for _ in range(n):
             pos = decode_into(sub, buf, pos, sink)
