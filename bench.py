@@ -67,6 +67,9 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.perf_counter() - t_all, 3)
 
+    decode_speedup = _bench_decode()
+    print(f"# decode offset-scan speedup: {decode_speedup}x", file=sys.stderr)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     print(
         json.dumps(
@@ -75,10 +78,67 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "decode_vec_speedup": decode_speedup,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def _bench_decode(n: int = 50_000) -> float:
+    """Vectorized offset-scan decoder vs per-row struct.unpack on an
+    Imu-shaped (string-bearing, covariance-heavy) message — the decode CPU
+    the reference names as its bottleneck (reference README.md:131-133)."""
+    import struct
+
+    from rosbag2parquet_spark.sources.decode import (
+        make_decoder,
+        make_vector_decoder,
+        variable_layout,
+    )
+    from rosbag2parquet_spark.sources.msgdef import SEPARATOR, parse_msgdef
+
+    imu_def = (
+        "Header header\ngeometry_msgs/Quaternion orientation\n"
+        "float64[9] orientation_covariance\n"
+        "geometry_msgs/Vector3 angular_velocity\n"
+        "float64[9] angular_velocity_covariance\n"
+        "geometry_msgs/Vector3 linear_acceleration\n"
+        "float64[9] linear_acceleration_covariance\n"
+        + SEPARATOR
+        + "\nMSG: std_msgs/Header\nuint32 seq\ntime stamp\nstring frame_id\n"
+        + SEPARATOR
+        + "\nMSG: geometry_msgs/Quaternion\nfloat64 x\nfloat64 y\nfloat64 z\nfloat64 w\n"
+        + SEPARATOR
+        + "\nMSG: geometry_msgs/Vector3\nfloat64 x\nfloat64 y\nfloat64 z\n"
+    )
+    frame = b"base_link"
+    payload = (
+        struct.pack("<I", 7)
+        + struct.pack("<II", 100, 200)
+        + struct.pack("<I", len(frame))
+        + frame
+        + struct.pack("<4d", 0.0, 0.0, 0.0, 0.44)
+        + struct.pack("<9d", *range(9))
+        + struct.pack("<3d", 0.1, 0.0, 0.0)
+        + struct.pack("<9d", *range(9))
+        + struct.pack("<3d", 0.0, 0.0, 9.81)
+        + struct.pack("<9d", *range(9))
+    )
+    specs = parse_msgdef("sensor_msgs/Imu", imu_def)
+    bufs = [payload] * n
+    row_decode = make_decoder("sensor_msgs/Imu", specs)
+    vec_decode = make_vector_decoder(variable_layout("sensor_msgs/Imu", specs))
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for b in bufs:
+            row_decode(b)
+        t_row = time.perf_counter() - t0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        vec_decode(bufs)
+        t_vec = time.perf_counter() - t0
+    return round(t_row / t_vec, 1)
 
 
 if __name__ == "__main__":

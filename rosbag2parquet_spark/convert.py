@@ -48,6 +48,49 @@ class ConvertInfo:
     size: float
 
 
+def schema_fingerprint(schema) -> str:
+    """md5 over the canonical (name, type) column list — the engine's analog
+    of the reference's per-type md5sum identity (`assert(msg.getMD5Sum() ==
+    iter->second.md5sum)`, FlattenedRosWriter.cpp:287): two datasets may
+    share a table only if their schemas are identical. Nullability and
+    metadata are excluded: parquet round-trips them lossily (everything
+    reads back nullable), and the reference's md5 covers field layout, not
+    constraints."""
+    import hashlib
+
+    canon = ";".join(f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields)
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
+def assert_append_compatible(spark: SparkSession, path: str, schema) -> None:
+    """Refuse to append into an existing table whose schema fingerprint
+    differs — silent unionByName coercion would mask exactly the drift the
+    reference's md5 assert exists to catch."""
+    if not os.path.isdir(path):
+        return
+    existing = spark.read.parquet(path).schema
+    fp_old, fp_new = schema_fingerprint(existing), schema_fingerprint(schema)
+    if fp_old != fp_new:
+        raise ValueError(
+            f"schema mismatch appending to {path}: existing md5 {fp_old} != "
+            f"incoming {fp_new} (existing: {existing.simpleString()}, "
+            f"incoming: {schema.simpleString()})"
+        )
+
+
+def checked_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """unionByName guarded by schema-fingerprint equality (reference
+    FlattenedRosWriter.cpp:287) — multi-file union-as-one-table (E6) is only
+    sound for identical schemas."""
+    fa, fb = schema_fingerprint(a.schema), schema_fingerprint(b.schema)
+    if fa != fb:
+        raise ValueError(
+            f"union of incompatible schemas: {a.schema.simpleString()} vs "
+            f"{b.schema.simpleString()}"
+        )
+    return a.unionByName(b)
+
+
 def convert(
     spark: SparkSession,
     stream: DataFrame,
@@ -62,24 +105,38 @@ def convert(
     max_records_per_file: int = 1_000_000,
     order_cols: list[str] | None = None,
     payload_schema=None,
+    mode: str = "overwrite",
 ) -> ConvertInfo:
     """Convert a message-stream DataFrame into the reference's output layout:
     ``Messages``, ``Connections``, and per-type partitioned tables under
     ``out_dir``. ``max_mbs`` reproduces the reference's byte-bounded scan
-    limit (rosbag2parquet.cpp:56-58)."""
+    limit (rosbag2parquet.cpp:56-58). ``mode='append'`` adds to an existing
+    output ONLY if every table's schema fingerprint matches (the reference's
+    md5sum identity check, FlattenedRosWriter.cpp:287)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
 
     # ---- seqno: global order in stream order (reference FlattenedRosWriter.cpp:256)
-    # Window formulation at fixture scale; see operators.keys.assign_seqno_scalable
-    # for the 100 TB two-pass variant with identical output.
+    # via the scalable two-pass plan (range shuffle + per-partition offsets —
+    # operators.keys.assign_seqno); no single-partition exchange anywhere.
+    # Pass order_cols ending in a unique column for a well-defined total order.
     from rosbag2parquet_spark.operators.keys import assign_seqno
 
     seq = assign_seqno(stream, order_cols or [time_col, conn_col])
 
     if max_mbs is not None:
-        run = Window.orderBy("seqno").rowsBetween(Window.unboundedPreceding, 0)
-        seq = seq.withColumn("__run_bytes", F.sum(size_col).over(run)).filter(
-            F.col("__run_bytes") <= max_mbs * (1 << 20)
-        ).drop("__run_bytes")
+        # byte-bounded limit (reference rosbag2parquet.cpp:56-58) — the
+        # bucketed two-pass running sum over seqno (contiguous ints → dense
+        # buckets); window partitioned by bucket, no global-order window
+        from rosbag2parquet_spark.operators.relational import running_sum_scalable
+
+        seq = (
+            running_sum_scalable(
+                seq, "seqno", F.col(size_col).cast("decimal(18,4)"), 1_000_000
+            )
+            .filter(F.col("__running") <= max_mbs * (1 << 20))
+            .drop("__b", "__running")
+        )
 
     seq = seq.cache()  # read by three sinks below — one materialization
 
@@ -129,10 +186,13 @@ def convert(
     )
 
     writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
-    messages.write.options(**writer_opts).mode("overwrite").parquet(
-        os.path.join(out_dir, "Messages")
-    )
-    connections.write.mode("overwrite").parquet(os.path.join(out_dir, "Connections"))
+    msg_path = os.path.join(out_dir, "Messages")
+    conn_path = os.path.join(out_dir, "Connections")
+    if mode == "append":
+        assert_append_compatible(spark, msg_path, messages.schema)
+        assert_append_compatible(spark, conn_path, connections.schema)
+    messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
+    connections.write.mode(mode).parquet(conn_path)
 
     # ---- per-type demux: ONE partitioned write (reference GetHandler routing,
     # FlattenedRosWriter.cpp:273-289). Layout per MessageTable.cpp:326-343:
@@ -158,12 +218,15 @@ def convert(
         F.col(payload_col).cast("binary").alias("data"),
         F.col(type_col).alias("datatype"),
     )
+    pertype_path = os.path.join(out_dir, "pertype")
+    if mode == "append":
+        assert_append_compatible(spark, pertype_path, pertype.schema)
     (
         pertype.repartition(F.col("datatype"))
         .write.options(**writer_opts)
-        .mode("overwrite")
+        .mode(mode)
         .partitionBy("datatype")
-        .parquet(os.path.join(out_dir, "pertype"))
+        .parquet(pertype_path)
     )
 
     # ---- DDL script (reference S17: vertica_load_tables.sql, utils.h:99-136)

@@ -160,7 +160,9 @@ def _verify_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            F.round(inter / (F.size("sa") + F.size("sb") - inter), 6).alias("jaccard"),
+            # raw IEEE quotient of exact ints — deterministic across engines
+            # (round() can face an exact half when |∪| is 2^k·5^m)
+            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -238,11 +240,11 @@ inter AS (
   GROUP BY c.a_id, c.b_id
 )
 SELECT a_id, b_id,
-       round(inter * 1.0 / (za.n + zb.n - inter), 6) AS jaccard
+       inter * 1.0 / (za.n + zb.n - inter) AS jaccard
 FROM inter
 JOIN sizes za ON za.doc_id = a_id
 JOIN sizes zb ON zb.doc_id = b_id
-WHERE round(inter * 1.0 / (za.n + zb.n - inter), 6) >= """
+WHERE inter * 1.0 / (za.n + zb.n - inter) >= """
     + str(JACCARD_THRESHOLD)
 )
 
@@ -277,11 +279,11 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT a_id, b_id,
-       round(inter * 1.0 / (za.n + zb.n - inter), 6) AS jaccard
+       inter * 1.0 / (za.n + zb.n - inter) AS jaccard
 FROM inter
 JOIN sizes za ON za.doc_id = a_id
 JOIN sizes zb ON zb.doc_id = b_id
-WHERE round(inter * 1.0 / (za.n + zb.n - inter), 6) >= """
+WHERE inter * 1.0 / (za.n + zb.n - inter) >= """
     + str(JACCARD_THRESHOLD)
 )
 

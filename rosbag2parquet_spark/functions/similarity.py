@@ -166,51 +166,61 @@ WHERE round(list_dot_product(a.e, b.e)
 IVF_NPROBE = 2
 
 
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer partitions the corpus into cells;
-    the query searches only the ``nprobe`` nearest cells. Here the cells are
-    the per-label mean vectors (deterministic, so the oracle can rebuild
-    them; production uses k-means centroids broadcast to executors —
-    identical plan shape).
+def _dec12(x: float):
+    """Replicate CAST(x AS DECIMAL(28,12)) — correctly-rounded half-away —
+    for driver-side cell scoring that must match the SQL oracle exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    Plan: centroids = one tiny agg (explode dims → avg per (label, pos) →
-    reassemble, 64·n_labels rows); cell scores vs the query = broadcast
-    nested loop over ≤10 rows; corpus scan restricted to the chosen cells by
-    a partition-prunable ``label IN (...)`` semi-join. The expensive exact
-    scoring touches only ~nprobe/n_cells of the corpus — that ratio is the
-    whole point of IVF at 100 TB."""
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    return Decimal(x).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the k-means coarse quantizer (functions.kmeans — the
+    real trainer, 5 deterministic Lloyd's iterations) partitions the corpus
+    into K cells; the query searches only the ``nprobe`` highest-scoring
+    cells.
+
+    Plan: the quantizer costs one shuffle per iteration at train time (in
+    production it is trained once on a sample and broadcast); cell selection
+    is K tiny driver-side scores; the corpus scan is restricted to the
+    chosen cells by a broadcast semi-join on the assignment — the expensive
+    exact scoring touches only ~nprobe/K of the corpus, which is the whole
+    point of IVF at 100 TB.
+
+    Determinism: cell scores are decimal-exact dot products (same
+    DECIMAL(28,12) term rounding as the trainer) so the probed cell set is
+    bit-identical to the oracle's; the final cosine ranking uses the same
+    rounded-fold scoring as `knn`."""
+    import math
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit_cached(spark, sf_dir)
+
+    qe = [
+        float(x)
+        for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select(_as_double("embedding").alias("e"))
+        .collect()[0]["e"]
+    ]
+    scores = []
+    for cl, c in enumerate(centroids):
+        num = sum((_dec12(ci * qi) for ci, qi in zip(c, qe)), start=_dec12(0.0))
+        den = sum((_dec12(ci * ci) for ci in c), start=_dec12(0.0))
+        scores.append((float(num) / math.sqrt(float(den)), cl))
+    probe_cells = sorted(
+        ((-s, cl) for s, cl in scores)
+    )[:IVF_NPROBE]
+    cells = [cl for _, cl in probe_cells]
+
+    emb = _normalized(raw)
     query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
         F.col("en").alias("qen")
     )
-
-    # coarse quantizer: element-wise mean per label, rebuilt as an array
-    dims = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.posexplode(_as_double("embedding")).alias("pos", "x")
-    )
-    cent = (
-        dims.groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.getField("m"),
-            ).alias("c")
-        )
-    )
-    cells = (
-        cent.crossJoin(F.broadcast(query))
-        .select(
-            "label",
-            F.round(dot(F.col("c"), F.col("qen")) / norm(F.col("c")), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("label"))
-        .limit(IVF_NPROBE)
-        .select("label")
-    )
+    members = assigned.filter(F.col("cluster").isin(cells)).select("vec_id")
     probed = emb.filter(F.col("vec_id") != KNN_QUERY_ID).join(
-        F.broadcast(cells), "label", "left_semi"
+        F.broadcast(members), "vec_id", "left_semi"
     )
     return (
         probed.crossJoin(F.broadcast(query))
@@ -224,31 +234,33 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KNN_IVF = f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
-dims AS (
-  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
-  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
-  GROUP BY label, i
-),
-cent AS (
-  SELECT label, list(m ORDER BY pos) AS c FROM dims GROUP BY label
-),
+def _oracle_knn_ivf() -> str:
+    from rosbag2parquet_spark.functions.kmeans import N_ITER, kmeans_cte_sql
+
+    return (
+        kmeans_cte_sql()
+        + f""",
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
+qdims AS (SELECT i AS pos, qe[i] AS x FROM q, unnest(generate_series(1, 64)) AS t(i)),
 cells AS (
-  SELECT label,
-         round(list_dot_product(c, qe) / (sqrt(list_dot_product(c, c))
-           * sqrt(list_dot_product(qe, qe))), 6) AS score
-  FROM cent, q
-  ORDER BY score DESC, label LIMIT {IVF_NPROBE}
+  SELECT cl FROM (
+    SELECT c.cl,
+           CAST(sum(CAST(c.m * qd.x AS DECIMAL(28,12))) AS DOUBLE)
+             / sqrt(CAST(sum(CAST(c.m * c.m AS DECIMAL(28,12))) AS DOUBLE)) AS score
+    FROM c{N_ITER} c JOIN qdims qd USING (pos)
+    GROUP BY c.cl
+  ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}
 )
-SELECT vec_id, e.label,
+SELECT e.vec_id, e.label,
        round(list_dot_product(e.embedding::DOUBLE[], q.qe)
              / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                 * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
 FROM embeddings e, q
-WHERE e.vec_id != {KNN_QUERY_ID} AND e.label IN (SELECT label FROM cells)
+WHERE e.vec_id != {KNN_QUERY_ID}
+  AND e.vec_id IN (SELECT vec_id FROM a{N_ITER} WHERE cl IN (SELECT cl FROM cells))
 ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
 """
+    )
 
 
 QUERIES = {
@@ -259,6 +271,6 @@ QUERIES = {
 
 ORACLES = {
     "knn": ORACLE_KNN,
-    "knn-ivf": ORACLE_KNN_IVF,
+    "knn-ivf": _oracle_knn_ivf(),
     "embed-neardup": _oracle_embed_neardup(),
 }

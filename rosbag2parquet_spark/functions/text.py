@@ -36,11 +36,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max, rosbag_example.cpp:37-49) applied to a text corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(_words())
+    # avg as exact-integer-sum ÷ exact count: one IEEE division on
+    # bit-identical operands (a raw avg()+round() was the driver-observed
+    # hash flake — engine round() semantics differ at half boundaries)
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(toks).alias("total_tokens"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -49,7 +52,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_STATS = """
 SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
        sum(len(string_split(text, ' '))) AS total_tokens,
-       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
 """
@@ -161,21 +164,28 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(F.col("__w"), lambda x: x.isin(*STOPWORDS)))
     mean_wlen = (F.length("text") - (n_tok - 1)) / n_tok  # chars minus spaces
     stop_ratio = n_stop / n_tok
+    # all ratios emitted as raw IEEE quotients of exact integer operands —
+    # deterministic across engines; round() at a fixed scale can land on an
+    # exact half (e.g. n_tok = 128 → 7-decimal-terminating quotients) where
+    # engine rounding semantics differ
     score = (
         F.when(F.col("n_chars") < 100, 0.0)
         .when(n_tok < 20, 0.25)
         .otherwise(
             F.least(
                 F.lit(1.0),
-                F.round(0.5 + stop_ratio + F.lit(0.001) * n_tok, 6),
+                # n_tok/1000 as a DIVISION: correctly-rounded double in both
+                # engines (a 0.001 literal is DECIMAL in DuckDB but double in
+                # Spark — the multiplication diverges by 1 ulp)
+                0.5 + stop_ratio + n_tok / F.lit(1000.0),
             )
         )
     )
     return docs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
         score.alias("quality"),
     )
 
@@ -190,11 +200,11 @@ WITH feats AS (
   FROM documents
 )
 SELECT doc_id, n_tok AS n_tokens,
-       round((n_char_m - (n_tok - 1)) * 1.0 / n_tok, 6) AS mean_word_len,
-       round(n_stop * 1.0 / n_tok, 6) AS stopword_ratio,
+       (n_char_m - (n_tok - 1)) * 1.0 / n_tok AS mean_word_len,
+       n_stop * 1.0 / n_tok AS stopword_ratio,
        CASE WHEN n_chars < 100 THEN 0.0
             WHEN n_tok < 20 THEN 0.25
-            ELSE least(1.0, round(0.5 + n_stop * 1.0 / n_tok + 0.001 * n_tok, 6))
+            ELSE least(1.0, 0.5 + n_stop * 1.0 / n_tok + n_tok / 1000.0)
        END AS quality
 FROM feats
 """

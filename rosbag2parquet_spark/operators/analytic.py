@@ -24,15 +24,23 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     wavg = w.rowsBetween(-2, 0)
+    # determinism: frame sums accumulate in DECIMAL (exact, order-free);
+    # the moving average is exact-decimal-sum ÷ exact count — one IEEE
+    # division on bit-identical operands; cume_dist is a rank ratio of two
+    # exact integers. No round() anywhere a half-way case could differ.
+    price_dec = F.col("o_totalprice").cast("decimal(18,4)")
     return orders.select(
         "o_orderkey",
         "o_orderstatus",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
-        F.round(F.avg("o_totalprice").over(wavg), 4).alias("moving_avg3"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.sum(price_dec).over(wsum).cast("double").alias("running_total"),
+        (
+            F.sum(price_dec).over(wavg).cast("double")
+            / F.count(F.lit(1)).over(wavg)
+        ).alias("moving_avg3"),
+        F.cume_dist().over(w).alias("cdist"),
     )
 
 
@@ -41,11 +49,14 @@ SELECT o_orderkey, o_orderstatus,
        rank() OVER w AS rnk,
        dense_rank() OVER w AS drnk,
        ntile(4) OVER w AS quartile,
-       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_total,
-       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          AS moving_avg3,
-       round(cume_dist() OVER w, 6) AS cdist
+       cume_dist() OVER w AS cdist
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
 """
@@ -111,7 +122,12 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_null.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("maybe_value").alias("n_nonnull"),
-        F.round(F.sum(F.coalesce("maybe_value", F.lit(0.0))), 4).alias("sum_coalesced"),
+        # DECIMAL accumulation — the driver-observed flake: double sums
+        # accumulate in engine/run-dependent order and round() does not
+        # stabilize values at the round-half boundary (VERDICT r1 #1)
+        F.sum(F.coalesce("maybe_value", F.lit(0.0)).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_coalesced"),
         F.sum(
             F.when(F.col("maybe_value").eqNullSafe(F.col("value")), 1).otherwise(0)
         ).alias("n_nullsafe_eq"),
@@ -126,7 +142,8 @@ WITH t AS (
   FROM events
 )
 SELECT event_type, count(*) AS n_rows, count(maybe_value) AS n_nonnull,
-       round(sum(coalesce(maybe_value, 0.0)), 4) AS sum_coalesced,
+       CAST(sum(CAST(coalesce(maybe_value, 0.0) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_coalesced,
        sum(CASE WHEN maybe_value IS NOT DISTINCT FROM value THEN 1 ELSE 0 END)
          AS n_nullsafe_eq,
        max(CAST(maybe_value IS NULL AS INTEGER)) AS has_null

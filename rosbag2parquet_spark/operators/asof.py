@@ -103,7 +103,8 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.col("asof_o_orderkey").alias("last_orderkey"),
-        F.round("asof_o_totalprice", 4).alias("last_order_price"),
+        # raw column passthrough — identical bits on both sides; no round()
+        F.col("asof_o_totalprice").alias("last_order_price"),
     )
 
 
@@ -115,7 +116,7 @@ WITH q AS (
 )
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        q.o_orderkey AS last_orderkey,
-       round(q.o_totalprice, 4) AS last_order_price
+       q.o_totalprice AS last_order_price
 FROM events ASOF LEFT JOIN q
   ON user_id = q.o_custkey AND q.o_orderdate <= events.ts
 """

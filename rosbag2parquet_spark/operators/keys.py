@@ -15,40 +15,77 @@ from rosbag2parquet_spark.sources.catalog import load_table
 # -------------------------------------------------------------- seqno (S10)
 
 
-def assign_seqno(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """Global contiguous 0-based sequence number in log order (reference
-    FlattenedRosWriter.cpp:256 — one counter incremented per message across
-    ALL types; README.md:119-121 makes it the cross-table join key).
-
-    Exact parity needs a total order. ``row_number`` over a global window is
-    a single-reducer sort — correct, and what we use at test scale. At 100 TB
-    the scalable exact plan is two-pass: range-partition on the order key
-    (``repartitionByRange`` keeps a global sort order across partitions),
-    count per partition, prefix-sum the counts driver-side (tiny), then add
-    the partition offset to a per-partition row number — no single-point
-    sort. ``zipWithIndex`` on the range-sorted RDD implements exactly that;
-    see ``assign_seqno_scalable``.
-    """
+def assign_seqno_window(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Small-data fallback: ``row_number`` over a global window — a
+    single-reducer sort (Exchange SinglePartition). Kept for tiny inputs and
+    as the semantic reference for tests; :func:`assign_seqno` is the real
+    path."""
     w = Window.orderBy(*order_cols)
     # LongType: the reference stores seqno as INT64 (MessageTable.cpp:326-329)
     return df.withColumn("seqno", (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
-def assign_seqno_scalable(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """Scale path for seqno: range-shuffle (parallel sort) + per-partition
-    offsets via ``zipWithIndex`` (one extra job to count partitions — the
-    prefix-sum pass). Equivalent output to :func:`assign_seqno`; avoids the
-    single-partition window. RDD use is deliberate and confined here: this is
-    genuinely per-partition imperative logic Spark SQL lacks (SPARK-23074)."""
-    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    ordered = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
-        *order_cols
-    )
-    schema = T.StructType(
-        ordered.schema.fields + [T.StructField("seqno", T.LongType(), False)]
-    )
-    indexed = ordered.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    return df.sparkSession.createDataFrame(indexed, schema)
+#: default bucket width for timestamp order keys — one bucket per hour of
+#: stream time (micros); callers with denser/sparser streams pass their own
+SEQNO_TS_BUCKET_US = 3_600_000_000
+
+
+def assign_seqno(
+    df: DataFrame, order_cols: list[str], bucket: "F.Column | None" = None
+) -> DataFrame:
+    """Global contiguous 0-based sequence number in log order (reference
+    FlattenedRosWriter.cpp:256 — one counter incremented per message across
+    ALL types; README.md:119-121 makes it the cross-table join key).
+
+    Scalable exact two-pass plan, pure JVM, no single-partition exchange:
+
+    1. bucket each row by a DATA-DERIVED range key that is monotone in the
+       leading order column (default: hour-of-stream for timestamps, a fixed
+       div for integers). Data-derived means deterministic: Spark's
+       ``repartitionByRange`` is NOT used because its RangePartitioner seeds
+       reservoir sampling with the RDD id — two executions of the same
+       lineage (the counts pass and the output pass) can draw different
+       partition boundaries;
+    2. per-bucket counts (one tiny agg — #buckets rows) are collected and
+       prefix-summed driver-side into a literal offset map (the same "K
+       scalars" collect class as k-means centroids);
+    3. seqno = offset[bucket] + row_number() within the bucket — the window
+       is PARTITIONED by bucket, so the only wide ops are the bucket-keyed
+       exchange and the tiny aggregate.
+
+    Deterministic whenever the full order key is unique. Bucket width trades
+    reducer balance against offset-map size; a hierarchical second bucketing
+    level extends the construction if the map outgrows the driver.
+    """
+    first = order_cols[0]
+    if bucket is None:
+        dtype = df.schema[first].dataType.typeName()
+        if dtype in ("timestamp", "timestamp_ntz"):
+            bucket = F.expr(
+                f"unix_micros(`{first}`) div {SEQNO_TS_BUCKET_US}"
+            )
+        else:
+            bucket = F.expr(f"`{first}` div 100000")
+    tagged = df.withColumn("__b", bucket)
+    counts = tagged.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    rows = sorted((r["__b"], r["__cnt"]) for r in counts.collect())
+    acc = 0
+    pairs: list = []
+    for b, cnt in rows:
+        pairs.extend([F.lit(b), F.lit(acc)])
+        acc += cnt
+    offmap = F.create_map(*pairs) if pairs else F.create_map()
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    # coalesce: the bucket always hits the map (built from this very data) —
+    # this only restores the non-null schema the map lookup can't prove
+    return tagged.withColumn(
+        "seqno",
+        (
+            F.coalesce(offmap[F.col("__b")], F.lit(0))
+            + F.row_number().over(w)
+            - F.lit(1)
+        ).cast("long"),
+    ).drop("__b")
 
 
 def q_seqno(spark: SparkSession, sf_dir: str) -> DataFrame:

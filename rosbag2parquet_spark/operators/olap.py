@@ -50,7 +50,10 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
             F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
@@ -63,7 +66,8 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CUBE = """
 SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
        coalesce(l_linestatus, '<all>') AS l_linestatus,
-       count(*) AS n, round(sum(l_quantity), 2) AS qty
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -186,10 +190,13 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the partition key."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # delta in DECIMAL: exact subtraction of 4-decimal-cast values — no
+    # double round() decision anywhere
+    dec = F.col("value").cast("decimal(18,4)")
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+        (dec - F.lag(dec).over(w)).cast("double").alias("value_delta"),
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
@@ -197,7 +204,8 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LAG_LEAD = """
 SELECT event_id, user_id,
-       round(value - lag(value) OVER w, 4) AS value_delta,
+       CAST(CAST(value AS DECIMAL(18,4))
+            - lag(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_delta,
        epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
        lead(event_id) OVER w AS next_event_id
 FROM events
@@ -247,23 +255,41 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     with window aggregates (stays in Tungsten; the ``applyInPandas`` version
     of the same transform is tested for parity in tests/test_operators.py —
     the Arrow round-trip is the slow path, kept for genuinely non-SQL
-    transforms)."""
+    transforms).
+
+    Determinism: avg()/stddev_samp() over doubles merge partials in
+    engine-specific order, so mean and M2 carry order-dependent low bits.
+    Instead the moments come from exact DECIMAL sums (Σx in DECIMAL(18,4),
+    Σx² in DECIMAL(38,8)) cast to double, and the z-score is the textbook
+    formula evaluated identically in both engines — every double op has
+    bit-identical operands."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
-    mean = F.avg("value").over(w)
-    std = F.stddev_samp("value").over(w)
+    dec = F.col("value").cast("decimal(18,4)")
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return ev.select(
         "event_id",
         "event_type",
-        F.round((F.col("value") - mean) / std, 6).alias("zscore"),
+        ((F.col("value") - mean) / F.sqrt(var)).alias("zscore"),
     )
 
 
 ORACLE_ZSCORE = """
+WITH t AS (
+  SELECT event_id, event_type, value,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+              OVER w AS DOUBLE) AS s2,
+         count(*) OVER w AS n
+  FROM events WINDOW w AS (PARTITION BY event_type)
+)
 SELECT event_id, event_type,
-       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
-         AS zscore
-FROM events WINDOW w AS (PARTITION BY event_type)
+       (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+FROM t
 """
 
 
@@ -333,7 +359,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(l_returnflag, '<rf>') AS l_returnflag,
                coalesce(l_linestatus, '<ls>') AS l_linestatus,
-               count(*) AS n, round(sum(l_extendedprice), 2) AS total
+               count(*) AS n,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -343,7 +370,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GROUPING_SETS = """
 SELECT coalesce(l_returnflag, '<rf>') AS l_returnflag,
        coalesce(l_linestatus, '<ls>') AS l_linestatus,
-       count(*) AS n, round(sum(l_extendedprice), 2) AS total
+       count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """

@@ -109,18 +109,73 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # -------------------------------------------------------- byte limit (S2)
 
 
+LIMIT_BUCKET_WIDTH = 1_000
+LIMIT_BYTE_CAP = 5000.0
+
+
+def running_sum_scalable(
+    df: DataFrame,
+    order_col: str,
+    value_dec,  # Column: exact (decimal) per-row value
+    bucket_width: int,
+) -> DataFrame:
+    """Distributed exact running sum in ``order_col`` order — the two-pass
+    plan that replaces a global (single-partition) window:
+
+    1. bucket rows by ``order_col div bucket_width``; per-bucket exact
+       decimal totals are a tiny aggregate (collected driver-side — the same
+       "K scalars" class of collect as k-means centroids);
+    2. prefix-sum the bucket totals into a literal offset map (plan-time
+       constant, broadcast with the plan);
+    3. running = offset[bucket] + within-bucket running sum, where the
+       window is PARTITIONED by bucket — the shuffle key is the bucket, no
+       Exchange SinglePartition anywhere.
+
+    At 100 TB the bucket count grows with the data; the collect stays tiny
+    as long as bucket_width tracks data density (1e6-row buckets → ≤1e6
+    collected scalars; a hierarchical second level of bucketing extends the
+    same construction if even that is too large). Output values are exact:
+    decimal accumulation, unique order key."""
+    from decimal import Decimal
+
+    bucketed = df.withColumn("__b", F.expr(f"{order_col} div {bucket_width}"))
+    totals = (
+        bucketed.groupBy("__b").agg(F.sum(value_dec).alias("__s")).collect()
+    )
+    totals_by_bucket = {r["__b"]: r["__s"] for r in totals}
+    acc = Decimal(0)
+    offsets: dict[int, Decimal] = {}
+    for b in sorted(totals_by_bucket):
+        offsets[b] = acc
+        acc += totals_by_bucket[b]
+    pairs: list = []
+    for b, off in offsets.items():
+        pairs.extend([F.lit(b), F.lit(off)])
+    offmap = F.create_map(*pairs) if pairs else F.create_map()
+    w = Window.partitionBy("__b").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bucketed.withColumn(
+        "__running", offmap[F.col("__b")] + F.sum(value_dec).over(w)
+    )
+
+
 def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-bounded scan limit (reference rosbag2parquet.cpp:56-58: stop
     after max_mbs MB consumed). Exact semantics = running byte total in scan
-    order, keep rows while the running sum stays under the cap. The running
-    sum is a window over a single global order — fine here because the
-    output is tiny; at 100 TB the same cap would be enforced per-partition
-    (the reference's own semantics are single-threaded anyway)."""
+    order, keep rows while the running sum stays under the cap. Uses the
+    scalable bucketed two-pass running sum (no single-partition window) with
+    exact DECIMAL byte accumulation — deterministic across engines."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    run = running_sum_scalable(
+        ev,
+        "event_id",
+        F.col("value").cast("decimal(18,4)"),
+        LIMIT_BUCKET_WIDTH,
+    )
     return (
-        ev.withColumn("running_bytes", F.round(F.sum("value").over(w), 6))
-        .filter(F.col("running_bytes") <= 5000.0)
+        run.withColumn("running_bytes", F.col("__running").cast("double"))
+        .filter(F.col("running_bytes") <= LIMIT_BYTE_CAP)
         .select("event_id", "event_type", "value", "running_bytes")
     )
 
@@ -128,8 +183,8 @@ def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LIMIT = """
 SELECT event_id, event_type, value, running_bytes FROM (
   SELECT event_id, event_type, value,
-         round(sum(value) OVER (ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_bytes
   FROM events
 ) WHERE running_bytes <= 5000.0
@@ -170,14 +225,17 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_msgs"),
-        F.round(F.sum("value"), 4).alias("total_size"),
+        # DECIMAL accumulation: double sums are engine/partition-order
+        # dependent; the exact decimal sum casts back to double losslessly
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_size"),
         F.unix_micros(F.min("ts")).alias("min_ts_us"),
         F.unix_micros(F.max("ts")).alias("max_ts_us"),
     )
 
 
 ORACLE_GROUPBY_AGG = """
-SELECT event_type, count(*) AS n_msgs, round(sum(value), 4) AS total_size,
+SELECT event_type, count(*) AS n_msgs,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_size,
        epoch_us(min(ts)) AS min_ts_us, epoch_us(max(ts)) AS max_ts_us
 FROM events GROUP BY event_type
 """
@@ -193,20 +251,24 @@ def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     span as the aggregation."""
     agg = q_groupby_agg(spark, sf_dir)
     span_s = (F.col("max_ts_us") - F.col("min_ts_us")) / F.lit(1_000_000.0)
+    # raw IEEE quotients of bit-identical operands (exact counts / exact
+    # decimal-sum doubles) are deterministic across engines; a round() on
+    # top would reintroduce engine-specific half-way behavior
     return agg.select(
         "event_type",
         "n_msgs",
-        F.round(F.col("n_msgs") / span_s, 6).alias("freq_hz"),
-        F.round(F.col("total_size") / span_s, 6).alias("data_rate"),
+        (F.col("n_msgs") / span_s).alias("freq_hz"),
+        (F.col("total_size") / span_s).alias("data_rate"),
     )
 
 
 ORACLE_DERIVED = """
 SELECT event_type, n_msgs,
-       round(n_msgs / span_s, 6) AS freq_hz,
-       round(total_size / span_s, 6) AS data_rate
+       n_msgs / span_s AS freq_hz,
+       total_size / span_s AS data_rate
 FROM (
-  SELECT event_type, count(*) AS n_msgs, round(sum(value), 4) AS total_size,
+  SELECT event_type, count(*) AS n_msgs,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_size,
          (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS span_s
   FROM events GROUP BY event_type
 )
@@ -227,7 +289,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.rollup("event_type", "user_id")
         .agg(
             F.count("*").alias("n_msgs"),
-            F.round(F.sum("value"), 4).alias("total_size"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_size"),
         )
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
@@ -241,7 +303,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLUP = """
 SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(user_id, -1) AS user_id,
-       count(*) AS n_msgs, round(sum(value), 4) AS total_size
+       count(*) AS n_msgs,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_size
 FROM events GROUP BY ROLLUP (event_type, user_id)
 """
 
@@ -262,13 +325,14 @@ def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
 
 
 ORACLE_DIM_JOIN = """
-SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS total_value
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
@@ -331,8 +395,8 @@ def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)                                   AS sum_qty,
-               round(sum(l_extendedprice), 2)                              AS sum_base_price,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)      AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)                        AS sum_disc_price,
                -- avgs: exact decimal sum cast to double, THEN divide — both
                -- engines then perform the identical IEEE division (a raw
@@ -350,8 +414,8 @@ def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)      AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,

@@ -31,7 +31,8 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact DECIMAL accumulation — order-free, engine-identical
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -44,7 +45,8 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINDOW_TUMBLING = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
-       count(*) AS n_events, round(sum(value), 4) AS total_value
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -61,7 +63,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -84,7 +86,7 @@ WITH cand AS (
   FROM events
 )
 SELECT window_start_us, count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM cand GROUP BY 1
 """
 

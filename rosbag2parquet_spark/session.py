@@ -38,6 +38,14 @@ def get_spark(app_name: str = "rosbag2parquet_spark", cpus: int | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # session-wide parquet timestamp invariants (also asserted by
+        # __spark_entry__._configure for driver-owned sessions): naive
+        # timestamps read as session-TZ TimestampType; TIMESTAMP(NANOS)
+        # columns surface as nanos-since-epoch longs which
+        # sources.catalog.load_table rebuilds as micros — declared here so
+        # no table read has to mutate the session behind the caller's back
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")

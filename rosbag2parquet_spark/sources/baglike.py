@@ -151,8 +151,20 @@ class _BagReader(DataSourceReader):
             for off in partition.offsets:
                 f.seek(off)
                 (rec_len,) = struct.unpack("<I", f.read(4))
+                # corrupt-record guards (the reference asserts full
+                # consumption): rec_len < 12 would turn the payload read
+                # into read-to-EOF and silently swallow the partition
+                if rec_len < 12:
+                    raise ValueError(
+                        f"{partition.path}@{off}: record length {rec_len} < 12"
+                    )
                 conn_id, time_ns = struct.unpack("<IQ", f.read(12))
                 payload = f.read(rec_len - 12)
+                if len(payload) != rec_len - 12:
+                    raise ValueError(
+                        f"{partition.path}@{off}: truncated record — expected "
+                        f"{rec_len - 12} payload bytes, got {len(payload)}"
+                    )
                 yield (off, time_ns, conn_id, payload)
 
 

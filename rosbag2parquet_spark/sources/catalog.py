@@ -58,13 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = table_path(sf_dir, name)
-    # read naive parquet timestamps as session-TZ timestamps (session is
-    # pinned UTC) — keeps one timestamp type across tables and matches the
-    # UTC-naive semantics of external oracles
+    # parquet timestamp semantics are session invariants declared in
+    # session.get_spark / __spark_entry__._configure (naive → session-TZ
+    # TimestampType, TIMESTAMP(NANOS) → long). Re-asserted here idempotently
+    # so a bare external session still reads correctly — but no longer a
+    # hidden per-read mutation: the values never vary per table.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ns_cols = _nanos_timestamp_cols(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer `div`, not `/`: float division loses precision at 1e18 ns

@@ -43,12 +43,19 @@ _SCALAR_FMT = {
     "int16": ("<h", 2),
     "uint16": ("<H", 2),
     "int32": ("<i", 4),
-    "uint32": ("<I", 4),
+    # uint32/uint64 are reinterpreted as SIGNED raw bits — the reference's
+    # documented signedness relaxation (rosbag2parquet.cpp:36, stored as
+    # INT32/INT64 physical). Reading them unsigned here would overflow the
+    # IntegerType/LongType schema for values past the signed max (a decode
+    # hard-failure where the reference degrades) — ADVICE r1.
+    "uint32": ("<i", 4),
     "int64": ("<q", 8),
-    "uint64": ("<Q", 8),
+    "uint64": ("<q", 8),
     "float32": ("<f", 4),
     "float64": ("<d", 8),
 }
+
+#: true wire sizes for skip arithmetic (unchanged by signed reinterpretation)
 
 _FIXED_SIZE = {k: v[1] for k, v in _SCALAR_FMT.items()}
 
@@ -64,7 +71,9 @@ def make_decoder(root_type: str, specs: dict[str, MsgSpec]):
                 pos = skip_array(f, buf, pos, pkg)
                 continue
             if f.type_name in TIME_TYPES:
-                sec, nsec = struct.unpack_from("<II", buf, pos)
+                # signed reinterpretation past 2038-01-19 (same INT32
+                # storage as reference MessageTable.cpp:284-292)
+                sec, nsec = struct.unpack_from("<ii", buf, pos)
                 out.extend((sec, nsec))
                 pos += 8
             elif f.type_name == "string":
@@ -124,9 +133,9 @@ def make_decoder(root_type: str, specs: dict[str, MsgSpec]):
     return decode
 
 
-# NOTE: uint32/uint64 values above the signed range are a known relaxation
-# (stored signed — same signedness TODO as the reference, rosbag2parquet.cpp:36);
-# the vectorized path reads them as unsigned numpy and Arrow casts on output.
+# uint32/uint64 read as SIGNED raw bits (numpy view) — matches the scalar
+# path and the reference's signedness relaxation; unsigned dtypes here would
+# make the Arrow conversion fail on values past the signed max (ADVICE r1).
 _NP_DTYPE = {
     "bool": "?",
     "int8": "i1",
@@ -136,9 +145,9 @@ _NP_DTYPE = {
     "int16": "<i2",
     "uint16": "<u2",
     "int32": "<i4",
-    "uint32": "<u4",
+    "uint32": "<i4",
     "int64": "<i8",
-    "uint64": "<u8",
+    "uint64": "<i8",
     "float32": "<f4",
     "float64": "<f8",
 }
@@ -194,8 +203,8 @@ def fixed_layout(root_type: str, specs: dict[str, MsgSpec]):
             if f.type_name == "string":
                 return False
             if f.type_name in TIME_TYPES:
-                fields.append((f"{name}_sec", "<u4"))
-                fields.append((f"{name}_nsec", "<u4"))
+                fields.append((f"{name}_sec", "<i4"))
+                fields.append((f"{name}_nsec", "<i4"))
             elif f.type_name in _NP_DTYPE:
                 fields.append((name, _NP_DTYPE[f.type_name]))
             else:
@@ -205,6 +214,146 @@ def fixed_layout(root_type: str, specs: dict[str, MsgSpec]):
         return True
 
     return fields if walk(specs[root_type], "") else None
+
+
+def variable_layout(root_type: str, specs: dict[str, MsgSpec]):
+    """Compile the op list for the VECTORIZED variable-stride decoder: the
+    per-batch offset-scan that replaces per-row ``struct.unpack`` walks (the
+    reference names introspection CPU as its bottleneck, README.md:131-133).
+
+    Supported: fixed scalars, time/duration, strings, fixed arrays of
+    fixed-size elements, variable arrays of fixed-size elements (incl. the
+    uint8[] blob shortcut), nested fixed-or-variable structs of the same.
+    Returns None (→ per-row fallback) for variable arrays of strings or of
+    variable-size messages — rare shapes where the offset scan degenerates
+    to a row loop anyway.
+
+    Ops: ("fixed", name, np_dtype, size) | ("time", name) | ("string", name)
+    | ("skip_fixed", nbytes) | ("skip_var", unit_bytes).
+    """
+    ops: list[tuple] = []
+
+    def fixed_bytes(spec: MsgSpec) -> int | None:
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        total = 0
+        for f in spec.fields:
+            if f.type_name == "string" or (f.is_array and f.array_len is None):
+                return None
+            if f.type_name in TIME_TYPES:
+                unit = 8
+            elif f.type_name in _FIXED_SIZE:
+                unit = _FIXED_SIZE[f.type_name]
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                unit = fixed_bytes(sub) if sub else None
+                if unit is None:
+                    return None
+            total += unit * (f.array_len if f.is_array else 1)
+        return total
+
+    def push_skip(nbytes: int) -> None:
+        if ops and ops[-1][0] == "skip_fixed":
+            ops[-1] = ("skip_fixed", ops[-1][1] + nbytes)
+        else:
+            ops.append(("skip_fixed", nbytes))
+
+    def walk(spec: MsgSpec, prefix: str) -> bool:
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        for f in spec.fields:
+            name = f"{prefix}{f.name}"
+            if f.is_array:
+                if f.type_name in TIME_TYPES:
+                    unit = 8
+                elif f.type_name in _FIXED_SIZE:
+                    unit = _FIXED_SIZE[f.type_name]
+                elif f.type_name == "string":
+                    return False  # string arrays → per-row fallback
+                else:
+                    sub = _resolve(f.type_name, pkg, specs)
+                    unit = fixed_bytes(sub) if sub else None
+                    if unit is None:
+                        return False  # variable-size elements → fallback
+                if f.array_len is None:
+                    ops.append(("skip_var", unit))
+                else:
+                    push_skip(unit * f.array_len)
+                continue
+            if f.type_name == "string":
+                ops.append(("string", name))
+            elif f.type_name in TIME_TYPES:
+                ops.append(("time", name))
+            elif f.type_name in _NP_DTYPE:
+                ops.append(
+                    ("fixed", name, _NP_DTYPE[f.type_name], _FIXED_SIZE[f.type_name])
+                )
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None or not walk(sub, f"{name}_"):
+                    return False
+        return True
+
+    return ops if walk(specs[root_type], "") else None
+
+
+def make_vector_decoder(ops: list[tuple]):
+    """Batch decoder over the compiled ops: one numpy gather per FIELD
+    instead of one struct.unpack per (row, field). A running per-row offset
+    vector advances through fixed and variable regions; only string
+    extraction (inherently object-typed) touches Python per row."""
+    import numpy as np
+
+    def decode_batch(bufs: list[bytes]) -> dict[str, object]:
+        n = len(bufs)
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        raw = b"".join(bufs)
+        data = np.frombuffer(raw, dtype=np.uint8)
+        off = bounds[:-1].copy()
+
+        def gather(sz: int) -> "np.ndarray":
+            # fancy indexing copies → contiguous, safe to view() directly
+            return data[off[:, None] + np.arange(sz)]
+
+        cols: dict[str, object] = {}
+        for op in ops:
+            kind = op[0]
+            if kind == "fixed":
+                _, name, dt, sz = op
+                cols[name] = gather(sz).view(dt).ravel()
+                off += sz
+            elif kind == "time":
+                _, name = op
+                pair = gather(8).view("<i4")
+                cols[f"{name}_sec"] = pair[:, 0].copy()
+                cols[f"{name}_nsec"] = pair[:, 1].copy()
+                off += 8
+            elif kind == "string":
+                _, name = op
+                ln = gather(4).view("<u4").ravel().astype(np.int64)
+                spos = off + 4
+                ends = spos + ln
+                # slice the PYTHON bytes (C-level, no numpy round-trip) —
+                # the one per-row loop left, inherent to object output
+                cols[name] = [
+                    raw[s:e].decode()
+                    for s, e in zip(spos.tolist(), ends.tolist())
+                ]
+                off = ends
+            elif kind == "skip_fixed":
+                off = off + op[1]
+            elif kind == "skip_var":
+                cnt = gather(4).view("<u4").ravel().astype(np.int64)
+                off = off + 4 + cnt * op[1]
+        if not np.array_equal(off, bounds[1:]):
+            # the reference asserts full consumption (MessageTable.cpp:38)
+            bad = int(np.argmax(off != bounds[1:]))
+            raise ValueError(
+                f"buffer not fully consumed at row {bad}: "
+                f"{int(off[bad] - bounds[bad])} != {int(lens[bad])}"
+            )
+        return cols
+
+    return decode_batch
 
 
 def decode_messages(
@@ -241,6 +390,13 @@ def decode_messages(
                 np_fields.append((name, spec_dt))
         np_dtype = np.dtype(np_fields)
 
+    # three decode tiers, fastest applicable wins:
+    #   fixed-stride  — one frombuffer per batch (no per-row anything)
+    #   offset-scan   — one numpy gather per field (strings/var arrays)
+    #   per-row       — struct.unpack walk (string arrays & var-struct arrays)
+    var_ops = variable_layout(root_type, specs) if np_dtype is None else None
+    batch_decode = make_vector_decoder(var_ops) if var_ops is not None else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
@@ -257,6 +413,8 @@ def decode_messages(
                 arr = np.frombuffer(buf, dtype=np_dtype)
                 for name in flat_names:
                     cols[name] = arr[name]
+            elif batch_decode is not None:
+                cols.update(batch_decode([bytes(b) for b in pdf[data_col]]))
             else:
                 decoded = [decode(bytes(b)) for b in pdf[data_col]]
                 for i, name in enumerate(flat_names):

@@ -63,29 +63,67 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def band_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) per document — narrow minhash signature (two
-    md5 slices per shingle, same hash family as the batch pipeline so
-    streaming and batch candidates agree exactly)."""
-    sset = (
-        "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
-    )
+    """(doc_id, band, bucket) per document — minhash signature from two md5
+    slices per shingle, same hash family as the batch pipeline so streaming
+    and batch candidates agree exactly.
+
+    Expression hygiene (the repo's own README rule, violated here in round
+    1): an expression captured inside an array lambda re-evaluates PER
+    ELEMENT, and Catalyst collapses adjacent projections, inlining a
+    non-trivial column expression into every consumer. Two explicit
+    ``repartition`` barriers materialize (a) the words array before the
+    shingle lambda captures it — otherwise ``split(text)`` re-runs per
+    shingle, O(words²) — and (b) the two md5 arrays before the 8 substr-min
+    consumers — otherwise each md5 family is recomputed 4×. The barriers
+    shuffle by doc_id; both feed the stateful bucket shuffle anyway.
+
+    (MinHash needs no ``array_distinct``: min() is duplicate-insensitive, so
+    raw shingle arrays give identical signatures to the batch set-based
+    formulation.)"""
+    words = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.current_timestamp().alias("ingest_ts"),
+    ).repartition(F.col("doc_id"))
+    shingles = "transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+    hashed = words.select(
+        "doc_id",
+        "ingest_ts",
+        F.expr(f"transform({shingles}, s -> md5('0|' || s))").alias("h0"),
+        F.expr(f"transform({shingles}, s -> md5('1|' || s))").alias("h1"),
+    ).repartition(F.col("doc_id"))
     mh = [
-        f"array_min(transform({sset}, s -> substr(md5('{k // 4}|' || s), {1 + 8 * (k % 4)}, 8)))"
+        f"array_min(transform(h{k // 4}, x -> substr(x, {1 + 8 * (k % 4)}, 8)))"
         for k in range(N_HASHES)
     ]
     buckets = ", ".join(
         "concat_ws('#', " + ", ".join(mh[b * BAND_SIZE + r] for r in range(BAND_SIZE)) + ")"
         for b in range(N_HASHES // BAND_SIZE)
     )
-    return docs.select(
-        "doc_id", F.posexplode(F.expr(f"array({buckets})")).alias("band", "bucket")
+    return hashed.select(
+        "doc_id",
+        "ingest_ts",
+        F.posexplode(F.expr(f"array({buckets})")).alias("band", "bucket"),
     )
+
+
+#: bucket history eviction horizon — a bucket that sees no new docs for this
+#: long (in WATERMARK time — i.e. as later data flows) drops its doc-id
+#: history, bounding state (round 1 kept every bucket forever). Event-time
+#: timeout deliberately, not processing-time: processing-time timers keep
+#: the micro-batch engine polling even on a drained source (hangs
+#: processAllAvailable/availableNow test drivers), while event-time timers
+#: only fire when arriving data advances the watermark — idle streams cost
+#: nothing, and eviction scales with data flow, which is what bounds state.
+STATE_TTL_MS = 30 * 60 * 1000
 
 
 def _emit_pairs(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
     band, bucket = key
     (seen,) = state.get if state.exists else ([],)
     seen = list(seen)
@@ -98,6 +136,8 @@ def _emit_pairs(
                 out_b.append(hi)
             seen.append(doc_id)
     state.update((seen,))
+    # evict when the watermark passes last-activity + TTL
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + STATE_TTL_MS)
     if out_a:
         yield pd.DataFrame(
             {"band": band, "bucket": bucket, "a_id": out_a, "b_id": out_b}
@@ -105,11 +145,19 @@ def _emit_pairs(
 
 
 def streaming_candidates(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs, incrementally, as documents arrive."""
-    return band_buckets(docs).groupBy("band", "bucket").applyInPandasWithState(
-        _emit_pairs,
-        outputStructType=PAIRS_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    """Candidate near-dup pairs, incrementally, as documents arrive. Bucket
+    state is evicted once the ingest-time watermark passes the bucket's last
+    activity by ``STATE_TTL_MS`` — docs arriving later re-open the bucket
+    fresh, the standard recall/state trade of a streaming dedup index."""
+    return (
+        band_buckets(docs)
+        .withWatermark("ingest_ts", "0 seconds")
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            _emit_pairs,
+            outputStructType=PAIRS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -154,3 +154,43 @@ def test_max_mbs_limit(spark, tmp_path):
     )
     assert 0 < info.count < events.count()
     assert info.size <= 0.001 * (1 << 20)
+
+
+def test_append_requires_identical_schema(spark, tmp_path):
+    """The md5/schema identity guard on append (reference
+    FlattenedRosWriter.cpp:287): same-schema append doubles the rows;
+    a schema-drifted append refuses loudly."""
+    from pyspark.sql import types as T
+
+    from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
+
+    out = str(tmp_path / "appendable")
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    convert(spark, events, out, order_cols=["ts", "event_id"], payload_schema=PROPS_SCHEMA)
+    n1 = spark.read.parquet(os.path.join(out, "Messages")).count()
+
+    convert(
+        spark, events, out, order_cols=["ts", "event_id"],
+        payload_schema=PROPS_SCHEMA, mode="append",
+    )
+    assert spark.read.parquet(os.path.join(out, "Messages")).count() == 2 * n1
+
+    drifted = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("extra", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        convert(
+            spark, events, out, order_cols=["ts", "event_id"],
+            payload_schema=drifted, mode="append",
+        )
+
+
+def test_checked_union_guards_schema():
+    from rosbag2parquet_spark.convert import checked_union, schema_fingerprint
+    from pyspark.sql import types as T
+
+    a = T.StructType([T.StructField("x", T.LongType(), False)])
+    b = T.StructType([T.StructField("x", T.LongType(), True)])  # nullability ≠ identity
+    c = T.StructType([T.StructField("x", T.DoubleType())])
+    assert schema_fingerprint(a) == schema_fingerprint(b)
+    assert schema_fingerprint(a) != schema_fingerprint(c)

@@ -10,7 +10,7 @@ from rosbag2parquet_spark.functions.similarity import cosine, dot, norm
 from rosbag2parquet_spark.operators.asof import asof_join
 from rosbag2parquet_spark.operators.keys import (
     assign_seqno,
-    assign_seqno_scalable,
+    assign_seqno_window,
     flatten_struct_cols,
 )
 from rosbag2parquet_spark.operators.relational import q_dim_join, q_filter, q_topk
@@ -26,12 +26,31 @@ from tests.conftest import SF_DIR
 
 
 def test_seqno_scalable_matches_window(spark):
-    """The two-pass (range-partition + zipWithIndex) seqno must equal the
-    window formulation exactly — same total order, same contiguity."""
+    """The two-pass (range-partition + offset-map) seqno must equal the
+    global-window formulation exactly — same total order, same contiguity."""
     ev = load_table(spark, SF_DIR, "events")
-    a = assign_seqno(ev, ["ts", "event_id"]).select("event_id", "seqno")
-    b = assign_seqno_scalable(ev, ["ts", "event_id"]).select("event_id", "seqno")
+    a = assign_seqno_window(ev, ["ts", "event_id"]).select("event_id", "seqno")
+    b = assign_seqno(ev, ["ts", "event_id"]).select("event_id", "seqno")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_seqno_plan_has_no_single_partition_exchange(spark):
+    """S10 at 100 TB: the registered seqno plan must not funnel the data
+    through a single partition (no global-window Exchange, no unpartitioned
+    WindowExec)."""
+    ev = load_table(spark, SF_DIR, "events")
+    plan = physical_plan(assign_seqno(ev, ["ts", "event_id"]))
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(__b" in plan  # bucket-keyed shuffle
+
+
+def test_limit_plan_has_no_single_partition_exchange(spark):
+    """S2: the byte-bounded limit's running sum must be bucketed — window
+    partitioned by bucket, never a global single-partition window."""
+    from rosbag2parquet_spark.operators.relational import q_limit
+
+    plan = physical_plan(q_limit(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_flatten_deep_nesting(spark):
@@ -126,3 +145,16 @@ def test_topk_uses_take_ordered(spark):
     plan = physical_plan(q_topk(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_knn_ivf_recall_vs_exact(spark):
+    """X3: the IVF path (k-means cells, nprobe=2 of 8) must retain most of
+    the exact top-10 on the fixture — the accuracy/cost dial IVF exists
+    for. Bound is deliberately loose (recall ≥ 0.5): the fixture corpus is
+    small and the quantizer coarse."""
+    from rosbag2parquet_spark.functions.similarity import q_knn, q_knn_ivf
+
+    exact = {r["vec_id"] for r in q_knn(spark, SF_DIR).collect()}
+    approx = {r["vec_id"] for r in q_knn_ivf(spark, SF_DIR).collect()}
+    assert len(exact) == 10
+    assert len(exact & approx) / len(exact) >= 0.5

@@ -29,8 +29,10 @@ def _norm(rows, cols):
 
 
 #: queries intentionally declared without a value oracle (sketch-based
-#: estimates are engine-specific; driver records a rows-only check)
-ROWS_ONLY = {"approx-stats", "kmeans"}
+#: estimates are engine-specific; driver records a rows-only check).
+#: kmeans graduated OUT of this set in round 2: decimal-exact distance sums
+#: and means make the Lloyd's iterations bit-identical across engines.
+ROWS_ONLY = {"approx-stats"}
 
 
 def test_every_query_has_oracle():

@@ -57,3 +57,54 @@ def test_streaming_candidates_equal_batch(spark):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing the eviction contract."""
+
+    def __init__(self, existing=None, timed_out=False, watermark_ms=1_000_000):
+        self._val = existing
+        self.hasTimedOut = timed_out
+        self._wm = watermark_ms
+        self.removed = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self.removed = True
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def test_timed_out_bucket_is_evicted():
+    """TTL contract: a timed-out invocation removes state and emits nothing;
+    a live invocation re-arms the timer at watermark + TTL."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.neardup import STATE_TTL_MS, _emit_pairs
+
+    dead = _StubState(existing=([1, 2],), timed_out=True)
+    assert list(_emit_pairs(("0", "b"), iter([]), dead)) == []
+    assert dead.removed
+
+    live = _StubState(existing=([1],), watermark_ms=5_000)
+    out = list(
+        _emit_pairs((0, "b"), iter([pd.DataFrame({"doc_id": [7]})]), live)
+    )
+    assert live.timeout_ts == 5_000 + STATE_TTL_MS
+    assert not live.removed
+    assert len(out) == 1 and list(out[0]["a_id"]) == [1] and list(out[0]["b_id"]) == [7]

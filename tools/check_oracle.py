@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -56,9 +57,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     n_fail = 0
-    for name, fn in sorted(qs.items()):
+    t_start = time.monotonic()
+    for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -92,12 +95,14 @@ def main() -> int:
                     (a, b) for a, b in zip(ns, no) if a != b
                 ][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+        dt = time.monotonic() - t0
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(srows)} rows)")
+            print(f"PASS {name} ({len(srows)} rows) [{dt:.2f}s]")
 
+    print(f"\ntotal {time.monotonic() - t_start:.1f}s")
     print(f"\n{n_fail} failures")
     return 1 if n_fail else 0
 
