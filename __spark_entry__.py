@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rosbag2parquet_spark import sinks  # noqa: E402
-from rosbag2parquet_spark.functions import dedup, kmeans, similarity, text  # noqa: E402
+from rosbag2parquet_spark.functions import (  # noqa: E402
+    dedup,
+    kmeans,
+    multimodal,
+    similarity,
+    text,
+)
 from rosbag2parquet_spark.operators import (  # noqa: E402
     analytic,
     asof,
@@ -65,6 +71,7 @@ _MODULES = (
     dedup,
     similarity,
     kmeans,
+    multimodal,
     sinks,
 )
 
@@ -79,6 +86,7 @@ _QUERY_ORDER = [
     "text-stats", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
     "knn", "knn-ivf", "embed-neardup", "kmeans",
+    "multimodal-features", "multimodal-pointers",
     # round-1 hash-fail, fixed via decimal/raw-quotient determinism
     "null-semantics",
     # re-planned this round (scalable two-pass; decimal accumulation)

@@ -23,8 +23,10 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, checksum long, width int, height int, decoded boolean"
@@ -89,15 +91,78 @@ def out_of_line_pointers(docs: DataFrame, bag_path: str) -> DataFrame:
     """The >1 MB out-of-line pattern (reference README.md:137): store
     (path, offset, length) pointer columns instead of the payload; a deferred
     fetch joins the pointer table to a blob store read at consumption time.
-    Offsets here are running byte positions — the exact layout a bag-side
-    writer would produce."""
-    from pyspark.sql import Window
+    Offsets are running byte positions — the exact layout a bag-side writer
+    would produce — computed with the bucketed two-pass running sum (no
+    single-partition window; same plan as the byte-bounded limit)."""
+    from rosbag2parquet_spark.operators.relational import running_sum_scalable
 
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     sized = docs.select("doc_id", F.length(F.encode("text", "utf-8")).alias("length"))
-    return sized.select(
+    run = running_sum_scalable(sized, "doc_id", F.col("length").cast("long"), 100)
+    return run.select(
         "doc_id",
         F.lit(bag_path).alias("path"),
-        F.coalesce(F.sum("length").over(w), F.lit(0)).alias("offset"),
+        (F.col("__running") - F.col("length")).cast("long").alias("offset"),
         "length",
     )
+
+
+# --------------------------------------------------- driver-contract queries
+#
+# The codec is a stub, but a DETERMINISTIC one (pure arithmetic over the
+# payload bytes) — so the whole Arrow/mapInPandas pipeline is exactly
+# SQL-expressible and gets a value-level oracle: the driver proves the
+# Python slow-path plumbing (schema, batch shape, null/short-payload
+# handling) bit-for-bit, which is precisely the part that stays when a real
+# codec replaces the stub. Fixture payloads are ASCII, so byte i of the
+# utf-8 payload == ascii(substr(text, i, 1)) on the oracle side.
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: blob metadata + (stubbed) decode through the real Arrow-batched
+    mapInPandas pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return q_media_features(docs)
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                                    i -> ascii(substr(text, i, 1))))
+            + length(text) AS BIGINT) AS checksum,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(ascii(substr(text, 1, 1)) % 480 + 1 AS INTEGER) AS height,
+       TRUE AS decoded
+FROM documents
+"""
+
+
+MEDIA_STORE_PATH = "media/documents.bin"
+
+
+def q_multimodal_pointers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: the out-of-line pointer table (path, offset, length) for deferred
+    blob fetch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return out_of_line_pointers(docs, MEDIA_STORE_PATH)
+
+
+ORACLE_MULTIMODAL_POINTERS = f"""
+SELECT doc_id, '{MEDIA_STORE_PATH}' AS path,
+       CAST(coalesce(sum(length(text)) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset,
+       CAST(length(text) AS INTEGER) AS length
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal-features": q_multimodal_features,
+    "multimodal-pointers": q_multimodal_pointers,
+}
+
+ORACLES = {
+    "multimodal-features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal-pointers": ORACLE_MULTIMODAL_POINTERS,
+}

@@ -25,9 +25,12 @@ def assign_seqno_window(df: DataFrame, order_cols: list[str]) -> DataFrame:
     return df.withColumn("seqno", (F.row_number().over(w) - F.lit(1)).cast("long"))
 
 
-#: default bucket width for timestamp order keys — one bucket per hour of
-#: stream time (micros); callers with denser/sparser streams pass their own
-SEQNO_TS_BUCKET_US = 3_600_000_000
+#: default bucket width for timestamp order keys — one bucket per DAY of
+#: stream time (micros). Wider buckets keep the literal offset map small
+#: (the map is a plan expression — thousands of entries measurably slow
+#: planning/codegen) at the cost of larger per-bucket window sorts; callers
+#: with denser/sparser streams pass their own bucket expression.
+SEQNO_TS_BUCKET_US = 86_400_000_000
 
 
 def assign_seqno(
