@@ -85,7 +85,7 @@ _QUERY_ORDER = [
     "demux", "sink",
     "text-stats", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
-    "knn", "knn-ivf", "embed-neardup", "kmeans",
+    "knn", "knn-ivf", "knn-batch", "embed-neardup", "kmeans",
     "multimodal-features", "multimodal-pointers",
     # round-1 hash-fail, fixed via decimal/raw-quotient determinism
     "null-semantics",
@@ -102,6 +102,8 @@ _QUERY_ORDER = [
     "intersect", "histogram", "stats-corr", "string-agg", "explode-sequence",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
     "scalar-funcs", "sessionize", "approx-stats",
+    # added after the round-2 reorder — new SQL-surface breadth
+    "sql-q4", "sql-q12", "sql-q14",
 ]
 
 

@@ -18,7 +18,9 @@ def main(argv: list[str] | None = None) -> int:
     # rosbag_example.cpp); anything else is the converter (reference main.cpp)
     if argv and argv[0] == "info":
         ip = argparse.ArgumentParser(prog="rosbag2parquet_spark info")
-        ip.add_argument("--input", required=True, help="SBAG bag file")
+        ip.add_argument(
+            "--input", required=True, help="bag file (.bag = rosbag 2.0, else SBAG)"
+        )
         args = ip.parse_args(argv[1:])
         from rosbag2parquet_spark.info import print_info
         from rosbag2parquet_spark.session import get_spark
@@ -27,7 +29,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     ap = argparse.ArgumentParser(prog="rosbag2parquet_spark")
-    ap.add_argument("--input", required=True, help="input stream parquet (the 'bag')")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="input log: .bag (rosbag 2.0), .sbag, or a stream parquet",
+    )
     ap.add_argument("--outdir", required=True, help="output directory")
     ap.add_argument(
         "--max-mbs", type=float, default=None, help="stop after this many MB (ref --max_mbs)"
@@ -54,20 +60,39 @@ def main(argv: list[str] | None = None) -> int:
     if args.verbose:
         spark.sparkContext.setLogLevel("INFO")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    stream = spark.read.parquet(args.input)
-    if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if args.input.endswith((".bag", ".sbag")):
+        # real binary-bag path: scan + connections join → stream columns
+        # (offset is the unique in-bag order key, ref README.md:119-121)
+        from rosbag2parquet_spark.info import load_bag
+
+        msgs, conns = load_bag(spark, args.input)
+        stream = msgs.join(
+            F.broadcast(conns), msgs.conn_id == conns.connection_id
+        ).select(
+            F.col("offset").alias("event_id"),
+            F.timestamp_micros(F.expr("time_ns div 1000")).alias("ts"),
+            F.col("conn_id").alias("user_id"),
+            F.col("datatype").alias("event_type"),
+            F.length("data").cast("double").alias("value"),
+            F.col("data").cast("string").alias("props"),
+        )
+        order_cols = ["event_id"]
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        stream = spark.read.parquet(args.input)
+        if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        order_cols = ["ts", "event_id"] if "event_id" in stream.columns else None
 
     info = convert(
         spark,
         stream,
         out,
         max_mbs=args.max_mbs,
-        order_cols=["ts", "event_id"] if "event_id" in stream.columns else None,
+        order_cols=order_cols,
     )
     # summary print (ref main.cpp:57-59)
     print(f"{info.count} messages ({info.size / (1 << 20):.2f} MB) written to {out}")

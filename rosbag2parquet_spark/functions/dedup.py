@@ -252,16 +252,35 @@ WHERE inter * 1.0 / (za.n + zb.n - inter) >= """
 # ------------------------------------------------------- ngram-jaccard (X2)
 
 
+#: document-frequency cap for candidate-generating shingles: a shingle in
+#: more than this many docs fans out O(df²) candidate pairs while carrying
+#: ~no dedup signal (stopword-like shingles). Pairs sharing ONLY >cap
+#: shingles are missed — at Jaccard ≥ 0.8 a true near-dup pair shares many
+#: rare shingles, so the miss set is empty in practice. This is the standard
+#: similarity-join scale mitigation (prefix filtering's cheap cousin).
+NGRAM_DF_MAX = 50
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: candidates = pairs sharing at
-    least one 3-shingle (shingle-keyed self-join — the one genuinely
-    shuffle-heavy step, and why q_minhash_lsh is the scale path), verified
-    via array_intersect like the LSH variant."""
+    """N-gram Jaccard similarity join: candidates = pairs sharing at least
+    one RARE 3-shingle (document frequency ≤ NGRAM_DF_MAX — the df-pruning
+    that keeps the shingle-keyed self-join from exploding on hot shingles;
+    the oracle applies the identical cap so parity stays value-exact),
+    verified with the full shingle sets via array_intersect like the LSH
+    variant. Still the shuffle-heaviest dedup tier — q_minhash_lsh is the
+    scale path."""
     sh = _doc_shingles(spark, sf_dir)
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= NGRAM_DF_MAX)
+        .select("s"),
+        "s",
+        "left_semi",
+    )
     cand = (
-        sh.alias("a")
+        rare.alias("a")
         .join(
-            sh.alias("b"),
+            rare.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
@@ -272,10 +291,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = (
     _SHINGLES_SQL
-    + """,
+    + f""",
+rare AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_MAX}) r USING (s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
   GROUP BY 1, 2
 )
 SELECT a_id, b_id,

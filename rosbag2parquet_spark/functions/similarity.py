@@ -263,14 +263,80 @@ ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
     )
 
 
+# ----------------------------------------------------------- knn-batch (X3)
+
+KNN_BATCH_QUERIES = 5  # vec_id 0..4 are the query set
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query top-k — the production ANN shape (score a whole
+    query BATCH in one corpus pass, not one driver round-trip per query).
+
+    Plan: the M query vectors broadcast (tiny); one narrow pass scores
+    corpus×M via the codegen'd fold; a window partitioned by query_id takes
+    each query's top-k — the shuffle key is the query id, so adding queries
+    adds reducers, not passes. At very large M the window becomes a
+    per-(query, partition) local top-k pre-prune + final merge; at M this
+    size the single window is the right plan."""
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < KNN_BATCH_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("en").alias("qen")
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .crossJoin(queries)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("query_id", "rk", "vec_id", "cos_sim")
+    )
+
+
+ORACLE_KNN_BATCH = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {KNN_BATCH_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id >= {KNN_BATCH_QUERIES}
+)
+SELECT query_id, rk, vec_id, cos_sim FROM (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_K}
+"""
+
+
 QUERIES = {
     "knn": q_knn,
     "knn-ivf": q_knn_ivf,
+    "knn-batch": q_knn_batch,
     "embed-neardup": q_embed_neardup,
 }
 
 ORACLES = {
     "knn": ORACLE_KNN,
     "knn-ivf": _oracle_knn_ivf(),
+    "knn-batch": ORACLE_KNN_BATCH,
     "embed-neardup": _oracle_embed_neardup(),
 }

@@ -15,11 +15,25 @@ from pyspark.sql import functions as F
 from rosbag2parquet_spark.sources.baglike import connections_df, read_bag
 
 
+def load_bag(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(messages, connections) for either bag grammar, by extension:
+    ``.bag`` → the public rosbag 2.0 record/chunk format, anything else →
+    the SBAG test format. Both yield the same (offset, time_ns, conn_id,
+    data) scan schema."""
+    if path.endswith(".bag"):
+        from rosbag2parquet_spark.sources.rosbag import (
+            read_rosbag,
+            rosbag_connections_df,
+        )
+
+        return read_rosbag(spark, path), rosbag_connections_df(spark, path)
+    return read_bag(spark, path), connections_df(spark, path)
+
+
 def bag_info(spark: SparkSession, path: str) -> DataFrame:
     """Per-(datatype, topic) stats + per-type and global rollup rows
     (topic NULL → per-type subtotal; both NULL → grand total)."""
-    msgs = read_bag(spark, path)
-    conns = connections_df(spark, path)
+    msgs, conns = load_bag(spark, path)
     joined = msgs.join(F.broadcast(conns), msgs.conn_id == conns.connection_id)
     agg = (
         joined.rollup("datatype", "topic")

@@ -192,19 +192,134 @@ LIMIT 20
 """
 
 
+def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — orders in a quarter having
+    at least one qualifying lineitem (EXISTS → left-semi join), counted by
+    priority. (The fixture lineitem carries no commit/receipt dates, so the
+    'late line' predicate becomes a high-quantity line — identical plan:
+    pushdown filter on lineitem, semi-join probe into orders, hash-agg.)"""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE_SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line classification by order priority — conditional
+    (CASE) aggregation over the orders↔lineitem join with an IN-list +
+    range filter that pushes to the lineitem scan. (Fixture has no
+    l_shipmode; l_returnflag plays the mode column — same plan.)"""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag IN ('R', 'A')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+ORACLE_SQL_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion-revenue share — a conditional-sum ratio.
+    Both sums accumulate in DECIMAL (exact, order-free); the percentage is
+    one IEEE division of the two exact-cast doubles — deterministic across
+    engines, no round()."""
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """
+    )
+
+
+ORACLE_SQL_Q14 = """
+SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l_discount AS DECIMAL(18,4)))
+           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+       AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
 QUERIES = {
     "sql-q3": q_sql_q3,
+    "sql-q4": q_sql_q4,
     "sql-q5": q_sql_q5,
     "sql-q6": q_sql_q6,
     "sql-q10": q_sql_q10,
+    "sql-q12": q_sql_q12,
+    "sql-q14": q_sql_q14,
     "approx-stats": q_approx_stats,
 }
 
 ORACLES = {
     "sql-q3": ORACLE_SQL_Q3,
+    "sql-q4": ORACLE_SQL_Q4,
     "sql-q5": ORACLE_SQL_Q5,
     "sql-q6": ORACLE_SQL_Q6,
     "sql-q10": ORACLE_SQL_Q10,
+    "sql-q12": ORACLE_SQL_Q12,
+    "sql-q14": ORACLE_SQL_Q14,
     # approx-stats: intentionally no oracle — sketch estimates are
     # engine-specific; driver records rows-only.
 }

@@ -131,3 +131,37 @@ def test_corrupt_magic_rejected(tmp_path):
     p.write_bytes(b"#ROSBAG V1.2\n" + b"\x00" * 64)
     with pytest.raises(ValueError, match="not a rosbag 2.0"):
         scan_rosbag(str(p))
+
+
+def test_cli_converts_real_bag(spark, tmp_path, capsys):
+    """`python -m rosbag2parquet_spark --input x.bag --outdir ...` — the
+    reference's main() surface over an actual rosbag 2.0 file."""
+    import os
+
+    from rosbag2parquet_spark.__main__ import main
+
+    path = str(tmp_path / "cli.bag")
+    payload = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    write_rosbag(
+        path,
+        [CONN],
+        [(3, 10**9 + i, payload) for i in range(4)],
+        compression="bz2",
+    )
+    out = str(tmp_path / "cliout")
+    rc = main(["--input", path, "--outdir", out])
+    assert rc == 0
+    assert "4 messages" in capsys.readouterr().out
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    assert sorted(r.seqno for r in msgs.collect()) == [0, 1, 2, 3]
+
+
+def test_cli_info_real_bag(tmp_path, capsys, spark):
+    from rosbag2parquet_spark.__main__ import main
+
+    path = str(tmp_path / "info.bag")
+    payload = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    write_rosbag(path, [CONN], [(3, 10**9 + i, payload) for i in range(3)])
+    assert main(["info", "--input", path]) == 0
+    out = capsys.readouterr().out
+    assert "TOTAL: 3 msgs" in out and "sensor_msgs/Imu" in out
