@@ -32,6 +32,7 @@ from rosbag2parquet_spark.operators import (  # noqa: E402
     olap,
     relational,
     setops,
+    shuffle,
     tpch,
     windows,
 )
@@ -72,6 +73,7 @@ _MODULES = (
     similarity,
     kmeans,
     multimodal,
+    shuffle,
     sinks,
 )
 
@@ -102,8 +104,9 @@ _QUERY_ORDER = [
     "intersect", "histogram", "stats-corr", "string-agg", "explode-sequence",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
     "scalar-funcs", "sessionize", "approx-stats",
-    # added after the round-2 reorder — new SQL-surface breadth
+    # added after the round-2 reorder — new SQL-surface + operator breadth
     "sql-q4", "sql-q12", "sql-q14",
+    "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
 ]
 
 

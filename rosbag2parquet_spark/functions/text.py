@@ -243,12 +243,38 @@ SELECT doc_id, list_min(hs) AS fingerprint, len(hs) AS n_shingles FROM sh
 """
 
 
+# -------------------------------------------------------------- top-terms
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top 20 — the vocabulary-building pass of a
+    training-data pipeline. Explode → hash-agg (map-side partial combine
+    absorbs the token fan-out) → TakeOrderedAndProject; ties broken by the
+    term so the cut is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_TERMS = """
+SELECT term, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 QUERIES = {
     "text-stats": q_text_stats,
     "token-count": q_token_count,
     "lang-id": q_lang_id,
     "quality-score": q_quality_score,
     "fingerprint": q_fingerprint,
+    "top-terms": q_top_terms,
 }
 
 ORACLES = {
@@ -257,4 +283,5 @@ ORACLES = {
     "lang-id": _oracle_lang_id(),
     "quality-score": ORACLE_QUALITY,
     "fingerprint": ORACLE_FINGERPRINT,
+    "top-terms": ORACLE_TOP_TERMS,
 }

@@ -377,8 +377,45 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+# ------------------------------------------------------------ outer join
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer counts vs supplier counts —
+    nations with only one side present keep a 0 on the other (the join-type
+    breadth E4 implies; both sides are pre-aggregated so the outer join is
+    dim-sized and broadcastable at any scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+ORACLE_OUTER_JOIN = """
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(c.n_customers, 0) AS n_customers,
+       coalesce(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+      FROM customer GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1) s
+  ON c.nk = s.nk
+"""
+
+
 QUERIES = {
     "first-seen": q_first_seen,
+    "outer-join": q_outer_join,
     "grouping-sets": q_grouping_sets,
     "cube": q_cube,
     "distinct-count": q_distinct_count,
@@ -394,6 +431,7 @@ QUERIES = {
 
 ORACLES = {
     "first-seen": ORACLE_FIRST_SEEN,
+    "outer-join": ORACLE_OUTER_JOIN,
     "grouping-sets": ORACLE_GROUPING_SETS,
     "cube": ORACLE_CUBE,
     "distinct-count": ORACLE_DISTINCT_COUNT,

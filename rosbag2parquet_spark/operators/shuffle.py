@@ -48,6 +48,29 @@ def salted_groupby_count(
     return partial.groupBy(key).agg(F.sum("__c").cast("long").alias("n"))
 
 
+# ---------------------------------------------------- driver-contract query
+
+
+def q_salted_agg(spark, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation as a declared query: counts by the
+    (skew-prone) event type via per-(key, salt) partials merged in a second
+    cheap agg. The oracle is the PLAIN group-by — the salted plan must be
+    semantically invisible, which is exactly the property that makes it
+    safe to deploy on a hot key."""
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_groupby_count(ev, "event_type", salt_col="event_id")
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+QUERIES = {"salted-agg": q_salted_agg}
+ORACLES = {"salted-agg": ORACLE_SALTED_AGG}
+
+
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8
 ) -> DataFrame:

@@ -161,14 +161,59 @@ def sessionize_lag(df: DataFrame, key: str, ts: str, gap_min: int) -> DataFrame:
     )
 
 
+# -------------------------------------------------- hypertable rollup
+
+
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable) pattern: the hourly aggregate is
+    computed FROM the minutely aggregate, not from raw events — proving the
+    partials are mergeable (count and exact DECIMAL sums re-aggregate
+    losslessly). This is the materialized-rollup maintenance plan at 100 TB:
+    raw → minutely once, then every coarser grain reads the rollup, never
+    the raw table. The oracle aggregates raw events directly — equality IS
+    the mergeability proof."""
+    ev = load_table(spark, sf_dir, "events")
+    minutely = ev.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("tv_dec"),
+    )
+    return (
+        minutely.groupBy(
+            F.date_trunc("hour", F.col("w.start")).alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("tv_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros("h").alias("hour_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_ROLLUP_HYPERTABLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "window-tumbling": q_window_tumbling,
     "window-sliding": q_window_sliding,
     "sessionize": q_sessionize,
+    "rollup-hypertable": q_rollup_hypertable,
 }
 
 ORACLES = {
     "window-tumbling": ORACLE_WINDOW_TUMBLING,
     "window-sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
+    "rollup-hypertable": ORACLE_ROLLUP_HYPERTABLE,
 }
