@@ -62,7 +62,13 @@ def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # decimal accumulation — identical expression to the batch twin
+            # (q_window_tumbling), so stream==batch equality is structural,
+            # not a lucky rounding coincidence
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",

@@ -140,3 +140,29 @@ def test_banded_range_join_matches_naive_random(sparks, events):
         if a_u == b_u and a_id < b_id and 0 <= b_us - a_us <= window_us
     }
     assert banded == naive
+
+
+def test_running_sum_scalable_equals_global_window(spark):
+    """Property: the bucketed two-pass running sum equals the global-window
+    formulation for arbitrary bucket widths (including widths that split
+    every row and widths that put everything in one bucket)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.relational import running_sum_scalable
+
+    rows = [(i, Decimal(str(round((i * 37 % 101) / 7.0, 4)))) for i in range(1, 200)]
+    df = spark.createDataFrame(rows, "k long, v decimal(18,4)")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r["k"]: r["run"]
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    for width in (1, 7, 50, 1000):
+        got = {
+            r["k"]: r["__running"]
+            for r in running_sum_scalable(df, "k", F.col("v"), width).collect()
+        }
+        assert got == expected, f"width={width}"
