@@ -107,6 +107,7 @@ _QUERY_ORDER = [
     # added after the round-2 reorder — new SQL-surface + operator breadth
     "sql-q4", "sql-q12", "sql-q14",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
+    "dedup-clusters",
 ]
 
 

@@ -206,7 +206,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_jaccard(cand, sets)
 
 
-ORACLE_MINHASH_LSH = (
+#: shared CTE chain shingles → signatures → bands → candidates → exact
+#: intersection counts (reused by the clustering oracle)
+_MINHASH_CTES = (
     _SHINGLES_SQL
     + """,
 sig AS (
@@ -238,7 +240,12 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.a_id
   JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
   GROUP BY c.a_id, c.b_id
+)"""
 )
+
+ORACLE_MINHASH_LSH = (
+    _MINHASH_CTES
+    + """
 SELECT a_id, b_id,
        inter * 1.0 / (za.n + zb.n - inter) AS jaccard
 FROM inter
@@ -386,11 +393,108 @@ SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bit_sums
 """
 
 
+# ---------------------------------------------------- dedup clustering (X2)
+
+
+def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation: every vertex
+    starts labeled with itself; each round pulls the minimum label across
+    its neighborhood; stop at fixpoint. Returns (doc_id, cluster) with
+    cluster = min doc_id of the component — deterministic for any engine or
+    iteration order, which is what makes the result oracle-comparable.
+
+    Each round is two shuffles (join on edge endpoints + min-agg); rounds
+    needed = graph diameter, and near-dup graphs are shallow (duplicate
+    clusters are cliques or near-cliques). This is the dataframe-native CC
+    loop (the large-star/small-star optimization drops in for adversarial
+    diameters); the driver only ever sees the converged-or-not count — no
+    vertex data leaves the cluster."""
+    sym = (
+        edges.selectExpr("a_id AS src", "b_id AS dst")
+        .unionByName(edges.selectExpr("b_id AS src", "a_id AS dst"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster", F.coalesce("nmin", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster") != F.col("l.cluster"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-duplicate clusters: the verified MinHash-LSH pairs
+    are edges; components get the min doc_id as canonical representative —
+    the keep-one-per-cluster decision a dedup pipeline actually ships.
+    Exact-oracled: the fixpoint (min reachable id) is engine-independent,
+    and DuckDB reproduces it with a recursive transitive closure."""
+    pairs = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    return connected_components_min_label(pairs).select(
+        "doc_id", F.col("cluster").alias("cluster_rep")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = (
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes za ON za.doc_id = a_id
+  JOIN sizes zb ON zb.doc_id = b_id
+  WHERE inter * 1.0 / (za.n + zb.n - inter) >= """
+    + str(JACCARD_THRESHOLD)
+    + """
+),
+sym AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS v, dst AS r FROM sym
+  UNION
+  SELECT sym.src AS v, reach.r
+  FROM sym JOIN reach ON sym.dst = reach.v
+)
+SELECT v AS doc_id, least(v, min(r)) AS cluster_rep
+FROM reach GROUP BY v
+"""
+)
+
+
 QUERIES = {
     "dedup-exact": q_dedup_exact,
     "dedup-minhash-lsh": q_minhash_lsh,
     "dedup-ngram-jaccard": q_ngram_jaccard,
     "dedup-simhash": q_simhash,
+    "dedup-clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -398,4 +502,5 @@ ORACLES = {
     "dedup-minhash-lsh": ORACLE_MINHASH_LSH,
     "dedup-ngram-jaccard": ORACLE_NGRAM_JACCARD,
     "dedup-simhash": _oracle_simhash(),
+    "dedup-clusters": ORACLE_DEDUP_CLUSTERS,
 }

@@ -158,3 +158,19 @@ def test_knn_ivf_recall_vs_exact(spark):
     approx = {r["vec_id"] for r in q_knn_ivf(spark, SF_DIR).collect()}
     assert len(exact) == 10
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_connected_components_min_label(spark):
+    """CC fixpoint on a hand graph: two components and an isolated edge —
+    labels converge to the component-min regardless of iteration order."""
+    from rosbag2parquet_spark.functions.dedup import connected_components_min_label
+
+    edges = spark.createDataFrame(
+        [(2, 5), (5, 9), (9, 11), (20, 21), (30, 31), (31, 30)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components_min_label(edges).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20, 30: 30, 31: 30}
