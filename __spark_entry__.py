@@ -47,6 +47,13 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # a session built with the 200-partition default runs every tiny
+        # shuffle as 200 tasks — size to the machine (runtime-settable)
+        import os as _os
+
+        cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "0")) or _os.cpu_count() or 8
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     except Exception:
         pass  # immutable on some builds; harmless
     return spark
