@@ -102,24 +102,63 @@ ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
 # -------------------------------------------------------- embed-neardup (X2)
 
 
+EMBED_DIM = 64
+
+
+def _hyperplanes(n: int = LSH_SIGN_DIMS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Seeded deterministic random hyperplanes for sign-LSH: component
+    (j, i) is derived from md5(f"hp|{j}|{i}") mapped to [-0.5, 0.5). The
+    matrix is generated driver-side once and inlined as plan literals —
+    exactly the broadcast-seeded-rotation production pattern, with a seed
+    both engines can reproduce (the oracle gets the same literals)."""
+    import hashlib
+
+    planes = []
+    for j in range(n):
+        row = []
+        for i in range(dim):
+            u = int(hashlib.md5(f"hp|{j}|{i}".encode()).hexdigest()[:8], 16)
+            row.append(u / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
 def _sign_bucket(col) -> Column:
-    """8-bit signature from the signs of the first LSH_SIGN_DIMS components —
-    a deterministic stand-in for random-hyperplane signs (the fixture vectors
-    are already isotropic; production would rotate by a seeded random matrix
-    broadcast to executors)."""
-    bucket = F.lit(0)
-    for i in range(LSH_SIGN_DIMS):
-        bucket = bucket + F.when(
-            F.element_at(col, i + 1) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return bucket
+    """LSH_SIGN_DIMS-bit signature from the signs of projections onto the
+    seeded hyperplanes. Determinism: a double fold's last-ulp noise could
+    flip the SIGN of a near-zero projection and desynchronize buckets
+    between engines, so each term is quantized as floor(x·h·1e12) into a
+    LONG — identical per-term floor of identical doubles, order-free exact
+    integer sum (and ~10× cheaper than a decimal accumulator; 64 terms ≤
+    1e12 each stay far below 2^63). One literal array-of-arrays iterated by
+    a runtime lambda (the kmeans assign_clusters lesson: unrolled per-plane
+    trees cost ~5× in planning)."""
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes()]
+    )
+    bits = F.transform(
+        planes,
+        lambda h, j: F.when(
+            F.aggregate(
+                F.zip_with(
+                    col, h, lambda a, b: F.floor(a * b * F.lit(1e12)).cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            # 2^j as an exact int (shiftleft needs a literal bit count)
+            F.pow(F.lit(2.0), j).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing: pairs
-    sharing the sign signature get exact cosine; emit pairs above threshold.
-    Bucket-equality join means the shuffle key is the 8-bit signature —
-    the all-pairs comparison never happens."""
+    """Embedding-cosine near-duplicate pairs via random-hyperplane sign-LSH:
+    pairs sharing the 8-bit projection signature get exact cosine; emit
+    pairs above threshold. Bucket-equality join means the shuffle key is
+    the signature — the all-pairs comparison never happens."""
     emb = (
         _normalized(load_table(spark, sf_dir, "embeddings"))
         .withColumn("bucket", _sign_bucket(_as_double("embedding")))
@@ -142,13 +181,35 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_embed_neardup() -> str:
-    bucket = " + ".join(
-        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
-        for i in range(LSH_SIGN_DIMS)
+    hp_rows = ",\n    ".join(
+        f"({j}, {i + 1}, {x!r})"
+        for j, row in enumerate(_hyperplanes())
+        for i, x in enumerate(row)
     )
     return f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e, {bucket} AS bucket FROM embeddings
+WITH hp(j, pos, h) AS (
+  SELECT * FROM (VALUES
+    {hp_rows}
+  ) AS t(j, pos, h)
+),
+ed AS (
+  SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, {EMBED_DIM})) AS t(i)
+),
+dots AS (
+  SELECT ed.vec_id, hp.j,
+         sum(CAST(floor(ed.x * hp.h * 1e12) AS BIGINT)) AS d
+  FROM ed JOIN hp USING (pos)
+  GROUP BY 1, 2
+),
+buck AS (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+e AS (
+  SELECT b.vec_id, emb.embedding::DOUBLE[] AS e, b.bucket
+  FROM buck b JOIN embeddings emb USING (vec_id)
 )
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.e, b.e)
