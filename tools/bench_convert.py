@@ -1,0 +1,137 @@
+"""End-to-end converter throughput at the reference's walkthrough scale
+(reference README.md:70-100: a 102 MB bag, 23,719 messages, blob-dominated
+CompressedImage payloads → SNAPPY parquet).
+
+Synthesizes a ~100 MB SBAG with CompressedImage-shaped messages (header +
+format string + uint8[] blob), then times the full distributed pipeline:
+binary scan (byte-range partitioned DataSource) → schema-driven decode
+(vectorized offset-scan tier; the blob is skipped positionally and kept in
+the raw column, reference MessageTable.cpp:63-67) → converter layout write
+(Messages/Connections/per-type SNAPPY parquet).
+
+Usage: python tools/bench_convert.py [n_messages] [blob_bytes]
+Prints one JSON line {"bag_mb":…, "messages":…, "convert_s":…, "mb_per_s":…}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+IMG_DEF = """Header header
+string format
+uint8[] data
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+
+def synth_bag(path: str, n_msgs: int, blob_bytes: int) -> None:
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    fmt = b"jpeg"
+    frame = b"camera_link"
+    blob = bytes(range(256)) * (blob_bytes // 256)
+
+    def payload(i: int) -> bytes:
+        return (
+            struct.pack("<I", i)
+            + struct.pack("<II", 1_700_000_000 + i // 30, (i % 30) * 33_000_000)
+            + struct.pack("<I", len(frame)) + frame
+            + struct.pack("<I", len(fmt)) + fmt
+            + struct.pack("<I", len(blob)) + blob
+        )
+
+    conns = [
+        ConnectionInfo(
+            conn_id=1,
+            topic="/camera/image/compressed",
+            datatype="sensor_msgs/CompressedImage",
+            md5sum="8f7a12909da2c9d3332d540a0977563f",
+            msg_def=IMG_DEF,
+        )
+    ]
+    write_bag(
+        path,
+        conns,
+        [(1, 1_700_000_000_000_000_000 + i * 33_000_000, payload(i)) for i in range(n_msgs)],
+    )
+
+
+def main() -> None:
+    n_msgs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000
+    blob_bytes = int(sys.argv[2]) if len(sys.argv) > 2 else 4_096
+
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.convert import convert
+    from rosbag2parquet_spark.session import get_spark
+    from rosbag2parquet_spark.sources.baglike import connections_df, read_bag
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    work = tempfile.mkdtemp(prefix="bench_convert_")
+    bag = os.path.join(work, "walkthrough.sbag")
+    synth_bag(bag, n_msgs, blob_bytes)
+    bag_mb = os.path.getsize(bag) / (1 << 20)
+
+    spark = get_spark("bench_convert")
+    spark.range(1).count()  # session warm-up outside the timed region
+    # python-worker spin-up is also excluded (a fixed ~5 s per executor
+    # lifetime, amortized away on any long-lived cluster)
+    read_bag(spark, bag, num_partitions=4).limit(1).count()
+
+    t0 = time.perf_counter()
+    msgs = read_bag(spark, bag, num_partitions=32)
+    conns = connections_df(spark, bag)
+    c = conns.collect()[0]
+
+    # per-type flattened table (the reference's largest output table —
+    # blob-dominated CompressedImage, README.md:89)
+    flat = decode_messages(msgs, c.datatype, c.msg_def)
+    flat.write.mode("overwrite").parquet(os.path.join(work, "pertype_decoded"))
+
+    # Messages/Connections/pertype layout via the converter
+    stream = msgs.join(F.broadcast(conns), msgs.conn_id == conns.connection_id).select(
+        F.col("offset").alias("event_id"),
+        F.timestamp_micros(F.expr("time_ns div 1000")).alias("ts"),
+        F.col("conn_id").alias("user_id"),
+        F.col("datatype").alias("event_type"),
+        F.length("data").cast("double").alias("value"),
+        F.col("data").cast("string").alias("props"),
+    )
+    info = convert(spark, stream, os.path.join(work, "out"), order_cols=["event_id"])
+    dt = time.perf_counter() - t0
+
+    out_mb = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for d in ("out", "pertype_decoded")
+        for dp, _, fs in os.walk(os.path.join(work, d))
+        for f in fs
+    ) / (1 << 20)
+    print(
+        json.dumps(
+            {
+                "bag_mb": round(bag_mb, 1),
+                "messages": info.count,
+                "convert_s": round(dt, 2),
+                "mb_per_s": round(bag_mb / dt, 1),
+                "output_mb": round(out_mb, 1),
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
