@@ -222,7 +222,14 @@ def convert(
     if mode == "append":
         assert_append_compatible(spark, pertype_path, pertype.schema)
     (
-        pertype.repartition(F.col("datatype"))
+        # sortWithinPartitions, NOT repartition(datatype): hashing on the
+        # type key alone collapses each type onto ONE reducer (a bag is
+        # usually dominated by one blob-heavy type — reference README.md:89)
+        # and shuffles every payload byte. Sorting within the existing
+        # partitions keeps the write fully parallel, zero-shuffle, and the
+        # committer still emits one file per (task, type) under each
+        # partition directory.
+        pertype.sortWithinPartitions("datatype")
         .write.options(**writer_opts)
         .mode(mode)
         .partitionBy("datatype")

@@ -146,7 +146,31 @@ class _BagReader(DataSourceReader):
             for i in range(0, len(offsets), chunk)
         ]
 
+    #: rows per Arrow batch — bounds task memory for blob-heavy bags
+    BATCH_ROWS = 2048
+
     def read(self, partition: _BagPartition):
+        # yield pyarrow RecordBatches, not row tuples: the Python DataSource
+        # row path serializes per record (measured ~3× slower on a 95 MB
+        # blob-dominated bag); Arrow batches move columnar buffers
+        import pyarrow as pa
+
+        offs: list[int] = []
+        times: list[int] = []
+        conns: list[int] = []
+        blobs: list[bytes] = []
+
+        def batch():
+            return pa.record_batch(
+                [
+                    pa.array(offs, pa.int64()),
+                    pa.array(times, pa.int64()),
+                    pa.array(conns, pa.int32()),
+                    pa.array(blobs, pa.binary()),
+                ],
+                names=["offset", "time_ns", "conn_id", "data"],
+            )
+
         with open(partition.path, "rb") as f:
             for off in partition.offsets:
                 f.seek(off)
@@ -165,7 +189,15 @@ class _BagReader(DataSourceReader):
                         f"{partition.path}@{off}: truncated record — expected "
                         f"{rec_len - 12} payload bytes, got {len(payload)}"
                     )
-                yield (off, time_ns, conn_id, payload)
+                offs.append(off)
+                times.append(time_ns)
+                conns.append(conn_id)
+                blobs.append(payload)
+                if len(offs) >= self.BATCH_ROWS:
+                    yield batch()
+                    offs, times, conns, blobs = [], [], [], []
+        if offs:
+            yield batch()
 
 
 class BagDataSource(DataSource):

@@ -220,8 +220,26 @@ class _RosbagReader(DataSourceReader):
         ]
 
     def read(self, partition: _RosbagPartition):
+        # Arrow-batched like the SBAG reader (one batch per chunk — rosbag
+        # chunks are already the natural ≤1 MB batching unit)
+        import pyarrow as pa
+
         for chunk_pos, compression in partition.chunks:
-            yield from iter_chunk_messages(partition.path, chunk_pos, compression)
+            rows = list(
+                iter_chunk_messages(partition.path, chunk_pos, compression)
+            )
+            if not rows:
+                continue
+            offs, times, conns, blobs = zip(*rows)
+            yield pa.record_batch(
+                [
+                    pa.array(offs, pa.int64()),
+                    pa.array(times, pa.int64()),
+                    pa.array(conns, pa.int32()),
+                    pa.array(blobs, pa.binary()),
+                ],
+                names=["offset", "time_ns", "conn_id", "data"],
+            )
 
 
 class RosbagDataSource(DataSource):
