@@ -112,7 +112,7 @@ _QUERY_ORDER = [
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
     "scalar-funcs", "sessionize", "approx-stats",
     # added after the round-2 reorder — new SQL-surface + operator breadth
-    "sql-q4", "sql-q12", "sql-q14",
+    "sql-q4", "sql-q12", "sql-q14", "sql-q17",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
     "dedup-clusters",
 ]

@@ -301,6 +301,44 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 
+def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — a correlated scalar
+    subquery (per-part average quantity) Catalyst de-correlates into an
+    aggregate + join. Determinism: the per-part average is the exact
+    decimal sum cast to double over the exact count (one IEEE division),
+    the 0.2× threshold is one IEEE multiply, and the final revenue sum
+    accumulates in DECIMAL — no engine-order dependence anywhere."""
+    register_views(spark, sf_dir, ("part", "lineitem"))
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                            / count(*))
+              FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+          )
+        """
+    )
+
+
+ORACLE_SQL_Q17 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / count(*))
+      FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey
+  )
+"""
+
+
 QUERIES = {
     "sql-q3": q_sql_q3,
     "sql-q4": q_sql_q4,
@@ -309,6 +347,7 @@ QUERIES = {
     "sql-q10": q_sql_q10,
     "sql-q12": q_sql_q12,
     "sql-q14": q_sql_q14,
+    "sql-q17": q_sql_q17,
     "approx-stats": q_approx_stats,
 }
 
@@ -320,6 +359,7 @@ ORACLES = {
     "sql-q10": ORACLE_SQL_Q10,
     "sql-q12": ORACLE_SQL_Q12,
     "sql-q14": ORACLE_SQL_Q14,
+    "sql-q17": ORACLE_SQL_Q17,
     # approx-stats: intentionally no oracle — sketch estimates are
     # engine-specific; driver records rows-only.
 }
