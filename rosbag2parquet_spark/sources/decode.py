@@ -60,14 +60,25 @@ _SCALAR_FMT = {
 _FIXED_SIZE = {k: v[1] for k, v in _SCALAR_FMT.items()}
 
 
-def make_decoder(root_type: str, specs: dict[str, MsgSpec]):
+def make_decoder(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"):
     """Compile a decode function(bytes) → tuple of flattened values, walking
-    the same tree ``to_struct_type`` walks so positions match the schema."""
+    the same tree ``to_struct_type`` walks so positions match the schema.
+    ``arrays='blobs'`` extracts uint8-family arrays as bytes values (the
+    multimodal-column mode); other arrays are skipped positionally."""
 
     def decode_into(spec: MsgSpec, buf: bytes, pos: int, out: list) -> int:
         pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
         for f in spec.fields:
             if f.is_array:
+                if arrays == "blobs" and f.type_name in ("uint8", "byte", "char"):
+                    if f.array_len is None:
+                        (n,) = struct.unpack_from("<I", buf, pos)
+                        pos += 4
+                    else:
+                        n = f.array_len
+                    out.append(buf[pos : pos + n])
+                    pos += n
+                    continue
                 pos = skip_array(f, buf, pos, pkg)
                 continue
             if f.type_name in TIME_TYPES:
@@ -153,12 +164,31 @@ _NP_DTYPE = {
 }
 
 
-def fixed_layout(root_type: str, specs: dict[str, MsgSpec]):
+def fixed_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"):
     """If every message of this type has a FIXED byte length (no strings, no
     variable-length arrays), return the numpy structured-dtype field list
     [(name|None, np_dtype_or_pad_bytes)] for a single vectorized
     ``np.frombuffer`` decode of an entire batch; else None. Emitted names
     align 1:1 with ``to_struct_type(arrays='skip')``."""
+    if arrays == "blobs":
+        # extracted blob columns are variable-size values even at fixed
+        # stride — the offset-scan tier handles them
+        def has_blob(spec: MsgSpec) -> bool:
+            pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+            for f in spec.fields:
+                if f.is_array and f.type_name in ("uint8", "byte", "char"):
+                    return True
+                if not f.is_array and f.type_name not in _FIXED_SIZE and (
+                    f.type_name not in TIME_TYPES and f.type_name != "string"
+                ):
+                    sub = _resolve(f.type_name, pkg, specs)
+                    if sub is not None and has_blob(sub):
+                        return True
+            return False
+
+        if has_blob(specs[root_type]):
+            return None
+
     fields: list[tuple[str | None, object]] = []
 
     def fixed_bytes(spec: MsgSpec) -> int | None:
@@ -216,7 +246,7 @@ def fixed_layout(root_type: str, specs: dict[str, MsgSpec]):
     return fields if walk(specs[root_type], "") else None
 
 
-def variable_layout(root_type: str, specs: dict[str, MsgSpec]):
+def variable_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"):
     """Compile the op list for the VECTORIZED variable-stride decoder: the
     per-batch offset-scan that replaces per-row ``struct.unpack`` walks (the
     reference names introspection CPU as its bottleneck, README.md:131-133).
@@ -262,6 +292,12 @@ def variable_layout(root_type: str, specs: dict[str, MsgSpec]):
         for f in spec.fields:
             name = f"{prefix}{f.name}"
             if f.is_array:
+                if arrays == "blobs" and f.type_name in ("uint8", "byte", "char"):
+                    if f.array_len is None:
+                        ops.append(("blob_var", name))
+                    else:
+                        ops.append(("blob_fixed", name, f.array_len))
+                    continue
                 if f.type_name in TIME_TYPES:
                     unit = 8
                 elif f.type_name in _FIXED_SIZE:
@@ -339,6 +375,22 @@ def make_vector_decoder(ops: list[tuple]):
                     for s, e in zip(spos.tolist(), ends.tolist())
                 ]
                 off = ends
+            elif kind == "blob_var":
+                _, name = op
+                ln = gather(4).view("<u4").ravel().astype(np.int64)
+                spos = off + 4
+                ends = spos + ln
+                cols[name] = [
+                    raw[s:e] for s, e in zip(spos.tolist(), ends.tolist())
+                ]
+                off = ends
+            elif kind == "blob_fixed":
+                _, name, n = op
+                ends = off + n
+                cols[name] = [
+                    raw[s:e] for s, e in zip(off.tolist(), ends.tolist())
+                ]
+                off = ends
             elif kind == "skip_fixed":
                 off = off + op[1]
             elif kind == "skip_var":
@@ -362,6 +414,7 @@ def decode_messages(
     msgdef_text: str,
     data_col: str = "data",
     keep_cols: tuple[str, ...] = ("offset", "time_ns", "conn_id"),
+    arrays: str = "skip",
 ) -> DataFrame:
     """Bag messages → flattened typed columns: the per-type table body
     (reference MessageTable.cpp:305-343 minus seqno/blob bookkeeping, which
@@ -370,15 +423,15 @@ def decode_messages(
     import numpy as np
 
     specs = parse_msgdef(root_type, msgdef_text)
-    flat = to_struct_type(root_type, specs, arrays="skip")
-    decode = make_decoder(root_type, specs)
+    flat = to_struct_type(root_type, specs, arrays=arrays)
+    decode = make_decoder(root_type, specs, arrays=arrays)
 
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols] + list(flat.fields)
     )
     flat_names = [f.name for f in flat.fields]
 
-    layout = fixed_layout(root_type, specs)
+    layout = fixed_layout(root_type, specs, arrays=arrays)
     np_dtype = None
     if layout is not None:
         np_fields, pad = [], 0
@@ -394,7 +447,11 @@ def decode_messages(
     #   fixed-stride  — one frombuffer per batch (no per-row anything)
     #   offset-scan   — one numpy gather per field (strings/var arrays)
     #   per-row       — struct.unpack walk (string arrays & var-struct arrays)
-    var_ops = variable_layout(root_type, specs) if np_dtype is None else None
+    var_ops = (
+        variable_layout(root_type, specs, arrays=arrays)
+        if np_dtype is None
+        else None
+    )
     batch_decode = make_vector_decoder(var_ops) if var_ops is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

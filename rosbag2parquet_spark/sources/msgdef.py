@@ -136,6 +136,11 @@ def to_struct_type(
 
     arrays='skip'  — parity: array fields are not columnarized (reference
                      MessageTable.cpp:275-277).
+    arrays='blobs' — parity PLUS uint8[]-family arrays extracted as
+                     BinaryType columns: the multimodal-column mode — an
+                     image/audio payload field becomes its own opaque
+                     binary column beside the typed metadata (the
+                     reference's own out-of-line wish, README.md:137).
     arrays='native' — spark mode: ArrayType columns (the upgrade).
     """
 
@@ -146,6 +151,10 @@ def to_struct_type(
         for f in spec.fields:
             name = f"{prefix}{f.name}"
             if f.is_array:
+                if arrays == "blobs":
+                    if f.type_name in ("uint8", "byte", "char"):
+                        fields.append(T.StructField(name, T.BinaryType(), False))
+                    continue
                 if arrays == "skip":
                     continue
                 if f.type_name in ("uint8", "byte", "char"):

@@ -352,3 +352,68 @@ def test_offset_scan_speedup_over_row_loop():
         vec_decode(bufs)
         t_vec = time.perf_counter() - t0
     assert t_row / t_vec >= 5, f"speedup only {t_row / t_vec:.1f}×"
+
+
+IMG_BLOB_DEF = (
+    "uint32 seq\ntime stamp\nstring frame_id\nstring format\nuint8[] data"
+)
+
+
+def _img_payload(i: int, blob: bytes) -> bytes:
+    frame, fmt = b"cam0", b"jpeg"
+    return (
+        struct.pack("<I", i)
+        + struct.pack("<II", 10 + i, 20 + i)
+        + struct.pack("<I", len(frame)) + frame
+        + struct.pack("<I", len(fmt)) + fmt
+        + struct.pack("<I", len(blob)) + blob
+    )
+
+
+def test_blob_extraction_mode(spark, tmp_path):
+    """arrays='blobs': a uint8[] payload field becomes its own BinaryType
+    column (the multimodal-column mode) — through the full pipeline and in
+    both the per-row and offset-scan decoders, including empty blobs."""
+    from rosbag2parquet_spark.sources.decode import (
+        decode_messages,
+        fixed_layout,
+        make_decoder,
+        make_vector_decoder,
+        variable_layout,
+    )
+    from rosbag2parquet_spark.sources.msgdef import parse_msgdef, to_struct_type
+
+    specs = parse_msgdef("sensor_msgs/CompressedImage", IMG_BLOB_DEF)
+    schema = to_struct_type("sensor_msgs/CompressedImage", specs, arrays="blobs")
+    assert [f.name for f in schema.fields] == [
+        "seq", "stamp_sec", "stamp_nsec", "frame_id", "format", "data",
+    ]
+    assert schema["data"].dataType.typeName() == "binary"
+
+    blobs = [bytes([i] * (i * 7 % 50)) for i in range(20)]  # incl. empty
+    bufs = [_img_payload(i, b) for i, b in enumerate(blobs)]
+
+    # per-row and offset-scan tiers agree
+    row_dec = make_decoder("sensor_msgs/CompressedImage", specs, arrays="blobs")
+    assert [row_dec(b)[-1] for b in bufs] == blobs
+    assert fixed_layout("sensor_msgs/CompressedImage", specs, arrays="blobs") is None
+    ops = variable_layout("sensor_msgs/CompressedImage", specs, arrays="blobs")
+    assert ops is not None
+    got = make_vector_decoder(ops)(bufs)
+    assert [bytes(x) for x in got["data"]] == blobs
+
+    # full distributed pipeline over a bag (payload column renamed __raw so
+    # the extracted blob field keeps its schema name)
+    path = str(tmp_path / "img.sbag")
+    write_bag(
+        path,
+        [ConnectionInfo(1, "/cam", "sensor_msgs/CompressedImage", "m", IMG_BLOB_DEF)],
+        [(1, 100 + i, bufs[i]) for i in range(len(bufs))],
+    )
+    msgs = read_bag(spark, path, num_partitions=2).withColumnRenamed("data", "__raw")
+    out = decode_messages(
+        msgs, "sensor_msgs/CompressedImage", IMG_BLOB_DEF,
+        data_col="__raw", arrays="blobs",
+    ).orderBy("offset").collect()
+    assert [bytes(r.data) for r in out] == blobs
+    assert [r.format for r in out] == ["jpeg"] * len(blobs)
