@@ -112,7 +112,8 @@ _QUERY_ORDER = [
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
     "scalar-funcs", "sessionize", "approx-stats",
     # added after the round-2 reorder — new SQL-surface + operator breadth
-    "sql-q4", "sql-q12", "sql-q14", "sql-q17",
+    "sql-q4", "sql-q7", "sql-q12", "sql-q13", "sql-q14", "sql-q15",
+    "sql-q17", "sql-q19", "sql-q22",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
     "dedup-clusters",
 ]

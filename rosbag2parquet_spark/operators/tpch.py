@@ -339,15 +339,151 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations by year — the
+    double-dim-alias join (nation joined twice under different roles) with
+    a symmetric disjunctive filter; both nation sides broadcast."""
+    register_views(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    return spark.sql(_Q7_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join with
+    an extra join-side predicate (customers with zero qualifying orders
+    must appear with count 0), then a second aggregation over the first."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier — a derived view consumed twice (once for
+    the max, once for the equality probe). The max-equality comparison runs
+    on EXACT decimals, so the winner set is engine-identical (a double max
+    would make ties/near-ties engine-dependent)."""
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15_SQL)
+
+
+_Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under a three-way disjunction of
+    conjunctive (brand, size, quantity) predicates — the OR-of-ANDs shape
+    optimizers must not naively push (the join is still an equi-join; the
+    disjunction filters post-join). Fixture part has no container column;
+    p_size plays its role."""
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q19_SQL)
+
+
+_Q22_SQL = """
+SELECT c_mktsegment,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers with no urgent orders — an
+    uncorrelated scalar average (decimal-exact sum ÷ count), an anti-join,
+    and a final aggregation. Fixture customer has no phone column
+    (c_mktsegment plays the country-code grouping role) and every fixture
+    customer has SOME order, so the anti-join predicate is priority-scoped
+    to keep the result non-degenerate."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22_SQL)
+
+
 QUERIES = {
     "sql-q3": q_sql_q3,
     "sql-q4": q_sql_q4,
     "sql-q5": q_sql_q5,
     "sql-q6": q_sql_q6,
     "sql-q10": q_sql_q10,
+    "sql-q7": q_sql_q7,
     "sql-q12": q_sql_q12,
+    "sql-q13": q_sql_q13,
     "sql-q14": q_sql_q14,
+    "sql-q15": q_sql_q15,
     "sql-q17": q_sql_q17,
+    "sql-q19": q_sql_q19,
+    "sql-q22": q_sql_q22,
     "approx-stats": q_approx_stats,
 }
 
@@ -357,9 +493,14 @@ ORACLES = {
     "sql-q5": ORACLE_SQL_Q5,
     "sql-q6": ORACLE_SQL_Q6,
     "sql-q10": ORACLE_SQL_Q10,
+    "sql-q7": _Q7_SQL,
     "sql-q12": ORACLE_SQL_Q12,
+    "sql-q13": _Q13_SQL,
     "sql-q14": ORACLE_SQL_Q14,
+    "sql-q15": _Q15_SQL,
     "sql-q17": ORACLE_SQL_Q17,
+    "sql-q19": _Q19_SQL,
+    "sql-q22": _Q22_SQL,
     # approx-stats: intentionally no oracle — sketch estimates are
     # engine-specific; driver records rows-only.
 }
