@@ -17,10 +17,11 @@ Scale notes (100 TB): exact dedup shuffles digests only (bytes, not text).
 MinHash-LSH is the scale path for near-dup: cost is O(docs × shingles) for
 signatures (narrow), then a shuffle keyed on (band, value) whose fan-in is
 the planted-duplicate rate, then pair verification only on candidates.
-ngram-jaccard's candidate join explodes on high-document-frequency shingles —
-at scale you'd drop shingles with df > threshold (stopword shingles carry no
-dedup signal anyway); here it stays exact to match the oracle. Skewed bucket
-keys are AQE-skew-split.
+ngram-jaccard's candidate join prunes shingles with document frequency >
+NGRAM_DF_MAX (hot shingles fan out O(df²) pairs with no dedup signal; the
+oracle applies the identical cap). dedup-clusters turns verified pairs into
+transitive components (min-label fixpoint). Skewed bucket keys are
+AQE-skew-split.
 """
 
 from __future__ import annotations
@@ -52,11 +53,6 @@ FROM documents GROUP BY md5(text)
 
 
 # ---------------------------------------------------------- shingle prep
-
-_SHINGLES_EXPR = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-)
 
 _SHINGLES_SQL = """
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

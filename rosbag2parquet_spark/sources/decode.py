@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from rosbag2parquet_spark.sources.msgdef import (
-    BUILTIN_TYPES,
     TIME_TYPES,
     MsgSpec,
     _resolve,

@@ -1,7 +1,6 @@
 """Shuffle-economics assertions: bucketed joins must not exchange; salted
 aggregation/join must produce identical results to the plain formulations."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from rosbag2parquet_spark.operators.shuffle import (
