@@ -77,17 +77,19 @@ def assign_seqno(
     for b, cnt in rows:
         pairs.extend([F.lit(b), F.lit(acc)])
         acc += cnt
-    offmap = F.create_map(*pairs) if pairs else F.create_map()
+    # empty input: no buckets exist, so the offset is the literal 0 (an
+    # empty create_map() has VOID key type and fails analysis when probed)
+    offset = (
+        F.coalesce(F.create_map(*pairs)[F.col("__b")], F.lit(0))
+        if pairs
+        else F.lit(0)
+    )
     w = Window.partitionBy("__b").orderBy(*order_cols)
     # coalesce: the bucket always hits the map (built from this very data) —
-    # this only restores the non-null schema the map lookup can't prove
+    # it only restores the non-null schema the map lookup can't prove
     return tagged.withColumn(
         "seqno",
-        (
-            F.coalesce(offmap[F.col("__b")], F.lit(0))
-            + F.row_number().over(w)
-            - F.lit(1)
-        ).cast("long"),
+        (offset + F.row_number().over(w) - F.lit(1)).cast("long"),
     ).drop("__b")
 
 

@@ -151,12 +151,15 @@ def running_sum_scalable(
     pairs: list = []
     for b, off in offsets.items():
         pairs.extend([F.lit(b), F.lit(off)])
-    offmap = F.create_map(*pairs) if pairs else F.create_map()
+    # empty input: no buckets, offset 0 (empty create_map() is VOID-keyed)
+    offset = (
+        F.create_map(*pairs)[F.col("__b")] if pairs else F.lit(0).cast("decimal(18,4)")
+    )
     w = Window.partitionBy("__b").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return bucketed.withColumn(
-        "__running", offmap[F.col("__b")] + F.sum(value_dec).over(w)
+        "__running", offset + F.sum(value_dec).over(w)
     )
 
 

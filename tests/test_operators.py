@@ -174,3 +174,25 @@ def test_connected_components_min_label(spark):
         for r in connected_components_min_label(edges).collect()
     }
     assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_seqno_edge_cases(spark):
+    """Empty input and pre-epoch timestamps (negative bucket keys) both
+    produce correct contiguous seqnos."""
+    empty = spark.createDataFrame([], "ts timestamp, event_id long")
+    assert assign_seqno(empty, ["ts", "event_id"]).count() == 0
+
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(1969, 12, 31, 23, 0, 0), 1),
+        (dt.datetime(1969, 12, 31, 23, 30, 0), 2),
+        (dt.datetime(1970, 1, 1, 1, 0, 0), 3),
+        (dt.datetime(1968, 6, 1), 4),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["seqno"]
+        for r in assign_seqno(df, ["ts", "event_id"]).collect()
+    }
+    assert got == {4: 0, 1: 1, 2: 2, 3: 3}
