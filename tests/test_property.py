@@ -89,3 +89,139 @@ def test_approx_aggregates_within_bounds(spark):
     ).collect()[0]
     assert abs(row.apx - row.exact) / row.exact < 0.10
     assert abs(row.p50a - row.p50e) / row.p50e < 0.05
+
+
+# ------------------------------------------------- decoder fuzz round-trip
+
+_DEC_SCALARS = {
+    "bool": ("<?", lambda d: d.booleans()),
+    "int8": ("<b", lambda d: d.integers(-128, 127)),
+    "uint8": ("<B", lambda d: d.integers(0, 255)),
+    "int16": ("<h", lambda d: d.integers(-(2**15), 2**15 - 1)),
+    "uint16": ("<H", lambda d: d.integers(0, 2**16 - 1)),
+    "int32": ("<i", lambda d: d.integers(-(2**31), 2**31 - 1)),
+    "int64": ("<q", lambda d: d.integers(-(2**63), 2**63 - 1)),
+    "float32": ("<f", lambda d: d.floats(allow_nan=False, allow_infinity=False, width=32)),
+    "float64": ("<d", lambda d: d.floats(allow_nan=False, allow_infinity=False)),
+}
+
+
+@st.composite
+def _decodable_case(draw):
+    """Random message spec (scalars + time + strings + fixed/var arrays of
+    fixed-size elements) with random serialized rows — every shape the
+    offset-scan tier claims to support."""
+    import struct as _s
+
+    n_fields = draw(st.integers(1, 6))
+    fnames = draw(
+        st.lists(_name, min_size=n_fields, max_size=n_fields, unique=True)
+    )
+    kinds = [
+        draw(
+            st.sampled_from(
+                ["scalar", "time", "string", "fixed_arr", "var_arr", "blob"]
+            )
+        )
+        for _ in range(n_fields)
+    ]
+    types = [draw(st.sampled_from(sorted(_DEC_SCALARS))) for _ in range(n_fields)]
+
+    lines, expected_cols = [], []
+    for fname, kind, ftype in zip(fnames, kinds, types):
+        if kind == "scalar":
+            lines.append(f"{ftype} {fname}")
+            expected_cols.append(fname)
+        elif kind == "time":
+            lines.append(f"time {fname}")
+            expected_cols.extend([f"{fname}_sec", f"{fname}_nsec"])
+        elif kind == "string":
+            lines.append(f"string {fname}")
+            expected_cols.append(fname)
+        elif kind == "fixed_arr":
+            ln = draw(st.integers(0, 4))
+            lines.append(f"{ftype}[{ln}] {fname}")
+        elif kind == "var_arr":
+            lines.append(f"{ftype}[] {fname}")
+        else:  # blob — uint8[] skipped in parity mode
+            lines.append(f"uint8[] {fname}")
+    msgdef = "\n".join(lines)
+
+    n_rows = draw(st.integers(1, 5))
+    rows, payloads = [], []
+    for _ in range(n_rows):
+        out, buf = [], b""
+        for fname, kind, ftype in zip(fnames, kinds, types):
+            fmt, gen = _DEC_SCALARS[ftype]
+            if kind == "scalar":
+                v = draw(gen(st))
+                buf += _s.pack(fmt, v)
+                out.append(_s.unpack(fmt, _s.pack(fmt, v))[0])
+            elif kind == "time":
+                sec, nsec = draw(st.integers(0, 2**31 - 1)), draw(st.integers(0, 10**9))
+                buf += _s.pack("<II", sec, nsec)
+                out.extend([sec, nsec])
+            elif kind == "string":
+                sv = draw(st.text(string.ascii_letters, max_size=12))
+                b = sv.encode()
+                buf += _s.pack("<I", len(b)) + b
+                out.append(sv)
+            elif kind == "fixed_arr":
+                ln = int(lines[fnames.index(fname)].split("[")[1].split("]")[0])
+                for _i in range(ln):
+                    buf += _s.pack(fmt, draw(gen(st)))
+            elif kind == "var_arr":
+                ln = draw(st.integers(0, 4))
+                buf += _s.pack("<I", ln)
+                for _i in range(ln):
+                    buf += _s.pack(fmt, draw(gen(st)))
+            else:
+                blob = draw(st.binary(max_size=16))
+                buf += _s.pack("<I", len(blob)) + blob
+        rows.append(tuple(out))
+        payloads.append(buf)
+    return msgdef, expected_cols, rows, payloads
+
+
+@settings(max_examples=60, deadline=None)
+@given(case=_decodable_case())
+def test_decoder_tiers_agree_on_random_messages(case):
+    """Fuzz: per-row struct.unpack walk == vectorized offset-scan (or
+    fixed-stride frombuffer when applicable) on random specs/payloads,
+    and both equal the independently-constructed expected values."""
+    import math
+
+    from rosbag2parquet_spark.sources.decode import (
+        fixed_layout,
+        make_decoder,
+        make_vector_decoder,
+        variable_layout,
+    )
+
+    msgdef, expected_cols, rows, payloads = case
+    specs = parse_msgdef("fuzz/T", msgdef)
+
+    def eq(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return a == b
+
+    row_decode = make_decoder("fuzz/T", specs)
+    decoded = [row_decode(p) for p in payloads]
+    for got, exp in zip(decoded, rows):
+        assert len(got) == len(exp)
+        assert all(eq(g, e) for g, e in zip(got, exp))
+
+    ops = variable_layout("fuzz/T", specs)
+    assert ops is not None, "all generated shapes are offset-scannable"
+    cols = make_vector_decoder(ops)(payloads)
+    assert list(cols) == expected_cols
+    for j, cname in enumerate(expected_cols):
+        col = cols[cname]
+        for i, exp_row in enumerate(rows):
+            assert eq(col[i], exp_row[j]), f"{cname}[{i}]"
+
+    layout = fixed_layout("fuzz/T", specs)
+    if layout is not None:
+        # fixed-stride applies only when no strings/var-arrays — sanity
+        assert all(k not in msgdef for k in ("string", "[]"))
