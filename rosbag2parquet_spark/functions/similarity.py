@@ -163,6 +163,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _normalized(load_table(spark, sf_dir, "embeddings"))
         .withColumn("bucket", _sign_bucket(_as_double("embedding")))
         .select("vec_id", "en", "bucket")
+        # cache: both self-join sides would otherwise re-evaluate the
+        # 8×64-term projection (Spark's cache manager keys on the logical
+        # plan, so repeated calls share one entry)
+        .cache()
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
