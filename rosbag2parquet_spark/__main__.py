@@ -63,22 +63,12 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     if args.input.endswith((".bag", ".sbag")):
-        # real binary-bag path: scan + connections join → stream columns
-        # (offset is the unique in-bag order key, ref README.md:119-121)
-        from rosbag2parquet_spark.info import load_bag
+        # real binary-bag path — the reference's full program: one
+        # FLATTENED typed table per message type (each decoded with its own
+        # msg_def), plus Messages/Connections and the DDL script
+        from rosbag2parquet_spark.convert import convert_bag
 
-        msgs, conns = load_bag(spark, args.input)
-        stream = msgs.join(
-            F.broadcast(conns), msgs.conn_id == conns.connection_id
-        ).select(
-            F.col("offset").alias("event_id"),
-            F.timestamp_micros(F.expr("time_ns div 1000")).alias("ts"),
-            F.col("conn_id").alias("user_id"),
-            F.col("datatype").alias("event_type"),
-            F.length("data").cast("double").alias("value"),
-            F.col("data").cast("string").alias("props"),
-        )
-        order_cols = ["event_id"]
+        info = convert_bag(spark, args.input, out)
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -86,14 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         if "ts" in stream.columns and dict(stream.dtypes).get("ts") == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         order_cols = ["ts", "event_id"] if "event_id" in stream.columns else None
-
-    info = convert(
-        spark,
-        stream,
-        out,
-        max_mbs=args.max_mbs,
-        order_cols=order_cols,
-    )
+        info = convert(
+            spark,
+            stream,
+            out,
+            max_mbs=args.max_mbs,
+            order_cols=order_cols,
+        )
     # summary print (ref main.cpp:57-59)
     print(f"{info.count} messages ({info.size / (1 << 20):.2f} MB) written to {out}")
     return 0

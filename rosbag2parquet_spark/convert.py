@@ -250,3 +250,99 @@ def convert(
     size = seq.agg(F.sum(size_col)).collect()[0][0] or 0.0
     seq.unpersist()
     return ConvertInfo(bagname=out_dir, count=count, size=float(size))
+
+
+def convert_bag(
+    spark: SparkSession,
+    bag_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 32,
+    arrays: str = "skip",
+    max_records_per_file: int = 1_000_000,
+) -> ConvertInfo:
+    """The reference's whole program over a real bag file (.bag = rosbag
+    2.0, else SBAG): one FLATTENED typed table per message type — each
+    decoded with its own msg_def through the schema compiler — plus the
+    ``Messages``/``Connections`` metadata tables and DDL script. Layout per
+    reference MessageTable.cpp:305-343: seqno, flattened fields,
+    connection_id, raw data blob.
+
+    Plan shape: the bag scans once per consumer (cached); seqno is the
+    bucketed two-pass rank of the in-file offset (unique, bag-ordered);
+    each per-type table is a connection-filtered slice decoded via the
+    vectorized mapInPandas tiers and stitched to its global seqno by an
+    offset-keyed join (offset is unique, so the join is 1:1).
+    ``arrays='blobs'`` additionally extracts uint8[] payload fields as
+    binary columns (multimodal mode)."""
+    from rosbag2parquet_spark.info import load_bag
+    from rosbag2parquet_spark.operators.keys import assign_seqno
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    msgs, conns_df = load_bag(spark, bag_path, num_partitions=num_partitions)
+    conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
+
+    seq = assign_seqno(msgs, ["offset"]).cache()
+
+    # ---- Messages (seqno, time_sec, time_nsec, size, connection_id)
+    writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
+    sec = F.expr("(time_ns - pmod(time_ns, 1000000000)) div 1000000000")
+    messages = seq.select(
+        "seqno",
+        sec.cast("int").alias("time_sec"),
+        F.pmod("time_ns", F.lit(1_000_000_000)).cast("int").alias("time_nsec"),
+        F.length("data").alias("size"),
+        F.col("conn_id").alias("connection_id"),
+    )
+    messages.write.options(**writer_opts).mode("overwrite").parquet(
+        os.path.join(out_dir, "Messages")
+    )
+    conns_df.write.mode("overwrite").parquet(os.path.join(out_dir, "Connections"))
+
+    # ---- one flattened typed table per datatype (lazy per-type handlers,
+    # reference FlattenedRosWriter.cpp:273-289)
+    tables = {"Messages": messages.schema, "Connections": conns_df.schema}
+    by_type: dict[str, list] = {}
+    for c in conn_rows:
+        by_type.setdefault(c.datatype, []).append(c)
+    for datatype, cs in sorted(by_type.items()):
+        conn_ids = [c.connection_id for c in cs]
+        # reference asserts one frozen schema per type (md5 identity,
+        # FlattenedRosWriter.cpp:287)
+        md5s = {c.md5sum for c in cs}
+        if len(md5s) > 1:
+            raise ValueError(
+                f"{datatype}: connections disagree on md5sum {sorted(md5s)}"
+            )
+        slice_df = seq.filter(F.col("conn_id").isin(conn_ids))
+        flat = decode_messages(
+            slice_df,
+            datatype,
+            cs[0].msg_def,
+            keep_cols=("offset", "conn_id"),
+            arrays=arrays,
+        )
+        pertype = (
+            flat.join(seq.select("offset", "seqno", "data"), "offset")
+            .drop("offset")
+            .withColumnRenamed("conn_id", "connection_id")
+        )
+        # column order per MessageTable.cpp:326-343
+        value_cols = [
+            c for c in pertype.columns
+            if c not in ("seqno", "connection_id", "data")
+        ]
+        pertype = pertype.select("seqno", *value_cols, "connection_id", "data")
+        table = table_name_for_type(datatype)
+        pertype.write.options(**writer_opts).mode("overwrite").parquet(
+            os.path.join(out_dir, table)
+        )
+        tables[table] = pertype.schema
+
+    with open(os.path.join(out_dir, "load_tables.sql"), "w") as f:
+        f.write(load_script(tables))
+
+    count = seq.count()
+    size = seq.agg(F.sum(F.length("data"))).collect()[0][0] or 0
+    seq.unpersist()
+    return ConvertInfo(bagname=bag_path, count=count, size=float(size))

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from rosbag2parquet_spark.sources.baglike import connections_df, read_bag
 
 
-def load_bag(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+def load_bag(
+    spark: SparkSession, path: str, num_partitions: int = 8
+) -> tuple[DataFrame, DataFrame]:
     """(messages, connections) for either bag grammar, by extension:
     ``.bag`` → the public rosbag 2.0 record/chunk format, anything else →
     the SBAG test format. Both yield the same (offset, time_ns, conn_id,
@@ -26,8 +28,14 @@ def load_bag(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
             rosbag_connections_df,
         )
 
-        return read_rosbag(spark, path), rosbag_connections_df(spark, path)
-    return read_bag(spark, path), connections_df(spark, path)
+        return (
+            read_rosbag(spark, path, num_partitions=num_partitions),
+            rosbag_connections_df(spark, path),
+        )
+    return (
+        read_bag(spark, path, num_partitions=num_partitions),
+        connections_df(spark, path),
+    )
 
 
 def bag_info(spark: SparkSession, path: str) -> DataFrame:

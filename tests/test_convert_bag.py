@@ -1,0 +1,85 @@
+"""convert_bag: the reference's whole program over a real multi-type bag —
+one FLATTENED typed table per message type, each decoded with its own
+msg_def, plus Messages/Connections and the DDL script (the reference's
+two_messages_test generalized to two TYPES)."""
+
+import os
+import struct
+
+import pytest
+
+from rosbag2parquet_spark.convert import convert_bag
+from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+from rosbag2parquet_spark.sources.rosbag import write_rosbag
+from tests.test_baglike import ANGVEL, FRAME, LINACC, QUAT, SEQ, STAMP, _imu_payload
+from tests.test_msgdef import IMU_DEF
+
+GPS_DEF = "uint32 seq\ntime stamp\nfloat64 lat\nfloat64 lon\nstring status"
+
+
+def _gps_payload(i: int) -> bytes:
+    status = f"fix{i}".encode()
+    return (
+        struct.pack("<I", i)
+        + struct.pack("<II", 50 + i, 60 + i)
+        + struct.pack("<2d", 42.0 + i, -71.0 - i)
+        + struct.pack("<I", len(status)) + status
+    )
+
+
+@pytest.fixture(scope="module", params=["sbag", "rosbag"])
+def two_type_bag(request, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mt") / f"two_types.{'bag' if request.param == 'rosbag' else 'sbag'}")
+    conns = [
+        ConnectionInfo(1, "/imu", "sensor_msgs/Imu", "imu_md5", IMU_DEF),
+        ConnectionInfo(2, "/gps", "nav_msgs/Gps", "gps_md5", GPS_DEF),
+    ]
+    imu = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    msgs = [
+        (1, 1_000, imu),
+        (2, 2_000, _gps_payload(0)),
+        (1, 3_000, imu),
+        (2, 4_000, _gps_payload(1)),
+        (2, 5_000, _gps_payload(2)),
+    ]
+    writer = write_rosbag if request.param == "rosbag" else write_bag
+    writer(path, conns, msgs)
+    return path
+
+
+def test_convert_bag_layout_and_values(spark, two_type_bag, tmp_path):
+    out = str(tmp_path / "out")
+    info = convert_bag(spark, two_type_bag, out)
+    assert info.count == 5
+
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    assert sorted(r.seqno for r in messages.collect()) == [0, 1, 2, 3, 4]
+
+    imu = spark.read.parquet(os.path.join(out, "sensor_msgs_Imu"))
+    assert imu.count() == 2
+    r = imu.orderBy("seqno").collect()[0]
+    assert r.seqno == 0 and r.connection_id == 1
+    assert r.header_frame_id == FRAME and r.orientation_w == pytest.approx(0.44)
+    assert r.data is not None  # raw blob carried (MessageTable.cpp:339-343)
+    # layout: seqno first, connection_id+data last (MessageTable.cpp:326-343)
+    assert imu.columns[0] == "seqno" and imu.columns[-2:] == ["connection_id", "data"]
+
+    gps = spark.read.parquet(os.path.join(out, "nav_msgs_Gps"))
+    rows = gps.orderBy("seqno").collect()
+    assert [r.seqno for r in rows] == [1, 3, 4]
+    assert [r.status for r in rows] == ["fix0", "fix1", "fix2"]
+    assert rows[2].lat == pytest.approx(44.0)
+
+    ddl = open(os.path.join(out, "load_tables.sql")).read()
+    assert "sensor_msgs_Imu" in ddl and "nav_msgs_Gps" in ddl
+
+
+def test_convert_bag_md5_conflict_refused(spark, tmp_path):
+    path = str(tmp_path / "conflict.sbag")
+    conns = [
+        ConnectionInfo(1, "/a", "demo/T", "md5_A", "uint32 x"),
+        ConnectionInfo(2, "/b", "demo/T", "md5_B", "uint32 x"),
+    ]
+    write_bag(path, conns, [(1, 1, struct.pack("<I", 7)), (2, 2, struct.pack("<I", 8))])
+    with pytest.raises(ValueError, match="md5sum"):
+        convert_bag(spark, path, str(tmp_path / "out"))

@@ -73,12 +73,9 @@ def main() -> None:
     n_msgs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000
     blob_bytes = int(sys.argv[2]) if len(sys.argv) > 2 else 4_096
 
-    from pyspark.sql import functions as F
-
-    from rosbag2parquet_spark.convert import convert
+    from rosbag2parquet_spark.convert import convert_bag
     from rosbag2parquet_spark.session import get_spark
-    from rosbag2parquet_spark.sources.baglike import connections_df, read_bag
-    from rosbag2parquet_spark.sources.decode import decode_messages
+    from rosbag2parquet_spark.sources.baglike import read_bag
 
     work = tempfile.mkdtemp(prefix="bench_convert_")
     bag = os.path.join(work, "walkthrough.sbag")
@@ -92,31 +89,14 @@ def main() -> None:
     read_bag(spark, bag, num_partitions=4).limit(1).count()
 
     t0 = time.perf_counter()
-    msgs = read_bag(spark, bag, num_partitions=32)
-    conns = connections_df(spark, bag)
-    c = conns.collect()[0]
-
-    # per-type flattened table (the reference's largest output table —
-    # blob-dominated CompressedImage, README.md:89)
-    flat = decode_messages(msgs, c.datatype, c.msg_def)
-    flat.write.mode("overwrite").parquet(os.path.join(work, "pertype_decoded"))
-
-    # Messages/Connections/pertype layout via the converter
-    stream = msgs.join(F.broadcast(conns), msgs.conn_id == conns.connection_id).select(
-        F.col("offset").alias("event_id"),
-        F.timestamp_micros(F.expr("time_ns div 1000")).alias("ts"),
-        F.col("conn_id").alias("user_id"),
-        F.col("datatype").alias("event_type"),
-        F.length("data").cast("double").alias("value"),
-        F.col("data").cast("string").alias("props"),
-    )
-    info = convert(spark, stream, os.path.join(work, "out"), order_cols=["event_id"])
+    # the reference's full program: Messages + Connections + one FLATTENED
+    # typed table per message type (blob preserved per MessageTable.cpp:339)
+    info = convert_bag(spark, bag, os.path.join(work, "out"), num_partitions=32)
     dt = time.perf_counter() - t0
 
     out_mb = sum(
         os.path.getsize(os.path.join(dp, f))
-        for d in ("out", "pertype_decoded")
-        for dp, _, fs in os.walk(os.path.join(work, d))
+        for dp, _, fs in os.walk(os.path.join(work, "out"))
         for f in fs
     ) / (1 << 20)
     print(
