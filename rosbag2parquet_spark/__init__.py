@@ -22,9 +22,17 @@ Tungsten choose the physical strategy; Pandas UDFs appear only where built-in
 operators cannot express the semantics (documented per call site).
 """
 
+from rosbag2parquet_spark.convert import convert, convert_bag
 from rosbag2parquet_spark.session import get_spark
 from rosbag2parquet_spark.sources.catalog import TABLES, load_table, register_views
 
-__all__ = ["get_spark", "load_table", "register_views", "TABLES"]
+__all__ = [
+    "convert",
+    "convert_bag",
+    "get_spark",
+    "load_table",
+    "register_views",
+    "TABLES",
+]
 
 __version__ = "0.1.0"
