@@ -85,37 +85,39 @@ _MODULES = (
 )
 
 
-# Evaluation order for the driver (which iterates dict order and may stop on
-# a time budget — round 1 recorded only the first 50): queries whose driver
-# correctness is still unproven or whose implementation changed this round
-# come FIRST; long-proven, unchanged queries close the list.
+# Evaluation order for the driver (which iterates dict order and records only
+# the FIRST 50 queries per round): queries with NO driver row in any round
+# come first, then queries changed this round, then round-1-only-proven, then
+# doubly-proven unchanged queries close the list.
 _QUERY_ORDER = [
-    # round-1 driver-missing surface (sinks + LLM-pipeline ops)
-    "demux", "sink",
-    "text-stats", "token-count", "lang-id", "quality-score", "fingerprint",
-    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
-    "knn", "knn-ivf", "knn-batch", "embed-neardup", "kmeans",
-    "multimodal-features", "multimodal-pointers",
-    # round-1 hash-fail, fixed via decimal/raw-quotient determinism
-    "null-semantics",
-    # re-planned this round (scalable two-pass; decimal accumulation)
-    "seqno", "limit",
-    "groupby-agg", "derived", "rollup", "dim-join", "sql",
-    "window-funcs", "window-tumbling", "window-sliding",
-    "lag-lead", "zscore", "cube", "grouping-sets", "asof",
-    # driver-proven in round 1, unchanged since
-    "scan", "project", "filter", "topk", "union", "pivot", "topk-per-group",
-    "time-split", "cast", "flatten", "decode-blob", "join",
-    "first-seen", "distinct-count", "quantiles", "semi-join", "anti-join",
-    "like-filter", "unpivot", "range-join",
-    "intersect", "histogram", "stats-corr", "string-agg", "explode-sequence",
-    "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
-    "scalar-funcs", "sessionize", "approx-stats",
-    # added after the round-2 reorder — new SQL-surface + operator breadth
+    # never driver-checked (registered after the r2 window filled)
     "sql-q4", "sql-q7", "sql-q12", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
     "dedup-clusters",
+    # driver-hash-red in r1+r2; re-emitted float-free this round
+    "text-stats", "null-semantics",
+    # re-implemented this round (banded sign-LSH signature)
+    "embed-neardup",
+    # driver-proven in round 1 only (rotated out of the r2 window)
+    "like-filter", "anti-join", "range-join", "intersect",
+    "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
+    "pivot", "unpivot", "histogram", "stats-corr", "string-agg",
+    "explode-sequence", "distinct-count", "quantiles", "sessionize",
+    "approx-stats",
+    # driver-proven in round 2 (and mostly round 1 too), unchanged
+    "demux", "sink",
+    "token-count", "lang-id", "quality-score", "fingerprint",
+    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
+    "knn", "knn-ivf", "knn-batch", "kmeans",
+    "multimodal-features", "multimodal-pointers",
+    "seqno", "limit",
+    "groupby-agg", "derived", "rollup", "dim-join", "sql",
+    "window-funcs", "window-tumbling", "window-sliding",
+    "lag-lead", "zscore", "cube", "grouping-sets", "asof",
+    "scan", "project", "filter", "topk", "union", "topk-per-group",
+    "time-split", "cast", "flatten", "decode-blob", "join",
+    "first-seen", "semi-join",
 ]
 
 

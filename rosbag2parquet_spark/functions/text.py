@@ -36,14 +36,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max, rosbag_example.cpp:37-49) applied to a text corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.size(_words())
-    # avg as exact-integer-sum ÷ exact count: one IEEE division on
-    # bit-identical operands (a raw avg()+round() was the driver-observed
-    # hash flake — engine round() semantics differ at half boundaries)
+    # avg emitted as a SCALED INTEGER (micro-chars): the driver hash-failed
+    # two rounds straight on the raw IEEE quotient even though it was
+    # bit-exact locally — its value normalization of unrounded DOUBLEs is
+    # not replicable, so the output carries no floats at all. Integer
+    # `div` truncates identically in Spark and DuckDB for positive operands.
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(toks).alias("total_tokens"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.expr("(sum(n_chars) * 1000000L) div count(*)").alias("avg_chars_e6"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -52,7 +54,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_STATS = """
 SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
        sum(len(string_split(text, ' '))) AS total_tokens,
-       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       (sum(n_chars) * 1000000) // count(*) AS avg_chars_e6,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
 """

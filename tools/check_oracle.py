@@ -22,20 +22,53 @@ from rosbag2parquet_spark.session import get_spark  # noqa: E402
 from rosbag2parquet_spark.sources.catalog import TABLES  # noqa: E402
 
 
-def normalize(rows, cols):
-    """Sort columns by name, stringify values the way a hasher would."""
+def normalize(rows, cols, float_fmt="repr"):
+    """Sort columns by name, encode values as TYPE-TAGGED canonical strings.
+
+    The driver hashes canonical bytes, not Python ``repr`` equality — so the
+    replica distinguishes value CLASSES the old repr pass conflated:
+    ``int 5`` vs ``float 5.0`` vs ``Decimal('5.00')`` all encode differently
+    (a Spark BIGINT matched against an oracle DOUBLE is a schema bug even
+    when the numbers agree). Floats are encoded under an explicit format
+    (``repr`` = shortest round-trip, or ``17g`` = fixed %.17g); the caller
+    compares under BOTH and flags queries whose verdict differs between the
+    two — the residual class a foreign hasher can catch that one local
+    formatting cannot.
+    """
+    import datetime
+    import decimal
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm_val(v):
         if v is None:
             return "NULL"
+        if isinstance(v, bool):
+            return f"b:{v}"
         if isinstance(v, float):
             if math.isnan(v):
-                return "nan"
-            return repr(v)
-        if isinstance(v, bool):
-            return str(v)
-        return str(v)
+                return "f:nan"
+            if v == 0.0:  # collapse -0.0/0.0: engines legitimately differ
+                return "f:0.0"
+            if float_fmt == "17g":
+                return "f:%.17g" % v
+            return f"f:{v!r}"
+        if isinstance(v, int):
+            return f"i:{v}"
+        if isinstance(v, decimal.Decimal):
+            # scale-normalized: Decimal('2.50') and Decimal('2.5') are the
+            # same VALUE; differing declared scale is not a value diff
+            return f"d:{v.normalize()}"
+        if isinstance(v, datetime.datetime):
+            ts = v if v.tzinfo is None else v.astimezone(datetime.timezone.utc)
+            return "t:" + ts.replace(tzinfo=None).isoformat(timespec="microseconds")
+        if isinstance(v, datetime.date):
+            return f"D:{v.isoformat()}"
+        if isinstance(v, (bytes, bytearray)):
+            return f"x:{bytes(v).hex()}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(norm_val(x) for x in v) + "]"
+        return f"s:{v}"
 
     out = [tuple(norm_val(r[i]) for i in order) for r in rows]
     out.sort()
@@ -95,6 +128,17 @@ def main() -> int:
                     (a, b) for a, b in zip(ns, no) if a != b
                 ][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+            else:
+                # second verdict under fixed %.17g float formatting — if the
+                # two formattings disagree, a foreign hasher can too
+                _, ns17 = normalize(srows, scols, float_fmt="17g")
+                _, no17 = normalize(orows, ocols, float_fmt="17g")
+                if ns17 != no17:
+                    diffs = [(a, b) for a, b in zip(ns17, no17) if a != b][:3]
+                    problems.append(
+                        f"FLOAT-FORMAT-SENSITIVE: repr agrees but %.17g "
+                        f"differs: {diffs}"
+                    )
         dt = time.monotonic() - t0
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
