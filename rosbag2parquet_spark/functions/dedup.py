@@ -404,17 +404,24 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
     clusters are cliques or near-cliques). This is the dataframe-native CC
     loop (the large-star/small-star optimization drops in for adversarial
     diameters); the driver only ever sees the converged-or-not count — no
-    vertex data leaves the cluster."""
+    vertex data leaves the cluster.
+
+    Iterative-algorithm hygiene (the failure mode at scale is NOT compute —
+    it is unbounded plan/lineage growth): each generation is cut with
+    ``localCheckpoint(eager)`` so the plan stays one-join deep regardless of
+    round count, and the previous generation's blocks are explicitly freed.
+    After R rounds the storage footprint is ONE label set, not R."""
     sym = (
         edges.selectExpr("a_id AS src", "b_id AS dst")
         .unionByName(edges.selectExpr("b_id AS src", "a_id AS dst"))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neigh = (
@@ -422,6 +429,9 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster").alias("nmin"))
         )
+        # checkpoint BEFORE the convergence count: the count and the next
+        # round both read the materialized blocks, and `updated` carries no
+        # lineage back through this round's joins
         updated = (
             labels.join(neigh, "doc_id", "left")
             .select(
@@ -430,7 +440,7 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
                     "cluster", F.coalesce("nmin", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")
@@ -438,6 +448,10 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 20) -> Data
             .filter(F.col("u.cluster") != F.col("l.cluster"))
             .count()
         )
+        # drop the superseded generation: localCheckpoint blocks are freed
+        # by the ContextCleaner once the backing RDD is dereferenced, so
+        # rebinding `labels` (and loop scope) keeps live storage at ONE
+        # label set + the edge set, independent of round count
         labels = updated
         if changed == 0:
             break

@@ -5,12 +5,13 @@
                   the score, TakeOrderedAndProject for top-k. At 100 TB this
                   is the exact-scan fallback; the per-row cost is a 64-wide
                   fused arithmetic expression (JVM codegen, no Python).
-- embed-neardup — sign-LSH bucketed near-duplicate pairs: an 8-bit
-                  hyperplane-sign signature partitions vectors into 256
-                  buckets; exact cosine runs only within buckets. This is
-                  the IVF/LSH scale path — the quadratic term shrinks by the
-                  bucket count, and the bucket join shuffles on the bucket
-                  key (AQE splits skewed buckets).
+- embed-neardup — banded sign-LSH near-duplicate pairs: LSH_SIGN_BANDS
+                  hyperplane-sign signatures, each sized ~log2(N/load) bits
+                  so bucket count grows WITH the corpus; candidates agree on
+                  any full band, exact cosine runs only within buckets. The
+                  quadratic term shrinks by the (corpus-proportional) bucket
+                  count, and the one self-join shuffles on (band, bucket)
+                  (AQE splits skewed buckets).
 
 Dot products use ``zip_with`` + ``aggregate`` (sequential left fold) over
 double-cast arrays; DuckDB folds lists the same way, and results are rounded
@@ -28,7 +29,24 @@ from rosbag2parquet_spark.sources.catalog import load_table
 KNN_K = 10
 KNN_QUERY_ID = 0
 NEARDUP_THRESHOLD = 0.3
-LSH_SIGN_DIMS = 8
+#: sign-LSH shape: ``LSH_SIGN_BANDS`` independent signatures, each
+#: ``_lsh_bits(N)`` wide. Bits grow with the corpus (~N/LSH_BUCKET_LOAD
+#: buckets per band) so within-bucket candidate generation stays ~linear;
+#: OR-ing the bands recovers the recall a single wider signature loses.
+LSH_SIGN_BANDS = 2
+LSH_MIN_BITS = 8
+LSH_MAX_BITS = 40  # 2^j stays exactly representable; N ~ 4·2^40 is beyond scope
+LSH_BUCKET_LOAD = 4  # target mean bucket occupancy
+
+
+def _lsh_bits(n_rows: int) -> int:
+    """Signature width for a corpus of ``n_rows``: smallest ``bits`` with
+    ``2^bits ≥ N / LSH_BUCKET_LOAD`` (pure-integer bit_length — no float
+    log2, whose rounding could disagree across engines at powers of two),
+    clamped to [LSH_MIN_BITS, LSH_MAX_BITS]. The oracle derives the same
+    number in SQL as ``length(bin((N-1)//load))``."""
+    raw = ((max(n_rows, 1) - 1) // LSH_BUCKET_LOAD).bit_length()
+    return max(LSH_MIN_BITS, min(LSH_MAX_BITS, raw))
 
 
 def _as_double(col) -> Column:
@@ -105,38 +123,38 @@ ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
 EMBED_DIM = 64
 
 
-def _hyperplanes(n: int = LSH_SIGN_DIMS, dim: int = EMBED_DIM) -> list[list[float]]:
-    """Seeded deterministic random hyperplanes for sign-LSH: component
-    (j, i) is derived from md5(f"hp|{j}|{i}") mapped to [-0.5, 0.5). The
-    matrix is generated driver-side once and inlined as plan literals —
-    exactly the broadcast-seeded-rotation production pattern, with a seed
-    both engines can reproduce (the oracle gets the same literals)."""
+def _hyperplanes(band: int, bits: int, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Seeded deterministic random hyperplanes for sign-LSH band ``band``:
+    component (j, i) is derived from md5(f"hp|{band}|{j}|{i}") mapped to
+    [-0.5, 0.5). Generated driver-side once and inlined as plan literals —
+    the broadcast-seeded-rotation production pattern, with a seed the oracle
+    reproduces IN SQL (md5 hex → uint → u/2^32 − 0.5; both steps exact)."""
     import hashlib
 
     planes = []
-    for j in range(n):
+    for j in range(bits):
         row = []
         for i in range(dim):
-            u = int(hashlib.md5(f"hp|{j}|{i}".encode()).hexdigest()[:8], 16)
+            u = int(hashlib.md5(f"hp|{band}|{j}|{i}".encode()).hexdigest()[:8], 16)
             row.append(u / 2**32 - 0.5)
         planes.append(row)
     return planes
 
 
-def _sign_bucket(col) -> Column:
-    """LSH_SIGN_DIMS-bit signature from the signs of projections onto the
-    seeded hyperplanes. Determinism: a double fold's last-ulp noise could
-    flip the SIGN of a near-zero projection and desynchronize buckets
-    between engines, so each term is quantized as floor(x·h·1e12) into a
-    LONG — identical per-term floor of identical doubles, order-free exact
-    integer sum (and ~10× cheaper than a decimal accumulator; 64 terms ≤
-    1e12 each stay far below 2^63). One literal array-of-arrays iterated by
-    a runtime lambda (the kmeans assign_clusters lesson: unrolled per-plane
-    trees cost ~5× in planning)."""
+def _sign_bucket(col, band: int, bits: int) -> Column:
+    """``bits``-wide signature from the signs of projections onto band
+    ``band``'s seeded hyperplanes. Determinism: a double fold's last-ulp
+    noise could flip the SIGN of a near-zero projection and desynchronize
+    buckets between engines, so each term is quantized as floor(x·h·1e12)
+    into a LONG — identical per-term floor of identical doubles, order-free
+    exact integer sum (and ~10× cheaper than a decimal accumulator; 64
+    terms ≤ 1e12 each stay far below 2^63). One literal array-of-arrays
+    iterated by a runtime lambda (the kmeans assign_clusters lesson:
+    unrolled per-plane trees cost ~5× in planning)."""
     planes = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes()]
+        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(band, bits)]
     )
-    bits = F.transform(
+    sig_bits = F.transform(
         planes,
         lambda h, j: F.when(
             F.aggregate(
@@ -147,32 +165,53 @@ def _sign_bucket(col) -> Column:
                 lambda acc, x: acc + x,
             )
             > 0,
-            # 2^j as an exact int (shiftleft needs a literal bit count)
-            F.pow(F.lit(2.0), j).cast("int"),
-        ).otherwise(F.lit(0)),
+            # 2^j as an exact long (shiftleft needs a literal bit count;
+            # pow is exact for j ≤ LSH_MAX_BITS < 53)
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+    return F.aggregate(sig_bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane sign-LSH:
-    pairs sharing the 8-bit projection signature get exact cosine; emit
-    pairs above threshold. Bucket-equality join means the shuffle key is
-    the signature — the all-pairs comparison never happens."""
-    emb = (
-        _normalized(load_table(spark, sf_dir, "embeddings"))
-        .withColumn("bucket", _sign_bucket(_as_double("embedding")))
-        .select("vec_id", "en", "bucket")
+    """Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
+    sign-LSH: LSH_SIGN_BANDS independent signatures, each ``_lsh_bits(N)``
+    wide; a pair is a candidate if it agrees on ANY band's full signature;
+    exact cosine filters candidates at NEARDUP_THRESHOLD.
+
+    Scale shape: signature width grows with log2(N) so per-band bucket
+    count tracks N/LSH_BUCKET_LOAD — within-bucket candidate work stays
+    ~linear in N instead of O((N/256)²) at a fixed width. Bands are rows
+    (posexplode), so ALL bands resolve in ONE self-join whose shuffle key
+    is (band, bucket); duplicate candidates from multi-band agreement
+    collapse in the final pair-keyed distinct. The only driver-side data
+    dependence is count() (one cheap job) to size the signature."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    bits = _lsh_bits(raw.count())
+    emb = _normalized(raw)
+    for band in range(LSH_SIGN_BANDS):
+        emb = emb.withColumn(
+            f"__b{band}", _sign_bucket(_as_double("embedding"), band, bits)
+        )
+    exploded = (
+        emb.select(
+            "vec_id",
+            "en",
+            F.posexplode(
+                F.array(*[F.col(f"__b{b}") for b in range(LSH_SIGN_BANDS)])
+            ).alias("band", "bucket"),
+        )
         # cache: both self-join sides would otherwise re-evaluate the
-        # 8×64-term projection (Spark's cache manager keys on the logical
-        # plan, so repeated calls share one entry)
+        # bands×bits×64-term projection (Spark's cache manager keys on the
+        # logical plan, so repeated calls share one entry)
         .cache()
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -181,45 +220,55 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot(F.col("a.en"), F.col("b.en")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        .distinct()
     )
 
 
 def _oracle_embed_neardup() -> str:
-    hp_rows = ",\n    ".join(
-        f"({j}, {i + 1}, {x!r})"
-        for j, row in enumerate(_hyperplanes())
-        for i, x in enumerate(row)
-    )
+    """Oracle derives bits AND hyperplanes in SQL: bits via integer
+    bit-length (length(bin(x)) — no float log2), plane component (band,j,i)
+    via the same md5-hex→uint→[−0.5,0.5) map as `_hyperplanes` (DuckDB
+    CAST('0x…' AS UBIGINT) parses the hex; /2^32 and −0.5 are IEEE-exact)."""
     return f"""
-WITH hp(j, pos, h) AS (
-  SELECT * FROM (VALUES
-    {hp_rows}
-  ) AS t(j, pos, h)
+WITH nb AS (
+  SELECT greatest({LSH_MIN_BITS}, least({LSH_MAX_BITS},
+           length(bin(greatest((count(*) - 1) // {LSH_BUCKET_LOAD}, 1))))) AS bits
+  FROM embeddings
+),
+hp AS (
+  SELECT band.range AS band, j.range AS j, pos.range AS pos,
+         CAST(concat('0x', substr(md5('hp|' || band.range || '|' || j.range
+                                  || '|' || (pos.range - 1)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 - 0.5 AS h
+  FROM range(0, {LSH_SIGN_BANDS}) band, range(0, {LSH_MAX_BITS}) j,
+       range(1, {EMBED_DIM} + 1) pos, nb
+  WHERE j.range < nb.bits
 ),
 ed AS (
   SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS x
   FROM embeddings, unnest(generate_series(1, {EMBED_DIM})) AS t(i)
 ),
 dots AS (
-  SELECT ed.vec_id, hp.j,
+  SELECT ed.vec_id, hp.band, hp.j,
          sum(CAST(floor(ed.x * hp.h * 1e12) AS BIGINT)) AS d
   FROM ed JOIN hp USING (pos)
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 ),
 buck AS (
-  SELECT vec_id,
-         sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS bucket
-  FROM dots GROUP BY vec_id
+  SELECT vec_id, band,
+         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, band
 ),
 e AS (
-  SELECT b.vec_id, emb.embedding::DOUBLE[] AS e, b.bucket
+  SELECT b.vec_id, emb.embedding::DOUBLE[] AS e, b.band, b.bucket
   FROM buck b JOIN embeddings emb USING (vec_id)
 )
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
              6) AS cos_sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM e a JOIN e b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
             6) >= {NEARDUP_THRESHOLD}

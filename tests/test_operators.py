@@ -160,6 +160,44 @@ def test_knn_ivf_recall_vs_exact(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_lsh_signature_scales_with_corpus(spark):
+    """X2 scale shape: the sign-LSH signature width must GROW with the
+    corpus (fixed-width = O((N/2^bits)²) within-bucket blowup at 100×),
+    and the banded buckets must genuinely partition the fixture — bucket
+    cardinality well above the band count, max occupancy well below N."""
+    from rosbag2parquet_spark.functions import similarity as sim
+
+    # pure-integer width curve: ~N/load buckets, clamped
+    assert sim._lsh_bits(0) == sim.LSH_MIN_BITS
+    assert sim._lsh_bits(1_000) == sim.LSH_MIN_BITS
+    assert sim._lsh_bits(100_000) == 15
+    assert sim._lsh_bits(100_000_000) == 25
+    assert sim._lsh_bits(10**14) == sim.LSH_MAX_BITS
+
+    emb = sim._normalized(
+        __import__(
+            "rosbag2parquet_spark.sources.catalog", fromlist=["load_table"]
+        ).load_table(spark, SF_DIR, "embeddings")
+    )
+    n = emb.count()
+    bits = sim._lsh_bits(n)
+    bucketed = emb.select(
+        F.posexplode(
+            F.array(
+                *[
+                    sim._sign_bucket(sim._as_double("embedding"), band, bits)
+                    for band in range(sim.LSH_SIGN_BANDS)
+                ]
+            )
+        ).alias("band", "bucket")
+    )
+    occ = bucketed.groupBy("band", "bucket").count().collect()
+    n_buckets = len(occ)
+    max_occ = max(r["count"] for r in occ)
+    assert n_buckets >= 4 * sim.LSH_SIGN_BANDS
+    assert max_occ <= n // 2
+
+
 def test_connected_components_min_label(spark):
     """CC fixpoint on a hand graph: two components and an isolated edge —
     labels converge to the component-min regardless of iteration order."""
@@ -169,11 +207,17 @@ def test_connected_components_min_label(spark):
         [(2, 5), (5, 9), (9, 11), (20, 21), (30, 31), (31, 30)],
         "a_id long, b_id long",
     )
-    got = {
-        r["doc_id"]: r["cluster"]
-        for r in connected_components_min_label(edges).collect()
-    }
+    labels = connected_components_min_label(edges)
+    got = {r["doc_id"]: r["cluster"] for r in labels.collect()}
     assert got == {2: 2, 5: 2, 9: 2, 11: 2, 20: 20, 21: 20, 30: 30, 31: 30}
+
+    # iterative-loop hygiene: lineage must be CUT each generation — the
+    # returned plan is a flat checkpoint scan, not R rounds of joins deep
+    # (the chain above needs 3 propagation rounds; without checkpointing
+    # the optimized plan would contain that many nested joins)
+    optimized = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in optimized
+    assert "LogicalRDD" in optimized or "ExistingRDD" in optimized
 
 
 def test_seqno_edge_cases(spark):
