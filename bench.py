@@ -54,6 +54,26 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).count()
 
+    # warm the Python/Arrow workers too (first pandas_udf stage pays worker
+    # spawn + numpy import — session setup, not query work). The warm-up
+    # udf returns a STRUCT of arrays: the first struct-returning Arrow
+    # stage in a session additionally pays ~2.5-4 s of one-time
+    # pandas→Arrow struct conversion-path init (measured; a scalar-typed
+    # noop does NOT warm that path and embed-neardup then eats the cost)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _noop(s):
+        import numpy as np  # noqa: F401 — preload in the worker
+
+        return pd.DataFrame({"a": s.map(lambda v: [float(v)]), "b": s.map(lambda v: [v])})
+
+    _noop.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    spark.range(cpus * 4).repartition(cpus).select(
+        F.pandas_udf(_noop, "struct<a:array<double>,b:array<bigint>>")(F.col("id")).alias("s")
+    ).select(F.sum(F.size("s.b"))).collect()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in HEADLINE:

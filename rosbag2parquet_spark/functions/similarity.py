@@ -150,9 +150,19 @@ def _sign_bucket(col, band: int, bits: int) -> Column:
     exact integer sum (and ~10× cheaper than a decimal accumulator; 64
     terms ≤ 1e12 each stay far below 2^63). One literal array-of-arrays
     iterated by a runtime lambda (the kmeans assign_clusters lesson:
-    unrolled per-plane trees cost ~5× in planning)."""
-    planes = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(band, bits)]
+    unrolled per-plane trees cost ~5× in planning).
+
+    The literal matrix is emitted as ONE SQL text expression, not nested
+    ``F.array(F.lit(...))`` calls: bits×64 ≈ 700 Column constructions each
+    cross py4j (~1-2 s of driver-side plan build measured at 2 bands);
+    a single parsed string is one round trip for an identical plan."""
+    planes = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+            for row in _hyperplanes(band, bits)
+        )
+        + ")"
     )
     sig_bits = F.transform(
         planes,
@@ -173,6 +183,85 @@ def _sign_bucket(col, band: int, bits: int) -> Column:
     return F.aggregate(sig_bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def _sign_buckets_vectorized(bits: int):
+    """Arrow-vectorized signature tier: one pandas_udf computing ALL band
+    buckets per row as ``array<bigint>``, bit-identical to `_sign_bucket`
+    (the pure-expression reference tier, cross-checked in tests).
+
+    Why a UDF here when the semantics ARE expressible as Catalyst HOFs:
+    higher-order functions evaluate interpreted per element (~1 µs/term →
+    ~1 ms/row at 2 bands × bits × 64 terms), and the bands×bits×64 literal
+    matrix adds ~0.3 s of ANTLR parse per plan. The numpy formulation is
+    the same arithmetic — elementwise float64 ``floor((x·h)·1e12)`` then
+    int64 row sums — so results are IEEE-identical (same operand order,
+    exact widening float32→float64, exact int64 accumulation), at batch
+    throughput instead of per-element interpretation. Mirrors the decoder's
+    vectorized-tier design (sources/decode.py)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [
+        np.array(_hyperplanes(band, bits), dtype=np.float64)
+        for band in range(LSH_SIGN_BANDS)
+    ]
+    pow2 = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def buckets(emb):
+        E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim), exact widen
+        per_band = []
+        for H in mats:  # H: (bits, dim)
+            # (n, bits, dim): same left-assoc (x·h)·1e12 as the expression
+            # tier; floor in float64 then exact int64 sum over dim
+            terms = np.floor(E[:, None, :] * H[None, :, :] * 1e12).astype(np.int64)
+            d = terms.sum(axis=2)  # (n, bits)
+            per_band.append(((d > 0) * pow2).sum(axis=1))
+        return pd.Series(np.stack(per_band, axis=1).tolist())
+
+    # module uses `from __future__ import annotations` (PEP 563 string
+    # hints), which pandas_udf's type-hint inference can't evaluate —
+    # attach the real objects instead
+    buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(buckets, "array<bigint>")
+
+
+def _normalize_and_sign_vectorized(bits: int):
+    """One Arrow pass producing struct(en, bk): the unit-normalized vector
+    AND all band buckets. Bit-identical to `_normalized` + the signature
+    tiers: the norm is the same sequential left fold (loop over dims,
+    vectorized over rows — ``((0+x₀²)+x₁²)+…`` exactly), the division the
+    same elementwise IEEE op, the signature shared with
+    `_sign_buckets_vectorized`. Collapsing both into one UDF keeps the
+    pre-join materialization to a single scan → single Python stage."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [
+        np.array(_hyperplanes(band, bits), dtype=np.float64)
+        for band in range(LSH_SIGN_BANDS)
+    ]
+    pow2 = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def norm_and_sign(emb):
+        E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        dim = E.shape[1]
+        acc = np.zeros(E.shape[0], dtype=np.float64)
+        for i in range(dim):  # sequential left fold, vectorized over rows
+            acc = acc + E[:, i] * E[:, i]
+        en = E / np.sqrt(acc)[:, None]
+        per_band = []
+        for H in mats:
+            terms = np.floor(E[:, None, :] * H[None, :, :] * 1e12).astype(np.int64)
+            per_band.append(((terms.sum(axis=2) > 0) * pow2).sum(axis=1))
+        return pd.DataFrame(
+            {"en": list(en), "bk": np.stack(per_band, axis=1).tolist()}
+        )
+
+    norm_and_sign.__annotations__ = {"emb": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        norm_and_sign, "struct<en:array<double>,bk:array<bigint>>"
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
     sign-LSH: LSH_SIGN_BANDS independent signatures, each ``_lsh_bits(N)``
@@ -185,26 +274,31 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (posexplode), so ALL bands resolve in ONE self-join whose shuffle key
     is (band, bucket); duplicate candidates from multi-band agreement
     collapse in the final pair-keyed distinct. The only driver-side data
-    dependence is count() (one cheap job) to size the signature."""
+    dependence is count() (one cheap job) to size the signature. Signatures
+    and normalized vectors come from ONE Arrow pass
+    (`_normalize_and_sign_vectorized`), materialized BEFORE the explode:
+    a Generate over the non-cheap projection makes Catalyst re-evaluate it
+    per output branch (~4× measured), so the cache boundary sits between
+    the Python stage and the explode."""
     raw = load_table(spark, sf_dir, "embeddings")
     bits = _lsh_bits(raw.count())
-    emb = _normalized(raw)
-    for band in range(LSH_SIGN_BANDS):
-        emb = emb.withColumn(
-            f"__b{band}", _sign_bucket(_as_double("embedding"), band, bits)
-        )
-    exploded = (
-        emb.select(
+    mat = (
+        raw.select(
             "vec_id",
-            "en",
-            F.posexplode(
-                F.array(*[F.col(f"__b{b}") for b in range(LSH_SIGN_BANDS)])
-            ).alias("band", "bucket"),
+            _normalize_and_sign_vectorized(bits)(
+                _as_double("embedding")
+            ).alias("s"),
         )
-        # cache: both self-join sides would otherwise re-evaluate the
-        # bands×bits×64-term projection (Spark's cache manager keys on the
-        # logical plan, so repeated calls share one entry)
+        # cache: both self-join sides (and the explode) read the
+        # materialized struct instead of re-running the Python stage
+        # (Spark's cache manager keys on the logical plan, so repeated
+        # calls share one entry)
         .cache()
+    )
+    exploded = mat.select(
+        "vec_id",
+        F.col("s.en").alias("en"),
+        F.posexplode("s.bk").alias("band", "bucket"),
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (

@@ -136,25 +136,33 @@ def running_sum_scalable(
     collected scalars; a hierarchical second level of bucketing extends the
     same construction if even that is too large). Output values are exact:
     decimal accumulation, unique order key."""
-    from decimal import Decimal
-
     bucketed = df.withColumn("__b", F.expr(f"{order_col} div {bucket_width}"))
     totals = (
         bucketed.groupBy("__b").agg(F.sum(value_dec).alias("__s")).collect()
     )
     totals_by_bucket = {r["__b"]: r["__s"] for r in totals}
-    acc = Decimal(0)
-    offsets: dict[int, Decimal] = {}
+    # an all-NULL bucket sums to NULL — contribute 0 to the prefix sum; the
+    # accumulator seeds in the sums' OWN Python type (Decimal for decimal
+    # callers, int for long callers like out_of_line_pointers) so the
+    # create_map value literals stay homogeneous and correctly typed
+    sample = next((v for v in totals_by_bucket.values() if v is not None), None)
+    zero = type(sample)(0) if sample is not None else 0
+    acc = zero
+    offsets: dict = {}
     for b in sorted(totals_by_bucket):
         offsets[b] = acc
-        acc += totals_by_bucket[b]
+        v = totals_by_bucket[b]
+        acc = acc + (v if v is not None else zero)
     pairs: list = []
     for b, off in offsets.items():
         pairs.extend([F.lit(b), F.lit(off)])
-    # empty input: no buckets, offset 0 (empty create_map() is VOID-keyed)
-    offset = (
-        F.create_map(*pairs)[F.col("__b")] if pairs else F.lit(0).cast("decimal(18,4)")
-    )
+    if pairs:
+        offset = F.create_map(*pairs)[F.col("__b")]
+    else:
+        # empty input: no buckets — pin the zero to the VALUE column's
+        # resolved type (empty create_map() is VOID-keyed and fails probing)
+        vtype = df.select(value_dec.alias("__v")).schema[0].dataType.simpleString()
+        offset = F.lit(0).cast(vtype)
     w = Window.partitionBy("__b").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -198,6 +198,33 @@ def test_lsh_signature_scales_with_corpus(spark):
     assert max_occ <= n // 2
 
 
+def test_lsh_vectorized_tier_matches_expression_tier(spark):
+    """The Arrow-vectorized signature (production tier) must be
+    BIT-IDENTICAL to the pure-Catalyst expression tier — same float64
+    operand order, same floor quantization, same int64 accumulation."""
+    from rosbag2parquet_spark.functions import similarity as sim
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF_DIR, "embeddings")
+    bits = sim._lsh_bits(raw.count())
+    udf_rows = raw.select(
+        "vec_id",
+        sim._sign_buckets_vectorized(bits)(sim._as_double("embedding")).alias("bk"),
+    ).collect()
+    expr_rows = raw.select(
+        "vec_id",
+        F.array(
+            *[
+                sim._sign_bucket(sim._as_double("embedding"), band, bits)
+                for band in range(sim.LSH_SIGN_BANDS)
+            ]
+        ).alias("bk"),
+    ).collect()
+    assert {r["vec_id"]: list(r["bk"]) for r in udf_rows} == {
+        r["vec_id"]: list(r["bk"]) for r in expr_rows
+    }
+
+
 def test_connected_components_min_label(spark):
     """CC fixpoint on a hand graph: two components and an isolated edge —
     labels converge to the component-min regardless of iteration order."""
