@@ -275,14 +275,21 @@ def convert_bag(
     offset-keyed join (offset is unique, so the join is 1:1).
     ``arrays='blobs'`` additionally extracts uint8[] payload fields as
     binary columns (multimodal mode)."""
-    from rosbag2parquet_spark.info import load_bag
+    from rosbag2parquet_spark.info import load_bag, seqno_bucket_width
     from rosbag2parquet_spark.operators.keys import assign_seqno
     from rosbag2parquet_spark.sources.decode import decode_messages
 
     msgs, conns_df = load_bag(spark, bag_path, num_partitions=num_partitions)
     conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
 
-    seq = assign_seqno(msgs, ["offset"]).cache()
+    # explicit bucket sized to THIS bag's offset encoding: the default
+    # integer bucket (div 100000) makes ~2^shift/1e5 map entries per chunk
+    # on the sparse (chunk_index << shift) offsets — a planning blow-up on
+    # multi-GB bags (ADVICE r2)
+    width = seqno_bucket_width(bag_path)
+    seq = assign_seqno(
+        msgs, ["offset"], bucket=F.expr(f"offset div {width}")
+    ).cache()
 
     # ---- Messages (seqno, time_sec, time_nsec, size, connection_id)
     writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}

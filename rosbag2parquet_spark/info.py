@@ -38,6 +38,23 @@ def load_bag(
     )
 
 
+def seqno_bucket_width(path: str) -> int:
+    """Bucket width for ``assign_seqno`` over this bag's offsets, sized so
+    the driver-side prefix-sum map stays ≤ ~64 entries whatever the bag
+    size. ``.bag`` offsets are the sparse (chunk_index << shift) encoding —
+    the width must be a stride multiple (rosbag.seqno_bucket_width); SBAG
+    offsets are dense file byte positions, so file_size/64 works."""
+    if path.endswith(".bag"):
+        from rosbag2parquet_spark.sources.rosbag import (
+            seqno_bucket_width as _bag_width,
+        )
+
+        return _bag_width(path)
+    import os
+
+    return max(100_000, os.path.getsize(path) // 64 + 1)
+
+
 def bag_info(spark: SparkSession, path: str) -> DataFrame:
     """Per-(datatype, topic) stats + per-type and global rollup rows
     (topic NULL → per-type subtotal; both NULL → grand total)."""

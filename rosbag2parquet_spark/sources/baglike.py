@@ -58,6 +58,10 @@ class ConnectionInfo:
     datatype: str
     md5sum: str
     msg_def: str
+    # optional rosbag connection-header extras (reference records them in
+    # Connections, FlattenedRosWriter.cpp:209-224); absent in SBAG fixtures
+    callerid: str | None = None
+    latching: str | None = None
 
 
 # ------------------------------------------------------------------ writer

@@ -13,8 +13,9 @@ Record ops (header field ``op``, 1 byte):
 
     0x03 bag header   index_pos u64, conn_count u32, chunk_count u32
                       (data = ASCII-space padding to 4 KB)
-    0x05 chunk        compression str ("none" | "bz2"), size u32
-                      (data = blob of 0x07/0x02 records, maybe compressed)
+    0x05 chunk        compression str ("none" | "bz2" | "lz4"), size u32
+                      (data = blob of 0x07/0x02 records, maybe compressed;
+                       lz4 is the public LZ4 frame format, magic 0x184D2204)
     0x07 connection   conn u32, topic str
                       (data = a second field-set: topic, type, md5sum,
                        message_definition, callerid?, latching?)
@@ -31,10 +32,14 @@ as the SBAG source, applied to the real grammar. BZ2 is per-chunk, so
 decompression parallelizes with the partitioning (the reference reads
 chunks the same way via rosbag's chunked reader, README.md:116-117).
 
-Offsets: message offset = (chunk_start << 20) | offset-within-chunk —
-monotone in bag order (chunks are laid out sequentially, messages
-sequentially within), unique, and stable across partitionings; seqno
-downstream is the rank of this offset, exactly like the SBAG path.
+Offsets: message offset = (chunk_index << shift) | offset-within-chunk,
+where the shift is DERIVED AT SCAN TIME from the largest declared
+decompressed chunk size in the bag (rosbag's chunk threshold is
+configurable — multi-MB bz2/lz4 chunks are spec-conformant, so a fixed
+shift would reject valid bags). The offset is monotone in bag order
+(chunks are laid out sequentially, messages sequentially within), unique,
+and stable across partitionings; seqno downstream is the rank of this
+offset, exactly like the SBAG path.
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ import bz2
 import os
 import struct
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -59,11 +65,29 @@ OP_CHUNK = 0x05
 OP_CHUNK_INFO = 0x06
 OP_CONNECTION = 0x07
 
-#: within-chunk offsets get this many bits; chunks are ≤ ~1 MB in practice
-#: (rosbag's default chunk threshold is 768 KB) — 20 bits = 1 MiB. Larger
-#: chunks still work: the shift just has to keep (start<<20)|inner unique,
-#: and inner < chunk size is asserted at read time.
-_CHUNK_SHIFT = 20
+class ChunkRef(NamedTuple):
+    """One chunk record as seen by the driver scan: file position of the
+    record, codec, and DECLARED decompressed size (the chunk header's
+    ``size`` field; equal to data_len for uncompressed chunks)."""
+
+    pos: int
+    compression: str
+    size: int
+
+
+#: floor for the scan-derived shift — 20 bits = 1 MiB covers rosbag's
+#: default 768 KB chunk threshold, so typical bags all share one shift
+#: value and offsets stay small
+_MIN_CHUNK_SHIFT = 20
+
+
+def offset_shift(chunks: list[ChunkRef]) -> int:
+    """Bits reserved for the within-chunk offset: enough for the LARGEST
+    declared decompressed chunk in this bag (scan-derived, so arbitrarily
+    large spec-conformant chunks work — a fixed shift hard-failed them).
+    (chunk_index << shift) | inner stays unique and bag-order monotone."""
+    largest = max((c.size for c in chunks), default=0)
+    return max(_MIN_CHUNK_SHIFT, int(largest).bit_length())
 
 
 def _parse_fields(buf: bytes) -> dict[str, bytes]:
@@ -102,13 +126,46 @@ def _read_record_at(f, pos: int) -> tuple[dict[str, bytes], int, int, int]:
 def _connection_from_record(fields: dict[str, bytes], data: bytes) -> ConnectionInfo:
     conn_id = struct.unpack("<I", fields["conn"])[0]
     inner = _parse_fields(data)
+    callerid = inner.get("callerid")
+    latching = inner.get("latching")
     return ConnectionInfo(
         conn_id=conn_id,
         topic=inner.get("topic", fields.get("topic", b"")).decode(),
         datatype=inner["type"].decode(),
         md5sum=inner["md5sum"].decode(),
         msg_def=inner["message_definition"].decode(),
+        callerid=callerid.decode() if callerid is not None else None,
+        latching=latching.decode() if latching is not None else None,
     )
+
+
+def _lz4_decompress(blob: bytes, size: int) -> bytes:
+    """LZ4 frame decode (the codec rosbag calls ``lz4``; roslz4 writes the
+    public LZ4 frame format). The native ``lz4`` package wins when present;
+    otherwise pyarrow's bundled lz4_frame codec decodes it — it just needs
+    the decompressed size, which the chunk header declares."""
+    try:
+        import lz4.frame as _lz4f  # type: ignore
+
+        return _lz4f.decompress(blob)
+    except ImportError:
+        pass
+    import pyarrow as pa
+
+    if not size:
+        raise ValueError(
+            "lz4 chunk without a declared decompressed size needs the "
+            "python-lz4 package (pyarrow's codec requires the size)"
+        )
+    return pa.Codec("lz4_frame").decompress(
+        blob, decompressed_size=size, asbytes=True
+    )
+
+
+def _lz4_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    return pa.Codec("lz4_frame").compress(data, asbytes=True)
 
 
 def _decompress(blob: bytes, compression: str, size: int) -> bytes:
@@ -116,6 +173,8 @@ def _decompress(blob: bytes, compression: str, size: int) -> bytes:
         out = blob
     elif compression == "bz2":
         out = bz2.decompress(blob)
+    elif compression == "lz4":
+        out = _lz4_decompress(blob, size)
     else:
         raise ValueError(f"unsupported chunk compression {compression!r}")
     if size and len(out) != size:
@@ -125,15 +184,23 @@ def _decompress(blob: bytes, compression: str, size: int) -> bytes:
     return out
 
 
-def scan_rosbag(path: str) -> tuple[list[ConnectionInfo], list[tuple[int, str]]]:
+def scan_rosbag(path: str) -> tuple[list[ConnectionInfo], list[ChunkRef]]:
     """Driver-side single pass over TOP-LEVEL records (seek-based — payloads
     of chunks are not read, only connection records are): returns
-    (connections, [(chunk_start_pos, compression)]). Mirrors the reference's
-    View construction (rosbag2parquet.cpp:44-47 + connection snapshot
-    FlattenedRosWriter.cpp:30-32)."""
+    (connections, chunk refs). Mirrors the reference's View construction
+    (rosbag2parquet.cpp:44-47 + connection snapshot
+    FlattenedRosWriter.cpp:30-32).
+
+    Unindexed bags (a crashed recorder before ``rosbag reindex``): the
+    index region after the chunks is missing, so the top-level walk finds
+    chunks but NO connection records. rosbag also writes each connection
+    record inside the chunk where its topic first appears, so the fallback
+    harvests them from chunk payloads — stopping as soon as the bag
+    header's declared conn_count is reached (usually the first chunk)."""
     size = os.path.getsize(path)
     conns: dict[int, ConnectionInfo] = {}
-    chunks: list[tuple[int, str]] = []
+    chunks: list[ChunkRef] = []
+    conn_count = None
     with open(path, "rb") as f:
         if f.read(len(ROSBAG_MAGIC)) != ROSBAG_MAGIC:
             raise ValueError(f"{path}: not a rosbag 2.0 file")
@@ -142,21 +209,63 @@ def scan_rosbag(path: str) -> tuple[list[ConnectionInfo], list[tuple[int, str]]]
             fields, data_start, dlen, nxt = _read_record_at(f, pos)
             op = fields["op"][0]
             if op == OP_CHUNK:
-                chunks.append((pos, fields["compression"].decode()))
+                declared = (
+                    struct.unpack("<I", fields["size"])[0]
+                    if "size" in fields
+                    else 0
+                )
+                comp = fields["compression"].decode()
+                chunks.append(
+                    ChunkRef(pos, comp, declared or (dlen if comp == "none" else 0))
+                )
             elif op == OP_CONNECTION:
                 f.seek(data_start)
                 data = f.read(dlen)
                 c = _connection_from_record(fields, data)
                 conns.setdefault(c.conn_id, c)
-            # 0x03/0x04/0x06 skipped: bag header + indexes
+            elif op == OP_BAG_HEADER and "conn_count" in fields:
+                conn_count = struct.unpack("<I", fields["conn_count"])[0]
+            # 0x04/0x06 skipped: indexes
             pos = nxt
+
+    if chunks and not conns:
+        # unindexed-bag fallback: harvest connection records from inside
+        # chunks (driver-side decompress, earliest chunks first; stops at
+        # conn_count when the bag header declares it)
+        with open(path, "rb") as f:
+            for ch in chunks:
+                fields, data_start, dlen, _ = _read_record_at(f, ch.pos)
+                f.seek(data_start)
+                inner = _decompress(f.read(dlen), ch.compression, ch.size)
+                import io
+
+                bio = io.BytesIO(inner)
+                rpos = 0
+                while rpos + 8 <= len(inner):
+                    rfields, dstart, rdlen, rnxt = _read_record_at(bio, rpos)
+                    if rfields["op"][0] == OP_CONNECTION:
+                        bio.seek(dstart)
+                        c = _connection_from_record(rfields, bio.read(rdlen))
+                        conns.setdefault(c.conn_id, c)
+                    rpos = rnxt
+                if conn_count is not None and len(conns) >= conn_count:
+                    break
+        if not conns:
+            raise ValueError(
+                f"{path}: chunks present but no connection records anywhere "
+                "— corrupt bag (run `rosbag reindex` upstream)"
+            )
     return list(conns.values()), chunks
 
 
-def iter_chunk_messages(path: str, chunk_pos: int, compression: str):
+def iter_chunk_messages(
+    path: str, chunk_index: int, chunk_pos: int, compression: str, shift: int
+):
     """Walk one chunk's inner records → (offset, time_ns, conn_id, payload).
-    Connection records inside the chunk are skipped here (the driver scan
-    collects them from the index region; rosbag writes them in both)."""
+    offset = (chunk_index << shift) | within-chunk position, with the shift
+    scan-derived (`offset_shift`). Connection records inside the chunk are
+    skipped here (the driver scan collects them from the index region;
+    rosbag writes them in both)."""
     with open(path, "rb") as f:
         fields, data_start, dlen, _ = _read_record_at(f, chunk_pos)
         if fields["op"][0] != OP_CHUNK:
@@ -167,6 +276,11 @@ def iter_chunk_messages(path: str, chunk_pos: int, compression: str):
     if len(blob) != dlen:
         raise ValueError(f"{path}@{chunk_pos}: truncated chunk data")
     inner = _decompress(blob, compression, declared)
+    if len(inner) > (1 << shift):
+        raise ValueError(
+            f"{path}@{chunk_pos}: chunk decompressed to {len(inner)} B, "
+            f"larger than its declared size implies (shift {shift})"
+        )
 
     pos = 0
     import io
@@ -182,12 +296,7 @@ def iter_chunk_messages(path: str, chunk_pos: int, compression: str):
             payload = bio.read(rdlen)
             if len(payload) != rdlen:
                 raise ValueError(f"{path}@{chunk_pos}+{pos}: truncated message")
-            if pos >= (1 << _CHUNK_SHIFT):
-                raise ValueError(
-                    f"chunk at {chunk_pos} larger than {1 << _CHUNK_SHIFT} B; "
-                    "raise _CHUNK_SHIFT"
-                )
-            offset = (chunk_pos << _CHUNK_SHIFT) | pos
+            offset = (chunk_index << shift) | pos
             yield (offset, secs * 1_000_000_000 + nsecs, conn_id, payload)
         pos = nxt
     if pos != len(inner):
@@ -198,9 +307,10 @@ def iter_chunk_messages(path: str, chunk_pos: int, compression: str):
 
 
 class _RosbagPartition(InputPartition):
-    def __init__(self, path: str, chunks: list[tuple[int, str]]):
+    def __init__(self, path: str, chunks: list[tuple[int, int, str]], shift: int):
         self.path = path
-        self.chunks = chunks
+        self.chunks = chunks  # (chunk_index, pos, compression)
+        self.shift = shift
 
 
 class _RosbagReader(DataSourceReader):
@@ -210,13 +320,15 @@ class _RosbagReader(DataSourceReader):
 
     def partitions(self):
         _, chunks = scan_rosbag(self.path)
+        shift = offset_shift(chunks)
         if not chunks:
-            return [_RosbagPartition(self.path, [])]
-        n = max(1, min(self.n_partitions, len(chunks)))
-        per = (len(chunks) + n - 1) // n
+            return [_RosbagPartition(self.path, [], shift)]
+        indexed = [(i, c.pos, c.compression) for i, c in enumerate(chunks)]
+        n = max(1, min(self.n_partitions, len(indexed)))
+        per = (len(indexed) + n - 1) // n
         return [
-            _RosbagPartition(self.path, chunks[i : i + per])
-            for i in range(0, len(chunks), per)
+            _RosbagPartition(self.path, indexed[i : i + per], shift)
+            for i in range(0, len(indexed), per)
         ]
 
     def read(self, partition: _RosbagPartition):
@@ -224,9 +336,15 @@ class _RosbagReader(DataSourceReader):
         # chunks are already the natural ≤1 MB batching unit)
         import pyarrow as pa
 
-        for chunk_pos, compression in partition.chunks:
+        for chunk_index, chunk_pos, compression in partition.chunks:
             rows = list(
-                iter_chunk_messages(partition.path, chunk_pos, compression)
+                iter_chunk_messages(
+                    partition.path,
+                    chunk_index,
+                    chunk_pos,
+                    compression,
+                    partition.shift,
+                )
             )
             if not rows:
                 continue
@@ -271,11 +389,31 @@ def read_rosbag(spark: SparkSession, path: str, num_partitions: int = 8) -> Data
 
 
 def rosbag_connections_df(spark: SparkSession, path: str) -> DataFrame:
+    """The Connections dim with the reference's full column set including
+    callerid and latching (FlattenedRosWriter.cpp:209-224, README.md:35-42)."""
     conns, _ = scan_rosbag(path)
     return spark.createDataFrame(
-        [(c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def) for c in conns],
-        "connection_id int, topic string, datatype string, md5sum string, msg_def string",
+        [
+            (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def, c.callerid, c.latching)
+            for c in conns
+        ],
+        "connection_id int, topic string, datatype string, md5sum string, "
+        "msg_def string, callerid string, latching string",
     )
+
+
+def seqno_bucket_width(path: str) -> int:
+    """Bucket width for `assign_seqno` over this bag's offsets: a multiple
+    of the chunk stride sized so the driver-side offset map stays ≤ ~64
+    entries however many chunks the bag has. The default integer bucket
+    (`div 100000`) produced ~2^shift/1e5 ≈ 10 map entries PER CHUNK on the
+    sparse (index << shift) encoding — tens of thousands of create_map
+    literals for a multi-GB bag, the exact planning blow-up the seqno work
+    removed."""
+    _, chunks = scan_rosbag(path)
+    stride = 1 << offset_shift(chunks)
+    chunks_per_bucket = max(1, -(-len(chunks) // 64))
+    return stride * chunks_per_bucket
 
 
 # ------------------------------------------------------------- test writer
@@ -308,14 +446,19 @@ def write_rosbag(
     records in the index region."""
 
     def conn_record(c: ConnectionInfo) -> bytes:
+        inner_fields = [
+            ("topic", c.topic.encode()),
+            ("type", c.datatype.encode()),
+            ("md5sum", c.md5sum.encode()),
+            ("message_definition", c.msg_def.encode()),
+        ]
+        if c.callerid is not None:
+            inner_fields.append(("callerid", c.callerid.encode()))
+        if c.latching is not None:
+            inner_fields.append(("latching", c.latching.encode()))
         data = b"".join(
             struct.pack("<I", len(k) + 1 + len(v)) + k.encode() + b"=" + v
-            for k, v in (
-                ("topic", c.topic.encode()),
-                ("type", c.datatype.encode()),
-                ("md5sum", c.md5sum.encode()),
-                ("message_definition", c.msg_def.encode()),
-            )
+            for k, v in inner_fields
         )
         return _record(
             {
@@ -342,7 +485,12 @@ def write_rosbag(
                 },
                 payload,
             )
-        blob = bz2.compress(inner) if compression == "bz2" else inner
+        if compression == "bz2":
+            blob = bz2.compress(inner)
+        elif compression == "lz4":
+            blob = _lz4_compress(inner)
+        else:
+            blob = inner
         chunks.append(
             _record(
                 {

@@ -27,7 +27,7 @@ CONN = ConnectionInfo(
 )
 
 
-@pytest.fixture(scope="module", params=["none", "bz2"])
+@pytest.fixture(scope="module", params=["none", "bz2", "lz4"])
 def bag_path(request, tmp_path_factory):
     path = str(
         tmp_path_factory.mktemp("rosbags") / f"two_messages_{request.param}.bag"
@@ -124,6 +124,104 @@ def test_multi_chunk_partitioning(spark, tmp_path):
     assert len(a) == 50
     ordered = sorted(a, key=lambda r: r.offset)
     assert [r.time_ns for r in ordered] == [1_000_000_000 + i for i in range(50)]
+
+
+def test_callerid_latching_roundtrip(spark, tmp_path):
+    """Reference records callerid per connection (FlattenedRosWriter.cpp:
+    209-224; README.md:35-42 column list) — parse, surface in the
+    Connections dim, and round-trip through the test writer."""
+    path = str(tmp_path / "caller.bag")
+    payload = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    conn = ConnectionInfo(
+        conn_id=7,
+        topic="/imu/data",
+        datatype="sensor_msgs/Imu",
+        md5sum=CONN.md5sum,
+        msg_def=IMU_DEF,
+        callerid="/imu_node",
+        latching="1",
+    )
+    write_rosbag(path, [conn], [(7, 10**9, payload)])
+    conns, _ = scan_rosbag(path)
+    assert (conns[0].callerid, conns[0].latching) == ("/imu_node", "1")
+    row = rosbag_connections_df(spark, path).collect()[0]
+    assert (row.callerid, row.latching) == ("/imu_node", "1")
+    # absent fields stay NULL (SBAG parity: the dim schema is shared)
+    write_rosbag(str(tmp_path / "nocaller.bag"), [CONN], [(3, 10**9, payload)])
+    row2 = rosbag_connections_df(spark, str(tmp_path / "nocaller.bag")).collect()[0]
+    assert row2.callerid is None and row2.latching is None
+
+
+def test_large_chunk_scan_derived_shift(spark, tmp_path):
+    """A chunk decompressing past 1 MiB is spec-conformant (rosbag's chunk
+    threshold is configurable) — the scan-derived shift must accept it
+    (the fixed 20-bit shift hard-failed; ADVICE r2)."""
+    from rosbag2parquet_spark.sources.rosbag import offset_shift
+
+    path = str(tmp_path / "bigchunk.bag")
+    big_payload = bytes(range(256)) * 8192  # 2 MiB message
+    write_rosbag(
+        path,
+        [CONN],
+        [(3, 10**9 + i, big_payload) for i in range(3)],
+        compression="bz2",
+        messages_per_chunk=2,  # first chunk decompresses to >4 MiB
+    )
+    _, chunks = scan_rosbag(path)
+    shift = offset_shift(chunks)
+    assert shift > 20 and max(c.size for c in chunks) < (1 << shift)
+    rows = read_rosbag(spark, path, num_partitions=2).orderBy("offset").collect()
+    assert [r.time_ns for r in rows] == [10**9, 10**9 + 1, 10**9 + 2]
+    assert all(len(r.data) == len(big_payload) for r in rows)
+
+
+def test_unindexed_bag_connection_fallback(spark, tmp_path):
+    """Crashed-recorder bag (index region missing): connections must be
+    harvested from inside the chunks instead of silently yielding zero
+    (which made convert_bag write orphan Messages rows; ADVICE r2)."""
+    path = str(tmp_path / "unindexed.bag")
+    payload = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    write_rosbag(path, [CONN], [(3, 10**9 + i, payload) for i in range(4)])
+    # truncate the trailing index region (everything after the last chunk):
+    # re-scan to find where chunks end, then cut the file there
+    conns_full, chunks = scan_rosbag(path)
+    import struct as _s
+
+    with open(path, "rb") as f:
+        f.seek(chunks[-1].pos)
+        (hlen,) = _s.unpack("<I", f.read(4))
+        f.seek(chunks[-1].pos + 4 + hlen)
+        (dlen,) = _s.unpack("<I", f.read(4))
+        end = chunks[-1].pos + 4 + hlen + 4 + dlen
+        f.seek(0)
+        head = f.read(end)
+    with open(path, "wb") as f:
+        f.write(head)
+    conns, chunks2 = scan_rosbag(path)
+    assert len(chunks2) == len(chunks)
+    assert [c.conn_id for c in conns] == [c.conn_id for c in conns_full]
+    assert conns[0].msg_def == IMU_DEF
+    # a bag with chunks but NO connection records anywhere is an error,
+    # not a silent empty dim
+    bad = str(tmp_path / "noconn.bag")
+    write_rosbag(bad, [], [])
+    import rosbag2parquet_spark.sources.rosbag as rb
+
+    raw = open(bad, "rb").read()
+    # hand-append a message-only chunk with no connection record
+    inner = rb._record(
+        {"op": bytes([rb.OP_MSG]), "conn": _s.pack("<I", 1),
+         "time": _s.pack("<II", 1, 0)},
+        b"x",
+    )
+    chunk = rb._record(
+        {"op": bytes([rb.OP_CHUNK]), "compression": b"none",
+         "size": _s.pack("<I", len(inner))},
+        inner,
+    )
+    open(bad, "wb").write(raw + chunk)
+    with pytest.raises(ValueError, match="reindex"):
+        scan_rosbag(bad)
 
 
 def test_corrupt_magic_rejected(tmp_path):
