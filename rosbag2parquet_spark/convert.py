@@ -122,7 +122,20 @@ def convert(
     # Pass order_cols ending in a unique column for a well-defined total order.
     from rosbag2parquet_spark.operators.keys import assign_seqno
 
+    msg_path = os.path.join(out_dir, "Messages")
+    conn_path = os.path.join(out_dir, "Connections")
+
     seq = assign_seqno(stream, order_cols or [time_col, conn_col])
+    if mode == "append" and os.path.isdir(msg_path):
+        # the reference declares seqno unique within the output
+        # (FlattenedRosWriter.cpp:57) and README makes it the cross-table
+        # join key — an appended batch continues after the existing max
+        # (parquet column stats make the max a metadata-only read)
+        prev_max = spark.read.parquet(msg_path).agg(F.max("seqno")).collect()[0][0]
+        if prev_max is not None:
+            seq = seq.withColumn(
+                "seqno", (F.col("seqno") + F.lit(prev_max + 1)).cast("long")
+            )
 
     if max_mbs is not None:
         # byte-bounded limit (reference rosbag2parquet.cpp:56-58) — the
@@ -141,12 +154,35 @@ def convert(
     seq = seq.cache()  # read by three sinks below — one materialization
 
     # ---- Connections dim (reference FlattenedRosWriter.cpp:90-137, 209-224):
-    # distinct (connection, datatype) keys → dense connection_id
+    # distinct (connection, datatype) keys → dense connection_id. On append,
+    # keys already in the existing dim KEEP their ids (only genuinely-new
+    # keys are appended, numbered after the existing max) — blind re-append
+    # wrote duplicate rows with conflicting id→callerid mappings.
+    conn_dtype = stream.schema[conn_col].dataType
+    keys = seq.select(
+        F.col(conn_col).alias("callerid"), F.col(type_col).alias("datatype")
+    ).distinct()
+    base_id = 0
+    existing_conns = None
+    if mode == "append" and os.path.isdir(conn_path):
+        existing_conns = spark.read.parquet(conn_path)
+        base_id = (
+            existing_conns.agg(F.max("connection_id")).collect()[0][0] or -1
+        ) + 1
+        keys = keys.join(
+            F.broadcast(
+                existing_conns.select(
+                    F.col("callerid").cast(conn_dtype).alias("callerid"),
+                    "datatype",
+                )
+            ),
+            on=["callerid", "datatype"],
+            how="left_anti",
+        )
     conn_w = Window.orderBy("callerid", "datatype")
     connections = (
-        seq.select(F.col(conn_col).alias("callerid"), F.col(type_col).alias("datatype"))
-        .distinct()
-        .withColumn("connection_id", F.row_number().over(conn_w) - 1)
+        keys
+        .withColumn("connection_id", F.row_number().over(conn_w) - 1 + base_id)
         .select(
             "connection_id",
             F.concat(F.lit("/topic/"), F.col("datatype")).alias("topic"),
@@ -160,9 +196,14 @@ def convert(
     # connection resolution = broadcast hash probe (reference's unordered_map,
     # FlattenedRosWriter.cpp:172-178). callerid is cast back to the STREAM's
     # conn_col dtype — a hardcoded numeric cast would silently NULL every
-    # connection_id for string connection keys.
-    conn_dtype = stream.schema[conn_col].dataType
-    lookup = connections.select(
+    # connection_id for string connection keys. On append the probe side is
+    # the UNION of kept existing ids and freshly-numbered new keys.
+    full_dim = (
+        connections
+        if existing_conns is None
+        else connections.unionByName(existing_conns)
+    )
+    lookup = full_dim.select(
         "connection_id",
         F.col("callerid").cast(conn_dtype).alias(conn_col),
         F.col("datatype").alias(type_col),
@@ -186,12 +227,11 @@ def convert(
     )
 
     writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
-    msg_path = os.path.join(out_dir, "Messages")
-    conn_path = os.path.join(out_dir, "Connections")
     if mode == "append":
         assert_append_compatible(spark, msg_path, messages.schema)
         assert_append_compatible(spark, conn_path, connections.schema)
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
+    # append writes only the genuinely-new dim rows (existing ids kept)
     connections.write.mode(mode).parquet(conn_path)
 
     # ---- per-type demux: ONE partitioned write (reference GetHandler routing,
@@ -241,7 +281,7 @@ def convert(
         "Messages": messages.schema,
         "Connections": connections.schema,
     }
-    for row in connections.select("datatype").distinct().collect():
+    for row in full_dim.select("datatype").distinct().collect():
         tables[table_name_for_type(row.datatype)] = pertype.drop("datatype").schema
     with open(os.path.join(out_dir, "load_tables.sql"), "w") as f:
         f.write(load_script(tables))

@@ -169,11 +169,32 @@ def test_append_requires_identical_schema(spark, tmp_path):
     convert(spark, events, out, order_cols=["ts", "event_id"], payload_schema=PROPS_SCHEMA)
     n1 = spark.read.parquet(os.path.join(out, "Messages")).count()
 
+    conns1 = {
+        (r.callerid, r.datatype): r.connection_id
+        for r in spark.read.parquet(os.path.join(out, "Connections")).collect()
+    }
+
     convert(
         spark, events, out, order_cols=["ts", "event_id"],
         payload_schema=PROPS_SCHEMA, mode="append",
     )
-    assert spark.read.parquet(os.path.join(out, "Messages")).count() == 2 * n1
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    assert messages.count() == 2 * n1
+    # seqno stays unique and contiguous across appends (the reference
+    # declares it unique within the output, FlattenedRosWriter.cpp:57)
+    seqnos = sorted(r.seqno for r in messages.select("seqno").collect())
+    assert seqnos == list(range(2 * n1))
+    # re-appending the same stream adds NO dim rows and keeps every
+    # existing id→key mapping (no conflicting duplicates)
+    conns2 = {
+        (r.callerid, r.datatype): r.connection_id
+        for r in spark.read.parquet(os.path.join(out, "Connections")).collect()
+    }
+    assert conns2 == conns1
+    assert (
+        spark.read.parquet(os.path.join(out, "Connections")).count()
+        == len(conns1)
+    )
 
     drifted = T.StructType(
         [T.StructField("k", T.LongType()), T.StructField("extra", T.StringType())]

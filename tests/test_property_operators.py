@@ -166,3 +166,39 @@ def test_running_sum_scalable_equals_global_window(spark):
             for r in running_sum_scalable(df, "k", F.col("v"), width).collect()
         }
         assert got == expected, f"width={width}"
+
+
+def test_running_sum_scalable_null_buckets_and_empty_input(spark):
+    """Edge cases: a bucket whose values are ALL NULL must contribute 0 to
+    the prefix sum (not crash the driver-side accumulation), an all-NULL
+    input must not crash, and an empty input must produce an empty result
+    with a correctly-typed offset literal."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.relational import running_sum_scalable
+
+    # bucket 0 (k=1,2) all-NULL; bucket 1 (k=10,11) has values
+    rows = [(1, None), (2, None), (10, Decimal("1.5")), (11, Decimal("2.5"))]
+    df = spark.createDataFrame(rows, "k long, v decimal(18,4)")
+    got = {
+        r["k"]: r["__running"]
+        for r in running_sum_scalable(df, "k", F.col("v"), 10).collect()
+    }
+    assert got[10] == Decimal("1.5") and got[11] == Decimal("4.0")
+    assert got[1] is None and got[2] is None  # window sum over NULLs is NULL
+
+    all_null = spark.createDataFrame([(1, None), (2, None)], "k long, v decimal(18,4)")
+    assert running_sum_scalable(all_null, "k", F.col("v"), 10).count() == 2
+
+    empty = df.limit(0)
+    assert running_sum_scalable(empty, "k", F.col("v"), 10).count() == 0
+
+    # long-typed caller (the out_of_line_pointers path): int offsets, exact
+    ldf = spark.createDataFrame([(1, 100), (2, None), (12, 50)], "k long, v long")
+    lgot = {
+        r["k"]: r["__running"]
+        for r in running_sum_scalable(ldf, "k", F.col("v"), 10).collect()
+    }
+    assert lgot == {1: 100, 2: 100, 12: 150}
