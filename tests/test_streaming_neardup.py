@@ -14,6 +14,7 @@ from rosbag2parquet_spark.functions.dedup import (
 from rosbag2parquet_spark.streaming.neardup import (
     stream_documents,
     streaming_candidates,
+    streaming_verified,
 )
 from rosbag2parquet_spark.streaming.windowed import run_to_memory
 from tests.conftest import SF_DIR
@@ -54,6 +55,31 @@ def test_streaming_candidates_equal_batch(spark):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
         .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+@pytest.mark.slow
+def test_streaming_verified_equals_batch(spark):
+    """The stream-static exact-Jaccard join over the candidate stream must
+    reproduce the batch pipeline's VERIFIED pair set exactly — ids AND
+    jaccard values (same integer intersect/union operands, same single IEEE
+    division ⇒ bit-equal doubles)."""
+    from rosbag2parquet_spark.functions.dedup import q_minhash_lsh
+
+    stream = stream_documents(spark, SF_DIR)
+    sets = _doc_shingle_sets(spark, SF_DIR)
+    run_to_memory(streaming_verified(stream, sets), "nd_verified", mode="append")
+    streamed = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in spark.sql(
+            "SELECT DISTINCT a_id, b_id, jaccard FROM nd_verified"
+        ).collect()
+    }
+    batch = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in q_minhash_lsh(spark, SF_DIR).collect()
     }
     assert streamed == batch
     assert len(streamed) > 0
