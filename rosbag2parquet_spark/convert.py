@@ -317,10 +317,8 @@ def convert_bag(
     binary columns (multimodal mode)."""
     from rosbag2parquet_spark.info import load_bag, seqno_bucket_width
     from rosbag2parquet_spark.operators.keys import assign_seqno
-    from rosbag2parquet_spark.sources.decode import decode_messages
 
     msgs, conns_df = load_bag(spark, bag_path, num_partitions=num_partitions)
-    conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
 
     # explicit bucket sized to THIS bag's offset encoding: the default
     # integer bucket (div 100000) makes ~2^shift/1e5 map entries per chunk
@@ -330,6 +328,36 @@ def convert_bag(
     seq = assign_seqno(
         msgs, ["offset"], bucket=F.expr(f"offset div {width}")
     ).cache()
+    count, size = _write_bag_tables(
+        seq,
+        conns_df,
+        out_dir,
+        arrays=arrays,
+        max_records_per_file=max_records_per_file,
+    )
+    seq.unpersist()
+    return ConvertInfo(bagname=bag_path, count=count, size=float(size))
+
+
+def _write_bag_tables(
+    seq: DataFrame,
+    conns_df: DataFrame,
+    out_dir: str,
+    *,
+    arrays: str,
+    max_records_per_file: int,
+    join_keys: tuple[str, ...] = ("offset",),
+) -> tuple[int, float]:
+    """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
+    ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
+    one flattened typed table per datatype, and the DDL script.
+
+    ``join_keys`` is the unique row identity used to stitch decoded columns
+    back to (seqno, data) — ``("offset",)`` for one bag, ``("bag_index",
+    "offset")`` for a multi-bag union where offsets repeat across files."""
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
 
     # ---- Messages (seqno, time_sec, time_nsec, size, connection_id)
     writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
@@ -366,12 +394,12 @@ def convert_bag(
             slice_df,
             datatype,
             cs[0].msg_def,
-            keep_cols=("offset", "conn_id"),
+            keep_cols=(*join_keys, "conn_id"),
             arrays=arrays,
         )
         pertype = (
-            flat.join(seq.select("offset", "seqno", "data"), "offset")
-            .drop("offset")
+            flat.join(seq.select(*join_keys, "seqno", "data"), list(join_keys))
+            .drop(*join_keys)
             .withColumnRenamed("conn_id", "connection_id")
         )
         # column order per MessageTable.cpp:326-343
@@ -391,5 +419,157 @@ def convert_bag(
 
     count = seq.count()
     size = seq.agg(F.sum(F.length("data"))).collect()[0][0] or 0
+    return count, float(size)
+
+
+#: conn_id slot width in the combined (bag_index, conn_id) remap key — bags
+#: with more than a million connections don't exist (rosbag caps well below)
+_CONN_KEY_STRIDE = 1 << 20
+
+
+def _bag_scan_meta(path: str) -> dict:
+    """Per-bag driver-side metadata for the multi-bag planner, one header
+    walk per file (parallelized across files by the caller — the reference's
+    View construction is per-bag too, rosbag2parquet.cpp:44-47):
+    connection rows padded to the 7-column rosbag dim shape, the seqno
+    bucket width for THIS bag's offset encoding, and an upper bound on its
+    largest offset (sizes the per-bag bucket-index slot)."""
+    if path.endswith(".bag"):
+        from rosbag2parquet_spark.sources.rosbag import offset_shift, scan_rosbag
+
+        conns, chunks = scan_rosbag(path)
+        shift = offset_shift(chunks)
+        stride = 1 << shift
+        width = stride * max(1, -(-len(chunks) // 64))
+        max_offset = (len(chunks) + 1) << shift
+        rows = [
+            (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def,
+             c.callerid, c.latching)
+            for c in conns
+        ]
+    else:
+        from rosbag2parquet_spark.sources.baglike import read_header
+
+        conns, _ = read_header(path)
+        size = os.path.getsize(path)
+        width = max(100_000, size // 64 + 1)
+        max_offset = size + 1
+        # SBAG header has no callerid/latching — pad like rosbag's own
+        # default ("" when the connection header omits them)
+        rows = [
+            (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def, "", "")
+            for c in conns
+        ]
+    return {"path": path, "rows": rows, "width": width, "max_offset": max_offset}
+
+
+def resolve_bag_paths(bags: "str | list[str]") -> list[str]:
+    """A directory (all files inside, sorted), a glob pattern (sorted
+    matches), a single file, or an explicit list (kept in the given order —
+    the order IS the global stream order, reference README.md:16)."""
+    import glob as _glob
+
+    if not isinstance(bags, str):
+        paths = list(bags)
+    elif os.path.isdir(bags):
+        paths = sorted(
+            p for p in _glob.glob(os.path.join(bags, "*")) if os.path.isfile(p)
+        )
+    elif any(ch in bags for ch in "*?["):
+        paths = sorted(p for p in _glob.glob(bags) if os.path.isfile(p))
+    else:
+        paths = [bags]
+    if not paths:
+        raise ValueError(f"no bag files found for {bags!r}")
+    return paths
+
+
+def convert_bags(
+    spark: SparkSession,
+    bags: "str | list[str]",
+    out_dir: str,
+    *,
+    num_partitions: int = 32,
+    arrays: str = "skip",
+    max_records_per_file: int = 1_000_000,
+) -> ConvertInfo:
+    """Convert a FLEET of bags into ONE table layout — the reference's
+    "multiple compatible parquet files can be treated as a single file"
+    claim (README.md:16) made explicit: seqno is continuous across bags in
+    input order, and the Connections dim is reconciled by identity (same
+    (topic, datatype, md5sum, msg_def, callerid, latching) tuple in two
+    bags → one global connection_id, first-seen order).
+
+    Scale shape: the per-bag header walk is driver-side but O(#chunks)
+    cheap and runs concurrently across files (thread pool — I/O bound);
+    message payloads stream through the same Arrow-batched executor-side
+    readers as the single-bag path, unioned into one DAG. Seqno uses the
+    bucketed two-pass plan with a per-bag bucket-index slot, so the offset
+    map stays ~64 entries per bag regardless of bag sizes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rosbag2parquet_spark.info import load_bag
+    from rosbag2parquet_spark.operators.keys import assign_seqno
+
+    paths = resolve_bag_paths(bags)
+    with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+        metas = list(pool.map(_bag_scan_meta, paths))
+
+    # ---- global Connections dim: first-seen identity across bags
+    gid: dict[tuple, int] = {}
+    dim_rows: list[tuple] = []
+    remap: dict[int, int] = {}  # bag_index*STRIDE + local conn_id -> global
+    for i, meta in enumerate(metas):
+        for row in meta["rows"]:
+            key = tuple(row[1:])
+            if key not in gid:
+                gid[key] = len(gid)
+                dim_rows.append((gid[key], *key))
+            remap[i * _CONN_KEY_STRIDE + row[0]] = gid[key]
+    conns_df = spark.createDataFrame(
+        dim_rows,
+        "connection_id int, topic string, datatype string, md5sum string, "
+        "msg_def string, callerid string, latching string",
+    )
+
+    # ---- one unioned message stream, conn ids remapped to the global dim
+    union = None
+    for i, path in enumerate(paths):
+        msgs, _ = load_bag(spark, path, num_partitions=num_partitions)
+        msgs = msgs.withColumn("bag_index", F.lit(i))
+        union = msgs if union is None else checked_union(union, msgs)
+    pairs: list = []
+    for k, g in remap.items():
+        pairs.extend([F.lit(k), F.lit(g)])
+    union = union.withColumn(
+        "conn_id",
+        F.create_map(*pairs)[
+            F.col("bag_index") * F.lit(_CONN_KEY_STRIDE) + F.col("conn_id")
+        ],
+    )
+
+    # ---- continuous seqno across bags: bucket = bag slot + in-bag bucket.
+    # One shared width (the coarsest bag's) keeps every bag ≤ ~64 buckets;
+    # the slot bound M guarantees bucket monotonicity in (bag_index, offset).
+    width = max(m["width"] for m in metas)
+    slot = 1 + max(m["max_offset"] // width for m in metas)
+    seq = assign_seqno(
+        union,
+        ["bag_index", "offset"],
+        bucket=F.expr(f"bag_index * {slot} + (offset div {width})"),
+    ).cache()
+
+    count, size = _write_bag_tables(
+        seq,
+        conns_df,
+        out_dir,
+        arrays=arrays,
+        max_records_per_file=max_records_per_file,
+        join_keys=("bag_index", "offset"),
+    )
     seq.unpersist()
-    return ConvertInfo(bagname=bag_path, count=count, size=float(size))
+    return ConvertInfo(
+        bagname=",".join(os.path.basename(p) for p in paths),
+        count=count,
+        size=float(size),
+    )
