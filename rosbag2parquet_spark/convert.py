@@ -442,9 +442,12 @@ def _bag_scan_meta(path: str) -> dict:
         stride = 1 << shift
         width = stride * max(1, -(-len(chunks) // 64))
         max_offset = (len(chunks) + 1) << shift
+        # normalize absent callerid/latching to "" so the same logical
+        # connection in a rosbag (absent -> None) and an SBAG (padded "")
+        # reconciles to ONE global identity
         rows = [
             (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def,
-             c.callerid, c.latching)
+             c.callerid or "", c.latching or "")
             for c in conns
         ]
     else:
@@ -463,19 +466,43 @@ def _bag_scan_meta(path: str) -> dict:
     return {"path": path, "rows": rows, "width": width, "max_offset": max_offset}
 
 
+#: extensions accepted when expanding a DIRECTORY (explicit paths/globs are
+#: taken as given) — keeps stray READMEs/outputs out of the conversion
+_BAG_EXTENSIONS = (".bag", ".sbag")
+
+
+def _looks_like_bag(path: str) -> bool:
+    if path.endswith(_BAG_EXTENSIONS):
+        return True
+    # unknown extension: accept only if the magic bytes say SBAG or rosbag
+    try:
+        with open(path, "rb") as f:
+            head = f.read(13)
+    except OSError:
+        return False
+    return head[:4] == b"SBAG" or head.startswith(b"#ROSBAG V2.0\n")
+
+
 def resolve_bag_paths(bags: "str | list[str]") -> list[str]:
-    """A directory (all files inside, sorted), a glob pattern (sorted
+    """A directory (bag files inside, sorted), a glob pattern (sorted
     matches), a single file, or an explicit list (kept in the given order —
-    the order IS the global stream order, reference README.md:16)."""
+    the order IS the global stream order, reference README.md:16).
+
+    Directory listings are filtered to bag files (extension or magic
+    bytes) so stray non-bag files don't fail mid-conversion; an existing
+    literal path wins over glob interpretation (a '[' in a plain filename
+    is a filename, not a character class)."""
     import glob as _glob
 
     if not isinstance(bags, str):
         paths = list(bags)
     elif os.path.isdir(bags):
         paths = sorted(
-            p for p in _glob.glob(os.path.join(bags, "*")) if os.path.isfile(p)
+            p
+            for p in _glob.glob(os.path.join(bags, "*"))
+            if os.path.isfile(p) and _looks_like_bag(p)
         )
-    elif any(ch in bags for ch in "*?["):
+    elif not os.path.exists(bags) and any(ch in bags for ch in "*?["):
         paths = sorted(p for p in _glob.glob(bags) if os.path.isfile(p))
     else:
         paths = [bags]
@@ -508,8 +535,9 @@ def convert_bags(
     map stays ~64 entries per bag regardless of bag sizes."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from rosbag2parquet_spark.info import load_bag
     from rosbag2parquet_spark.operators.keys import assign_seqno
+    from rosbag2parquet_spark.sources.baglike import read_bag
+    from rosbag2parquet_spark.sources.rosbag import read_rosbag
 
     paths = resolve_bag_paths(bags)
     with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
@@ -526,26 +554,43 @@ def convert_bags(
                 gid[key] = len(gid)
                 dim_rows.append((gid[key], *key))
             remap[i * _CONN_KEY_STRIDE + row[0]] = gid[key]
+    if not remap:
+        raise ValueError(f"no connections found in any of {len(paths)} bag(s)")
     conns_df = spark.createDataFrame(
         dim_rows,
         "connection_id int, topic string, datatype string, md5sum string, "
         "msg_def string, callerid string, latching string",
     )
 
-    # ---- one unioned message stream, conn ids remapped to the global dim
+    # ---- one unioned message stream, conn ids remapped to the global dim.
+    # The message readers are called directly — the connections dim above is
+    # already built from the metas, so going through info.load_bag would
+    # re-walk every bag header a second time for a result that's discarded.
     union = None
     for i, path in enumerate(paths):
-        msgs, _ = load_bag(spark, path, num_partitions=num_partitions)
+        reader = read_rosbag if path.endswith(".bag") else read_bag
+        msgs = reader(spark, path, num_partitions=num_partitions)
         msgs = msgs.withColumn("bag_index", F.lit(i))
         union = msgs if union is None else checked_union(union, msgs)
+    # the combined key is LONG arithmetic: int32 would silently wrap at
+    # bag_index >= 2048 (2048 * 2^20 == 2^31), miss the map, and drop rows
     pairs: list = []
     for k, g in remap.items():
-        pairs.extend([F.lit(k), F.lit(g)])
+        pairs.extend([F.lit(k).cast("long"), F.lit(g)])
+    key = (
+        F.col("bag_index").cast("long") * F.lit(_CONN_KEY_STRIDE)
+        + F.col("conn_id").cast("long")
+    )
+    looked_up = F.create_map(*pairs)[key]
+    # a conn_id in the stream but absent from the header scan is corrupt
+    # input — fail loudly instead of silently dropping those rows downstream
     union = union.withColumn(
         "conn_id",
-        F.create_map(*pairs)[
-            F.col("bag_index") * F.lit(_CONN_KEY_STRIDE) + F.col("conn_id")
-        ],
+        F.when(looked_up.isNotNull(), looked_up).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unmapped connection key: "), key.cast("string"))
+            )
+        ),
     )
 
     # ---- continuous seqno across bags: bucket = bag slot + in-bag bucket.

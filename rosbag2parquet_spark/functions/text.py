@@ -52,9 +52,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_STATS = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       sum(len(string_split(text, ' '))) AS total_tokens,
-       (sum(n_chars) * 1000000) // count(*) AS avg_chars_e6,
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS avg_chars_e6,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang, source
 """

@@ -147,8 +147,8 @@ WITH t AS (
 SELECT event_type, count(*) AS n_rows, count(maybe_value) AS n_nonnull,
        CAST(sum(CAST(coalesce(maybe_value, 0.0) AS DECIMAL(18,4))) * 10000
             AS BIGINT) AS sum_coalesced_e4,
-       sum(CASE WHEN maybe_value IS NOT DISTINCT FROM value THEN 1 ELSE 0 END)
-         AS n_nullsafe_eq,
+       CAST(sum(CASE WHEN maybe_value IS NOT DISTINCT FROM value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
        max(CAST(maybe_value IS NULL AS INTEGER)) AS has_null
 FROM t GROUP BY event_type
 """

@@ -236,9 +236,17 @@ def read_bag(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFra
 
 def connections_df(spark: SparkSession, path: str) -> DataFrame:
     """The Connections dim from the header (reference
-    FlattenedRosWriter.cpp:30-32 snapshot at open)."""
+    FlattenedRosWriter.cpp:30-32 snapshot at open). Emits the reference's
+    full 7-column shape (README.md:35-42) — callerid/latching are padded
+    "" for SBAG, which doesn't carry them — so single-bag and fleet
+    conversions produce union-compatible Connections tables."""
     conns, _ = read_header(path)
     return spark.createDataFrame(
-        [(c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def) for c in conns],
-        "connection_id int, topic string, datatype string, md5sum string, msg_def string",
+        [
+            (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def,
+             c.callerid or "", c.latching or "")
+            for c in conns
+        ],
+        "connection_id int, topic string, datatype string, md5sum string, "
+        "msg_def string, callerid string, latching string",
     )

@@ -1,0 +1,140 @@
+"""convert_bags: a FLEET of bags into one table layout — the reference's
+"multiple compatible parquet files can be treated as a single file" claim
+(README.md:16). Covers cross-bag seqno continuity, first-seen connection
+reconciliation (including a connection shared between a rosbag and an
+SBAG), per-type row counts vs per-bag sums, and path resolution."""
+
+import os
+import struct
+
+import pytest
+
+from rosbag2parquet_spark.convert import convert_bags, resolve_bag_paths
+from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+from rosbag2parquet_spark.sources.rosbag import write_rosbag
+from tests.test_baglike import ANGVEL, FRAME, LINACC, QUAT, SEQ, STAMP, _imu_payload
+from tests.test_convert_bag import GPS_DEF, _gps_payload
+from tests.test_msgdef import IMU_DEF
+
+IMU_CONN = dict(
+    topic="/imu", datatype="sensor_msgs/Imu", md5sum="imu_md5", msg_def=IMU_DEF
+)
+GPS_CONN = dict(
+    topic="/gps", datatype="nav_msgs/Gps", md5sum="gps_md5", msg_def=GPS_DEF
+)
+
+
+@pytest.fixture(scope="module")
+def fleet(tmp_path_factory):
+    """Two bags whose four LOCAL connections are two GLOBAL identities:
+
+    bag 0 (rosbag): /imu (conn 1) x2 msgs, /gps (conn 2) x1
+    bag 1 (SBAG):   /imu (conn 5, same identity as bag 0's conn 1) x1,
+                    /gps (conn 7, same identity as bag 0's conn 2) x2
+    """
+    d = tmp_path_factory.mktemp("fleet")
+    imu = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    bag0 = str(d / "a.bag")
+    write_rosbag(
+        bag0,
+        [ConnectionInfo(1, **IMU_CONN), ConnectionInfo(2, **GPS_CONN)],
+        [(1, 1_000, imu), (2, 2_000, _gps_payload(0)), (1, 3_000, imu)],
+    )
+    bag1 = str(d / "b.sbag")
+    write_bag(
+        bag1,
+        [ConnectionInfo(5, **IMU_CONN), ConnectionInfo(7, **GPS_CONN)],
+        [(7, 4_000, _gps_payload(1)), (5, 5_000, imu), (7, 6_000, _gps_payload(2))],
+    )
+    return d, [bag0, bag1]
+
+
+@pytest.fixture(scope="module")
+def fleet_out(spark, fleet, tmp_path_factory):
+    _, paths = fleet
+    out = str(tmp_path_factory.mktemp("fleet_out"))
+    info = convert_bags(spark, paths, out)
+    return out, info
+
+
+def test_seqno_continuous_in_input_order(spark, fleet_out):
+    out, info = fleet_out
+    assert info.count == 6
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    rows = messages.orderBy("seqno").collect()
+    assert [r.seqno for r in rows] == [0, 1, 2, 3, 4, 5]
+    # input order: bag 0's messages (times 1k..3k) precede bag 1's (4k..6k)
+    assert [r.time_nsec for r in rows] == [1_000, 2_000, 3_000, 4_000, 5_000, 6_000]
+
+
+def test_connections_reconciled_first_seen(spark, fleet_out):
+    out, _ = fleet_out
+    conns = spark.read.parquet(os.path.join(out, "Connections")).collect()
+    # 2 distinct identities, not 4 local connections
+    assert len(conns) == 2
+    by_topic = {c.topic: c for c in conns}
+    # first-seen order: bag 0 header order wins the ids
+    assert by_topic["/imu"].connection_id == 0
+    assert by_topic["/gps"].connection_id == 1
+    assert by_topic["/imu"].callerid == "" and by_topic["/imu"].latching == ""
+
+
+def test_pertype_counts_equal_per_bag_sums(spark, fleet_out):
+    out, _ = fleet_out
+    imu = spark.read.parquet(os.path.join(out, "sensor_msgs_Imu"))
+    gps = spark.read.parquet(os.path.join(out, "nav_msgs_Gps"))
+    assert imu.count() == 2 + 1  # bag0 x2 + bag1 x1, ONE table across bags
+    assert gps.count() == 1 + 2
+    # remapped connection ids: every per-type row carries the GLOBAL id
+    assert {r.connection_id for r in imu.collect()} == {0}
+    assert {r.connection_id for r in gps.collect()} == {1}
+    # values survive the union + remap (golden spot-check)
+    assert sorted(r.status for r in gps.collect()) == ["fix0", "fix1", "fix2"]
+
+
+def test_messages_fk_consistency(spark, fleet_out):
+    out, _ = fleet_out
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    conns = spark.read.parquet(os.path.join(out, "Connections"))
+    dangling = messages.join(conns, "connection_id", "left_anti")
+    assert dangling.count() == 0
+
+
+def test_directory_mode_skips_non_bag_files(spark, fleet, tmp_path):
+    d, paths = fleet
+    (d / "README.txt").write_text("not a bag")
+    (d / "partial.download").write_bytes(b"\x00\x01garbage")
+    resolved = resolve_bag_paths(str(d))
+    assert resolved == sorted(paths)
+    out = str(tmp_path / "out")
+    info = convert_bags(spark, str(d), out)
+    assert info.count == 6
+
+
+def test_resolve_glob_and_literal_bracket(tmp_path):
+    p1 = str(tmp_path / "x1.sbag")
+    p2 = str(tmp_path / "x2.sbag")
+    for p in (p1, p2):
+        write_bag(p, [ConnectionInfo(1, "/t", "d/T", "m", "uint32 x")], [])
+    assert resolve_bag_paths(str(tmp_path / "x*.sbag")) == [p1, p2]
+    # a literal '[' in an EXISTING path is a filename, not a glob class
+    lit = str(tmp_path / "odd[1].sbag")
+    write_bag(lit, [ConnectionInfo(1, "/t", "d/T", "m", "uint32 x")], [])
+    assert resolve_bag_paths(lit) == [lit]
+    with pytest.raises(ValueError, match="no bag files"):
+        resolve_bag_paths(str(tmp_path / "missing*.sbag"))
+
+
+def test_single_and_fleet_connections_schemas_compatible(spark, fleet, tmp_path):
+    """The same bag through convert_bag and convert_bags yields the same
+    7-column Connections schema (ADVICE r3: the SBAG path used to emit 5)."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    _, paths = fleet
+    out1 = str(tmp_path / "single")
+    out2 = str(tmp_path / "fleet")
+    convert_bag(spark, paths[1], out1)
+    convert_bags(spark, [paths[1]], out2)
+    c1 = spark.read.parquet(os.path.join(out1, "Connections"))
+    c2 = spark.read.parquet(os.path.join(out2, "Connections"))
+    assert c1.columns == c2.columns
