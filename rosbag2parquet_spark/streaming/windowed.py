@@ -16,26 +16,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos in the fixture parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream (file-source; each arriving parquet file is
     a micro-batch). The file source needs a directory, so the fixture file is
     staged (symlinked) into a scratch dir — in production this is the landing
-    directory new log files drop into. Timestamp rebuilt from nanos exactly
-    like the batch catalog."""
+    directory new log files drop into.
+
+    The ``ts`` physical type is probed from the footer EXACTLY like the
+    batch catalog (TIMESTAMP(NANOS) → long + rebuild, else TimestampType
+    directly) so stream and batch read identical values whichever way the
+    fixture was written."""
     import os
     import tempfile
+
+    from rosbag2parquet_spark.sources.catalog import _nanos_timestamp_cols
 
     stage = os.path.join(
         tempfile.gettempdir(),
@@ -47,13 +55,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = "ts" in _nanos_timestamp_cols(os.path.join(sf_dir, "events.parquet"))
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_is_nanos))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
