@@ -22,6 +22,7 @@ from rosbag2parquet_spark.functions import (  # noqa: E402
     dedup,
     kmeans,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -80,6 +81,7 @@ _MODULES = (
     similarity,
     kmeans,
     multimodal,
+    sampling,
     shuffle,
     sinks,
 )
@@ -96,6 +98,9 @@ _MODULES = (
 _QUERY_ORDER = [
     # driver-hash-red in r3 (HUGEINT oracle columns, fixed this round)
     "text-stats", "null-semantics", "sql-q12",
+    # NEW this round: deterministic corpus-shaping suite (functions/sampling)
+    "sample-hash", "split-train-test", "mix-weighted",
+    "cap-per-group", "pack-sequences", "shuffle-global",
     # r3-proven once; keep inside the window after changes
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",

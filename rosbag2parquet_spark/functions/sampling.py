@@ -1,0 +1,304 @@
+"""Deterministic sampling, splitting, mixing, packing — the corpus-shaping
+pass of a large-scale training-data pipeline (north-star §2d; the reference
+stops at conversion, its README delegates selection to engines reading the
+output, README.md:14-18).
+
+Every operator here is DETERMINISTIC BY HASH, not `rand()`: sampling
+decisions are a pure function of the row key (md5 — present and
+bit-identical in Spark and DuckDB, same idiom as functions.dedup), so runs
+are reproducible across engines, retries, and cluster sizes — the property
+a training pipeline actually needs (re-running the job must not change the
+training set). The same SQL fragment is used verbatim on both the Spark
+and the DuckDB side, so parity is structural.
+
+Scale notes per operator are in each docstring; the common design rule:
+a sampling/split decision is a narrow per-row projection (no shuffle at
+all), and anything that needs an order (capping, packing) orders within
+hash shards so no global or per-key single-reducer sort exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+_HEX = "0123456789abcdef"
+
+#: bucket space for 5 hex nibbles = 16^5
+BUCKET_SPACE = 1 << 20
+
+
+def md5_bucket_sql(col_sql: str, salt: str = "", nhex: int = 5) -> str:
+    """SQL (valid in BOTH Spark and DuckDB) for an integer hash bucket in
+    ``[0, 16**nhex)``: the first ``nhex`` nibbles of ``md5(salt || key)``.
+    Nibbles decode via ``instr`` arithmetic — no engine-specific hex
+    conversion function needed (same trick as dedup.simhash)."""
+    h = f"md5('{salt}' || cast({col_sql} as string))"
+    terms = [
+        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (nhex - 1 - i)}"
+        for i in range(nhex)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ------------------------------------------------------------- sample-hash
+
+#: 10% Bernoulli sample: keep when bucket < 0.10 * 2^20
+_SAMPLE_KEEP = BUCKET_SPACE // 10
+
+_BUCKET_DOC = md5_bucket_sql("doc_id", salt="sample|")
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of the corpus, keyed on
+    md5(doc_id). A pure per-row filter: no shuffle, no state, embarrassingly
+    parallel at any scale, and the SAME rows are kept on every run and
+    every engine. The summary per (lang) proves the realized rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.expr(f"{_BUCKET_DOC} < {_SAMPLE_KEEP}"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT lang, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM documents WHERE {_BUCKET_DOC} < {_SAMPLE_KEEP}
+GROUP BY lang
+"""
+
+
+# -------------------------------------------------------- split-train-test
+
+_BUCKET_SPLIT = md5_bucket_sql("doc_id", salt="split|")
+
+#: 90 / 5 / 5 split boundaries in the 2^20 bucket space
+_TRAIN_END = BUCKET_SPACE * 90 // 100
+_VAL_END = BUCKET_SPACE * 95 // 100
+
+_SPLIT_CASE = (
+    f"CASE WHEN {_BUCKET_SPLIT} < {_TRAIN_END} THEN 'train' "
+    f"WHEN {_BUCKET_SPLIT} < {_VAL_END} THEN 'val' ELSE 'test' END"
+)
+
+
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split assigned by hash bucket — the split is a
+    pure function of doc_id, so adding data later never moves an existing
+    document between splits (the property that prevents eval
+    contamination). Per (split, source) counts audit the assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", F.expr(_SPLIT_CASE))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SPLIT_TRAIN_TEST = f"""
+SELECT {_SPLIT_CASE} AS split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ mix-weighted
+
+#: per-language mixture rates in basis points (a typical data-mixing recipe:
+#: upweight scarce languages, downsample the dominant one)
+_LANG_RATES_BPS = {"en": 5000, "de": 10000, "es": 7500, "fr": 7500, "zh": 10000}
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_LANG_RATES_BPS.items()))
+    + " ELSE 10000 END"
+)
+
+_BUCKET_MIX = md5_bucket_sql("doc_id", salt="mix|")
+
+
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing: each language is kept at its recipe rate
+    (basis points), decided per row by hash — deterministic downsampling
+    with NO shuffle on the data path (the audit groupBy is on the tiny
+    result). At 100 TB this is a map-only pass; changing the recipe
+    re-filters without re-shuffling anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(
+        F.expr(f"pmod({_BUCKET_MIX}, 10000) < ({_RATE_CASE})")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(f"any_value({_RATE_CASE})").cast("int").alias("rate_bps"),
+    )
+
+
+ORACLE_MIX_WEIGHTED = f"""
+SELECT lang, count(*) AS n_kept,
+       CAST(any_value({_RATE_CASE}) AS INTEGER) AS rate_bps
+FROM documents
+WHERE ({_BUCKET_MIX}) % 10000 < ({_RATE_CASE})
+GROUP BY lang
+"""
+
+
+# ------------------------------------------------------------ cap-per-group
+
+_CAP_PER_LANG = 50
+
+_BUCKET_CAP = md5_bucket_sql("doc_id", salt="cap|")
+
+
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group document cap: keep at most K=50 docs per language, chosen
+    by hash order (NOT arrival order — reproducible and unbiased). The
+    window partitions by lang; at scale the rank only needs the top-K, so
+    Catalyst's WindowGroupLimit pushes the limit below the sort — no group
+    ever materializes fully on one reducer."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"row_number() OVER (PARTITION BY lang "
+            f"ORDER BY {_BUCKET_CAP}, doc_id)"
+        ).alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _CAP_PER_LANG).select(
+        "doc_id", "lang", F.col("rk").cast("long").alias("rk")
+    )
+
+
+ORACLE_CAP_PER_GROUP = f"""
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_BUCKET_CAP}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_CAP_PER_LANG}
+"""
+
+
+# ----------------------------------------------------------- pack-sequences
+
+#: context-window capacity in (approximated) tokens, and the shard fan-out.
+#: Packing is SHARD-LOCAL: a global greedy pack is inherently sequential,
+#: so the corpus is hashed into shards and each shard packs independently —
+#: the standard distributed formulation (shards ≈ training-data files).
+_PACK_CAPACITY = 2048
+_PACK_SHARDS = 8
+
+_BUCKET_PACK = md5_bucket_sql("doc_id", salt="pack|")
+
+#: ~4 chars per token — the usual cheap token estimate (per-engine integer
+#: division spelling: Spark `div`, DuckDB `//`)
+_TOKENS_SPARK = "greatest(n_chars div 4, 1L)"
+_TOKENS_DUCK = "greatest(n_chars // 4, 1)"
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill 2048-token context windows with documents,
+    sharded by hash. Within a shard, docs are ordered by hash and assigned
+    to the bin their cumulative token count lands in (contiguous-fill
+    packing — one window cumsum, expressible identically in both engines).
+    Emits per-bin fill statistics. Scale shape: the only shuffle is the
+    hash-shard exchange; each shard's cumsum is one sorted partition, and
+    shard count grows with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.expr(f"cast(pmod({_BUCKET_PACK}, {_PACK_SHARDS}) as bigint)").alias("shard"),
+        F.expr(_TOKENS_SPARK).alias("tokens"),
+        F.expr(
+            f"sum({_TOKENS_SPARK}) OVER (PARTITION BY pmod({_BUCKET_PACK}, {_PACK_SHARDS})"
+            f" ORDER BY {_BUCKET_PACK}, doc_id)"
+        ).alias("cum_tokens"),
+    ).withColumn(
+        "bin_id", F.expr(f"(cum_tokens - tokens) div {_PACK_CAPACITY}")
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH packed AS (
+  SELECT doc_id,
+         CAST(({_BUCKET_PACK}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         {_TOKENS_DUCK} AS tokens,
+         sum({_TOKENS_DUCK}) OVER (PARTITION BY ({_BUCKET_PACK}) % {_PACK_SHARDS}
+                                   ORDER BY {_BUCKET_PACK}, doc_id) AS cum_tokens
+  FROM documents
+)
+SELECT shard, CAST((cum_tokens - tokens) // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------- shuffle-global
+
+_BUCKET_SHUF = md5_bucket_sql("doc_id", salt="shuffle|")
+
+
+def q_shuffle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: every doc gets a dense rank in
+    a hash-shuffled order — the 'global shuffle before training' pass,
+    reproducible across runs.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` plans as an Exchange
+    SinglePartition — the global-window scale-killer. This uses the same
+    bucketed two-pass rank as the engine's seqno operator
+    (operators.keys.assign_seqno): the 2^20 hash-bucket space is split
+    into 64 coarse ranges, per-range counts are prefix-summed driver-side,
+    and the window partitions by range — every stage parallel."""
+    from rosbag2parquet_spark.operators.keys import assign_seqno
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select("doc_id", F.expr(_BUCKET_SHUF).alias("__shuf"))
+    ranked = assign_seqno(
+        tagged,
+        ["__shuf", "doc_id"],
+        bucket=F.expr(f"__shuf div {BUCKET_SPACE // 64}"),
+    )
+    return ranked.select(
+        "doc_id", (F.col("seqno") + 1).cast("long").alias("shuffle_rank")
+    )
+
+
+ORACLE_SHUFFLE_GLOBAL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {_BUCKET_SHUF}, doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM documents
+"""
+
+
+QUERIES = {
+    "sample-hash": q_sample_hash,
+    "split-train-test": q_split_train_test,
+    "mix-weighted": q_mix_weighted,
+    "cap-per-group": q_cap_per_group,
+    "pack-sequences": q_pack_sequences,
+    "shuffle-global": q_shuffle_global,
+}
+
+ORACLES = {
+    "sample-hash": ORACLE_SAMPLE_HASH,
+    "split-train-test": ORACLE_SPLIT_TRAIN_TEST,
+    "mix-weighted": ORACLE_MIX_WEIGHTED,
+    "cap-per-group": ORACLE_CAP_PER_GROUP,
+    "pack-sequences": ORACLE_PACK_SEQUENCES,
+    "shuffle-global": ORACLE_SHUFFLE_GLOBAL,
+}
