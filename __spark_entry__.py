@@ -37,6 +37,7 @@ from rosbag2parquet_spark.operators import (  # noqa: E402
     tpch,
     windows,
 )
+from rosbag2parquet_spark.streaming import queries as streaming_queries  # noqa: E402
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -84,6 +85,7 @@ _MODULES = (
     sampling,
     shuffle,
     sinks,
+    streaming_queries,
 )
 
 
@@ -101,6 +103,8 @@ _QUERY_ORDER = [
     # NEW this round: deterministic corpus-shaping suite (functions/sampling)
     "sample-hash", "split-train-test", "mix-weighted",
     "cap-per-group", "pack-sequences", "shuffle-global",
+    # NEW this round: streaming twins, oracle-checked against the batch SQL
+    "stream-tumbling", "stream-sessionize", "stream-neardup",
     # r3-proven once; keep inside the window after changes
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",

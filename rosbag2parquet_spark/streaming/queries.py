@@ -1,0 +1,92 @@
+"""Driver-registry entries for the STREAMING surface — each runs a real
+Structured Streaming query over the staged fixture stream to completion
+(memory sink), then returns the result as a normal DataFrame.
+
+The streaming plans are the same logical plans as their batch twins
+(Catalyst incrementalizes them), so each query here carries the SAME
+DuckDB oracle as its batch twin — the correctness gate proves not just
+"the stream ran" but that incrementalized execution produces the batch
+answer bit-for-bit: tumbling windows and sessionization via stateful
+aggregation, and the near-dup index via applyInPandasWithState plus a
+stream-static verification join.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rosbag2parquet_spark.operators import windows as batch_windows
+from rosbag2parquet_spark.streaming.windowed import (
+    run_to_memory,
+    sessionized,
+    stream_events,
+    windowed_counts,
+)
+
+#: memory-sink table names must be unique per start() within a session
+_SEQ = itertools.count()
+
+
+def _fresh(prefix: str) -> str:
+    return f"{prefix}_{next(_SEQ)}"
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation executed as a STREAM (complete mode) —
+    same logical plan as the batch `window-tumbling`, same oracle."""
+    tbl = _fresh("stream_tumbling")
+    run_to_memory(windowed_counts(stream_events(spark, sf_dir)), tbl, mode="complete")
+    return spark.table(tbl)
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization executed as a STREAM (complete mode) —
+    the stateful session-merge path, batch `sessionize`'s oracle."""
+    tbl = _fresh("stream_sessionize")
+    run_to_memory(sessionized(stream_events(spark, sf_dir)), tbl, mode="complete")
+    return spark.table(tbl)
+
+
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: stateful bucket index
+    (applyInPandasWithState) emits candidates as documents arrive; a
+    stream-static exact-Jaccard join verifies them. Distinct because a pair
+    agreeing on multiple bands verifies once per band (the operator stays
+    stateless; dedup is the consumer's one-liner). Same verified pair set —
+    ids AND jaccard doubles — as batch `dedup-minhash-lsh`, same oracle."""
+    from rosbag2parquet_spark.functions.dedup import _doc_shingle_sets
+    from rosbag2parquet_spark.streaming.neardup import (
+        stream_documents,
+        streaming_verified,
+    )
+
+    tbl = _fresh("stream_neardup")
+    sets = _doc_shingle_sets(spark, sf_dir)
+    run_to_memory(
+        streaming_verified(stream_documents(spark, sf_dir), sets),
+        tbl,
+        mode="append",
+    )
+    return spark.table(tbl).select("a_id", "b_id", "jaccard").distinct()
+
+
+QUERIES = {
+    "stream-tumbling": q_stream_tumbling,
+    "stream-sessionize": q_stream_sessionize,
+    "stream-neardup": q_stream_neardup,
+}
+
+
+def _minhash_oracle() -> str:
+    from rosbag2parquet_spark.functions.dedup import ORACLES as _DEDUP_ORACLES
+
+    return _DEDUP_ORACLES["dedup-minhash-lsh"]
+
+
+ORACLES = {
+    "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
+    "stream-sessionize": batch_windows.ORACLES["sessionize"],
+    "stream-neardup": _minhash_oracle(),
+}

@@ -91,16 +91,18 @@ def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
 
 
 def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
-    """Streaming sessionization via the native session_window state merge."""
+    """Streaming sessionization via the native session_window state merge.
+    Emits the SAME columns as the batch twin (operators.windows.q_sessionize)
+    so stream==batch equality is checkable row-for-row."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
-            "n_events",
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_last_us"),
         )
+        .select("user_id", "session_start_us", "session_last_us", "n_events")
     )
 
 
