@@ -105,6 +105,8 @@ _QUERY_ORDER = [
     "cap-per-group", "pack-sequences", "shuffle-global",
     # NEW this round: streaming twins, oracle-checked against the batch SQL
     "stream-tumbling", "stream-sessionize", "stream-neardup",
+    # NEW this round: the last two fixture-expressible TPC-H shapes
+    "sql-q8", "sql-q21",
     # r3-proven once; keep inside the window after changes
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",

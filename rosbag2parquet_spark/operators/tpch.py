@@ -459,6 +459,82 @@ GROUP BY c_mktsegment
 """
 
 
+_Q8_SQL = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — the 8-way star join (nation twice:
+    customer-side restricts the market region, supplier-side names the
+    share-holder) with a conditional-sum ratio. Both sums accumulate in
+    DECIMAL (exact, order-free); the share is one IEEE division of the two
+    exact-cast doubles, rounded. The three small dims broadcast; lineitem
+    joins orders/part on their keys under AQE."""
+    register_views(
+        spark,
+        sf_dir,
+        ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(_Q8_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+  AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept orders waiting — the correlated
+    EXISTS (semi join) + NOT EXISTS with an inequality (anti join) pair
+    against the same fact table. Fixture lineitem has no
+    commit/receipt dates, so 'late' is shipped >30 days after the order and
+    the blame test is 'strictly latest shipment in a multi-supplier order'
+    (l_shipdate plays both roles) — identical plan shape: one semi, one
+    anti, both keyed on l_orderkey."""
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql(_Q21_SQL)
+
+
 def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: wealthy customers with no urgent orders — an
     uncorrelated scalar average (decimal-exact sum ÷ count), an anti-join,
@@ -483,6 +559,8 @@ QUERIES = {
     "sql-q15": q_sql_q15,
     "sql-q17": q_sql_q17,
     "sql-q19": q_sql_q19,
+    "sql-q8": q_sql_q8,
+    "sql-q21": q_sql_q21,
     "sql-q22": q_sql_q22,
     "approx-stats": q_approx_stats,
 }
@@ -500,6 +578,8 @@ ORACLES = {
     "sql-q15": _Q15_SQL,
     "sql-q17": ORACLE_SQL_Q17,
     "sql-q19": _Q19_SQL,
+    "sql-q8": _Q8_SQL,
+    "sql-q21": _Q21_SQL,
     "sql-q22": _Q22_SQL,
     # approx-stats: intentionally no oracle — sketch estimates are
     # engine-specific; driver records rows-only.
