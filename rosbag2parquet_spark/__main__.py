@@ -62,7 +62,34 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    if args.input.endswith((".bag", ".sbag")):
+    def _is_bag_fleet(inp: str) -> bool:
+        """Directory containing bag files, or a glob over bags — but a
+        parquet dataset directory (or glob) stays on the parquet path."""
+        from rosbag2parquet_spark.convert import _looks_like_bag
+
+        if os.path.isfile(inp):
+            return False
+        if os.path.isdir(inp):
+            return any(
+                _looks_like_bag(os.path.join(inp, p))
+                for p in os.listdir(inp)
+                if os.path.isfile(os.path.join(inp, p))
+            )
+        if any(ch in inp for ch in "*?["):
+            import glob as _glob
+
+            paths = _glob.glob(inp)
+            return bool(paths) and any(_looks_like_bag(p) for p in paths)
+        return False
+
+    if _is_bag_fleet(args.input):
+        # FLEET path: a directory or glob of bags → one table layout with
+        # continuous seqno and a reconciled Connections dim (the reference's
+        # multi-file union claim, README.md:16, made explicit)
+        from rosbag2parquet_spark.convert import convert_bags
+
+        info = convert_bags(spark, args.input, out)
+    elif args.input.endswith((".bag", ".sbag")):
         # real binary-bag path — the reference's full program: one
         # FLATTENED typed table per message type (each decoded with its own
         # msg_def), plus Messages/Connections and the DDL script

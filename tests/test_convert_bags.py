@@ -138,3 +138,17 @@ def test_single_and_fleet_connections_schemas_compatible(spark, fleet, tmp_path)
     c1 = spark.read.parquet(os.path.join(out1, "Connections"))
     c2 = spark.read.parquet(os.path.join(out2, "Connections"))
     assert c1.columns == c2.columns
+
+
+def test_cli_fleet_mode(fleet, tmp_path, capsys, spark):
+    """`python -m rosbag2parquet_spark --input <dir-of-bags>` routes to
+    convert_bags; a parquet input keeps the stream-convert path."""
+    from rosbag2parquet_spark.__main__ import main
+
+    d, _ = fleet
+    out = str(tmp_path / "cli_out")
+    assert main(["--input", str(d), "--outdir", out]) == 0
+    assert "6 messages" in capsys.readouterr().out
+    import os
+
+    assert os.path.isdir(os.path.join(out, "Messages"))
