@@ -104,7 +104,7 @@ _QUERY_ORDER = [
     "sample-hash", "split-train-test", "mix-weighted",
     "cap-per-group", "pack-sequences", "shuffle-global",
     # NEW this round: streaming twins, oracle-checked against the batch SQL
-    "stream-tumbling", "stream-sessionize", "stream-neardup",
+    "stream-tumbling", "stream-sessionize", "stream-neardup", "stream-sink",
     # NEW this round: the last two fixture-expressible TPC-H shapes
     "sql-q8", "sql-q21",
     # r3-proven once; keep inside the window after changes

@@ -72,10 +72,46 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl).select("a_id", "b_id", "jaccard").distinct()
 
 
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The type-router (S3) as a CONTINUOUS pipeline: streaming demux into
+    a per-type partitioned parquet layout with a checkpoint (exactly-once
+    file sink), then a partition-pruned read-back of one type. Proves the
+    whole incremental ingest path — source → typed projection →
+    partitioned file sink → prunable layout — equals the batch answer."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.sink import stream_demux
+
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    q = stream_demux(spark, sf_dir, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out)
+    return back.filter(F.col("datatype") == "purchase").select(
+        "seqno",
+        F.unix_micros("time").alias("time_us"),
+        "size",
+        "connection_id",
+        "data",
+    )
+
+
+ORACLE_STREAM_SINK = """
+SELECT event_id AS seqno, epoch_us(ts) AS time_us, value AS size,
+       user_id AS connection_id, encode(props) AS data
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sessionize": q_stream_sessionize,
     "stream-neardup": q_stream_neardup,
+    "stream-sink": q_stream_sink,
 }
 
 
@@ -89,4 +125,5 @@ ORACLES = {
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],
     "stream-neardup": _minhash_oracle(),
+    "stream-sink": ORACLE_STREAM_SINK,
 }
