@@ -102,7 +102,7 @@ _QUERY_ORDER = [
     "text-stats", "null-semantics", "sql-q12",
     # NEW this round: deterministic corpus-shaping suite (functions/sampling)
     "sample-hash", "split-train-test", "mix-weighted",
-    "cap-per-group", "pack-sequences", "shuffle-global",
+    "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
     # NEW this round: streaming twins, oracle-checked against the batch SQL
     "stream-tumbling", "stream-sessionize", "stream-neardup", "stream-sink",
     # NEW this round: the last two fixture-expressible TPC-H shapes

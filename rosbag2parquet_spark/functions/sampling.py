@@ -285,6 +285,78 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------ contamination
+
+#: word-3-shingle expressions (same 3-gram family as functions.text
+#: fingerprinting; Spark slice() is (start, length), DuckDB w[i:i+2] is an
+#: inclusive 1-based slice — both yield 3 words)
+_SHINGLES_SPARK = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+)
+_SHINGLES_DUCK = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
+    " i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))"
+)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every TRAIN-split document, count
+    its distinct word-3-shingles that also occur anywhere in the TEST split
+    (the eval set of the hash split) — the standard n-gram decontamination
+    pass run before training. Emits only contaminated docs.
+
+    Plan shape: explode distinct shingles once, split the exploded frame by
+    the hash split, LEFT-join train shingles against the distinct eval
+    shingle set (keyed on the shingle — at fixture scale the eval side
+    broadcasts; at 100 TB it shuffle-joins on the shingle hash, which is
+    uniformly distributed by construction), then one per-doc count. No
+    quadratic step anywhere: cost is O(total shingles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.expr(_SPLIT_CASE).alias("split"),
+        F.explode(F.expr(f"array_distinct({_SHINGLES_SPARK})")).alias("s"),
+    )
+    ev = (
+        ex.filter(F.col("split") == "test")
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = ex.filter(F.col("split") == "train")
+    return (
+        tr.join(ev, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sd AS (
+  SELECT doc_id, {_SPLIT_CASE} AS split,
+         list_distinct({_SHINGLES_DUCK}) AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, split, unnest(sh) AS s FROM sd
+), ev AS (
+  SELECT DISTINCT s FROM ex WHERE split = 'test'
+), tr AS (
+  SELECT doc_id, s FROM ex WHERE split = 'train'
+)
+SELECT tr.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap
+FROM tr LEFT JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+HAVING sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
 QUERIES = {
     "sample-hash": q_sample_hash,
     "split-train-test": q_split_train_test,
@@ -292,6 +364,7 @@ QUERIES = {
     "cap-per-group": q_cap_per_group,
     "pack-sequences": q_pack_sequences,
     "shuffle-global": q_shuffle_global,
+    "contamination": q_contamination,
 }
 
 ORACLES = {
@@ -301,4 +374,5 @@ ORACLES = {
     "cap-per-group": ORACLE_CAP_PER_GROUP,
     "pack-sequences": ORACLE_PACK_SEQUENCES,
     "shuffle-global": ORACLE_SHUFFLE_GLOBAL,
+    "contamination": ORACLE_CONTAMINATION,
 }
