@@ -103,6 +103,7 @@ _QUERY_ORDER = [
     # NEW this round: deterministic corpus-shaping suite (functions/sampling)
     "sample-hash", "split-train-test", "mix-weighted",
     "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
+    "corpus-filter",
     # NEW this round: streaming twins, oracle-checked against the batch SQL
     "stream-tumbling", "stream-sessionize", "stream-neardup", "stream-sink",
     # NEW this round: the last two fixture-expressible TPC-H shapes

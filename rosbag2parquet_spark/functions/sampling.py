@@ -285,6 +285,57 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- corpus-filter
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end filter funnel of a training-data pipeline: exact-dup
+    removal (keep the min doc_id per md5(text)), then C4/Gopher-style
+    heuristic gates (min chars, min tokens), with FIRST-FAILING-RULE
+    attribution — the per-source funnel report ('how much did each rule
+    cost me?') every corpus build wants. All gates are integer conditions,
+    so the funnel is deterministic across engines.
+
+    Plan: one window over md5(text) partitions (tiny groups — exact-dup
+    clusters), everything else is a narrow projection into a small
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    rk = F.expr(
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)"
+    )
+    reason = (
+        F.when(rk > 1, "duplicate")
+        .when(F.col("n_chars") < 100, "too_short")
+        .when(n_tok < 20, "too_few_tokens")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("source", "n_chars", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_CORPUS_FILTER = """
+WITH marked AS (
+  SELECT source, n_chars,
+         CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) > 1 THEN 'duplicate'
+              WHEN n_chars < 100 THEN 'too_short'
+              WHEN len(string_split(text, ' ')) < 20 THEN 'too_few_tokens'
+              ELSE 'kept' END AS reason
+  FROM documents
+)
+SELECT source, reason, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM marked GROUP BY source, reason
+"""
+
+
 # ------------------------------------------------------------ contamination
 
 #: word-3-shingle expressions (same 3-gram family as functions.text
@@ -365,6 +416,7 @@ QUERIES = {
     "pack-sequences": q_pack_sequences,
     "shuffle-global": q_shuffle_global,
     "contamination": q_contamination,
+    "corpus-filter": q_corpus_filter,
 }
 
 ORACLES = {
@@ -375,4 +427,5 @@ ORACLES = {
     "pack-sequences": ORACLE_PACK_SEQUENCES,
     "shuffle-global": ORACLE_SHUFFLE_GLOBAL,
     "contamination": ORACLE_CONTAMINATION,
+    "corpus-filter": ORACLE_CORPUS_FILTER,
 }
