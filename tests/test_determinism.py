@@ -19,6 +19,8 @@ RISKY = [
     "groupby-agg", "derived", "rollup", "dim-join", "zscore", "text-stats",
     "quality-score", "window-tumbling", "null-semantics", "limit", "seqno",
     "rollup-hypertable", "dedup-minhash-lsh", "kmeans", "salted-agg",
+    # round 4: conditional-sum ratio (q8) and the two-pass global rank
+    "sql-q8", "shuffle-global",
 ]
 
 
