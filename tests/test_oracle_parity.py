@@ -22,6 +22,9 @@ def _norm(rows, cols):
             return "NULL"
         if isinstance(v, float):
             return "nan" if math.isnan(v) else repr(v)
+        if isinstance(v, (bytes, bytearray)):
+            # Spark yields bytes, DuckDB-via-pandas bytearray — same VALUE
+            return bytes(v).hex()
         return str(v)
 
     out = sorted(tuple(nv(r[i]) for i in order) for r in rows)
@@ -46,10 +49,23 @@ def test_rows_only_query_runs(name, spark):
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - ROWS_ONLY))
 def test_query_matches_oracle(name, spark, duck):
+    # BOTH sides fetch through pandas — the driver's fetch path. DuckDB's
+    # sum(integer) is HUGEINT, which pandas renders float64 while
+    # fetchall() yields Python int: a fetchall-based compare passed three
+    # rounds of queries the driver hash-failed (tools/check_oracle.py
+    # carries the same rule).
+    from tools.check_oracle import _pandas_rows
+
     sdf = _QUERIES[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+    srows = _pandas_rows(sdf.toPandas())
     rel = duck.sql(_ORACLES[name])
-    orows = rel.fetchall()
+    hazards = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not hazards, f"oracle HUGEINT columns (CAST to BIGINT): {hazards}"
+    orows = _pandas_rows(rel.df())
     assert sorted(sdf.columns) == sorted(rel.columns), "column names must match"
     assert len(srows) == len(orows), "row counts must match"
     assert _norm(srows, sdf.columns) == _norm(orows, rel.columns)
