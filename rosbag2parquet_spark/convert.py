@@ -426,6 +426,11 @@ def _write_bag_tables(
 #: with more than a million connections don't exist (rosbag caps well below)
 _CONN_KEY_STRIDE = 1 << 20
 
+#: above this many (bag, conn) entries the remap ships as a broadcast dim
+#: instead of a create_map literal (literal size grows the compiled plan
+#: per task; a 10k-bag fleet would embed ~100k lit pairs in one expression)
+_REMAP_LITERAL_MAX = 1000
+
 
 def _bag_scan_meta(path: str) -> dict:
     """Per-bag driver-side metadata for the multi-bag planner, one header
@@ -574,14 +579,27 @@ def convert_bags(
         union = msgs if union is None else checked_union(union, msgs)
     # the combined key is LONG arithmetic: int32 would silently wrap at
     # bag_index >= 2048 (2048 * 2^20 == 2^31), miss the map, and drop rows
-    pairs: list = []
-    for k, g in remap.items():
-        pairs.extend([F.lit(k).cast("long"), F.lit(g)])
     key = (
         F.col("bag_index").cast("long") * F.lit(_CONN_KEY_STRIDE)
         + F.col("conn_id").cast("long")
     )
-    looked_up = F.create_map(*pairs)[key]
+    if len(remap) <= _REMAP_LITERAL_MAX:
+        # small fleet: a map LITERAL probes per row with no join at all
+        pairs: list = []
+        for k, g in remap.items():
+            pairs.extend([F.lit(k).cast("long"), F.lit(g)])
+        looked_up = F.create_map(*pairs)[key]
+    else:
+        # large fleet: a 100k-entry create_map is a plan-size blowup (every
+        # task compiles the literal); ship the remap as a broadcast-joined
+        # dim instead — same no-shuffle property for the stream side
+        remap_df = spark.createDataFrame(
+            [(k, g) for k, g in remap.items()], "__rk bigint, __rg int"
+        )
+        union = union.withColumn("__rk", key).join(
+            F.broadcast(remap_df), "__rk", "left"
+        )
+        looked_up = F.col("__rg")
     # a conn_id in the stream but absent from the header scan is corrupt
     # input — fail loudly instead of silently dropping those rows downstream
     union = union.withColumn(
@@ -592,6 +610,8 @@ def convert_bags(
             )
         ),
     )
+    if len(remap) > _REMAP_LITERAL_MAX:
+        union = union.drop("__rk", "__rg")
 
     # ---- continuous seqno across bags: bucket = bag slot + in-bag bucket.
     # One shared width (the coarsest bag's) keeps every bag ≤ ~64 buckets;

@@ -152,3 +152,25 @@ def test_cli_fleet_mode(fleet, tmp_path, capsys, spark):
     import os
 
     assert os.path.isdir(os.path.join(out, "Messages"))
+
+
+def test_fleet_remap_broadcast_path(spark, fleet, tmp_path, monkeypatch):
+    """Above the literal threshold the remap ships as a broadcast dim; the
+    output must be identical to the create_map path (same layout run at
+    threshold 0)."""
+    import importlib
+
+    # the package __init__ re-exports the convert FUNCTION under the same
+    # name, so attribute-style module import resolves to the function
+    cv = importlib.import_module("rosbag2parquet_spark.convert")
+
+    _, paths = fleet
+    monkeypatch.setattr(cv, "_REMAP_LITERAL_MAX", 0)
+    out = str(tmp_path / "bcast")
+    info = convert_bags(spark, paths, out)
+    assert info.count == 6
+    import os
+
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    assert sorted(r.seqno for r in messages.collect()) == list(range(6))
+    assert {r.connection_id for r in messages.collect()} == {0, 1}
