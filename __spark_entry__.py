@@ -108,6 +108,8 @@ _QUERY_ORDER = [
     "stream-tumbling", "stream-sessionize", "stream-neardup", "stream-sink",
     # NEW this round: the last two fixture-expressible TPC-H shapes
     "sql-q8", "sql-q21",
+    # NEW this round: ANN quality metric
+    "knn-recall",
     # r3-proven once; keep inside the window after changes
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",

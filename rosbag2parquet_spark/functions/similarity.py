@@ -535,10 +535,43 @@ SELECT query_id, rk, vec_id, cos_sim FROM (
 """
 
 
+# ----------------------------------------------------------- knn-recall (X3)
+
+
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF path against the exact scan — the quality metric
+    an ANN index is tuned by (nprobe/K trade). Both sides are the engine's
+    own deterministic queries, so recall is a reproducible number, not a
+    sample estimate; output is integer-only (count + basis points)."""
+    exact = q_knn(spark, sf_dir).select("vec_id")
+    ivf = q_knn_ivf(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(ivf, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(KNN_K).cast("int").alias("k"),
+            "n_overlap",
+            F.expr(f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)").alias(
+                "recall_bps"
+            ),
+        )
+    )
+
+
+def _oracle_knn_recall() -> str:
+    return f"""
+SELECT CAST({KNN_K} AS INTEGER) AS k,
+       count(*) AS n_overlap,
+       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
+FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_ivf()}) i USING (vec_id)
+"""
+
+
 QUERIES = {
     "knn": q_knn,
     "knn-ivf": q_knn_ivf,
     "knn-batch": q_knn_batch,
+    "knn-recall": q_knn_recall,
     "embed-neardup": q_embed_neardup,
 }
 
@@ -546,5 +579,6 @@ ORACLES = {
     "knn": ORACLE_KNN,
     "knn-ivf": _oracle_knn_ivf(),
     "knn-batch": ORACLE_KNN_BATCH,
+    "knn-recall": _oracle_knn_recall(),
     "embed-neardup": _oracle_embed_neardup(),
 }
