@@ -107,11 +107,45 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    profile, drained to completion; the FINAL update per user (the row with
+    the max running count) must equal the batch per-user aggregate. Only
+    the integer state is compared — the float running sum accumulates in
+    batch-arrival order by design (it's a monitor, not a ledger) and is
+    excluded rather than pretending it's canonical."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_user_profile
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    tbl = _fresh("stream_profile")
+    run_to_memory(running_user_profile(events), tbl, mode="update")
+    t = spark.table(tbl)
+    final = t.withColumn(
+        "rk",
+        F.expr(
+            "row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC)"
+        ),
+    ).filter(F.col("rk") == 1)
+    return final.select("user_id", "n_events", "last_ts_us")
+
+
+ORACLE_STREAM_PROFILE = """
+SELECT user_id, count(*) AS n_events,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sessionize": q_stream_sessionize,
     "stream-neardup": q_stream_neardup,
     "stream-sink": q_stream_sink,
+    "stream-profile": q_stream_profile,
 }
 
 
@@ -126,4 +160,5 @@ ORACLES = {
     "stream-sessionize": batch_windows.ORACLES["sessionize"],
     "stream-neardup": _minhash_oracle(),
     "stream-sink": ORACLE_STREAM_SINK,
+    "stream-profile": ORACLE_STREAM_PROFILE,
 }
