@@ -122,6 +122,69 @@ FROM events ASOF LEFT JOIN q
 """
 
 
-QUERIES = {"asof": q_asof}
+#: max staleness for the tolerance variant — 30 days in microseconds
+ASOF_TOLERANCE_US = 30 * 24 * 3600 * 1_000_000
 
-ORACLES = {"asof": ORACLE_ASOF}
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with BOUNDED staleness: a match older than the tolerance
+    (30 days) is discarded — the semantic real sensor fusion needs (a
+    3-hour-old GPS fix must not be fused into the current frame). Same
+    single-shuffle carry-forward plan; the quote TIME rides along as one
+    more carried column and a final narrow projection nulls stale matches —
+    tolerance costs nothing over the plain as-of."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    quotes = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    out = asof_join(
+        probes=events.select("event_id", "user_id", "ts"),
+        quotes=quotes,
+        probe_key="user_id",
+        quote_key="o_custkey",
+        probe_time="ts",
+        quote_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    fresh = (
+        F.unix_micros("ts") - F.unix_micros("asof_o_orderdate")
+        <= ASOF_TOLERANCE_US
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(fresh, F.col("asof_o_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("asof_o_totalprice")).alias("last_order_price"),
+        F.coalesce(fresh.cast("int"), F.lit(0)).alias("within_tolerance"),
+    )
+
+
+ORACLE_ASOF_TOLERANCE = f"""
+WITH q AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         q.o_orderkey, q.o_totalprice,
+         epoch_us(ts) - epoch_us(q.o_orderdate) AS age_us
+  FROM events ASOF LEFT JOIN q
+    ON user_id = q.o_custkey AND q.o_orderdate <= events.ts
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN age_us <= {ASOF_TOLERANCE_US} THEN o_orderkey END
+         AS last_orderkey,
+       CASE WHEN age_us <= {ASOF_TOLERANCE_US} THEN o_totalprice END
+         AS last_order_price,
+       CAST(coalesce(age_us <= {ASOF_TOLERANCE_US}, false) AS INTEGER)
+         AS within_tolerance
+FROM m
+"""
+
+
+QUERIES = {"asof": q_asof, "asof-tolerance": q_asof_tolerance}
+
+ORACLES = {"asof": ORACLE_ASOF, "asof-tolerance": ORACLE_ASOF_TOLERANCE}
