@@ -137,3 +137,23 @@ def test_shuffle_global_has_no_single_partition(spark):
 def test_pack_plan_shard_parallel(spark):
     plan = physical_plan(sampling.q_pack_sequences(spark, SF_DIR))
     assert "SinglePartition" not in plan
+
+
+def test_md5_bucket_matches_hashlib(spark):
+    """The instr-arithmetic nibble decode must equal an independent
+    hashlib computation — pins the cross-engine hash family to a third
+    implementation."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    vals = [0, 1, 42, 999_999, 2**40, 7]
+    df = spark.createDataFrame([Row(doc_id=v) for v in vals])
+    expr = sampling.md5_bucket_sql("doc_id", salt="t|", nhex=5)
+    got = {
+        r.doc_id: r.b
+        for r in df.selectExpr("doc_id", f"{expr} AS b").collect()
+    }
+    for v in vals:
+        expect = int(hashlib.md5(f"t|{v}".encode()).hexdigest()[:5], 16)
+        assert got[v] == expect, v
