@@ -118,7 +118,10 @@ def _read_record_at(f, pos: int) -> tuple[dict[str, bytes], int, int, int]:
     header = f.read(hlen)
     if len(header) != hlen:
         raise ValueError(f"truncated record header at {pos}")
-    (dlen,) = struct.unpack("<I", f.read(4))
+    raw = f.read(4)
+    if len(raw) < 4:
+        raise ValueError(f"truncated record length at {pos}")
+    (dlen,) = struct.unpack("<I", raw)
     data_start = pos + 4 + hlen + 4
     return _parse_fields(header), data_start, dlen, data_start + dlen
 
@@ -207,6 +210,11 @@ def scan_rosbag(path: str) -> tuple[list[ConnectionInfo], list[ChunkRef]]:
         pos = len(ROSBAG_MAGIC)
         while pos + 8 <= size:
             fields, data_start, dlen, nxt = _read_record_at(f, pos)
+            if nxt > size:
+                raise ValueError(
+                    f"{path}: record at {pos} claims {dlen} data bytes but "
+                    f"the file ends at {size} — truncated bag"
+                )
             op = fields["op"][0]
             if op == OP_CHUNK:
                 declared = (
@@ -227,6 +235,10 @@ def scan_rosbag(path: str) -> tuple[list[ConnectionInfo], list[ChunkRef]]:
                 conn_count = struct.unpack("<I", fields["conn_count"])[0]
             # 0x04/0x06 skipped: indexes
             pos = nxt
+    if conn_count is None and not chunks and not conns:
+        raise ValueError(
+            f"{path}: no rosbag records after the magic — truncated bag"
+        )
 
     if chunks and not conns:
         # unindexed-bag fallback: harvest connection records from inside

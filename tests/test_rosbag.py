@@ -263,3 +263,26 @@ def test_cli_info_real_bag(tmp_path, capsys, spark):
     assert main(["info", "--input", path]) == 0
     out = capsys.readouterr().out
     assert "TOTAL: 3 msgs" in out and "sensor_msgs/Imu" in out
+
+
+def test_truncated_bag_fails_loudly(tmp_path):
+    import struct
+    """Every truncation point must raise a clear ValueError — never a
+    silent partial scan (the reference's rosbag::View throws too)."""
+    import pytest
+
+    from rosbag2parquet_spark.sources.rosbag import scan_rosbag, write_rosbag
+
+    p = str(tmp_path / "t.bag")
+    write_rosbag(
+        p,
+        [ConnectionInfo(1, "/t", "demo/T", "m", "uint32 x")],
+        [(1, 100, struct.pack("<I", 5))],
+    )
+    data = open(p, "rb").read()
+    for cut in (20, 100, len(data) // 2, len(data) - 3):
+        q = str(tmp_path / f"cut{cut}.bag")
+        with open(q, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(ValueError, match="truncated|corrupt"):
+            scan_rosbag(q)
