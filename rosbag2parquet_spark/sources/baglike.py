@@ -91,21 +91,28 @@ def write_bag(
 
 
 def read_header(path: str) -> tuple[list[ConnectionInfo], int]:
-    """Parse the connection header; return (connections, msg_region_start)."""
+    """Parse the connection header; return (connections, msg_region_start).
+    Truncation anywhere in the header raises a clear ValueError (not a
+    bare struct.error) — never a silent partial header."""
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not an SBAG file")
-        (n_conn,) = struct.unpack("<I", f.read(4))
-        conns = []
-        for _ in range(n_conn):
-            (cid,) = struct.unpack("<I", f.read(4))
-            strs = []
-            for _ in range(3):
-                (ln,) = struct.unpack("<H", f.read(2))
-                strs.append(f.read(ln).decode())
-            (ln,) = struct.unpack("<I", f.read(4))
-            msg_def = f.read(ln).decode()
-            conns.append(ConnectionInfo(cid, *strs, msg_def))
+        try:
+            (n_conn,) = struct.unpack("<I", f.read(4))
+            conns = []
+            for _ in range(n_conn):
+                (cid,) = struct.unpack("<I", f.read(4))
+                strs = []
+                for _ in range(3):
+                    (ln,) = struct.unpack("<H", f.read(2))
+                    strs.append(f.read(ln).decode())
+                (ln,) = struct.unpack("<I", f.read(4))
+                msg_def = f.read(ln).decode()
+                conns.append(ConnectionInfo(cid, *strs, msg_def))
+        except struct.error as e:
+            raise ValueError(
+                f"{path}: truncated SBAG header at byte {f.tell()}"
+            ) from e
         return conns, f.tell()
 
 
@@ -119,6 +126,11 @@ def _index_offsets(path: str, start: int) -> list[int]:
         while pos + 4 <= size:
             f.seek(pos)
             (rec_len,) = struct.unpack("<I", f.read(4))
+            if pos + 4 + rec_len > size:
+                raise ValueError(
+                    f"{path}: record at {pos} claims {rec_len} bytes but the "
+                    f"file ends at {size} — truncated bag"
+                )
             offsets.append(pos)
             pos += 4 + rec_len
     return offsets

@@ -417,3 +417,35 @@ def test_blob_extraction_mode(spark, tmp_path):
     ).orderBy("offset").collect()
     assert [bytes(r.data) for r in out] == blobs
     assert [r.format for r in out] == ["jpeg"] * len(blobs)
+
+
+def test_truncated_sbag_fails_loudly(tmp_path):
+    """Header truncation raises a clear ValueError; a message record
+    claiming bytes past EOF fails at index time, not with a silent
+    partial scan."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from rosbag2parquet_spark.sources.baglike import (
+        ConnectionInfo as CI,
+        _index_offsets,
+        read_header,
+        write_bag,
+    )
+
+    p = str(tmp_path / "t.sbag")
+    write_bag(p, [CI(1, "/t", "demo/T", "m", "uint32 xyzzy")], [(1, 100, _struct.pack("<I", 5))])
+    data = open(p, "rb").read()
+    for cut in (6, 20):
+        q = str(tmp_path / f"h{cut}.sbag")
+        open(q, "wb").write(data[:cut])
+        with _pytest.raises(ValueError, match="truncated SBAG header"):
+            read_header(q)
+    # cut inside the message region: header parses, indexing must raise
+    q = str(tmp_path / "m.sbag")
+    open(q, "wb").write(data[: len(data) - 3])
+    conns, start = read_header(q)
+    assert len(conns) == 1
+    with _pytest.raises(ValueError, match="truncated"):
+        _index_offsets(q, start)
