@@ -299,6 +299,7 @@ def convert_bag(
     *,
     num_partitions: int = 32,
     arrays: str = "skip",
+    unsigned: str = "signed",
     max_records_per_file: int = 1_000_000,
 ) -> ConvertInfo:
     """The reference's whole program over a real bag file (.bag = rosbag
@@ -333,6 +334,7 @@ def convert_bag(
         conns_df,
         out_dir,
         arrays=arrays,
+        unsigned=unsigned,
         max_records_per_file=max_records_per_file,
     )
     seq.unpersist()
@@ -347,6 +349,7 @@ def _write_bag_tables(
     arrays: str,
     max_records_per_file: int,
     join_keys: tuple[str, ...] = ("offset",),
+    unsigned: str = "signed",
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -396,6 +399,7 @@ def _write_bag_tables(
             cs[0].msg_def,
             keep_cols=(*join_keys, "conn_id"),
             arrays=arrays,
+            unsigned=unsigned,
         )
         pertype = (
             flat.join(seq.select(*join_keys, "seqno", "data"), list(join_keys))
@@ -523,6 +527,7 @@ def convert_bags(
     *,
     num_partitions: int = 32,
     arrays: str = "skip",
+    unsigned: str = "signed",
     max_records_per_file: int = 1_000_000,
 ) -> ConvertInfo:
     """Convert a FLEET of bags into ONE table layout — the reference's
@@ -629,6 +634,7 @@ def convert_bags(
         conns_df,
         out_dir,
         arrays=arrays,
+        unsigned=unsigned,
         max_records_per_file=max_records_per_file,
         join_keys=("bag_index", "offset"),
     )

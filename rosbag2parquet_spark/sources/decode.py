@@ -59,11 +59,20 @@ _SCALAR_FMT = {
 _FIXED_SIZE = {k: v[1] for k, v in _SCALAR_FMT.items()}
 
 
-def make_decoder(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"):
+def make_decoder(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+    unsigned: str = "signed",
+):
     """Compile a decode function(bytes) → tuple of flattened values, walking
     the same tree ``to_struct_type`` walks so positions match the schema.
     ``arrays='blobs'`` extracts uint8-family arrays as bytes values (the
-    multimodal-column mode); other arrays are skipped positionally."""
+    multimodal-column mode); other arrays are skipped positionally.
+    ``unsigned='exact'`` reads uint32 unsigned (schema promotes to LONG)."""
+    scalar_fmt = dict(_SCALAR_FMT)
+    if unsigned == "exact":
+        scalar_fmt["uint32"] = ("<I", 4)
 
     def decode_into(spec: MsgSpec, buf: bytes, pos: int, out: list) -> int:
         pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
@@ -90,8 +99,8 @@ def make_decoder(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"
                 (n,) = struct.unpack_from("<I", buf, pos)
                 out.append(buf[pos + 4 : pos + 4 + n].decode())
                 pos += 4 + n
-            elif f.type_name in _SCALAR_FMT:
-                fmt, sz = _SCALAR_FMT[f.type_name]
+            elif f.type_name in scalar_fmt:
+                fmt, sz = scalar_fmt[f.type_name]
                 out.append(struct.unpack_from(fmt, buf, pos)[0])
                 pos += sz
             else:
@@ -163,12 +172,20 @@ _NP_DTYPE = {
 }
 
 
-def fixed_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"):
+def fixed_layout(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+    unsigned: str = "signed",
+):
     """If every message of this type has a FIXED byte length (no strings, no
     variable-length arrays), return the numpy structured-dtype field list
     [(name|None, np_dtype_or_pad_bytes)] for a single vectorized
     ``np.frombuffer`` decode of an entire batch; else None. Emitted names
     align 1:1 with ``to_struct_type(arrays='skip')``."""
+    np_dtype_map = dict(_NP_DTYPE)
+    if unsigned == "exact":
+        np_dtype_map["uint32"] = "<u4"
     if arrays == "blobs":
         # extracted blob columns are variable-size values even at fixed
         # stride — the offset-scan tier handles them
@@ -234,8 +251,8 @@ def fixed_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"
             if f.type_name in TIME_TYPES:
                 fields.append((f"{name}_sec", "<i4"))
                 fields.append((f"{name}_nsec", "<i4"))
-            elif f.type_name in _NP_DTYPE:
-                fields.append((name, _NP_DTYPE[f.type_name]))
+            elif f.type_name in np_dtype_map:
+                fields.append((name, np_dtype_map[f.type_name]))
             else:
                 sub = _resolve(f.type_name, pkg, specs)
                 if sub is None or not walk(sub, f"{name}_"):
@@ -245,7 +262,12 @@ def fixed_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"
     return fields if walk(specs[root_type], "") else None
 
 
-def variable_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "skip"):
+def variable_layout(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+    unsigned: str = "signed",
+):
     """Compile the op list for the VECTORIZED variable-stride decoder: the
     per-batch offset-scan that replaces per-row ``struct.unpack`` walks (the
     reference names introspection CPU as its bottleneck, README.md:131-133).
@@ -260,6 +282,9 @@ def variable_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "sk
     Ops: ("fixed", name, np_dtype, size) | ("time", name) | ("string", name)
     | ("skip_fixed", nbytes) | ("skip_var", unit_bytes).
     """
+    np_dtype_map = dict(_NP_DTYPE)
+    if unsigned == "exact":
+        np_dtype_map["uint32"] = "<u4"
     ops: list[tuple] = []
 
     def fixed_bytes(spec: MsgSpec) -> int | None:
@@ -317,9 +342,9 @@ def variable_layout(root_type: str, specs: dict[str, MsgSpec], arrays: str = "sk
                 ops.append(("string", name))
             elif f.type_name in TIME_TYPES:
                 ops.append(("time", name))
-            elif f.type_name in _NP_DTYPE:
+            elif f.type_name in np_dtype_map:
                 ops.append(
-                    ("fixed", name, _NP_DTYPE[f.type_name], _FIXED_SIZE[f.type_name])
+                    ("fixed", name, np_dtype_map[f.type_name], _FIXED_SIZE[f.type_name])
                 )
             else:
                 sub = _resolve(f.type_name, pkg, specs)
@@ -414,6 +439,7 @@ def decode_messages(
     data_col: str = "data",
     keep_cols: tuple[str, ...] = ("offset", "time_ns", "conn_id"),
     arrays: str = "skip",
+    unsigned: str = "signed",
 ) -> DataFrame:
     """Bag messages → flattened typed columns: the per-type table body
     (reference MessageTable.cpp:305-343 minus seqno/blob bookkeeping, which
@@ -422,15 +448,15 @@ def decode_messages(
     import numpy as np
 
     specs = parse_msgdef(root_type, msgdef_text)
-    flat = to_struct_type(root_type, specs, arrays=arrays)
-    decode = make_decoder(root_type, specs, arrays=arrays)
+    flat = to_struct_type(root_type, specs, arrays=arrays, unsigned=unsigned)
+    decode = make_decoder(root_type, specs, arrays=arrays, unsigned=unsigned)
 
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols] + list(flat.fields)
     )
     flat_names = [f.name for f in flat.fields]
 
-    layout = fixed_layout(root_type, specs, arrays=arrays)
+    layout = fixed_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
     np_dtype = None
     if layout is not None:
         np_fields, pad = [], 0
@@ -447,7 +473,7 @@ def decode_messages(
     #   offset-scan   — one numpy gather per field (strings/var arrays)
     #   per-row       — struct.unpack walk (string arrays & var-struct arrays)
     var_ops = (
-        variable_layout(root_type, specs, arrays=arrays)
+        variable_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
         if np_dtype is None
         else None
     )

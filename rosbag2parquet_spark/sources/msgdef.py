@@ -129,6 +129,7 @@ def to_struct_type(
     root_type: str,
     specs: dict[str, MsgSpec],
     arrays: str = "skip",
+    unsigned: str = "signed",
 ) -> T.StructType:
     """Compile the parsed specs into the flattened relational schema the
     reference emits (MessageTable.cpp:263-303): scalars promoted, times
@@ -142,7 +143,23 @@ def to_struct_type(
                      binary column beside the typed metadata (the
                      reference's own out-of-line wish, README.md:137).
     arrays='native' — spark mode: ArrayType columns (the upgrade).
+
+    unsigned='signed' — parity: uint32 stored as signed raw bits (the
+                     reference's documented relaxation, rosbag2parquet.cpp:36
+                     TODO "uint32/64 columns are stored as signed").
+    unsigned='exact' — upgrade: uint32 promoted to LongType so values past
+                     2^31 read correctly (a ROS Header.seq is uint32!).
+                     uint64 keeps the signed relaxation in BOTH modes —
+                     Spark has no unsigned 64-bit container short of
+                     DECIMAL(20,0), which would poison downstream
+                     arithmetic; documented, like the reference.
     """
+    if unsigned not in ("signed", "exact"):
+        raise ValueError(f"unsigned must be signed|exact, got {unsigned!r}")
+
+    builtin = dict(BUILTIN_TYPES)
+    if unsigned == "exact":
+        builtin["uint32"] = T.LongType()
 
     fields: list[T.StructField] = []
 
@@ -162,21 +179,21 @@ def to_struct_type(
                     # reference consumes it string-style (MessageTable.cpp:63-67)
                     fields.append(T.StructField(name, T.BinaryType(), False))
                     continue
-                elem = BUILTIN_TYPES.get(f.type_name)
+                elem = builtin.get(f.type_name)
                 if elem is None and f.type_name in TIME_TYPES:
                     continue
                 if elem is None:
                     sub = _resolve(f.type_name, pkg, specs)
                     if sub is None:
                         raise KeyError(f"unresolved type {f.type_name} in {spec.full_name}")
-                    elem = to_struct_type(sub.full_name, specs, arrays)
+                    elem = to_struct_type(sub.full_name, specs, arrays, unsigned)
                 fields.append(T.StructField(name, T.ArrayType(elem), False))
                 continue
             if f.type_name in TIME_TYPES:
                 fields.append(T.StructField(f"{name}_sec", T.IntegerType(), False))
                 fields.append(T.StructField(f"{name}_nsec", T.IntegerType(), False))
-            elif f.type_name in BUILTIN_TYPES:
-                fields.append(T.StructField(name, BUILTIN_TYPES[f.type_name], False))
+            elif f.type_name in builtin:
+                fields.append(T.StructField(name, builtin[f.type_name], False))
             else:
                 sub = _resolve(f.type_name, pkg, specs)
                 if sub is None:

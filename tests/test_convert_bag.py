@@ -83,3 +83,19 @@ def test_convert_bag_md5_conflict_refused(spark, tmp_path):
     write_bag(path, conns, [(1, 1, struct.pack("<I", 7)), (2, 2, struct.pack("<I", 8))])
     with pytest.raises(ValueError, match="md5sum"):
         convert_bag(spark, path, str(tmp_path / "out"))
+
+
+def test_convert_bag_unsigned_exact(spark, tmp_path):
+    """unsigned='exact' flows through the converter: a uint32 counter past
+    2^31 lands positive in the typed table (the reference's documented
+    signedness bug, rosbag2parquet.cpp:36, as an opt-in fix)."""
+    path = str(tmp_path / "u.sbag")
+    write_bag(
+        path,
+        [ConnectionInfo(1, "/c", "demo/Counter", "m1", "uint32 n")],
+        [(1, 1_000, struct.pack("<I", 3_000_000_000))],
+    )
+    out = str(tmp_path / "out")
+    convert_bag(spark, path, out, unsigned="exact")
+    row = spark.read.parquet(os.path.join(out, "demo_Counter")).collect()[0]
+    assert row.n == 3_000_000_000

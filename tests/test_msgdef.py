@@ -119,3 +119,43 @@ def test_ddl_from_msgdef():
     assert "seqno BIGINT NOT NULL" in ddl
     assert "header_frame_id VARCHAR NOT NULL" in ddl
     assert "data VARBINARY NOT NULL" in ddl
+
+
+def test_unsigned_exact_mode(spark):
+    """unsigned='exact' reads uint32 past 2^31 correctly in ALL THREE decode
+    tiers; the default keeps the reference's signed-bits relaxation."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    big = 3_000_000_000  # > 2^31
+    expected_signed = big - (1 << 32)  # raw bits as int32
+
+    cases = [
+        # (msgdef, payload, colname) — fixed-stride / offset-scan / per-row
+        ("uint32 a\nint32 b", struct.pack("<Ii", big, -5), "a"),
+        (
+            "uint32 a\nstring s",
+            struct.pack("<I", big) + struct.pack("<I", 2) + b"hi",
+            "a",
+        ),
+        (
+            "uint32 a\nstring[] ss",
+            struct.pack("<I", big)
+            + struct.pack("<I", 1)
+            + struct.pack("<I", 2)
+            + b"hi",
+            "a",
+        ),
+    ]
+    for msgdef, payload, col in cases:
+        df = spark.createDataFrame(
+            [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+        )
+        exact = decode_messages(df, "demo/T", msgdef, unsigned="exact")
+        assert exact.schema[col].dataType.simpleString() == "bigint", msgdef
+        assert exact.collect()[0][col] == big, msgdef
+        parity = decode_messages(df, "demo/T", msgdef)
+        assert parity.collect()[0][col] == expected_signed, msgdef
