@@ -300,6 +300,9 @@ def convert_bag(
     num_partitions: int = 32,
     arrays: str = "skip",
     unsigned: str = "signed",
+    topics: "list[str] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
     max_records_per_file: int = 1_000_000,
 ) -> ConvertInfo:
     """The reference's whole program over a real bag file (.bag = rosbag
@@ -315,11 +318,32 @@ def convert_bag(
     vectorized mapInPandas tiers and stitched to its global seqno by an
     offset-keyed join (offset is unique, so the join is 1:1).
     ``arrays='blobs'`` additionally extracts uint8[] payload fields as
-    binary columns (multimodal mode)."""
+    binary columns (multimodal mode).
+
+    ``topics``/``start_ns``/``end_ns`` convert a SUBSET (the classic
+    `rosbag filter` workflow): topic selection prunes whole connections
+    BEFORE the scan consumes their payloads (the filter pushes to the
+    conn_id column the source emits), the time range is a scan filter, and
+    seqno renumbers contiguously over the kept rows — the output is a
+    self-contained layout, not a view."""
     from rosbag2parquet_spark.info import load_bag, seqno_bucket_width
     from rosbag2parquet_spark.operators.keys import assign_seqno
 
     msgs, conns_df = load_bag(spark, bag_path, num_partitions=num_partitions)
+
+    if topics is not None:
+        keep = conns_df.filter(F.col("topic").isin(list(topics)))
+        keep_ids = [r.connection_id for r in keep.collect()]
+        if not keep_ids:
+            raise ValueError(
+                f"no connections match topics {topics!r} in {bag_path}"
+            )
+        conns_df = keep
+        msgs = msgs.filter(F.col("conn_id").isin(keep_ids))
+    if start_ns is not None:
+        msgs = msgs.filter(F.col("time_ns") >= start_ns)
+    if end_ns is not None:
+        msgs = msgs.filter(F.col("time_ns") < end_ns)
 
     # explicit bucket sized to THIS bag's offset encoding: the default
     # integer bucket (div 100000) makes ~2^shift/1e5 map entries per chunk

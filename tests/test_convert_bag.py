@@ -99,3 +99,21 @@ def test_convert_bag_unsigned_exact(spark, tmp_path):
     convert_bag(spark, path, out, unsigned="exact")
     row = spark.read.parquet(os.path.join(out, "demo_Counter")).collect()[0]
     assert row.n == 3_000_000_000
+
+
+def test_convert_bag_topic_and_time_filter(spark, two_type_bag, tmp_path):
+    """topics/start_ns/end_ns convert a SUBSET (the `rosbag filter`
+    workflow): only the selected topic's table exists, the time range
+    prunes rows, and seqno renumbers contiguously."""
+    out = str(tmp_path / "subset")
+    info = convert_bag(
+        spark, two_type_bag, out, topics=["/gps"], start_ns=2_000, end_ns=5_000
+    )
+    assert info.count == 2  # gps at 2k and 4k; 5k excluded by end, imu by topic
+    gps = spark.read.parquet(os.path.join(out, "nav_msgs_Gps"))
+    assert sorted(r.seqno for r in gps.collect()) == [0, 1]
+    assert not os.path.isdir(os.path.join(out, "sensor_msgs_Imu"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no connections match"):
+        convert_bag(spark, two_type_bag, str(tmp_path / "x"), topics=["/nope"])
