@@ -271,6 +271,45 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+# ------------------------------------------------------------- scrub-terms
+
+#: deny-list for the scrubbing pass — in production this is the boilerplate/
+#: marker/PII pattern set; word-boundary regex keeps it token-exact
+SCRUB_TERMS = ("customer", "dup", "slow")
+
+_SCRUB_RE = r"\b(" + "|".join(SCRUB_TERMS) + r")\b"
+
+
+def q_scrub_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list scrubbing — the redaction pass of a training-data pipeline
+    (boilerplate markers, leaked identifiers, PII patterns): count the hits
+    and measure the document after replacement. One narrow projection, two
+    codegen'd regex evaluations per row, no shuffle on the data path; the
+    regex family is RE2-safe so both engines agree token-for-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    # column-function form, NOT an F.expr SQL literal: Spark SQL string
+    # literals process backslash escapes, silently turning '\b' into a
+    # backspace character and the word-boundary regex into a no-match
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_SCRUB_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+        F.length(F.regexp_replace("text", _SCRUB_RE, "[X]"))
+        .cast("long")
+        .alias("n_chars_scrubbed"),
+    )
+
+
+ORACLE_SCRUB_TERMS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_SCRUB_RE}')) AS BIGINT) AS n_hits,
+       CAST(len(regexp_replace(text, '{_SCRUB_RE}', '[X]', 'g')) AS BIGINT)
+         AS n_chars_scrubbed
+FROM documents
+"""
+
+
 QUERIES = {
     "text-stats": q_text_stats,
     "token-count": q_token_count,
@@ -278,6 +317,7 @@ QUERIES = {
     "quality-score": q_quality_score,
     "fingerprint": q_fingerprint,
     "top-terms": q_top_terms,
+    "scrub-terms": q_scrub_terms,
 }
 
 ORACLES = {
@@ -287,4 +327,5 @@ ORACLES = {
     "quality-score": ORACLE_QUALITY,
     "fingerprint": ORACLE_FINGERPRINT,
     "top-terms": ORACLE_TOP_TERMS,
+    "scrub-terms": ORACLE_SCRUB_TERMS,
 }
