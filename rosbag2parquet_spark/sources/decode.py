@@ -78,7 +78,11 @@ def make_decoder(
         pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
         for f in spec.fields:
             if f.is_array:
-                if arrays == "blobs" and f.type_name in ("uint8", "byte", "char"):
+                if arrays in ("blobs", "native") and f.type_name in (
+                    "uint8",
+                    "byte",
+                    "char",
+                ):
                     if f.array_len is None:
                         (n,) = struct.unpack_from("<I", buf, pos)
                         pos += 4
@@ -87,6 +91,32 @@ def make_decoder(
                     out.append(buf[pos : pos + n])
                     pos += n
                     continue
+                if arrays == "native":
+                    if f.array_len is None:
+                        (n,) = struct.unpack_from("<I", buf, pos)
+                        pos += 4
+                    else:
+                        n = f.array_len
+                    if f.type_name == "string":
+                        vals = []
+                        for _ in range(n):
+                            (ln,) = struct.unpack_from("<I", buf, pos)
+                            vals.append(buf[pos + 4 : pos + 4 + ln].decode())
+                            pos += 4 + ln
+                        out.append(vals)
+                        continue
+                    if f.type_name in scalar_fmt and f.type_name not in TIME_TYPES:
+                        fmt, sz = scalar_fmt[f.type_name]
+                        out.append(
+                            list(struct.unpack_from(f"<{n}{fmt[1]}", buf, pos))
+                            if n
+                            else []
+                        )
+                        pos += n * sz
+                        continue
+                    # time/struct element arrays: schema skipped them
+                    if f.array_len is None:
+                        pos -= 4  # skip_array re-reads the length prefix
                 pos = skip_array(f, buf, pos, pkg)
                 continue
             if f.type_name in TIME_TYPES:
@@ -233,6 +263,8 @@ def fixed_layout(
         for f in spec.fields:
             name = f"{prefix}{f.name}"
             if f.is_array:
+                if arrays == "native":
+                    return False  # array COLUMNS → offset-scan/per-row tiers
                 if f.array_len is None:
                     return False  # variable length → not fixed-stride
                 if f.type_name in TIME_TYPES:
@@ -316,12 +348,24 @@ def variable_layout(
         for f in spec.fields:
             name = f"{prefix}{f.name}"
             if f.is_array:
-                if arrays == "blobs" and f.type_name in ("uint8", "byte", "char"):
+                if arrays in ("blobs", "native") and f.type_name in (
+                    "uint8", "byte", "char",
+                ):
                     if f.array_len is None:
                         ops.append(("blob_var", name))
                     else:
                         ops.append(("blob_fixed", name, f.array_len))
                     continue
+                if arrays == "native" and f.type_name in np_dtype_map:
+                    dt = np_dtype_map[f.type_name]
+                    unit = _FIXED_SIZE[f.type_name]
+                    if f.array_len is None:
+                        ops.append(("arr_var", name, dt, unit))
+                    else:
+                        ops.append(("arr_fixed", name, dt, unit, f.array_len))
+                    continue
+                if arrays == "native" and f.type_name == "string":
+                    return False  # string arrays → per-row fallback
                 if f.type_name in TIME_TYPES:
                     unit = 8
                 elif f.type_name in _FIXED_SIZE:
@@ -396,6 +440,22 @@ def make_vector_decoder(ops: list[tuple]):
                 # the one per-row loop left, inherent to object output
                 cols[name] = [
                     raw[s:e].decode()
+                    for s, e in zip(spos.tolist(), ends.tolist())
+                ]
+                off = ends
+            elif kind == "arr_fixed":
+                _, name, dt, unit, cnt = op
+                # one gather for the whole batch → (n, cnt) matrix → rows
+                mat = gather(unit * cnt).view(dt).reshape(n, cnt)
+                cols[name] = list(mat)
+                off += unit * cnt
+            elif kind == "arr_var":
+                _, name, dt, unit = op
+                ln = gather(4).view("<u4").ravel().astype(np.int64)
+                spos = off + 4
+                ends = spos + ln * unit
+                cols[name] = [
+                    np.frombuffer(raw[s:e], dtype=dt)
                     for s, e in zip(spos.tolist(), ends.tolist())
                 ]
                 off = ends

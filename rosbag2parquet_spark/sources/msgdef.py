@@ -142,7 +142,12 @@ def to_struct_type(
                      image/audio payload field becomes its own opaque
                      binary column beside the typed metadata (the
                      reference's own out-of-line wish, README.md:137).
-    arrays='native' — spark mode: ArrayType columns (the upgrade).
+    arrays='native' — spark mode: scalar-element arrays become ArrayType
+                     columns, uint8[]-family stays a byte buffer
+                     (BinaryType), and struct-element / time arrays remain
+                     skipped (their flattening has no stable column shape) —
+                     the upgrade the reference explicitly couldn't do
+                     (README.md:126 "arrays not supported").
 
     unsigned='signed' — parity: uint32 stored as signed raw bits (the
                      reference's documented relaxation, rosbag2parquet.cpp:36
@@ -180,13 +185,11 @@ def to_struct_type(
                     fields.append(T.StructField(name, T.BinaryType(), False))
                     continue
                 elem = builtin.get(f.type_name)
-                if elem is None and f.type_name in TIME_TYPES:
-                    continue
                 if elem is None:
-                    sub = _resolve(f.type_name, pkg, specs)
-                    if sub is None:
-                        raise KeyError(f"unresolved type {f.type_name} in {spec.full_name}")
-                    elem = to_struct_type(sub.full_name, specs, arrays, unsigned)
+                    # time/duration and nested-struct arrays stay skipped in
+                    # native mode: their decode has no stable column shape
+                    # (the per-element flattening the reference also skips)
+                    continue
                 fields.append(T.StructField(name, T.ArrayType(elem), False))
                 continue
             if f.type_name in TIME_TYPES:

@@ -117,3 +117,14 @@ def test_convert_bag_topic_and_time_filter(spark, two_type_bag, tmp_path):
 
     with _pytest.raises(ValueError, match="no connections match"):
         convert_bag(spark, two_type_bag, str(tmp_path / "x"), topics=["/nope"])
+
+
+def test_convert_bag_native_arrays(spark, two_type_bag, tmp_path):
+    """arrays='native' through the converter: the IMU float64[9]
+    orientation_covariance becomes a real array column."""
+    out = str(tmp_path / "native")
+    convert_bag(spark, two_type_bag, out, arrays="native")
+    imu = spark.read.parquet(os.path.join(out, "sensor_msgs_Imu"))
+    assert "orientation_covariance" in imu.columns
+    row = imu.orderBy("seqno").collect()[0]
+    assert len(row.orientation_covariance) == 9

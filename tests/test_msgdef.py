@@ -159,3 +159,53 @@ def test_unsigned_exact_mode(spark):
         assert exact.collect()[0][col] == big, msgdef
         parity = decode_messages(df, "demo/T", msgdef)
         assert parity.collect()[0][col] == expected_signed, msgdef
+
+
+def test_native_arrays_decode(spark):
+    """arrays='native': scalar-element arrays become real ArrayType COLUMNS
+    (the upgrade the reference explicitly couldn't do, README.md:126) — in
+    the offset-scan tier (vectorized reshape / per-row view) and the
+    per-row fallback (string[] present); uint8[] stays a byte buffer and
+    time[]/struct[] stay skipped."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    msgdef = "float64[3] cov\nfloat32[] xs\nstring name\nuint8[] blob\ntime[] ts"
+    payload = (
+        struct.pack("<3d", 1.0, 2.0, 3.0)
+        + struct.pack("<I", 2)
+        + struct.pack("<2f", 0.5, 1.5)
+        + struct.pack("<I", 2)
+        + b"hi"
+        + struct.pack("<I", 3)
+        + b"\x01\x02\x03"
+        + struct.pack("<I", 1)
+        + struct.pack("<ii", 5, 6)
+    )
+    df = spark.createDataFrame(
+        [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+    )
+    out = decode_messages(df, "demo/T", msgdef, arrays="native")
+    r = out.collect()[0]
+    assert r.cov == [1.0, 2.0, 3.0]
+    assert r.xs == [0.5, 1.5]
+    assert bytes(r.blob) == b"\x01\x02\x03"
+    assert "ts" not in out.columns  # time arrays stay skipped
+
+    msgdef2 = "float64[2] cov\nstring[] ss"
+    payload2 = (
+        struct.pack("<2d", 9.0, 8.0)
+        + struct.pack("<I", 2)
+        + struct.pack("<I", 1)
+        + b"a"
+        + struct.pack("<I", 2)
+        + b"bc"
+    )
+    df2 = spark.createDataFrame(
+        [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload2))]
+    )
+    r2 = decode_messages(df2, "demo/T2", msgdef2, arrays="native").collect()[0]
+    assert r2.cov == [9.0, 8.0] and r2.ss == ["a", "bc"]
