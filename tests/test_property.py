@@ -225,3 +225,47 @@ def test_decoder_tiers_agree_on_random_messages(case):
     if layout is not None:
         # fixed-stride applies only when no strings/var-arrays — sanity
         assert all(k not in msgdef for k in ("string", "[]"))
+
+
+@given(_decodable_case())
+@settings(max_examples=60, deadline=None)
+def test_native_array_tiers_agree(case):
+    """Fuzz arrays='native': the per-row walk and the vectorized offset-scan
+    are independent implementations — they must produce identical columns
+    (arrays included) on random specs/payloads."""
+    import math
+
+    from rosbag2parquet_spark.sources.decode import (
+        make_decoder,
+        make_vector_decoder,
+        variable_layout,
+    )
+
+    msgdef, _, _, payloads = case
+    specs = parse_msgdef("fuzz/T", msgdef)
+    names = [f.name for f in to_struct_type("fuzz/T", specs, arrays="native").fields]
+
+    row_decode = make_decoder("fuzz/T", specs, arrays="native")
+    decoded = [row_decode(p) for p in payloads]
+
+    ops = variable_layout("fuzz/T", specs, arrays="native")
+    assert ops is not None
+    cols = make_vector_decoder(ops)(payloads)
+    assert list(cols) == names
+
+    def eq(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return a == b
+
+    for j, cname in enumerate(names):
+        col = cols[cname]
+        for i, rowvals in enumerate(decoded):
+            got, exp = col[i], rowvals[j]
+            if hasattr(got, "tolist"):
+                got = got.tolist()
+            if isinstance(exp, (list, tuple)) or isinstance(got, list):
+                assert len(got) == len(exp), f"{cname}[{i}]"
+                assert all(eq(g, e) for g, e in zip(got, exp)), f"{cname}[{i}]"
+            else:
+                assert eq(got, exp), f"{cname}[{i}]"
