@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
         "--max-mbs", type=float, default=None, help="stop after this many MB (ref --max_mbs)"
     )
     ap.add_argument(
+        "--arrays",
+        choices=("skip", "blobs", "native"),
+        default="skip",
+        help="array fields: skip (reference parity), blobs (uint8[] as "
+        "binary columns), native (scalar arrays as ArrayType columns)",
+    )
+    ap.add_argument(
         "--unsigned",
         choices=("signed", "exact"),
         default="signed",
@@ -95,14 +102,18 @@ def main(argv: list[str] | None = None) -> int:
         # multi-file union claim, README.md:16, made explicit)
         from rosbag2parquet_spark.convert import convert_bags
 
-        info = convert_bags(spark, args.input, out, unsigned=args.unsigned)
+        info = convert_bags(
+            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned
+        )
     elif args.input.endswith((".bag", ".sbag")):
         # real binary-bag path — the reference's full program: one
         # FLATTENED typed table per message type (each decoded with its own
         # msg_def), plus Messages/Connections and the DDL script
         from rosbag2parquet_spark.convert import convert_bag
 
-        info = convert_bag(spark, args.input, out, unsigned=args.unsigned)
+        info = convert_bag(
+            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned
+        )
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
