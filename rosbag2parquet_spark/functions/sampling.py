@@ -206,30 +206,42 @@ _TOKENS_SPARK = "greatest(n_chars div 4, 1L)"
 _TOKENS_DUCK = "greatest(n_chars // 4, 1)"
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = _PACK_CAPACITY,
+    n_shards: int = _PACK_SHARDS,
+    tokens_expr: str = _TOKENS_SPARK,
+) -> DataFrame:
+    """Library form of the packing operator. ``n_shards`` is the
+    parallelism knob: per-shard work is a LINEAR cumsum over its docs, so
+    a production run sizes shards to the corpus (corpus_tokens /
+    target_tokens_per_shard — e.g. one shard per output training file); a
+    fixed count would cap throughput at scale, not break correctness. The
+    driver query pins fixture constants so the oracle SQL stays static."""
+    packed = docs.select(
+        "doc_id",
+        F.expr(f"cast(pmod({_BUCKET_PACK}, {n_shards}) as bigint)").alias("shard"),
+        F.expr(tokens_expr).alias("tokens"),
+        F.expr(
+            f"sum({tokens_expr}) OVER (PARTITION BY pmod({_BUCKET_PACK}, {n_shards})"
+            f" ORDER BY {_BUCKET_PACK}, doc_id)"
+        ).alias("cum_tokens"),
+    ).withColumn("bin_id", F.expr(f"(cum_tokens - tokens) div {capacity}"))
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("bin_tokens"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: fill 2048-token context windows with documents,
     sharded by hash. Within a shard, docs are ordered by hash and assigned
     to the bin their cumulative token count lands in (contiguous-fill
     packing — one window cumsum, expressible identically in both engines).
     Emits per-bin fill statistics. Scale shape: the only shuffle is the
-    hash-shard exchange; each shard's cumsum is one sorted partition, and
-    shard count grows with the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    packed = docs.select(
-        "doc_id",
-        F.expr(f"cast(pmod({_BUCKET_PACK}, {_PACK_SHARDS}) as bigint)").alias("shard"),
-        F.expr(_TOKENS_SPARK).alias("tokens"),
-        F.expr(
-            f"sum({_TOKENS_SPARK}) OVER (PARTITION BY pmod({_BUCKET_PACK}, {_PACK_SHARDS})"
-            f" ORDER BY {_BUCKET_PACK}, doc_id)"
-        ).alias("cum_tokens"),
-    ).withColumn(
-        "bin_id", F.expr(f"(cum_tokens - tokens) div {_PACK_CAPACITY}")
-    )
-    return packed.groupBy("shard", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tokens").cast("long").alias("bin_tokens"),
-    )
+    hash-shard exchange; each shard's cumsum is one sorted partition;
+    shard count is the :func:`pack_sequences` knob sized to the corpus."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE_PACK_SEQUENCES = f"""

@@ -157,3 +157,13 @@ def test_md5_bucket_matches_hashlib(spark):
     for v in vals:
         expect = int(hashlib.md5(f"t|{v}".encode()).hexdigest()[:5], 16)
         assert got[v] == expect, v
+
+
+def test_pack_sequences_shard_knob(spark):
+    """More shards re-partition the work without losing tokens — the
+    production scaling knob."""
+    docs = load_table(spark, SF_DIR, "documents")
+    base = sampling.pack_sequences(docs).collect()
+    wide = sampling.pack_sequences(docs, n_shards=32).collect()
+    assert sum(r.bin_tokens for r in base) == sum(r.bin_tokens for r in wide)
+    assert len({r.shard for r in wide}) > len({r.shard for r in base})
