@@ -109,6 +109,17 @@ def main() -> None:
     decode_speedup = _bench_decode()
     print(f"# decode offset-scan speedup: {decode_speedup}x", file=sys.stderr)
 
+    # end-to-end converter throughput at a scaled-down version of the
+    # reference's README walkthrough (BASELINE.md: 102 MB blob bag) —
+    # disable with SPARK_GRAFT_BENCH_CONVERT=0
+    convert_stats = None
+    if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_convert import run as _convert_run
+
+        convert_stats = _convert_run(6_000, spark=spark)
+        print(f"# convert walkthrough: {convert_stats}", file=sys.stderr)
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     print(
         json.dumps(
@@ -124,6 +135,7 @@ def main() -> None:
                 "timing": "min_of_2_passes",
                 "cold_pass_seconds": cold_total,
                 "decode_vec_speedup": decode_speedup,
+                "convert_walkthrough": convert_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

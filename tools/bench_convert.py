@@ -69,48 +69,53 @@ def synth_bag(path: str, n_msgs: int, blob_bytes: int) -> None:
     )
 
 
-def main() -> None:
-    n_msgs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000
-    blob_bytes = int(sys.argv[2]) if len(sys.argv) > 2 else 4_096
-
+def run(n_msgs: int, blob_bytes: int = 4_096, spark=None) -> dict:
+    """Synthesize, convert, measure; reusable from bench.py with a shared
+    session (the warm-ups then cost nothing extra)."""
     from rosbag2parquet_spark.convert import convert_bag
     from rosbag2parquet_spark.session import get_spark
     from rosbag2parquet_spark.sources.baglike import read_bag
 
     work = tempfile.mkdtemp(prefix="bench_convert_")
-    bag = os.path.join(work, "walkthrough.sbag")
-    synth_bag(bag, n_msgs, blob_bytes)
-    bag_mb = os.path.getsize(bag) / (1 << 20)
+    try:
+        bag = os.path.join(work, "walkthrough.sbag")
+        synth_bag(bag, n_msgs, blob_bytes)
+        bag_mb = os.path.getsize(bag) / (1 << 20)
 
-    spark = get_spark("bench_convert")
-    spark.range(1).count()  # session warm-up outside the timed region
-    # python-worker spin-up is also excluded (a fixed ~5 s per executor
-    # lifetime, amortized away on any long-lived cluster)
-    read_bag(spark, bag, num_partitions=4).limit(1).count()
+        spark = spark or get_spark("bench_convert")
+        spark.range(1).count()  # session warm-up outside the timed region
+        # python-worker spin-up is also excluded (a fixed ~5 s per executor
+        # lifetime, amortized away on any long-lived cluster)
+        read_bag(spark, bag, num_partitions=4).limit(1).count()
 
-    t0 = time.perf_counter()
-    # the reference's full program: Messages + Connections + one FLATTENED
-    # typed table per message type (blob preserved per MessageTable.cpp:339)
-    info = convert_bag(spark, bag, os.path.join(work, "out"), num_partitions=32)
-    dt = time.perf_counter() - t0
-
-    out_mb = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(os.path.join(work, "out"))
-        for f in fs
-    ) / (1 << 20)
-    print(
-        json.dumps(
-            {
-                "bag_mb": round(bag_mb, 1),
-                "messages": info.count,
-                "convert_s": round(dt, 2),
-                "mb_per_s": round(bag_mb / dt, 1),
-                "output_mb": round(out_mb, 1),
-            }
+        t0 = time.perf_counter()
+        # the reference's full program: Messages + Connections + one
+        # FLATTENED typed table per type (blob per MessageTable.cpp:339)
+        info = convert_bag(
+            spark, bag, os.path.join(work, "out"), num_partitions=32
         )
-    )
-    shutil.rmtree(work, ignore_errors=True)
+        dt = time.perf_counter() - t0
+
+        out_mb = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(work, "out"))
+            for f in fs
+        ) / (1 << 20)
+        return {
+            "bag_mb": round(bag_mb, 1),
+            "messages": info.count,
+            "convert_s": round(dt, 2),
+            "mb_per_s": round(bag_mb / dt, 1),
+            "output_mb": round(out_mb, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    n_msgs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000
+    blob_bytes = int(sys.argv[2]) if len(sys.argv) > 2 else 4_096
+    print(json.dumps(run(n_msgs, blob_bytes)))
 
 
 if __name__ == "__main__":
