@@ -446,7 +446,7 @@ def make_vector_decoder(ops: list[tuple]):
             elif kind == "arr_fixed":
                 _, name, dt, unit, cnt = op
                 # one gather for the whole batch → (n, cnt) matrix → rows
-                mat = gather(unit * cnt).view(dt).reshape(n, cnt)
+                mat = gather(unit * cnt).view(dt).reshape(len(bufs), cnt)
                 cols[name] = list(mat)
                 off += unit * cnt
             elif kind == "arr_var":
@@ -469,8 +469,10 @@ def make_vector_decoder(ops: list[tuple]):
                 ]
                 off = ends
             elif kind == "blob_fixed":
-                _, name, n = op
-                ends = off + n
+                # NB: must not shadow the batch-size `n` (a prior version
+                # did, corrupting any later op that used it — fuzz-caught)
+                _, name, blen = op
+                ends = off + blen
                 cols[name] = [
                     raw[s:e] for s, e in zip(off.tolist(), ends.tolist())
                 ]
