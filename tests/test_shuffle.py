@@ -50,3 +50,34 @@ def test_salted_join_matches_plain(spark):
     plain = ev.join(cust, "c_custkey").groupBy("c_mktsegment").count()
     salted = salted_join(ev, cust, "c_custkey").groupBy("c_mktsegment").count()
     assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
+
+
+def test_no_unexpected_single_partition_exchange(spark):
+    """Global sweep: no registered batch query may plan an Exchange
+    SinglePartition EXCEPT the known global scalar reductions (one final
+    row / an uncorrelated scalar subquery — partial aggregation runs
+    map-side, only K scalars cross the exchange). This is the regression
+    guard for the round-1 scale-killer class (seqno/limit global windows),
+    and it guards every query added since."""
+    import __spark_entry__ as entrymod
+    from rosbag2parquet_spark.plans.inspect import physical_plan
+
+    # scalar-reduction outputs where a 1-row final agg is the right plan
+    allowed = {
+        "sql-q6", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
+        "range-join",
+    }
+    # streaming queries drive sinks (their plans are per-microbatch);
+    # demux/sink write converted layouts first — covered by their own tests
+    skip = {
+        "stream-tumbling", "stream-sessionize", "stream-neardup",
+        "stream-sink", "stream-profile", "demux", "sink",
+    }
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        plan = physical_plan(fn(spark, SF_DIR))
+        if "SinglePartition" in plan and name not in allowed:
+            offenders.append(name)
+    assert offenders == [], f"unexpected SinglePartition plans: {offenders}"
