@@ -105,8 +105,8 @@ _QUERY_ORDER = [
     "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
     "corpus-filter",
     # NEW this round: streaming twins, oracle-checked against the batch SQL
-    "stream-tumbling", "stream-sessionize", "stream-neardup", "stream-sink",
-    "stream-profile",
+    "stream-tumbling", "stream-sliding", "stream-sessionize", "stream-neardup",
+    "stream-sink", "stream-profile",
     # NEW this round: the last two fixture-expressible TPC-H shapes
     "sql-q8", "sql-q21",
     # NEW this round: ANN quality metric; bounded-staleness as-of; scrubbing

@@ -41,6 +41,32 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour every 30 min — each event in two windows)
+    as a STREAM (complete mode); batch `window-sliding`'s oracle."""
+    from pyspark.sql import functions as F
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    tbl = _fresh("stream_sliding")
+    run_to_memory(agg, tbl, mode="complete")
+    return spark.table(tbl)
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window sessionization executed as a STREAM (complete mode) —
     the stateful session-merge path, batch `sessionize`'s oracle."""
@@ -142,6 +168,7 @@ FROM events GROUP BY user_id
 
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
+    "stream-sliding": q_stream_sliding,
     "stream-sessionize": q_stream_sessionize,
     "stream-neardup": q_stream_neardup,
     "stream-sink": q_stream_sink,
@@ -157,6 +184,7 @@ def _minhash_oracle() -> str:
 
 ORACLES = {
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
+    "stream-sliding": batch_windows.ORACLES["window-sliding"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],
     "stream-neardup": _minhash_oracle(),
     "stream-sink": ORACLE_STREAM_SINK,
