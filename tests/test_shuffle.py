@@ -67,15 +67,13 @@ def test_no_unexpected_single_partition_exchange(spark):
         "sql-q6", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
         "range-join",
     }
-    # streaming queries drive sinks (their plans are per-microbatch);
     # demux/sink write converted layouts first — covered by their own tests
-    skip = {
-        "stream-tumbling", "stream-sessionize", "stream-neardup",
-        "stream-sink", "stream-profile", "demux", "sink",
-    }
+    skip = {"demux", "sink"}
     offenders = []
     for name, fn in entrymod.queries().items():
-        if name in skip:
+        # streaming queries drive a real stream to completion on invocation;
+        # their batch-visible plan is just the memory-table scan
+        if name in skip or name.startswith("stream-"):
             continue
         plan = physical_plan(fn(spark, SF_DIR))
         if "SinglePartition" in plan and name not in allowed:
