@@ -117,7 +117,12 @@ def main() -> None:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
 
-        convert_stats = _convert_run(6_000, spark=spark)
+        # min-of-2 like the query suite: observed 2x host noise on the
+        # identical conversion minutes apart
+        convert_stats = min(
+            (_convert_run(6_000, spark=spark) for _ in range(2)),
+            key=lambda d: d["convert_s"],
+        )
         print(f"# convert walkthrough: {convert_stats}", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
