@@ -110,7 +110,7 @@ _QUERY_ORDER = [
     # NEW this round: the last two fixture-expressible TPC-H shapes
     "sql-q8", "sql-q21",
     # NEW this round: ANN quality metric; bounded-staleness as-of; scrubbing
-    "knn-recall", "asof-tolerance", "scrub-terms",
+    "knn-recall", "asof-tolerance", "scrub-terms", "interval-join",
     # r3-proven once; keep inside the window after changes
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",

@@ -345,6 +345,78 @@ SELECT count(*) AS n_pairs FROM (
 """
 
 
+# ----------------------------------------------------------- interval join
+
+_HOUR_US = 3_600_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join: user sessions (intervals from the sessionizer)
+    against an hourly time grid — concurrent-sessions-per-hour, the
+    occupancy query every ops dashboard runs.
+
+    A naive overlap join (`a.start < b.end AND b.start <= a.end`) has no
+    equi key — engines plan a nested loop. The scalable formulation
+    EXPLODES each interval into the fixed-width chunks it covers and
+    equi-joins on the chunk id (here windows are chunk-aligned so chunk ==
+    window; in general a final exact-overlap filter + distinct dedups
+    multi-chunk pairs). Chunk count per interval is bounded by
+    duration/chunk, the join keys shard uniformly, and the grid side
+    broadcasts — no nested loop anywhere. The oracle runs the naive
+    overlap join, proving the chunked plan exact."""
+    from rosbag2parquet_spark.operators.windows import q_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.select(
+        F.expr("unix_micros(date_trunc('hour', min(ts)))").alias("lo"),
+        F.expr("unix_micros(date_trunc('hour', max(ts)))").alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, {_HOUR_US})")).alias("w_start")
+    )
+    sessions = q_sessionize(spark, sf_dir)
+    chunked = sessions.select(
+        "user_id",
+        "session_start_us",
+        "session_last_us",
+        F.explode(
+            F.expr(
+                f"sequence(session_start_us div {_HOUR_US},"
+                f" session_last_us div {_HOUR_US})"
+            )
+        ).alias("chunk"),
+    )
+    joined = chunked.join(
+        F.broadcast(grid),
+        F.col("chunk") * _HOUR_US == F.col("w_start"),
+    ).filter(  # exact overlap — redundant for aligned chunks, kept for shape
+        (F.col("session_start_us") < F.col("w_start") + _HOUR_US)
+        & (F.col("w_start") <= F.col("session_last_us"))
+    )
+    return joined.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _oracle_interval_join() -> str:
+    from rosbag2parquet_spark.operators.windows import ORACLE_SESSIONIZE
+
+    return f"""
+WITH s AS ({ORACLE_SESSIONIZE}),
+b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS lo,
+             epoch_us(date_trunc('hour', max(ts))) AS hi
+      FROM events),
+grid AS (SELECT unnest(generate_series(lo, hi, {_HOUR_US})) AS w_start FROM b)
+SELECT w_start, count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users
+FROM grid JOIN s
+  ON s.session_start_us < w_start + {_HOUR_US}
+ AND w_start <= s.session_last_us
+GROUP BY w_start
+"""
+
+
 # ---------------------------------------------------------- grouping sets
 
 
@@ -427,6 +499,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "zscore": q_zscore,
     "range-join": q_range_join,
+    "interval-join": q_interval_join,
 }
 
 ORACLES = {
@@ -443,4 +516,5 @@ ORACLES = {
     "unpivot": ORACLE_UNPIVOT,
     "zscore": ORACLE_ZSCORE,
     "range-join": ORACLE_RANGE_JOIN,
+    "interval-join": _oracle_interval_join(),
 }
