@@ -92,6 +92,9 @@ _MODULES = (
 # Evaluation order for the driver (which iterates dict order and records only
 # the FIRST 50 queries per round): queries whose driver row is red (or new
 # this round) come first, then the least-recently-proven ones.
+# ROUND-5 NOTE: after r4's driver run records the first 50 below, rotate —
+# move the tail (everything from "sql-q4" down, whose rows are from r1-r3)
+# to the front so every query keeps a recent driver row.
 # Round-4 root cause of the three r3-red rows: their oracles summed
 # INTEGERS, and DuckDB's sum(integer) is HUGEINT -> float64 under the
 # driver's pandas fetch, vs Spark's BIGINT -> int64. Fixed by CAST(... AS
