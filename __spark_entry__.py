@@ -90,55 +90,48 @@ _MODULES = (
 
 
 # Evaluation order for the driver (which iterates dict order and records only
-# the FIRST 50 queries per round): queries whose driver row is red (or new
-# this round) come first, then the least-recently-proven ones.
-# ROUND-5 NOTE: after r4's driver run records the first 50 below, rotate —
-# move the tail (everything from "sql-q4" down, whose rows are from r1-r3)
-# to the front so every query keeps a recent driver row.
-# Round-4 root cause of the three r3-red rows: their oracles summed
-# INTEGERS, and DuckDB's sum(integer) is HUGEINT -> float64 under the
-# driver's pandas fetch, vs Spark's BIGINT -> int64. Fixed by CAST(... AS
-# BIGINT) in the oracle SQL; tools/check_oracle.py now fetches both sides
-# through pandas so the class reproduces locally.
+# the FIRST 50 queries per round): queries whose driver row is red, changed,
+# or new this round come first, then the least-recently-proven ones.
+# ROUND-5 ROTATION (executing the r4 note): stream-sink (r4 driver-red:
+# raw BinaryType in the compared output — now hex'd on both sides) and
+# approx-stats (new exact-bounds oracle this round) lead; then the 31
+# queries whose latest row is r2, then the r3-latest block; the 49 queries
+# r4 just proved green rotate to the back. New queries added this round are
+# inserted at the FRONT — they displace only r3-latest rows from the
+# 50-query window, never an r2-latest one.
 _QUERY_ORDER = [
-    # driver-hash-red in r3 (HUGEINT oracle columns, fixed this round)
+    # changed this round — must re-prove
+    "stream-sink", "approx-stats",
+    # latest driver row is r2 (31) — the rotation's main payload
+    "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
+    "time-split", "cast", "flatten", "decode-blob", "seqno",
+    "groupby-agg", "derived", "rollup", "dim-join", "join", "semi-join",
+    "first-seen", "sql", "window-funcs", "window-tumbling", "window-sliding",
+    "lag-lead", "zscore", "cube", "grouping-sets", "asof", "kmeans",
+    "multimodal-features", "multimodal-pointers",
+    # latest driver row is r3 (19) — fill the window; tail entries may spill
+    # past 50 as new queries land (still meets the nothing-older-than-r3 bar)
+    "demux", "sink", "token-count", "lang-id", "quality-score", "fingerprint",
+    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
+    "knn", "knn-ivf", "knn-batch",
+    "stats-corr", "string-agg", "explode-sequence", "distinct-count",
+    "quantiles", "sessionize",
+    # proven green by the r4 driver run — rotate to the back
     "text-stats", "null-semantics", "sql-q12",
-    # NEW this round: deterministic corpus-shaping suite (functions/sampling)
     "sample-hash", "split-train-test", "mix-weighted",
     "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
     "corpus-filter",
-    # NEW this round: streaming twins, oracle-checked against the batch SQL
     "stream-tumbling", "stream-sliding", "stream-sessionize", "stream-neardup",
-    "stream-sink", "stream-profile",
-    # NEW this round: the last two fixture-expressible TPC-H shapes
-    "sql-q8", "sql-q21",
-    # NEW this round: ANN quality metric; bounded-staleness as-of; scrubbing
-    "knn-recall", "asof-tolerance", "scrub-terms", "interval-join",
-    # r3-proven once; keep inside the window after changes
+    "stream-profile",
+    "sql-q8", "sql-q21", "knn-recall", "asof-tolerance", "scrub-terms",
+    "interval-join",
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
-    "dedup-clusters",
-    "embed-neardup",
-    # driver-proven in rounds 1/3 only
+    "dedup-clusters", "embed-neardup",
     "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
-    "pivot", "unpivot", "histogram", "stats-corr", "string-agg",
-    "explode-sequence", "distinct-count", "quantiles", "sessionize",
-    "approx-stats",
-    # driver-proven in rounds 2+3, unchanged
-    "demux", "sink",
-    "token-count", "lang-id", "quality-score", "fingerprint",
-    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
-    "knn", "knn-ivf", "knn-batch", "kmeans",
-    "multimodal-features", "multimodal-pointers",
-    "seqno", "limit",
-    "groupby-agg", "derived", "rollup", "dim-join", "sql",
-    "window-funcs", "window-tumbling", "window-sliding",
-    "lag-lead", "zscore", "cube", "grouping-sets", "asof",
-    "scan", "project", "filter", "topk", "union", "topk-per-group",
-    "time-split", "cast", "flatten", "decode-blob", "join",
-    "first-seen", "semi-join",
+    "pivot", "unpivot", "histogram",
 ]
 
 

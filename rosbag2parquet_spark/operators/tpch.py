@@ -87,17 +87,56 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB default for distinct counts and
     quantiles: approx_count_distinct (HyperLogLog++, constant memory,
-    mergeable) and percentile_approx (quantile digest). Estimates are
-    engine-specific, so this query is declared WITHOUT a value oracle (the
-    driver records a rows-only check); the exact twins (`distinct-count`,
-    `quantiles`) carry the value parity. Sanity bounds are unit-tested."""
+    mergeable) and percentile_approx (quantile digest). Sketch ESTIMATES
+    are engine-specific, so the compared columns carry the exact values
+    plus boolean assertions that each estimate landed inside its published
+    error envelope (HLL rsd=0.02 → |err| ≤ 10% is a 5σ bound; the quantile
+    digest's p50 must land between the exact p40 and p60, p99 between p97
+    and max). The oracle emits the exact counts and literal TRUEs — the
+    diff-testing the reference's README itself asks for (README.md:128-129)
+    — so ANN-style "approximate but bounded" is driver-checked, not merely
+    asserted in unit tests."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("approx_p99"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_hll_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_hll_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_ap50"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_ap99"),
+        F.expr("percentile(l_extendedprice, 0.40)").alias("_p40"),
+        F.expr("percentile(l_extendedprice, 0.60)").alias("_p60"),
+        F.expr("percentile(l_extendedprice, 0.97)").alias("_p97"),
+        F.max("l_extendedprice").alias("_pmax"),
     )
+    within = lambda est, lo, hi: (F.col(est) >= F.col(lo)) & (  # noqa: E731
+        F.col(est) <= F.col(hi)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("_hll_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("hll_parts_ok"),
+        (
+            F.abs(F.col("_hll_orders") - F.col("exact_orders"))
+            <= 0.10 * F.col("exact_orders")
+        ).alias("hll_orders_ok"),
+        within("_ap50", "_p40", "_p60").alias("p50_ok"),
+        within("_ap99", "_p97", "_pmax").alias("p99_ok"),
+    )
+
+
+ORACLE_APPROX_STATS = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_parts_ok, TRUE AS hll_orders_ok,
+       TRUE AS p50_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,6 +620,7 @@ ORACLES = {
     "sql-q8": _Q8_SQL,
     "sql-q21": _Q21_SQL,
     "sql-q22": _Q22_SQL,
-    # approx-stats: intentionally no oracle — sketch estimates are
-    # engine-specific; driver records rows-only.
+    # approx-stats compares exact counts + error-envelope booleans; the
+    # engine-specific sketch estimates never reach the hashed columns.
+    "approx-stats": ORACLE_APPROX_STATS,
 }

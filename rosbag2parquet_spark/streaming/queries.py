@@ -103,7 +103,13 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-type partitioned parquet layout with a checkpoint (exactly-once
     file sink), then a partition-pruned read-back of one type. Proves the
     whole incremental ingest path — source → typed projection →
-    partitioned file sink → prunable layout — equals the batch answer."""
+    partitioned file sink → prunable layout — equals the batch answer.
+
+    The blob column is compared as ``hex(data)``: the driver's pandas
+    canonicalizer cannot hash raw binary (r4 driver-red: ``bytearray`` is
+    unhashable under ``factorize``), and the local replica now REJECTS any
+    BinaryType column in a compared output so this class stays dead."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -116,19 +122,27 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    back = spark.read.parquet(out)
-    return back.filter(F.col("datatype") == "purchase").select(
-        "seqno",
-        F.unix_micros("time").alias("time_us"),
-        "size",
-        "connection_id",
-        "data",
-    )
+    try:
+        back = (
+            spark.read.parquet(out)
+            .filter(F.col("datatype") == "purchase")
+            .select(
+                "seqno",
+                F.unix_micros("time").alias("time_us"),
+                "size",
+                "connection_id",
+                F.hex("data").alias("data"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the dir goes away
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
 
 
 ORACLE_STREAM_SINK = """
 SELECT event_id AS seqno, epoch_us(ts) AS time_us, value AS size,
-       user_id AS connection_id, encode(props) AS data
+       user_id AS connection_id, hex(encode(props)) AS data
 FROM events WHERE event_type = 'purchase'
 """
 

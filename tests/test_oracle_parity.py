@@ -31,11 +31,11 @@ def _norm(rows, cols):
     return out
 
 
-#: queries intentionally declared without a value oracle (sketch-based
-#: estimates are engine-specific; driver records a rows-only check).
-#: kmeans graduated OUT of this set in round 2: decimal-exact distance sums
-#: and means make the Lloyd's iterations bit-identical across engines.
-ROWS_ONLY = {"approx-stats"}
+#: queries intentionally declared without a value oracle — EMPTY since
+#: round 5: kmeans graduated in round 2 (decimal-exact Lloyd's iterations),
+#: approx-stats in round 5 (exact counts + error-envelope booleans are the
+#: compared columns; sketch estimates stay out of the hash).
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle():

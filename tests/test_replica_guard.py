@@ -1,0 +1,67 @@
+"""The local replica must be strictly STRICTER than the driver's gate.
+
+Two rounds were lost to replica/driver divergence (r3: DuckDB HUGEINT →
+float64 under the driver's pandas fetch; r4: raw BinaryType → unhashable
+``bytearray`` under its canonicalizer). This pins the structural rules that
+kill those classes: any compared output carrying BinaryType anywhere in its
+type tree is refused by ``tools.check_oracle``, and no registered query
+emits one.
+"""
+
+from pyspark.sql import types as T
+
+import __spark_entry__ as entrymod
+from tools.check_oracle import binary_columns
+
+
+def test_binary_columns_flags_top_level():
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    assert binary_columns(schema) == ["data"]
+
+
+def test_binary_columns_flags_nested():
+    schema = T.StructType(
+        [
+            T.StructField("arr", T.ArrayType(T.BinaryType())),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.ArrayType(T.BinaryType()))
+            ),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField("inner", T.BinaryType())]),
+            ),
+            T.StructField("ok", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    assert binary_columns(schema) == ["arr", "m", "s"]
+
+
+def test_binary_columns_clean_schema():
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.ArrayType(T.LongType())),
+        ]
+    )
+    assert binary_columns(schema) == []
+
+
+def test_no_registered_query_emits_binary(spark):
+    """Every compared output must hash under the driver's pandas
+    canonicalizer — schema-only check (cheap: no execution beyond planning;
+    queries that materialize streams are exercised by the parity suite)."""
+    from tests.conftest import SF_DIR
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        if name.startswith("stream-"):
+            continue  # streaming twins run minutes; covered in parity tests
+        cols = binary_columns(fn(spark, SF_DIR).schema)
+        if cols:
+            offenders[name] = cols
+    assert offenders == {}

@@ -75,6 +75,32 @@ def normalize(rows, cols, float_fmt="repr"):
     return [cols[i] for i in order], out
 
 
+def binary_columns(schema) -> list[str]:
+    """Names of columns that contain BinaryType anywhere in their type tree.
+
+    The driver's pandas canonicalizer cannot hash raw binary (``bytearray``
+    is unhashable under ``factorize`` — r4's `stream-sink` driver-red), while
+    this replica's type-tagged encoding happily accepts it. The replica must
+    be strictly STRICTER than the driver, never looser, so any compared
+    output carrying BinaryType is refused outright: compare ``hex(col)``
+    instead.
+    """
+    from pyspark.sql import types as T
+
+    def has_binary(dt) -> bool:
+        if isinstance(dt, T.BinaryType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_binary(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_binary(dt.keyType) or has_binary(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(has_binary(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in schema.fields if has_binary(f.dataType)]
+
+
 def _pandas_rows(pdf):
     """Rows from a pandas frame with numpy scalars unwrapped to Python.
 
@@ -123,6 +149,15 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
+            bincols = binary_columns(sdf.schema)
+            if bincols:
+                print(
+                    f"FAIL {name}: BinaryType in compared output {bincols} — "
+                    "the driver's pandas hasher chokes on bytearray; "
+                    "compare hex(col) instead"
+                )
+                n_fail += 1
+                continue
             scols = sdf.columns
             srows = _pandas_rows(sdf.toPandas())
         except Exception as e:
