@@ -76,6 +76,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    from rosbag2parquet_spark.sources import baglike as _baglike
+
     def _is_bag_fleet(inp: str) -> bool:
         """Directory containing bag files, or a glob over bags — but a
         parquet dataset directory (or glob) stays on the parquet path."""
@@ -105,7 +107,9 @@ def main(argv: list[str] | None = None) -> int:
         info = convert_bags(
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned
         )
-    elif args.input.endswith((".bag", ".sbag")):
+    elif args.input.endswith((".bag", ".sbag")) or (
+        os.path.isfile(args.input) and _baglike.bag_format(args.input)
+    ):
         # real binary-bag path — the reference's full program: one
         # FLATTENED typed table per message type (each decoded with its own
         # msg_def), plus Messages/Connections and the DDL script

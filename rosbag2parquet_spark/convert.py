@@ -460,21 +460,42 @@ _CONN_KEY_STRIDE = 1 << 20
 _REMAP_LITERAL_MAX = 1000
 
 
+def _remap_key_col():
+    """``(bag_index, conn_id) -> one LONG key`` for the global-connection
+    remap. LONG arithmetic is load-bearing: int32 silently wraps (non-ANSI)
+    at ``bag_index >= 2048`` (2048 * 2^20 == 2^31), the probe misses, and
+    rows vanish — exactly the fleet size this path exists for."""
+    return (
+        F.col("bag_index").cast("long") * F.lit(_CONN_KEY_STRIDE)
+        + F.col("conn_id").cast("long")
+    )
+
+
 def _bag_scan_meta(path: str) -> dict:
     """Per-bag driver-side metadata for the multi-bag planner, one header
     walk per file (parallelized across files by the caller — the reference's
     View construction is per-bag too, rosbag2parquet.cpp:44-47):
-    connection rows padded to the 7-column rosbag dim shape, the seqno
-    bucket width for THIS bag's offset encoding, and an upper bound on its
-    largest offset (sizes the per-bag bucket-index slot)."""
-    if path.endswith(".bag"):
+    the DETECTED grammar (magic bytes, not extension — the reader dispatch
+    key for the rest of the pipeline), connection rows padded to the
+    7-column rosbag dim shape, the seqno bucket width for THIS bag's offset
+    encoding, and an upper bound on its largest offset (sizes the per-bag
+    bucket-index slot)."""
+    from rosbag2parquet_spark.sources.baglike import bag_format
+
+    fmt = bag_format(path)
+    if fmt is None:
+        raise ValueError(
+            f"{path}: neither rosbag 2.0 nor SBAG magic bytes — not a bag"
+        )
+    if fmt == "rosbag":
         from rosbag2parquet_spark.sources.rosbag import offset_shift, scan_rosbag
 
-        conns, chunks = scan_rosbag(path)
+        conns, chunks = scan_rosbag(path)  # memoized: one walk per file
         shift = offset_shift(chunks)
         stride = 1 << shift
         width = stride * max(1, -(-len(chunks) // 64))
         max_offset = (len(chunks) + 1) << shift
+        chunk_refs = chunks  # threaded into the datasource planner
         # normalize absent callerid/latching to "" so the same logical
         # connection in a rosbag (absent -> None) and an SBAG (padded "")
         # reconciles to ONE global identity
@@ -496,24 +517,24 @@ def _bag_scan_meta(path: str) -> dict:
             (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def, "", "")
             for c in conns
         ]
-    return {"path": path, "rows": rows, "width": width, "max_offset": max_offset}
-
-
-#: extensions accepted when expanding a DIRECTORY (explicit paths/globs are
-#: taken as given) — keeps stray READMEs/outputs out of the conversion
-_BAG_EXTENSIONS = (".bag", ".sbag")
+        chunk_refs = None
+    return {
+        "path": path,
+        "format": fmt,
+        "chunks": chunk_refs,
+        "rows": rows,
+        "width": width,
+        "max_offset": max_offset,
+    }
 
 
 def _looks_like_bag(path: str) -> bool:
-    if path.endswith(_BAG_EXTENSIONS):
-        return True
-    # unknown extension: accept only if the magic bytes say SBAG or rosbag
-    try:
-        with open(path, "rb") as f:
-            head = f.read(13)
-    except OSError:
-        return False
-    return head[:4] == b"SBAG" or head.startswith(b"#ROSBAG V2.0\n")
+    """Directory-mode admission: magic bytes only. A stray README or a
+    partial download next to the bags must be skipped, and anything
+    admitted must also DISPATCH correctly — one detector serves both."""
+    from rosbag2parquet_spark.sources.baglike import bag_format
+
+    return bag_format(path) is not None
 
 
 def resolve_bag_paths(bags: "str | list[str]") -> list[str]:
@@ -601,17 +622,19 @@ def convert_bags(
     # already built from the metas, so going through info.load_bag would
     # re-walk every bag header a second time for a result that's discarded.
     union = None
-    for i, path in enumerate(paths):
-        reader = read_rosbag if path.endswith(".bag") else read_bag
-        msgs = reader(spark, path, num_partitions=num_partitions)
+    for i, meta in enumerate(metas):
+        if meta["format"] == "rosbag":
+            msgs = read_rosbag(
+                spark,
+                meta["path"],
+                num_partitions=num_partitions,
+                chunks=meta["chunks"],  # planner skips its own header walk
+            )
+        else:
+            msgs = read_bag(spark, meta["path"], num_partitions=num_partitions)
         msgs = msgs.withColumn("bag_index", F.lit(i))
         union = msgs if union is None else checked_union(union, msgs)
-    # the combined key is LONG arithmetic: int32 would silently wrap at
-    # bag_index >= 2048 (2048 * 2^20 == 2^31), miss the map, and drop rows
-    key = (
-        F.col("bag_index").cast("long") * F.lit(_CONN_KEY_STRIDE)
-        + F.col("conn_id").cast("long")
-    )
+    key = _remap_key_col()
     if len(remap) <= _REMAP_LITERAL_MAX:
         # small fleet: a map LITERAL probes per row with no join at all
         pairs: list = []

@@ -12,17 +12,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rosbag2parquet_spark.sources.baglike import connections_df, read_bag
+from rosbag2parquet_spark.sources.baglike import bag_format, connections_df, read_bag
+
+
+def _fmt(path: str) -> str:
+    """Reader dispatch key: detected magic bytes win; extension only breaks
+    the tie for unreadable/magicless files (so the matching reader raises
+    its own clear error instead of the wrong grammar's)."""
+    return bag_format(path) or ("rosbag" if path.endswith(".bag") else "sbag")
 
 
 def load_bag(
     spark: SparkSession, path: str, num_partitions: int = 8
 ) -> tuple[DataFrame, DataFrame]:
-    """(messages, connections) for either bag grammar, by extension:
-    ``.bag`` → the public rosbag 2.0 record/chunk format, anything else →
-    the SBAG test format. Both yield the same (offset, time_ns, conn_id,
-    data) scan schema."""
-    if path.endswith(".bag"):
+    """(messages, connections) for either bag grammar, detected from magic
+    bytes: rosbag 2.0 record/chunk format or the SBAG test format. Both
+    yield the same (offset, time_ns, conn_id, data) scan schema."""
+    if _fmt(path) == "rosbag":
         from rosbag2parquet_spark.sources.rosbag import (
             read_rosbag,
             rosbag_connections_df,
@@ -44,7 +50,7 @@ def seqno_bucket_width(path: str) -> int:
     size. ``.bag`` offsets are the sparse (chunk_index << shift) encoding —
     the width must be a stride multiple (rosbag.seqno_bucket_width); SBAG
     offsets are dense file byte positions, so file_size/64 works."""
-    if path.endswith(".bag"):
+    if _fmt(path) == "rosbag":
         from rosbag2parquet_spark.sources.rosbag import (
             seqno_bucket_width as _bag_width,
         )

@@ -90,29 +90,54 @@ def write_bag(
             f.write(payload)
 
 
+def bag_format(path: str) -> "str | None":
+    """Detect the bag grammar from MAGIC BYTES: ``'rosbag'`` (the public
+    rosbag 2.0 version line) | ``'sbag'`` | ``None``. Content wins over
+    extension — a rosbag with a nonstandard extension must still dispatch
+    to the rosbag reader, not be parsed as SBAG and fail mid-fleet."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(13)
+    except OSError:
+        return None
+    if head.startswith(b"#ROSBAG V2.0\n"):  # rosbag.py's MAGIC (no circular import)
+        return "rosbag"
+    if head[:4] == MAGIC:
+        return "sbag"
+    return None
+
+
+def _read_exact(f, n: int, path: str) -> bytes:
+    """``f.read(n)`` checked for short reads: a file cut mid-field returns
+    PARTIAL bytes that would otherwise decode silently (struct.error only
+    fires when a later fixed-size unpack happens to run short)."""
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError(
+            f"{path}: truncated SBAG header at byte {f.tell()} "
+            f"(wanted {n} bytes, got {len(b)})"
+        )
+    return b
+
+
 def read_header(path: str) -> tuple[list[ConnectionInfo], int]:
     """Parse the connection header; return (connections, msg_region_start).
-    Truncation anywhere in the header raises a clear ValueError (not a
-    bare struct.error) — never a silent partial header."""
+    Truncation anywhere in the header raises a clear ValueError (every read
+    is length-checked) — never a silent partial header."""
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not an SBAG file")
-        try:
-            (n_conn,) = struct.unpack("<I", f.read(4))
-            conns = []
-            for _ in range(n_conn):
-                (cid,) = struct.unpack("<I", f.read(4))
-                strs = []
-                for _ in range(3):
-                    (ln,) = struct.unpack("<H", f.read(2))
-                    strs.append(f.read(ln).decode())
-                (ln,) = struct.unpack("<I", f.read(4))
-                msg_def = f.read(ln).decode()
-                conns.append(ConnectionInfo(cid, *strs, msg_def))
-        except struct.error as e:
-            raise ValueError(
-                f"{path}: truncated SBAG header at byte {f.tell()}"
-            ) from e
+        (n_conn,) = struct.unpack("<I", _read_exact(f, 4, path))
+        conns = []
+        for _ in range(n_conn):
+            (cid,) = struct.unpack("<I", _read_exact(f, 4, path))
+            strs = []
+            for _ in range(3):
+                (ln,) = struct.unpack("<H", _read_exact(f, 2, path))
+                strs.append(_read_exact(f, ln, path).decode())
+            (ln,) = struct.unpack("<I", _read_exact(f, 4, path))
+            msg_def = _read_exact(f, ln, path).decode()
+            conns.append(ConnectionInfo(cid, *strs, msg_def))
         return conns, f.tell()
 
 

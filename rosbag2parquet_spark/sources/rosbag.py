@@ -45,6 +45,7 @@ offset, exactly like the SBAG path.
 from __future__ import annotations
 
 import bz2
+import json
 import os
 import struct
 from dataclasses import dataclass
@@ -188,10 +189,25 @@ def _decompress(blob: bytes, compression: str, size: int) -> bytes:
 
 
 def scan_rosbag(path: str) -> tuple[list[ConnectionInfo], list[ChunkRef]]:
-    """Driver-side single pass over TOP-LEVEL records (seek-based — payloads
-    of chunks are not read, only connection records are): returns
-    (connections, chunk refs). Mirrors the reference's View construction
-    (rosbag2parquet.cpp:44-47 + connection snapshot
+    """Driver-side single pass over TOP-LEVEL records, memoized on the
+    file's identity (path, mtime, size) — the converter needs the scan for
+    the connections dim, the seqno bucket width, AND partition planning,
+    and a multi-GB fleet must not pay the walk three times (ADVICE r4).
+    Callers treat the result as immutable."""
+    st = os.stat(path)
+    return _scan_rosbag_uncached(path, st.st_mtime_ns, st.st_size)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=64)
+def _scan_rosbag_uncached(
+    path: str, _mtime_ns: int, _size: int
+) -> tuple[list[ConnectionInfo], list[ChunkRef]]:
+    """Seek-based walk: payloads of chunks are not read, only connection
+    records are. Returns (connections, chunk refs). Mirrors the reference's
+    View construction (rosbag2parquet.cpp:44-47 + connection snapshot
     FlattenedRosWriter.cpp:30-32).
 
     Unindexed bags (a crashed recorder before ``rosbag reindex``): the
@@ -329,9 +345,20 @@ class _RosbagReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         self.n_partitions = int(options.get("numPartitions", "8"))
+        # pre-scanned chunk refs threaded through from a caller that already
+        # walked the header (convert_bags): partition planning runs in a
+        # SEPARATE Python worker, so the driver-side scan memo can't reach
+        # it — without this the planner re-walks every bag once more
+        cj = options.get("chunksjson", options.get("chunksJson"))
+        self._chunks = (
+            [ChunkRef(p, c, s) for p, c, s in json.loads(cj)] if cj else None
+        )
 
     def partitions(self):
-        _, chunks = scan_rosbag(self.path)
+        if self._chunks is not None:
+            chunks = self._chunks
+        else:
+            _, chunks = scan_rosbag(self.path)
         shift = offset_shift(chunks)
         if not chunks:
             return [_RosbagPartition(self.path, [], shift)]
@@ -390,14 +417,26 @@ def register(spark: SparkSession) -> None:
     spark.dataSource.register(RosbagDataSource)
 
 
-def read_rosbag(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFrame:
+def read_rosbag(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 8,
+    chunks: "list[ChunkRef] | None" = None,
+) -> DataFrame:
+    """``chunks``: pass the refs from an existing ``scan_rosbag`` walk so
+    the datasource planner (a separate Python worker) skips its own."""
     register(spark)
-    return (
+    r = (
         spark.read.format("rosbag")
         .option("path", path)
         .option("numPartitions", str(num_partitions))
-        .load()
     )
+    if chunks is not None:
+        r = r.option(
+            "chunksJson",
+            json.dumps([[c.pos, c.compression, c.size] for c in chunks]),
+        )
+    return r.load()
 
 
 def rosbag_connections_df(spark: SparkSession, path: str) -> DataFrame:

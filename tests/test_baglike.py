@@ -437,7 +437,11 @@ def test_truncated_sbag_fails_loudly(tmp_path):
     p = str(tmp_path / "t.sbag")
     write_bag(p, [CI(1, "/t", "demo/T", "m", "uint32 xyzzy")], [(1, 100, _struct.pack("<I", 5))])
     data = open(p, "rb").read()
-    for cut in (6, 20):
+    _, hdr_end = read_header(p)
+    # 6/20: inside fixed-size fields (struct.error path); hdr_end-1 and
+    # hdr_end-7: inside the TRAILING msg_def string — a short f.read(ln)
+    # used to decode the partial bytes silently (ADVICE r4)
+    for cut in (6, 20, hdr_end - 7, hdr_end - 1):
         q = str(tmp_path / f"h{cut}.sbag")
         open(q, "wb").write(data[:cut])
         with _pytest.raises(ValueError, match="truncated SBAG header"):

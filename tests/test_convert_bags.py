@@ -154,6 +154,92 @@ def test_cli_fleet_mode(fleet, tmp_path, capsys, spark):
     assert os.path.isdir(os.path.join(out, "Messages"))
 
 
+def test_remap_key_no_int32_wrap(spark):
+    """The (bag_index, conn_id) remap key is LONG: at bag_index >= 2048 an
+    int32 key wraps past 2^31 (non-ANSI → silent), misses the remap probe,
+    and rows vanish — the exact fleet size this path exists for."""
+    from rosbag2parquet_spark.convert import _CONN_KEY_STRIDE, _remap_key_col
+
+    df = spark.createDataFrame(
+        [(2048, 7), (4096, 123), (100_000, 0)], "bag_index int, conn_id int"
+    )
+    vals = [r[0] for r in df.select(_remap_key_col()).collect()]
+    assert vals == [
+        2048 * _CONN_KEY_STRIDE + 7,
+        4096 * _CONN_KEY_STRIDE + 123,
+        100_000 * _CONN_KEY_STRIDE,
+    ]
+    assert all(v >= 2**31 for v in vals)  # every one would have wrapped
+    # and the probe against a create_map literal finds the long key
+    from pyspark.sql import functions as F
+
+    m = F.create_map(
+        F.lit(2048 * _CONN_KEY_STRIDE + 7).cast("long"), F.lit(42)
+    )
+    hit = df.filter("bag_index = 2048").select(m[_remap_key_col()]).collect()
+    assert hit[0][0] == 42
+
+
+def test_unmapped_conn_id_fails_fast(spark, tmp_path):
+    """A message referencing a conn_id absent from the header is corrupt
+    input: the conversion must raise, not silently drop the rows."""
+    p = str(tmp_path / "corrupt.sbag")
+    write_bag(
+        p,
+        [ConnectionInfo(1, **IMU_CONN)],
+        [(1, 1_000, _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)),
+         (99, 2_000, b"\x00\x00\x00\x00")],  # conn 99 not in the header
+    )
+    with pytest.raises(Exception, match="unmapped connection key"):
+        convert_bags(spark, [p], str(tmp_path / "out"))
+
+
+def test_magic_dispatch_overrides_extension(spark, tmp_path):
+    """A rosbag with a nonstandard extension, admitted by magic bytes in
+    directory mode, must dispatch to the ROSBAG reader (ADVICE r4: it was
+    parsed as SBAG and failed the whole fleet)."""
+    bags = tmp_path / "landing"
+    bags.mkdir()
+    imu = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    write_rosbag(
+        str(bags / "mislabeled.data"),
+        [ConnectionInfo(1, **IMU_CONN)],
+        [(1, 1_000, imu), (1, 2_000, imu)],
+    )
+    assert resolve_bag_paths(str(bags)) == [str(bags / "mislabeled.data")]
+    info = convert_bags(spark, str(bags), str(tmp_path / "out"))
+    assert info.count == 2
+    imu_tbl = spark.read.parquet(str(tmp_path / "out" / "sensor_msgs_Imu"))
+    assert imu_tbl.count() == 2
+
+
+def test_single_header_walk_per_bag(spark, tmp_path, monkeypatch):
+    """The driver process walks each rosbag's header exactly ONCE, however
+    many consumers need the scan (connections dim, bucket width, planner)
+    — ADVICE r4 counted three redundant walks on multi-GB fleets. (The
+    datasource planner worker is a separate process; it gets the chunk
+    refs threaded through an option instead.)"""
+    from functools import lru_cache
+
+    from rosbag2parquet_spark.sources import rosbag as rb
+
+    walks = []
+    orig = rb._scan_rosbag_uncached.__wrapped__
+
+    @lru_cache(maxsize=64)
+    def counting(path, mtime_ns, size):
+        walks.append(path)
+        return orig(path, mtime_ns, size)
+
+    monkeypatch.setattr(rb, "_scan_rosbag_uncached", counting)
+    imu = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    p = str(tmp_path / "one.bag")
+    write_rosbag(p, [ConnectionInfo(1, **IMU_CONN)], [(1, 1_000, imu)])
+    info = convert_bags(spark, [p], str(tmp_path / "out"))
+    assert info.count == 1
+    assert walks == [p]
+
+
 def test_fleet_remap_broadcast_path(spark, fleet, tmp_path, monkeypatch):
     """Above the literal threshold the remap ships as a broadcast dim; the
     output must be identical to the create_map path (same layout run at
