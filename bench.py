@@ -113,9 +113,11 @@ def main() -> None:
     # reference's README walkthrough (BASELINE.md: 102 MB blob bag) —
     # disable with SPARK_GRAFT_BENCH_CONVERT=0
     convert_stats = None
+    fleet_stats = None
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
+        from bench_convert import run_fleet as _fleet_run
 
         # min-of-2 like the query suite: observed 2x host noise on the
         # identical conversion minutes apart
@@ -124,6 +126,13 @@ def main() -> None:
             key=lambda d: d["convert_s"],
         )
         print(f"# convert walkthrough: {convert_stats}", file=sys.stderr)
+        # fleet path at the SAME total volume (4 bags x 1500 msgs): the
+        # delta vs the single-bag number is the multi-bag machinery cost
+        fleet_stats = min(
+            (_fleet_run(spark=spark) for _ in range(2)),
+            key=lambda d: d["convert_s"],
+        )
+        print(f"# convert fleet: {fleet_stats}", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     print(
@@ -141,6 +150,7 @@ def main() -> None:
                 "cold_pass_seconds": cold_total,
                 "decode_vec_speedup": decode_speedup,
                 "convert_walkthrough": convert_stats,
+                "convert_fleet": fleet_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -621,17 +621,24 @@ def convert_bags(
     # The message readers are called directly — the connections dim above is
     # already built from the metas, so going through info.load_bag would
     # re-walk every bag header a second time for a result that's discarded.
+    # num_partitions is the TOTAL scan parallelism, allocated to each bag
+    # proportional to its bytes: giving every bag the full count multiplies
+    # tiny Python-datasource tasks by the fleet size (a 10k-bag fleet would
+    # plan 320k partitions; measured 2.4x slowdown at 4 bags already)
+    sizes = [os.path.getsize(m["path"]) for m in metas]
+    total_bytes = sum(sizes) or 1
     union = None
     for i, meta in enumerate(metas):
+        nparts = max(1, round(num_partitions * sizes[i] / total_bytes))
         if meta["format"] == "rosbag":
             msgs = read_rosbag(
                 spark,
                 meta["path"],
-                num_partitions=num_partitions,
+                num_partitions=nparts,
                 chunks=meta["chunks"],  # planner skips its own header walk
             )
         else:
-            msgs = read_bag(spark, meta["path"], num_partitions=num_partitions)
+            msgs = read_bag(spark, meta["path"], num_partitions=nparts)
         msgs = msgs.withColumn("bag_index", F.lit(i))
         union = msgs if union is None else checked_union(union, msgs)
     key = _remap_key_col()

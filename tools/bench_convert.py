@@ -112,9 +112,63 @@ def run(n_msgs: int, blob_bytes: int = 4_096, spark=None) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_fleet(
+    n_bags: int = 4,
+    msgs_per_bag: int = 1_500,
+    blob_bytes: int = 4_096,
+    spark=None,
+) -> dict:
+    """Fleet conversion throughput: N bags → ONE table layout via
+    ``convert_bags`` (the reference's multi-file union claim, README.md:16)
+    at the same total volume as the single-bag walkthrough, so the delta is
+    the fleet machinery itself — per-bag header walks, the unioned DAG, the
+    connection remap, and the cross-bag continuous seqno."""
+    from rosbag2parquet_spark.convert import convert_bags
+    from rosbag2parquet_spark.session import get_spark
+    from rosbag2parquet_spark.sources.baglike import read_bag
+
+    work = tempfile.mkdtemp(prefix="bench_fleet_")
+    try:
+        paths = []
+        for b in range(n_bags):
+            bag = os.path.join(work, f"fleet_{b}.sbag")
+            # same connection identity in every bag — the remap/reconcile
+            # path does real cross-bag work, not N disjoint dims
+            synth_bag(bag, msgs_per_bag, blob_bytes)
+            paths.append(bag)
+        total_mb = sum(os.path.getsize(p) for p in paths) / (1 << 20)
+
+        spark = spark or get_spark("bench_convert")
+        spark.range(1).count()
+        # same exclusion as the single-bag walkthrough: first-touch costs
+        # (plan-worker spawn, decode-UDF pickle) are session setup, not
+        # conversion work — warm EVERY path like run() warms its one bag
+        for p in paths:
+            read_bag(spark, p, num_partitions=4).limit(1).count()
+
+        t0 = time.perf_counter()
+        info = convert_bags(
+            spark, paths, os.path.join(work, "out"), num_partitions=32
+        )
+        dt = time.perf_counter() - t0
+        assert info.count == n_bags * msgs_per_bag
+        return {
+            "bags": n_bags,
+            "bag_mb": round(total_mb, 1),
+            "messages": info.count,
+            "convert_s": round(dt, 2),
+            "mb_per_s": round(total_mb / dt, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     n_msgs = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000
     blob_bytes = int(sys.argv[2]) if len(sys.argv) > 2 else 4_096
+    if len(sys.argv) > 3 and sys.argv[3] == "fleet":
+        print(json.dumps(run_fleet(msgs_per_bag=n_msgs, blob_bytes=blob_bytes)))
+        return
     print(json.dumps(run(n_msgs, blob_bytes)))
 
 
