@@ -29,6 +29,7 @@ from rosbag2parquet_spark.functions import (  # noqa: E402
 from rosbag2parquet_spark.operators import (  # noqa: E402
     analytic,
     asof,
+    behavior,
     keys,
     olap,
     relational,
@@ -72,6 +73,7 @@ _MODULES = (
     relational,
     keys,
     olap,
+    behavior,
     setops,
     tpch,
     analytic,
@@ -102,6 +104,8 @@ _MODULES = (
 _QUERY_ORDER = [
     # changed this round — must re-prove
     "stream-sink", "approx-stats",
+    # NEW this round: event-behavior suite + deterministic weighted sampling
+    "compact-latest", "funnel", "cohort-retention", "weighted-sample",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

@@ -420,8 +420,54 @@ HAVING sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) > 0
 """
 
 
+# --------------------------------------------------------- weighted-sample
+
+_BUCKET_WS = md5_bucket_sql("doc_id", salt="wsample|")
+
+_WS_K = 50
+
+#: Sequential Poisson (Ohlsson) order sampling: priority = u / w with
+#: u = (bucket+1)/2^20 ∈ (0,1] and weight w = n_chars; the K smallest
+#: priorities are an (approximate) probability-proportional-to-size sample
+#: WITHOUT replacement. The whole key is ONE IEEE division of exact
+#: integers — correctly rounded by the standard, hence bit-identical in
+#: Spark and DuckDB (an Efraimidis-Spirakis ln(u)/w key would hang parity
+#: on libm transcendentals, which carry no such guarantee).
+_WS_PRIORITY = (
+    f"(({_BUCKET_WS}) + 1) / ({BUCKET_SPACE} * cast(n_chars as double))"
+)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (K=50, weight = n_chars): hash-derived
+    priority, K smallest win. Spark plans TakeOrderedAndProject — each
+    task keeps its local top-K and only K·partitions rows reach the
+    driver-side merge; no global sort at any scale. Re-running (or adding
+    non-winning data) never changes a chosen document's priority."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(_WS_PRIORITY).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(_WS_K)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, n_chars, {_WS_PRIORITY} AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {_WS_K}
+"""
+
+
 QUERIES = {
     "sample-hash": q_sample_hash,
+    "weighted-sample": q_weighted_sample,
     "split-train-test": q_split_train_test,
     "mix-weighted": q_mix_weighted,
     "cap-per-group": q_cap_per_group,
@@ -433,6 +479,7 @@ QUERIES = {
 
 ORACLES = {
     "sample-hash": ORACLE_SAMPLE_HASH,
+    "weighted-sample": ORACLE_WEIGHTED_SAMPLE,
     "split-train-test": ORACLE_SPLIT_TRAIN_TEST,
     "mix-weighted": ORACLE_MIX_WEIGHTED,
     "cap-per-group": ORACLE_CAP_PER_GROUP,

@@ -1,0 +1,197 @@
+"""Event-behavior analytics — the state/journey queries a telemetry or
+training-data pipeline runs over an event log beyond plain aggregation
+(north-star §2d; the reference stops at per-topic stats,
+rosbag_example.cpp:37-72):
+
+- ``compact-latest``: log compaction / CDC-upsert semantics — the latest
+  state per key, the materialization every incremental ingest needs.
+- ``funnel``: ordered-stage conversion (view → click-after-view →
+  purchase-after-that-click) — strict sequencing, not mere co-occurrence.
+- ``cohort-retention``: users bucketed by first-seen week × activity-week
+  offset — the classic retention triangle.
+
+Scale design: every operator here shuffles ON ``user_id`` EXACTLY ONCE and
+reuses that partitioning for all layered windows / re-aggregations (the
+funnel's three window passes share one Exchange; the retention join is
+co-partitioned). Week indexing is pure integer arithmetic on epoch
+microseconds — identical in Spark and DuckDB, no engine date-diff
+semantics in the compared output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+#: one week in epoch microseconds — week index = unix_micros(ts) div WEEK_US
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+# ----------------------------------------------------------- compact-latest
+
+
+def latest_per_key(df: DataFrame, key_cols: list, order_cols: list) -> DataFrame:
+    """Log compaction: the single latest row per key under ``order_cols``
+    (descending, left-to-right tie-break). row_number = 1 plans a
+    WindowGroupLimit, so each map task keeps only its local top-1 per key
+    BEFORE the shuffle — the reducer sees ≤ one row per (key, input
+    partition), never the full history."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def q_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the upsert view of an append-only stream,
+    with a deterministic event_id tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(events, ["user_id"], ["ts", "event_id"]).select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+ORACLE_COMPACT_LATEST = """
+SELECT user_id, epoch_us(ts) AS last_ts_us, event_type AS last_type,
+       value AS last_value, event_id AS last_event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ------------------------------------------------------------------- funnel
+
+
+def funnel_counts(
+    events: DataFrame, stages: tuple = ("view", "click", "purchase")
+) -> DataFrame:
+    """Strict ordered funnel: first ``stages[0]``, first ``stages[1]``
+    AFTER it, first ``stages[2]`` after THAT — per user, then stage
+    counts. The three layered window minimums all partition by user_id
+    with no ordering requirement, so Catalyst plans ONE Exchange and
+    evaluates the stages in sequence on the co-located rows; the per-user
+    reduction that follows reuses the same partitioning (no second shuffle
+    of the event stream), and only per-user partials cross the final
+    1-row aggregate's exchange."""
+    s1, s2, s3 = stages
+    w = Window.partitionBy("user_id")
+    df = events.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click-after-view → purchase-after-that-click stage counts."""
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_FUNNEL = """
+WITH l1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+  FROM events),
+l2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                OVER (PARTITION BY user_id) AS t2
+  FROM l1),
+l3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                OVER (PARTITION BY user_id) AS t3
+  FROM l2),
+pu AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM l3 GROUP BY user_id)
+SELECT count(t1) AS n_view, count(t2) AS n_view_click,
+       count(t3) AS n_full_funnel
+FROM pu
+"""
+
+
+# --------------------------------------------------------- cohort-retention
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: cohort = week index of the user's first event
+    (integer epoch-µs div — engine-neutral), activity = the DISTINCT
+    (user, week) pairs, output = user counts per (cohort_week,
+    week_offset). Shuffle budget: the distinct keys on (user, week) and
+    the first-seen agg on user_id — both map-side partial, both shrink to
+    ~|users·weeks| before moving; the join probes the compact per-user dim
+    (broadcast here, AQE picks sort-merge when the user dim outgrows it),
+    and the final (cohort, offset) agg's domain is weeks², not rows."""
+    events = load_table(spark, sf_dir, "events")
+    wk = events.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("week")
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = wk.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH wk AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+act AS (
+  SELECT DISTINCT user_id, week FROM wk)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "compact-latest": q_compact_latest,
+    "funnel": q_funnel,
+    "cohort-retention": q_cohort_retention,
+}
+
+ORACLES = {
+    "compact-latest": ORACLE_COMPACT_LATEST,
+    "funnel": ORACLE_FUNNEL,
+    "cohort-retention": ORACLE_COHORT_RETENTION,
+}

@@ -67,6 +67,7 @@ def test_no_unexpected_single_partition_exchange(spark):
         "sql-q6", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
         "range-join",
         "interval-join",  # 2-scalar grid-bounds reduce (min/max over events)
+        "funnel",  # 3-scalar stage counts; only per-user partials cross
     }
     # demux/sink write converted layouts first — covered by their own tests
     skip = {"demux", "sink"}
