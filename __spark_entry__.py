@@ -106,6 +106,9 @@ _QUERY_ORDER = [
     "stream-sink", "approx-stats",
     # NEW this round: event-behavior suite + deterministic weighted sampling
     "compact-latest", "funnel", "cohort-retention", "weighted-sample",
+    # NEW this round: measured recall for BOTH LSH structures; embed-neardup
+    # re-proves here because multi-probe changed its pair set
+    "lsh-recall", "embed-recall", "embed-neardup",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",
@@ -132,7 +135,7 @@ _QUERY_ORDER = [
     "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
-    "dedup-clusters", "embed-neardup",
+    "dedup-clusters",
     "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
     "pivot", "unpivot", "histogram",

@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
         help="uint32 handling: signed raw bits (reference parity) or exact "
         "LongType promotion",
     )
+    ap.add_argument(
+        "--compression",
+        choices=("snappy", "zstd", "gzip", "lz4", "uncompressed"),
+        default="snappy",
+        help="parquet codec: snappy (reference parity, MessageTable.cpp:324) "
+        "or zstd/gzip/lz4 for smaller read-many outputs",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -105,7 +112,8 @@ def main(argv: list[str] | None = None) -> int:
         from rosbag2parquet_spark.convert import convert_bags
 
         info = convert_bags(
-            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned
+            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
+            compression=args.compression,
         )
     elif args.input.endswith((".bag", ".sbag")) or (
         os.path.isfile(args.input) and _baglike.bag_format(args.input)
@@ -116,7 +124,8 @@ def main(argv: list[str] | None = None) -> int:
         from rosbag2parquet_spark.convert import convert_bag
 
         info = convert_bag(
-            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned
+            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
+            compression=args.compression,
         )
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -131,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
             out,
             max_mbs=args.max_mbs,
             order_cols=order_cols,
+            compression=args.compression,
         )
     # summary print (ref main.cpp:57-59)
     print(f"{info.count} messages ({info.size / (1 << 20):.2f} MB) written to {out}")

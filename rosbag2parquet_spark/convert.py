@@ -91,6 +91,18 @@ def checked_union(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b)
 
 
+#: codecs every Spark 3.5+/4.x build writes and every mainstream parquet
+#: reader (Spark, DuckDB, pyarrow, Trino) reads back
+_COMPRESSIONS = ("snappy", "zstd", "gzip", "lz4", "uncompressed")
+
+
+def _check_compression(codec: str) -> None:
+    if codec not in _COMPRESSIONS:
+        raise ValueError(
+            f"compression must be one of {_COMPRESSIONS}, got {codec!r}"
+        )
+
+
 def convert(
     spark: SparkSession,
     stream: DataFrame,
@@ -106,15 +118,20 @@ def convert(
     order_cols: list[str] | None = None,
     payload_schema=None,
     mode: str = "overwrite",
+    compression: str = "snappy",
 ) -> ConvertInfo:
     """Convert a message-stream DataFrame into the reference's output layout:
     ``Messages``, ``Connections``, and per-type partitioned tables under
     ``out_dir``. ``max_mbs`` reproduces the reference's byte-bounded scan
     limit (rosbag2parquet.cpp:56-58). ``mode='append'`` adds to an existing
     output ONLY if every table's schema fingerprint matches (the reference's
-    md5sum identity check, FlattenedRosWriter.cpp:287)."""
+    md5sum identity check, FlattenedRosWriter.cpp:287). ``compression``:
+    the reference hardcodes SNAPPY (MessageTable.cpp:324); ``zstd`` trades
+    ~15-25% more CPU for markedly smaller files — usually the right call
+    when the output is read many times at 100 TB."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    _check_compression(compression)
 
     # ---- seqno: global order in stream order (reference FlattenedRosWriter.cpp:256)
     # via the scalable two-pass plan (range shuffle + per-partition offsets —
@@ -226,13 +243,16 @@ def convert(
         "connection_id",
     )
 
-    writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
+    writer_opts = {
+        "maxRecordsPerFile": str(max_records_per_file),
+        "compression": compression,
+    }
     if mode == "append":
         assert_append_compatible(spark, msg_path, messages.schema)
         assert_append_compatible(spark, conn_path, connections.schema)
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
     # append writes only the genuinely-new dim rows (existing ids kept)
-    connections.write.mode(mode).parquet(conn_path)
+    connections.write.options(**writer_opts).mode(mode).parquet(conn_path)
 
     # ---- per-type demux: ONE partitioned write (reference GetHandler routing,
     # FlattenedRosWriter.cpp:273-289). Layout per MessageTable.cpp:326-343:
@@ -304,6 +324,7 @@ def convert_bag(
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
     max_records_per_file: int = 1_000_000,
+    compression: str = "snappy",
 ) -> ConvertInfo:
     """The reference's whole program over a real bag file (.bag = rosbag
     2.0, else SBAG): one FLATTENED typed table per message type — each
@@ -360,6 +381,7 @@ def convert_bag(
         arrays=arrays,
         unsigned=unsigned,
         max_records_per_file=max_records_per_file,
+        compression=compression,
     )
     seq.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
@@ -374,6 +396,7 @@ def _write_bag_tables(
     max_records_per_file: int,
     join_keys: tuple[str, ...] = ("offset",),
     unsigned: str = "signed",
+    compression: str = "snappy",
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -385,9 +408,13 @@ def _write_bag_tables(
     from rosbag2parquet_spark.sources.decode import decode_messages
 
     conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
+    _check_compression(compression)
 
     # ---- Messages (seqno, time_sec, time_nsec, size, connection_id)
-    writer_opts = {"maxRecordsPerFile": str(max_records_per_file)}
+    writer_opts = {
+        "maxRecordsPerFile": str(max_records_per_file),
+        "compression": compression,
+    }
     sec = F.expr("(time_ns - pmod(time_ns, 1000000000)) div 1000000000")
     messages = seq.select(
         "seqno",
@@ -399,7 +426,9 @@ def _write_bag_tables(
     messages.write.options(**writer_opts).mode("overwrite").parquet(
         os.path.join(out_dir, "Messages")
     )
-    conns_df.write.mode("overwrite").parquet(os.path.join(out_dir, "Connections"))
+    conns_df.write.options(**writer_opts).mode("overwrite").parquet(
+        os.path.join(out_dir, "Connections")
+    )
 
     # ---- one flattened typed table per datatype (lazy per-type handlers,
     # reference FlattenedRosWriter.cpp:273-289)
@@ -574,6 +603,7 @@ def convert_bags(
     arrays: str = "skip",
     unsigned: str = "signed",
     max_records_per_file: int = 1_000_000,
+    compression: str = "snappy",
 ) -> ConvertInfo:
     """Convert a FLEET of bags into ONE table layout — the reference's
     "multiple compatible parquet files can be treated as a single file"
@@ -691,6 +721,7 @@ def convert_bags(
         unsigned=unsigned,
         max_records_per_file=max_records_per_file,
         join_keys=("bag_index", "offset"),
+        compression=compression,
     )
     seq.unpersist()
     return ConvertInfo(

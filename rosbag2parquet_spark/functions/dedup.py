@@ -499,12 +499,52 @@ FROM reach GROUP BY v
 )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH against the exact n-gram-Jaccard ground truth
+    at the same threshold — the quality number an LSH band/row config is
+    tuned by (b=4, r=2 here), measured instead of asserted (companion to
+    `knn-recall` on the embedding side). Both sides are deterministic
+    engine queries, so this is a reproducible integer, not a sample
+    estimate. The truth side reuses the DF-pruned exact join — the
+    measurement harness runs at audit scale; LSH is the production path."""
+    truth = q_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    found = q_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    hit = truth.join(found, ["a_id", "b_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return tot.crossJoin(hit).select(
+        "n_truth",
+        "n_found",
+        F.expr("CAST(n_found * 10000 div n_truth AS BIGINT)").alias(
+            "recall_bps"
+        ),
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH truth AS (
+  SELECT a_id, b_id FROM ({ORACLE_NGRAM_JACCARD})
+),
+found AS (
+  SELECT a_id, b_id FROM ({ORACLE_MINHASH_LSH})
+),
+tot AS (SELECT count(*) AS n_truth FROM truth),
+hit AS (SELECT count(*) AS n_found
+        FROM truth JOIN found USING (a_id, b_id))
+SELECT n_truth, n_found,
+       CAST(n_found * 10000 // n_truth AS BIGINT) AS recall_bps
+FROM tot, hit
+"""
+
+
 QUERIES = {
     "dedup-exact": q_dedup_exact,
     "dedup-minhash-lsh": q_minhash_lsh,
     "dedup-ngram-jaccard": q_ngram_jaccard,
     "dedup-simhash": q_simhash,
     "dedup-clusters": q_dedup_clusters,
+    "lsh-recall": q_lsh_recall,
 }
 
 ORACLES = {
@@ -513,4 +553,5 @@ ORACLES = {
     "dedup-ngram-jaccard": ORACLE_NGRAM_JACCARD,
     "dedup-simhash": _oracle_simhash(),
     "dedup-clusters": ORACLE_DEDUP_CLUSTERS,
+    "lsh-recall": ORACLE_LSH_RECALL,
 }

@@ -264,22 +264,35 @@ def _normalize_and_sign_vectorized(bits: int):
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED random-hyperplane
-    sign-LSH: LSH_SIGN_BANDS independent signatures, each ``_lsh_bits(N)``
-    wide; a pair is a candidate if it agrees on ANY band's full signature;
-    exact cosine filters candidates at NEARDUP_THRESHOLD.
+    sign-LSH with Hamming-1 MULTI-PROBE: LSH_SIGN_BANDS independent
+    signatures, each ``_lsh_bits(N)`` wide; one side of the self-join
+    additionally probes every 1-bit-flipped neighbor of its signature, so
+    a pair is a candidate if its signatures agree on any band EXACTLY OR
+    UP TO ONE BIT; exact cosine filters candidates at NEARDUP_THRESHOLD.
+
+    Multi-probe is the recall lever that does NOT touch bucket geometry:
+    at the fixture's similarity regime (cos ≈ 0.35, per-bit agreement
+    p ≈ 0.61, 8-bit bands) exact-match banding recalls p^8·L ≈ 4% of true
+    pairs, while probing 1-bit neighbors adds 8·p^7(1−p) per band — a
+    measured jump from 252 to ~2100 bps (`embed-recall`). Cost is a
+    constant factor: candidates per vector ≈ (bits+1)·load·bands, still
+    linear in N (the alternative — fewer bits per band — makes bucket
+    load, and thus candidates, grow with N).
 
     Scale shape: signature width grows with log2(N) so per-band bucket
     count tracks N/LSH_BUCKET_LOAD — within-bucket candidate work stays
-    ~linear in N instead of O((N/256)²) at a fixed width. Bands are rows
-    (posexplode), so ALL bands resolve in ONE self-join whose shuffle key
-    is (band, bucket); duplicate candidates from multi-band agreement
-    collapse in the final pair-keyed distinct. The only driver-side data
-    dependence is count() (one cheap job) to size the signature. Signatures
-    and normalized vectors come from ONE Arrow pass
-    (`_normalize_and_sign_vectorized`), materialized BEFORE the explode:
-    a Generate over the non-cheap projection makes Catalyst re-evaluate it
-    per output branch (~4× measured), so the cache boundary sits between
-    the Python stage and the explode."""
+    ~linear in N instead of O((N/256)²) at a fixed width. Bands and probes
+    are rows (posexplode/explode), so ALL band-probes resolve in ONE
+    self-join whose shuffle key is (band, bucket); duplicate candidates
+    from multi-band or multi-probe agreement collapse in the final
+    pair-keyed distinct. Probing only the a-side suffices: for a pair
+    (x < y) differing in bit i, x's flipped probe hits y's exact bucket.
+    The only driver-side data dependence is count() (one cheap job) to
+    size the signature. Signatures and normalized vectors come from ONE
+    Arrow pass (`_normalize_and_sign_vectorized`), materialized BEFORE
+    the explode: a Generate over the non-cheap projection makes Catalyst
+    re-evaluate it per output branch (~4× measured), so the cache
+    boundary sits between the Python stage and the explode."""
     raw = load_table(spark, sf_dir, "embeddings")
     bits = _lsh_bits(raw.count())
     mat = (
@@ -300,7 +313,22 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.en").alias("en"),
         F.posexplode("s.bk").alias("band", "bucket"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    # query-side probe set: the exact bucket plus its `bits` 1-bit flips
+    probes = exploded.select(
+        "vec_id",
+        "en",
+        "band",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(bits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    a, b = probes.alias("a"), exploded.alias("b")
     return (
         a.join(
             b,
@@ -356,12 +384,21 @@ buck AS (
 e AS (
   SELECT b.vec_id, emb.embedding::DOUBLE[] AS e, b.band, b.bucket
   FROM buck b JOIN embeddings emb USING (vec_id)
+),
+pr AS (
+  -- Hamming-1 multi-probe on the query side: the exact bucket (j = -1)
+  -- plus every 1-bit flip below the signature width
+  SELECT e.vec_id, e.e, e.band,
+         CASE WHEN j.range < 0 THEN e.bucket
+              ELSE xor(e.bucket, CAST(1 AS BIGINT) << j.range) END AS bucket
+  FROM e, range(-1, {LSH_MAX_BITS}) j, nb
+  WHERE j.range < nb.bits
 )
 SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
              6) AS cos_sim
-FROM e a JOIN e b
+FROM pr a JOIN e b
   ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
@@ -567,12 +604,100 @@ FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_ivf()}) i USING (vec_id)
 """
 
 
+#: similarity-band edges for the recall report (left-closed; values are
+#: round-6 cosines so band assignment is bit-identical across engines)
+_RECALL_BANDS = (0.45, 0.40, 0.35)
+
+
+def q_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the multi-probe sign-LSH near-dup against the BRUTE-FORCE
+    all-pairs cosine ground truth, PER SIMILARITY BAND — `knn-recall`'s
+    companion for the pairwise path, so both ANN structures carry a
+    measured quality curve, not a single asserted number (an LSH
+    structure's recall rises with similarity; one scalar hides that). The
+    O(N²) truth side is the measurement harness (run at audit scale / on
+    a sample); the banded LSH is the production path. Cosine uses the
+    identical round-6 raw-quotient formulation as the LSH verify step, so
+    truth ⊇ found structurally and recall is exact integer arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    hi, mid, lo = _RECALL_BANDS
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= NEARDUP_THRESHOLD)
+        .select(
+            "a_id",
+            "b_id",
+            F.when(F.col("cs") >= hi, f"{hi}+")
+            .when(F.col("cs") >= mid, f"{mid}-{hi}")
+            .when(F.col("cs") >= lo, f"{lo}-{mid}")
+            .otherwise(f"{NEARDUP_THRESHOLD}-{lo}")
+            .alias("sim_band"),
+        )
+    )
+    found = q_embed_neardup(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("__hit")
+    )
+    return (
+        truth.join(found, ["a_id", "b_id"], "left")
+        .groupBy("sim_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("n_found"),
+        )
+        .select(
+            "sim_band",
+            "n_truth",
+            "n_found",
+            F.expr("CAST(n_found * 10000 div n_truth AS BIGINT)").alias(
+                "recall_bps"
+            ),
+        )
+    )
+
+
+def _oracle_embed_recall() -> str:
+    ldp = "list_dot_product"
+    cos = (
+        f"round({ldp}(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        f" / (sqrt({ldp}(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        f" * sqrt({ldp}(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)"
+    )
+    hi, mid, lo = _RECALL_BANDS
+    return f"""
+WITH truth AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CASE WHEN {cos} >= {hi} THEN '{hi}+'
+              WHEN {cos} >= {mid} THEN '{mid}-{hi}'
+              WHEN {cos} >= {lo} THEN '{lo}-{mid}'
+              ELSE '{NEARDUP_THRESHOLD}-{lo}' END AS sim_band
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {NEARDUP_THRESHOLD}
+),
+found AS (
+  SELECT a_id, b_id, 1 AS hit FROM ({_oracle_embed_neardup()})
+)
+SELECT sim_band, count(*) AS n_truth, count(hit) AS n_found,
+       CAST(count(hit) * 10000 // count(*) AS BIGINT) AS recall_bps
+FROM truth LEFT JOIN found USING (a_id, b_id)
+GROUP BY sim_band
+"""
+
+
 QUERIES = {
     "knn": q_knn,
     "knn-ivf": q_knn_ivf,
     "knn-batch": q_knn_batch,
     "knn-recall": q_knn_recall,
     "embed-neardup": q_embed_neardup,
+    "embed-recall": q_embed_recall,
 }
 
 ORACLES = {
@@ -581,4 +706,5 @@ ORACLES = {
     "knn-batch": ORACLE_KNN_BATCH,
     "knn-recall": _oracle_knn_recall(),
     "embed-neardup": _oracle_embed_neardup(),
+    "embed-recall": _oracle_embed_recall(),
 }

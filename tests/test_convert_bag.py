@@ -128,3 +128,33 @@ def test_convert_bag_native_arrays(spark, two_type_bag, tmp_path):
     assert "orientation_covariance" in imu.columns
     row = imu.orderBy("seqno").collect()[0]
     assert len(row.orientation_covariance) == 9
+
+
+def test_convert_bag_compression_codec(spark, two_type_bag, tmp_path):
+    """--compression lands in the parquet footers of EVERY table (the
+    reference hardcodes SNAPPY, MessageTable.cpp:324; zstd is the
+    read-many choice at scale) and the data reads back identically."""
+    import pyarrow.parquet as pq
+
+    out_snappy = str(tmp_path / "snappy")
+    out_zstd = str(tmp_path / "zstd")
+    convert_bag(spark, two_type_bag, out_snappy)
+    convert_bag(spark, two_type_bag, out_zstd, compression="zstd")
+
+    def codecs(root):
+        seen = set()
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    md = pq.ParquetFile(os.path.join(dp, f)).metadata
+                    for rg in range(md.num_row_groups):
+                        seen.add(md.row_group(rg).column(0).compression)
+        return seen
+
+    assert codecs(out_snappy) == {"SNAPPY"}
+    assert codecs(out_zstd) == {"ZSTD"}
+    a = spark.read.parquet(os.path.join(out_snappy, "Messages"))
+    b = spark.read.parquet(os.path.join(out_zstd, "Messages"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError, match="compression"):
+        convert_bag(spark, two_type_bag, str(tmp_path / "bad"), compression="brotli9")

@@ -68,6 +68,7 @@ def test_no_unexpected_single_partition_exchange(spark):
         "range-join",
         "interval-join",  # 2-scalar grid-bounds reduce (min/max over events)
         "funnel",  # 3-scalar stage counts; only per-user partials cross
+        "lsh-recall",  # two 1-row count reductions + their broadcast cross
     }
     # demux/sink write converted layouts first — covered by their own tests
     skip = {"demux", "sink"}
