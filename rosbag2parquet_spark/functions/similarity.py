@@ -284,8 +284,9 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~linear in N instead of O((N/256)²) at a fixed width. Bands and probes
     are rows (posexplode/explode), so ALL band-probes resolve in ONE
     self-join whose shuffle key is (band, bucket); duplicate candidates
-    from multi-band or multi-probe agreement collapse in the final
-    pair-keyed distinct. Probing only the a-side suffices: for a pair
+    from multi-band or multi-probe agreement collapse in a pair-keyed
+    distinct BEFORE verification, so each unique pair's cosine is computed
+    once. Probing only the a-side suffices: for a pair
     (x < y) differing in bit i, x's flipped probe hits y's exact bucket.
     The only driver-side data dependence is count() (one cheap job) to
     size the signature. Signatures and normalized vectors come from ONE
@@ -308,15 +309,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # calls share one entry)
         .cache()
     )
+    # keys-only through the bucket join: the probe explode multiplies rows
+    # by (bits+1), so the 64-double vector must NOT ride along (it would
+    # 12x the shuffle bytes); vectors re-attach per UNIQUE candidate pair
+    # by two id-keyed joins afterwards — same construction as the MinHash
+    # verify step (dedup._verify_jaccard)
     exploded = mat.select(
-        "vec_id",
-        F.col("s.en").alias("en"),
-        F.posexplode("s.bk").alias("band", "bucket"),
+        "vec_id", F.posexplode("s.bk").alias("band", "bucket")
     )
-    # query-side probe set: the exact bucket plus its `bits` 1-bit flips
     probes = exploded.select(
         "vec_id",
-        "en",
         "band",
         F.explode(
             F.array(
@@ -329,7 +331,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     a, b = probes.alias("a"), exploded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -337,12 +339,21 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(dot(F.col("a.en"), F.col("b.en")), 6).alias("cos_sim"),
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        )
+        .distinct()
+    )
+    ea = mat.select(F.col("vec_id").alias("a_id"), F.col("s.en").alias("ea"))
+    eb = mat.select(F.col("vec_id").alias("b_id"), F.col("s.en").alias("eb"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
-        .distinct()
     )
 
 
