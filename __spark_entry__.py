@@ -109,6 +109,8 @@ _QUERY_ORDER = [
     # NEW this round: measured recall for BOTH LSH structures; embed-neardup
     # re-proves here because multi-probe changed its pair set
     "lsh-recall", "embed-recall", "embed-neardup",
+    # NEW this round: streaming twin of the log-compaction operator
+    "stream-compact",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

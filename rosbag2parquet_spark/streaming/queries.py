@@ -180,6 +180,42 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log compaction (applyInPandasWithState): the latest event
+    per user maintained incrementally; the FINAL update per user must equal
+    batch `compact-latest` — same oracle. The final row is the one with
+    the max (last_ts_us, last_event_id): updates are monotone in that key,
+    so max_by over the drained update log IS the last emitted state."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_compaction
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    tbl = _fresh("stream_compact")
+    run_to_memory(running_compaction(events), tbl, mode="update")
+    t = spark.table(tbl)
+    w = "PARTITION BY user_id ORDER BY last_ts_us DESC, last_event_id DESC"
+    return (
+        t.withColumn("rk", F.expr(f"row_number() OVER ({w})"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "last_ts_us", "last_type", "last_value", "last_event_id"
+        )
+    )
+
+
+def _compact_oracle() -> str:
+    from rosbag2parquet_spark.operators.behavior import ORACLE_COMPACT_LATEST
+
+    return ORACLE_COMPACT_LATEST
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
@@ -187,6 +223,7 @@ QUERIES = {
     "stream-neardup": q_stream_neardup,
     "stream-sink": q_stream_sink,
     "stream-profile": q_stream_profile,
+    "stream-compact": q_stream_compact,
 }
 
 
@@ -203,4 +240,5 @@ ORACLES = {
     "stream-neardup": _minhash_oracle(),
     "stream-sink": ORACLE_STREAM_SINK,
     "stream-profile": ORACLE_STREAM_PROFILE,
+    "stream-compact": _compact_oracle(),
 }

@@ -64,3 +64,64 @@ def test_grouped_map_zscore_equals_window(spark):
     )
     assert via_pandas.exceptAll(via_window).count() == 0
     assert via_window.exceptAll(via_pandas).count() == 0
+
+
+@pytest.mark.slow
+def test_stream_compact_out_of_order_batches(spark, tmp_path):
+    """Compaction's reducer is an argmax over (ts, event_id) — commutative,
+    so a micro-batch carrying EARLIER events than an already-processed one
+    must not regress the state (the property funnel-style ordered operators
+    don't have, and the reason compaction is stream-safe unordered)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_compaction
+
+    land = tmp_path / "land"
+    land.mkdir()
+    # file A: LATE events; file B: earlier events + a ts-tie (id 12 vs 11)
+    a = pd.DataFrame(
+        {"user_id": [1, 2], "ts_us": [5_000_000, 6_000_000],
+         "event_id": [10, 11], "event_type": ["purchase", "view"],
+         "value": [9.0, 1.0]}
+    )
+    b = pd.DataFrame(
+        {"user_id": [1, 2, 2], "ts_us": [1_000_000, 2_000_000, 6_000_000],
+         "event_id": [1, 2, 12], "event_type": ["view", "click", "error"],
+         "value": [2.0, 3.0, 4.0]}
+    )
+    a.to_parquet(land / "a.parquet")
+    b.to_parquet(land / "b.parquet")
+    now = _time.time()
+    os.utime(land / "a.parquet", (now - 60, now - 60))  # A arrives FIRST
+    os.utime(land / "b.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    run_to_memory(running_compaction(stream), "compact_ooo", mode="update")
+    final = {
+        r.user_id: (r.last_ts_us, r.last_type, r.last_event_id)
+        for r in spark.sql(
+            """
+            SELECT user_id,
+                   max_by(last_ts_us, (last_ts_us, last_event_id)) AS last_ts_us,
+                   max_by(last_type, (last_ts_us, last_event_id)) AS last_type,
+                   max_by(last_event_id, (last_ts_us, last_event_id)) AS last_event_id
+            FROM compact_ooo GROUP BY user_id
+            """
+        ).collect()
+    }
+    # user 1: the late purchase (id 10) wins over the earlier view (id 1)
+    assert final[1] == (5_000_000, "purchase", 10)
+    # user 2: ts tie between id 11 and id 12 — higher event_id wins
+    assert final[2] == (6_000_000, "error", 12)
