@@ -94,6 +94,11 @@ _MODULES = (
 # Evaluation order for the driver (which iterates dict order and records only
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
+# ROUND-6 NOTE: after r5's driver run records the first 50, rotate again —
+# the r3-latest tail that spilled past 50 this round (dedup-simhash, knn,
+# knn-ivf, knn-batch, stats-corr, string-agg, explode-sequence,
+# distinct-count, quantiles, sessionize) plus the r4-proven back block
+# become the oldest rows; move them to the front, r5-proven to the back.
 # ROUND-5 ROTATION (executing the r4 note): stream-sink (r4 driver-red:
 # raw BinaryType in the compared output — now hex'd on both sides) and
 # approx-stats (new exact-bounds oracle this round) lead; then the 31
@@ -111,6 +116,8 @@ _QUERY_ORDER = [
     "lsh-recall", "embed-recall", "embed-neardup",
     # NEW this round: streaming twin of the log-compaction operator
     "stream-compact",
+    # NEW this round: one-to-many media frame sampling (X7)
+    "multimodal-frames",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

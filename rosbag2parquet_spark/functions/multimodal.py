@@ -157,12 +157,91 @@ FROM documents
 """
 
 
+# ------------------------------------------------------ frame sampling (X7)
+
+#: fixed frame block size and sampling stride — a video payload is a frame
+#: sequence; training pipelines keep every k-th frame, not all of them
+FRAME_BYTES = 64
+FRAME_STRIDE = 2
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset int, "
+    "thumb_w int, thumb_h int, thumb_checksum long"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the ONE-TO-MANY media shape: each input blob
+    yields rows for every ``FRAME_STRIDE``-th full ``FRAME_BYTES`` block —
+    the frame-sample + (stubbed) resize step of a video pipeline. Distinct
+    plumbing from `extract_features` (1:1): the output batch length is
+    data-dependent, which is exactly what Arrow's variable-size batches
+    exist for. The "resize" emits stub thumbnail dims + a checksum, pure
+    arithmetic over the frame bytes (deterministic → SQL oracle)."""
+    for pdf in batches:
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id",
+                "frame_idx",
+                "frame_offset",
+                "thumb_w",
+                "thumb_h",
+                "thumb_checksum",
+            )
+        }
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            if data is None:
+                continue
+            for idx in range(0, len(data) // FRAME_BYTES, FRAME_STRIDE):
+                off = idx * FRAME_BYTES
+                frame = data[off : off + FRAME_BYTES]
+                cols["doc_id"].append(doc_id)
+                cols["frame_idx"].append(idx)
+                cols["frame_offset"].append(off)
+                cols["thumb_w"].append(frame[0] % 320 + 1)
+                cols["thumb_h"].append(frame[1] % 240 + 1)
+                cols["thumb_checksum"].append(sum(frame[:16]) + FRAME_BYTES)
+        if cols["doc_id"]:
+            out = pd.DataFrame(cols)
+            for c in ("frame_idx", "frame_offset", "thumb_w", "thumb_h"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: frame-sample + resize plumbing over the media table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return media_table(docs).select("doc_id", "data").mapInPandas(
+        sample_frames, schema=FRAME_SCHEMA
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = f"""
+SELECT doc_id,
+       CAST(f.range AS INTEGER) AS frame_idx,
+       CAST(f.range * {FRAME_BYTES} AS INTEGER) AS frame_offset,
+       CAST(ascii(substr(text, f.range * {FRAME_BYTES} + 1, 1)) % 320 + 1
+            AS INTEGER) AS thumb_w,
+       CAST(ascii(substr(text, f.range * {FRAME_BYTES} + 2, 1)) % 240 + 1
+            AS INTEGER) AS thumb_h,
+       CAST(list_sum(list_transform(range(1, 17),
+                i -> ascii(substr(text, f.range * {FRAME_BYTES} + i, 1))))
+            + {FRAME_BYTES} AS BIGINT) AS thumb_checksum
+FROM documents, range(0, 1000) f
+WHERE f.range < length(text) // {FRAME_BYTES}
+  AND f.range % {FRAME_STRIDE} = 0
+"""
+
+
 QUERIES = {
     "multimodal-features": q_multimodal_features,
     "multimodal-pointers": q_multimodal_pointers,
+    "multimodal-frames": q_multimodal_frames,
 }
 
 ORACLES = {
     "multimodal-features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal-pointers": ORACLE_MULTIMODAL_POINTERS,
+    "multimodal-frames": ORACLE_MULTIMODAL_FRAMES,
 }
