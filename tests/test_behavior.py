@@ -103,3 +103,35 @@ def test_cohort_offsets(spark):
     assert sorted(r.week_offset for r in out) == [0, 0, 2]
     assert all(r.n_users == 1 for r in out)
     assert len({r.cohort_week for r in out if r.week_offset == 0}) == 2
+
+
+def test_funnel_plans_one_event_shuffle(spark):
+    """The three layered stage windows share ONE hashpartitioning exchange
+    of the event stream; only the final scalar reduce adds a
+    SinglePartition (per-user partials, not events)."""
+    import re
+
+    from rosbag2parquet_spark.operators.behavior import q_funnel
+    from tests.conftest import SF_DIR
+
+    plan = (
+        q_funnel(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_weighted_sample_plans_top_k(spark):
+    """K smallest priorities via TakeOrderedAndProject — per-task top-K,
+    no global sort, no exchange at all."""
+    from rosbag2parquet_spark.functions.sampling import q_weighted_sample
+    from tests.conftest import SF_DIR
+
+    plan = (
+        q_weighted_sample(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
