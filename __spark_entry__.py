@@ -118,6 +118,8 @@ _QUERY_ORDER = [
     "stream-compact",
     # NEW this round: one-to-many media frame sampling (X7)
     "multimodal-frames",
+    # NEW this round: JSON-path + higher-order array function surface (E5)
+    "json-funcs", "array-funcs",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

@@ -193,11 +193,92 @@ GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
 """
 
 
+# ---------------------------------------------------------- JSON functions
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the event payload (`props` is a JSON
+    document — the semi-structured column every telemetry pipeline carries):
+    scalar extraction + typed cast + aggregation. Extraction is a narrow
+    codegen expression; the agg is the usual two-phase hash — nothing about
+    JSON changes the plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+        )
+    )
+
+
+ORACLE_JSON_FUNCS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       count(CASE WHEN k > 50 THEN 1 END) AS n_big
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------- higher-order functions
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface: split → size / distinct /
+    lambda filter / transform+aggregate / sort-head, all inside one
+    whole-stage-codegen projection (no UDF, no shuffle beyond the scan).
+    Every output is an exact integer or string, each mirrored by DuckDB's
+    list_* twins."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4))
+        .cast("long")
+        .alias("n_long_words"),
+        F.aggregate(
+            F.transform(words, F.length),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("total_word_chars"),
+        F.array_sort(words)[0].alias("first_sorted"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       len(list_filter(string_split(text, ' '),
+                       w -> length(w) > 4)) AS n_long_words,
+       CAST(list_sum(list_transform(string_split(text, ' '),
+                                    w -> length(w))) AS BIGINT)
+         AS total_word_chars,
+       list_sort(string_split(text, ' '))[1] AS first_sorted
+FROM documents
+"""
+
+
 QUERIES = {
     "window-funcs": q_window_funcs,
     "scalar-funcs": q_scalar_funcs,
     "null-semantics": q_null_semantics,
     "sql-q18": q_sql_q18,
+    "json-funcs": q_json_funcs,
+    "array-funcs": q_array_funcs,
 }
 
 ORACLES = {
@@ -205,4 +286,6 @@ ORACLES = {
     "scalar-funcs": ORACLE_SCALAR_FUNCS,
     "null-semantics": ORACLE_NULL_SEMANTICS,
     "sql-q18": ORACLE_SQL_Q18,
+    "json-funcs": ORACLE_JSON_FUNCS,
+    "array-funcs": ORACLE_ARRAY_FUNCS,
 }
