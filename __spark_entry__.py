@@ -120,6 +120,8 @@ _QUERY_ORDER = [
     "multimodal-frames",
     # NEW this round: JSON-path + higher-order array function surface (E5)
     "json-funcs", "array-funcs",
+    # NEW this round: containment + normalized-exact dedup tiers (X2)
+    "dedup-containment", "dedup-normalized",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

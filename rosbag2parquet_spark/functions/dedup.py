@@ -499,6 +499,122 @@ FROM reach GROUP BY v
 )
 
 
+# --------------------------------------------------------- containment (X2)
+
+#: containment threshold: |A∩B| / min(|A|,|B|) — the smaller document is
+#: mostly inside the larger one (quotes, excerpts, boilerplate wrapping);
+#: symmetric Jaccard misses these when the size ratio is large
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle containment ≥ CONTAINMENT_THRESHOLD.
+    A Jaccard join misses a short document embedded in a long one (the
+    union term swamps the intersection); containment normalizes by the
+    SMALLER set, which is exactly the excerpt/boilerplate case a
+    training-corpus dedup pass must catch. Same df-pruned candidate join
+    and array_intersect verify as the Jaccard tier — one more metric on
+    the same scale skeleton, not a new pipeline."""
+    sh = _doc_shingles(spark, sf_dir)
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= NGRAM_DF_MAX)
+        .select("s"),
+        "s",
+        "left_semi",
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sets = _doc_shingle_sets(spark, sf_dir)
+    ja = sets.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("sa"))
+    jb = sets.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(ja, "a_id")
+        .join(jb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter / F.least(F.size("sa"), F.size("sb"))).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = (
+    _SHINGLES_SQL
+    + f""",
+rare AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= {NGRAM_DF_MAX}) r USING (s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       inter * 1.0 / least(za.n, zb.n) AS containment
+FROM inter
+JOIN sizes za ON za.doc_id = a_id
+JOIN sizes zb ON zb.doc_id = b_id
+WHERE inter * 1.0 / least(za.n, zb.n) >= """
+    + str(CONTAINMENT_THRESHOLD)
+)
+
+
+# ---------------------------------------------------- normalized dedup (X2)
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER text canonicalization (lowercase, non-alnum →
+    space, whitespace collapse, trim) — the standard first pass of a
+    corpus pipeline: it folds case/punctuation variants plain byte-exact
+    dedup misses, still map-only + one digest-keyed shuffle. The
+    normalization is the identical regex program on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_fp"), F.length(norm).alias("norm_len"))
+        .groupBy("norm_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("norm_len").cast("long").alias("norm_len"),
+        )
+    )
+
+
+ORACLE_DEDUP_NORMALIZED = """
+SELECT md5(n) AS norm_fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+       CAST(min(length(n)) AS BIGINT) AS norm_len
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 '  +', ' ', 'g')) AS n
+      FROM documents)
+GROUP BY 1
+"""
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of MinHash-LSH against the exact n-gram-Jaccard ground truth
     at the same threshold — the quality number an LSH band/row config is
@@ -545,6 +661,8 @@ QUERIES = {
     "dedup-simhash": q_simhash,
     "dedup-clusters": q_dedup_clusters,
     "lsh-recall": q_lsh_recall,
+    "dedup-containment": q_dedup_containment,
+    "dedup-normalized": q_dedup_normalized,
 }
 
 ORACLES = {
@@ -554,4 +672,6 @@ ORACLES = {
     "dedup-simhash": _oracle_simhash(),
     "dedup-clusters": ORACLE_DEDUP_CLUSTERS,
     "lsh-recall": ORACLE_LSH_RECALL,
+    "dedup-containment": ORACLE_DEDUP_CONTAINMENT,
+    "dedup-normalized": ORACLE_DEDUP_NORMALIZED,
 }
