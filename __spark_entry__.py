@@ -122,6 +122,8 @@ _QUERY_ORDER = [
     "json-funcs", "array-funcs",
     # NEW this round: containment + normalized-exact dedup tiers (X2)
     "dedup-containment", "dedup-normalized",
+    # NEW this round: time-based RANGE-frame trailing aggregate (X5)
+    "rolling-window",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

@@ -204,11 +204,65 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: trailing-window width in epoch microseconds (1 hour)
+_TRAIL_US = 3_600_000_000
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE-frame trailing aggregate: per event, the count and
+    exact-decimal sum of the SAME USER's events in the preceding hour —
+    the per-entity rolling feature every monitoring / feature-store
+    pipeline computes, and the one window-frame type (value-range, not
+    row-count) the rest of the suite doesn't exercise. The frame bound is
+    integer epoch-µs, so both engines evaluate the identical numeric RANGE
+    semantics (ts ties are frame peers in both). One shuffle + sort on
+    (user_id, ts) — Spark's WindowExec advances the range frame
+    incrementally over the sorted run; no per-row rescan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_TRAIL_US, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+ORACLE_ROLLING_WINDOW = f"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_TRAIL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "window-tumbling": q_window_tumbling,
     "window-sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "rollup-hypertable": q_rollup_hypertable,
+    "rolling-window": q_rolling_window,
 }
 
 ORACLES = {
@@ -216,4 +270,5 @@ ORACLES = {
     "window-sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "rollup-hypertable": ORACLE_ROLLUP_HYPERTABLE,
+    "rolling-window": ORACLE_ROLLING_WINDOW,
 }
