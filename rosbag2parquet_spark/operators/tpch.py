@@ -97,11 +97,18 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so ANN-style "approximate but bounded" is driver-checked, not merely
     asserted in unit tests."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # two single-purpose aggregations joined on the 3-row group key: the
+    # distinct counts force an Expand (input row per distinct column), and
+    # putting the object-agg percentiles in the SAME agg makes them run
+    # over the expanded input — split, each agg is one clean pass (measured
+    # 4.2 s -> ~1 s at sf0.01)
+    cnts = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("_hll_parts"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_hll_orders"),
+    )
+    pcts = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_ap50"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("_ap99"),
         F.expr("percentile(l_extendedprice, 0.40)").alias("_p40"),
@@ -109,6 +116,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.97)").alias("_p97"),
         F.max("l_extendedprice").alias("_pmax"),
     )
+    agg = cnts.join(pcts, "l_returnflag")
     within = lambda est, lo, hi: (F.col(est) >= F.col(lo)) & (  # noqa: E731
         F.col(est) <= F.col(hi)
     )

@@ -65,3 +65,22 @@ def test_no_registered_query_emits_binary(spark):
         if cols:
             offenders[name] = cols
     assert offenders == {}
+
+
+def test_hugeint_oracle_rejected(duck):
+    """A DuckDB oracle whose result carries HUGEINT is a guaranteed future
+    driver-red (HUGEINT → float64 under the driver's pandas fetch, vs
+    Spark's BIGINT): no registered oracle may produce one."""
+    import __spark_entry__ as entrymod
+
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = duck.sql(sql)
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}

@@ -182,9 +182,15 @@ def main() -> int:
             continue
 
         if hazards:
-            # sum(integer) in DuckDB is HUGEINT -> float64 under pandas;
-            # Spark's sum(int) is BIGINT. CAST the oracle column to BIGINT.
-            print(f"WARN {name}: oracle HUGEINT columns {hazards}")
+            # sum(integer) in DuckDB is HUGEINT -> float64 under the
+            # driver's pandas fetch while Spark's sum(int) is BIGINT: a
+            # guaranteed future driver-red row (r3 lost three queries to
+            # it). Hard failure, not a warning — CAST the oracle column
+            # to BIGINT.
+            print(f"FAIL {name}: oracle HUGEINT columns {hazards} — "
+                  "CAST(... AS BIGINT)")
+            n_fail += 1
+            continue
 
         problems = []
         if len(srows) != len(orows):
