@@ -446,7 +446,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-winning data) never changes a chosen document's priority."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(
+        # NULL/zero weights are excluded EXPLICITLY: a NULL priority would
+        # sort NULLS FIRST in Spark but NULLS LAST in DuckDB — an unweighted
+        # row must not be able to flip the sample between engines
+        docs.filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .select(
             "doc_id",
             "lang",
             "n_chars",
@@ -460,6 +464,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WEIGHTED_SAMPLE = f"""
 SELECT doc_id, lang, n_chars, {_WS_PRIORITY} AS priority
 FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {_WS_K}
 """
