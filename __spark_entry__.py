@@ -124,6 +124,9 @@ _QUERY_ORDER = [
     "dedup-containment", "dedup-normalized",
     # NEW this round: time-based RANGE-frame trailing aggregate (X5)
     "rolling-window",
+    # NEW this round: the five remaining TPC-H shapes (partsupp derived
+    # from lineitem) — the full 22-query surface is now registered
+    "sql-q2", "sql-q9", "sql-q11", "sql-q16", "sql-q20",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

@@ -593,7 +593,175 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+#: The five remaining TPC-H queries (Q2/Q9/Q11/Q16/Q20) all consume the
+#: `partsupp` table, which the fixtures do not carry. Each is adapted to
+#: preserve the query's SHAPE — the thing the optimizer and the correctness
+#: gate actually exercise — by deriving a partsupp-like view from lineitem
+#: (the part↔supplier bridge that exists): a grouped CTE consumed twice
+#: (Q2/Q11), a correlated scalar subquery over it (Q2), a HAVING against an
+#: uncorrelated scalar subquery (Q11), a null-aware NOT IN anti join under a
+#: distinct-count aggregate (Q16), and a nested IN over a group-having
+#: subquery (Q20). The SQL is engine-identical, so each string is both the
+#: Spark query and its DuckDB oracle.
+
+_Q2_SQL = """
+WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost)
+    FROM partsupp
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE part.p_partkey = ps_partkey AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part in a region — the
+    correlated scalar-subquery-over-aggregate pattern (decorrelated by both
+    engines into a per-part min + self-join). The partsupp CTE is the
+    lineitem-derived bridge; `ps_supplycost` is an exact DECIMAL min so the
+    equality probe is engine-identical (a float min would make the winner
+    set ULP-dependent). ORDER BY carries a total tiebreak (s_name,
+    p_partkey) so the LIMIT cut is deterministic."""
+    register_views(
+        spark, sf_dir, ("part", "supplier", "lineitem", "nation", "region")
+    )
+    return spark.sql(_Q2_SQL)
+
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  - sum(CAST(p_retailprice AS DECIMAL(18,4))
+                        * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice, l_discount, p_retailprice, l_quantity
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and order
+    year — the 5-way fact-through-substring-filter join. Fixture has no
+    ps_supplycost, so cost = p_retailprice × quantity (same
+    revenue-minus-cost arithmetic). The two sums accumulate separately in
+    exact DECIMAL and subtract once at the aggregate level — keeping every
+    intermediate under DECIMAL(38) in BOTH engines (a fused per-row
+    rev−cost expression would push Spark past precision 38 and trigger its
+    scale-truncation, diverging from DuckDB)."""
+    register_views(
+        spark, sf_dir, ("lineitem", "supplier", "part", "orders", "nation")
+    )
+    return spark.sql(_Q9_SQL)
+
+
+_Q11_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_value
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT ps_partkey, CAST(round(sum(ps_value), 2) AS DOUBLE) AS part_value
+FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY ps_partkey
+HAVING sum(ps_value) > (
+  SELECT sum(ps_value) * 0.002
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1')
+ORDER BY part_value DESC
+"""
+
+
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: 'important stock' — a grouped value per part kept
+    only if it exceeds a FRACTION OF THE GLOBAL TOTAL (scalar subquery in
+    HAVING, the same derived view consumed twice). Both the per-part sums
+    and the global threshold stay exact DECIMAL until the comparison, so
+    the kept set is engine-identical; only the reported value is rounded
+    to double."""
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier diversity by part attribute — a NOT IN
+    subquery (null-aware anti join; keys are non-null so it stays a plain
+    anti) under a count(DISTINCT) aggregate with an IN-list filter. The
+    fixture's supplier table has no comment column; negative account
+    balance plays the 'complaints' exclusion role. lineitem is the
+    part↔supplier bridge partsupp plays in the original."""
+    register_views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 45
+)
+AND n_name IN ('NATION_2', 'NATION_7', 'NATION_12')
+ORDER BY s_name
+"""
+
+
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess volume of a named part line —
+    the nested IN-over-group-having subquery (semi join against an
+    aggregate). Fixture has no ps_availqty, so the original's
+    half-of-available threshold becomes a quantity floor on the same
+    grouped sum; the subquery→semi-join plan is identical. Quantity
+    accumulates in exact DECIMAL so the threshold cut is engine-identical."""
+    register_views(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    return spark.sql(_Q20_SQL)
+
+
 QUERIES = {
+    "sql-q2": q_sql_q2,
     "sql-q3": q_sql_q3,
     "sql-q4": q_sql_q4,
     "sql-q5": q_sql_q5,
@@ -607,12 +775,17 @@ QUERIES = {
     "sql-q17": q_sql_q17,
     "sql-q19": q_sql_q19,
     "sql-q8": q_sql_q8,
+    "sql-q9": q_sql_q9,
+    "sql-q11": q_sql_q11,
+    "sql-q16": q_sql_q16,
+    "sql-q20": q_sql_q20,
     "sql-q21": q_sql_q21,
     "sql-q22": q_sql_q22,
     "approx-stats": q_approx_stats,
 }
 
 ORACLES = {
+    "sql-q2": _Q2_SQL,
     "sql-q3": ORACLE_SQL_Q3,
     "sql-q4": ORACLE_SQL_Q4,
     "sql-q5": ORACLE_SQL_Q5,
@@ -626,6 +799,10 @@ ORACLES = {
     "sql-q17": ORACLE_SQL_Q17,
     "sql-q19": _Q19_SQL,
     "sql-q8": _Q8_SQL,
+    "sql-q9": _Q9_SQL,
+    "sql-q11": _Q11_SQL,
+    "sql-q16": _Q16_SQL,
+    "sql-q20": _Q20_SQL,
     "sql-q21": _Q21_SQL,
     "sql-q22": _Q22_SQL,
     # approx-stats compares exact counts + error-envelope booleans; the
