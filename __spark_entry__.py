@@ -127,6 +127,10 @@ _QUERY_ORDER = [
     # NEW this round: the five remaining TPC-H shapes (partsupp derived
     # from lineitem) — the full 22-query surface is now registered
     "sql-q2", "sql-q9", "sql-q11", "sql-q16", "sql-q20",
+    # NEW this round: Gopher-style repetition filters + BM25 retrieval (X4)
+    "repetition-score", "bm25-search",
+    # NEW this round: streaming twin of exact dedup (dedup-at-ingest)
+    "stream-dedup",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

@@ -310,6 +310,171 @@ FROM documents
 """
 
 
+# -------------------------------------------------------- repetition-score
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher-style repetition
+    filters of an LLM data pipeline): duplicate-word fraction, top-word
+    fraction, duplicate-bigram fraction — documents dominated by a few
+    repeated tokens/phrases are boilerplate or spam. Two explode→two-level
+    hash-agg pipelines (words, bigrams) joined on doc_id: the shuffle keys
+    are (doc_id, token) so map-side partial combine absorbs the token
+    fan-out, and nothing ever materializes per-doc quadratic work. All
+    fractions are scaled-integer (e6) via integer div — no floats in the
+    compared output (the driver's float normalization is not replicable;
+    see text-stats)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _words().alias("w")
+    )
+    tok = docs.select("doc_id", F.explode("w").alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_c"),
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                "         slice(w, 2, greatest(size(w) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    bc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per2 = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+    )
+    return per.join(per2, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.expr("((n_words - n_distinct_words) * 1000000L) div n_words").alias(
+            "dup_word_frac_e6"
+        ),
+        F.expr("(top_c * 1000000L) div n_words").alias("top_word_frac_e6"),
+        F.expr(
+            "CASE WHEN coalesce(n_bigrams, 0L) = 0 THEN 0L"
+            " ELSE ((n_bigrams - n_distinct_bigrams) * 1000000L) div n_bigrams"
+            " END"
+        ).alias("dup_bigram_frac_e6"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY doc_id
+),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])) AS bigram
+       FROM words),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+per2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams
+  FROM bc GROUP BY doc_id
+)
+SELECT per.doc_id, n_words, n_distinct_words,
+       ((n_words - n_distinct_words) * 1000000) // n_words AS dup_word_frac_e6,
+       (top_c * 1000000) // n_words AS top_word_frac_e6,
+       CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+            ELSE ((n_bigrams - n_distinct_bigrams) * 1000000) // n_bigrams
+       END AS dup_bigram_frac_e6
+FROM per LEFT JOIN per2 ON per.doc_id = per2.doc_id
+"""
+
+
+# ------------------------------------------------------------- bm25-search
+
+#: the retrieval query for the scoring showcase; production callers pass
+#: their own term list
+BM25_TERMS = ("spark", "query", "join")
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+#: per-(doc, term) BM25 scoring expression — IDENTICAL text on both engines:
+#: every operand is explicitly CAST to DOUBLE and every constant is an e0
+#: float literal, so the expression tree is pure IEEE double arithmetic
+#: (+ - * / are correctly rounded, hence bit-identical across engines —
+#: unlike decimal promotion rules or libm ln/exp, which are not; the
+#: classical ln-idf becomes the rational odds ratio (N-df+.5)/(df+.5)).
+#: The per-term double is then CAST to DECIMAL(18,6) — a double can never
+#: sit exactly on a half-boundary of a 1e-6 decimal grid (denominator 5^6
+#: is not a power of two), so the rounding is unambiguous — and the final
+#: per-doc sum accumulates in exact decimal, order-free.
+_BM25_TERM_SCORE = """
+         CAST(((CAST(n_total - df AS DOUBLE) + 0.5e0)
+               / (CAST(df AS DOUBLE) + 0.5e0))
+              * (CAST(tf AS DOUBLE) * 2.2e0)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl.dl AS DOUBLE) / avgdl))
+              AS DECIMAL(18,6)) AS term_score
+"""
+
+_BM25_TAIL = f"""
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok
+       WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+{_BM25_TERM_SCORE}
+  FROM tf JOIN df ON tf.word = df.word
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_terms_matched,
+       CAST(sum(term_score) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, rational idf), top 20 — the
+    keyword-search / quality-by-query pass of a data pipeline. Token stats
+    shuffle on (doc_id, word) with the IN-list pushed below the explode's
+    aggregation; df and the corpus stats are tiny aggregates that broadcast
+    back onto the per-doc scores; TakeOrderedAndProject caps the result
+    with a doc_id tiebreak. Shares the scoring SQL text with the oracle —
+    see _BM25_TERM_SCORE for why the doubles are bit-identical."""
+    from rosbag2parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS dl FROM words),
+stats AS (SELECT count(*) AS n_total,
+                 CAST(sum(dl) AS BIGINT) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, word FROM words LATERAL VIEW explode(w) AS word),
+"""
+        + _BM25_TAIL
+    )
+
+
+ORACLE_BM25 = (
+    """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM words),
+stats AS (SELECT count(*) AS n_total,
+                 CAST(sum(dl) AS BIGINT) / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+"""
+    + _BM25_TAIL
+)
+
+
 QUERIES = {
     "text-stats": q_text_stats,
     "token-count": q_token_count,
@@ -318,6 +483,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "top-terms": q_top_terms,
     "scrub-terms": q_scrub_terms,
+    "repetition-score": q_repetition_score,
+    "bm25-search": q_bm25_search,
 }
 
 ORACLES = {
@@ -328,4 +495,6 @@ ORACLES = {
     "fingerprint": ORACLE_FINGERPRINT,
     "top-terms": ORACLE_TOP_TERMS,
     "scrub-terms": ORACLE_SCRUB_TERMS,
+    "repetition-score": ORACLE_REPETITION,
+    "bm25-search": ORACLE_BM25,
 }

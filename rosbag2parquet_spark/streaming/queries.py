@@ -216,6 +216,39 @@ def _compact_oracle() -> str:
     return ORACLE_COMPACT_LATEST
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STREAM: the content-digest index maintained
+    incrementally (groupBy md5, complete mode) — the dedup-at-ingest shape
+    of a training-data pipeline, where the duplicate check must run as
+    documents arrive, not in a nightly batch. The compared output is the
+    GROUP state (digest, min winner, count), not the arrival-order winner
+    row — min/count are order-free, so the incremental answer equals batch
+    `dedup-exact` bit-for-bit regardless of micro-batch arrival order;
+    same oracle."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.neardup import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    agg = (
+        docs.select(F.md5("text").alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    tbl = _fresh("stream_dedup")
+    run_to_memory(agg, tbl, mode="complete")
+    return spark.table(tbl)
+
+
+def _dedup_exact_oracle() -> str:
+    from rosbag2parquet_spark.functions.dedup import ORACLE_DEDUP_EXACT
+
+    return ORACLE_DEDUP_EXACT
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
@@ -224,6 +257,7 @@ QUERIES = {
     "stream-sink": q_stream_sink,
     "stream-profile": q_stream_profile,
     "stream-compact": q_stream_compact,
+    "stream-dedup": q_stream_dedup,
 }
 
 
@@ -241,4 +275,5 @@ ORACLES = {
     "stream-sink": ORACLE_STREAM_SINK,
     "stream-profile": ORACLE_STREAM_PROFILE,
     "stream-compact": _compact_oracle(),
+    "stream-dedup": _dedup_exact_oracle(),
 }
