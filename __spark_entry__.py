@@ -131,10 +131,14 @@ _QUERY_ORDER = [
     "repetition-score", "bm25-search",
     # NEW this round: streaming twin of exact dedup (dedup-at-ingest)
     "stream-dedup",
+    # NEW this round: co-located join over bucketed layouts (pay-once
+    # shuffle); join re-proves here because its plan changed (partial agg
+    # pushed below the join)
+    "bucket-join", "join",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",
-    "groupby-agg", "derived", "rollup", "dim-join", "join", "semi-join",
+    "groupby-agg", "derived", "rollup", "dim-join", "semi-join",
     "first-seen", "sql", "window-funcs", "window-tumbling", "window-sliding",
     "lag-lead", "zscore", "cube", "grouping-sets", "asof", "kmeans",
     "multimodal-features", "multimodal-pointers",

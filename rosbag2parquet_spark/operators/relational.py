@@ -355,29 +355,39 @@ GROUP BY c_mktsegment
 def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-table key join (reference README.md:119-121: per-type ↔ Messages
     on seqno, ↔ Connections on connection_id). Fixture analog:
-    lineitem ↔ orders ↔ customer. orders↔lineitem is the big-big join —
-    sort-merge on the shuffled key with AQE skew handling; customer is small
-    → broadcast. Aggregation keyed on the small dim attribute."""
+    lineitem ↔ orders ↔ customer; customer is small → broadcast; the
+    orders↔lineitem side runs as partial-agg-below-join (see inline
+    comment) — at bench scale AQE broadcasts the collapsed side too, at
+    100 TB it degrades to a sort-merge join of order-grain partials with
+    AQE skew handling."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # partial aggregation PUSHED BELOW the join — the grouping keys all come
+    # from the dim side, so revenue/count can collapse to one row per
+    # orderkey before the join ever sees the fact table: the shuffle carries
+    # |orders| narrow partials instead of |lineitem| wide rows, and map-side
+    # combine absorbs most of it (lineitems of an order are adjacent in the
+    # file). DECIMAL sums reassociate exactly, so per-order-then-per-segment
+    # equals the flat sum bit-for-bit (a double sum would not survive this
+    # rewrite). At 100 TB this is the difference between shuffling the fact
+    # table and shuffling the order-grain summary.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("_rev"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
-            F.count("*").alias("n_items"),
+            F.sum("_cnt").alias("n_items"),
             # DECIMAL accumulation: the 4-decimal-exact products make double
             # sums land exactly on round-half boundaries where engines differ
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
         )
     )
 

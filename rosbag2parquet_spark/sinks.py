@@ -110,5 +110,114 @@ FROM seq JOIN conns USING (user_id, event_type)
 )
 
 
-QUERIES = {"demux": q_demux, "sink": q_sink}
-ORACLES = {"demux": ORACLE_DEMUX, "sink": ORACLE_SINK}
+import itertools
+
+_BUCKET_SEQ = itertools.count()
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED (optionally bucket-sorted) parquet
+    table — the pre-shuffled layout for repeated key-joins and key-aggs:
+    two tables bucketed the same way join with ZERO Exchange (each task
+    reads matching bucket files from both sides), and a groupBy on the
+    bucket column skips its shuffle entirely. At 100 TB this is the
+    difference between re-shuffling the fact table on every query and
+    paying the shuffle once at write time. The table is EXTERNAL (data at
+    ``path``); metadata lands in the session catalog, which is what carries
+    the bucketing spec to future scans."""
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)
+
+
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed layouts: lineitem and orders are first
+    written bucketed by their join key (the pay-once shuffle), then joined
+    — the merge-hinted join consumes bucket-aligned scans with NO Exchange
+    on either side (plan-asserted in tests/test_bucketed.py). This is the
+    layout the converter would emit for a fleet whose downstream is
+    join-heavy; the correctness gate proves the bucketed path end-to-end
+    (write → catalog → bucket-aware scan → join) against the plain SQL
+    answer."""
+    n = next(_BUCKET_SEQ)
+    li_name, o_name = f"li_bucketed_{n}", f"orders_bucketed_{n}"
+    root = tempfile.mkdtemp(prefix="bucket_join_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    try:
+        write_bucketed(
+            spark, li, li_name, "l_orderkey", 8,
+            os.path.join(root, li_name), sort_col="l_orderkey",
+        )
+        write_bucketed(
+            spark, orders, o_name, "o_orderkey", 8,
+            os.path.join(root, o_name), sort_col="o_orderkey",
+        )
+        out = (
+            spark.table(li_name)
+            .hint("merge")
+            .join(
+                spark.table(o_name),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint(eager=True)  # materialize before tables drop
+        )
+    finally:
+        import shutil
+
+        for t in (li_name, o_name):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+ORACLE_BUCKET_JOIN = """
+SELECT o_orderstatus, count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {"demux": q_demux, "sink": q_sink, "bucket-join": q_bucket_join}
+ORACLES = {
+    "demux": ORACLE_DEMUX,
+    "sink": ORACLE_SINK,
+    "bucket-join": ORACLE_BUCKET_JOIN,
+}

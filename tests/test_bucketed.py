@@ -1,0 +1,114 @@
+"""Bucketed-layout tests: the pay-once-shuffle story. Two tables written
+bucketed on the join key must join and aggregate with ZERO Exchange — the
+physical-plan property that makes repeated key-joins viable at 100 TB
+(shuffle at write time, never again at read time)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.plans.inspect import physical_plan
+from rosbag2parquet_spark.sinks import write_bucketed
+from rosbag2parquet_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    root = tempfile.mkdtemp(prefix="test_bucketed_")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed(
+        spark, li, "t_li_b", "l_orderkey", 4,
+        os.path.join(root, "li"), sort_col="l_orderkey",
+    )
+    write_bucketed(
+        spark, orders, "t_orders_b", "o_orderkey", 4,
+        os.path.join(root, "o"), sort_col="o_orderkey",
+    )
+    yield "t_li_b", "t_orders_b"
+    for t in ("t_li_b", "t_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Same bucket count on both sides + merge hint → SortMergeJoin over
+    bucket-aligned scans, no shuffle on either input."""
+    li_t, o_t = bucketed_tables
+    joined = (
+        spark.table(li_t)
+        .hint("merge")
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_extendedprice", "o_orderstatus")
+    )
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # and the answer is the same as the plain (shuffled) join
+    plain = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .join(
+            load_table(spark, SF_DIR, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_extendedprice", "o_orderstatus")
+    )
+    assert joined.exceptAll(plain).count() == 0
+    assert plain.exceptAll(joined).count() == 0
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    """A groupBy on the bucket column reuses the on-disk partitioning —
+    the aggregation runs bucket-local, no Exchange in the plan."""
+    li_t, _ = bucketed_tables
+    agg = (
+        spark.table(li_t)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    plan = physical_plan(agg)
+    assert "Exchange" not in plan
+
+
+def test_bucket_join_query_matches_plain(spark):
+    """The registered bucket-join query (write → catalog → join) returns
+    the plain-SQL answer at the smoke scale."""
+    from rosbag2parquet_spark.sinks import q_bucket_join
+
+    got = {
+        (r["o_orderstatus"], r["n_items"], r["revenue"])
+        for r in q_bucket_join(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    want = {
+        (r["o_orderstatus"], r["n_items"], r["revenue"])
+        for r in (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                    ),
+                    2,
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        ).collect()
+    }
+    assert got == want
