@@ -394,7 +394,6 @@ def _write_bag_tables(
     *,
     arrays: str,
     max_records_per_file: int,
-    join_keys: tuple[str, ...] = ("offset",),
     unsigned: str = "signed",
     compression: str = "snappy",
 ) -> tuple[int, float]:
@@ -402,9 +401,9 @@ def _write_bag_tables(
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
     one flattened typed table per datatype, and the DDL script.
 
-    ``join_keys`` is the unique row identity used to stitch decoded columns
-    back to (seqno, data) — ``("offset",)`` for one bag, ``("bag_index",
-    "offset")`` for a multi-bag union where offsets repeat across files."""
+    ``seq`` rows carry seqno and the raw blob through the decoder in one
+    pass (keep_cols) — no stitch join; see the inline comment at the
+    per-type decode."""
     from rosbag2parquet_spark.sources.decode import decode_messages
 
     conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
@@ -445,19 +444,29 @@ def _write_bag_tables(
             raise ValueError(
                 f"{datatype}: connections disagree on md5sum {sorted(md5s)}"
             )
-        slice_df = seq.filter(F.col("conn_id").isin(conn_ids))
+        # seqno and the raw blob ride THROUGH the decoder (keep_cols) instead
+        # of being stitched back by an offset join: the payload already
+        # crosses into the Python worker to be decoded, so returning it in
+        # the same Arrow batch is free — the join formulation re-shuffled
+        # every blob byte a second time (pertype stage on the 95 MB
+        # walkthrough: 3.6 s → 1.5 s cold, 1.1 s → 0.8 s warm, same
+        # session A/B). The raw column is renamed
+        # for the decode so a flattened payload field named `data` (e.g.
+        # CompressedImage.data in blobs mode) cannot capture it.
+        slice_df = seq.filter(F.col("conn_id").isin(conn_ids)).withColumnRenamed(
+            "data", "__raw__"
+        )
         flat = decode_messages(
             slice_df,
             datatype,
             cs[0].msg_def,
-            keep_cols=(*join_keys, "conn_id"),
+            data_col="__raw__",
+            keep_cols=("seqno", "conn_id", "__raw__"),
             arrays=arrays,
             unsigned=unsigned,
         )
-        pertype = (
-            flat.join(seq.select(*join_keys, "seqno", "data"), list(join_keys))
-            .drop(*join_keys)
-            .withColumnRenamed("conn_id", "connection_id")
+        pertype = flat.withColumnRenamed("conn_id", "connection_id").withColumnRenamed(
+            "__raw__", "data"
         )
         # column order per MessageTable.cpp:326-343
         value_cols = [
@@ -720,7 +729,6 @@ def convert_bags(
         arrays=arrays,
         unsigned=unsigned,
         max_records_per_file=max_records_per_file,
-        join_keys=("bag_index", "offset"),
         compression=compression,
     )
     seq.unpersist()

@@ -565,4 +565,7 @@ def decode_messages(
                     cols[name] = [row[i] for row in decoded]
             yield pd.DataFrame(cols)
 
-    return df.select(*keep_cols, data_col).mapInPandas(run, schema=out_schema)
+    # data_col may itself be a keep_col (the converter passes the raw blob
+    # through the decode batch instead of re-joining it) — select it once
+    sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])
+    return df.select(*sel).mapInPandas(run, schema=out_schema)
