@@ -135,6 +135,8 @@ _QUERY_ORDER = [
     # shuffle); join re-proves here because its plan changed (partial agg
     # pushed below the join)
     "bucket-join", "join",
+    # NEW this round: skew-salted join + overlapping token-window chunking
+    "salted-join", "tokenize-chunk",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

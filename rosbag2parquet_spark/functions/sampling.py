@@ -470,6 +470,59 @@ LIMIT {_WS_K}
 """
 
 
+# ---------------------------------------------------------- tokenize-chunk
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q_tokenize_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pretraining prep that
+    turns each document into fixed-size token chunks with overlap (stride <
+    window). One narrow projection + one explode per document: the chunk
+    starts are a generated arithmetic sequence over the words array, each
+    chunk re-slices the SAME array (no shuffle, no self-join; chunk count
+    per doc is ceil(n/stride), so output scales linearly with the corpus).
+    Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_text) — chunk_idx is
+    the stride ordinal, deterministic and dense per doc."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(start - 1) div {CHUNK_STRIDE}").alias("chunk_idx"),
+            F.expr(f"size(slice(w, start, {CHUNK_TOKENS}))")
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.expr(f"concat_ws(' ', slice(w, start, {CHUNK_TOKENS}))").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+ORACLE_TOKENIZE_CHUNK = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+starts AS (
+  SELECT doc_id, w, unnest(range(1, len(w) + 1, {CHUNK_STRIDE})) AS start
+  FROM words
+)
+SELECT doc_id,
+       (start - 1) // {CHUNK_STRIDE} AS chunk_idx,
+       len(w[start:start+{CHUNK_TOKENS - 1}]) AS n_chunk_tokens,
+       array_to_string(w[start:start+{CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = {
     "sample-hash": q_sample_hash,
     "weighted-sample": q_weighted_sample,
@@ -480,6 +533,7 @@ QUERIES = {
     "shuffle-global": q_shuffle_global,
     "contamination": q_contamination,
     "corpus-filter": q_corpus_filter,
+    "tokenize-chunk": q_tokenize_chunk,
 }
 
 ORACLES = {
@@ -492,4 +546,5 @@ ORACLES = {
     "shuffle-global": ORACLE_SHUFFLE_GLOBAL,
     "contamination": ORACLE_CONTAMINATION,
     "corpus-filter": ORACLE_CORPUS_FILTER,
+    "tokenize-chunk": ORACLE_TOKENIZE_CHUNK,
 }

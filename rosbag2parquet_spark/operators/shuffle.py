@@ -67,8 +67,35 @@ ORACLE_SALTED_AGG = """
 SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 """
 
-QUERIES = {"salted-agg": q_salted_agg}
-ORACLES = {"salted-agg": ORACLE_SALTED_AGG}
+def q_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join as a declared query: the fact (events, whose
+    event_type key is 5-valued — maximal skew for a shuffle join) joins a
+    per-type dim through :func:`salted_join`, so each hot key spreads over
+    8 reducers instead of one. The oracle is the PLAIN join — like
+    salted-agg, the salting must be semantically invisible. (AQE splits
+    skewed SORT-MERGE joins on its own; explicit salting is the portable
+    plan when the join strategy or engine version gives AQE no seam.)"""
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    return salted_join(
+        ev.select("event_id", "event_type"), dim, "event_type"
+    ).select("event_id", "event_type", "n_type")
+
+
+ORACLE_SALTED_JOIN = """
+SELECT event_id, event_type, n_type
+FROM events
+JOIN (SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type)
+  USING (event_type)
+"""
+
+QUERIES = {"salted-agg": q_salted_agg, "salted-join": q_salted_join}
+ORACLES = {
+    "salted-agg": ORACLE_SALTED_AGG,
+    "salted-join": ORACLE_SALTED_JOIN,
+}
 
 
 def salted_join(
