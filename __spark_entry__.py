@@ -94,11 +94,13 @@ _MODULES = (
 # Evaluation order for the driver (which iterates dict order and records only
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
-# ROUND-6 NOTE: after r5's driver run records the first 50, rotate again —
-# the r3-latest tail that spilled past 50 this round (dedup-simhash, knn,
-# knn-ivf, knn-batch, stats-corr, string-agg, explode-sequence,
-# distinct-count, quantiles, sessionize) plus the r4-proven back block
-# become the oldest rows; move them to the front, r5-proven to the back.
+# ROUND-6 NOTE: after r5's driver run records the first 50, rotate again.
+# The r5 window = the 28 new/changed entries + the first 22 r2-latest rows
+# (through window-sliding). Oldest remaining rows, in priority order for
+# the r6 front: the 8 spilled r2 rows (lag-lead, zscore, cube,
+# grouping-sets, asof, kmeans, multimodal-features, multimodal-pointers),
+# then the 19 r3-latest rows (demux … sessionize); r5-proven rotate to the
+# back.
 # ROUND-5 ROTATION (executing the r4 note): stream-sink (r4 driver-red:
 # raw BinaryType in the compared output — now hex'd on both sides) and
 # approx-stats (new exact-bounds oracle this round) lead; then the 31

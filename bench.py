@@ -37,6 +37,7 @@ HEADLINE = [
     "knn",
     "embed-neardup",
     "seqno",
+    "bm25-search",
 ]
 
 
