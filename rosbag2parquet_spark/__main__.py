@@ -59,6 +59,15 @@ def main(argv: list[str] | None = None) -> int:
         help="parquet codec: snappy (reference parity, MessageTable.cpp:324) "
         "or zstd/gzip/lz4 for smaller read-many outputs",
     )
+    ap.add_argument(
+        "--msgdef",
+        action="append",
+        default=[],
+        metavar="TYPE=PATH",
+        help="ROS 2 (.db3) inputs only: message definition file per datatype "
+        "(repeatable), e.g. --msgdef geometry_msgs/PoseStamped=Pose.msg — "
+        "rosbag2 containers embed no definition text",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -123,9 +132,20 @@ def main(argv: list[str] | None = None) -> int:
         # msg_def), plus Messages/Connections and the DDL script
         from rosbag2parquet_spark.convert import convert_bag
 
+        msgdefs = None
+        if args.msgdef:
+            msgdefs = {}
+            for spec in args.msgdef:
+                if "=" not in spec:
+                    print(f"error: --msgdef wants TYPE=PATH, got {spec!r}",
+                          file=sys.stderr)
+                    return 2
+                dtype, defpath = spec.split("=", 1)
+                with open(defpath) as fh:
+                    msgdefs[dtype] = fh.read()
         info = convert_bag(
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
-            compression=args.compression,
+            compression=args.compression, msgdefs=msgdefs,
         )
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -325,9 +325,12 @@ def convert_bag(
     end_ns: "int | None" = None,
     max_records_per_file: int = 1_000_000,
     compression: str = "snappy",
+    msgdefs: "dict[str, str] | None" = None,
 ) -> ConvertInfo:
     """The reference's whole program over a real bag file (.bag = rosbag
-    2.0, else SBAG): one FLATTENED typed table per message type — each
+    2.0, .db3 = ROS 2 rosbag2 sqlite3 storage with CDR payloads — pass
+    ``msgdefs``, the container embeds no definition text — else SBAG): one
+    FLATTENED typed table per message type — each
     decoded with its own msg_def through the schema compiler — plus the
     ``Messages``/``Connections`` metadata tables and DDL script. Layout per
     reference MessageTable.cpp:305-343: seqno, flattened fields,
@@ -347,10 +350,13 @@ def convert_bag(
     conn_id column the source emits), the time range is a scan filter, and
     seqno renumbers contiguously over the kept rows — the output is a
     self-contained layout, not a view."""
-    from rosbag2parquet_spark.info import load_bag, seqno_bucket_width
+    from rosbag2parquet_spark.info import _fmt, load_bag, seqno_bucket_width
     from rosbag2parquet_spark.operators.keys import assign_seqno
 
-    msgs, conns_df = load_bag(spark, bag_path, num_partitions=num_partitions)
+    msgs, conns_df = load_bag(
+        spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs
+    )
+    serialization = "cdr" if _fmt(bag_path) == "rosbag2" else "ros1"
 
     if topics is not None:
         keep = conns_df.filter(F.col("topic").isin(list(topics)))
@@ -382,6 +388,7 @@ def convert_bag(
         unsigned=unsigned,
         max_records_per_file=max_records_per_file,
         compression=compression,
+        serialization=serialization,
     )
     seq.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
@@ -396,6 +403,7 @@ def _write_bag_tables(
     max_records_per_file: int,
     unsigned: str = "signed",
     compression: str = "snappy",
+    serialization: str = "ros1",
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -404,7 +412,12 @@ def _write_bag_tables(
     ``seq`` rows carry seqno and the raw blob through the decoder in one
     pass (keep_cols) — no stitch join; see the inline comment at the
     per-type decode."""
-    from rosbag2parquet_spark.sources.decode import decode_messages
+    if serialization == "cdr":
+        from rosbag2parquet_spark.sources.rosbag2 import (
+            decode_messages_cdr as decode_messages,
+        )
+    else:
+        from rosbag2parquet_spark.sources.decode import decode_messages
 
     conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
     _check_compression(compression)
@@ -542,6 +555,15 @@ def _bag_scan_meta(path: str) -> dict:
              c.callerid or "", c.latching or "")
             for c in conns
         ]
+    elif fmt == "rosbag2":
+        # fleet mode can't decode CDR payloads yet (convert_bags threads no
+        # msgdefs and mixes serializations per type) — refuse up front with
+        # the single-bag path as the pointer, instead of failing later as
+        # "not an SBAG file"
+        raise ValueError(
+            f"{path}: ROS 2 rosbag2 (.db3) is supported by convert_bag "
+            "(single bag, with msgdefs=...), not by fleet conversion yet"
+        )
     else:
         from rosbag2parquet_spark.sources.baglike import read_header
 

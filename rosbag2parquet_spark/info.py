@@ -23,12 +23,18 @@ def _fmt(path: str) -> str:
 
 
 def load_bag(
-    spark: SparkSession, path: str, num_partitions: int = 8
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 8,
+    msgdefs: "dict[str, str] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(messages, connections) for either bag grammar, detected from magic
-    bytes: rosbag 2.0 record/chunk format or the SBAG test format. Both
-    yield the same (offset, time_ns, conn_id, data) scan schema."""
-    if _fmt(path) == "rosbag":
+    """(messages, connections) for any bag generation, detected from magic
+    bytes: rosbag 2.0 record/chunk format, ROS 2 rosbag2 (.db3 sqlite3
+    storage — requires caller-supplied ``msgdefs`` since the container
+    embeds no definition text), or the SBAG test format. All yield the same
+    (offset, time_ns, conn_id, data) scan schema."""
+    fmt = _fmt(path)
+    if fmt == "rosbag":
         from rosbag2parquet_spark.sources.rosbag import (
             read_rosbag,
             rosbag_connections_df,
@@ -37,6 +43,21 @@ def load_bag(
         return (
             read_rosbag(spark, path, num_partitions=num_partitions),
             rosbag_connections_df(spark, path),
+        )
+    if fmt == "rosbag2":
+        from rosbag2parquet_spark.sources.rosbag2 import (
+            read_rosbag2,
+            rosbag2_connections_df,
+        )
+
+        if msgdefs is None:
+            raise ValueError(
+                f"{path} is a ROS 2 rosbag2 (.db3): pass msgdefs="
+                "{datatype: definition_text} (the container embeds none)"
+            )
+        return (
+            read_rosbag2(spark, path, num_partitions=num_partitions),
+            rosbag2_connections_df(spark, path, msgdefs),
         )
     return (
         read_bag(spark, path, num_partitions=num_partitions),
@@ -56,6 +77,20 @@ def seqno_bucket_width(path: str) -> int:
         )
 
         return _bag_width(path)
+    if _fmt(path) == "rosbag2":
+        # .db3 offsets are dense rowids, not byte positions — bucket by the
+        # rowid span (getsize/64 would collapse every row into one bucket)
+        import sqlite3
+
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            lo, hi = con.execute(
+                "SELECT min(id), max(id) FROM messages"
+            ).fetchone()
+        finally:
+            con.close()
+        span = (hi - lo + 1) if lo is not None else 1
+        return max(1, span // 64 + 1)
     import os
 
     return max(100_000, os.path.getsize(path) // 64 + 1)

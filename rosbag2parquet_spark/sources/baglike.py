@@ -104,6 +104,8 @@ def bag_format(path: str) -> "str | None":
         return "rosbag"
     if head[:4] == MAGIC:
         return "sbag"
+    if head.startswith(b"SQLite format"):  # rosbag2 .db3 storage container
+        return "rosbag2"
     return None
 
 

@@ -1,0 +1,340 @@
+"""ROS 2 rosbag2 source: the modern bag container (.db3 = SQLite storage
+plugin) with CDR-serialized payloads — widening S1 beyond the rosbag 1.x
+grammar the reference supports (rosbag2parquet.cpp:44-47 consumes ROS 1
+bags only; a ROS 2 user has no path through the reference at all).
+
+Container (public rosbag2 sqlite3 storage schema): a SQLite file with
+``topics(id, name, type, serialization_format, ...)`` and
+``messages(id, topic_id, timestamp, data)``; messages are written in
+recording order, so ``messages.id`` (the rowid) is the in-file order —
+the analog of the byte offset our other sources expose.
+
+Serialization (public OMG CDR / DDS XCDR1, little-endian): a 4-byte
+encapsulation header ``{0x00, 0x01, options:u16}`` then the struct fields,
+each primitive aligned to its size RELATIVE TO THE POST-HEADER ORIGIN;
+strings are u32-length-prefixed INCLUDING a trailing NUL; sequences are
+u32-count-prefixed. This differs from ROS 1 serialization (packed, no
+alignment, string length excludes NUL) — hence a separate decoder that
+walks the SAME parsed message-definition tree, so the flattened schema
+(``to_struct_type``) is shared between both generations.
+
+ROS 2 bags do not embed message-definition text (types are resolved from
+the installed type system at play time), so the caller supplies
+``msgdefs={datatype: definition_text}`` — same definition syntax; for the
+builtin_interfaces types write the fields out (``int32 sec`` /
+``uint32 nanosec``).
+
+Scale: the scan partitions the ``messages`` table by rowid range — each
+task opens the SQLite file read-only (concurrent readers are safe) and
+reads only its slice, so a multi-GB bag scans in parallel exactly like the
+byte-range-partitioned binary sources.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from rosbag2parquet_spark.sources.msgdef import (
+    TIME_TYPES,
+    MsgSpec,
+    _resolve,
+    parse_msgdef,
+    to_struct_type,
+)
+
+SQLITE_MAGIC = b"SQLite format 3\x00"
+
+#: CDR little-endian encapsulation header (XCDR1)
+CDR_LE_HEADER = b"\x00\x01\x00\x00"
+
+
+@dataclass
+class Rosbag2Topic:
+    topic_id: int
+    name: str
+    datatype: str
+    serialization_format: str
+
+
+def is_rosbag2(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(16) == SQLITE_MAGIC
+    except OSError:
+        return False
+
+
+def read_topics(path: str) -> list[Rosbag2Topic]:
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        rows = con.execute(
+            "SELECT id, name, type, serialization_format FROM topics ORDER BY id"
+        ).fetchall()
+    finally:
+        con.close()
+    return [Rosbag2Topic(*r) for r in rows]
+
+
+def rosbag2_connections_df(
+    spark: SparkSession, path: str, msgdefs: dict[str, str]
+) -> DataFrame:
+    """The Connections dim in the engine's 7-column shape (reference
+    FlattenedRosWriter.cpp:209-224). md5sum/callerid/latching are padded ""
+    — the sqlite3 storage schema carries none of them."""
+    topics = read_topics(path)
+    missing = sorted({t.datatype for t in topics} - set(msgdefs))
+    if missing:
+        raise ValueError(
+            f"rosbag2 {path}: no message definition supplied for {missing} "
+            "(ROS 2 bags do not embed msg-def text; pass msgdefs={type: text})"
+        )
+    return spark.createDataFrame(
+        [
+            (t.topic_id, t.name, t.datatype, "", msgdefs[t.datatype], "", "")
+            for t in topics
+        ],
+        "connection_id int, topic string, datatype string, md5sum string, "
+        "msg_def string, callerid string, latching string",
+    )
+
+
+_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("time_ns", T.LongType(), False),
+        T.StructField("conn_id", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def read_rosbag2(
+    spark: SparkSession, path: str, num_partitions: int = 8
+) -> DataFrame:
+    """(offset=rowid, time_ns, conn_id=topic_id, data) — the same scan
+    schema every bag source emits, so seqno/demux/decode compose unchanged.
+    Rowid-range partitioned: the driver reads only min/max(id); each task
+    opens its own read-only connection and scans one contiguous slice."""
+    import pandas as pd
+
+    path = os.path.abspath(path)
+    if not is_rosbag2(path):
+        raise ValueError(f"not a rosbag2 sqlite3 file: {path}")
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        lo, hi = con.execute("SELECT min(id), max(id) FROM messages").fetchone()
+    finally:
+        con.close()
+    if lo is None:
+        return spark.createDataFrame([], _SCAN_SCHEMA)
+    n_parts = max(1, min(num_partitions, hi - lo + 1))
+    step = (hi - lo + 1 + n_parts - 1) // n_parts
+    ranges = [(lo + i * step, min(lo + (i + 1) * step, hi + 1)) for i in range(n_parts)]
+    ranges_df = spark.createDataFrame(
+        [r for r in ranges if r[0] < r[1]], "lo long, hi long"
+    ).repartition(n_parts, "lo")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo_i, hi_i in zip(pdf["lo"], pdf["hi"]):
+                c = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                try:
+                    rows = c.execute(
+                        "SELECT id, timestamp, topic_id, data FROM messages "
+                        "WHERE id >= ? AND id < ? ORDER BY id",
+                        (int(lo_i), int(hi_i)),
+                    ).fetchall()
+                finally:
+                    c.close()
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            "offset": [r[0] for r in rows],
+                            "time_ns": [r[1] for r in rows],
+                            "conn_id": [r[2] for r in rows],
+                            "data": [r[3] for r in rows],
+                        }
+                    )
+
+    return ranges_df.mapInPandas(scan, schema=_SCAN_SCHEMA)
+
+
+# ------------------------------------------------------------- CDR decode
+
+_CDR_SCALAR = {
+    "bool": ("<?", 1),
+    "int8": ("<b", 1),
+    "uint8": ("<B", 1),
+    "byte": ("<B", 1),
+    "char": ("<B", 1),
+    "int16": ("<h", 2),
+    "uint16": ("<H", 2),
+    "int32": ("<i", 4),
+    "uint32": ("<I", 4),
+    "int64": ("<q", 8),
+    "uint64": ("<Q", 8),
+    "float32": ("<f", 4),
+    "float64": ("<d", 8),
+}
+
+
+def make_cdr_decoder(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+    unsigned: str = "signed",
+):
+    """Compile decode(bytes) → tuple of flattened values under CDR rules,
+    walking the same tree ``to_struct_type`` walks so positions match the
+    shared schema. Alignment is relative to the post-encapsulation origin
+    (XCDR1); ``unsigned='exact'`` keeps uint32 unsigned (the shared schema
+    promotes it to LONG, same as the ROS 1 decoder)."""
+    scalar = dict(_CDR_SCALAR)
+    if unsigned == "signed":
+        # store uint32 reinterpreted signed (the reference's relaxation,
+        # rosbag2parquet.cpp:36) so both generations agree column-for-column
+        scalar["uint32"] = ("<i", 4)
+        scalar["uint64"] = ("<q", 8)
+    else:
+        scalar["uint64"] = ("<q", 8)  # uint64 stays signed-stored either way
+
+    def aligned(pos: int, size: int) -> int:
+        rel = pos - 4  # alignment origin is after the 4-byte encapsulation
+        return pos + (-rel) % min(size, 8)
+
+    def read_string(buf: bytes, pos: int) -> tuple[str, int]:
+        pos = aligned(pos, 4)
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        # CDR length includes the trailing NUL
+        s = buf[pos : pos + n - 1].decode() if n > 0 else ""
+        return s, pos + n
+
+    def skip_scalar_seq(f, buf: bytes, pos: int, n: int) -> int:
+        fmt, sz = scalar.get(f.type_name, (None, None))
+        if fmt is not None:
+            if n:
+                pos = aligned(pos, sz)
+            return pos + n * sz
+        if f.type_name == "string":
+            for _ in range(n):
+                _, pos = read_string(buf, pos)
+            return pos
+        raise KeyError(f"cannot skip CDR array of {f.type_name}")
+
+    def decode_into(spec: MsgSpec, buf: bytes, pos: int, out: list) -> int:
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        for f in spec.fields:
+            if f.is_array:
+                if f.array_len is None:
+                    pos = aligned(pos, 4)
+                    (n,) = struct.unpack_from("<I", buf, pos)
+                    pos += 4
+                else:
+                    n = f.array_len
+                if f.type_name in ("uint8", "byte", "char"):
+                    blob = buf[pos : pos + n]
+                    pos += n
+                    if arrays in ("blobs", "native"):
+                        out.append(blob)
+                    continue
+                if arrays == "native" and f.type_name in scalar and (
+                    f.type_name not in TIME_TYPES
+                ):
+                    fmt, sz = scalar[f.type_name]
+                    if n:
+                        pos = aligned(pos, sz)
+                    out.append(
+                        list(struct.unpack_from(f"<{n}{fmt[1]}", buf, pos))
+                        if n
+                        else []
+                    )
+                    pos += n * sz
+                    continue
+                if arrays == "native" and f.type_name == "string":
+                    vals = []
+                    for _ in range(n):
+                        s, pos = read_string(buf, pos)
+                        vals.append(s)
+                    out.append(vals)
+                    continue
+                pos = skip_scalar_seq(f, buf, pos, n)
+                continue
+            if f.type_name in TIME_TYPES:
+                pos = aligned(pos, 4)
+                sec, nsec = struct.unpack_from("<ii", buf, pos)
+                out.extend((sec, nsec))
+                pos += 8
+            elif f.type_name == "string":
+                s, pos = read_string(buf, pos)
+                out.append(s)
+            elif f.type_name in scalar:
+                fmt, sz = scalar[f.type_name]
+                pos = aligned(pos, sz)
+                out.append(struct.unpack_from(fmt, buf, pos)[0])
+                pos += sz
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None:
+                    raise KeyError(f"unresolved {f.type_name} in {spec.full_name}")
+                pos = decode_into(sub, buf, pos, out)
+        return pos
+
+    root = specs[root_type]
+
+    def decode(buf: bytes) -> tuple:
+        if len(buf) < 4 or buf[1] not in (0x01, 0x03):
+            raise ValueError(
+                f"not a little-endian CDR payload (encapsulation {buf[:4]!r})"
+            )
+        out: list = []
+        decode_into(root, buf, 4, out)
+        return tuple(out)
+
+    return decode
+
+
+def decode_messages_cdr(
+    df: DataFrame,
+    root_type: str,
+    msgdef_text: str,
+    data_col: str = "data",
+    keep_cols: tuple[str, ...] = ("offset", "time_ns", "conn_id"),
+    arrays: str = "skip",
+    unsigned: str = "signed",
+) -> DataFrame:
+    """CDR twin of :func:`sources.decode.decode_messages`: same flattened
+    schema (shared ``to_struct_type``), per-row CDR walk inside an Arrow
+    ``mapInPandas`` batch. (CDR's alignment padding makes the vectorized
+    fixed-stride tier apply less often; the per-row walk is the correctness
+    baseline — the batch boundary and schema contract are identical, so a
+    vectorized tier can slot in behind this signature later.)"""
+    import pandas as pd
+
+    specs = parse_msgdef(root_type, msgdef_text)
+    flat = to_struct_type(root_type, specs, arrays=arrays, unsigned=unsigned)
+    decode = make_cdr_decoder(root_type, specs, arrays=arrays, unsigned=unsigned)
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep_cols] + list(flat.fields)
+    )
+    flat_names = [f.name for f in flat.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = {c: pdf[c].values for c in keep_cols}
+            decoded = [decode(bytes(b)) for b in pdf[data_col]]
+            for i, name in enumerate(flat_names):
+                cols[name] = [row[i] for row in decoded]
+            yield pd.DataFrame(cols)
+
+    sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])
+    return df.select(*sel).mapInPandas(run, schema=out_schema)

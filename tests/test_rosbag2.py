@@ -1,0 +1,231 @@
+"""ROS 2 rosbag2 (.db3 sqlite3 storage) source tests: container scan,
+CDR decode (alignment, strings-with-NUL, sequences, nested structs),
+and the converter end-to-end over a ROS 2 bag."""
+
+import sqlite3
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.msgdef import parse_msgdef, to_struct_type
+from rosbag2parquet_spark.sources.rosbag2 import (
+    CDR_LE_HEADER,
+    decode_messages_cdr,
+    is_rosbag2,
+    make_cdr_decoder,
+    read_rosbag2,
+    read_topics,
+    rosbag2_connections_df,
+)
+
+POSE_DEF = """std_msgs/Header header
+float64 x
+float64 y
+uint8 flags
+string label
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+builtin_interfaces/Time stamp
+string frame_id
+================================================================================
+MSG: builtin_interfaces/Time
+int32 sec
+uint32 nanosec
+"""
+
+IMU_DEF = """uint32 seq
+float64[3] accel
+string frame
+"""
+
+
+def _align(buf: bytearray, size: int) -> None:
+    # CDR alignment is relative to the post-encapsulation origin
+    rel = len(buf) - 4
+    buf.extend(b"\x00" * ((-rel) % min(size, 8)))
+
+
+def _cdr_string(buf: bytearray, s: str) -> None:
+    _align(buf, 4)
+    raw = s.encode() + b"\x00"
+    buf.extend(struct.pack("<I", len(raw)))
+    buf.extend(raw)
+
+
+def encode_pose(seq, sec, nanosec, frame_id, x, y, flags, label) -> bytes:
+    buf = bytearray(CDR_LE_HEADER)
+    buf.extend(struct.pack("<I", seq))
+    _align(buf, 4)
+    buf.extend(struct.pack("<iI", sec, nanosec))
+    _cdr_string(buf, frame_id)
+    _align(buf, 8)
+    buf.extend(struct.pack("<dd", x, y))
+    buf.extend(struct.pack("<B", flags))
+    _cdr_string(buf, label)
+    return bytes(buf)
+
+
+def encode_imu(seq, accel, frame) -> bytes:
+    buf = bytearray(CDR_LE_HEADER)
+    buf.extend(struct.pack("<I", seq))
+    _align(buf, 8)
+    buf.extend(struct.pack("<3d", *accel))
+    _cdr_string(buf, frame)
+    return bytes(buf)
+
+
+@pytest.fixture(scope="module")
+def db3_bag(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rosbag2") / "robot.db3")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    con.execute(
+        "INSERT INTO topics VALUES (1, '/pose', 'geometry_msgs/PoseLite', 'cdr', '')"
+    )
+    con.execute(
+        "INSERT INTO topics VALUES (2, '/imu', 'sensor_msgs/ImuLite', 'cdr', '')"
+    )
+    t0 = 1_700_000_000_000_000_000
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            data = encode_pose(
+                i, 1_700_000_000 + i, i * 1000, "map", i * 1.5, -i * 0.25,
+                i % 7, f"wp{i}",
+            )
+            rows.append((None, 1, t0 + i * 1_000_000, data))
+        else:
+            data = encode_imu(i, (0.1 * i, -0.2 * i, 9.81), "base")
+            rows.append((None, 2, t0 + i * 1_000_000, data))
+    con.executemany("INSERT INTO messages VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    return path
+
+
+MSGDEFS = {
+    "geometry_msgs/PoseLite": POSE_DEF,
+    "sensor_msgs/ImuLite": IMU_DEF,
+}
+
+
+def test_magic_detection(db3_bag, tmp_path):
+    assert is_rosbag2(db3_bag)
+    other = tmp_path / "x.bin"
+    other.write_bytes(b"#ROSBAG V2.0\n")
+    assert not is_rosbag2(str(other))
+
+
+def test_topics_and_connections(spark, db3_bag):
+    ts = read_topics(db3_bag)
+    assert [(t.topic_id, t.name, t.datatype) for t in ts] == [
+        (1, "/pose", "geometry_msgs/PoseLite"),
+        (2, "/imu", "sensor_msgs/ImuLite"),
+    ]
+    conns = rosbag2_connections_df(spark, db3_bag, MSGDEFS)
+    assert conns.columns == [
+        "connection_id", "topic", "datatype", "md5sum", "msg_def",
+        "callerid", "latching",
+    ]
+    assert conns.count() == 2
+    with pytest.raises(ValueError, match="no message definition"):
+        rosbag2_connections_df(spark, db3_bag, {})
+
+
+def test_scan_partitioned(spark, db3_bag):
+    df = read_rosbag2(spark, db3_bag, num_partitions=4)
+    rows = df.orderBy("offset").collect()
+    assert len(rows) == 40
+    assert [r.offset for r in rows] == list(range(1, 41))
+    assert rows[0].conn_id == 1 and rows[1].conn_id == 2
+    # partitioned scan must equal the single-partition scan exactly
+    one = read_rosbag2(spark, db3_bag, num_partitions=1)
+    assert df.exceptAll(one).count() == 0 and one.exceptAll(df).count() == 0
+
+
+def test_cdr_decoder_values():
+    specs = parse_msgdef("geometry_msgs/PoseLite", POSE_DEF)
+    dec = make_cdr_decoder("geometry_msgs/PoseLite", specs)
+    vals = dec(encode_pose(7, 123, 456, "map", 2.5, -1.25, 3, "home"))
+    # flattened order: header_seq, header_stamp_sec, header_stamp_nanosec,
+    # header_frame_id, x, y, flags, label
+    assert vals == (7, 123, 456, "map", 2.5, -1.25, 3, "home")
+
+
+def test_cdr_decoder_alignment_odd_strings():
+    """Strings of varying length force realignment before the doubles —
+    the case that distinguishes CDR from ROS 1 packed serialization."""
+    specs = parse_msgdef("geometry_msgs/PoseLite", POSE_DEF)
+    dec = make_cdr_decoder("geometry_msgs/PoseLite", specs)
+    for frame in ("", "a", "ab", "abc", "abcd", "abcde"):
+        vals = dec(encode_pose(1, 2, 3, frame, 1.0, 2.0, 9, "x"))
+        assert vals[3] == frame and vals[4] == 1.0 and vals[5] == 2.0
+
+
+def test_cdr_native_arrays():
+    specs = parse_msgdef("sensor_msgs/ImuLite", IMU_DEF)
+    dec = make_cdr_decoder("sensor_msgs/ImuLite", specs, arrays="native")
+    vals = dec(encode_imu(5, (1.0, 2.0, 3.0), "base"))
+    assert vals == (5, [1.0, 2.0, 3.0], "base")
+    # skip mode: array omitted, scalars still aligned correctly after it
+    dec_skip = make_cdr_decoder("sensor_msgs/ImuLite", specs, arrays="skip")
+    assert dec_skip(encode_imu(5, (1.0, 2.0, 3.0), "base")) == (5, "base")
+
+
+def test_decode_messages_cdr_distributed(spark, db3_bag):
+    msgs = read_rosbag2(spark, db3_bag, num_partitions=3)
+    pose = msgs.filter(F.col("conn_id") == 1)
+    flat = decode_messages_cdr(
+        pose, "geometry_msgs/PoseLite", POSE_DEF
+    ).orderBy("offset")
+    rows = flat.collect()
+    assert len(rows) == 20
+    assert rows[0].header_frame_id == "map"
+    assert rows[3].x == 6 * 1.5 and rows[3].label == "wp6"
+    # schema is the SAME compiler both generations share
+    specs = parse_msgdef("geometry_msgs/PoseLite", POSE_DEF)
+    flat_schema = to_struct_type("geometry_msgs/PoseLite", specs)
+    assert [f.name for f in flat_schema.fields] == [
+        c for c in flat.columns if c not in ("offset", "time_ns", "conn_id")
+    ]
+
+
+def test_convert_bag_rosbag2(spark, db3_bag, tmp_path):
+    from rosbag2parquet_spark.convert import convert_bag
+
+    out = str(tmp_path / "out")
+    info = convert_bag(spark, db3_bag, out, msgdefs=MSGDEFS)
+    assert info.count == 40
+    msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
+    assert [m.seqno for m in msgs] == list(range(40))
+    assert msgs[0].connection_id == 1 and msgs[1].connection_id == 2
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    assert pose.count() == 20
+    r = pose.orderBy("seqno").first()
+    assert r.header_frame_id == "map" and r.label == "wp0"
+    assert bytes(r.data).startswith(CDR_LE_HEADER)
+    conns = spark.read.parquet(out + "/Connections")
+    assert conns.count() == 2
+
+
+def test_convert_bag_rosbag2_requires_msgdefs(spark, db3_bag, tmp_path):
+    from rosbag2parquet_spark.convert import convert_bag
+
+    with pytest.raises(ValueError, match="msgdefs"):
+        convert_bag(spark, db3_bag, str(tmp_path / "nope"))
+
+
+def test_fleet_refuses_db3_with_clear_error(db3_bag, spark, tmp_path):
+    from rosbag2parquet_spark.convert import convert_bags
+
+    with pytest.raises(ValueError, match="fleet"):
+        convert_bags(spark, [db3_bag], str(tmp_path / "fleet"))
