@@ -185,6 +185,93 @@ _CDR_SCALAR = {
 }
 
 
+def cdr_fixed_layout(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+    unsigned: str = "signed",
+):
+    """Vectorized tier precondition: if every (kept or skipped) field is
+    fixed-size under CDR — scalars, time pairs, fixed-length scalar arrays;
+    no strings, no variable sequences — return a numpy structured dtype
+    with EXPLICIT ALIGNED OFFSETS (alignment origin = post-encapsulation
+    byte 0) whose itemsize is the exact per-message payload size. One
+    ``np.frombuffer`` then decodes a whole Arrow batch with zero per-row
+    Python — the same ~8× tier the ROS 1 decoder has. Returns None when
+    any field is variable-size (the per-row walk is the fallback)."""
+    import numpy as np
+
+    np_fmt = {
+        "bool": "?", "int8": "i1", "uint8": "u1", "byte": "u1", "char": "u1",
+        "int16": "i2", "uint16": "u2", "int32": "i4",
+        "uint32": "u4" if unsigned == "exact" else "i4",
+        "int64": "i8", "uint64": "i8", "float32": "f4", "float64": "f8",
+    }
+    size_of = {
+        "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
+        "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
+        "int64": 8, "uint64": 8, "float32": 4, "float64": 8,
+    }
+    names: list[str] = []
+    formats: list = []
+    offsets: list[int] = []
+    pos = 0
+
+    def align(p: int, size: int) -> int:
+        return p + (-p) % min(size, 8)
+
+    def walk(spec: MsgSpec, prefix: str) -> bool:
+        nonlocal pos
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        for f in spec.fields:
+            name = f"{prefix}{f.name}"
+            if f.is_array:
+                if f.array_len is None or f.type_name not in size_of:
+                    return False  # variable length / non-scalar elements
+                sz = size_of[f.type_name]
+                pos = align(pos, sz) if f.array_len else pos
+                keep = (
+                    arrays == "native"
+                    and f.type_name not in ("uint8", "byte", "char")
+                )
+                if f.type_name in ("uint8", "byte", "char") and arrays in (
+                    "blobs", "native"
+                ):
+                    return False  # bytes output — per-row builds the blob
+                if keep:
+                    names.append(name)
+                    formats.append((f"<{np_fmt[f.type_name]}", (f.array_len,)))
+                    offsets.append(pos)
+                pos += f.array_len * sz
+                continue
+            if f.type_name in TIME_TYPES:
+                pos = align(pos, 4)
+                for part in ("sec", "nsec"):
+                    names.append(f"{name}_{part}")
+                    formats.append("<i4")
+                    offsets.append(pos)
+                    pos += 4
+            elif f.type_name == "string":
+                return False
+            elif f.type_name in size_of:
+                sz = size_of[f.type_name]
+                pos = align(pos, sz)
+                names.append(name)
+                formats.append(f"<{np_fmt[f.type_name]}")
+                offsets.append(pos)
+                pos += sz
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None or not walk(sub, f"{name}_"):
+                    return False
+        return True
+
+    if not walk(specs[root_type], ""):
+        return None
+    return np.dtype({"names": names, "formats": formats, "offsets": offsets,
+                     "itemsize": pos})
+
+
 def make_cdr_decoder(
     root_type: str,
     specs: dict[str, MsgSpec],
@@ -311,16 +398,19 @@ def decode_messages_cdr(
     unsigned: str = "signed",
 ) -> DataFrame:
     """CDR twin of :func:`sources.decode.decode_messages`: same flattened
-    schema (shared ``to_struct_type``), per-row CDR walk inside an Arrow
-    ``mapInPandas`` batch. (CDR's alignment padding makes the vectorized
-    fixed-stride tier apply less often; the per-row walk is the correctness
-    baseline — the batch boundary and schema contract are identical, so a
-    vectorized tier can slot in behind this signature later.)"""
+    schema (shared ``to_struct_type``); vectorized fixed-stride fast path
+    when the type has no variable-size field — CDR alignment makes the
+    stride constant-with-padding, which a numpy EXPLICIT-OFFSET dtype
+    expresses exactly, so one ``frombuffer`` decodes a whole Arrow batch
+    with zero per-row Python (same tier structure as the ROS 1 decoder);
+    the per-row CDR walk is the fallback for strings/sequences."""
+    import numpy as np
     import pandas as pd
 
     specs = parse_msgdef(root_type, msgdef_text)
     flat = to_struct_type(root_type, specs, arrays=arrays, unsigned=unsigned)
     decode = make_cdr_decoder(root_type, specs, arrays=arrays, unsigned=unsigned)
+    np_dtype = cdr_fixed_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols] + list(flat.fields)
     )
@@ -331,9 +421,23 @@ def decode_messages_cdr(
             if len(pdf) == 0:
                 continue
             cols = {c: pdf[c].values for c in keep_cols}
-            decoded = [decode(bytes(b)) for b in pdf[data_col]]
-            for i, name in enumerate(flat_names):
-                cols[name] = [row[i] for row in decoded]
+            if np_dtype is not None:
+                # drop each 4-byte encapsulation header, then one frombuffer
+                buf = b"".join(bytes(b)[4:] for b in pdf[data_col])
+                if len(buf) != np_dtype.itemsize * len(pdf):
+                    raise ValueError(
+                        f"CDR fixed-stride mismatch: {len(buf)} bytes for "
+                        f"{len(pdf)} x {np_dtype.itemsize}B payloads of "
+                        f"{root_type}"
+                    )
+                arr = np.frombuffer(buf, dtype=np_dtype)
+                for name in flat_names:
+                    v = arr[name]
+                    cols[name] = list(v) if v.ndim > 1 else v
+            else:
+                decoded = [decode(bytes(b)) for b in pdf[data_col]]
+                for i, name in enumerate(flat_names):
+                    cols[name] = [row[i] for row in decoded]
             yield pd.DataFrame(cols)
 
     sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])

@@ -229,3 +229,68 @@ def test_fleet_refuses_db3_with_clear_error(db3_bag, spark, tmp_path):
 
     with pytest.raises(ValueError, match="fleet"):
         convert_bags(spark, [db3_bag], str(tmp_path / "fleet"))
+
+
+FIXED_DEF = """uint32 seq
+builtin_interfaces/Time stamp
+float64[3] accel
+int16 temp
+bool valid
+================================================================================
+MSG: builtin_interfaces/Time
+int32 sec
+uint32 nanosec
+"""
+
+
+def encode_fixed(seq, sec, nanosec, accel, temp, valid) -> bytes:
+    buf = bytearray(CDR_LE_HEADER)
+    buf.extend(struct.pack("<I", seq))
+    buf.extend(struct.pack("<iI", sec, nanosec))
+    _align(buf, 8)
+    buf.extend(struct.pack("<3d", *accel))
+    buf.extend(struct.pack("<h", temp))
+    buf.extend(struct.pack("<?", valid))
+    return bytes(buf)
+
+
+def test_cdr_fixed_layout_detection():
+    from rosbag2parquet_spark.sources.rosbag2 import cdr_fixed_layout
+
+    specs = parse_msgdef("sensor_msgs/Fixed", FIXED_DEF)
+    dt = cdr_fixed_layout("sensor_msgs/Fixed", specs, arrays="native")
+    assert dt is not None
+    # u32(0..4) + time(4..12) + pad(12..16) + 3d(16..40) + i16(40..42) + bool
+    assert dt.itemsize == 43
+    assert dt.fields["accel"][1] == 16
+    # any string field disables the tier
+    pose_specs = parse_msgdef("geometry_msgs/PoseLite", POSE_DEF)
+    assert cdr_fixed_layout("geometry_msgs/PoseLite", pose_specs) is None
+
+
+def test_cdr_vectorized_tier_matches_per_row(spark):
+    """The frombuffer tier and the per-row walk must agree value-for-value
+    (the ROS 1 decoder has the same cross-tier fuzz guarantee)."""
+    from rosbag2parquet_spark.sources.rosbag2 import make_cdr_decoder
+
+    specs = parse_msgdef("sensor_msgs/Fixed", FIXED_DEF)
+    dec = make_cdr_decoder("sensor_msgs/Fixed", specs, arrays="native")
+    payloads = [
+        encode_fixed(i, 100 + i, i * 7, (i * 0.5, -i, 9.81), i - 5, i % 2 == 0)
+        for i in range(50)
+    ]
+    rows = [(i + 1, 1_000 + i, 1, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(
+        rows, "offset long, time_ns long, conn_id int, data binary"
+    ).repartition(3)
+    flat = decode_messages_cdr(
+        df, "sensor_msgs/Fixed", FIXED_DEF, arrays="native"
+    )
+    got = {r.offset: r for r in flat.collect()}
+    assert len(got) == 50
+    for i, p in enumerate(payloads):
+        want = dec(p)
+        r = got[i + 1]
+        assert (
+            r.seq, r.stamp_sec, r.stamp_nanosec, list(r.accel), r.temp, r.valid
+        ) == (want[0], want[1], want[2], list(want[3]), want[4], want[5])
