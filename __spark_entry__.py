@@ -139,6 +139,8 @@ _QUERY_ORDER = [
     "bucket-join", "join",
     # NEW this round: skew-salted join + overlapping token-window chunking
     "salted-join", "tokenize-chunk",
+    # NEW this round: integer-exact Markov power iteration (user journeys)
+    "markov-chain",
     # latest driver row is r2 (31) — the rotation's main payload
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno",

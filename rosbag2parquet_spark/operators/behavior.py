@@ -184,14 +184,62 @@ GROUP BY 1, 2
 """
 
 
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type AS next
+  FROM events
+),
+m AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev IS NOT NULL GROUP BY prev, next
+),
+v1 AS (SELECT next AS state, CAST(sum(n) AS BIGINT) AS w
+       FROM m GROUP BY next),
+v2 AS (SELECT m.next AS state, CAST(sum(v1.w * m.n) AS BIGINT) AS w
+       FROM m JOIN v1 ON m.prev = v1.state GROUP BY m.next),
+v3 AS (SELECT m.next AS state, CAST(sum(v2.w * m.n) AS BIGINT) AS w
+       FROM m JOIN v2 ON m.prev = v2.state GROUP BY m.next),
+states AS (SELECT DISTINCT event_type AS state FROM events)
+SELECT state,
+       coalesce(v1.w, 0) AS w1,
+       coalesce(v2.w, 0) AS w2,
+       coalesce(v3.w, 0) AS w3
+FROM states
+LEFT JOIN v1 USING (state)
+LEFT JOIN v2 USING (state)
+LEFT JOIN v3 USING (state)
+"""
+
+
+def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition analysis of the event stream — user-journey
+    analytics: the (prev → next) transition-count matrix from a per-user
+    lag window, then THREE unrolled power-iteration steps over it (the
+    dominant-eigenvector direction, i.e. long-run state importance). The
+    iteration is UNNORMALIZED — v_k = 1·Mᵏ in pure integer arithmetic — so
+    there is no division anywhere and the result is engine-exact (same
+    trick as kmeans' decimal iterations: iterative ≠ approximate). Scale:
+    ONE shuffle (the lag window on user_id); the matrix is |states|² rows,
+    so every iteration is a broadcast join against a tiny table no matter
+    how large the event log is."""
+    from rosbag2parquet_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_MARKOV_SQL)
+
+
 QUERIES = {
     "compact-latest": q_compact_latest,
     "funnel": q_funnel,
     "cohort-retention": q_cohort_retention,
+    "markov-chain": q_markov_chain,
 }
 
 ORACLES = {
     "compact-latest": ORACLE_COMPACT_LATEST,
     "funnel": ORACLE_FUNNEL,
     "cohort-retention": ORACLE_COHORT_RETENTION,
+    "markov-chain": _MARKOV_SQL,
 }
