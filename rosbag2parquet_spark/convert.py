@@ -356,7 +356,15 @@ def convert_bag(
     msgs, conns_df = load_bag(
         spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs
     )
-    serialization = "cdr" if _fmt(bag_path) == "rosbag2" else "ros1"
+    fmt = _fmt(bag_path)
+    if fmt == "rosbag2":
+        serialization = "cdr"
+    elif fmt == "mcap":
+        from rosbag2parquet_spark.sources.mcap import mcap_serialization
+
+        serialization = mcap_serialization(bag_path)
+    else:
+        serialization = "ros1"
 
     if topics is not None:
         keep = conns_df.filter(F.col("topic").isin(list(topics)))
@@ -555,14 +563,14 @@ def _bag_scan_meta(path: str) -> dict:
              c.callerid or "", c.latching or "")
             for c in conns
         ]
-    elif fmt == "rosbag2":
-        # fleet mode can't decode CDR payloads yet (convert_bags threads no
-        # msgdefs and mixes serializations per type) — refuse up front with
-        # the single-bag path as the pointer, instead of failing later as
-        # "not an SBAG file"
+    elif fmt in ("rosbag2", "mcap"):
+        # fleet mode can't decode CDR payloads yet (the shared tail mixes
+        # serializations per type) — refuse up front with the single-bag
+        # path as the pointer, instead of failing later as "not an SBAG
+        # file"
         raise ValueError(
-            f"{path}: ROS 2 rosbag2 (.db3) is supported by convert_bag "
-            "(single bag, with msgdefs=...), not by fleet conversion yet"
+            f"{path}: {fmt} is supported by convert_bag (single bag), "
+            "not by fleet conversion yet"
         )
     else:
         from rosbag2parquet_spark.sources.baglike import read_header

@@ -44,6 +44,16 @@ def load_bag(
             read_rosbag(spark, path, num_partitions=num_partitions),
             rosbag_connections_df(spark, path),
         )
+    if fmt == "mcap":
+        from rosbag2parquet_spark.sources.mcap import (
+            mcap_connections_df,
+            read_mcap,
+        )
+
+        return (
+            read_mcap(spark, path, num_partitions=num_partitions),
+            mcap_connections_df(spark, path),
+        )
     if fmt == "rosbag2":
         from rosbag2parquet_spark.sources.rosbag2 import (
             read_rosbag2,
@@ -77,6 +87,12 @@ def seqno_bucket_width(path: str) -> int:
         )
 
         return _bag_width(path)
+    if _fmt(path) == "mcap":
+        from rosbag2parquet_spark.sources.mcap import (
+            seqno_bucket_width as _mcap_width,
+        )
+
+        return _mcap_width(path)
     if _fmt(path) == "rosbag2":
         # .db3 offsets are dense rowids, not byte positions — bucket by the
         # rowid span (getsize/64 would collapse every row into one bucket)

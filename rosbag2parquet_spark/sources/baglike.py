@@ -106,6 +106,8 @@ def bag_format(path: str) -> "str | None":
         return "sbag"
     if head.startswith(b"SQLite format"):  # rosbag2 .db3 storage container
         return "rosbag2"
+    if head.startswith(b"\x89MCAP0\r\n"):  # MCAP container
+        return "mcap"
     return None
 
 

@@ -1,0 +1,484 @@
+"""MCAP source: the current-generation robotics log container (public MCAP
+spec, mcap.dev) — the third real bag grammar after rosbag 2.0 and the
+rosbag2 sqlite3 storage, and the one that solves the definition problem:
+MCAP **embeds schema text** (Schema records, encoding ``ros1msg``/
+``ros2msg``), so unlike ``.db3`` no caller-supplied msgdefs are needed.
+
+Container (all little-endian): 8-byte magic ``\\x89MCAP0\\r\\n`` at both
+ends; a stream of records ``opcode:u8, length:u64, payload``. Strings are
+u32-length-prefixed UTF-8. Records used here:
+
+- Schema(0x03): ``id:u16, name:str, encoding:str, data:u32-prefixed bytes``
+- Channel(0x04): ``id:u16, schema_id:u16, topic:str, message_encoding:str,
+  metadata:map`` — the Connections dim
+- Message(0x05): ``channel_id:u16, sequence:u32, log_time:u64,
+  publish_time:u64, data:rest``
+- Chunk(0x06): ``start:u64, end:u64, uncompressed_size:u64, crc:u32,
+  compression:str, records_size:u64, records`` — compressed batches of the
+  above ("" | "lz4" | "zstd"; lz4 frame decode shared with the rosbag
+  reader, zstd via pyarrow's bundled codec)
+
+Everything else (indexes, statistics, attachments, footer) is skipped —
+the summary section repeats Schema/Channel records at the end of the
+file, which is how a single top-level walk collects the dim without
+decompressing any chunk.
+
+Scale: same two-layer split as the rosbag reader — a driver-side
+seek-only walk plans chunk-parallel partitions; each task decompresses
+and walks only its own chunks. Offsets are ``(chunk_index << shift) |
+inner_pos`` for chunked files and raw record offsets for unchunked ones
+(mixing both in one file is refused — the orderings don't compose).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Iterator, NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+
+MCAP_MAGIC = b"\x89MCAP0\r\n"
+
+OP_HEADER = 0x01
+OP_FOOTER = 0x02
+OP_SCHEMA = 0x03
+OP_CHANNEL = 0x04
+OP_MESSAGE = 0x05
+OP_CHUNK = 0x06
+OP_DATA_END = 0x0F
+
+_MIN_CHUNK_SHIFT = 20
+
+
+class McapChunkRef(NamedTuple):
+    """records_off/records_size locate the (possibly compressed) inner
+    record stream inside the chunk payload; size is the DECLARED
+    uncompressed size."""
+
+    records_off: int
+    records_size: int
+    compression: str
+    size: int
+
+
+@dataclass
+class McapScan:
+    schemas: dict  # id -> (name, encoding, data bytes)
+    channels: dict  # id -> (schema_id, topic, message_encoding)
+    chunks: list  # list[McapChunkRef]
+    message_offsets: list  # top-level Message record offsets (unchunked)
+
+
+def is_mcap(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(8) == MCAP_MAGIC
+    except OSError:
+        return False
+
+
+def _str_at(buf: bytes, pos: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from("<I", buf, pos)
+    return buf[pos + 4 : pos + 4 + n].decode(), pos + 4 + n
+
+
+def _parse_schema(payload: bytes):
+    (sid,) = struct.unpack_from("<H", payload, 0)
+    name, pos = _str_at(payload, 2)
+    enc, pos = _str_at(payload, pos)
+    (dlen,) = struct.unpack_from("<I", payload, pos)
+    data = payload[pos + 4 : pos + 4 + dlen]
+    return sid, (name, enc, data)
+
+
+def _parse_channel(payload: bytes):
+    cid, sid = struct.unpack_from("<HH", payload, 0)
+    topic, pos = _str_at(payload, 4)
+    enc, pos = _str_at(payload, pos)
+    return cid, (sid, topic, enc)
+
+
+def _parse_chunk_header(payload: bytes) -> tuple[McapChunkRef, int]:
+    """Chunk payload prefix → (ref-relative-to-payload, records rel off)."""
+    # start u64, end u64, uncompressed_size u64, crc u32
+    (size,) = struct.unpack_from("<Q", payload, 16)
+    comp, pos = _str_at(payload, 28)
+    (records_size,) = struct.unpack_from("<Q", payload, pos)
+    records_rel = pos + 8
+    return McapChunkRef(records_rel, records_size, comp, size), records_rel
+
+
+def _walk_records(buf: bytes, base: int = 0):
+    """Yield (opcode, payload_start, payload_len, record_start) over a
+    record stream; ``base`` shifts reported positions (for chunk-inner
+    streams the caller wants positions relative to the chunk)."""
+    pos = 0
+    n = len(buf)
+    while pos + 9 <= n:
+        op = buf[pos]
+        (ln,) = struct.unpack_from("<Q", buf, pos + 1)
+        start = pos + 9
+        if start + ln > n:
+            raise ValueError(
+                f"record at {base + pos} claims {ln} bytes past the end — "
+                "truncated mcap"
+            )
+        yield op, start, ln, pos
+        pos = start + ln
+
+
+def scan_mcap(path: str) -> McapScan:
+    """Driver-side single seek-walk of top-level records, memoized on file
+    identity. Chunk payload prefixes are read (a few dozen bytes each);
+    chunk record streams are NOT decompressed. Schema/Channel records are
+    collected wherever they appear at top level — writers repeat them in
+    the summary section, so chunked files still yield the full dim here."""
+    st = os.stat(path)
+    return _scan_mcap_uncached(path, st.st_mtime_ns, st.st_size)
+
+
+@lru_cache(maxsize=64)
+def _scan_mcap_uncached(path: str, _mtime_ns: int, _size: int) -> McapScan:
+    size = os.path.getsize(path)
+    schemas: dict = {}
+    channels: dict = {}
+    chunks: list = []
+    message_offsets: list = []
+    with open(path, "rb") as f:
+        if f.read(8) != MCAP_MAGIC:
+            raise ValueError(f"{path}: not an MCAP file")
+        pos = 8
+        while pos + 9 <= size - 8:  # trailing magic
+            f.seek(pos)
+            head = f.read(9)
+            if len(head) < 9:
+                break
+            op = head[0]
+            (ln,) = struct.unpack("<Q", head[1:])
+            start = pos + 9
+            if start + ln > size:
+                raise ValueError(
+                    f"{path}: record at {pos} claims {ln} bytes but the "
+                    f"file ends at {size} — truncated mcap"
+                )
+            if op == OP_SCHEMA:
+                f.seek(start)
+                sid, v = _parse_schema(f.read(ln))
+                schemas.setdefault(sid, v)
+            elif op == OP_CHANNEL:
+                f.seek(start)
+                cid, v = _parse_channel(f.read(ln))
+                channels.setdefault(cid, v)
+            elif op == OP_CHUNK:
+                f.seek(start)
+                prefix = f.read(min(ln, 4096))
+                ref, records_rel = _parse_chunk_header(prefix)
+                chunks.append(
+                    McapChunkRef(
+                        start + ref.records_off,
+                        ref.records_size,
+                        ref.compression,
+                        ref.size or (ref.records_size if ref.compression in ("", "none") else 0),
+                    )
+                )
+            elif op == OP_MESSAGE:
+                message_offsets.append(pos)
+            pos = start + ln
+    if chunks and message_offsets:
+        raise ValueError(
+            f"{path}: mixes chunked and top-level messages — the offset "
+            "orderings don't compose; rewrite the file consistently"
+        )
+    if not channels:
+        # harvest from the first chunk (files written without a summary
+        # section) — same fallback shape as the unindexed-rosbag path
+        for ref in chunks[:4]:
+            inner = _read_chunk_records(path, ref)
+            for op, s, ln, _ in _walk_records(inner):
+                if op == OP_SCHEMA:
+                    sid, v = _parse_schema(inner[s : s + ln])
+                    schemas.setdefault(sid, v)
+                elif op == OP_CHANNEL:
+                    cid, v = _parse_channel(inner[s : s + ln])
+                    channels.setdefault(cid, v)
+            if channels:
+                break
+    if not channels and (chunks or message_offsets):
+        raise ValueError(f"{path}: no Channel records found — corrupt mcap")
+    return McapScan(schemas, channels, chunks, message_offsets)
+
+
+def _decompress(blob: bytes, compression: str, size: int) -> bytes:
+    if compression in ("", "none"):
+        return blob
+    if compression == "lz4":
+        from rosbag2parquet_spark.sources.rosbag import _lz4_decompress
+
+        return _lz4_decompress(blob, size)
+    if compression == "zstd":
+        import pyarrow as pa
+
+        if not size:
+            raise ValueError("zstd chunk without a declared uncompressed size")
+        return pa.Codec("zstd").decompress(blob, decompressed_size=size, asbytes=True)
+    raise ValueError(f"unsupported mcap chunk compression {compression!r}")
+
+
+def _read_chunk_records(path: str, ref: McapChunkRef) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(ref.records_off)
+        blob = f.read(ref.records_size)
+    if len(blob) != ref.records_size:
+        raise ValueError(f"{path}@{ref.records_off}: truncated chunk records")
+    out = _decompress(blob, ref.compression, ref.size)
+    if ref.size and len(out) != ref.size:
+        raise ValueError(
+            f"chunk decompressed to {len(out)} bytes, header said {ref.size}"
+        )
+    return out
+
+
+def offset_shift(chunks: list) -> int:
+    largest = max((c.size or c.records_size for c in chunks), default=0)
+    return max(_MIN_CHUNK_SHIFT, int(largest).bit_length())
+
+
+def _parse_message(buf: bytes, s: int, ln: int):
+    (cid,) = struct.unpack_from("<H", buf, s)
+    (log_time,) = struct.unpack_from("<Q", buf, s + 6)
+    return cid, log_time, buf[s + 22 : s + ln]
+
+
+def mcap_connections_df(spark: SparkSession, path: str) -> DataFrame:
+    """Connections dim from the embedded Channel+Schema records — the
+    engine's 7-column shape; msg_def is the EMBEDDED schema text (ros1msg/
+    ros2msg are both the plain definition syntax the schema compiler
+    already parses)."""
+    scan = scan_mcap(path)
+    rows = []
+    for cid in sorted(scan.channels):
+        sid, topic, _menc = scan.channels[cid]
+        name, senc, data = scan.schemas.get(sid, ("", "", b""))
+        if senc not in ("ros1msg", "ros2msg", ""):
+            raise ValueError(
+                f"{path}: schema encoding {senc!r} for {topic} is not a "
+                "message-definition text (ros2idl/protobuf not supported)"
+            )
+        rows.append((cid, topic, name, "", data.decode(), "", ""))
+    return spark.createDataFrame(
+        rows,
+        "connection_id int, topic string, datatype string, md5sum string, "
+        "msg_def string, callerid string, latching string",
+    )
+
+
+def mcap_serialization(path: str) -> str:
+    """'cdr' | 'ros1' — from the channels' message_encoding (one per file;
+    mixed encodings are refused, the per-type decode can't dispatch)."""
+    scan = scan_mcap(path)
+    encs = {m for _, _, m in scan.channels.values()}
+    mapped = {"cdr": "cdr", "ros1": "ros1"}
+    bad = encs - set(mapped)
+    if bad:
+        raise ValueError(f"{path}: unsupported message encodings {sorted(bad)}")
+    if len(encs) > 1:
+        raise ValueError(f"{path}: mixed message encodings {sorted(encs)}")
+    return mapped[encs.pop()] if encs else "cdr"
+
+
+def seqno_bucket_width(path: str) -> int:
+    scan = scan_mcap(path)
+    if scan.chunks:
+        shift = offset_shift(scan.chunks)
+        stride = 1 << shift
+        return stride * max(1, -(-len(scan.chunks) // 64))
+    return max(100_000, os.path.getsize(path) // 64 + 1)
+
+
+def read_mcap(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFrame:
+    """(offset, time_ns, conn_id=channel_id, data) — the shared scan schema.
+    Chunked files partition by chunk (each task decompresses its own);
+    unchunked files partition the top-level message list by record offset
+    (records are self-delimiting, so any record boundary is a valid task
+    start)."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.sources.baglike import MESSAGE_SCHEMA
+
+    path = os.path.abspath(path)
+    scan = scan_mcap(path)
+
+    if scan.chunks:
+        shift = offset_shift(scan.chunks)
+        rows = [
+            (i, c.records_off, c.records_size, c.compression, c.size)
+            for i, c in enumerate(scan.chunks)
+        ]
+        n = max(1, min(num_partitions, len(rows)))
+        plan_df = spark.createDataFrame(
+            rows, "idx long, off long, sz long, comp string, usz long"
+        ).repartition(n, "idx")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for idx, off, sz, comp, usz in zip(
+                    pdf["idx"], pdf["off"], pdf["sz"], pdf["comp"], pdf["usz"]
+                ):
+                    ref = McapChunkRef(int(off), int(sz), comp, int(usz))
+                    inner = _read_chunk_records(path, ref)
+                    if len(inner) > (1 << shift):
+                        raise ValueError(
+                            f"{path}: chunk {idx} larger than its declared "
+                            f"size implies (shift {shift})"
+                        )
+                    out = {"offset": [], "time_ns": [], "conn_id": [], "data": []}
+                    for op, s, ln, rpos in _walk_records(inner):
+                        if op != OP_MESSAGE:
+                            continue
+                        cid, t, payload = _parse_message(inner, s, ln)
+                        out["offset"].append((int(idx) << shift) | rpos)
+                        out["time_ns"].append(t)
+                        out["conn_id"].append(cid)
+                        out["data"].append(payload)
+                    if out["offset"]:
+                        yield pd.DataFrame(out)
+
+        return plan_df.mapInPandas(run, schema=MESSAGE_SCHEMA)
+
+    offs = scan.message_offsets
+    if not offs:
+        return spark.createDataFrame([], MESSAGE_SCHEMA)
+    n = max(1, min(num_partitions, len(offs)))
+    per = (len(offs) + n - 1) // n
+    spans = [
+        (offs[i], offs[min(i + per, len(offs)) - 1] + 1)
+        for i in range(0, len(offs), per)
+    ]
+    plan_df = spark.createDataFrame(spans, "lo long, hi long").repartition(
+        len(spans), "lo"
+    )
+
+    def run_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = os.path.getsize(path)
+        for pdf in batches:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                lo, hi = int(lo), int(hi)
+                out = {"offset": [], "time_ns": [], "conn_id": [], "data": []}
+                with open(path, "rb") as f:
+                    pos = lo
+                    while pos < min(hi + 9, size - 8) and pos + 9 <= size:
+                        f.seek(pos)
+                        head = f.read(9)
+                        op = head[0]
+                        (ln,) = struct.unpack("<Q", head[1:])
+                        if pos >= hi:
+                            break
+                        if op == OP_MESSAGE:
+                            f.seek(pos + 9)
+                            payload = f.read(ln)
+                            cid, t, data = _parse_message(payload, 0, ln)
+                            out["offset"].append(pos)
+                            out["time_ns"].append(t)
+                            out["conn_id"].append(cid)
+                            out["data"].append(data)
+                        pos += 9 + ln
+                if out["offset"]:
+                    yield pd.DataFrame(out)
+
+    return plan_df.mapInPandas(run_flat, schema=MESSAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------- writer
+
+
+def write_mcap(
+    path: str,
+    connections: list[ConnectionInfo],
+    messages: list[tuple[int, int, bytes]],  # (conn_id, time_ns, payload)
+    *,
+    encoding: str = "cdr",
+    schema_encoding: str = "ros2msg",
+    chunked: bool = True,
+    compression: str = "",
+    chunk_messages: int = 1000,
+) -> None:
+    """Minimal spec-conformant MCAP writer (tests + fixtures): Header,
+    Schema+Channel per connection, messages (optionally chunked with
+    ""/lz4/zstd), Schema+Channel repeated as a summary, DataEnd, Footer."""
+
+    def rec(op: int, payload: bytes) -> bytes:
+        return bytes([op]) + struct.pack("<Q", len(payload)) + payload
+
+    def s(v: str) -> bytes:
+        b = v.encode()
+        return struct.pack("<I", len(b)) + b
+
+    def schema_rec(sid: int, c: ConnectionInfo) -> bytes:
+        data = c.msg_def.encode()
+        return rec(
+            OP_SCHEMA,
+            struct.pack("<H", sid) + s(c.datatype) + s(schema_encoding)
+            + struct.pack("<I", len(data)) + data,
+        )
+
+    def channel_rec(sid: int, c: ConnectionInfo) -> bytes:
+        return rec(
+            OP_CHANNEL,
+            struct.pack("<HH", c.conn_id, sid) + s(c.topic) + s(encoding)
+            + struct.pack("<I", 0),
+        )
+
+    def message_rec(conn_id: int, t: int, payload: bytes) -> bytes:
+        return rec(
+            OP_MESSAGE,
+            struct.pack("<HIQQ", conn_id, 0, t, t) + payload,
+        )
+
+    dim = b""
+    for i, c in enumerate(connections):
+        dim += schema_rec(i + 1, c) + channel_rec(i + 1, c)
+
+    body = b""
+    if chunked:
+        for i in range(0, len(messages), chunk_messages):
+            records = b"".join(
+                message_rec(cid, t, p) for cid, t, p in messages[i : i + chunk_messages]
+            )
+            if compression in ("", "none"):
+                blob, comp = records, ""
+            elif compression == "lz4":
+                from rosbag2parquet_spark.sources.rosbag import _lz4_compress
+
+                blob, comp = _lz4_compress(records), "lz4"
+            elif compression == "zstd":
+                import pyarrow as pa
+
+                blob, comp = pa.Codec("zstd").compress(records, asbytes=True), "zstd"
+            else:
+                raise ValueError(f"unsupported compression {compression!r}")
+            times = [t for _, t, _ in messages[i : i + chunk_messages]]
+            payload = (
+                struct.pack("<QQQ", min(times), max(times), len(records))
+                + struct.pack("<I", 0)
+                + s(comp)
+                + struct.pack("<Q", len(blob))
+                + blob
+            )
+            body += rec(OP_CHUNK, payload)
+    else:
+        body = b"".join(message_rec(cid, t, p) for cid, t, p in messages)
+
+    with open(path, "wb") as f:
+        f.write(MCAP_MAGIC)
+        f.write(rec(OP_HEADER, s("") + s("rosbag2parquet_spark")))
+        f.write(dim)
+        f.write(body)
+        f.write(dim)  # summary section repeats the dim
+        f.write(rec(OP_DATA_END, struct.pack("<I", 0)))
+        f.write(rec(OP_FOOTER, struct.pack("<QQI", 0, 0, 0)))
+        f.write(MCAP_MAGIC)
