@@ -65,10 +65,12 @@ def test_no_unexpected_single_partition_exchange(spark):
     # scalar-reduction outputs where a 1-row final agg is the right plan
     allowed = {
         "sql-q6", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
+        "sql-q11",  # global-sum threshold scalar subquery (partial map-side)
         "range-join",
         "interval-join",  # 2-scalar grid-bounds reduce (min/max over events)
         "funnel",  # 3-scalar stage counts; only per-user partials cross
         "lsh-recall",  # two 1-row count reductions + their broadcast cross
+        "bm25-search",  # corpus N + avgdl: one 2-scalar reduce, broadcast back
     }
     # demux/sink write converted layouts first — covered by their own tests
     skip = {"demux", "sink"}
