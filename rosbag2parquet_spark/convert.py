@@ -328,8 +328,9 @@ def convert_bag(
     msgdefs: "dict[str, str] | None" = None,
 ) -> ConvertInfo:
     """The reference's whole program over a real bag file (.bag = rosbag
-    2.0, .db3 = ROS 2 rosbag2 sqlite3 storage with CDR payloads — pass
-    ``msgdefs``, the container embeds no definition text — else SBAG): one
+    2.0, .db3 = ROS 2 rosbag2 sqlite3 storage with CDR payloads — schema
+    read from the embedded ``message_definitions`` table when present
+    (Iron+), else supplied via ``msgdefs`` — else SBAG): one
     FLATTENED typed table per message type — each
     decoded with its own msg_def through the schema compiler — plus the
     ``Messages``/``Connections`` metadata tables and DDL script. Layout per

@@ -30,8 +30,9 @@ def load_bag(
 ) -> tuple[DataFrame, DataFrame]:
     """(messages, connections) for any bag generation, detected from magic
     bytes: rosbag 2.0 record/chunk format, ROS 2 rosbag2 (.db3 sqlite3
-    storage — requires caller-supplied ``msgdefs`` since the container
-    embeds no definition text), or the SBAG test format. All yield the same
+    storage — definitions read from the embedded ``message_definitions``
+    table when present (Iron+), else from caller-supplied ``msgdefs``), or
+    the SBAG test format. All yield the same
     (offset, time_ns, conn_id, data) scan schema."""
     fmt = _fmt(path)
     if fmt == "rosbag":
@@ -60,11 +61,6 @@ def load_bag(
             rosbag2_connections_df,
         )
 
-        if msgdefs is None:
-            raise ValueError(
-                f"{path} is a ROS 2 rosbag2 (.db3): pass msgdefs="
-                "{datatype: definition_text} (the container embeds none)"
-            )
         return (
             read_rosbag2(spark, path, num_partitions=num_partitions),
             rosbag2_connections_df(spark, path, msgdefs),

@@ -110,9 +110,7 @@ FROM seq JOIN conns USING (user_id, event_type)
 )
 
 
-import itertools
-
-_BUCKET_SEQ = itertools.count()
+import uuid
 
 
 def write_bucketed(
@@ -153,7 +151,9 @@ def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-heavy; the correctness gate proves the bucketed path end-to-end
     (write → catalog → bucket-aware scan → join) against the plain SQL
     answer."""
-    n = next(_BUCKET_SEQ)
+    # uuid (not a session counter) so two concurrent drivers sharing one
+    # warehouse dir can never collide on catalog table names
+    n = uuid.uuid4().hex[:12]
     li_name, o_name = f"li_bucketed_{n}", f"orders_bucketed_{n}"
     root = tempfile.mkdtemp(prefix="bucket_join_")
     li = load_table(spark, sf_dir, "lineitem").select(

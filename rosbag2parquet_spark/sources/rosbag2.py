@@ -18,11 +18,18 @@ alignment, string length excludes NUL) — hence a separate decoder that
 walks the SAME parsed message-definition tree, so the flattened schema
 (``to_struct_type``) is shared between both generations.
 
-ROS 2 bags do not embed message-definition text (types are resolved from
-the installed type system at play time), so the caller supplies
-``msgdefs={datatype: definition_text}`` — same definition syntax; for the
-builtin_interfaces types write the fields out (``int32 sec`` /
-``uint32 nanosec``).
+Schema self-description (the reference's core property — the definition
+text travels INSIDE the container, FlattenedRosWriter.cpp:30-32 /
+README.md:116-117): modern rosbag2 (sqlite storage schema v4, ROS 2
+Iron+) embeds the concatenated definition text in a
+``message_definitions(topic_type, encoding, encoded_message_definition)``
+table with ``ros2msg``/``ros1msg`` encoding — the same
+``====``-delimited syntax our parser already consumes for rosbag 1.x and
+MCAP. When that table is present, no side channel is needed; older
+(pre-Iron) bags carry no definitions, so the caller supplies
+``msgdefs={datatype: definition_text}`` (caller-supplied entries override
+embedded ones either way). For the builtin_interfaces types write the
+fields out (``int32 sec`` / ``uint32 nanosec``).
 
 Scale: the scan partitions the ``messages`` table by rowid range — each
 task opens the SQLite file read-only (concurrent readers are safe) and
@@ -82,18 +89,57 @@ def read_topics(path: str) -> list[Rosbag2Topic]:
     return [Rosbag2Topic(*r) for r in rows]
 
 
+def read_embedded_msgdefs(path: str) -> dict[str, str]:
+    """Definition text embedded in the container (sqlite storage schema v4,
+    ROS 2 Iron+): ``message_definitions(topic_type, encoding,
+    encoded_message_definition)`` with ``ros2msg``/``ros1msg`` encoding —
+    concatenated ``====``-delimited text, exactly what ``parse_msgdef``
+    consumes. Returns {} for pre-Iron bags (no such table); unknown
+    encodings (``ros2idl``) are skipped rather than failed so a mixed bag
+    still resolves every type it can (the caller's msgdefs fill gaps)."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        tables = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        }
+        if "message_definitions" not in tables:
+            return {}
+        rows = con.execute(
+            "SELECT topic_type, encoding, encoded_message_definition "
+            "FROM message_definitions ORDER BY id"
+        ).fetchall()
+    finally:
+        con.close()
+    out: dict[str, str] = {}
+    for topic_type, encoding, text in rows:
+        if encoding in ("ros2msg", "ros1msg") and text:
+            out[topic_type] = text
+    return out
+
+
 def rosbag2_connections_df(
-    spark: SparkSession, path: str, msgdefs: dict[str, str]
+    spark: SparkSession, path: str, msgdefs: dict[str, str] | None = None
 ) -> DataFrame:
     """The Connections dim in the engine's 7-column shape (reference
     FlattenedRosWriter.cpp:209-224). md5sum/callerid/latching are padded ""
-    — the sqlite3 storage schema carries none of them."""
+    — the sqlite3 storage schema carries none of them. Definition text is
+    resolved embedded-first (``message_definitions`` table, Iron+) with
+    caller-supplied ``msgdefs`` overriding/filling — so the common modern
+    bag needs no side channel, matching the reference's
+    schema-travels-in-the-bag property (README.md:116-117)."""
     topics = read_topics(path)
+    resolved = read_embedded_msgdefs(path)
+    resolved.update(msgdefs or {})
+    msgdefs = resolved
     missing = sorted({t.datatype for t in topics} - set(msgdefs))
     if missing:
         raise ValueError(
-            f"rosbag2 {path}: no message definition supplied for {missing} "
-            "(ROS 2 bags do not embed msg-def text; pass msgdefs={type: text})"
+            f"rosbag2 {path}: no message definition for {missing} — the bag "
+            "embeds none (pre-Iron storage has no message_definitions "
+            "table); pass msgdefs={type: text}"
         )
     return spark.createDataFrame(
         [

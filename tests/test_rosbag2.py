@@ -294,3 +294,111 @@ def test_cdr_vectorized_tier_matches_per_row(spark):
         assert (
             r.seq, r.stamp_sec, r.stamp_nanosec, list(r.accel), r.temp, r.valid
         ) == (want[0], want[1], want[2], list(want[3]), want[4], want[5])
+
+
+@pytest.fixture(scope="module")
+def db3_bag_embedded(tmp_path_factory):
+    """Same content as db3_bag but with the Iron+ (sqlite storage schema
+    v4) ``message_definitions`` table embedded — the self-describing case:
+    schema text travels inside the container, no side channel needed."""
+    path = str(tmp_path_factory.mktemp("rosbag2_v4") / "robot_v4.db3")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT,"
+        " type_description_hash TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    con.execute(
+        "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY,"
+        " topic_type TEXT, encoding TEXT, encoded_message_definition TEXT,"
+        " type_description_hash TEXT)"
+    )
+    con.execute(
+        "INSERT INTO topics VALUES"
+        " (1, '/pose', 'geometry_msgs/PoseLite', 'cdr', '', 'h1')"
+    )
+    con.execute(
+        "INSERT INTO topics VALUES"
+        " (2, '/imu', 'sensor_msgs/ImuLite', 'cdr', '', 'h2')"
+    )
+    con.execute(
+        "INSERT INTO message_definitions VALUES"
+        " (1, 'geometry_msgs/PoseLite', 'ros2msg', ?, 'h1')",
+        (POSE_DEF,),
+    )
+    con.execute(
+        "INSERT INTO message_definitions VALUES"
+        " (2, 'sensor_msgs/ImuLite', 'ros2msg', ?, 'h2')",
+        (IMU_DEF,),
+    )
+    # an idl-encoded duplicate must be skipped, not crash the reader
+    con.execute(
+        "INSERT INTO message_definitions VALUES"
+        " (3, 'sensor_msgs/ImuLite', 'ros2idl', 'module sensor_msgs ...',"
+        " 'h2')"
+    )
+    t0 = 1_700_000_000_000_000_000
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            data = encode_pose(
+                i, 1_700_000_000 + i, i * 1000, "map", i * 1.5, -i * 0.25,
+                i % 7, f"wp{i}",
+            )
+            rows.append((None, 1, t0 + i * 1_000_000, data))
+        else:
+            data = encode_imu(i, (0.1 * i, -0.2 * i, 9.81), "base")
+            rows.append((None, 2, t0 + i * 1_000_000, data))
+    con.executemany("INSERT INTO messages VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    return path
+
+
+def test_embedded_msgdefs_read(db3_bag_embedded, db3_bag):
+    from rosbag2parquet_spark.sources.rosbag2 import read_embedded_msgdefs
+
+    defs = read_embedded_msgdefs(db3_bag_embedded)
+    assert defs == {
+        "geometry_msgs/PoseLite": POSE_DEF,
+        "sensor_msgs/ImuLite": IMU_DEF,
+    }
+    # pre-Iron bag: no table, no defs — and no error
+    assert read_embedded_msgdefs(db3_bag) == {}
+
+
+def test_connections_from_embedded_defs(spark, db3_bag_embedded):
+    conns = rosbag2_connections_df(spark, db3_bag_embedded).collect()
+    assert {(c.datatype, c.msg_def) for c in conns} == {
+        ("geometry_msgs/PoseLite", POSE_DEF),
+        ("sensor_msgs/ImuLite", IMU_DEF),
+    }
+    # caller-supplied defs override embedded ones
+    override = {"sensor_msgs/ImuLite": IMU_DEF + "# override\n"}
+    conns2 = {
+        c.datatype: c.msg_def
+        for c in rosbag2_connections_df(
+            spark, db3_bag_embedded, override
+        ).collect()
+    }
+    assert conns2["sensor_msgs/ImuLite"].endswith("# override\n")
+    assert conns2["geometry_msgs/PoseLite"] == POSE_DEF
+
+
+def test_convert_bag_rosbag2_self_describing(spark, db3_bag_embedded, tmp_path):
+    """The positive twin of test_convert_bag_rosbag2_requires_msgdefs: a
+    v4 bag converts with msgdefs=None — schema travels in the container
+    (the reference property, README.md:116-117)."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    out = str(tmp_path / "out_v4")
+    info = convert_bag(spark, db3_bag_embedded, out)
+    assert info.count == 40
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    assert pose.count() == 20
+    r = pose.orderBy("seqno").first()
+    assert r.header_frame_id == "map" and r.label == "wp0"
