@@ -18,13 +18,20 @@ u32-length-prefixed UTF-8. Records used here:
   above ("" | "lz4" | "zstd"; lz4 frame decode shared with the rosbag
   reader, zstd via pyarrow's bundled codec)
 
-Everything else (indexes, statistics, attachments, footer) is skipped —
-the summary section repeats Schema/Channel records at the end of the
-file, which is how a single top-level walk collects the dim without
-decompressing any chunk.
+- Footer(0x02): ``summary_start:u64, summary_offset_start:u64, crc:u32``
+  — fixed 29-byte record just before the trailing magic
+- ChunkIndex(0x08): start/end time, ``chunk_start_offset:u64,
+  chunk_length:u64``, message-index map, compression, compressed/
+  uncompressed sizes — one per chunk, in the summary section
 
-Scale: same two-layer split as the rosbag reader — a driver-side
-seek-only walk plans chunk-parallel partitions; each task decompresses
+Scale — O(index) planning, not O(file): when the file carries a summary
+section (Footer.summary_start != 0 with ChunkIndex records), the driver
+reads ONLY magic + footer + summary bytes and plans every chunk partition
+from the ChunkIndex records — on a 100 GB MCAP over object storage that
+is a few KB of ranged reads instead of a seek-walk across the whole file.
+Files without a summary (or with top-level unchunked messages, which the
+summary cannot enumerate) fall back to the single top-level seek-walk,
+which still never decompresses chunk bodies. Each task then decompresses
 and walks only its own chunks. Offsets are ``(chunk_index << shift) |
 inner_pos`` for chunked files and raw record offsets for unchunked ones
 (mixing both in one file is refused — the orderings don't compose).
@@ -50,7 +57,11 @@ OP_SCHEMA = 0x03
 OP_CHANNEL = 0x04
 OP_MESSAGE = 0x05
 OP_CHUNK = 0x06
+OP_CHUNK_INDEX = 0x08
 OP_DATA_END = 0x0F
+
+#: Footer record: opcode(1) + length(8) + payload(20), then trailing magic
+_FOOTER_RECORD_LEN = 29
 
 _MIN_CHUNK_SHIFT = 20
 
@@ -133,18 +144,87 @@ def _walk_records(buf: bytes, base: int = 0):
 
 
 def scan_mcap(path: str) -> McapScan:
-    """Driver-side single seek-walk of top-level records, memoized on file
-    identity. Chunk payload prefixes are read (a few dozen bytes each);
-    chunk record streams are NOT decompressed. Schema/Channel records are
-    collected wherever they appear at top level — writers repeat them in
-    the summary section, so chunked files still yield the full dim here."""
+    """Driver-side scan plan, memoized on file identity. Indexed files
+    (Footer.summary_start → ChunkIndex records) plan from magic + footer +
+    summary bytes only — O(index), no walk; unindexed files fall back to a
+    single top-level seek-walk. Either way chunk payload prefixes are at
+    most a few dozen bytes each and chunk record streams are NOT
+    decompressed."""
     st = os.stat(path)
     return _scan_mcap_uncached(path, st.st_mtime_ns, st.st_size)
+
+
+def _parse_chunk_index(payload: bytes) -> McapChunkRef:
+    """ChunkIndex → the same McapChunkRef the walk builds: records_off is
+    chunk_start_offset + record header (9) + chunk payload prefix (28 fixed
+    + compression string + records_size u64); records_size is the index's
+    compressed_size (the spec defines it as the size of the chunk's records
+    field); size is the declared uncompressed size."""
+    chunk_start, _chunk_len = struct.unpack_from("<QQ", payload, 16)
+    (mio_len,) = struct.unpack_from("<I", payload, 32)
+    pos = 36 + mio_len + 8  # skip message_index_offsets map + index_length
+    comp, pos = _str_at(payload, pos)
+    csize, usize = struct.unpack_from("<QQ", payload, pos)
+    records_off = chunk_start + 9 + 28 + 4 + len(comp.encode()) + 8
+    return McapChunkRef(
+        records_off, csize, comp,
+        usize or (csize if comp in ("", "none") else 0),
+    )
+
+
+def _scan_from_summary(path: str, size: int) -> "McapScan | None":
+    """O(index) plan: footer → summary section → Schema/Channel/ChunkIndex.
+    Returns None when the file carries no usable summary (no footer
+    pointer, or no ChunkIndex records — the latter can mean top-level
+    unchunked messages, which only the walk can enumerate)."""
+    with open(path, "rb") as f:
+        f.seek(size - 8 - _FOOTER_RECORD_LEN)
+        tail = f.read(_FOOTER_RECORD_LEN)
+        if len(tail) != _FOOTER_RECORD_LEN or tail[0] != OP_FOOTER:
+            return None
+        (ln,) = struct.unpack_from("<Q", tail, 1)
+        if ln != 20:
+            return None
+        (summary_start,) = struct.unpack_from("<Q", tail, 9)
+        if not summary_start:
+            return None
+        summary_end = size - 8 - _FOOTER_RECORD_LEN
+        if not 8 <= summary_start < summary_end:
+            raise ValueError(
+                f"{path}: footer summary_start {summary_start} outside the "
+                f"file body — corrupt mcap"
+            )
+        f.seek(summary_start)
+        buf = f.read(summary_end - summary_start)
+    schemas: dict = {}
+    channels: dict = {}
+    chunks: list = []
+    for op, s, ln, _ in _walk_records(buf):
+        if op == OP_SCHEMA:
+            sid, v = _parse_schema(buf[s : s + ln])
+            schemas.setdefault(sid, v)
+        elif op == OP_CHANNEL:
+            cid, v = _parse_channel(buf[s : s + ln])
+            channels.setdefault(cid, v)
+        elif op == OP_CHUNK_INDEX:
+            chunks.append(_parse_chunk_index(buf[s : s + ln]))
+    if not channels or not chunks:
+        return None
+    # file order == offset order; the walk enumerates chunks the same way
+    chunks.sort(key=lambda c: c.records_off)
+    return McapScan(schemas, channels, chunks, [])
 
 
 @lru_cache(maxsize=64)
 def _scan_mcap_uncached(path: str, _mtime_ns: int, _size: int) -> McapScan:
     size = os.path.getsize(path)
+    if size >= 16 + _FOOTER_RECORD_LEN:
+        with open(path, "rb") as f:
+            if f.read(8) != MCAP_MAGIC:
+                raise ValueError(f"{path}: not an MCAP file")
+        indexed = _scan_from_summary(path, size)
+        if indexed is not None:
+            return indexed
     schemas: dict = {}
     channels: dict = {}
     chunks: list = []
@@ -406,10 +486,16 @@ def write_mcap(
     chunked: bool = True,
     compression: str = "",
     chunk_messages: int = 1000,
+    indexed: bool = True,
 ) -> None:
     """Minimal spec-conformant MCAP writer (tests + fixtures): Header,
     Schema+Channel per connection, messages (optionally chunked with
-    ""/lz4/zstd), Schema+Channel repeated as a summary, DataEnd, Footer."""
+    ""/lz4/zstd), DataEnd, then — for chunked files with ``indexed=True``
+    (the spec-recommended shape) — a summary section of repeated
+    Schema+Channel plus one ChunkIndex per chunk, and a Footer pointing at
+    it (``summary_start``), enabling the reader's O(index) planning path.
+    ``indexed=False`` writes the dim repeat inline and a zeroed footer —
+    the legacy/unindexed shape that exercises the full-walk fallback."""
 
     def rec(op: int, payload: bytes) -> bytes:
         return bytes([op]) + struct.pack("<Q", len(payload)) + payload
@@ -443,7 +529,11 @@ def write_mcap(
     for i, c in enumerate(connections):
         dim += schema_rec(i + 1, c) + channel_rec(i + 1, c)
 
-    body = b""
+    out = bytearray()
+    out += MCAP_MAGIC
+    out += rec(OP_HEADER, s("") + s("rosbag2parquet_spark"))
+    out += dim
+    chunk_index_recs: list[bytes] = []
     if chunked:
         for i in range(0, len(messages), chunk_messages):
             records = b"".join(
@@ -469,16 +559,35 @@ def write_mcap(
                 + struct.pack("<Q", len(blob))
                 + blob
             )
-            body += rec(OP_CHUNK, payload)
+            chunk_start = len(out)
+            out += rec(OP_CHUNK, payload)
+            chunk_index_recs.append(
+                rec(
+                    OP_CHUNK_INDEX,
+                    struct.pack(
+                        "<QQQQ", min(times), max(times), chunk_start,
+                        len(out) - chunk_start,
+                    )
+                    + struct.pack("<I", 0)  # empty message_index_offsets map
+                    + struct.pack("<Q", 0)  # message_index_length
+                    + s(comp)
+                    + struct.pack("<QQ", len(blob), len(records)),
+                )
+            )
     else:
-        body = b"".join(message_rec(cid, t, p) for cid, t, p in messages)
+        for cid, t, p in messages:
+            out += message_rec(cid, t, p)
 
+    if chunked and indexed and chunk_index_recs:
+        out += rec(OP_DATA_END, struct.pack("<I", 0))
+        summary_start = len(out)
+        out += dim  # summary repeats the dim
+        out += b"".join(chunk_index_recs)
+        out += rec(OP_FOOTER, struct.pack("<QQI", summary_start, 0, 0))
+    else:
+        out += dim  # inline summary repeat, no footer pointer (unindexed)
+        out += rec(OP_DATA_END, struct.pack("<I", 0))
+        out += rec(OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
+    out += MCAP_MAGIC
     with open(path, "wb") as f:
-        f.write(MCAP_MAGIC)
-        f.write(rec(OP_HEADER, s("") + s("rosbag2parquet_spark")))
-        f.write(dim)
-        f.write(body)
-        f.write(dim)  # summary section repeats the dim
-        f.write(rec(OP_DATA_END, struct.pack("<I", 0)))
-        f.write(rec(OP_FOOTER, struct.pack("<QQI", 0, 0, 0)))
-        f.write(MCAP_MAGIC)
+        f.write(bytes(out))
