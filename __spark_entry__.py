@@ -94,68 +94,31 @@ _MODULES = (
 # Evaluation order for the driver (which iterates dict order and records only
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
-# ROUND-6 NOTE: after r5's driver run records the first 50, rotate again.
-# The r5 window = the 28 new/changed entries + the first 22 r2-latest rows
-# (through window-sliding). Oldest remaining rows, in priority order for
-# the r6 front: the 8 spilled r2 rows (lag-lead, zscore, cube,
-# grouping-sets, asof, kmeans, multimodal-features, multimodal-pointers),
-# then the 19 r3-latest rows (demux … sessionize); r5-proven rotate to the
-# back.
-# ROUND-5 ROTATION (executing the r4 note): stream-sink (r4 driver-red:
-# raw BinaryType in the compared output — now hex'd on both sides) and
-# approx-stats (new exact-bounds oracle this round) lead; then the 31
-# queries whose latest row is r2, then the r3-latest block; the 49 queries
-# r4 just proved green rotate to the back. New queries added this round are
-# inserted at the FRONT — they displace only r3-latest rows from the
-# 50-query window, never an r2-latest one.
+# ROUND-6 ROTATION (executing the r5 note — the rolling freshness
+# invariant): new queries first, then the 9 queries whose latest driver row
+# is r2 (three rounds stale), then the 19 r3-latest rows, then the r4-latest
+# block (oldest remaining) fills the window; the 50 queries r5 just proved
+# rotate to the back. After this round's driver run, NO query's latest row
+# is older than r4.
+# ROUND-7 NOTE: the r6 window = new entries + 9 r2 + 19 r3 + ~the first 21
+# of the r4 block (through "mix-weighted"-ish, depending on how many new
+# queries land). For r7, lead with the REMAINDER of the r4 block
+# ("cap-per-group" onward), then the r5-proven block; r6-proven rotate to
+# the back.
 _QUERY_ORDER = [
-    # changed this round — must re-prove
-    "stream-sink", "approx-stats",
-    # NEW this round: event-behavior suite + deterministic weighted sampling
-    "compact-latest", "funnel", "cohort-retention", "weighted-sample",
-    # NEW this round: measured recall for BOTH LSH structures; embed-neardup
-    # re-proves here because multi-probe changed its pair set
-    "lsh-recall", "embed-recall", "embed-neardup",
-    # NEW this round: streaming twin of the log-compaction operator
-    "stream-compact",
-    # NEW this round: one-to-many media frame sampling (X7)
-    "multimodal-frames",
-    # NEW this round: JSON-path + higher-order array function surface (E5)
-    "json-funcs", "array-funcs",
-    # NEW this round: containment + normalized-exact dedup tiers (X2)
-    "dedup-containment", "dedup-normalized",
-    # NEW this round: time-based RANGE-frame trailing aggregate (X5)
-    "rolling-window",
-    # NEW this round: the five remaining TPC-H shapes (partsupp derived
-    # from lineitem) — the full 22-query surface is now registered
-    "sql-q2", "sql-q9", "sql-q11", "sql-q16", "sql-q20",
-    # NEW this round: Gopher-style repetition filters + BM25 retrieval (X4)
-    "repetition-score", "bm25-search",
-    # NEW this round: streaming twin of exact dedup (dedup-at-ingest)
-    "stream-dedup",
-    # NEW this round: co-located join over bucketed layouts (pay-once
-    # shuffle); join re-proves here because its plan changed (partial agg
-    # pushed below the join)
-    "bucket-join", "join",
-    # NEW this round: skew-salted join + overlapping token-window chunking
-    "salted-join", "tokenize-chunk",
-    # NEW this round: integer-exact Markov power iteration (user journeys)
-    "markov-chain",
-    # latest driver row is r2 (31) — the rotation's main payload
-    "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
-    "time-split", "cast", "flatten", "decode-blob", "seqno",
-    "groupby-agg", "derived", "rollup", "dim-join", "semi-join",
-    "first-seen", "sql", "window-funcs", "window-tumbling", "window-sliding",
-    "lag-lead", "zscore", "cube", "grouping-sets", "asof", "kmeans",
-    "multimodal-features", "multimodal-pointers",
-    # latest driver row is r3 (19) — fill the window; tail entries may spill
-    # past 50 as new queries land (still meets the nothing-older-than-r3 bar)
+    # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
+    "stream-neardup-parity",
+    # latest driver row is r2 (9) — three rounds stale, the rotation's head
+    "asof", "cube", "grouping-sets", "kmeans", "lag-lead",
+    "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
+    # latest driver row is r3 (19)
     "demux", "sink", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
     "knn", "knn-ivf", "knn-batch",
     "stats-corr", "string-agg", "explode-sequence", "distinct-count",
     "quantiles", "sessionize",
-    # proven green by the r4 driver run — rotate to the back
+    # latest driver row is r4 (48) — oldest remaining; head of this block
+    # fills the 50-query window, the tail spills to r7
     "text-stats", "null-semantics", "sql-q12",
     "sample-hash", "split-train-test", "mix-weighted",
     "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
@@ -171,6 +134,20 @@ _QUERY_ORDER = [
     "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
     "pivot", "unpivot", "histogram",
+    # proven green by the r5 driver run (50) — rotate to the back
+    "stream-sink", "approx-stats",
+    "compact-latest", "funnel", "cohort-retention", "weighted-sample",
+    "lsh-recall", "embed-recall", "embed-neardup",
+    "stream-compact", "multimodal-frames",
+    "json-funcs", "array-funcs",
+    "dedup-containment", "dedup-normalized", "rolling-window",
+    "sql-q2", "sql-q9", "sql-q11", "sql-q16", "sql-q20",
+    "repetition-score", "bm25-search", "stream-dedup",
+    "bucket-join", "join", "salted-join", "tokenize-chunk", "markov-chain",
+    "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
+    "time-split", "cast", "flatten", "decode-blob", "seqno",
+    "groupby-agg", "derived", "rollup", "dim-join", "semi-join",
+    "first-seen", "sql", "window-funcs", "window-tumbling",
 ]
 
 

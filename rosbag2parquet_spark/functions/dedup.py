@@ -173,7 +173,14 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect → threshold. The quadratic step only ever sees bucket
     collisions."""
     sets = _doc_shingle_sets(spark, sf_dir)
-    sig = minhash_signatures(sets)
+    cand = lsh_candidates(minhash_signatures(sets))
+    return _verify_jaccard(cand, sets)
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a_id < b_id) from banded signatures — the
+    batch construction the streaming incremental index must reproduce
+    exactly (stream-neardup-parity)."""
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -187,9 +194,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -199,7 +205,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    return _verify_jaccard(cand, sets)
 
 
 #: shared CTE chain shingles → signatures → bands → candidates → exact

@@ -98,6 +98,51 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl).select("a_id", "b_id", "jaccard").distinct()
 
 
+def q_stream_neardup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-vs-batch CANDIDATE pair-set equality as a driver-checked
+    scalar row: the incremental LSH index (applyInPandasWithState) must
+    emit exactly the batch banded-bucket-join candidate set — same hash
+    family ⇒ same buckets ⇒ same pairs. Output (n_streamed, n_batch,
+    sym_diff) where sym_diff = |streamed Δ batch| must be 0 and both
+    counts must equal the DuckDB-computed candidate count — so parity is
+    oracle-proven, not just asserted locally. One pair-keyed shuffle +
+    a scalar final aggregate."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.dedup import (
+        _doc_shingle_sets,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from rosbag2parquet_spark.streaming.neardup import (
+        stream_documents,
+        streaming_candidates,
+    )
+
+    tbl = _fresh("nd_parity")
+    run_to_memory(
+        streaming_candidates(stream_documents(spark, sf_dir)), tbl, mode="append"
+    )
+    streamed = spark.table(tbl).select("a_id", "b_id").distinct()
+    batch = lsh_candidates(minhash_signatures(_doc_shingle_sets(spark, sf_dir)))
+    # src bitmask per pair: 1 = streamed, 2 = batch; 3 = both
+    tagged = streamed.withColumn("src", F.lit(1)).unionByName(
+        batch.withColumn("src", F.lit(2))
+    )
+    per_pair = tagged.groupBy("a_id", "b_id").agg(F.sum("src").alias("m"))
+    return per_pair.agg(
+        F.sum(F.when(F.col("m").isin(1, 3), 1).otherwise(0))
+        .cast("long")
+        .alias("n_streamed"),
+        F.sum(F.when(F.col("m") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+        F.sum(F.when(F.col("m") != 3, 1).otherwise(0))
+        .cast("long")
+        .alias("sym_diff"),
+    )
+
+
 def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The type-router (S3) as a CONTINUOUS pipeline: streaming demux into
     a per-type partitioned parquet layout with a checkpoint (exactly-once
@@ -254,6 +299,7 @@ QUERIES = {
     "stream-sliding": q_stream_sliding,
     "stream-sessionize": q_stream_sessionize,
     "stream-neardup": q_stream_neardup,
+    "stream-neardup-parity": q_stream_neardup_parity,
     "stream-sink": q_stream_sink,
     "stream-profile": q_stream_profile,
     "stream-compact": q_stream_compact,
@@ -267,11 +313,29 @@ def _minhash_oracle() -> str:
     return _DEDUP_ORACLES["dedup-minhash-lsh"]
 
 
+def _neardup_parity_oracle() -> str:
+    """DuckDB recomputes the batch candidate count from the shared CTE
+    chain; parity holds iff the streamed count equals it and the symmetric
+    difference is zero."""
+    from rosbag2parquet_spark.functions.dedup import _MINHASH_CTES
+
+    return (
+        _MINHASH_CTES
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_streamed,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(0 AS BIGINT) AS sym_diff
+FROM cand
+"""
+    )
+
+
 ORACLES = {
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
     "stream-sliding": batch_windows.ORACLES["window-sliding"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],
     "stream-neardup": _minhash_oracle(),
+    "stream-neardup-parity": _neardup_parity_oracle(),
     "stream-sink": ORACLE_STREAM_SINK,
     "stream-profile": ORACLE_STREAM_PROFILE,
     "stream-compact": _compact_oracle(),
