@@ -40,6 +40,20 @@ HEADLINE = [
     "bm25-search",
 ]
 
+#: operators added in r5/r6 that need measured cost without moving the
+#: headline's round-over-round comparison base — timed identically, reported
+#: separately (extended_queries/extended_seconds)
+EXTENDED = [
+    "bucket-join",
+    "salted-join",
+    "markov-chain",
+    "tokenize-chunk",
+]
+
+#: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
+#: own subtotal so cross-round comparisons stay apples-to-apples
+_R4_MEMBERS = [q for q in HEADLINE if q != "bm25-search"]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -71,7 +85,7 @@ def main() -> None:
     )
     if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(SF_DIR):
         t_w = time.perf_counter()
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             try:
                 qs[name](spark, warm_dir).toPandas()
             except Exception as exc:  # warm failures must not mask the bench
@@ -88,9 +102,10 @@ def main() -> None:
     # and caches are warm — which is the steady state a long-lived cluster
     # session runs in anyway.
     timings: dict[str, float] = {}
+    ext_timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for _pass in (1, 2):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
@@ -98,14 +113,17 @@ def main() -> None:
             # row-at-a-time deserialization
             n = len(df.toPandas())
             dt = round(time.perf_counter() - t0, 3)
-            if _pass == 1:
+            tgt = ext_timings if name in EXTENDED else timings
+            if _pass == 1 and name in HEADLINE:
                 cold[name] = dt
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            if name not in tgt or dt < tgt[name]:
+                tgt[name] = dt
             if _pass == 2:
-                print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+                print(f"# {name}: {tgt[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
+    r4_total = round(sum(timings[q] for q in _R4_MEMBERS), 3)
+    ext_total = round(sum(ext_timings.values()), 3)
 
     decode_speedup = _bench_decode()
     print(f"# decode offset-scan speedup: {decode_speedup}x", file=sys.stderr)
@@ -115,10 +133,14 @@ def main() -> None:
     # disable with SPARK_GRAFT_BENCH_CONVERT=0
     convert_stats = None
     fleet_stats = None
+    db3_stats = None
+    mcap_stats = None
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
+        from bench_convert import run_db3 as _db3_run
         from bench_convert import run_fleet as _fleet_run
+        from bench_convert import run_mcap as _mcap_run
 
         # min-of-2 like the query suite: observed 2x host noise on the
         # identical conversion minutes apart
@@ -134,6 +156,19 @@ def main() -> None:
             key=lambda d: d["convert_s"],
         )
         print(f"# convert fleet: {fleet_stats}", file=sys.stderr)
+        # the other two real grammars at the SAME corpus (6000 msgs x 4 KB
+        # blobs): .db3 via the self-describing embedded-schema path, MCAP
+        # via O(index) summary planning — all three carry MB/s numbers
+        db3_stats = min(
+            (_db3_run(spark=spark) for _ in range(2)),
+            key=lambda d: d["convert_s"],
+        )
+        print(f"# convert db3: {db3_stats}", file=sys.stderr)
+        mcap_stats = min(
+            (_mcap_run(spark=spark) for _ in range(2)),
+            key=lambda d: d["convert_s"],
+        )
+        print(f"# convert mcap: {mcap_stats}", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     print(
@@ -149,9 +184,18 @@ def main() -> None:
                 # the single-pass numbers of rounds 1-3
                 "timing": "min_of_2_passes",
                 "cold_pass_seconds": cold_total,
+                # apples-to-apples subtotal vs BENCH_r04 (headline minus
+                # the r5-added bm25-search)
+                "r4_suite_seconds": r4_total,
+                # r5/r6 operators measured separately so the headline's
+                # comparison base stays stable across rounds
+                "extended_queries": ext_timings,
+                "extended_seconds": ext_total,
                 "decode_vec_speedup": decode_speedup,
                 "convert_walkthrough": convert_stats,
                 "convert_fleet": fleet_stats,
+                "convert_db3": db3_stats,
+                "convert_mcap": mcap_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

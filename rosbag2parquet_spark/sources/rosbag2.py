@@ -318,6 +318,243 @@ def cdr_fixed_layout(
                      "itemsize": pos})
 
 
+def cdr_variable_layout(
+    root_type: str,
+    specs: dict[str, MsgSpec],
+    arrays: str = "skip",
+    unsigned: str = "signed",
+):
+    """Op list for the VECTORIZED variable-stride CDR decoder — the same
+    offset-scan tier the ROS 1 decoder has (decode.variable_layout), with
+    one extra twist: every op carries its XCDR1 alignment, applied
+    DYNAMICALLY per row (after a variable-length string the rel-to-origin
+    position differs per row, so padding must be computed on the whole
+    offset vector, one numpy op per field).
+
+    Supported: fixed scalars, time pairs, strings, fixed/variable arrays of
+    fixed-size elements (incl. the uint8[] blob shortcut), nested structs
+    of the same. Returns None (→ per-row fallback) for string arrays and
+    variable arrays of variable-size structs.
+
+    Ops: ("fixed", name, dt, sz) | ("time", name) | ("string", name)
+    | ("arr_fixed", name, dt, unit, cnt) | ("arr_var", name, dt, unit)
+    | ("blob_fixed", name, cnt) | ("blob_var", name)
+    | ("skip_fixed", nbytes, align) | ("skip_arr_var", unit)
+    """
+    np_fmt = {
+        "bool": "<?", "int8": "<i1", "uint8": "<u1", "byte": "<u1",
+        "char": "<u1", "int16": "<i2", "uint16": "<u2", "int32": "<i4",
+        "uint32": "<u4" if unsigned == "exact" else "<i4",
+        "int64": "<i8", "uint64": "<i8", "float32": "<f4", "float64": "<f8",
+    }
+    size_of = {
+        "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
+        "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
+        "int64": 8, "uint64": 8, "float32": 4, "float64": 8,
+    }
+    ops: list[tuple] = []
+
+    def fixed_bytes_aligned(spec: MsgSpec) -> "tuple[int, int] | None":
+        """(size, max_align) when the struct is fixed-size AND its size is a
+        multiple of its own max alignment (so consecutive array elements
+        need no inter-element padding the scan can't express)."""
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        total, max_a = 0, 1
+        for f in spec.fields:
+            if f.type_name == "string" or (f.is_array and f.array_len is None):
+                return None
+            if f.type_name in TIME_TYPES:
+                unit, a = 8, 4
+            elif f.type_name in size_of:
+                unit = size_of[f.type_name]
+                a = min(unit, 8)
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                r = fixed_bytes_aligned(sub) if sub else None
+                if r is None:
+                    return None
+                unit, a = r
+            pad = (-total) % a
+            total += pad + unit * (f.array_len if f.is_array else 1)
+            max_a = max(max_a, a)
+        if total % max_a:
+            return None  # inter-element padding varies — per-row handles it
+        return total, max_a
+
+    def walk(spec: MsgSpec, prefix: str) -> bool:
+        pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
+        for f in spec.fields:
+            name = f"{prefix}{f.name}"
+            if f.is_array:
+                is_bytes = f.type_name in ("uint8", "byte", "char")
+                if is_bytes and arrays in ("blobs", "native"):
+                    if f.array_len is None:
+                        ops.append(("blob_var", name))
+                    else:
+                        ops.append(("blob_fixed", name, f.array_len))
+                    continue
+                if arrays == "native" and not is_bytes and f.type_name in np_fmt:
+                    unit = size_of[f.type_name]
+                    if f.array_len is None:
+                        ops.append(("arr_var", name, np_fmt[f.type_name], unit))
+                    else:
+                        ops.append(
+                            ("arr_fixed", name, np_fmt[f.type_name], unit,
+                             f.array_len)
+                        )
+                    continue
+                if f.type_name == "string":
+                    return False  # string arrays → per-row fallback
+                if f.type_name in size_of:
+                    unit, a = size_of[f.type_name], min(size_of[f.type_name], 8)
+                elif f.type_name in TIME_TYPES:
+                    unit, a = 8, 4
+                else:
+                    sub = _resolve(f.type_name, pkg, specs)
+                    r = fixed_bytes_aligned(sub) if sub else None
+                    if r is None:
+                        return False  # variable-size elements → fallback
+                    unit, a = r
+                if f.array_len is None:
+                    ops.append(("skip_arr_var", unit, a))
+                elif f.array_len:
+                    ops.append(("skip_fixed", unit * f.array_len, a))
+                continue
+            if f.type_name in TIME_TYPES:
+                ops.append(("time", name))
+            elif f.type_name == "string":
+                ops.append(("string", name))
+            elif f.type_name in size_of:
+                ops.append(("fixed", name, np_fmt[f.type_name],
+                            size_of[f.type_name]))
+            else:
+                sub = _resolve(f.type_name, pkg, specs)
+                if sub is None or not walk(sub, f"{name}_"):
+                    return False
+        return True
+
+    return ops if walk(specs[root_type], "") else None
+
+
+def make_cdr_vector_decoder(ops: list[tuple]):
+    """Batch decoder over the compiled CDR ops: one numpy gather per FIELD.
+    The running per-row offset vector is re-aligned before every field
+    relative to the post-encapsulation origin (XCDR1) — `(-rel) % a` on the
+    whole vector; only string/blob slicing touches Python per row. Trailing
+    bytes are tolerated up to 7 per row (CDR writers may pad the buffer;
+    the per-row walk ignores them too), more raises."""
+    import numpy as np
+
+    def decode_batch(bufs: list) -> dict:
+        n = len(bufs)
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        raw = b"".join(bufs)
+        data = np.frombuffer(raw, dtype=np.uint8)
+        origin = bounds[:-1] + 4  # alignment origin: post-encapsulation
+        off = origin.copy()
+
+        def align(a: int) -> None:
+            nonlocal off
+            if a > 1:
+                off = off + ((-(off - origin)) % a)
+
+        def gather(sz: int) -> "np.ndarray":
+            return data[off[:, None] + np.arange(sz)]
+
+        def u32_here() -> "np.ndarray":
+            return gather(4).view("<u4").ravel().astype(np.int64)
+
+        cols: dict = {}
+        for op in ops:
+            kind = op[0]
+            if kind == "fixed":
+                _, name, dt, sz = op
+                align(min(sz, 8))
+                cols[name] = gather(sz).view(dt).ravel()
+                off = off + sz
+            elif kind == "time":
+                _, name = op
+                align(4)
+                pair = gather(8).view("<i4")
+                cols[f"{op[1]}_sec"] = pair[:, 0].copy()
+                cols[f"{op[1]}_nsec"] = pair[:, 1].copy()
+                off = off + 8
+            elif kind == "string":
+                _, name = op
+                align(4)
+                ln = u32_here()  # CDR length INCLUDES the trailing NUL
+                spos = off + 4
+                ends = spos + ln
+                e1 = np.maximum(ends - 1, spos)
+                cols[name] = [
+                    raw[s:e].decode()
+                    for s, e in zip(spos.tolist(), e1.tolist())
+                ]
+                off = ends
+            elif kind == "arr_fixed":
+                _, name, dt, unit, cnt = op
+                if cnt:
+                    align(min(unit, 8))
+                    mat = gather(unit * cnt).view(dt).reshape(n, cnt)
+                    cols[name] = list(mat)
+                    off = off + unit * cnt
+                else:
+                    cols[name] = [np.empty(0, dtype=dt)] * n
+            elif kind == "arr_var":
+                _, name, dt, unit = op
+                align(4)
+                cnt = u32_here()
+                off = off + 4
+                if unit > 1:
+                    off = off + ((-(off - origin)) % min(unit, 8)) * (cnt > 0)
+                ends = off + cnt * unit
+                cols[name] = [
+                    np.frombuffer(raw[s:e], dtype=dt)
+                    for s, e in zip(off.tolist(), ends.tolist())
+                ]
+                off = ends
+            elif kind == "blob_fixed":
+                _, name, cnt = op
+                ends = off + cnt
+                cols[name] = [
+                    raw[s:e] for s, e in zip(off.tolist(), ends.tolist())
+                ]
+                off = ends
+            elif kind == "blob_var":
+                _, name = op
+                align(4)
+                ln = u32_here()
+                spos = off + 4
+                ends = spos + ln
+                cols[name] = [
+                    raw[s:e] for s, e in zip(spos.tolist(), ends.tolist())
+                ]
+                off = ends
+            elif kind == "skip_fixed":
+                _, nbytes, a = op
+                align(a)
+                off = off + nbytes
+            elif kind == "skip_arr_var":
+                _, unit, a = op
+                align(4)
+                cnt = u32_here()
+                off = off + 4
+                if a > 1:
+                    off = off + ((-(off - origin)) % a) * (cnt > 0)
+                off = off + cnt * unit
+        rem = bounds[1:] - off
+        if np.any((rem < 0) | (rem > 7)):
+            bad = int(np.argmax((rem < 0) | (rem > 7)))
+            raise ValueError(
+                f"CDR offset-scan consumed {int(off[bad] - bounds[bad])} of "
+                f"{int(lens[bad])} bytes at row {bad}"
+            )
+        return cols
+
+    return decode_batch
+
+
 def make_cdr_decoder(
     root_type: str,
     specs: dict[str, MsgSpec],
@@ -444,12 +681,15 @@ def decode_messages_cdr(
     unsigned: str = "signed",
 ) -> DataFrame:
     """CDR twin of :func:`sources.decode.decode_messages`: same flattened
-    schema (shared ``to_struct_type``); vectorized fixed-stride fast path
-    when the type has no variable-size field — CDR alignment makes the
-    stride constant-with-padding, which a numpy EXPLICIT-OFFSET dtype
-    expresses exactly, so one ``frombuffer`` decodes a whole Arrow batch
-    with zero per-row Python (same tier structure as the ROS 1 decoder);
-    the per-row CDR walk is the fallback for strings/sequences."""
+    schema (shared ``to_struct_type``), same THREE-tier structure as the
+    ROS 1 decoder: (1) fixed-stride — no variable-size field at all, CDR
+    alignment makes the stride constant-with-padding, which a numpy
+    EXPLICIT-OFFSET dtype expresses exactly (one ``frombuffer`` per Arrow
+    batch, zero per-row Python); (2) vectorized offset-scan — strings/
+    blobs/sequences of fixed-size elements, one numpy gather per FIELD with
+    dynamic per-row alignment (``cdr_variable_layout``); (3) the per-row
+    CDR walk for the rare shapes the scan can't express (string arrays,
+    sequences of variable-size structs)."""
     import numpy as np
     import pandas as pd
 
@@ -457,6 +697,12 @@ def decode_messages_cdr(
     flat = to_struct_type(root_type, specs, arrays=arrays, unsigned=unsigned)
     decode = make_cdr_decoder(root_type, specs, arrays=arrays, unsigned=unsigned)
     np_dtype = cdr_fixed_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
+    vec_ops = (
+        None
+        if np_dtype is not None
+        else cdr_variable_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
+    )
+    vec_decode = make_cdr_vector_decoder(vec_ops) if vec_ops is not None else None
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols] + list(flat.fields)
     )
@@ -480,6 +726,10 @@ def decode_messages_cdr(
                 for name in flat_names:
                     v = arr[name]
                     cols[name] = list(v) if v.ndim > 1 else v
+            elif vec_decode is not None:
+                decoded = vec_decode([bytes(b) for b in pdf[data_col]])
+                for name in flat_names:
+                    cols[name] = decoded[name]
             else:
                 decoded = [decode(bytes(b)) for b in pdf[data_col]]
                 for i, name in enumerate(flat_names):

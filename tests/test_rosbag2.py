@@ -402,3 +402,125 @@ def test_convert_bag_rosbag2_self_describing(spark, db3_bag_embedded, tmp_path):
     assert pose.count() == 20
     r = pose.orderBy("seqno").first()
     assert r.header_frame_id == "map" and r.label == "wp0"
+
+
+def _vector_tier(root, deftext, payloads, arrays="skip", unsigned="signed"):
+    from rosbag2parquet_spark.sources.rosbag2 import (
+        cdr_variable_layout,
+        make_cdr_vector_decoder,
+    )
+
+    specs = parse_msgdef(root, deftext)
+    ops = cdr_variable_layout(specs=specs, root_type=root, arrays=arrays,
+                              unsigned=unsigned)
+    assert ops is not None, "expected the vector tier to engage"
+    return make_cdr_vector_decoder(ops)(payloads)
+
+
+def _row_tier(root, deftext, payloads, arrays="skip", unsigned="signed"):
+    from rosbag2parquet_spark.sources.rosbag2 import make_cdr_decoder
+
+    specs = parse_msgdef(root, deftext)
+    flat = to_struct_type(root, specs, arrays=arrays, unsigned=unsigned)
+    dec = make_cdr_decoder(root, specs, arrays=arrays, unsigned=unsigned)
+    names = [f.name for f in flat.fields]
+    rows = [dec(p) for p in payloads]
+    return {n: [r[i] for r in rows] for i, n in enumerate(names)}
+
+
+def _assert_tiers_agree(vec, row):
+    import numpy as np
+
+    assert set(vec) == set(row)
+    for k in row:
+        got = [list(v) if isinstance(v, np.ndarray) else v for v in list(vec[k])]
+        want = [list(v) if isinstance(v, (list, np.ndarray)) else v for v in row[k]]
+        # numpy scalars compare fine via ==; normalize bytes
+        got = [bytes(g) if isinstance(g, (bytes, bytearray)) else g for g in got]
+        want = [bytes(w) if isinstance(w, (bytes, bytearray)) else w for w in want]
+        assert got == want, k
+
+
+def test_cdr_vector_tier_strings_alignment():
+    """Strings of every length 0..5 — the alignment-after-string case that
+    makes CDR offsets per-row-variable — must agree with the per-row walk
+    bit-for-bit."""
+    payloads = [
+        encode_pose(i, 2 * i, 3 * i, "f" * (i % 6), i * 0.5, -i, i % 5,
+                    "l" * ((i * 3) % 7))
+        for i in range(50)
+    ]
+    vec = _vector_tier("geometry_msgs/PoseLite", POSE_DEF, payloads)
+    row = _row_tier("geometry_msgs/PoseLite", POSE_DEF, payloads)
+    _assert_tiers_agree(vec, row)
+
+
+def test_cdr_vector_tier_native_arrays():
+    payloads = [encode_imu(i, (0.1 * i, -0.2 * i, 9.81), "b" * (i % 4))
+                for i in range(30)]
+    for mode in ("skip", "native"):
+        vec = _vector_tier("sensor_msgs/ImuLite", IMU_DEF, payloads, arrays=mode)
+        row = _row_tier("sensor_msgs/ImuLite", IMU_DEF, payloads, arrays=mode)
+        _assert_tiers_agree(vec, row)
+
+
+BLOB_DEF = """uint32 seq
+string frame_id
+string format
+uint8[] data
+int16 tail
+"""
+
+
+def encode_blobmsg(seq, frame, fmt, blob, tail):
+    buf = bytearray(CDR_LE_HEADER)
+    buf.extend(struct.pack("<I", seq))
+    _cdr_string(buf, frame)
+    _cdr_string(buf, fmt)
+    _align(buf, 4)
+    buf.extend(struct.pack("<I", len(blob)))
+    buf.extend(blob)
+    _align(buf, 2)
+    buf.extend(struct.pack("<h", tail))
+    return bytes(buf)
+
+
+def test_cdr_vector_tier_blobs():
+    """uint8[] blob extraction (multimodal mode) + a post-blob aligned
+    scalar — the CompressedImage shape the converter benches."""
+    payloads = [
+        encode_blobmsg(i, "cam", "jpeg", bytes(range(256)) * (i % 3),
+                       i - 100)
+        for i in range(40)
+    ]
+    for mode in ("blobs", "native"):
+        vec = _vector_tier("sensor_msgs/BlobMsg", BLOB_DEF, payloads, arrays=mode)
+        row = _row_tier("sensor_msgs/BlobMsg", BLOB_DEF, payloads, arrays=mode)
+        _assert_tiers_agree(vec, row)
+    # skip mode drops the blob but must still re-align past it correctly
+    vec = _vector_tier("sensor_msgs/BlobMsg", BLOB_DEF, payloads, arrays="skip")
+    row = _row_tier("sensor_msgs/BlobMsg", BLOB_DEF, payloads, arrays="skip")
+    _assert_tiers_agree(vec, row)
+
+
+def test_cdr_vector_tier_distributed_matches(spark, db3_bag):
+    """The wired decode_messages_cdr path (which now picks the vector tier
+    for PoseLite — strings make it variable) must still match the golden
+    values end-to-end."""
+    msgs = read_rosbag2(spark, db3_bag, num_partitions=3)
+    pose = msgs.filter(F.col("conn_id") == 1)
+    flat = decode_messages_cdr(
+        pose, "geometry_msgs/PoseLite", POSE_DEF
+    ).orderBy("offset")
+    rows = flat.collect()
+    assert len(rows) == 20
+    assert rows[3].x == 6 * 1.5 and rows[3].label == "wp6"
+    assert rows[0].header_frame_id == "map"
+
+
+def test_cdr_vector_tier_rejects_string_arrays():
+    from rosbag2parquet_spark.sources.rosbag2 import cdr_variable_layout
+
+    d = "string[] names\nuint32 n\n"
+    specs = parse_msgdef("x/StrArr", d)
+    assert cdr_variable_layout("x/StrArr", specs, arrays="native") is None

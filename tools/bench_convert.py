@@ -112,6 +112,153 @@ def run(n_msgs: int, blob_bytes: int = 4_096, spark=None) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _cdr_image_payload(i: int, blob: bytes, frame: bytes, fmt: bytes) -> bytes:
+    """CDR (XCDR1 little-endian) encoding of the same CompressedImage-shaped
+    message the SBAG walkthrough uses — so the three grammars convert the
+    SAME logical corpus and their MB/s numbers compare directly."""
+    def align(buf: bytearray, size: int) -> None:
+        rel = len(buf) - 4
+        buf.extend(b"\x00" * ((-rel) % min(size, 8)))
+
+    def cdr_str(buf: bytearray, raw: bytes) -> None:
+        align(buf, 4)
+        buf.extend(struct.pack("<I", len(raw) + 1))
+        buf.extend(raw + b"\x00")
+
+    buf = bytearray(b"\x00\x01\x00\x00")
+    buf.extend(struct.pack("<I", i))
+    align(buf, 4)
+    buf.extend(struct.pack("<iI", 1_700_000_000 + i // 30, (i % 30) * 33_000_000))
+    cdr_str(buf, frame)
+    cdr_str(buf, fmt)
+    align(buf, 4)
+    buf.extend(struct.pack("<I", len(blob)))
+    buf.extend(blob)
+    return bytes(buf)
+
+
+def synth_db3(path: str, n_msgs: int, blob_bytes: int) -> None:
+    """Self-describing (Iron+/v4) rosbag2 sqlite bag with the walkthrough
+    corpus — message_definitions embedded, so conversion needs no msgdefs."""
+    import sqlite3
+
+    blob = bytes(range(256)) * (blob_bytes // 256)
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT,"
+        " type_description_hash TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    con.execute(
+        "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY,"
+        " topic_type TEXT, encoding TEXT, encoded_message_definition TEXT,"
+        " type_description_hash TEXT)"
+    )
+    con.execute(
+        "INSERT INTO topics VALUES (1, '/camera/image/compressed',"
+        " 'sensor_msgs/CompressedImage', 'cdr', '', 'h1')"
+    )
+    con.execute(
+        "INSERT INTO message_definitions VALUES"
+        " (1, 'sensor_msgs/CompressedImage', 'ros2msg', ?, 'h1')",
+        (IMG_DEF,),
+    )
+    t0 = 1_700_000_000_000_000_000
+    con.executemany(
+        "INSERT INTO messages VALUES (?,?,?,?)",
+        [
+            (None, 1, t0 + i * 33_000_000,
+             _cdr_image_payload(i, blob, b"camera_link", b"jpeg"))
+            for i in range(n_msgs)
+        ],
+    )
+    con.commit()
+    con.close()
+
+
+def synth_mcap(path: str, n_msgs: int, blob_bytes: int) -> None:
+    """Indexed chunked MCAP (ros1 payloads, embedded ros1msg schema) with
+    the walkthrough corpus — the converter plans from the summary section."""
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    fmt = b"jpeg"
+    frame = b"camera_link"
+    blob = bytes(range(256)) * (blob_bytes // 256)
+
+    def payload(i: int) -> bytes:
+        return (
+            struct.pack("<I", i)
+            + struct.pack("<II", 1_700_000_000 + i // 30, (i % 30) * 33_000_000)
+            + struct.pack("<I", len(frame)) + frame
+            + struct.pack("<I", len(fmt)) + fmt
+            + struct.pack("<I", len(blob)) + blob
+        )
+
+    conns = [
+        ConnectionInfo(
+            conn_id=1,
+            topic="/camera/image/compressed",
+            datatype="sensor_msgs/CompressedImage",
+            md5sum="",
+            msg_def=IMG_DEF,
+        )
+    ]
+    write_mcap(
+        path,
+        conns,
+        [
+            (1, 1_700_000_000_000_000_000 + i * 33_000_000, payload(i))
+            for i in range(n_msgs)
+        ],
+        encoding="ros1",
+        schema_encoding="ros1msg",
+        chunked=True,
+        chunk_messages=200,
+        indexed=True,
+    )
+
+
+def _run_grammar(synth, suffix: str, n_msgs: int, blob_bytes: int, spark):
+    """Shared measure loop for the .db3 / MCAP walkthrough twins: same
+    corpus, same converter, same exclusions as run()."""
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.info import load_bag
+    from rosbag2parquet_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix=f"bench_convert_{suffix}_")
+    try:
+        bag = os.path.join(work, f"walkthrough.{suffix}")
+        synth(bag, n_msgs, blob_bytes)
+        bag_mb = os.path.getsize(bag) / (1 << 20)
+        spark = spark or get_spark("bench_convert")
+        spark.range(1).count()
+        load_bag(spark, bag, num_partitions=4)[0].limit(1).count()
+        t0 = time.perf_counter()
+        info = convert_bag(spark, bag, os.path.join(work, "out"), num_partitions=32)
+        dt = time.perf_counter() - t0
+        return {
+            "bag_mb": round(bag_mb, 1),
+            "messages": info.count,
+            "convert_s": round(dt, 2),
+            "mb_per_s": round(bag_mb / dt, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_db3(n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None) -> dict:
+    return _run_grammar(synth_db3, "db3", n_msgs, blob_bytes, spark)
+
+
+def run_mcap(n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None) -> dict:
+    return _run_grammar(synth_mcap, "mcap", n_msgs, blob_bytes, spark)
+
+
 def run_fleet(
     n_bags: int = 4,
     msgs_per_bag: int = 1_500,
