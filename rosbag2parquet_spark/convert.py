@@ -354,6 +354,26 @@ def convert_bag(
     from rosbag2parquet_spark.info import _fmt, load_bag, seqno_bucket_width
     from rosbag2parquet_spark.operators.keys import assign_seqno
 
+    if os.path.isdir(bag_path):
+        # a recorded rosbag2 DIRECTORY (metadata.yaml + storage shards) —
+        # the multi-shard fleet path with the manifest's stream order
+        if topics is not None or start_ns is not None or end_ns is not None:
+            raise ValueError(
+                "topics/start_ns/end_ns subset conversion is per-file; "
+                "convert the directory without filters or pass one shard"
+            )
+        return convert_bags(
+            spark,
+            bag_path,
+            out_dir,
+            num_partitions=num_partitions,
+            arrays=arrays,
+            unsigned=unsigned,
+            max_records_per_file=max_records_per_file,
+            compression=compression,
+            msgdefs=msgdefs,
+        )
+
     msgs, conns_df = load_bag(
         spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs
     )
@@ -531,7 +551,7 @@ def _remap_key_col():
     )
 
 
-def _bag_scan_meta(path: str) -> dict:
+def _bag_scan_meta(path: str, msgdefs: "dict[str, str] | None" = None) -> dict:
     """Per-bag driver-side metadata for the multi-bag planner, one header
     walk per file (parallelized across files by the caller — the reference's
     View construction is per-bag too, rosbag2parquet.cpp:44-47):
@@ -564,15 +584,61 @@ def _bag_scan_meta(path: str) -> dict:
              c.callerid or "", c.latching or "")
             for c in conns
         ]
-    elif fmt in ("rosbag2", "mcap"):
-        # fleet mode can't decode CDR payloads yet (the shared tail mixes
-        # serializations per type) — refuse up front with the single-bag
-        # path as the pointer, instead of failing later as "not an SBAG
-        # file"
-        raise ValueError(
-            f"{path}: {fmt} is supported by convert_bag (single bag), "
-            "not by fleet conversion yet"
+    elif fmt == "rosbag2":
+        import sqlite3
+
+        from rosbag2parquet_spark.sources.rosbag2 import (
+            read_embedded_msgdefs,
+            read_topics,
         )
+
+        resolved = read_embedded_msgdefs(path)
+        resolved.update(msgdefs or {})
+        topics = read_topics(path)
+        missing = sorted({t.datatype for t in topics} - set(resolved))
+        if missing:
+            raise ValueError(
+                f"rosbag2 {path}: no message definition for {missing} — the "
+                "bag embeds none; pass msgdefs={type: text}"
+            )
+        rows = [
+            (t.topic_id, t.name, t.datatype, "", resolved[t.datatype], "", "")
+            for t in topics
+        ]
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            (hi,) = con.execute("SELECT max(id) FROM messages").fetchone()
+        finally:
+            con.close()
+        # offsets are DENSE rowids — width sized so the driver-side
+        # prefix-sum map stays ≤ ~64 entries whatever the shard size
+        max_offset = (hi or 0) + 1
+        width = max(1, -(-max_offset // 64))
+        chunk_refs = None
+        serialization = "cdr"
+    elif fmt == "mcap":
+        from rosbag2parquet_spark.sources.mcap import (
+            mcap_serialization,
+            scan_mcap,
+        )
+        from rosbag2parquet_spark.sources.mcap import (
+            seqno_bucket_width as _mcap_width,
+        )
+        from rosbag2parquet_spark.sources.mcap import offset_shift as _mcap_shift
+
+        scan = scan_mcap(path)
+        rows = []
+        for cid in sorted(scan.channels):
+            sid, topic, _menc = scan.channels[cid]
+            name, _senc, data = scan.schemas.get(sid, ("", "", b""))
+            rows.append((cid, topic, name, "", data.decode(), "", ""))
+        width = _mcap_width(path)
+        if scan.chunks:
+            max_offset = (len(scan.chunks) + 1) << _mcap_shift(scan.chunks)
+        else:
+            max_offset = os.path.getsize(path) + 1
+        chunk_refs = None
+        serialization = mcap_serialization(path)
     else:
         from rosbag2parquet_spark.sources.baglike import read_header
 
@@ -587,6 +653,8 @@ def _bag_scan_meta(path: str) -> dict:
             for c in conns
         ]
         chunk_refs = None
+    if fmt in ("rosbag", "sbag"):
+        serialization = "ros1"
     return {
         "path": path,
         "format": fmt,
@@ -594,6 +662,7 @@ def _bag_scan_meta(path: str) -> dict:
         "rows": rows,
         "width": width,
         "max_offset": max_offset,
+        "serialization": serialization,
     }
 
 
@@ -620,6 +689,14 @@ def resolve_bag_paths(bags: "str | list[str]") -> list[str]:
     if not isinstance(bags, str):
         paths = list(bags)
     elif os.path.isdir(bags):
+        from rosbag2parquet_spark.sources.rosbag2 import rosbag2_dir_shards
+
+        # a recorded rosbag2 directory carries its own shard manifest —
+        # metadata.yaml's relative_file_paths IS the stream order (replay
+        # order; alphabetical sorting does not guarantee it)
+        shards = rosbag2_dir_shards(bags)
+        if shards is not None:
+            return shards
         paths = sorted(
             p
             for p in _glob.glob(os.path.join(bags, "*"))
@@ -644,6 +721,7 @@ def convert_bags(
     unsigned: str = "signed",
     max_records_per_file: int = 1_000_000,
     compression: str = "snappy",
+    msgdefs: "dict[str, str] | None" = None,
 ) -> ConvertInfo:
     """Convert a FLEET of bags into ONE table layout — the reference's
     "multiple compatible parquet files can be treated as a single file"
@@ -651,6 +729,12 @@ def convert_bags(
     input order, and the Connections dim is reconciled by identity (same
     (topic, datatype, md5sum, msg_def, callerid, latching) tuple in two
     bags → one global connection_id, first-seen order).
+
+    All four grammars fleet (``.bag``/SBAG = ros1, ``.db3``/MCAP-ros1/
+    MCAP-cdr), including a recorded rosbag2 DIRECTORY (metadata.yaml names
+    the shards in stream order); the only constraint is a homogeneous
+    payload serialization across the fleet — the per-type decode dispatches
+    once per type, so a ros1+cdr mix is refused up front.
 
     Scale shape: the per-bag header walk is driver-side but O(#chunks)
     cheap and runs concurrently across files (thread pool — I/O bound);
@@ -666,7 +750,16 @@ def convert_bags(
 
     paths = resolve_bag_paths(bags)
     with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
-        metas = list(pool.map(_bag_scan_meta, paths))
+        metas = list(pool.map(lambda p: _bag_scan_meta(p, msgdefs), paths))
+
+    serializations = sorted({m["serialization"] for m in metas})
+    if len(serializations) > 1:
+        raise ValueError(
+            f"fleet mixes payload serializations {serializations} — the "
+            "per-type decode dispatches once per type; convert the "
+            "generations into separate layouts"
+        )
+    serialization = serializations[0] if serializations else "ros1"
 
     # ---- global Connections dim: first-seen identity across bags
     gid: dict[tuple, int] = {}
@@ -707,6 +800,14 @@ def convert_bags(
                 num_partitions=nparts,
                 chunks=meta["chunks"],  # planner skips its own header walk
             )
+        elif meta["format"] == "rosbag2":
+            from rosbag2parquet_spark.sources.rosbag2 import read_rosbag2
+
+            msgs = read_rosbag2(spark, meta["path"], num_partitions=nparts)
+        elif meta["format"] == "mcap":
+            from rosbag2parquet_spark.sources.mcap import read_mcap
+
+            msgs = read_mcap(spark, meta["path"], num_partitions=nparts)
         else:
             msgs = read_bag(spark, meta["path"], num_partitions=nparts)
         msgs = msgs.withColumn("bag_index", F.lit(i))
@@ -761,6 +862,7 @@ def convert_bags(
         unsigned=unsigned,
         max_records_per_file=max_records_per_file,
         compression=compression,
+        serialization=serialization,
     )
     seq.unpersist()
     return ConvertInfo(

@@ -89,6 +89,36 @@ def read_topics(path: str) -> list[Rosbag2Topic]:
     return [Rosbag2Topic(*r) for r in rows]
 
 
+def rosbag2_dir_shards(path: str) -> "list[str] | None":
+    """A recorded rosbag2 is a DIRECTORY: ``metadata.yaml`` plus one or
+    more storage shards (rosbag2 splits on size/duration). Returns the
+    shard paths in the RECORDED order (``relative_file_paths`` — the replay
+    order, which alphabetical sorting does not guarantee), or None when
+    ``path`` is not such a directory. Only the tiny yaml is read here —
+    shard scanning stays with the per-file planners."""
+    meta = os.path.join(path, "metadata.yaml")
+    if not (os.path.isdir(path) and os.path.isfile(meta)):
+        return None
+    import yaml
+
+    with open(meta) as f:
+        doc = yaml.safe_load(f)
+    info = (doc or {}).get("rosbag2_bagfile_information")
+    if not isinstance(info, dict):
+        raise ValueError(
+            f"{meta}: no rosbag2_bagfile_information mapping — not a "
+            "rosbag2 metadata.yaml"
+        )
+    rel = info.get("relative_file_paths")
+    if not rel:
+        raise ValueError(f"{meta}: empty relative_file_paths")
+    shards = [os.path.join(path, r) for r in rel]
+    missing = [s for s in shards if not os.path.isfile(s)]
+    if missing:
+        raise ValueError(f"{path}: metadata.yaml names missing shards {missing}")
+    return shards
+
+
 def read_embedded_msgdefs(path: str) -> dict[str, str]:
     """Definition text embedded in the container (sqlite storage schema v4,
     ROS 2 Iron+): ``message_definitions(topic_type, encoding,

@@ -2,6 +2,7 @@
 CDR decode (alignment, strings-with-NUL, sequences, nested structs),
 and the converter end-to-end over a ROS 2 bag."""
 
+import os
 import sqlite3
 import struct
 
@@ -224,11 +225,31 @@ def test_convert_bag_rosbag2_requires_msgdefs(spark, db3_bag, tmp_path):
         convert_bag(spark, db3_bag, str(tmp_path / "nope"))
 
 
-def test_fleet_refuses_db3_with_clear_error(db3_bag, spark, tmp_path):
+def test_fleet_db3_without_defs_fails_loudly(db3_bag, spark, tmp_path):
+    """Fleets now ACCEPT .db3 — but a pre-Iron shard with no embedded defs
+    and no caller msgdefs must still fail at plan time, not mid-decode."""
     from rosbag2parquet_spark.convert import convert_bags
 
-    with pytest.raises(ValueError, match="fleet"):
+    with pytest.raises(ValueError, match="no message definition"):
         convert_bags(spark, [db3_bag], str(tmp_path / "fleet"))
+
+
+def test_fleet_refuses_mixed_serializations(db3_bag_embedded, spark, tmp_path):
+    """ros1 (SBAG) + cdr (.db3) in one fleet → refused up front: the
+    per-type decode dispatches once per type."""
+    from rosbag2parquet_spark.convert import convert_bags
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    sbag = str(tmp_path / "one.sbag")
+    write_bag(
+        sbag,
+        [ConnectionInfo(1, "/t", "pkg/T", "", "int32 v\n")],
+        [(1, 1_700_000_000_000_000_000, struct.pack("<i", 5))],
+    )
+    with pytest.raises(ValueError, match="mixes payload serializations"):
+        convert_bags(
+            spark, [sbag, db3_bag_embedded], str(tmp_path / "fleet")
+        )
 
 
 FIXED_DEF = """uint32 seq
@@ -524,3 +545,131 @@ def test_cdr_vector_tier_rejects_string_arrays():
     d = "string[] names\nuint32 n\n"
     specs = parse_msgdef("x/StrArr", d)
     assert cdr_variable_layout("x/StrArr", specs, arrays="native") is None
+
+
+# ----------------------------------------------- multi-shard directories
+
+
+def _make_shard(path, msgs, with_defs=True, first_topic_id=1):
+    """A v4 shard with POSE/IMU topics; msgs = list of (topic_key, i)."""
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    if with_defs:
+        con.execute(
+            "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY,"
+            " topic_type TEXT, encoding TEXT,"
+            " encoded_message_definition TEXT, type_description_hash TEXT)"
+        )
+        con.execute(
+            "INSERT INTO message_definitions VALUES"
+            " (1, 'geometry_msgs/PoseLite', 'ros2msg', ?, '')",
+            (POSE_DEF,),
+        )
+    con.execute(
+        "INSERT INTO topics VALUES"
+        f" ({first_topic_id}, '/pose', 'geometry_msgs/PoseLite', 'cdr', '')"
+    )
+    t0 = 1_700_000_000_000_000_000
+    con.executemany(
+        "INSERT INTO messages VALUES (?,?,?,?)",
+        [
+            (None, first_topic_id, t0 + i * 1_000_000,
+             encode_pose(i, i, 0, "map", float(i), 0.0, 0, f"m{i}"))
+            for i in msgs
+        ],
+    )
+    con.commit()
+    con.close()
+
+
+@pytest.fixture()
+def rosbag2_dir(tmp_path):
+    """A recorded rosbag2 directory: metadata.yaml + two shards whose
+    MANIFEST order ('part_b' then 'part_a') differs from alphabetical —
+    the stream order must follow the manifest."""
+    d = tmp_path / "recorded_bag"
+    d.mkdir()
+    _make_shard(str(d / "part_b.db3"), range(0, 10))     # first in time
+    _make_shard(str(d / "part_a.db3"), range(10, 25))    # second in time
+    (d / "metadata.yaml").write_text(
+        "rosbag2_bagfile_information:\n"
+        "  version: 5\n"
+        "  storage_identifier: sqlite3\n"
+        "  relative_file_paths:\n"
+        "    - part_b.db3\n"
+        "    - part_a.db3\n"
+        "  message_count: 25\n"
+    )
+    return str(d)
+
+
+def test_dir_shards_manifest_order(rosbag2_dir):
+    from rosbag2parquet_spark.sources.rosbag2 import rosbag2_dir_shards
+
+    shards = rosbag2_dir_shards(rosbag2_dir)
+    assert [os.path.basename(s) for s in shards] == [
+        "part_b.db3", "part_a.db3",
+    ]
+    # a plain directory is not a rosbag2 recording
+    assert rosbag2_dir_shards(os.path.dirname(rosbag2_dir)) is None
+
+
+def test_convert_rosbag2_directory(spark, rosbag2_dir, tmp_path):
+    """convert_bag on the DIRECTORY: shards union in manifest order with
+    continuous seqno, embedded defs resolve per shard, one Connections
+    row (same identity in both shards reconciles)."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    out = str(tmp_path / "out_dir")
+    info = convert_bag(spark, rosbag2_dir, out)
+    assert info.count == 25
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    rows = pose.orderBy("seqno").collect()
+    assert len(rows) == 25
+    # manifest order: part_b's messages (labels m0..m9) come FIRST even
+    # though part_a sorts first alphabetically
+    assert [r.label for r in rows[:3]] == ["m0", "m1", "m2"]
+    assert rows[10].label == "m10" and rows[24].label == "m24"
+    assert [r.seqno for r in rows] == list(range(25))
+    conns = spark.read.parquet(out + "/Connections").collect()
+    assert len(conns) == 1 and conns[0].datatype == "geometry_msgs/PoseLite"
+
+
+def test_mcap_fleet_converts(spark, tmp_path):
+    """Two MCAP files fleet into one layout with continuous seqno —
+    grammar #4 through the same remap machinery."""
+    from rosbag2parquet_spark.convert import convert_bags
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    conns = [ConnectionInfo(1, "/pose", "geometry_msgs/PoseLite", "", POSE_DEF)]
+    t0 = 1_700_000_000_000_000_000
+    paths = []
+    for b in range(2):
+        p = str(tmp_path / f"m{b}.mcap")
+        msgs = [
+            (1, t0 + (b * 20 + i) * 1_000_000,
+             encode_pose(b * 20 + i, i, 0, "map", float(i), 0.0, 0,
+                         f"b{b}_{i}"))
+            for i in range(20)
+        ]
+        write_mcap(p, conns, msgs, encoding="cdr", schema_encoding="ros2msg",
+                   chunk_messages=7)
+        paths.append(p)
+    out = str(tmp_path / "fleet_out")
+    info = convert_bags(spark, paths, out)
+    assert info.count == 40
+    rows = (
+        spark.read.parquet(out + "/geometry_msgs_PoseLite")
+        .orderBy("seqno").collect()
+    )
+    assert [r.seqno for r in rows] == list(range(40))
+    assert rows[0].label == "b0_0" and rows[20].label == "b1_0"
+    assert spark.read.parquet(out + "/Connections").count() == 1
