@@ -108,6 +108,12 @@ _MODULES = (
 _QUERY_ORDER = [
     # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
     "stream-neardup-parity",
+    # NEW this round: time-grid gap fill (LOCF + bit-exact linear interp)
+    "resample-interpolate",
+    # NEW this round: mergeable HLL partials re-aggregated without rescan
+    "hll-sketch",
+    # NEW this round: SCD2 validity intervals from the event log
+    "scd2-intervals",
     # latest driver row is r2 (9) — three rounds stale, the rotation's head
     "asof", "cube", "grouping-sets", "kmeans", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",

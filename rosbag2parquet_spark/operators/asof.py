@@ -185,6 +185,146 @@ FROM m
 """
 
 
-QUERIES = {"asof": q_asof, "asof-tolerance": q_asof_tolerance}
+_HOUR_US = 3_600_000_000
 
-ORACLES = {"asof": ORACLE_ASOF, "asof-tolerance": ORACLE_ASOF_TOLERANCE}
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a fixed 1-hour grid with LOCF and linear
+    interpolation — the gap-fill every sensor-fusion/monitoring consumer
+    of the converted per-type tables needs (irregular message arrival → a
+    regular grid joinable across types).
+
+    Construction: per-entity grid rows (arithmetic ``sequence`` + explode,
+    no cross join) UNION the real points; ONE shuffle on the entity key,
+    then two window passes over the same partitioning (carry-back +
+    carry-forward) — the exact as-of plan shape (q_asof) extended with the
+    bracketing 'next' side. Interpolation is a single IEEE division times
+    an exact-integer gap, so Spark and DuckDB produce bit-identical
+    doubles. Tie order at a grid point that coincides with an event is
+    (t, is_grid, event_id): events sort first, so the grid row reads the
+    event's value (gap 0 → interp == locf == value, exactly).
+
+    At 100 TB: grid density is per entity and bounded by its own time
+    span; the two windows share one Exchange; nothing is driver-side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("double").alias("v"),
+        F.col("event_id").alias("eid"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.expr(f"((lo + {_HOUR_US - 1}) div {_HOUR_US}) * {_HOUR_US}"),
+                F.col("hi"),
+                F.lit(_HOUR_US).cast("long"),
+            )
+        ).alias("t_us"),
+    )
+    tagged = grid.select(
+        "event_type",
+        "t_us",
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.lit(-1).cast("long").alias("eid"),
+    ).unionByName(ev.select("event_type", "t_us", "v", F.lit(0).alias("is_grid"), "eid"))
+    order = [F.col("t_us"), F.col("is_grid"), F.col("eid")]
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_of_point = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    enriched = tagged.select(
+        "event_type",
+        "t_us",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(t_of_point, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(t_of_point, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    frac = (F.col("t_us") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(F.col("prev_t").isNull(), F.col("next_v"))
+        .when(F.col("next_t").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return enriched.filter(F.col("is_grid") == 1).select(
+        "event_type",
+        F.col("t_us").alias("grid_us"),
+        F.col("prev_v").alias("locf"),
+        interp.alias("interp"),
+    )
+
+
+ORACLE_RESAMPLE = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v,
+         event_id AS eid
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         ((min(t_us) + {_HOUR_US - 1}) // {_HOUR_US}) * {_HOUR_US} AS lo,
+         max(t_us) AS hi
+  FROM ev GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1, {_HOUR_US})) AS t_us FROM b
+),
+tagged AS (
+  SELECT event_type, t_us, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+         CAST(-1 AS BIGINT) AS eid
+  FROM grid
+  UNION ALL
+  SELECT event_type, t_us, v, 0, eid FROM ev
+),
+w AS (
+  SELECT event_type, t_us, is_grid,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY t_us, is_grid, eid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY t_us, is_grid, eid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY t_us, is_grid, eid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY t_us, is_grid, eid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM tagged
+)
+SELECT event_type, t_us AS grid_us, prev_v AS locf,
+  CASE WHEN prev_t IS NULL THEN next_v
+       WHEN next_t IS NULL THEN prev_v
+       ELSE prev_v + (next_v - prev_v)
+            * (CAST(t_us - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+  END AS interp
+FROM w WHERE is_grid = 1
+"""
+
+
+QUERIES = {
+    "asof": q_asof,
+    "asof-tolerance": q_asof_tolerance,
+    "resample-interpolate": q_resample,
+}
+
+ORACLES = {
+    "asof": ORACLE_ASOF,
+    "asof-tolerance": ORACLE_ASOF_TOLERANCE,
+    "resample-interpolate": ORACLE_RESAMPLE,
+}

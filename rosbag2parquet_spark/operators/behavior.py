@@ -230,7 +230,70 @@ def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_MARKOV_SQL)
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table construction (SCD type-2): the event log becomes
+    per-user VALIDITY INTERVALS — each state change opens a row
+    [valid_from, valid_to) closed by the next change, the current state
+    left open (valid_to NULL → sentinel). This is the historized dimension
+    every warehouse derives from a CDC stream, and the interval form that
+    makes point-in-time joins (``asof``) O(1) lookups instead of scans.
+
+    Consecutive duplicate states collapse first (lag over the same
+    user-partitioned ordering — a state 'change' to the same event_type is
+    not a new version), then lead() closes each surviving interval. ONE
+    shuffle on user_id; both window passes and the final projection reuse
+    it. valid_to's open end ships as BIGINT -1 (not NULL: engines order
+    NULLs differently, and the sentinel keeps the column NOT NULL for the
+    hash)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.col("event_type").alias("state"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    changes = ev.withColumn("prev_state", F.lag("state").over(w)).filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    return (
+        changes.withColumn("next_t", F.lead("t_us").over(w2))
+        .select(
+            "user_id",
+            "state",
+            F.col("t_us").alias("valid_from"),
+            F.coalesce(F.col("next_t"), F.lit(-1).cast("long")).alias(
+                "valid_to"
+            ),
+            F.row_number().over(w2).alias("version"),
+        )
+    )
+
+
+ORACLE_SCD2 = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type AS state
+  FROM events
+),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, t_us, event_id, state,
+           lag(state) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+             AS prev_state
+    FROM ev
+  ) WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, t_us AS valid_from,
+       coalesce(lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+                -1) AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+            AS INTEGER) AS version
+FROM changes
+"""
+
+
 QUERIES = {
+    "scd2-intervals": q_scd2_intervals,
     "compact-latest": q_compact_latest,
     "funnel": q_funnel,
     "cohort-retention": q_cohort_retention,
@@ -238,6 +301,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2-intervals": ORACLE_SCD2,
     "compact-latest": ORACLE_COMPACT_LATEST,
     "funnel": ORACLE_FUNNEL,
     "cohort-retention": ORACLE_COHORT_RETENTION,

@@ -147,6 +147,63 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the property `approx-stats`'s
+    plain estimates don't prove and exact counts can't have: per-group HLL
+    partials (Apache DataSketches binary images via ``hll_sketch_agg``)
+    union-merge to the global cardinality WITHOUT re-scanning the fact
+    table. At 100 TB this is THE pattern: persist per-partition/per-day
+    sketch partials once, answer any rollup by merging kilobytes.
+    Compared output: exact per-flag and global counts plus booleans that
+    (a) each per-flag estimate and (b) the MERGED global estimate land
+    within 10% of exact (lgK=12 → rsd≈1.6%, so 10% is a >5σ envelope);
+    the engine-specific estimates themselves never reach the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("_sk"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    merged = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_gest")
+    )
+    exact_global = li.agg(
+        F.count_distinct("l_partkey").alias("exact_global")
+    )
+    return (
+        per_flag.select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("flag_est_ok"),
+        )
+        .crossJoin(F.broadcast(merged))  # 1-row scalar sides
+        .crossJoin(F.broadcast(exact_global))
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "flag_est_ok",
+            "exact_global",
+            (
+                F.abs(F.col("_gest") - F.col("exact_global"))
+                <= 0.10 * F.col("exact_global")
+            ).alias("merged_est_ok"),
+        )
+    )
+
+
+ORACLE_HLL_SKETCH = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS flag_est_ok,
+       (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+         AS exact_global,
+       TRUE AS merged_est_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation for one region/year — the
     full star-chain join (region→nation→customer→orders→lineitem→supplier)
@@ -782,6 +839,7 @@ QUERIES = {
     "sql-q21": q_sql_q21,
     "sql-q22": q_sql_q22,
     "approx-stats": q_approx_stats,
+    "hll-sketch": q_hll_sketch,
 }
 
 ORACLES = {
@@ -808,4 +866,5 @@ ORACLES = {
     # approx-stats compares exact counts + error-envelope booleans; the
     # engine-specific sketch estimates never reach the hashed columns.
     "approx-stats": ORACLE_APPROX_STATS,
+    "hll-sketch": ORACLE_HLL_SKETCH,
 }

@@ -267,3 +267,45 @@ def test_seqno_edge_cases(spark):
         for r in assign_seqno(df, ["ts", "event_id"]).collect()
     }
     assert got == {4: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_resample_interpolate_invariants(spark):
+    """Grid rows land on exact hour marks; locf equals the latest event at
+    or before the grid point; interp is bracketed by its neighbors."""
+    from rosbag2parquet_spark.operators.asof import _HOUR_US, q_resample
+
+    out = q_resample(spark, SF_DIR).collect()
+    assert out and all(r.grid_us % _HOUR_US == 0 for r in out)
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", F.unix_micros("ts").alias("t"), "value", "event_id")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.t, r.event_id, r.value))
+    for t in by_type:
+        by_type[t].sort()
+    import bisect
+
+    checked = 0
+    for r in out[:200]:
+        pts = by_type[r.event_type]
+        i = bisect.bisect_right(pts, (r.grid_us, float("inf"), None))
+        if i > 0:
+            assert r.locf == pts[i - 1][2]
+            if i < len(pts):
+                lo = min(pts[i - 1][2], pts[i][2])
+                hi = max(pts[i - 1][2], pts[i][2])
+                assert lo - 1e-9 <= r.interp <= hi + 1e-9
+            checked += 1
+    assert checked > 50
+
+
+def test_hll_sketch_all_envelopes_hold(spark):
+    from rosbag2parquet_spark.operators.tpch import q_hll_sketch
+
+    rows = q_hll_sketch(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(r.flag_est_ok and r.merged_est_ok for r in rows)
+    assert all(r.exact_global >= r.exact_parts > 0 for r in rows)
