@@ -71,6 +71,8 @@ def test_no_unexpected_single_partition_exchange(spark):
         "funnel",  # 3-scalar stage counts; only per-user partials cross
         "lsh-recall",  # two 1-row count reductions + their broadcast cross
         "bm25-search",  # corpus N + avgdl: one 2-scalar reduce, broadcast back
+        "hll-sketch",  # merged-sketch estimate + exact global: two 1-row
+        # reductions (sketch partials/count partials map-side), broadcast back
     }
     # demux/sink write converted layouts first — covered by their own tests
     skip = {"demux", "sink"}
