@@ -101,25 +101,28 @@ def main() -> None:
     # of two passes measures the engine, not the neighbors. Pass 2's plans
     # and caches are warm — which is the steady state a long-lived cluster
     # session runs in anyway.
+    # the EXTENDED block runs in its own passes AFTER the headline loop:
+    # bucket-join writes real bucketed tables (heavy IO + GC) and would
+    # pollute headline timings if interleaved
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for _pass in (1, 2):
-        for name in HEADLINE + EXTENDED:
-            fn = qs[name]
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # Arrow-batched fetch: measures engine throughput, not py4j
-            # row-at-a-time deserialization
-            n = len(df.toPandas())
-            dt = round(time.perf_counter() - t0, 3)
-            tgt = ext_timings if name in EXTENDED else timings
-            if _pass == 1 and name in HEADLINE:
-                cold[name] = dt
-            if name not in tgt or dt < tgt[name]:
-                tgt[name] = dt
-            if _pass == 2:
-                print(f"# {name}: {tgt[name]}s ({n} rows)", file=sys.stderr)
+    for suite, tgt in ((HEADLINE, timings), (EXTENDED, ext_timings)):
+        for _pass in (1, 2):
+            for name in suite:
+                fn = qs[name]
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # Arrow-batched fetch: measures engine throughput, not py4j
+                # row-at-a-time deserialization
+                n = len(df.toPandas())
+                dt = round(time.perf_counter() - t0, 3)
+                if _pass == 1 and name in HEADLINE:
+                    cold[name] = dt
+                if name not in tgt or dt < tgt[name]:
+                    tgt[name] = dt
+                if _pass == 2:
+                    print(f"# {name}: {tgt[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     r4_total = round(sum(timings[q] for q in _R4_MEMBERS), 3)

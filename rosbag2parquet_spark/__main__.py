@@ -64,9 +64,11 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         default=[],
         metavar="TYPE=PATH",
-        help="ROS 2 (.db3) inputs only: message definition file per datatype "
+        help="ROS 2 (.db3) inputs: message definition file per datatype "
         "(repeatable), e.g. --msgdef geometry_msgs/PoseStamped=Pose.msg — "
-        "rosbag2 containers embed no definition text",
+        "only needed for pre-Iron bags; Iron+/v4 containers embed the "
+        "definitions (message_definitions table) and need no flag. "
+        "Caller-supplied definitions override embedded ones.",
     )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -114,15 +116,29 @@ def main(argv: list[str] | None = None) -> int:
             return bool(paths) and any(_looks_like_bag(p) for p in paths)
         return False
 
+    msgdefs = None
+    if args.msgdef:
+        msgdefs = {}
+        for spec in args.msgdef:
+            if "=" not in spec:
+                print(f"error: --msgdef wants TYPE=PATH, got {spec!r}",
+                      file=sys.stderr)
+                return 2
+            dtype, defpath = spec.split("=", 1)
+            with open(defpath) as fh:
+                msgdefs[dtype] = fh.read()
+
     if _is_bag_fleet(args.input):
         # FLEET path: a directory or glob of bags → one table layout with
         # continuous seqno and a reconciled Connections dim (the reference's
-        # multi-file union claim, README.md:16, made explicit)
+        # multi-file union claim, README.md:16, made explicit). A recorded
+        # rosbag2 directory routes here too — resolve_bag_paths follows its
+        # metadata.yaml shard manifest.
         from rosbag2parquet_spark.convert import convert_bags
 
         info = convert_bags(
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
-            compression=args.compression,
+            compression=args.compression, msgdefs=msgdefs,
         )
     elif args.input.endswith((".bag", ".sbag")) or (
         os.path.isfile(args.input) and _baglike.bag_format(args.input)
@@ -132,17 +148,6 @@ def main(argv: list[str] | None = None) -> int:
         # msg_def), plus Messages/Connections and the DDL script
         from rosbag2parquet_spark.convert import convert_bag
 
-        msgdefs = None
-        if args.msgdef:
-            msgdefs = {}
-            for spec in args.msgdef:
-                if "=" not in spec:
-                    print(f"error: --msgdef wants TYPE=PATH, got {spec!r}",
-                          file=sys.stderr)
-                    return 2
-                dtype, defpath = spec.split("=", 1)
-                with open(defpath) as fh:
-                    msgdefs[dtype] = fh.read()
         info = convert_bag(
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
             compression=args.compression, msgdefs=msgdefs,

@@ -673,3 +673,20 @@ def test_mcap_fleet_converts(spark, tmp_path):
     assert [r.seqno for r in rows] == list(range(40))
     assert rows[0].label == "b0_0" and rows[20].label == "b1_0"
     assert spark.read.parquet(out + "/Connections").count() == 1
+
+
+def test_cli_converts_rosbag2_directory(spark, rosbag2_dir, tmp_path, capsys):
+    """python -m rosbag2parquet_spark --input <recorded-bag-dir> — the
+    manifest-ordered multi-shard conversion through the CLI, no --msgdef
+    (shards are v4 self-describing)."""
+    from rosbag2parquet_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(["--input", rosbag2_dir, "--outdir", out])
+    assert rc == 0
+    assert "25 messages" in capsys.readouterr().out
+    rows = (
+        spark.read.parquet(out + "/geometry_msgs_PoseLite")
+        .orderBy("seqno").collect()
+    )
+    assert [r.label for r in rows[:2]] == ["m0", "m1"]
