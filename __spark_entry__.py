@@ -114,6 +114,10 @@ _QUERY_ORDER = [
     "hll-sketch",
     # NEW this round: SCD2 validity intervals from the event log
     "scd2-intervals",
+    # CHANGED this round — must re-prove: multi-probe gained the
+    # margin-ordered probe budget (pair set identical at fixture scale —
+    # budget == bits — but the construction changed)
+    "embed-neardup", "embed-recall",
     # latest driver row is r2 (9) — three rounds stale, the rotation's head
     "asof", "cube", "grouping-sets", "kmeans", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
@@ -143,7 +147,7 @@ _QUERY_ORDER = [
     # proven green by the r5 driver run (50) — rotate to the back
     "stream-sink", "approx-stats",
     "compact-latest", "funnel", "cohort-retention", "weighted-sample",
-    "lsh-recall", "embed-recall", "embed-neardup",
+    "lsh-recall",
     "stream-compact", "multimodal-frames",
     "json-funcs", "array-funcs",
     "dedup-containment", "dedup-normalized", "rolling-window",

@@ -309,3 +309,26 @@ def test_hll_sketch_all_envelopes_hold(spark):
     assert len(rows) == 3
     assert all(r.flag_est_ok and r.merged_est_ok for r in rows)
     assert all(r.exact_global >= r.exact_parts > 0 for r in rows)
+
+
+def test_margin_probe_budget_cross_engine(spark, duck, monkeypatch):
+    """The margin-ordered probe BUDGET (LSH_PROBE_BITS < bits) must agree
+    cross-engine: numpy's stable argsort over |integer margins| and the
+    oracle's ORDER BY abs(d), j must pick the SAME flip bits, so the
+    candidate (and verified) pair sets match exactly. The registered
+    default spends the full budget (== LSH_MIN_BITS), so this test is the
+    only coverage of the capped path until the corpus outgrows 2^8/load."""
+    import rosbag2parquet_spark.functions.similarity as sim
+
+    monkeypatch.setattr(sim, "LSH_PROBE_BITS", 3)
+    spark.catalog.clearCache()
+    got = {
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in sim.q_embed_neardup(spark, SF_DIR).collect()
+    }
+    want = {
+        (a, b, c)
+        for a, b, c in duck.execute(sim._oracle_embed_neardup()).fetchall()
+    }
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()
