@@ -374,8 +374,14 @@ def convert_bag(
             msgdefs=msgdefs,
         )
 
+    # start/end push into the SOURCE plan where the container supports it
+    # (MCAP ChunkIndex time bounds prune whole chunks; .db3 pushes a WHERE
+    # into sqlite); the DataFrame filters below remain as the exact gate
+    # for formats whose planner can't skip (and cost nothing when the
+    # source already pruned)
     msgs, conns_df = load_bag(
-        spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs
+        spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs,
+        start_ns=start_ns, end_ns=end_ns,
     )
     fmt = _fmt(bag_path)
     if fmt == "rosbag2":

@@ -27,6 +27,8 @@ def load_bag(
     path: str,
     num_partitions: int = 8,
     msgdefs: "dict[str, str] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(messages, connections) for any bag generation, detected from magic
     bytes: rosbag 2.0 record/chunk format, ROS 2 rosbag2 (.db3 sqlite3
@@ -52,7 +54,10 @@ def load_bag(
         )
 
         return (
-            read_mcap(spark, path, num_partitions=num_partitions),
+            read_mcap(
+                spark, path, num_partitions=num_partitions,
+                start_ns=start_ns, end_ns=end_ns,
+            ),
             mcap_connections_df(spark, path),
         )
     if fmt == "rosbag2":
@@ -62,7 +67,10 @@ def load_bag(
         )
 
         return (
-            read_rosbag2(spark, path, num_partitions=num_partitions),
+            read_rosbag2(
+                spark, path, num_partitions=num_partitions,
+                start_ns=start_ns, end_ns=end_ns,
+            ),
             rosbag2_connections_df(spark, path, msgdefs),
         )
     return (

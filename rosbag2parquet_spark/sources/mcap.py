@@ -69,12 +69,17 @@ _MIN_CHUNK_SHIFT = 20
 class McapChunkRef(NamedTuple):
     """records_off/records_size locate the (possibly compressed) inner
     record stream inside the chunk payload; size is the DECLARED
-    uncompressed size."""
+    uncompressed size; start_time/end_time are the chunk's message log-time
+    bounds (ns) — both the chunk header prefix and the ChunkIndex carry
+    them, so walk- and index-planned refs agree — enabling time-range
+    chunk PRUNING at plan time (0 = unknown, never pruned)."""
 
     records_off: int
     records_size: int
     compression: str
     size: int
+    start_time: int = 0
+    end_time: int = 0
 
 
 @dataclass
@@ -117,11 +122,14 @@ def _parse_channel(payload: bytes):
 def _parse_chunk_header(payload: bytes) -> tuple[McapChunkRef, int]:
     """Chunk payload prefix → (ref-relative-to-payload, records rel off)."""
     # start u64, end u64, uncompressed_size u64, crc u32
-    (size,) = struct.unpack_from("<Q", payload, 16)
+    t_start, t_end, size = struct.unpack_from("<QQQ", payload, 0)
     comp, pos = _str_at(payload, 28)
     (records_size,) = struct.unpack_from("<Q", payload, pos)
     records_rel = pos + 8
-    return McapChunkRef(records_rel, records_size, comp, size), records_rel
+    return (
+        McapChunkRef(records_rel, records_size, comp, size, t_start, t_end),
+        records_rel,
+    )
 
 
 def _walk_records(buf: bytes, base: int = 0):
@@ -160,7 +168,9 @@ def _parse_chunk_index(payload: bytes) -> McapChunkRef:
     + compression string + records_size u64); records_size is the index's
     compressed_size (the spec defines it as the size of the chunk's records
     field); size is the declared uncompressed size."""
-    chunk_start, _chunk_len = struct.unpack_from("<QQ", payload, 16)
+    t_start, t_end, chunk_start, _chunk_len = struct.unpack_from(
+        "<QQQQ", payload, 0
+    )
     (mio_len,) = struct.unpack_from("<I", payload, 32)
     pos = 36 + mio_len + 8  # skip message_index_offsets map + index_length
     comp, pos = _str_at(payload, pos)
@@ -169,6 +179,7 @@ def _parse_chunk_index(payload: bytes) -> McapChunkRef:
     return McapChunkRef(
         records_off, csize, comp,
         usize or (csize if comp in ("", "none") else 0),
+        t_start, t_end,
     )
 
 
@@ -264,6 +275,8 @@ def _scan_mcap_uncached(path: str, _mtime_ns: int, _size: int) -> McapScan:
                         ref.records_size,
                         ref.compression,
                         ref.size or (ref.records_size if ref.compression in ("", "none") else 0),
+                        ref.start_time,
+                        ref.end_time,
                     )
                 )
             elif op == OP_MESSAGE:
@@ -380,25 +393,60 @@ def seqno_bucket_width(path: str) -> int:
     return max(100_000, os.path.getsize(path) // 64 + 1)
 
 
-def read_mcap(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFrame:
+def chunks_in_range(
+    chunks: list, start_ns: "int | None", end_ns: "int | None"
+) -> list:
+    """Plan-time time-range pruning: keep (original_index, ref) for chunks
+    whose [start_time, end_time] bounds overlap [start_ns, end_ns). Chunks
+    with unknown bounds (0,0 — a writer that left them blank) are never
+    pruned. This is the index-side predicate pushdown: a time-windowed
+    query over a 100 GB MCAP decompresses only the overlapping chunks."""
+    out = []
+    for i, c in enumerate(chunks):
+        known = c.start_time or c.end_time
+        if known:
+            if start_ns is not None and c.end_time < start_ns:
+                continue
+            if end_ns is not None and c.start_time >= end_ns:
+                continue
+        out.append((i, c))
+    return out
+
+
+def read_mcap(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 8,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
+) -> DataFrame:
     """(offset, time_ns, conn_id=channel_id, data) — the shared scan schema.
     Chunked files partition by chunk (each task decompresses its own);
     unchunked files partition the top-level message list by record offset
     (records are self-delimiting, so any record boundary is a valid task
-    start)."""
+    start). ``start_ns``/``end_ns`` push the time range into the PLAN:
+    chunks outside the range are dropped before any task runs (their
+    ChunkIndex/header time bounds are the pruning statistics — the same
+    role parquet row-group min/max play), and surviving tasks apply the
+    exact per-message filter. Offsets are unchanged by pruning (the chunk
+    keeps its file-order index), so seqno stays stable across filters."""
     import pandas as pd
 
     from rosbag2parquet_spark.sources.baglike import MESSAGE_SCHEMA
 
     path = os.path.abspath(path)
     scan = scan_mcap(path)
+    lo_ns = start_ns if start_ns is not None else -1
+    hi_ns = end_ns if end_ns is not None else (1 << 63) - 1
 
     if scan.chunks:
         shift = offset_shift(scan.chunks)
         rows = [
             (i, c.records_off, c.records_size, c.compression, c.size)
-            for i, c in enumerate(scan.chunks)
+            for i, c in chunks_in_range(scan.chunks, start_ns, end_ns)
         ]
+        if not rows:
+            return spark.createDataFrame([], MESSAGE_SCHEMA)
         n = max(1, min(num_partitions, len(rows)))
         plan_df = spark.createDataFrame(
             rows, "idx long, off long, sz long, comp string, usz long"
@@ -421,6 +469,8 @@ def read_mcap(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFr
                         if op != OP_MESSAGE:
                             continue
                         cid, t, payload = _parse_message(inner, s, ln)
+                        if not (lo_ns <= t < hi_ns):
+                            continue
                         out["offset"].append((int(idx) << shift) | rpos)
                         out["time_ns"].append(t)
                         out["conn_id"].append(cid)
@@ -462,10 +512,11 @@ def read_mcap(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFr
                             f.seek(pos + 9)
                             payload = f.read(ln)
                             cid, t, data = _parse_message(payload, 0, ln)
-                            out["offset"].append(pos)
-                            out["time_ns"].append(t)
-                            out["conn_id"].append(cid)
-                            out["data"].append(data)
+                            if lo_ns <= t < hi_ns:
+                                out["offset"].append(pos)
+                                out["time_ns"].append(t)
+                                out["conn_id"].append(cid)
+                                out["data"].append(data)
                         pos += 9 + ln
                 if out["offset"]:
                     yield pd.DataFrame(out)

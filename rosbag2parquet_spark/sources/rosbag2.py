@@ -192,20 +192,39 @@ _SCAN_SCHEMA = T.StructType(
 
 
 def read_rosbag2(
-    spark: SparkSession, path: str, num_partitions: int = 8
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 8,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
 ) -> DataFrame:
     """(offset=rowid, time_ns, conn_id=topic_id, data) — the same scan
     schema every bag source emits, so seqno/demux/decode compose unchanged.
     Rowid-range partitioned: the driver reads only min/max(id); each task
-    opens its own read-only connection and scans one contiguous slice."""
+    opens its own read-only connection and scans one contiguous slice.
+    ``start_ns``/``end_ns`` push the time range INTO the sqlite WHERE
+    clause on both the driver's min/max probe and each task's slice query
+    — the container's own b-tree does the skipping instead of Spark
+    filtering rows it already paid to read."""
     import pandas as pd
 
     path = os.path.abspath(path)
     if not is_rosbag2(path):
         raise ValueError(f"not a rosbag2 sqlite3 file: {path}")
+    t_where = ""
+    t_args: tuple = ()
+    if start_ns is not None:
+        t_where += " AND timestamp >= ?"
+        t_args += (int(start_ns),)
+    if end_ns is not None:
+        t_where += " AND timestamp < ?"
+        t_args += (int(end_ns),)
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
-        lo, hi = con.execute("SELECT min(id), max(id) FROM messages").fetchone()
+        lo, hi = con.execute(
+            "SELECT min(id), max(id) FROM messages WHERE 1=1" + t_where,
+            t_args,
+        ).fetchone()
     finally:
         con.close()
     if lo is None:
@@ -224,8 +243,8 @@ def read_rosbag2(
                 try:
                     rows = c.execute(
                         "SELECT id, timestamp, topic_id, data FROM messages "
-                        "WHERE id >= ? AND id < ? ORDER BY id",
-                        (int(lo_i), int(hi_i)),
+                        "WHERE id >= ? AND id < ?" + t_where + " ORDER BY id",
+                        (int(lo_i), int(hi_i)) + t_args,
                     ).fetchall()
                 finally:
                     c.close()

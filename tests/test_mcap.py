@@ -260,3 +260,46 @@ def test_lz4_zstd_indexed_roundtrip(spark, tmp_path):
         rows = read_mcap(spark, p, num_partitions=2).orderBy("offset").collect()
         assert len(rows) == 60
         assert rows[0].conn_id == 1 and rows[1].conn_id == 2
+
+
+def test_time_range_chunk_pruning(spark, tmp_path):
+    """start/end prune whole chunks at PLAN time (ChunkIndex time bounds
+    = the row-group min/max of this container) and the surviving tasks
+    filter exactly; results equal the full read filtered after the fact."""
+    from rosbag2parquet_spark.sources.mcap import chunks_in_range, scan_mcap
+
+    p = str(tmp_path / "t.mcap")
+    msgs = _messages(200)  # 1 ms apart, chunked below in groups of 20
+    write_mcap(p, CONNS, msgs, chunked=True, chunk_messages=20)
+    scan = scan_mcap(p)
+    assert len(scan.chunks) == 10
+    t0 = msgs[0][1]
+    lo, hi = t0 + 50 * 1_000_000, t0 + 100 * 1_000_000  # msgs 50..99
+    kept = chunks_in_range(scan.chunks, lo, hi)
+    # messages 50..99 live in chunks 2..4 — everything else pruned
+    assert [i for i, _ in kept] == [2, 3, 4]
+    got = read_mcap(spark, p, num_partitions=3, start_ns=lo, end_ns=hi)
+    rows = got.orderBy("offset").collect()
+    assert len(rows) == 50
+    assert all(lo <= r.time_ns < hi for r in rows)
+    full = read_mcap(spark, p, num_partitions=3)
+    want = (
+        full.filter((full.time_ns >= lo) & (full.time_ns < hi))
+        .orderBy("offset").collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+    # unknown bounds (0,0) are never pruned
+    from rosbag2parquet_spark.sources.mcap import McapChunkRef
+
+    unk = [McapChunkRef(0, 0, "", 0, 0, 0)]
+    assert chunks_in_range(unk, lo, hi) == [(0, unk[0])]
+
+
+def test_time_range_empty_and_open_ended(spark, tmp_path):
+    p = str(tmp_path / "t2.mcap")
+    msgs = _messages(60)
+    write_mcap(p, CONNS, msgs, chunked=True, chunk_messages=10)
+    t0 = msgs[0][1]
+    assert read_mcap(spark, p, start_ns=t0 + 10**15).count() == 0
+    assert read_mcap(spark, p, start_ns=t0 + 30 * 1_000_000).count() == 30
+    assert read_mcap(spark, p, end_ns=t0 + 30 * 1_000_000).count() == 30

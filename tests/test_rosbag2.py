@@ -690,3 +690,37 @@ def test_cli_converts_rosbag2_directory(spark, rosbag2_dir, tmp_path, capsys):
         .orderBy("seqno").collect()
     )
     assert [r.label for r in rows[:2]] == ["m0", "m1"]
+
+
+def test_db3_time_pushdown(spark, db3_bag):
+    """start/end push a WHERE into sqlite on both the min/max probe and
+    the per-task slice; results equal the unfiltered read filtered."""
+    full = read_rosbag2(spark, db3_bag, num_partitions=3)
+    t0 = 1_700_000_000_000_000_000
+    lo, hi = t0 + 10 * 1_000_000, t0 + 30 * 1_000_000
+    got = read_rosbag2(
+        spark, db3_bag, num_partitions=3, start_ns=lo, end_ns=hi
+    ).orderBy("offset").collect()
+    want = (
+        full.filter((full.time_ns >= lo) & (full.time_ns < hi))
+        .orderBy("offset").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 20
+    assert read_rosbag2(spark, db3_bag, start_ns=t0 + 10**15).count() == 0
+
+
+def test_convert_bag_time_subset_db3(spark, db3_bag_embedded, tmp_path):
+    """convert_bag's start/end over .db3 — the pushdown rides through
+    load_bag; seqno renumbers contiguously over the kept rows."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    t0 = 1_700_000_000_000_000_000
+    out = str(tmp_path / "sub")
+    info = convert_bag(
+        spark, db3_bag_embedded, out,
+        start_ns=t0 + 10 * 1_000_000, end_ns=t0 + 30 * 1_000_000,
+    )
+    assert info.count == 20
+    msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
+    assert [m.seqno for m in msgs] == list(range(20))
