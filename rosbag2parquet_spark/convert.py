@@ -401,6 +401,17 @@ def convert_bag(
                 f"no connections match topics {topics!r} in {bag_path}"
             )
         conns_df = keep
+        if fmt == "rosbag2":
+            # topic selection pushes into the sqlite WHERE too — re-plan
+            # the scan with the resolved conn ids (the dim read above is
+            # the only reason this comes second; the replan is plan-time
+            # only, no data was touched yet)
+            from rosbag2parquet_spark.sources.rosbag2 import read_rosbag2
+
+            msgs = read_rosbag2(
+                spark, bag_path, num_partitions=num_partitions,
+                start_ns=start_ns, end_ns=end_ns, conn_ids=keep_ids,
+            )
         msgs = msgs.filter(F.col("conn_id").isin(keep_ids))
     if start_ns is not None:
         msgs = msgs.filter(F.col("time_ns") >= start_ns)

@@ -197,15 +197,16 @@ def read_rosbag2(
     num_partitions: int = 8,
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
+    conn_ids: "list[int] | None" = None,
 ) -> DataFrame:
     """(offset=rowid, time_ns, conn_id=topic_id, data) — the same scan
     schema every bag source emits, so seqno/demux/decode compose unchanged.
     Rowid-range partitioned: the driver reads only min/max(id); each task
     opens its own read-only connection and scans one contiguous slice.
-    ``start_ns``/``end_ns`` push the time range INTO the sqlite WHERE
-    clause on both the driver's min/max probe and each task's slice query
-    — the container's own b-tree does the skipping instead of Spark
-    filtering rows it already paid to read."""
+    ``start_ns``/``end_ns`` and ``conn_ids`` (topic selection) push INTO
+    the sqlite WHERE clause on both the driver's min/max probe and each
+    task's slice query — the container's own b-tree does the skipping
+    instead of Spark filtering rows it already paid to read."""
     import pandas as pd
 
     path = os.path.abspath(path)
@@ -219,6 +220,11 @@ def read_rosbag2(
     if end_ns is not None:
         t_where += " AND timestamp < ?"
         t_args += (int(end_ns),)
+    if conn_ids is not None:
+        t_where += (
+            " AND topic_id IN (" + ",".join("?" * len(conn_ids)) + ")"
+        )
+        t_args += tuple(int(c) for c in conn_ids)
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         lo, hi = con.execute(

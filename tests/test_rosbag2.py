@@ -724,3 +724,20 @@ def test_convert_bag_time_subset_db3(spark, db3_bag_embedded, tmp_path):
     assert info.count == 20
     msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
     assert [m.seqno for m in msgs] == list(range(20))
+
+
+def test_db3_topic_pushdown(spark, db3_bag):
+    got = read_rosbag2(spark, db3_bag, num_partitions=3, conn_ids=[2])
+    rows = got.orderBy("offset").collect()
+    assert len(rows) == 20 and all(r.conn_id == 2 for r in rows)
+
+
+def test_convert_bag_topics_subset_db3(spark, db3_bag_embedded, tmp_path):
+    from rosbag2parquet_spark.convert import convert_bag
+
+    out = str(tmp_path / "topics_sub")
+    info = convert_bag(spark, db3_bag_embedded, out, topics=["/imu"])
+    assert info.count == 20
+    assert spark.read.parquet(out + "/Connections").count() == 1
+    msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
+    assert [m.seqno for m in msgs] == list(range(20))
