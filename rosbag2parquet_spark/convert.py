@@ -412,6 +412,15 @@ def convert_bag(
                 spark, bag_path, num_partitions=num_partitions,
                 start_ns=start_ns, end_ns=end_ns, conn_ids=keep_ids,
             )
+        elif fmt == "mcap":
+            # MessageIndex channel membership prunes whole chunks for the
+            # selected topics (plan-time, no decompression)
+            from rosbag2parquet_spark.sources.mcap import read_mcap
+
+            msgs = read_mcap(
+                spark, bag_path, num_partitions=num_partitions,
+                start_ns=start_ns, end_ns=end_ns, conn_ids=keep_ids,
+            )
         msgs = msgs.filter(F.col("conn_id").isin(keep_ids))
     if start_ns is not None:
         msgs = msgs.filter(F.col("time_ns") >= start_ns)

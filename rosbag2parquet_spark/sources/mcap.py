@@ -57,6 +57,7 @@ OP_SCHEMA = 0x03
 OP_CHANNEL = 0x04
 OP_MESSAGE = 0x05
 OP_CHUNK = 0x06
+OP_MESSAGE_INDEX = 0x07
 OP_CHUNK_INDEX = 0x08
 OP_DATA_END = 0x0F
 
@@ -80,6 +81,9 @@ class McapChunkRef(NamedTuple):
     size: int
     start_time: int = 0
     end_time: int = 0
+    #: channel ids with messages in this chunk (from MessageIndex records /
+    #: ChunkIndex.message_index_offsets) — () = unknown, never pruned
+    channels: tuple = ()
 
 
 @dataclass
@@ -172,6 +176,15 @@ def _parse_chunk_index(payload: bytes) -> McapChunkRef:
         "<QQQQ", payload, 0
     )
     (mio_len,) = struct.unpack_from("<I", payload, 32)
+    # message_index_offsets map: (channel_id u16, file_offset u64) entries —
+    # the channel ids are the chunk's topic membership, the per-topic
+    # pruning statistic
+    channels = tuple(
+        sorted(
+            struct.unpack_from("<H", payload, 36 + 10 * k)[0]
+            for k in range(mio_len // 10)
+        )
+    )
     pos = 36 + mio_len + 8  # skip message_index_offsets map + index_length
     comp, pos = _str_at(payload, pos)
     csize, usize = struct.unpack_from("<QQ", payload, pos)
@@ -179,7 +192,7 @@ def _parse_chunk_index(payload: bytes) -> McapChunkRef:
     return McapChunkRef(
         records_off, csize, comp,
         usize or (csize if comp in ("", "none") else 0),
-        t_start, t_end,
+        t_start, t_end, channels,
     )
 
 
@@ -239,6 +252,7 @@ def _scan_mcap_uncached(path: str, _mtime_ns: int, _size: int) -> McapScan:
     schemas: dict = {}
     channels: dict = {}
     chunks: list = []
+    chunk_chans: list = []  # per-chunk channel-id sets (MessageIndex)
     message_offsets: list = []
     with open(path, "rb") as f:
         if f.read(8) != MCAP_MAGIC:
@@ -279,9 +293,20 @@ def _scan_mcap_uncached(path: str, _mtime_ns: int, _size: int) -> McapScan:
                         ref.end_time,
                     )
                 )
+                chunk_chans.append(set())
+            elif op == OP_MESSAGE_INDEX and chunk_chans:
+                # spec: message index records follow their chunk — the
+                # channel id (payload prefix) is the chunk's membership
+                f.seek(start)
+                (mcid,) = struct.unpack("<H", f.read(2))
+                chunk_chans[-1].add(mcid)
             elif op == OP_MESSAGE:
                 message_offsets.append(pos)
             pos = start + ln
+    chunks = [
+        c._replace(channels=tuple(sorted(chs))) if chs else c
+        for c, chs in zip(chunks, chunk_chans)
+    ]
     if chunks and message_offsets:
         raise ValueError(
             f"{path}: mixes chunked and top-level messages — the offset "
@@ -394,13 +419,20 @@ def seqno_bucket_width(path: str) -> int:
 
 
 def chunks_in_range(
-    chunks: list, start_ns: "int | None", end_ns: "int | None"
+    chunks: list,
+    start_ns: "int | None",
+    end_ns: "int | None",
+    conn_ids: "list[int] | None" = None,
 ) -> list:
-    """Plan-time time-range pruning: keep (original_index, ref) for chunks
-    whose [start_time, end_time] bounds overlap [start_ns, end_ns). Chunks
-    with unknown bounds (0,0 — a writer that left them blank) are never
-    pruned. This is the index-side predicate pushdown: a time-windowed
-    query over a 100 GB MCAP decompresses only the overlapping chunks."""
+    """Plan-time pruning: keep (original_index, ref) for chunks whose
+    [start_time, end_time] bounds overlap [start_ns, end_ns) AND whose
+    MessageIndex channel membership intersects ``conn_ids``. Chunks with
+    unknown bounds (0,0) or unknown membership (()) are never pruned.
+    This is the index-side predicate pushdown: a time-windowed or
+    topic-filtered query over a 100 GB MCAP decompresses only the chunks
+    that can contain matches — the same role parquet row-group min/max
+    and dictionary filters play."""
+    want = set(conn_ids) if conn_ids is not None else None
     out = []
     for i, c in enumerate(chunks):
         known = c.start_time or c.end_time
@@ -409,6 +441,8 @@ def chunks_in_range(
                 continue
             if end_ns is not None and c.start_time >= end_ns:
                 continue
+        if want is not None and c.channels and not (set(c.channels) & want):
+            continue
         out.append((i, c))
     return out
 
@@ -419,6 +453,7 @@ def read_mcap(
     num_partitions: int = 8,
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
+    conn_ids: "list[int] | None" = None,
 ) -> DataFrame:
     """(offset, time_ns, conn_id=channel_id, data) — the shared scan schema.
     Chunked files partition by chunk (each task decompresses its own);
@@ -438,12 +473,13 @@ def read_mcap(
     scan = scan_mcap(path)
     lo_ns = start_ns if start_ns is not None else -1
     hi_ns = end_ns if end_ns is not None else (1 << 63) - 1
+    want_cids = frozenset(int(c) for c in conn_ids) if conn_ids is not None else None
 
     if scan.chunks:
         shift = offset_shift(scan.chunks)
         rows = [
             (i, c.records_off, c.records_size, c.compression, c.size)
-            for i, c in chunks_in_range(scan.chunks, start_ns, end_ns)
+            for i, c in chunks_in_range(scan.chunks, start_ns, end_ns, conn_ids)
         ]
         if not rows:
             return spark.createDataFrame([], MESSAGE_SCHEMA)
@@ -470,6 +506,8 @@ def read_mcap(
                             continue
                         cid, t, payload = _parse_message(inner, s, ln)
                         if not (lo_ns <= t < hi_ns):
+                            continue
+                        if want_cids is not None and cid not in want_cids:
                             continue
                         out["offset"].append((int(idx) << shift) | rpos)
                         out["time_ns"].append(t)
@@ -512,7 +550,9 @@ def read_mcap(
                             f.seek(pos + 9)
                             payload = f.read(ln)
                             cid, t, data = _parse_message(payload, 0, ln)
-                            if lo_ns <= t < hi_ns:
+                            if lo_ns <= t < hi_ns and (
+                                want_cids is None or cid in want_cids
+                            ):
                                 out["offset"].append(pos)
                                 out["time_ns"].append(t)
                                 out["conn_id"].append(cid)
@@ -587,9 +627,12 @@ def write_mcap(
     chunk_index_recs: list[bytes] = []
     if chunked:
         for i in range(0, len(messages), chunk_messages):
-            records = b"".join(
-                message_rec(cid, t, p) for cid, t, p in messages[i : i + chunk_messages]
-            )
+            recs = bytearray()
+            mi: dict[int, list] = {}  # channel -> [(log_time, rec offset)]
+            for cid_m, t_m, p_m in messages[i : i + chunk_messages]:
+                mi.setdefault(cid_m, []).append((t_m, len(recs)))
+                recs += message_rec(cid_m, t_m, p_m)
+            records = bytes(recs)
             if compression in ("", "none"):
                 blob, comp = records, ""
             elif compression == "lz4":
@@ -612,15 +655,34 @@ def write_mcap(
             )
             chunk_start = len(out)
             out += rec(OP_CHUNK, payload)
+            chunk_len = len(out) - chunk_start
+            # MessageIndex records follow their chunk (spec): one per
+            # channel, (log_time, offset-in-records) pairs; the ChunkIndex
+            # maps channel -> the record's file offset, which is also the
+            # reader's per-topic chunk-membership statistic
+            mi_start = len(out)
+            mio_entries = b""
+            for cid_m in sorted(mi):
+                pairs = b"".join(
+                    struct.pack("<QQ", t_m, off) for t_m, off in mi[cid_m]
+                )
+                mio_entries += struct.pack("<HQ", cid_m, len(out))
+                out += rec(
+                    OP_MESSAGE_INDEX,
+                    struct.pack("<H", cid_m)
+                    + struct.pack("<I", len(pairs))
+                    + pairs,
+                )
             chunk_index_recs.append(
                 rec(
                     OP_CHUNK_INDEX,
                     struct.pack(
                         "<QQQQ", min(times), max(times), chunk_start,
-                        len(out) - chunk_start,
+                        chunk_len,
                     )
-                    + struct.pack("<I", 0)  # empty message_index_offsets map
-                    + struct.pack("<Q", 0)  # message_index_length
+                    + struct.pack("<I", len(mio_entries))
+                    + mio_entries
+                    + struct.pack("<Q", len(out) - mi_start)
                     + s(comp)
                     + struct.pack("<QQ", len(blob), len(records)),
                 )

@@ -303,3 +303,62 @@ def test_time_range_empty_and_open_ended(spark, tmp_path):
     assert read_mcap(spark, p, start_ns=t0 + 10**15).count() == 0
     assert read_mcap(spark, p, start_ns=t0 + 30 * 1_000_000).count() == 30
     assert read_mcap(spark, p, end_ns=t0 + 30 * 1_000_000).count() == 30
+
+
+def test_message_index_channel_membership(tmp_path):
+    """Writer emits MessageIndex records; BOTH planner paths recover each
+    chunk's channel membership (summary: ChunkIndex.message_index_offsets;
+    walk: the top-level MessageIndex records) — and they agree."""
+    from rosbag2parquet_spark.sources.mcap import _scan_mcap_uncached
+
+    # alternate channels per chunk: chunk of 2 msgs → both channels; make
+    # single-channel chunks by chunking in 1s for a small file
+    msgs = _messages(10)
+    pi, pw = str(tmp_path / "i.mcap"), str(tmp_path / "w.mcap")
+    for p, idx in ((pi, True), (pw, False)):
+        write_mcap(p, CONNS, msgs, chunked=True, chunk_messages=1, indexed=idx)
+    _scan_mcap_uncached.cache_clear()
+    si, sw = scan_mcap(pi), scan_mcap(pw)
+    # message i alternates channel 1/2 — each 1-msg chunk carries one
+    assert [c.channels for c in si.chunks] == [
+        (1,) if i % 2 == 0 else (2,) for i in range(10)
+    ]
+    assert si.chunks == sw.chunks
+
+
+def test_topic_chunk_pruning(spark, tmp_path):
+    """conn_ids prunes chunks whose MessageIndex lacks the channel — a
+    single-topic read of a 2-topic file touches half the chunks — and the
+    result equals the full read filtered."""
+    from rosbag2parquet_spark.sources.mcap import chunks_in_range, scan_mcap
+
+    p = str(tmp_path / "t.mcap")
+    write_mcap(p, CONNS, _messages(100), chunked=True, chunk_messages=2)
+    scan = scan_mcap(p)
+    # chunk_messages=2 with alternating channels → every chunk has both;
+    # regroup: chunk of 2 consecutive messages = channels (1, 2)
+    assert all(c.channels == (1, 2) for c in scan.chunks)
+    p1 = str(tmp_path / "t1.mcap")
+    write_mcap(p1, CONNS, _messages(100), chunked=True, chunk_messages=1)
+    scan1 = scan_mcap(p1)
+    kept = chunks_in_range(scan1.chunks, None, None, conn_ids=[2])
+    assert len(kept) == 50 and all(c.channels == (2,) for _, c in kept)
+    got = read_mcap(spark, p1, num_partitions=3, conn_ids=[2])
+    rows = got.orderBy("offset").collect()
+    assert len(rows) == 50 and all(r.conn_id == 2 for r in rows)
+    full = read_mcap(spark, p1, num_partitions=3)
+    want = full.filter(full.conn_id == 2).orderBy("offset").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+
+
+def test_convert_bag_topics_subset_mcap(spark, tmp_path):
+    from rosbag2parquet_spark.convert import convert_bag
+
+    p = str(tmp_path / "sub.mcap")
+    write_mcap(p, CONNS, _messages(40), chunked=True, chunk_messages=4)
+    out = str(tmp_path / "out_sub")
+    info = convert_bag(spark, p, out, topics=["/imu"])
+    assert info.count == 20
+    assert spark.read.parquet(out + "/Connections").count() == 1
+    msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
+    assert [m.seqno for m in msgs] == list(range(20))
