@@ -421,6 +421,14 @@ def convert_bag(
                 spark, bag_path, num_partitions=num_partitions,
                 start_ns=start_ns, end_ns=end_ns, conn_ids=keep_ids,
             )
+        elif fmt == "rosbag":
+            # ChunkInfo stats prune chunks without the selected topics
+            from rosbag2parquet_spark.sources.rosbag import read_rosbag
+
+            msgs = read_rosbag(
+                spark, bag_path, num_partitions=num_partitions,
+                start_ns=start_ns, end_ns=end_ns, conn_ids=keep_ids,
+            )
         msgs = msgs.filter(F.col("conn_id").isin(keep_ids))
     if start_ns is not None:
         msgs = msgs.filter(F.col("time_ns") >= start_ns)

@@ -44,7 +44,10 @@ def load_bag(
         )
 
         return (
-            read_rosbag(spark, path, num_partitions=num_partitions),
+            read_rosbag(
+                spark, path, num_partitions=num_partitions,
+                start_ns=start_ns, end_ns=end_ns,
+            ),
             rosbag_connections_df(spark, path),
         )
     if fmt == "mcap":

@@ -69,11 +69,17 @@ OP_CONNECTION = 0x07
 class ChunkRef(NamedTuple):
     """One chunk record as seen by the driver scan: file position of the
     record, codec, and DECLARED decompressed size (the chunk header's
-    ``size`` field; equal to data_len for uncompressed chunks)."""
+    ``size`` field; equal to data_len for uncompressed chunks).
+    start_ns/end_ns/conn_ids come from the bag's ChunkInfo index records
+    (0x06) when present — the pruning statistics for time-range and topic
+    filters; 0/() = unknown, never pruned."""
 
     pos: int
     compression: str
     size: int
+    start_ns: int = 0
+    end_ns: int = 0
+    conn_ids: tuple = ()
 
 
 #: floor for the scan-derived shift — 20 bits = 1 MiB covers rosbag's
@@ -219,6 +225,7 @@ def _scan_rosbag_uncached(
     size = os.path.getsize(path)
     conns: dict[int, ConnectionInfo] = {}
     chunks: list[ChunkRef] = []
+    chunk_infos: dict[int, tuple] = {}
     conn_count = None
     with open(path, "rb") as f:
         if f.read(len(ROSBAG_MAGIC)) != ROSBAG_MAGIC:
@@ -249,8 +256,38 @@ def _scan_rosbag_uncached(
                 conns.setdefault(c.conn_id, c)
             elif op == OP_BAG_HEADER and "conn_count" in fields:
                 conn_count = struct.unpack("<I", fields["conn_count"])[0]
-            # 0x04/0x06 skipped: indexes
+            elif op == OP_CHUNK_INFO and "chunk_pos" in fields:
+                # ChunkInfo (index region): per-chunk time bounds and the
+                # per-connection message counts — the chunk-pruning stats
+                (cpos,) = struct.unpack("<Q", fields["chunk_pos"])
+                ssec, snsec = struct.unpack("<II", fields["start_time"])
+                esec, ensec = struct.unpack("<II", fields["end_time"])
+                f.seek(data_start)
+                data = f.read(dlen)
+                cids = tuple(
+                    sorted(
+                        struct.unpack_from("<I", data, 8 * k)[0]
+                        for k in range(dlen // 8)
+                    )
+                )
+                chunk_infos[cpos] = (
+                    ssec * 1_000_000_000 + snsec,
+                    esec * 1_000_000_000 + ensec,
+                    cids,
+                )
+            # 0x04 skipped: per-connection message indexes
             pos = nxt
+    if chunk_infos:
+        chunks = [
+            c._replace(
+                start_ns=chunk_infos[c.pos][0],
+                end_ns=chunk_infos[c.pos][1],
+                conn_ids=chunk_infos[c.pos][2],
+            )
+            if c.pos in chunk_infos
+            else c
+            for c in chunks
+        ]
     if conn_count is None and not chunks and not conns:
         raise ValueError(
             f"{path}: no rosbag records after the magic — truncated bag"
@@ -422,10 +459,23 @@ def read_rosbag(
     path: str,
     num_partitions: int = 8,
     chunks: "list[ChunkRef] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
+    conn_ids: "list[int] | None" = None,
 ) -> DataFrame:
     """``chunks``: pass the refs from an existing ``scan_rosbag`` walk so
-    the datasource planner (a separate Python worker) skips its own."""
+    the datasource planner (a separate Python worker) skips its own.
+    ``start_ns``/``end_ns``/``conn_ids`` prune whole chunks at PLAN time
+    from the bag's ChunkInfo index stats (time bounds + per-connection
+    counts — the container's row-group min/max); unknown-stat chunks are
+    kept, and an exact DataFrame filter gates the surviving rows."""
     register(spark)
+    if (start_ns is not None or end_ns is not None or conn_ids is not None) and (
+        chunks is None
+    ):
+        chunks = scan_rosbag(path)[1]
+    if chunks is not None:
+        chunks = prune_chunks(chunks, start_ns, end_ns, conn_ids)
     r = (
         spark.read.format("rosbag")
         .option("path", path)
@@ -436,7 +486,39 @@ def read_rosbag(
             "chunksJson",
             json.dumps([[c.pos, c.compression, c.size] for c in chunks]),
         )
-    return r.load()
+    df = r.load()
+    from pyspark.sql import functions as F
+
+    if start_ns is not None:
+        df = df.filter(F.col("time_ns") >= start_ns)
+    if end_ns is not None:
+        df = df.filter(F.col("time_ns") < end_ns)
+    if conn_ids is not None:
+        df = df.filter(F.col("conn_id").isin([int(c) for c in conn_ids]))
+    return df
+
+
+def prune_chunks(
+    chunks: "list[ChunkRef]",
+    start_ns: "int | None",
+    end_ns: "int | None",
+    conn_ids: "list[int] | None" = None,
+) -> "list[ChunkRef]":
+    """ChunkInfo-driven pruning: drop chunks whose time bounds miss
+    [start_ns, end_ns) or whose connection set misses ``conn_ids``;
+    chunks without stats (unindexed bags) always survive."""
+    want = set(int(c) for c in conn_ids) if conn_ids is not None else None
+    out = []
+    for c in chunks:
+        if c.start_ns or c.end_ns:
+            if start_ns is not None and c.end_ns < start_ns:
+                continue
+            if end_ns is not None and c.start_ns >= end_ns:
+                continue
+        if want is not None and c.conn_ids and not (set(c.conn_ids) & want):
+            continue
+        out.append(c)
+    return out
 
 
 def rosbag_connections_df(spark: SparkSession, path: str) -> DataFrame:
@@ -521,11 +603,23 @@ def write_rosbag(
         )
 
     chunks: list[bytes] = []
+    chunk_meta: list = []  # (start_ns, end_ns, {conn: count}) per chunk
     for i in range(0, max(len(messages), 1), messages_per_chunk):
         inner = b""
         if i == 0:
             for c in connections:
                 inner += conn_record(c)
+        batch = messages[i : i + messages_per_chunk]
+        counts: dict[int, int] = {}
+        for conn_id, time_ns, _p in batch:
+            counts[conn_id] = counts.get(conn_id, 0) + 1
+        chunk_meta.append(
+            (
+                min((t for _, t, _ in batch), default=0),
+                max((t for _, t, _ in batch), default=0),
+                counts,
+            )
+        )
         for conn_id, time_ns, payload in messages[i : i + messages_per_chunk]:
             secs, nsecs = divmod(time_ns, 1_000_000_000)
             inner += _record(
@@ -565,8 +659,36 @@ def write_rosbag(
             b" " * 4096,
         )
         f.write(bag_header)
+        chunk_positions = []
         for chunk in chunks:
+            chunk_positions.append(f.tell())
             f.write(chunk)
-        # index region: connection records repeated (as rosbag does)
+        # index region: connection records repeated (as rosbag does), then
+        # one ChunkInfo per non-empty chunk (time bounds + per-connection
+        # counts — what `rosbag record`/`reindex` write, and what the
+        # reader's chunk pruning consumes)
         for c in connections:
             f.write(conn_record(c))
+        for cpos, (st, en, counts) in zip(chunk_positions, chunk_meta):
+            if not counts:
+                continue
+            data = b"".join(
+                struct.pack("<II", cid, n) for cid, n in sorted(counts.items())
+            )
+            f.write(
+                _record(
+                    {
+                        "op": bytes([OP_CHUNK_INFO]),
+                        "ver": struct.pack("<I", 1),
+                        "chunk_pos": struct.pack("<Q", cpos),
+                        "start_time": struct.pack(
+                            "<II", st // 1_000_000_000, st % 1_000_000_000
+                        ),
+                        "end_time": struct.pack(
+                            "<II", en // 1_000_000_000, en % 1_000_000_000
+                        ),
+                        "count": struct.pack("<I", len(counts)),
+                    },
+                    data,
+                )
+            )

@@ -286,3 +286,58 @@ def test_truncated_bag_fails_loudly(tmp_path):
             f.write(data[:cut])
         with pytest.raises(ValueError, match="truncated|corrupt"):
             scan_rosbag(q)
+
+
+_PRUNE_CONNS = [
+    ConnectionInfo(1, "/a", "demo/A", "m1", "uint32 x\n"),
+    ConnectionInfo(2, "/b", "demo/B", "m2", "uint32 x\n"),
+]
+
+
+def test_chunk_info_stats_parsed(tmp_path):
+    """The writer's ChunkInfo records surface as per-chunk pruning stats
+    (time bounds + connection membership) in the scan."""
+    from rosbag2parquet_spark.sources.rosbag import scan_rosbag, write_rosbag
+
+    path = str(tmp_path / "ci.bag")
+    t0 = 1_700_000_000_000_000_000
+    msgs = [(1 + (i % 2), t0 + i * 1_000_000, b"x" * 8) for i in range(40)]
+    write_rosbag(path, _PRUNE_CONNS, msgs, messages_per_chunk=10)
+    _, chunks = scan_rosbag(path)
+    assert len(chunks) == 4
+    for k, c in enumerate(chunks):
+        assert c.conn_ids == (1, 2)
+        assert c.start_ns == t0 + k * 10 * 1_000_000
+        assert c.end_ns == t0 + (k * 10 + 9) * 1_000_000
+
+
+def test_rosbag_time_and_topic_pruning(spark, tmp_path):
+    """start/end/conn_ids prune whole chunks from the ChunkInfo stats and
+    the result equals the full read filtered after the fact."""
+    from rosbag2parquet_spark.sources.rosbag import (
+        prune_chunks,
+        read_rosbag,
+        scan_rosbag,
+        write_rosbag,
+    )
+
+    path = str(tmp_path / "pr.bag")
+    t0 = 1_700_000_000_000_000_000
+    # chunks 0-1 are conn 1 only, chunks 2-3 conn 2 only
+    msgs = [(1 if i < 20 else 2, t0 + i * 1_000_000, b"y" * 8) for i in range(40)]
+    write_rosbag(path, _PRUNE_CONNS, msgs, messages_per_chunk=10)
+    _, chunks = scan_rosbag(path)
+    assert len(prune_chunks(chunks, None, None, conn_ids=[2])) == 2
+    lo, hi = t0 + 5 * 1_000_000, t0 + 15 * 1_000_000
+    assert len(prune_chunks(chunks, lo, hi)) == 2
+    got = read_rosbag(
+        spark, path, num_partitions=2, start_ns=lo, end_ns=hi
+    ).orderBy("offset").collect()
+    assert len(got) == 10 and all(lo <= r.time_ns < hi for r in got)
+    got2 = read_rosbag(spark, path, num_partitions=2, conn_ids=[2])
+    assert got2.count() == 20
+    full = read_rosbag(spark, path, num_partitions=2)
+    want = full.filter(full.conn_id == 2)
+    assert got2.select("time_ns", "conn_id", "data").exceptAll(
+        want.select("time_ns", "conn_id", "data")
+    ).count() == 0
