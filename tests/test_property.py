@@ -269,3 +269,142 @@ def test_native_array_tiers_agree(case):
                 assert all(eq(g, e) for g, e in zip(got, exp)), f"{cname}[{i}]"
             else:
                 assert eq(got, exp), f"{cname}[{i}]"
+
+
+_CDR_SIZES = {
+    "bool": 1, "int8": 1, "uint8": 1, "int16": 2, "uint16": 2,
+    "int32": 4, "int64": 8, "float32": 4, "float64": 8,
+}
+
+
+@st.composite
+def _cdr_case(draw):
+    """Random CDR message spec + validly-aligned serialized rows — every
+    shape the CDR offset-scan tier claims to support (scalars, time,
+    strings, fixed/var arrays of fixed-size elements, uint8[] blobs),
+    with the XCDR1 alignment the decoders must reproduce per row."""
+    import struct as _s
+
+    n_fields = draw(st.integers(1, 6))
+    fnames = draw(
+        st.lists(_name, min_size=n_fields, max_size=n_fields, unique=True)
+    )
+    kinds = [
+        draw(
+            st.sampled_from(
+                ["scalar", "time", "string", "fixed_arr", "var_arr", "blob"]
+            )
+        )
+        for _ in range(n_fields)
+    ]
+    types = [draw(st.sampled_from(sorted(_CDR_SIZES))) for _ in range(n_fields)]
+    fixed_lens = [draw(st.integers(0, 4)) for _ in range(n_fields)]
+
+    lines = []
+    for fname, kind, ftype, fl in zip(fnames, kinds, types, fixed_lens):
+        if kind == "scalar":
+            lines.append(f"{ftype} {fname}")
+        elif kind == "time":
+            lines.append(f"time {fname}")
+        elif kind == "string":
+            lines.append(f"string {fname}")
+        elif kind == "fixed_arr":
+            lines.append(f"{ftype}[{fl}] {fname}")
+        elif kind == "var_arr":
+            lines.append(f"{ftype}[] {fname}")
+        else:
+            lines.append(f"uint8[] {fname}")
+    msgdef = "\n".join(lines)
+
+    def align(buf, size):
+        rel = len(buf) - 4
+        buf.extend(b"\x00" * ((-rel) % min(size, 8)))
+
+    n_rows = draw(st.integers(1, 5))
+    payloads = []
+    for _ in range(n_rows):
+        buf = bytearray(b"\x00\x01\x00\x00")
+        for fname, kind, ftype, fl in zip(fnames, kinds, types, fixed_lens):
+            fmt = _DEC_SCALARS[ftype][0]
+            gen = _DEC_SCALARS[ftype][1]
+            sz = _CDR_SIZES[ftype]
+            if kind == "scalar":
+                align(buf, sz)
+                buf.extend(_s.pack(fmt, draw(gen(st))))
+            elif kind == "time":
+                align(buf, 4)
+                buf.extend(
+                    _s.pack(
+                        "<iI",
+                        draw(st.integers(0, 2**31 - 1)),
+                        draw(st.integers(0, 10**9)),
+                    )
+                )
+            elif kind == "string":
+                sv = draw(st.text(string.ascii_letters, max_size=9)).encode()
+                align(buf, 4)
+                buf.extend(_s.pack("<I", len(sv) + 1) + sv + b"\x00")
+            elif kind == "fixed_arr":
+                if fl:
+                    align(buf, sz)
+                    for _i in range(fl):
+                        buf.extend(_s.pack(fmt, draw(gen(st))))
+            elif kind == "var_arr":
+                ln = draw(st.integers(0, 4))
+                align(buf, 4)
+                buf.extend(_s.pack("<I", ln))
+                if ln:
+                    align(buf, sz)
+                    for _i in range(ln):
+                        buf.extend(_s.pack(fmt, draw(gen(st))))
+            else:
+                blob = draw(st.binary(max_size=12))
+                align(buf, 4)
+                buf.extend(_s.pack("<I", len(blob)) + blob)
+        payloads.append(bytes(buf))
+    mode = draw(st.sampled_from(["skip", "blobs", "native"]))
+    return msgdef, payloads, mode
+
+
+@settings(max_examples=60, deadline=None)
+@given(case=_cdr_case())
+def test_cdr_tiers_agree_on_random_messages(case):
+    """Fuzz: the per-row CDR walk and the alignment-aware vectorized
+    offset-scan must agree bit-for-bit on random specs/payloads in every
+    arrays mode — the dynamic per-row padding is exactly the part a
+    deterministic test can miss."""
+    import math
+
+    import numpy as np
+
+    from rosbag2parquet_spark.sources.rosbag2 import (
+        cdr_variable_layout,
+        make_cdr_decoder,
+        make_cdr_vector_decoder,
+    )
+
+    msgdef, payloads, mode = case
+    specs = parse_msgdef("fuzz/T", msgdef)
+    flat = to_struct_type("fuzz/T", specs, arrays=mode)
+    names = [f.name for f in flat.fields]
+    row_dec = make_cdr_decoder("fuzz/T", specs, arrays=mode)
+    ops = cdr_variable_layout("fuzz/T", specs, arrays=mode)
+    assert ops is not None, "strategy only emits scan-supported shapes"
+    vec = make_cdr_vector_decoder(ops)(payloads)
+    rows = [row_dec(p) for p in payloads]
+
+    def eq(a, b):
+        if isinstance(a, (list, np.ndarray)) or isinstance(b, (list, np.ndarray)):
+            a, b = list(a), list(b)
+            return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+        if isinstance(a, bytes) or isinstance(b, bytes):
+            return bytes(a) == bytes(b)
+        if isinstance(a, float) and isinstance(b, float):
+            return (math.isnan(a) and math.isnan(b)) or a == b
+        return bool(a == b)
+
+    assert set(vec) == set(names)
+    for i, name in enumerate(names):
+        col = list(vec[name])
+        for r in range(len(payloads)):
+            assert eq(col[r], rows[r][i]), (name, r, col[r], rows[r][i])
