@@ -111,8 +111,9 @@ _QUERY_ORDER = [
     "resample-interpolate",
     # NEW this round: mergeable HLL partials re-aggregated without rescan
     "hll-sketch",
-    # NEW this round: SCD2 validity intervals from the event log
-    "scd2-intervals",
+    # NEW this round: SCD2 validity intervals from the event log + its
+    # incremental streaming twin
+    "scd2-intervals", "stream-scd2",
     # CHANGED this round — must re-prove: multi-probe gained the
     # margin-ordered probe budget (pair set identical at fixture scale —
     # budget == bits — but the construction changed)

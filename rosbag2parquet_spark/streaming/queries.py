@@ -261,6 +261,39 @@ def _compact_oracle() -> str:
     return ORACLE_COMPACT_LATEST
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 (applyInPandasWithState): the historized dimension
+    maintained as the CDC stream arrives — each state change closes the
+    open interval (append emission) and opens the next; the finishing
+    query reassembles open+close emissions into the interval table
+    (max valid_to per (user, version): -1 = still open loses to any
+    close). Must equal batch `scd2-intervals` — same oracle."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_scd2
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    tbl = _fresh("stream_scd2")
+    run_to_memory(running_scd2(events), tbl, mode="append")
+    return (
+        spark.table(tbl)
+        .groupBy("user_id", "version", "state", "valid_from")
+        .agg(F.max("valid_to").alias("valid_to"))
+        .select("user_id", "state", "valid_from", "valid_to", "version")
+    )
+
+
+def _scd2_oracle() -> str:
+    from rosbag2parquet_spark.operators.behavior import ORACLE_SCD2
+
+    return ORACLE_SCD2
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a STREAM: the content-digest index maintained
     incrementally (groupBy md5, complete mode) — the dedup-at-ingest shape
@@ -303,6 +336,7 @@ QUERIES = {
     "stream-sink": q_stream_sink,
     "stream-profile": q_stream_profile,
     "stream-compact": q_stream_compact,
+    "stream-scd2": q_stream_scd2,
     "stream-dedup": q_stream_dedup,
 }
 
@@ -339,5 +373,6 @@ ORACLES = {
     "stream-sink": ORACLE_STREAM_SINK,
     "stream-profile": ORACLE_STREAM_PROFILE,
     "stream-compact": _compact_oracle(),
+    "stream-scd2": _scd2_oracle(),
     "stream-dedup": _dedup_exact_oracle(),
 }

@@ -103,3 +103,66 @@ def running_compaction(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming SCD2
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, state string, valid_from long, valid_to long, version int"
+)
+SCD2_STATE_SCHEMA = "cur_state string, cur_from long, version int"
+
+
+def _update_scd2(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental SCD2 maintenance: the OPEN interval is the state; a
+    state change CLOSES it (emit the closed row) and opens the next.
+    Consecutive duplicates collapse exactly like the batch operator. Each
+    interval is emitted once when it OPENS (valid_to = -1) and once when
+    it CLOSES — the reassembly (max valid_to per version) happens in the
+    finishing query. Rows within an invocation are sorted by
+    (ts_us, event_id); ACROSS micro-batches the operator assumes per-key
+    in-order delivery (the CDC contract — a keyed Kafka partition), the
+    same assumption every incremental SCD2 materializer makes."""
+    (user_id,) = key
+    cur_state, cur_from, version = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    out: dict[str, list] = {
+        "user_id": [], "state": [], "valid_from": [], "valid_to": [],
+        "version": [],
+    }
+
+    def emit(st, frm, to, ver):
+        out["user_id"].append(user_id)
+        out["state"].append(st)
+        out["valid_from"].append(frm)
+        out["valid_to"].append(to)
+        out["version"].append(ver)
+
+    for t, _eid, etype in zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]):
+        t = int(t)
+        if cur_state is None:
+            cur_state, cur_from, version = etype, t, 1
+            emit(cur_state, cur_from, -1, version)
+        elif etype != cur_state:
+            emit(cur_state, cur_from, t, version)  # close
+            cur_state, cur_from, version = etype, t, version + 1
+            emit(cur_state, cur_from, -1, version)  # open next
+    state.update((cur_state, cur_from, version))
+    yield pd.DataFrame(out)
+
+
+def running_scd2(events: DataFrame) -> DataFrame:
+    """events (streaming, `ts_us` long + `event_id` long + `event_type`) →
+    append-mode interval open/close emissions per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_scd2,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -125,3 +125,58 @@ def test_stream_compact_out_of_order_batches(spark, tmp_path):
     assert final[1] == (5_000_000, "purchase", 10)
     # user 2: ts tie between id 11 and id 12 — higher event_id wins
     assert final[2] == (6_000_000, "error", 12)
+
+
+def test_stream_scd2_shuffled_within_batch(spark, tmp_path):
+    """SCD2's per-invocation sort makes intra-batch arrival order
+    irrelevant: a micro-batch with rows SHUFFLED must yield exactly the
+    batch interval table. (Cross-batch order is the documented CDC
+    per-key in-order contract.)"""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_scd2
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    land = tmp_path / "land_scd2"
+    land.mkdir()
+    rows = [
+        # user 1: view(1) view(2) click(3) view(4) — 3 intervals
+        (1, 1_000_000, 1, "view"),
+        (1, 2_000_000, 2, "view"),
+        (1, 3_000_000, 3, "click"),
+        (1, 4_000_000, 4, "view"),
+        # user 2: single interval
+        (2, 1_500_000, 5, "purchase"),
+    ]
+    import random
+
+    rng = random.Random(7)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    pd.DataFrame(
+        shuffled, columns=["user_id", "ts_us", "event_id", "event_type"]
+    ).to_parquet(land / "a.parquet")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_scd2(stream), "scd2_shuf", mode="append")
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.version)
+        for r in spark.sql(
+            """
+            SELECT user_id, state, valid_from, max(valid_to) AS valid_to,
+                   version
+            FROM scd2_shuf GROUP BY user_id, version, state, valid_from
+            """
+        ).collect()
+    }
+    assert got == {
+        (1, "view", 1_000_000, 3_000_000, 1),
+        (1, "click", 3_000_000, 4_000_000, 2),
+        (1, "view", 4_000_000, -1, 3),
+        (2, "purchase", 1_500_000, -1, 1),
+    }
