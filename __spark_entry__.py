@@ -100,10 +100,11 @@ _MODULES = (
 # block (oldest remaining) fills the window; the 50 queries r5 just proved
 # rotate to the back. After this round's driver run, NO query's latest row
 # is older than r4.
-# ROUND-7 NOTE: the r6 window = 6 new/changed + 9 r2 + 19 r3 + the first 16
-# of the r4 block (through "stream-profile"). For r7, lead with any new/
-# changed queries, then the REMAINDER of the r4 block ("sql-q8" onward,
-# 32 queries), then the r5-proven block; r6-proven rotate to the back.
+# ROUND-7 NOTE: the r6 window = 7 new/changed + 9 r2 + 19 r3 + the first 15
+# of the r4 block (through "stream-neardup"). For r7, lead with any new/
+# changed queries, then the REMAINDER of the r4 block ("stream-profile"
+# onward, 33 queries), then the r5-proven block; r6-proven rotate to the
+# back.
 _QUERY_ORDER = [
     # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
     "stream-neardup-parity",
