@@ -91,10 +91,79 @@ JOIN (SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type)
   USING (event_type)
 """
 
-QUERIES = {"salted-agg": q_salted_agg, "salted-join": q_salted_join}
+def q_bloom_join(spark, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction as a declared query: a
+    SELECTIVE dim side (high-priority orders) joins the fact (lineitem);
+    with runtime bloom filters on, Spark builds a bloom filter from the
+    dim's join keys at runtime and pushes `might_contain` INTO the fact
+    scan — fact rows whose orderkey cannot match are dropped BEFORE the
+    shuffle. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~matching slice — the semi-join reduction
+    classic, done by the optimizer at runtime. Thresholds are lowered for
+    the fixture scale (defaults assume a 10 GB application side); the
+    filter's semantic invisibility IS the correctness gate — the oracle is
+    the plain join. Injection is plan-asserted in tests/test_shuffle.py."""
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # keep the join a shuffle join so the bloom reduction has a shuffle
+        # to save (a broadcast join already prunes via the hash relation)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        sel = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        out = (
+            li.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_qty"),
+            )
+            .localCheckpoint(eager=True)  # execute under these confs
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+ORACLE_BLOOM_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "salted-agg": q_salted_agg,
+    "salted-join": q_salted_join,
+    "bloom-join": q_bloom_join,
+}
 ORACLES = {
     "salted-agg": ORACLE_SALTED_AGG,
     "salted-join": ORACLE_SALTED_JOIN,
+    "bloom-join": ORACLE_BLOOM_JOIN,
 }
 
 

@@ -215,9 +215,89 @@ GROUP BY o_orderstatus
 """
 
 
-QUERIES = {"demux": q_demux, "sink": q_sink, "bucket-join": q_bucket_join}
+def write_clustered(
+    df: DataFrame, path: str, cluster_col: str, n_files: int = 8
+) -> None:
+    """Persist range-CLUSTERED parquet: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on the cluster column, so each output file —
+    and each row group inside it — covers a NARROW, near-disjoint value
+    range. Parquet min/max statistics then prune whole row groups for any
+    range predicate on that column: the write-side half of the scan-pruning
+    loop (the reference relies on bag order giving time-clustered chunks,
+    README.md:8; this makes the property explicit for ANY column).
+
+    Timestamps are forced to INT64 micros for the write: the INT96 legacy
+    default carries NO column statistics, which silently disables exactly
+    the pruning this layout exists for."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.repartitionByRange(n_files, F.col(cluster_col))
+            .sortWithinPartitions(cluster_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def q_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered layout round-trip as a declared query: lineitem written
+    range-clustered by l_shipdate, then a one-month range read back. The
+    oracle is the plain filter over the original table — clustering must be
+    semantically invisible; its VALUE (files cover near-disjoint ranges, so
+    the filter prunes most row groups via min/max stats) is asserted
+    against the parquet footers in tests/test_bucketed.py."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="cluster_write_")
+    try:
+        write_clustered(li, os.path.join(out, "li"), "l_shipdate")
+        back = (
+            spark.read.parquet(os.path.join(out, "li"))
+            .filter(
+                (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            )
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.unix_micros("l_shipdate").alias("ship_us"),
+                "l_quantity",
+            )
+            .localCheckpoint(eager=True)  # materialize before the dir goes away
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_CLUSTER_WRITE = """
+SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+QUERIES = {
+    "demux": q_demux,
+    "sink": q_sink,
+    "bucket-join": q_bucket_join,
+    "cluster-write": q_cluster_write,
+}
 ORACLES = {
     "demux": ORACLE_DEMUX,
     "sink": ORACLE_SINK,
     "bucket-join": ORACLE_BUCKET_JOIN,
+    "cluster-write": ORACLE_CLUSTER_WRITE,
 }

@@ -141,3 +141,37 @@ def test_bucket_join_concurrent_invocations(spark):
     assert not isinstance(results[0], Exception), results[0]
     assert not isinstance(results[1], Exception), results[1]
     assert results[0] == results[1]
+
+
+def test_clustered_write_prunes_row_groups(spark, tmp_path):
+    """write_clustered files cover near-disjoint cluster-column ranges —
+    the parquet footers prove a range predicate can prune most row groups
+    (the min/max statistics story, write-side)."""
+    import pyarrow.parquet as pq
+
+    from rosbag2parquet_spark.sinks import write_clustered
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_shipdate", "l_quantity")
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, "l_shipdate", n_files=8)
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        col = None
+        for i in range(md.num_columns):
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate":
+                col = i
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 4
+    # consecutive files overlap at most at the boundary value — the
+    # range-partitioned layout property min/max pruning relies on
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)

@@ -86,3 +86,41 @@ def test_no_unexpected_single_partition_exchange(spark):
         if "SinglePartition" in plan and name not in allowed:
             offenders.append(name)
     assert offenders == [], f"unexpected SinglePartition plans: {offenders}"
+
+
+def test_bloom_join_filter_injected(spark):
+    """The registered bloom-join query's confs must actually cause Spark to
+    inject a runtime bloom filter into the fact scan (plan-asserted via the
+    same conf set, pre-checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        sel = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan or "bloom" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
