@@ -117,7 +117,7 @@ _QUERY_ORDER = [
     "scd2-intervals", "stream-scd2",
     # NEW this round: runtime bloom-filter semi-join reduction + the
     # range-clustered write layout (write-side scan pruning)
-    "bloom-join", "cluster-write",
+    "bloom-join", "cluster-write", "zorder-write",
     # CHANGED this round — must re-prove: multi-probe gained the
     # margin-ordered probe budget (pair set identical at fixture scale —
     # budget == bits — but the construction changed)

@@ -289,15 +289,117 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
 """
 
 
+def zvalue(c1, c2, bits: int = 21):
+    """Morton/Z-order interleave of two non-negative integer columns
+    (bit i of c1 → bit 2i+1, bit i of c2 → bit 2i): rows close in Z are
+    close in BOTH dimensions, so range-clustering on the Z-value gives
+    min/max pruning on EITHER column — the Delta/Iceberg OPTIMIZE ZORDER
+    construction, expressed in pure Catalyst bit arithmetic (whole-stage
+    codegen, no UDF)."""
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(c1.cast("long"), i).bitwiseAND(one), 2 * i + 1
+            )
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(one), 2 * i)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, col1: str, col2: str, n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Persist Z-ORDER clustered parquet on two columns: each column is
+    first NORMALIZED to a ``bits``-wide integer over its own min/max (one
+    tiny driver-side agg) — without this, the wider-ranged column's high
+    bits dominate every z cut and the narrow column never bounds (the
+    step every production z-order implementation performs) — then
+    range-partition + sort on the interleaved Z-value and drop the
+    helpers. Each output file then covers a bounded range of BOTH
+    columns, so parquet min/max statistics prune for predicates on either
+    one — what single-column clustering (write_clustered) cannot give.
+    Normalization uses exact integer arithmetic (mul-then-div), so the
+    layout is deterministic."""
+    top = (1 << bits) - 1
+    mm = df.agg(
+        F.min(col1).alias("n1"), F.max(col1).alias("x1"),
+        F.min(col2).alias("n2"), F.max(col2).alias("x2"),
+    ).collect()[0]  # 4 scalars — the same snapshot the reference takes at open
+
+    def scaled(col, lo, hi):
+        if hi is None or lo is None or hi == lo:
+            return F.lit(0).cast("long")
+        return F.expr(
+            f"(CAST({col} AS BIGINT) - {lo}) * {top} div {hi - lo}"
+        )
+
+    z = zvalue(scaled(col1, mm.n1, mm.x1), scaled(col2, mm.n2, mm.x2), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def q_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round-trip as a declared query: lineitem clustered on
+    (l_partkey, l_suppkey), read back with a predicate on EACH dimension
+    separately (the case the layout exists for), unioned. The oracle is
+    the same pair of plain filters — clustering must be semantically
+    invisible; the per-file two-dimensional range-boundedness is asserted
+    against the parquet footers in tests/test_bucketed.py."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="zorder_write_")
+    try:
+        write_zordered(li, os.path.join(out, "li"), "l_partkey", "l_suppkey")
+        back = spark.read.parquet(os.path.join(out, "li"))
+        a = back.filter(F.col("l_partkey") < 100).withColumn(
+            "probe", F.lit("partkey")
+        )
+        b = back.filter(F.col("l_suppkey") < 10).withColumn(
+            "probe", F.lit("suppkey")
+        )
+        res = a.unionByName(b).select(
+            "probe", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+ORACLE_ZORDER_WRITE = """
+SELECT 'partkey' AS probe, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       l_quantity
+FROM lineitem WHERE l_partkey < 100
+UNION ALL
+SELECT 'suppkey', l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem WHERE l_suppkey < 10
+"""
+
+
 QUERIES = {
     "demux": q_demux,
     "sink": q_sink,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
+    "zorder-write": q_zorder_write,
 }
 ORACLES = {
     "demux": ORACLE_DEMUX,
     "sink": ORACLE_SINK,
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
+    "zorder-write": ORACLE_ZORDER_WRITE,
 }

@@ -175,3 +175,46 @@ def test_clustered_write_prunes_row_groups(spark, tmp_path):
     # range-partitioned layout property min/max pruning relies on
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering: each output file covers a BOUNDED range of BOTH
+    interleaved columns — the property single-column clustering can't give
+    and the reason either-column predicates prune row groups."""
+    from rosbag2parquet_spark.sinks import write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey")
+    out = str(tmp_path / "zordered")
+    write_zordered(li, out, "l_partkey", "l_suppkey", n_files=8)
+    import pyarrow.parquet as pq
+
+    def spans(colname):
+        out_spans = []
+        for f in os.listdir(out):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            col = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == colname
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out_spans.append((min(mins), max(maxs)))
+        return out_spans
+
+    pk = spans("l_partkey")
+    sk = spans("l_suppkey")
+    assert len(pk) >= 4
+    glob_pk = max(h for _, h in pk) - min(l for l, _ in pk)
+    glob_sk = max(h for _, h in sk) - min(l for l, _ in sk)
+    # with 8 z-range files the top 3 z-bits are fixed per file: the MSB
+    # dimension quarters, the other halves — require real boundedness with
+    # slack for uneven key distributions
+    avg_pk = sum(h - l for l, h in pk) / len(pk)
+    avg_sk = sum(h - l for l, h in sk) / len(sk)
+    assert avg_pk < 0.6 * glob_pk, (avg_pk, glob_pk)
+    assert avg_sk < 0.75 * glob_sk, (avg_sk, glob_sk)
