@@ -361,6 +361,90 @@ def _read_chunk_records(path: str, ref: McapChunkRef) -> bytes:
     return out
 
 
+def point_read(
+    path: str, channel_id: int, log_time: int
+) -> "bytes | None":
+    """O(1) point lookup of one message's payload via the summary indexes —
+    the low-latency read path the index section exists for (the reference's
+    test point-reads rows by position, rosbag2parquet_test.cpp:97-110; this
+    is the container-native equivalent):
+
+    footer → summary → the ChunkIndex whose [start,end] covers ``log_time``
+    AND whose message_index_offsets carries ``channel_id`` → ONE ranged read
+    of that channel's MessageIndex record → the (log_time → records-offset)
+    entry → one chunk decompress (or, for uncompressed chunks, a final
+    ranged read of just the message record). Total I/O: footer + summary +
+    one MessageIndex + one chunk/message — independent of file size.
+
+    Returns None when no indexed message matches exactly; raises on files
+    without a summary (point reads need the index — scan instead)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8 - _FOOTER_RECORD_LEN)
+        tail = f.read(_FOOTER_RECORD_LEN)
+        if len(tail) != _FOOTER_RECORD_LEN or tail[0] != OP_FOOTER:
+            raise ValueError(f"{path}: no footer record — cannot point-read")
+        (summary_start,) = struct.unpack_from("<Q", tail, 9)
+        if not summary_start:
+            raise ValueError(
+                f"{path}: no summary section — point reads need the index"
+            )
+        f.seek(summary_start)
+        buf = f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
+        for op, st, ln, _ in _walk_records(buf):
+            if op != OP_CHUNK_INDEX:
+                continue
+            payload = buf[st : st + ln]
+            t0, t1 = struct.unpack_from("<QQ", payload, 0)
+            if not (t0 <= log_time <= t1):
+                continue
+            (mio_len,) = struct.unpack_from("<I", payload, 32)
+            mi_off = None
+            for k in range(mio_len // 10):
+                cid, off = struct.unpack_from("<HQ", payload, 36 + 10 * k)
+                if cid == channel_id:
+                    mi_off = off
+                    break
+            if mi_off is None:
+                continue
+            ref = _parse_chunk_index(payload)
+            # one ranged read of the channel's MessageIndex record
+            f.seek(mi_off)
+            head = f.read(9)
+            if head[0] != OP_MESSAGE_INDEX:
+                raise ValueError(f"{path}@{mi_off}: expected MessageIndex")
+            (mlen,) = struct.unpack("<Q", head[1:])
+            mi = f.read(mlen)
+            (mcid,) = struct.unpack_from("<H", mi, 0)
+            (plen,) = struct.unpack_from("<I", mi, 2)
+            rec_off = None
+            for k in range(plen // 16):
+                t, off = struct.unpack_from("<QQ", mi, 6 + 16 * k)
+                if t == log_time:
+                    rec_off = off
+                    break
+            if rec_off is None:
+                continue
+            if ref.compression in ("", "none"):
+                # uncompressed: the records stream IS file bytes — read
+                # just the one message record
+                f.seek(ref.records_off + rec_off)
+                mh = f.read(9)
+                (mln,) = struct.unpack("<Q", mh[1:])
+                body = f.read(mln)
+                cid2, t2, payload2 = _parse_message(body, 0, mln)
+            else:
+                inner = _read_chunk_records(path, ref)
+                mh_op = inner[rec_off]
+                (mln,) = struct.unpack_from("<Q", inner, rec_off + 1)
+                cid2, t2, payload2 = _parse_message(
+                    inner, rec_off + 9, mln
+                )
+            if cid2 == channel_id and t2 == log_time:
+                return payload2
+    return None
+
+
 def offset_shift(chunks: list) -> int:
     largest = max((c.size or c.records_size for c in chunks), default=0)
     return max(_MIN_CHUNK_SHIFT, int(largest).bit_length())
