@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         "definitions (message_definitions table) and need no flag. "
         "Caller-supplied definitions override embedded ones.",
     )
+    ap.add_argument(
+        "--on-error",
+        choices=("fail", "permissive"),
+        default="fail",
+        help="undecodable payloads: fail (reference parity) or permissive "
+        "(dead-letter: NULL fields + _decode_error column, raw blob kept)",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -139,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         info = convert_bags(
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
             compression=args.compression, msgdefs=msgdefs,
+            on_error=args.on_error,
         )
     elif args.input.endswith((".bag", ".sbag")) or (
         os.path.isfile(args.input) and _baglike.bag_format(args.input)
@@ -151,6 +159,7 @@ def main(argv: list[str] | None = None) -> int:
         info = convert_bag(
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
             compression=args.compression, msgdefs=msgdefs,
+            on_error=args.on_error,
         )
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

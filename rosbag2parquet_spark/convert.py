@@ -326,6 +326,7 @@ def convert_bag(
     max_records_per_file: int = 1_000_000,
     compression: str = "snappy",
     msgdefs: "dict[str, str] | None" = None,
+    on_error: str = "fail",
 ) -> ConvertInfo:
     """The reference's whole program over a real bag file (.bag = rosbag
     2.0, .db3 = ROS 2 rosbag2 sqlite3 storage with CDR payloads — schema
@@ -452,6 +453,7 @@ def convert_bag(
         max_records_per_file=max_records_per_file,
         compression=compression,
         serialization=serialization,
+        on_error=on_error,
     )
     seq.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
@@ -467,6 +469,7 @@ def _write_bag_tables(
     unsigned: str = "signed",
     compression: str = "snappy",
     serialization: str = "ros1",
+    on_error: str = "fail",
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -540,6 +543,7 @@ def _write_bag_tables(
             keep_cols=("seqno", "conn_id", "__raw__"),
             arrays=arrays,
             unsigned=unsigned,
+            on_error=on_error,
         )
         pertype = flat.withColumnRenamed("conn_id", "connection_id").withColumnRenamed(
             "__raw__", "data"
@@ -756,6 +760,7 @@ def convert_bags(
     max_records_per_file: int = 1_000_000,
     compression: str = "snappy",
     msgdefs: "dict[str, str] | None" = None,
+    on_error: str = "fail",
 ) -> ConvertInfo:
     """Convert a FLEET of bags into ONE table layout — the reference's
     "multiple compatible parquet files can be treated as a single file"
@@ -897,6 +902,7 @@ def convert_bags(
         max_records_per_file=max_records_per_file,
         compression=compression,
         serialization=serialization,
+        on_error=on_error,
     )
     seq.unpersist()
     return ConvertInfo(

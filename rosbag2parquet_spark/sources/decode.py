@@ -502,19 +502,42 @@ def decode_messages(
     keep_cols: tuple[str, ...] = ("offset", "time_ns", "conn_id"),
     arrays: str = "skip",
     unsigned: str = "signed",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Bag messages → flattened typed columns: the per-type table body
     (reference MessageTable.cpp:305-343 minus seqno/blob bookkeeping, which
     the converter adds). Arrow-batched; schema comes from the msg-def
-    compiler so decode positions and column names always agree."""
+    compiler so decode positions and column names always agree.
+
+    ``on_error``: ``'fail'`` (reference parity — the C++ asserts and dies,
+    MessageTable.cpp:38) raises on the first undecodable payload;
+    ``'permissive'`` is the 1000-executor answer — a poisoned batch falls
+    back to a per-row salvage, good rows decode normally, bad rows emit
+    NULL fields plus a ``_decode_error`` message column (the dead-letter
+    pattern: one corrupt message must not kill a 100 TB conversion). The
+    fast vectorized tiers still run first — permissive costs nothing on
+    clean data."""
     import numpy as np
 
+    if on_error not in ("fail", "permissive"):
+        raise ValueError(f"on_error must be fail|permissive, got {on_error!r}")
     specs = parse_msgdef(root_type, msgdef_text)
     flat = to_struct_type(root_type, specs, arrays=arrays, unsigned=unsigned)
     decode = make_decoder(root_type, specs, arrays=arrays, unsigned=unsigned)
 
+    if on_error == "permissive":
+        # NULLable fields: salvaged bad rows carry NULLs where the strict
+        # schema (reference Repetition::REQUIRED) forbids them
+        flat = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in flat.fields]
+        )
+    extra = (
+        [T.StructField("_decode_error", T.StringType(), True)]
+        if on_error == "permissive"
+        else []
+    )
     out_schema = T.StructType(
-        [df.schema[c] for c in keep_cols] + list(flat.fields)
+        [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
     flat_names = [f.name for f in flat.fields]
 
@@ -541,28 +564,60 @@ def decode_messages(
     )
     batch_decode = make_vector_decoder(var_ops) if var_ops is not None else None
 
+    def _decode_fast(pdf) -> dict:
+        cols: dict = {}
+        if np_dtype is not None:
+            # vectorized fast path: one frombuffer over the whole batch
+            buf = b"".join(pdf[data_col])
+            if len(buf) != np_dtype.itemsize * len(pdf):
+                raise ValueError(
+                    f"fixed-stride mismatch: {len(buf)} bytes for "
+                    f"{len(pdf)} x {np_dtype.itemsize}B records of {root_type}"
+                )
+            arr = np.frombuffer(buf, dtype=np_dtype)
+            for name in flat_names:
+                cols[name] = arr[name]
+        elif batch_decode is not None:
+            cols.update(batch_decode([bytes(b) for b in pdf[data_col]]))
+        else:
+            decoded = [decode(bytes(b)) for b in pdf[data_col]]
+            for i, name in enumerate(flat_names):
+                cols[name] = [row[i] for row in decoded]
+        return cols
+
+    def _decode_salvage(pdf) -> dict:
+        """Per-row salvage for a poisoned batch: good rows decode, bad rows
+        emit NULLs + the error text — row granularity, never batch."""
+        per_col: dict = {n: [] for n in flat_names}
+        errs = []
+        for b in pdf[data_col]:
+            try:
+                row = decode(bytes(b))
+            except Exception as exc:
+                for n in flat_names:
+                    per_col[n].append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+            else:
+                for i, n in enumerate(flat_names):
+                    per_col[n].append(row[i])
+                errs.append(None)
+        per_col["_decode_error"] = errs
+        return per_col
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cols = {c: pdf[c].values for c in keep_cols}
-            if np_dtype is not None:
-                # vectorized fast path: one frombuffer over the whole batch
-                buf = b"".join(pdf[data_col])
-                if len(buf) != np_dtype.itemsize * len(pdf):
-                    raise ValueError(
-                        f"fixed-stride mismatch: {len(buf)} bytes for "
-                        f"{len(pdf)} x {np_dtype.itemsize}B records of {root_type}"
-                    )
-                arr = np.frombuffer(buf, dtype=np_dtype)
-                for name in flat_names:
-                    cols[name] = arr[name]
-            elif batch_decode is not None:
-                cols.update(batch_decode([bytes(b) for b in pdf[data_col]]))
+            if on_error == "permissive":
+                try:
+                    fast = _decode_fast(pdf)
+                    fast["_decode_error"] = [None] * len(pdf)
+                    cols.update(fast)
+                except Exception:
+                    cols.update(_decode_salvage(pdf))
             else:
-                decoded = [decode(bytes(b)) for b in pdf[data_col]]
-                for i, name in enumerate(flat_names):
-                    cols[name] = [row[i] for row in decoded]
+                cols.update(_decode_fast(pdf))
             yield pd.DataFrame(cols)
 
     # data_col may itself be a keep_col (the converter passes the raw blob

@@ -720,7 +720,15 @@ def make_cdr_decoder(
                 f"not a little-endian CDR payload (encapsulation {buf[:4]!r})"
             )
         out: list = []
-        decode_into(root, buf, 4, out)
+        end = decode_into(root, buf, 4, out)
+        # full-consumption check (reference MessageTable.cpp:38): an
+        # overrunning string/sequence length silently yields short slices
+        # in Python — catch it here; up to 7 trailing pad bytes allowed
+        if end > len(buf) or len(buf) - end > 7:
+            raise ValueError(
+                f"CDR payload not fully consumed: walked to {end} of "
+                f"{len(buf)} bytes"
+            )
         return tuple(out)
 
     return decode
@@ -734,6 +742,7 @@ def decode_messages_cdr(
     keep_cols: tuple[str, ...] = ("offset", "time_ns", "conn_id"),
     arrays: str = "skip",
     unsigned: str = "signed",
+    on_error: str = "fail",
 ) -> DataFrame:
     """CDR twin of :func:`sources.decode.decode_messages`: same flattened
     schema (shared ``to_struct_type``), same THREE-tier structure as the
@@ -758,37 +767,78 @@ def decode_messages_cdr(
         else cdr_variable_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
     )
     vec_decode = make_cdr_vector_decoder(vec_ops) if vec_ops is not None else None
+    if on_error == "permissive":
+        # NULLable fields: salvaged bad rows carry NULLs where the strict
+        # schema (reference Repetition::REQUIRED) forbids them
+        flat = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in flat.fields]
+        )
+    extra = (
+        [T.StructField("_decode_error", T.StringType(), True)]
+        if on_error == "permissive"
+        else []
+    )
     out_schema = T.StructType(
-        [df.schema[c] for c in keep_cols] + list(flat.fields)
+        [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
     flat_names = [f.name for f in flat.fields]
+
+    def _decode_fast(pdf) -> dict:
+        cols: dict = {}
+        if np_dtype is not None:
+            # drop each 4-byte encapsulation header, then one frombuffer
+            buf = b"".join(bytes(b)[4:] for b in pdf[data_col])
+            if len(buf) != np_dtype.itemsize * len(pdf):
+                raise ValueError(
+                    f"CDR fixed-stride mismatch: {len(buf)} bytes for "
+                    f"{len(pdf)} x {np_dtype.itemsize}B payloads of "
+                    f"{root_type}"
+                )
+            arr = np.frombuffer(buf, dtype=np_dtype)
+            for name in flat_names:
+                v = arr[name]
+                cols[name] = list(v) if v.ndim > 1 else v
+        elif vec_decode is not None:
+            decoded = vec_decode([bytes(b) for b in pdf[data_col]])
+            for name in flat_names:
+                cols[name] = decoded[name]
+        else:
+            decoded = [decode(bytes(b)) for b in pdf[data_col]]
+            for i, name in enumerate(flat_names):
+                cols[name] = [row[i] for row in decoded]
+        return cols
+
+    def _decode_salvage(pdf) -> dict:
+        per_col: dict = {n: [] for n in flat_names}
+        errs = []
+        for b in pdf[data_col]:
+            try:
+                row = decode(bytes(b))
+            except Exception as exc:
+                for n in flat_names:
+                    per_col[n].append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+            else:
+                for i, n in enumerate(flat_names):
+                    per_col[n].append(row[i])
+                errs.append(None)
+        per_col["_decode_error"] = errs
+        return per_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cols = {c: pdf[c].values for c in keep_cols}
-            if np_dtype is not None:
-                # drop each 4-byte encapsulation header, then one frombuffer
-                buf = b"".join(bytes(b)[4:] for b in pdf[data_col])
-                if len(buf) != np_dtype.itemsize * len(pdf):
-                    raise ValueError(
-                        f"CDR fixed-stride mismatch: {len(buf)} bytes for "
-                        f"{len(pdf)} x {np_dtype.itemsize}B payloads of "
-                        f"{root_type}"
-                    )
-                arr = np.frombuffer(buf, dtype=np_dtype)
-                for name in flat_names:
-                    v = arr[name]
-                    cols[name] = list(v) if v.ndim > 1 else v
-            elif vec_decode is not None:
-                decoded = vec_decode([bytes(b) for b in pdf[data_col]])
-                for name in flat_names:
-                    cols[name] = decoded[name]
+            if on_error == "permissive":
+                try:
+                    fast = _decode_fast(pdf)
+                    fast["_decode_error"] = [None] * len(pdf)
+                    cols.update(fast)
+                except Exception:
+                    cols.update(_decode_salvage(pdf))
             else:
-                decoded = [decode(bytes(b)) for b in pdf[data_col]]
-                for i, name in enumerate(flat_names):
-                    cols[name] = [row[i] for row in decoded]
+                cols.update(_decode_fast(pdf))
             yield pd.DataFrame(cols)
 
     sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])

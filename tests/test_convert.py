@@ -215,3 +215,83 @@ def test_checked_union_guards_schema():
     c = T.StructType([T.StructField("x", T.DoubleType())])
     assert schema_fingerprint(a) == schema_fingerprint(b)
     assert schema_fingerprint(a) != schema_fingerprint(c)
+
+
+def test_decode_permissive_salvages_bad_rows(spark, tmp_path):
+    """One corrupt payload in a batch: strict mode raises; permissive mode
+    decodes the good rows and routes the bad one to NULL fields +
+    _decode_error (the dead-letter behavior a 100 TB conversion needs)."""
+    import struct
+
+    import pytest as _pytest
+
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+    from rosbag2parquet_spark.sources.baglike import read_bag
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    deftext = "uint32 a\nstring s\n"
+    good = lambda i: struct.pack("<I", i) + struct.pack("<I", 2) + b"ok"  # noqa: E731
+    bad = struct.pack("<I", 7) + struct.pack("<I", 999)  # claims 999-byte string
+    path = str(tmp_path / "poison.sbag")
+    msgs = [(1, 1_000_000_000 + i, good(i)) for i in range(5)]
+    msgs.insert(3, (1, 1_000_000_003, bad))
+    write_bag(path, [ConnectionInfo(1, "/t", "demo/P", "", deftext)], msgs)
+    raw = read_bag(spark, path, num_partitions=1)
+
+    with _pytest.raises(Exception):
+        decode_messages(raw, "demo/P", deftext).collect()
+
+    rows = (
+        decode_messages(raw, "demo/P", deftext, on_error="permissive")
+        .orderBy("offset")
+        .collect()
+    )
+    assert len(rows) == 6
+    errs = [r for r in rows if r._decode_error is not None]
+    assert len(errs) == 1 and errs[0].a is None and errs[0].s is None
+    goods = [r for r in rows if r._decode_error is None]
+    assert [r.s for r in goods] == ["ok"] * 5
+    assert sorted(r.a for r in goods) == [0, 1, 2, 3, 4]
+
+
+def test_decode_permissive_cdr(spark, tmp_path):
+    """Same dead-letter behavior on the CDR twin."""
+    import sqlite3
+    import struct
+
+    from rosbag2parquet_spark.sources.rosbag2 import (
+        decode_messages_cdr,
+        read_rosbag2,
+    )
+
+    deftext = "uint32 a\nstring s\n"
+    hdr = b"\x00\x01\x00\x00"
+    good = lambda i: (  # noqa: E731
+        hdr + struct.pack("<I", i) + struct.pack("<I", 3) + b"ok\x00"
+    )
+    bad = hdr + struct.pack("<I", 7) + struct.pack("<I", 999)
+    path = str(tmp_path / "poison.db3")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, type TEXT,"
+        " serialization_format TEXT, offered_qos_profiles TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+        " timestamp INTEGER, data BLOB)"
+    )
+    con.execute("INSERT INTO topics VALUES (1, '/t', 'demo/P', 'cdr', '')")
+    rows = [(None, 1, 10**18 + i, good(i)) for i in range(4)]
+    rows.insert(2, (None, 1, 10**18 + 9, bad))
+    con.executemany("INSERT INTO messages VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    raw = read_rosbag2(spark, path, num_partitions=1)
+    out = (
+        decode_messages_cdr(raw, "demo/P", deftext, on_error="permissive")
+        .orderBy("offset")
+        .collect()
+    )
+    assert len(out) == 5
+    assert sum(1 for r in out if r._decode_error is not None) == 1
+    assert [r.s for r in out if r._decode_error is None] == ["ok"] * 4

@@ -158,3 +158,39 @@ def test_convert_bag_compression_codec(spark, two_type_bag, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     with pytest.raises(ValueError, match="compression"):
         convert_bag(spark, two_type_bag, str(tmp_path / "bad"), compression="brotli9")
+
+
+def test_convert_bag_permissive_survives_poison(spark, tmp_path):
+    """A bag with one corrupt payload: strict conversion raises, permissive
+    conversion completes with the bad row carried as NULL fields +
+    _decode_error in its per-type table — the operational difference
+    between losing a 100 TB job and losing one row."""
+    import struct
+
+    import pytest as _pytest
+
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    deftext = "uint32 a\nstring s\n"
+    good = lambda i: struct.pack("<I", i) + struct.pack("<I", 2) + b"ok"  # noqa: E731
+    bad = struct.pack("<I", 9) + struct.pack("<I", 12345)
+    path = str(tmp_path / "poison.sbag")
+    msgs = [(1, 10**18 + i * 1000, good(i)) for i in range(6)]
+    msgs.insert(4, (1, 10**18 + 3500, bad))
+    write_bag(path, [ConnectionInfo(1, "/t", "demo/P", "", deftext)], msgs)
+
+    with _pytest.raises(Exception):
+        convert_bag(spark, path, str(tmp_path / "strict"))
+
+    info = convert_bag(
+        spark, path, str(tmp_path / "perm"), on_error="permissive"
+    )
+    assert info.count == 7
+    t = spark.read.parquet(str(tmp_path / "perm") + "/demo_P")
+    rows = t.orderBy("seqno").collect()
+    assert len(rows) == 7
+    bad_rows = [r for r in rows if r._decode_error is not None]
+    assert len(bad_rows) == 1 and bad_rows[0].a is None
+    # the raw blob is preserved even for the bad row — nothing is lost
+    assert bytes(bad_rows[0].data) == bad
