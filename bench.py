@@ -48,6 +48,13 @@ EXTENDED = [
     "salted-join",
     "markov-chain",
     "tokenize-chunk",
+    # round-6 operators — measured cost from day one
+    "resample-interpolate",
+    "hll-sketch",
+    "scd2-intervals",
+    "bloom-join",
+    "cluster-write",
+    "zorder-write",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

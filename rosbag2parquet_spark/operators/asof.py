@@ -238,10 +238,15 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the "next" side runs as a RUNNING frame over the REVERSED order:
+    # Spark evaluates first()-over-unboundedFollowing by rescanning the
+    # tail per row — O(n²) per partition (63 s at sf0.1, measured); the
+    # descending running last() is the same value in O(n log n), and both
+    # sorts share the one event_type Exchange
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t_of_point = F.when(F.col("v").isNotNull(), F.col("t_us"))
     enriched = tagged.select(
@@ -250,8 +255,8 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
         F.last(t_of_point, ignorenulls=True).over(w_prev).alias("prev_t"),
-        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
-        F.first(t_of_point, ignorenulls=True).over(w_next).alias("next_t"),
+        F.last("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.last(t_of_point, ignorenulls=True).over(w_next).alias("next_t"),
     )
     frac = (F.col("t_us") - F.col("prev_t")).cast("double") / (
         F.col("next_t") - F.col("prev_t")
