@@ -100,10 +100,10 @@ _MODULES = (
 # block (oldest remaining) fills the window; the 50 queries r5 just proved
 # rotate to the back. After this round's driver run, NO query's latest row
 # is older than r4.
-# ROUND-7 NOTE: the r6 window = 9 new/changed + 9 r2 + 19 r3 + the first 13
-# of the r4 block (through "stream-sliding"). For r7, lead with any new/
-# changed queries, then the REMAINDER of the r4 block ("stream-sessionize"
-# onward, 35 queries), then the r5-proven block; r6-proven rotate to the
+# ROUND-7 NOTE: the r6 window = 10 new/changed + 9 r2 + 19 r3 + the first
+# 12 of the r4 block (through "stream-tumbling"). For r7, lead with any
+# new/changed queries, then the REMAINDER of the r4 block ("stream-sliding"
+# onward, 36 queries), then the r5-proven block; r6-proven rotate to the
 # back.
 _QUERY_ORDER = [
     # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
