@@ -373,6 +373,7 @@ def convert_bag(
             max_records_per_file=max_records_per_file,
             compression=compression,
             msgdefs=msgdefs,
+            on_error=on_error,
         )
 
     # start/end push into the SOURCE plan where the container supports it

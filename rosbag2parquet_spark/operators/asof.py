@@ -215,14 +215,18 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.groupBy("event_type").agg(
         F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
     )
+    # guard ceil(lo) <= hi: Spark's sequence() RAISES on start > stop
+    # (an entity whose whole span sits inside one hour without crossing a
+    # boundary), where the oracle's range() just yields no rows — emit an
+    # empty array for that entity instead
+    ceil_lo = F.expr(f"((lo + {_HOUR_US - 1}) div {_HOUR_US}) * {_HOUR_US}")
     grid = bounds.select(
         "event_type",
         F.explode(
-            F.sequence(
-                F.expr(f"((lo + {_HOUR_US - 1}) div {_HOUR_US}) * {_HOUR_US}"),
-                F.col("hi"),
-                F.lit(_HOUR_US).cast("long"),
-            )
+            F.when(
+                ceil_lo <= F.col("hi"),
+                F.sequence(ceil_lo, F.col("hi"), F.lit(_HOUR_US).cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("t_us"),
     )
     tagged = grid.select(

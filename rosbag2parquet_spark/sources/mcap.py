@@ -166,13 +166,16 @@ def scan_mcap(path: str) -> McapScan:
     return _scan_mcap_uncached(path, st.st_mtime_ns, st.st_size)
 
 
-def _parse_chunk_index(payload: bytes) -> McapChunkRef:
+def _parse_chunk_index(payload: bytes) -> "tuple[McapChunkRef, tuple[int, int]]":
     """ChunkIndex → the same McapChunkRef the walk builds: records_off is
     chunk_start_offset + record header (9) + chunk payload prefix (28 fixed
     + compression string + records_size u64); records_size is the index's
     compressed_size (the spec defines it as the size of the chunk's records
-    field); size is the declared uncompressed size."""
-    t_start, t_end, chunk_start, _chunk_len = struct.unpack_from(
+    field); size is the declared uncompressed size. Also returns the
+    chunk's FILE EXTENT [chunk_start, chunk_start + chunk_length +
+    message_index_length) so the summary planner can prove the index
+    covers the whole data section (no silently-dropped top-level rows)."""
+    t_start, t_end, chunk_start, chunk_len = struct.unpack_from(
         "<QQQQ", payload, 0
     )
     (mio_len,) = struct.unpack_from("<I", payload, 32)
@@ -185,15 +188,18 @@ def _parse_chunk_index(payload: bytes) -> McapChunkRef:
             for k in range(mio_len // 10)
         )
     )
-    pos = 36 + mio_len + 8  # skip message_index_offsets map + index_length
+    pos = 36 + mio_len
+    (mi_len,) = struct.unpack_from("<Q", payload, pos)  # message_index_length
+    pos += 8
     comp, pos = _str_at(payload, pos)
     csize, usize = struct.unpack_from("<QQ", payload, pos)
     records_off = chunk_start + 9 + 28 + 4 + len(comp.encode()) + 8
-    return McapChunkRef(
+    ref = McapChunkRef(
         records_off, csize, comp,
         usize or (csize if comp in ("", "none") else 0),
         t_start, t_end, channels,
     )
+    return ref, (chunk_start, chunk_start + chunk_len + mi_len)
 
 
 def _scan_from_summary(path: str, size: int) -> "McapScan | None":
@@ -223,6 +229,7 @@ def _scan_from_summary(path: str, size: int) -> "McapScan | None":
     schemas: dict = {}
     channels: dict = {}
     chunks: list = []
+    extents: list = []
     for op, s, ln, _ in _walk_records(buf):
         if op == OP_SCHEMA:
             sid, v = _parse_schema(buf[s : s + ln])
@@ -231,12 +238,75 @@ def _scan_from_summary(path: str, size: int) -> "McapScan | None":
             cid, v = _parse_channel(buf[s : s + ln])
             channels.setdefault(cid, v)
         elif op == OP_CHUNK_INDEX:
-            chunks.append(_parse_chunk_index(buf[s : s + ln]))
+            ref, extent = _parse_chunk_index(buf[s : s + ln])
+            chunks.append(ref)
+            extents.append(extent)
     if not channels or not chunks:
         return None
+    _verify_summary_covers_data(path, extents, summary_start)
     # file order == offset order; the walk enumerates chunks the same way
     chunks.sort(key=lambda c: c.records_off)
     return McapScan(schemas, channels, chunks, [])
+
+
+# data-section record ops a spec-shaped indexed file may legitimately hold
+# OUTSIDE its chunk extents: Header, dim repeats, per-chunk MessageIndex
+# (when a writer leaves message_index_length zero), Attachment(+Index),
+# Metadata(+Index), DataEnd. Message and Chunk are NOT here — a top-level
+# Message is data the chunk index can't plan, and a Chunk without a
+# ChunkIndex is data the summary would silently drop.
+_GAP_OK_OPS = frozenset(
+    {OP_HEADER, OP_SCHEMA, OP_CHANNEL, OP_MESSAGE_INDEX,
+     0x09, 0x0A, 0x0C, 0x0D, OP_DATA_END}
+)
+
+
+def _verify_summary_covers_data(
+    path: str, extents: "list[tuple[int, int]]", summary_start: int
+) -> None:
+    """Prove the ChunkIndex records cover the WHOLE data section before
+    trusting the O(index) plan: an indexed file that mixes chunks with
+    top-level Message records (or carries a chunk missing its ChunkIndex)
+    would otherwise lose those rows silently, while the walk path refuses
+    the same file loudly. Tiles [8, summary_start) with the chunk extents
+    (chunk_length + message_index_length, both from ChunkIndex) and walks
+    only the GAPS by 9-byte record header, seeking over payloads — in a
+    well-formed file the gaps are the Header record, dim repeats, and
+    DataEnd, so this costs a handful of tiny reads and never touches chunk
+    bodies; a Message/Chunk op in a gap raises the walk path's error."""
+    spans = sorted(extents)
+    with open(path, "rb") as f:
+        pos = 8  # after leading magic
+        for lo, hi in spans + [(summary_start, summary_start)]:
+            while pos < lo:
+                f.seek(pos)
+                head = f.read(9)
+                if len(head) < 9:
+                    raise ValueError(
+                        f"{path}: truncated record header at {pos}"
+                    )
+                op = head[0]
+                (ln,) = struct.unpack("<Q", head[1:])
+                if op == OP_MESSAGE:
+                    raise ValueError(
+                        f"{path}: mixes chunked and top-level messages "
+                        f"(Message record at {pos} outside every indexed "
+                        "chunk) — the offset orderings don't compose; "
+                        "rewrite the file consistently"
+                    )
+                if op == OP_CHUNK:
+                    raise ValueError(
+                        f"{path}: Chunk record at {pos} has no ChunkIndex "
+                        "— a partial summary would silently drop its rows; "
+                        "reindex the file"
+                    )
+                pos += 9 + ln
+            if pos > lo and lo < hi:
+                raise ValueError(
+                    f"{path}: gap record overruns the indexed chunk extent "
+                    f"at {lo} — inconsistent ChunkIndex offsets"
+                )
+            pos = max(pos, hi)
 
 
 @lru_cache(maxsize=64)
@@ -407,7 +477,7 @@ def point_read(
                     break
             if mi_off is None:
                 continue
-            ref = _parse_chunk_index(payload)
+            ref, _extent = _parse_chunk_index(payload)
             # one ranged read of the channel's MessageIndex record
             f.seek(mi_off)
             head = f.read(9)

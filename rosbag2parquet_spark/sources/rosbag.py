@@ -387,19 +387,28 @@ class _RosbagReader(DataSourceReader):
         # SEPARATE Python worker, so the driver-side scan memo can't reach
         # it — without this the planner re-walks every bag once more
         cj = options.get("chunksjson", options.get("chunksJson"))
+        # entries carry the ORIGINAL file-order chunk index (pruning drops
+        # entries, never renumbers) so offsets are filter-invariant
         self._chunks = (
-            [ChunkRef(p, c, s) for p, c, s in json.loads(cj)] if cj else None
+            [(i, ChunkRef(p, c, s)) for i, p, c, s in json.loads(cj)]
+            if cj
+            else None
         )
+        sh = options.get("offsetshift", options.get("offsetShift"))
+        self._shift = int(sh) if sh else None
 
     def partitions(self):
         if self._chunks is not None:
-            chunks = self._chunks
+            indexed = [(i, c.pos, c.compression) for i, c in self._chunks]
+            shift = self._shift or offset_shift([c for _, c in self._chunks])
+            if not indexed:
+                return [_RosbagPartition(self.path, [], shift)]
         else:
             _, chunks = scan_rosbag(self.path)
-        shift = offset_shift(chunks)
-        if not chunks:
-            return [_RosbagPartition(self.path, [], shift)]
-        indexed = [(i, c.pos, c.compression) for i, c in enumerate(chunks)]
+            shift = offset_shift(chunks)
+            if not chunks:
+                return [_RosbagPartition(self.path, [], shift)]
+            indexed = [(i, c.pos, c.compression) for i, c in enumerate(chunks)]
         n = max(1, min(self.n_partitions, len(indexed)))
         per = (len(indexed) + n - 1) // n
         return [
@@ -474,18 +483,31 @@ def read_rosbag(
         chunks is None
     ):
         chunks = scan_rosbag(path)[1]
-    if chunks is not None:
-        chunks = prune_chunks(chunks, start_ns, end_ns, conn_ids)
     r = (
         spark.read.format("rosbag")
         .option("path", path)
         .option("numPartitions", str(num_partitions))
     )
     if chunks is not None:
+        # serialize [ORIGINAL file-order index, pos, compression, size] and
+        # the shift derived from the FULL chunk list: a filtered read must
+        # yield the same offsets as the unfiltered read of the same bag
+        # (the MCAP pruning contract — seqno stays stable across filters),
+        # so pruning may drop entries but never renumber them
+        shift = offset_shift(chunks)
+        kept_ids = {
+            id(c) for c in prune_chunks(chunks, start_ns, end_ns, conn_ids)
+        }
         r = r.option(
             "chunksJson",
-            json.dumps([[c.pos, c.compression, c.size] for c in chunks]),
-        )
+            json.dumps(
+                [
+                    [i, c.pos, c.compression, c.size]
+                    for i, c in enumerate(chunks)
+                    if id(c) in kept_ids
+                ]
+            ),
+        ).option("offsetShift", str(shift))
     df = r.load()
     from pyspark.sql import functions as F
 

@@ -506,6 +506,22 @@ def make_cdr_vector_decoder(ops: list[tuple]):
         bounds = np.concatenate(([0], np.cumsum(lens)))
         raw = b"".join(bufs)
         data = np.frombuffer(raw, dtype=np.uint8)
+        # vectorized twin of the per-row encapsulation gate (decode():
+        # buf[1] in (0x01, 0x03)): a big-endian or malformed payload must
+        # raise here too, never decode to garbage through the LE views
+        if n:
+            if int(lens.min()) < 4:
+                raise ValueError(
+                    "CDR payload shorter than the 4-byte encapsulation "
+                    "header"
+                )
+            enc = data[bounds[:-1] + 1]
+            if not np.isin(enc, (0x01, 0x03)).all():
+                bad = int(np.flatnonzero(~np.isin(enc, (0x01, 0x03)))[0])
+                raise ValueError(
+                    "not a little-endian CDR payload (encapsulation "
+                    f"byte 0x{int(enc[bad]):02x} in batch row {bad})"
+                )
         origin = bounds[:-1] + 4  # alignment origin: post-encapsulation
         off = origin.copy()
 

@@ -216,14 +216,62 @@ def test_indexed_planning_reads_only_magic_footer_summary(tmp_path):
         (size - 8 - _FOOTER_RECORD_LEN, size),  # footer
         (summary_start, size - 8 - _FOOTER_RECORD_LEN),  # summary section
     ]
+    # the coverage proof may additionally touch 9-byte record HEADERS in
+    # the gaps between indexed chunk extents (Header/dim/DataEnd records)
+    # — never a chunk body, never more than a header per gap record
+    chunk_extents = [
+        (c.records_off, c.records_off + c.records_size)
+        for c in scan_mcap(path).chunks
+    ]
+    header_bytes = 0
     for pos, n in spans:
-        assert any(lo <= pos and pos + n <= hi for lo, hi in allowed), (
+        if any(lo <= pos and pos + n <= hi for lo, hi in allowed):
+            continue
+        assert n <= 9, (
             f"planner read [{pos}, {pos + n}) outside magic/footer/summary "
-            f"(allowed {allowed})"
+            f"and larger than a record header"
         )
-    # and the data section (chunks) was never touched
-    data_hi = summary_start
-    assert all(pos + n <= 8 or pos >= data_hi - 0 for pos, n in spans if n)
+        assert all(pos + n <= lo or pos >= hi for lo, hi in chunk_extents), (
+            f"planner header read [{pos}, {pos + n}) overlaps a chunk body"
+        )
+        header_bytes += n
+    assert header_bytes <= 9 * (2 + 2 * len(CONNS)), (
+        "coverage proof read more than Header+dim+DataEnd headers"
+    )
+
+
+def test_indexed_mixed_toplevel_message_refused(tmp_path):
+    """An INDEXED file that also carries a top-level Message record must be
+    refused by the summary planner (it would otherwise silently drop that
+    row), matching the walk path's refusal of the same mix."""
+    import os
+
+    from rosbag2parquet_spark.sources.mcap import (
+        _FOOTER_RECORD_LEN,
+        OP_MESSAGE,
+        _scan_mcap_uncached,
+    )
+
+    path = str(tmp_path / "mixed.mcap")
+    write_mcap(path, CONNS, _messages(40), chunked=True, chunk_messages=7)
+    raw = bytearray(open(path, "rb").read())
+    size = len(raw)
+    footer_pos = size - 8 - _FOOTER_RECORD_LEN
+    (summary_start,) = struct.unpack_from("<Q", raw, footer_pos + 9)
+    # splice a top-level Message just before DataEnd (which sits right
+    # before the summary), then shift summary_start by the insert length
+    dataend_pos = summary_start - (9 + 4)
+    assert raw[dataend_pos] == 0x0F
+    body = struct.pack("<HIQQ", CONNS[0].conn_id, 0, 999, 999) + b"\x00" * 8
+    msg = bytes([OP_MESSAGE]) + struct.pack("<Q", len(body)) + body
+    raw[dataend_pos:dataend_pos] = msg
+    struct.pack_into("<Q", raw, footer_pos + len(msg) + 9,
+                     summary_start + len(msg))
+    with open(path, "wb") as f:
+        f.write(bytes(raw))
+    _scan_mcap_uncached.cache_clear()
+    with pytest.raises(ValueError, match="top-level"):
+        scan_mcap(path)
 
 
 def test_indexed_and_walk_paths_identical(spark, tmp_path):

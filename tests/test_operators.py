@@ -269,6 +269,47 @@ def test_seqno_edge_cases(spark):
     assert got == {4: 0, 1: 1, 2: 2, 3: 3}
 
 
+def test_resample_survives_span_inside_one_hour(spark, tmp_path):
+    """An entity whose whole time span sits inside one hour (never crossing
+    a grid boundary) must yield ZERO grid rows, not crash: Spark's
+    sequence() raises on start > stop, so the grid explode is guarded."""
+    import datetime as dt
+
+    from rosbag2parquet_spark.operators.asof import q_resample
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 5)
+    rows = [
+        # 'tight' lives entirely inside hour 10 — no grid point
+        (1, base, "tight", 1.0, 42, "{}"),
+        (2, base + dt.timedelta(minutes=30), "tight", 2.0, 42, "{}"),
+        # 'wide' crosses two boundaries — two grid points
+        (3, base, "wide", 1.0, 42, "{}"),
+        (4, base + dt.timedelta(hours=2), "wide", 5.0, 42, "{}"),
+    ]
+    # driver-testdata parquet shape: naive TIMESTAMP(NANOS)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[4] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(table, sf + "/events.parquet", store_schema=False)
+    out = q_resample(spark, sf).collect()
+    assert {r.event_type for r in out} == {"wide"}
+    assert len(out) == 2
+
+
 def test_resample_interpolate_invariants(spark):
     """Grid rows land on exact hour marks; locf equals the latest event at
     or before the grid point; interp is bracketed by its neighbors."""

@@ -341,3 +341,31 @@ def test_rosbag_time_and_topic_pruning(spark, tmp_path):
     assert got2.select("time_ns", "conn_id", "data").exceptAll(
         want.select("time_ns", "conn_id", "data")
     ).count() == 0
+
+
+def test_rosbag_offsets_stable_across_filters(spark, tmp_path):
+    """Pruning drops chunks but never renumbers them: a filtered read's
+    offsets must equal the unfiltered read's offsets for the same rows
+    (the MCAP contract — seqno stays stable across filters). Catches both
+    chunk_index renumbering and a shift recomputed over the pruned list."""
+    from rosbag2parquet_spark.sources.rosbag import read_rosbag, write_rosbag
+
+    path = str(tmp_path / "stab.bag")
+    t0 = 1_700_000_000_000_000_000
+    msgs = [(1 + (i % 2), t0 + i * 1_000_000, b"z" * 8) for i in range(40)]
+    write_rosbag(path, _PRUNE_CONNS, msgs, messages_per_chunk=10)
+    full = {
+        (r.time_ns, r.conn_id): r.offset
+        for r in read_rosbag(spark, path, num_partitions=2).collect()
+    }
+    lo, hi = t0 + 12 * 1_000_000, t0 + 33 * 1_000_000
+    filt = read_rosbag(
+        spark, path, num_partitions=2, start_ns=lo, end_ns=hi
+    ).collect()
+    assert len(filt) == 21
+    for r in filt:
+        assert r.offset == full[(r.time_ns, r.conn_id)]
+    by_conn = read_rosbag(spark, path, num_partitions=2, conn_ids=[2]).collect()
+    assert len(by_conn) == 20
+    for r in by_conn:
+        assert r.offset == full[(r.time_ns, r.conn_id)]

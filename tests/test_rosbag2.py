@@ -476,6 +476,21 @@ def test_cdr_vector_tier_strings_alignment():
     _assert_tiers_agree(vec, row)
 
 
+def test_cdr_vector_tier_rejects_big_endian():
+    """The vector tier must refuse non-LE encapsulation like the per-row
+    tier does (decode(): buf[1] in (0x01, 0x03)) — a BE payload decoding
+    to garbage through the LE views would be a silent-corruption path."""
+    good = [encode_pose(i, i, i, "a", 0.5, 1, 2, "b") for i in range(5)]
+    be = bytearray(good[2])
+    be[1] = 0x00  # CDR_BE representation identifier
+    payloads = good[:2] + [bytes(be)] + good[3:]
+    with pytest.raises(ValueError, match="little-endian"):
+        _vector_tier("geometry_msgs/PoseLite", POSE_DEF, payloads)
+    short = good[:1] + [b"\x00\x01"]
+    with pytest.raises(ValueError, match="encapsulation"):
+        _vector_tier("geometry_msgs/PoseLite", POSE_DEF, short)
+
+
 def test_cdr_vector_tier_native_arrays():
     payloads = [encode_imu(i, (0.1 * i, -0.2 * i, 9.81), "b" * (i % 4))
                 for i in range(30)]
@@ -640,6 +655,34 @@ def test_convert_rosbag2_directory(spark, rosbag2_dir, tmp_path):
     assert [r.seqno for r in rows] == list(range(25))
     conns = spark.read.parquet(out + "/Connections").collect()
     assert len(conns) == 1 and conns[0].datatype == "geometry_msgs/PoseLite"
+
+
+def test_convert_rosbag2_directory_forwards_on_error(spark, rosbag2_dir, tmp_path):
+    """convert_bag(directory, on_error='permissive') must FORWARD the mode
+    to the shard fleet: a poisoned payload fails strict conversion but
+    survives permissive as a dead-letter row (the API path previously
+    dropped on_error and silently reverted to fail)."""
+    import sqlite3
+
+    from rosbag2parquet_spark.convert import convert_bag
+
+    shard = os.path.join(rosbag2_dir, "part_a.db3")
+    con = sqlite3.connect(shard)
+    con.execute(
+        "UPDATE messages SET data = ? WHERE id = "
+        "(SELECT id FROM messages ORDER BY timestamp LIMIT 1)",
+        (CDR_LE_HEADER + b"\x01\x02",),  # truncated CDR body
+    )
+    con.commit()
+    con.close()
+    with pytest.raises(Exception):
+        convert_bag(spark, rosbag2_dir, str(tmp_path / "strict_dir"))
+    out = str(tmp_path / "perm_dir")
+    info = convert_bag(spark, rosbag2_dir, out, on_error="permissive")
+    assert info.count == 25
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    bad = pose.filter(pose._decode_error.isNotNull()).collect()
+    assert len(bad) == 1 and bad[0].label is None
 
 
 def test_mcap_fleet_converts(spark, tmp_path):
