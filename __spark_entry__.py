@@ -106,6 +106,9 @@ _MODULES = (
 # onward, 36 queries), then the r5-proven block; r6-proven rotate to the
 # back.
 _QUERY_ORDER = [
+    # NEW round 7: point-in-time join against the SCD2 interval table;
+    # small-file compaction preserving the clustered layout
+    "scd2-asof", "compact-files",
     # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
     "stream-neardup-parity",
     # NEW this round: time-grid gap fill (LOCF + bit-exact linear interp)

@@ -292,8 +292,109 @@ FROM changes
 """
 
 
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 interval table — the payoff the
+    interval form exists for: "what state was the user in at time T?"
+    Probes are each purchase event shifted +10 minutes, so the answer is
+    genuinely time-dependent (the user's state may have changed inside the
+    gap), matched to the interval with
+    ``valid_from <= T AND (valid_to = -1 OR T < valid_to)``.
+
+    Plan: NOT a range join — an equi-join on user_id with a range residual
+    explodes O(events × intervals) per user. Instead the interval OPENS
+    (valid_from rows, which tile each user's timeline) union the probes,
+    ONE shuffle on user_id, and a running ``last(..., ignorenulls)`` window
+    carries the covering interval onto every probe — per-probe O(1) in the
+    ordered merge, the same co-partitioned as-of shape as ``q_asof``. At
+    100 TB both sides hash-partition on user_id and nothing is quadratic.
+    Ties: a probe AT valid_from belongs to the new interval (inclusive
+    lower bound), so interval markers sort before probes at equal t."""
+    iv = q_scd2_intervals(spark, sf_dir)
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") + 600_000_000).alias("t"),
+            "event_id",
+        )
+    )
+    markers = iv.select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_probe"),
+        "state",
+        "version",
+        "valid_from",
+        "valid_to",
+    )
+    tagged = markers.unionByName(
+        probes.select(
+            "user_id",
+            "t",
+            "event_id",
+            F.lit(1).alias("is_probe"),
+            F.lit(None).cast("string").alias("state"),
+            F.lit(None).cast("int").alias("version"),
+            F.lit(None).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "t",
+        "event_id",
+        "is_probe",
+        F.last("state", ignorenulls=True).over(w).alias("state"),
+        F.last("version", ignorenulls=True).over(w).alias("version"),
+        F.last("valid_from", ignorenulls=True).over(w).alias("valid_from"),
+        F.last("valid_to", ignorenulls=True).over(w).alias("valid_to"),
+    )
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .filter(
+            F.col("valid_from").isNotNull()
+            & (
+                (F.col("valid_to") == -1) | (F.col("t") < F.col("valid_to"))
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("probe_t"),
+            "state",
+            "version",
+            "valid_from",
+            "valid_to",
+        )
+    )
+
+
+ORACLE_SCD2_ASOF = (
+    "WITH iv AS (" + ORACLE_SCD2 + "),\n"
+    """probes AS (
+  SELECT event_id, user_id, epoch_us(ts) + 600000000 AS probe_t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.probe_t,
+       iv.state, iv.version, iv.valid_from, iv.valid_to
+FROM probes p
+JOIN iv ON iv.user_id = p.user_id
+       AND iv.valid_from <= p.probe_t
+       AND (iv.valid_to = -1 OR p.probe_t < iv.valid_to)
+"""
+)
+
+
 QUERIES = {
     "scd2-intervals": q_scd2_intervals,
+    "scd2-asof": q_scd2_asof,
     "compact-latest": q_compact_latest,
     "funnel": q_funnel,
     "cohort-retention": q_cohort_retention,
@@ -302,6 +403,7 @@ QUERIES = {
 
 ORACLES = {
     "scd2-intervals": ORACLE_SCD2,
+    "scd2-asof": ORACLE_SCD2_ASOF,
     "compact-latest": ORACLE_COMPACT_LATEST,
     "funnel": ORACLE_FUNNEL,
     "cohort-retention": ORACLE_COHORT_RETENTION,

@@ -389,12 +389,97 @@ FROM lineitem WHERE l_suppkey < 10
 """
 
 
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_col: "str | None" = None,
+) -> int:
+    """Small-file compaction — the OPTIMIZE bin-packing maintenance op a
+    100 TB layout needs after streaming/demux writes leave thousands of
+    KB-sized files (each file costs an open + a task at read time; the
+    reference's single-writer design never fragments, README.md:8, but a
+    distributed writer does). Returns the number of output files.
+
+    Sizing is a driver-side LISTING of the input footprint (the same
+    metadata snapshot Delta/Iceberg OPTIMIZE takes — no data read):
+    n_files = ceil(total_bytes / target). Without ``cluster_col`` the
+    rewrite is ``coalesce`` — a NO-SHUFFLE bin-packing of existing
+    partitions into fewer tasks, the cheapest possible compaction. With
+    ``cluster_col`` it re-runs the ``write_clustered`` range+sort so the
+    compacted files KEEP near-disjoint min/max ranges — compaction must
+    not destroy the scan-pruning property the clustered layout paid for."""
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // max(1, target_file_bytes)))
+    df = spark.read.parquet(in_path)
+    if cluster_col is None:
+        df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    else:
+        write_clustered(df, out_path, cluster_col, n_files=n_files)
+    return n_files
+
+
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round-trip as a declared query: lineitem deliberately
+    FRAGMENTED into 64 small files, compacted to a handful of
+    target-sized files preserving the l_shipdate cluster order, read
+    back. The oracle is the plain table projection — compaction must be
+    content-invisible; the file-count/size bounds and the preserved
+    min/max disjointness are asserted in tests/test_bucketed.py."""
+    import shutil
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="compact_files_")
+    try:
+        frag = os.path.join(out, "frag")
+        li.repartition(64).write.parquet(frag)
+        frag_bytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        compact_files(
+            spark,
+            frag,
+            os.path.join(out, "compact"),
+            target_file_bytes=max(1, frag_bytes // 4),
+            cluster_col="l_shipdate",
+        )
+        back = (
+            spark.read.parquet(os.path.join(out, "compact"))
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.unix_micros("l_shipdate").alias("ship_us"),
+                "l_quantity",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_COMPACT_FILES = """
+SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us, l_quantity
+FROM lineitem
+"""
+
+
 QUERIES = {
     "demux": q_demux,
     "sink": q_sink,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
+    "compact-files": q_compact_files,
 }
 ORACLES = {
     "demux": ORACLE_DEMUX,
@@ -402,4 +487,5 @@ ORACLES = {
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,
+    "compact-files": ORACLE_COMPACT_FILES,
 }

@@ -218,3 +218,64 @@ def test_zordered_write_bounds_both_dimensions(spark, tmp_path):
     avg_sk = sum(h - l for l, h in sk) / len(sk)
     assert avg_pk < 0.6 * glob_pk, (avg_pk, glob_pk)
     assert avg_sk < 0.75 * glob_sk, (avg_sk, glob_sk)
+
+
+def test_compact_files_bounds_and_preserves_clustering(spark, tmp_path):
+    """compact_files rewrites a fragmented layout into ~target-sized files:
+    file count drops to the byte-derived bound, content is unchanged, and
+    with a cluster_col the compacted files KEEP near-disjoint min/max
+    ranges (compaction must not destroy the pruning property)."""
+    import pyarrow.parquet as pq
+
+    from rosbag2parquet_spark.sinks import compact_files
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    frag = str(tmp_path / "frag")
+    li.repartition(48).write.parquet(frag)
+    frag_files = [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    assert len(frag_files) == 48
+    total = sum(os.path.getsize(os.path.join(frag, f)) for f in frag_files)
+
+    out = str(tmp_path / "compacted")
+    n = compact_files(
+        spark, frag, out, target_file_bytes=total // 4,
+        cluster_col="l_shipdate",
+    )
+    out_files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    # ceil(total/target) with target=total//4 gives 4 or 5 files
+    assert n == len(out_files) and 4 <= n <= 6
+    sizes = [os.path.getsize(os.path.join(out, f)) for f in out_files]
+    # every output file is within a loose factor of the target (range
+    # partitioning balances on rows; compression varies per range)
+    assert max(sizes) < 3 * (total // 4)
+    # content-invisible
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # clustering preserved: near-disjoint l_shipdate spans per file
+    spans = []
+    for f in out_files:
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        col = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # no-shuffle path: coalesce-only compaction also hits the count bound
+    out2 = str(tmp_path / "compacted_plain")
+    n2 = compact_files(spark, frag, out2, target_file_bytes=total // 4)
+    plain = [f for f in os.listdir(out2) if f.endswith(".parquet")]
+    assert n2 == len(plain) and 4 <= n2 <= 6
+    c = spark.read.parquet(out2)
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
