@@ -383,7 +383,7 @@ def convert_bag(
     # source already pruned)
     msgs, conns_df = load_bag(
         spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs,
-        start_ns=start_ns, end_ns=end_ns,
+        start_ns=start_ns, end_ns=end_ns, on_error=on_error,
     )
     fmt = _fmt(bag_path)
     if fmt == "rosbag2":
@@ -422,6 +422,7 @@ def convert_bag(
             msgs = read_mcap(
                 spark, bag_path, num_partitions=num_partitions,
                 start_ns=start_ns, end_ns=end_ns, conn_ids=keep_ids,
+                on_error=on_error,
             )
         elif fmt == "rosbag":
             # ChunkInfo stats prune chunks without the selected topics
@@ -847,7 +848,9 @@ def convert_bags(
         elif meta["format"] == "mcap":
             from rosbag2parquet_spark.sources.mcap import read_mcap
 
-            msgs = read_mcap(spark, meta["path"], num_partitions=nparts)
+            msgs = read_mcap(
+                spark, meta["path"], num_partitions=nparts, on_error=on_error
+            )
         else:
             msgs = read_bag(spark, meta["path"], num_partitions=nparts)
         msgs = msgs.withColumn("bag_index", F.lit(i))

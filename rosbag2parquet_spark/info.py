@@ -29,6 +29,7 @@ def load_bag(
     msgdefs: "dict[str, str] | None" = None,
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
+    on_error: str = "fail",
 ) -> tuple[DataFrame, DataFrame]:
     """(messages, connections) for any bag generation, detected from magic
     bytes: rosbag 2.0 record/chunk format, ROS 2 rosbag2 (.db3 sqlite3
@@ -59,7 +60,7 @@ def load_bag(
         return (
             read_mcap(
                 spark, path, num_partitions=num_partitions,
-                start_ns=start_ns, end_ns=end_ns,
+                start_ns=start_ns, end_ns=end_ns, on_error=on_error,
             ),
             mcap_connections_df(spark, path),
         )

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import os
 import struct
+import zlib
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Iterator, NamedTuple
@@ -226,6 +227,15 @@ def _scan_from_summary(path: str, size: int) -> "McapScan | None":
             )
         f.seek(summary_start)
         buf = f.read(summary_end - summary_start)
+    # Footer.summary_crc (spec: CRC-32 of summary_start..summary_offset_
+    # start inclusive) — the whole plan derives from these bytes, so a
+    # corrupted index is caught before it mis-plans; zero = not written
+    (summary_crc,) = struct.unpack_from("<I", tail, 9 + 16)
+    if summary_crc and zlib.crc32(buf + tail[: 9 + 16]) != summary_crc:
+        raise ValueError(
+            f"{path}: footer summary_crc mismatch — corrupted summary "
+            "section; refusing the O(index) plan"
+        )
     schemas: dict = {}
     channels: dict = {}
     chunks: list = []
@@ -417,8 +427,27 @@ def _decompress(blob: bytes, compression: str, size: int) -> bytes:
     raise ValueError(f"unsupported mcap chunk compression {compression!r}")
 
 
+class McapCrcError(ValueError):
+    """Chunk uncompressed_crc mismatch. Carries the decompressed bytes so
+    a permissive reader can salvage whatever records still parse."""
+
+    def __init__(self, msg: str, data: bytes):
+        super().__init__(msg)
+        self.data = data
+
+
 def _read_chunk_records(path: str, ref: McapChunkRef) -> bytes:
+    """Read + decompress one chunk's records, validating the chunk header's
+    ``uncompressed_crc`` when the writer set it (the reference wished for
+    exactly this integrity check, rosbag2parquet.cpp:28 TODO #5; the MCAP
+    spec carries the field so a corrupted object-store read trips here
+    instead of decoding garbage). The CRC sits in the chunk payload prefix
+    at a fixed distance before records_off — one extra 4-byte ranged read,
+    no header re-parse. A zero CRC (spec: optional) skips validation."""
+    crc_pos = ref.records_off - 16 - len(ref.compression.encode())
     with open(path, "rb") as f:
+        f.seek(crc_pos)
+        (want_crc,) = struct.unpack("<I", f.read(4))
         f.seek(ref.records_off)
         blob = f.read(ref.records_size)
     if len(blob) != ref.records_size:
@@ -427,6 +456,13 @@ def _read_chunk_records(path: str, ref: McapChunkRef) -> bytes:
     if ref.size and len(out) != ref.size:
         raise ValueError(
             f"chunk decompressed to {len(out)} bytes, header said {ref.size}"
+        )
+    if want_crc and zlib.crc32(out) != want_crc:
+        raise McapCrcError(
+            f"{path}@{ref.records_off}: chunk uncompressed_crc mismatch "
+            f"(want 0x{want_crc:08x}, got 0x{zlib.crc32(out):08x}) — "
+            "corrupted chunk",
+            out,
         )
     return out
 
@@ -601,6 +637,23 @@ def chunks_in_range(
     return out
 
 
+def _walk_records_salvage(buf: bytes):
+    """Defensive record walk for permissive reads of a CRC-failed chunk:
+    yields records until the first malformed header instead of raising —
+    whatever still parses is salvaged (corrupt payloads then dead-letter
+    per row at decode)."""
+    pos = 0
+    n = len(buf)
+    while pos + 9 <= n:
+        op = buf[pos]
+        (ln,) = struct.unpack_from("<Q", buf, pos + 1)
+        start = pos + 9
+        if start + ln > n:
+            return
+        yield op, start, ln, pos
+        pos = start + ln
+
+
 def read_mcap(
     spark: SparkSession,
     path: str,
@@ -608,6 +661,7 @@ def read_mcap(
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
     conn_ids: "list[int] | None" = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """(offset, time_ns, conn_id=channel_id, data) — the shared scan schema.
     Chunked files partition by chunk (each task decompresses its own);
@@ -648,14 +702,25 @@ def read_mcap(
                     pdf["idx"], pdf["off"], pdf["sz"], pdf["comp"], pdf["usz"]
                 ):
                     ref = McapChunkRef(int(off), int(sz), comp, int(usz))
-                    inner = _read_chunk_records(path, ref)
+                    walk = _walk_records
+                    try:
+                        inner = _read_chunk_records(path, ref)
+                    except McapCrcError as e:
+                        if on_error != "permissive":
+                            raise
+                        # salvage: keep the decompressed bytes, walk what
+                        # still parses (defensive walk stops at the first
+                        # malformed header); corrupt payloads dead-letter
+                        # per row at decode
+                        inner = e.data
+                        walk = _walk_records_salvage
                     if len(inner) > (1 << shift):
                         raise ValueError(
                             f"{path}: chunk {idx} larger than its declared "
                             f"size implies (shift {shift})"
                         )
                     out = {"offset": [], "time_ns": [], "conn_id": [], "data": []}
-                    for op, s, ln, rpos in _walk_records(inner):
+                    for op, s, ln, rpos in walk(inner):
                         if op != OP_MESSAGE:
                             continue
                         cid, t, payload = _parse_message(inner, s, ln)
@@ -732,6 +797,7 @@ def write_mcap(
     compression: str = "",
     chunk_messages: int = 1000,
     indexed: bool = True,
+    crcs: bool = False,
 ) -> None:
     """Minimal spec-conformant MCAP writer (tests + fixtures): Header,
     Schema+Channel per connection, messages (optionally chunked with
@@ -802,7 +868,7 @@ def write_mcap(
             times = [t for _, t, _ in messages[i : i + chunk_messages]]
             payload = (
                 struct.pack("<QQQ", min(times), max(times), len(records))
-                + struct.pack("<I", 0)
+                + struct.pack("<I", zlib.crc32(records) if crcs else 0)
                 + s(comp)
                 + struct.pack("<Q", len(blob))
                 + blob
@@ -850,7 +916,19 @@ def write_mcap(
         summary_start = len(out)
         out += dim  # summary repeats the dim
         out += b"".join(chunk_index_recs)
-        out += rec(OP_FOOTER, struct.pack("<QQI", summary_start, 0, 0))
+        # summary_crc covers summary_start .. the footer's
+        # summary_offset_start field inclusive (spec)
+        footer_head = (
+            bytes([OP_FOOTER])
+            + struct.pack("<Q", 20)
+            + struct.pack("<QQ", summary_start, 0)
+        )
+        summary_crc = (
+            zlib.crc32(bytes(out[summary_start:]) + footer_head)
+            if crcs
+            else 0
+        )
+        out += footer_head + struct.pack("<I", summary_crc)
     else:
         out += dim  # inline summary repeat, no footer pointer (unindexed)
         out += rec(OP_DATA_END, struct.pack("<I", 0))

@@ -66,6 +66,13 @@ OP_CHUNK = 0x05
 OP_CHUNK_INFO = 0x06
 OP_CONNECTION = 0x07
 
+# Integrity note: the rosbag 2.0 container defines NO checksum fields —
+# chunk records carry only `compression` and `size` (the reference's wish
+# for per-message CRC, rosbag2parquet.cpp:28 TODO #5, has nothing in-format
+# to validate against). Corruption surfaces as decompression/walk errors or
+# per-row decode failures (dead-lettered under on_error='permissive').
+# MCAP is the grammar with real CRCs; see mcap.py's chunk uncompressed_crc
+# and footer summary_crc validation.
 class ChunkRef(NamedTuple):
     """One chunk record as seen by the driver scan: file position of the
     record, codec, and DECLARED decompressed size (the chunk header's

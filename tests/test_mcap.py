@@ -471,3 +471,89 @@ def test_point_read_refuses_unindexed(tmp_path):
                indexed=False)
     with _pytest.raises(ValueError, match="summary"):
         point_read(p, 1, _messages(1)[0][1])
+
+
+def test_chunk_crc_roundtrip_and_detection(spark, tmp_path):
+    """Writer emits real chunk uncompressed_crc under crcs=True; the read
+    path validates it: clean file round-trips, a flipped byte inside a
+    chunk body raises under fail and SALVAGES the other chunks under
+    permissive (reference TODO #5 — per-message integrity, done at the
+    spec's chunk granularity)."""
+    import zlib
+
+    from rosbag2parquet_spark.sources.mcap import (
+        McapCrcError,
+        _read_chunk_records,
+        _scan_mcap_uncached,
+    )
+
+    path = str(tmp_path / "crc.mcap")
+    write_mcap(path, CONNS, _messages(60), chunked=True, chunk_messages=12,
+               crcs=True)
+    _scan_mcap_uncached.cache_clear()
+    rows = read_mcap(spark, path, num_partitions=2).collect()
+    assert len(rows) == 60  # nonzero CRCs all validate
+
+    # flip one byte in the middle of the SECOND chunk's records
+    scan = scan_mcap(path)
+    ref = scan.chunks[1]
+    raw = bytearray(open(path, "rb").read())
+    mid = ref.records_off + ref.records_size // 2
+    raw[mid] ^= 0xFF
+    with open(path, "wb") as f:
+        f.write(bytes(raw))
+    _scan_mcap_uncached.cache_clear()
+
+    with pytest.raises(McapCrcError, match="uncompressed_crc"):
+        _read_chunk_records(path, scan_mcap(path).chunks[1])
+    with pytest.raises(Exception):
+        read_mcap(spark, path, num_partitions=2).collect()
+    got = read_mcap(
+        spark, path, num_partitions=2, on_error="permissive"
+    ).collect()
+    # the 4 intact chunks' 48 rows all survive; the corrupt chunk
+    # salvages whatever records still parse (message headers intact here —
+    # only a payload byte flipped, so all 12 rows come back, corrupt
+    # payload and all)
+    assert len(got) >= 48
+
+    # zero CRC (crcs=False, the default writer) skips validation entirely
+    p0 = str(tmp_path / "nocrc.mcap")
+    write_mcap(p0, CONNS, _messages(24), chunked=True, chunk_messages=12)
+    raw0 = bytearray(open(p0, "rb").read())
+    scan0 = scan_mcap(p0)
+    # flip a byte inside the first message's CDR payload (record header
+    # 9 + message prefix 22 + a few bytes in) — structurally valid, so
+    # only a CRC could catch it, and with crc=0 nothing does
+    raw0[scan0.chunks[0].records_off + 9 + 22 + 6] ^= 0xFF
+    with open(p0, "wb") as f:
+        f.write(bytes(raw0))
+    _scan_mcap_uncached.cache_clear()
+    assert len(read_mcap(spark, p0, num_partitions=1).collect()) == 24
+
+
+def test_summary_crc_detection(tmp_path):
+    """A corrupted summary section trips the footer summary_crc before the
+    planner trusts a broken index."""
+    from rosbag2parquet_spark.sources.mcap import (
+        _FOOTER_RECORD_LEN,
+        _scan_mcap_uncached,
+    )
+
+    path = str(tmp_path / "scrc.mcap")
+    write_mcap(path, CONNS, _messages(30), chunked=True, chunk_messages=10,
+               crcs=True)
+    _scan_mcap_uncached.cache_clear()
+    scan_mcap(path)  # clean: validates
+
+    raw = bytearray(open(path, "rb").read())
+    size = len(raw)
+    (summary_start,) = struct.unpack_from(
+        "<Q", raw, size - 8 - _FOOTER_RECORD_LEN + 9
+    )
+    raw[summary_start + 12] ^= 0x01  # corrupt a summary byte
+    with open(path, "wb") as f:
+        f.write(bytes(raw))
+    _scan_mcap_uncached.cache_clear()
+    with pytest.raises(ValueError, match="summary_crc"):
+        scan_mcap(path)
