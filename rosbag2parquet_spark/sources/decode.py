@@ -73,6 +73,9 @@ def make_decoder(
     scalar_fmt = dict(_SCALAR_FMT)
     if unsigned == "exact":
         scalar_fmt["uint32"] = ("<I", 4)
+        # uint64 scalars decode unsigned ("<Q" → unbounded Python int); the
+        # shared schema carries them as DECIMAL(20,0)
+        scalar_fmt["uint64"] = ("<Q", 8)
 
     def decode_into(spec: MsgSpec, buf: bytes, pos: int, out: list) -> int:
         pkg = spec.full_name.split("/")[0] if "/" in spec.full_name else ""
@@ -216,6 +219,7 @@ def fixed_layout(
     np_dtype_map = dict(_NP_DTYPE)
     if unsigned == "exact":
         np_dtype_map["uint32"] = "<u4"
+        np_dtype_map["uint64"] = "<u8"  # scalars only in this tier
     if arrays == "blobs":
         # extracted blob columns are variable-size values even at fixed
         # stride — the offset-scan tier handles them
@@ -317,6 +321,11 @@ def variable_layout(
     np_dtype_map = dict(_NP_DTYPE)
     if unsigned == "exact":
         np_dtype_map["uint32"] = "<u4"
+    # scalar fields only: uint64 → u8 (DECIMAL schema); array ELEMENTS keep
+    # the signed relaxation (array<long> schema) — see to_struct_type
+    np_scalar_map = dict(np_dtype_map)
+    if unsigned == "exact":
+        np_scalar_map["uint64"] = "<u8"
     ops: list[tuple] = []
 
     def fixed_bytes(spec: MsgSpec) -> int | None:
@@ -386,9 +395,9 @@ def variable_layout(
                 ops.append(("string", name))
             elif f.type_name in TIME_TYPES:
                 ops.append(("time", name))
-            elif f.type_name in np_dtype_map:
+            elif f.type_name in np_scalar_map:
                 ops.append(
-                    ("fixed", name, np_dtype_map[f.type_name], _FIXED_SIZE[f.type_name])
+                    ("fixed", name, np_scalar_map[f.type_name], _FIXED_SIZE[f.type_name])
                 )
             else:
                 sub = _resolve(f.type_name, pkg, specs)
@@ -540,6 +549,12 @@ def decode_messages(
         [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
     flat_names = [f.name for f in flat.fields]
+    # exact-mode uint64 columns ship as DECIMAL(20,0): Arrow refuses a
+    # numeric-dtype pandas column against a decimal type, so these convert
+    # to object Series of Python ints (u64 tolist is exact) before yield
+    dec_names = [
+        f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
+    ]
 
     layout = fixed_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
     np_dtype = None
@@ -618,6 +633,13 @@ def decode_messages(
                     cols.update(_decode_salvage(pdf))
             else:
                 cols.update(_decode_fast(pdf))
+            for n in dec_names:
+                v = cols[n]
+                vals = v.tolist() if hasattr(v, "tolist") else list(v)
+                cols[n] = pd.Series(
+                    [None if x is None else int(x) for x in vals],
+                    dtype=object,
+                )
             yield pd.DataFrame(cols)
 
     # data_col may itself be a keep_col (the converter passes the raw blob

@@ -153,11 +153,14 @@ def to_struct_type(
                      reference's documented relaxation, rosbag2parquet.cpp:36
                      TODO "uint32/64 columns are stored as signed").
     unsigned='exact' — upgrade: uint32 promoted to LongType so values past
-                     2^31 read correctly (a ROS Header.seq is uint32!).
-                     uint64 keeps the signed relaxation in BOTH modes —
-                     Spark has no unsigned 64-bit container short of
-                     DECIMAL(20,0), which would poison downstream
-                     arithmetic; documented, like the reference.
+                     2^31 read correctly (a ROS Header.seq is uint32!), and
+                     uint64 SCALARS promoted to DECIMAL(20,0) — the only
+                     Spark container that holds a u64 counter above 2^63
+                     without flipping negative, closing the reference's
+                     signedness bug entirely. uint64 ARRAY elements keep
+                     the signed relaxation in both modes (an
+                     array<decimal> column would poison vectorized
+                     downstream arithmetic for a rare shape; documented).
     """
     if unsigned not in ("signed", "exact"):
         raise ValueError(f"unsigned must be signed|exact, got {unsigned!r}")
@@ -165,6 +168,10 @@ def to_struct_type(
     builtin = dict(BUILTIN_TYPES)
     if unsigned == "exact":
         builtin["uint32"] = T.LongType()
+    # array ELEMENT types: uint64 stays signed-relaxed even in exact mode
+    elem_types = dict(builtin)
+    if unsigned == "exact":
+        builtin["uint64"] = T.DecimalType(20, 0)
 
     fields: list[T.StructField] = []
 
@@ -184,7 +191,7 @@ def to_struct_type(
                     # reference consumes it string-style (MessageTable.cpp:63-67)
                     fields.append(T.StructField(name, T.BinaryType(), False))
                     continue
-                elem = builtin.get(f.type_name)
+                elem = elem_types.get(f.type_name)
                 if elem is None:
                     # time/duration and nested-struct arrays stay skipped in
                     # native mode: their decode has no stable column shape

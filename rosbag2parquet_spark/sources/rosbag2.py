@@ -308,6 +308,11 @@ def cdr_fixed_layout(
         "uint32": "u4" if unsigned == "exact" else "i4",
         "int64": "i8", "uint64": "i8", "float32": "f4", "float64": "f8",
     }
+    # scalar fields only: exact-mode uint64 decodes unsigned (DECIMAL
+    # schema); array ELEMENTS keep the signed relaxation (array<long>)
+    np_scalar = dict(np_fmt)
+    if unsigned == "exact":
+        np_scalar["uint64"] = "u8"
     size_of = {
         "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
         "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
@@ -358,7 +363,7 @@ def cdr_fixed_layout(
                 sz = size_of[f.type_name]
                 pos = align(pos, sz)
                 names.append(name)
-                formats.append(f"<{np_fmt[f.type_name]}")
+                formats.append(f"<{np_scalar[f.type_name]}")
                 offsets.append(pos)
                 pos += sz
             else:
@@ -402,6 +407,11 @@ def cdr_variable_layout(
         "uint32": "<u4" if unsigned == "exact" else "<i4",
         "int64": "<i8", "uint64": "<i8", "float32": "<f4", "float64": "<f8",
     }
+    # scalar fields only: exact-mode uint64 decodes unsigned (DECIMAL
+    # schema); array ELEMENTS keep the signed relaxation (array<long>)
+    np_scalar = dict(np_fmt)
+    if unsigned == "exact":
+        np_scalar["uint64"] = "<u8"
     size_of = {
         "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
         "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
@@ -480,7 +490,7 @@ def cdr_variable_layout(
             elif f.type_name == "string":
                 ops.append(("string", name))
             elif f.type_name in size_of:
-                ops.append(("fixed", name, np_fmt[f.type_name],
+                ops.append(("fixed", name, np_scalar[f.type_name],
                             size_of[f.type_name]))
             else:
                 sub = _resolve(f.type_name, pkg, specs)
@@ -643,8 +653,8 @@ def make_cdr_decoder(
         # rosbag2parquet.cpp:36) so both generations agree column-for-column
         scalar["uint32"] = ("<i", 4)
         scalar["uint64"] = ("<q", 8)
-    else:
-        scalar["uint64"] = ("<q", 8)  # uint64 stays signed-stored either way
+    # exact mode keeps _CDR_SCALAR's "<Q" for uint64: unbounded Python int,
+    # carried as DECIMAL(20,0) by the shared schema
 
     def aligned(pos: int, size: int) -> int:
         rel = pos - 4  # alignment origin is after the 4-byte encapsulation
@@ -798,6 +808,12 @@ def decode_messages_cdr(
         [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
     flat_names = [f.name for f in flat.fields]
+    # exact-mode uint64 columns ship as DECIMAL(20,0): Arrow refuses a
+    # numeric-dtype pandas column against a decimal type, so these convert
+    # to object Series of Python ints (u64 tolist is exact) before yield
+    dec_names = [
+        f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
+    ]
 
     def _decode_fast(pdf) -> dict:
         cols: dict = {}
@@ -855,6 +871,13 @@ def decode_messages_cdr(
                     cols.update(_decode_salvage(pdf))
             else:
                 cols.update(_decode_fast(pdf))
+            for n in dec_names:
+                v = cols[n]
+                vals = v.tolist() if hasattr(v, "tolist") else list(v)
+                cols[n] = pd.Series(
+                    [None if x is None else int(x) for x in vals],
+                    dtype=object,
+                )
             yield pd.DataFrame(cols)
 
     sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])

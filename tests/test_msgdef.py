@@ -161,6 +161,97 @@ def test_unsigned_exact_mode(spark):
         assert parity.collect()[0][col] == expected_signed, msgdef
 
 
+def test_unsigned_exact_uint64_decimal(spark):
+    """unsigned='exact' promotes uint64 SCALARS to DECIMAL(20,0) so a
+    counter above 2^63 round-trips exactly (the reference's signedness
+    bug, rosbag2parquet.cpp:36, closed completely) — in ALL THREE ROS 1
+    decode tiers; the default keeps the signed relaxation; uint64 ARRAY
+    elements stay signed-relaxed even in exact mode."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from rosbag2parquet_spark.sources.decode import decode_messages
+
+    big = (1 << 63) + 12345  # > int64 max
+    expected_signed = big - (1 << 64)
+
+    cases = [
+        # fixed-stride / offset-scan (string forces it) / per-row (string[])
+        ("uint64 a\nint32 b", struct.pack("<Qi", big, -5), "a"),
+        (
+            "uint64 a\nstring s",
+            struct.pack("<Q", big) + struct.pack("<I", 2) + b"hi",
+            "a",
+        ),
+        (
+            "uint64 a\nstring[] ss",
+            struct.pack("<Q", big)
+            + struct.pack("<I", 1)
+            + struct.pack("<I", 2)
+            + b"hi",
+            "a",
+        ),
+    ]
+    for msgdef, payload, col in cases:
+        df = spark.createDataFrame(
+            [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+        )
+        exact = decode_messages(df, "demo/T", msgdef, unsigned="exact")
+        assert exact.schema[col].dataType.simpleString() == "decimal(20,0)", msgdef
+        assert int(exact.collect()[0][col]) == big, msgdef
+        parity = decode_messages(df, "demo/T", msgdef)
+        assert parity.schema[col].dataType.simpleString() == "bigint", msgdef
+        assert parity.collect()[0][col] == expected_signed, msgdef
+
+    # array elements keep the signed relaxation in exact mode
+    arr_payload = struct.pack("<I", 2) + struct.pack("<QQ", big, 7)
+    df = spark.createDataFrame(
+        [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(arr_payload))]
+    )
+    got = decode_messages(
+        df, "demo/T", "uint64[] xs", arrays="native", unsigned="exact"
+    )
+    assert got.schema["xs"].dataType.simpleString() == "array<bigint>"
+    assert list(got.collect()[0]["xs"]) == [expected_signed, 7]
+
+
+def test_unsigned_exact_uint64_decimal_cdr(spark):
+    """The CDR twin: uint64 > 2^63 round-trips as DECIMAL(20,0) in exact
+    mode through fixed-stride, offset-scan, and per-row CDR tiers."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from rosbag2parquet_spark.sources.rosbag2 import decode_messages_cdr
+
+    big = (1 << 63) + 98765
+    enc = b"\x00\x01\x00\x00"  # CDR_LE encapsulation
+
+    def s(v: str) -> bytes:
+        b = v.encode() + b"\x00"
+        return struct.pack("<I", len(b)) + b
+
+    cases = [
+        ("uint64 a\nint32 b", enc + struct.pack("<Qi", big, -5), "a"),
+        ("uint64 a\nstring t", enc + struct.pack("<Q", big) + s("hi"), "a"),
+        (
+            "uint64 a\nstring[] ss",
+            enc + struct.pack("<Q", big) + struct.pack("<I", 1) + s("hi"),
+            "a",
+        ),
+    ]
+    for msgdef, payload, col in cases:
+        df = spark.createDataFrame(
+            [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+        )
+        exact = decode_messages_cdr(df, "demo/T", msgdef, unsigned="exact")
+        assert exact.schema[col].dataType.simpleString() == "decimal(20,0)", msgdef
+        assert int(exact.collect()[0][col]) == big, msgdef
+        parity = decode_messages_cdr(df, "demo/T", msgdef)
+        assert parity.collect()[0][col] == big - (1 << 64), msgdef
+
+
 def test_native_arrays_decode(spark):
     """arrays='native': scalar-element arrays become real ArrayType COLUMNS
     (the upgrade the reference explicitly couldn't do, README.md:126) — in
