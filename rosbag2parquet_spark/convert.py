@@ -537,16 +537,24 @@ def _write_bag_tables(
         slice_df = seq.filter(F.col("conn_id").isin(conn_ids)).withColumnRenamed(
             "data", "__raw__"
         )
-        flat = decode_messages(
-            slice_df,
-            datatype,
-            cs[0].msg_def,
-            data_col="__raw__",
-            keep_cols=("seqno", "conn_id", "__raw__"),
-            arrays=arrays,
-            unsigned=unsigned,
-            on_error=on_error,
-        )
+        if not cs[0].msg_def.strip():
+            # blob-preserving fallback: no decodable schema text for this
+            # type (e.g. an MCAP ros2idl/protobuf-encoded schema) — the
+            # typed columns are absent but nothing is lost: seqno +
+            # connection + the raw payload blob still land, and a later
+            # pass with real msgdefs can flatten from this table alone
+            flat = slice_df.select("seqno", "conn_id", "__raw__")
+        else:
+            flat = decode_messages(
+                slice_df,
+                datatype,
+                cs[0].msg_def,
+                data_col="__raw__",
+                keep_cols=("seqno", "conn_id", "__raw__"),
+                arrays=arrays,
+                unsigned=unsigned,
+                on_error=on_error,
+            )
         pertype = flat.withColumnRenamed("conn_id", "connection_id").withColumnRenamed(
             "__raw__", "data"
         )

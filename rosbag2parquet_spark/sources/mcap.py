@@ -467,24 +467,15 @@ def _read_chunk_records(path: str, ref: McapChunkRef) -> bytes:
     return out
 
 
-def point_read(
-    path: str, channel_id: int, log_time: int
-) -> "bytes | None":
-    """O(1) point lookup of one message's payload via the summary indexes —
-    the low-latency read path the index section exists for (the reference's
-    test point-reads rows by position, rosbag2parquet_test.cpp:97-110; this
-    is the container-native equivalent):
-
-    footer → summary → the ChunkIndex whose [start,end] covers ``log_time``
-    AND whose message_index_offsets carries ``channel_id`` → ONE ranged read
-    of that channel's MessageIndex record → the (log_time → records-offset)
-    entry → one chunk decompress (or, for uncompressed chunks, a final
-    ranged read of just the message record). Total I/O: footer + summary +
-    one MessageIndex + one chunk/message — independent of file size.
-
-    Returns None when no indexed message matches exactly; raises on files
-    without a summary (point reads need the index — scan instead)."""
-    size = os.path.getsize(path)
+@lru_cache(maxsize=64)
+def _point_index_uncached(path: str, _mtime_ns: int, _size: int):
+    """Parse the summary ONCE per file into a bisectable chunk-time index:
+    ChunkIndex payloads sorted by start time, plus the running max of end
+    times (interval-stabbing over possibly-overlapping chunk spans).
+    Repeated point reads then skip the footer/summary I/O entirely and
+    find candidate chunks in O(log #chunks) instead of scanning every
+    ChunkIndex record per call."""
+    size = _size
     with open(path, "rb") as f:
         f.seek(size - 8 - _FOOTER_RECORD_LEN)
         tail = f.read(_FOOTER_RECORD_LEN)
@@ -497,11 +488,56 @@ def point_read(
             )
         f.seek(summary_start)
         buf = f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
-        for op, st, ln, _ in _walk_records(buf):
-            if op != OP_CHUNK_INDEX:
-                continue
-            payload = buf[st : st + ln]
-            t0, t1 = struct.unpack_from("<QQ", payload, 0)
+    entries = []  # (t0, t1, payload)
+    for op, st, ln, _ in _walk_records(buf):
+        if op != OP_CHUNK_INDEX:
+            continue
+        payload = buf[st : st + ln]
+        t0, t1 = struct.unpack_from("<QQ", payload, 0)
+        entries.append((t0, t1, payload))
+    entries.sort(key=lambda e: e[0])
+    starts = [e[0] for e in entries]
+    prefix_max_end = []
+    m = -1
+    for _, t1, _ in entries:
+        m = max(m, t1)
+        prefix_max_end.append(m)
+    return starts, prefix_max_end, entries
+
+
+def point_read(
+    path: str, channel_id: int, log_time: int
+) -> "bytes | None":
+    """O(log n) point lookup of one message's payload via the summary
+    indexes — the low-latency read path the index section exists for (the
+    reference's test point-reads rows by position,
+    rosbag2parquet_test.cpp:97-110; this is the container-native
+    equivalent):
+
+    footer → summary (cached per file, read once) → bisect the sorted
+    ChunkIndex time bounds for chunks covering ``log_time`` whose
+    message_index_offsets carry ``channel_id`` → ONE ranged read of that
+    channel's MessageIndex record → the (log_time → records-offset) entry
+    → one chunk decompress (or, for uncompressed chunks, a final ranged
+    read of just the message record). Per-lookup I/O after the first:
+    one MessageIndex + one chunk/message — independent of file size AND
+    of chunk count.
+
+    Returns None when no indexed message matches exactly; raises on files
+    without a summary (point reads need the index — scan instead)."""
+    import bisect
+
+    st_ = os.stat(path)
+    starts, prefix_max_end, entries = _point_index_uncached(
+        path, st_.st_mtime_ns, st_.st_size
+    )
+    with open(path, "rb") as f:
+        # interval stabbing: candidates end at bisect(start <= t); walk
+        # left only while some earlier interval can still reach t
+        i = bisect.bisect_right(starts, log_time) - 1
+        while i >= 0 and prefix_max_end[i] >= log_time:
+            t0, t1, payload = entries[i]
+            i -= 1
             if not (t0 <= log_time <= t1):
                 continue
             (mio_len,) = struct.unpack_from("<I", payload, 32)
@@ -573,10 +609,14 @@ def mcap_connections_df(spark: SparkSession, path: str) -> DataFrame:
         sid, topic, _menc = scan.channels[cid]
         name, senc, data = scan.schemas.get(sid, ("", "", b""))
         if senc not in ("ros1msg", "ros2msg", ""):
-            raise ValueError(
-                f"{path}: schema encoding {senc!r} for {topic} is not a "
-                "message-definition text (ros2idl/protobuf not supported)"
-            )
+            # ros2idl/protobuf schema text is not msg-def syntax: emit the
+            # connection with an EMPTY msg_def instead of refusing the
+            # whole bag — the converter then blob-preserves that type
+            # (Messages/Connections + raw data, no flatten), the
+            # reference's own array posture (columnarize what you can,
+            # keep the blob)
+            rows.append((cid, topic, name, "", "", "", ""))
+            continue
         rows.append((cid, topic, name, "", data.decode(), "", ""))
     return spark.createDataFrame(
         rows,

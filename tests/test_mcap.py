@@ -557,3 +557,60 @@ def test_summary_crc_detection(tmp_path):
     _scan_mcap_uncached.cache_clear()
     with pytest.raises(ValueError, match="summary_crc"):
         scan_mcap(path)
+
+
+def test_point_read_flat_as_chunk_count_grows(tmp_path):
+    """Warm-cache point reads bisect the sorted ChunkIndex bounds: the
+    bytes touched per lookup stay FLAT as the chunk count grows 25x
+    (one MessageIndex + one message record — never a summary rescan)."""
+    from rosbag2parquet_spark.sources.mcap import (
+        _point_index_uncached,
+        point_read,
+    )
+
+    def warm_lookup_bytes(n_msgs, per_chunk):
+        p = str(tmp_path / f"pr_flat_{n_msgs}_{per_chunk}.mcap")
+        msgs = _messages(n_msgs)
+        write_mcap(p, CONNS, msgs, chunked=True, chunk_messages=per_chunk)
+        cid, t, payload = msgs[n_msgs // 2]
+        assert point_read(p, cid, t) == payload  # warms the summary cache
+        cid2, t2, payload2 = msgs[n_msgs // 3]
+        got = {}
+        spans = _spans_read(
+            p, lambda: got.setdefault("v", point_read(p, cid2, t2))
+        )
+        assert got["v"] == payload2
+        return sum(n for _, n in spans)
+
+    _point_index_uncached.cache_clear()
+    few_chunks = warm_lookup_bytes(400, 100)    # 4 chunks
+    many_chunks = warm_lookup_bytes(400, 4)     # 100 chunks
+    # same data, 25x the chunks: per-chunk MessageIndex SHRINKS (fewer
+    # entries), and no summary rescan happens — warm lookups must not grow
+    assert many_chunks <= few_chunks, (few_chunks, many_chunks)
+
+
+def test_idl_only_schema_blob_preserves(spark, tmp_path):
+    """An MCAP whose schema encoding is ros2idl (no msg-def text) converts
+    via the blob-preserving path instead of a hard error: Messages and
+    Connections land, the per-type table carries seqno + connection_id +
+    the raw payload — typed columns absent, nothing lost."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    msgs = _messages(20)
+    path = str(tmp_path / "idl.mcap")
+    write_mcap(path, CONNS, msgs, schema_encoding="ros2idl",
+               chunk_messages=7)
+    conns = mcap_connections_df(spark, path).collect()
+    assert all(c.msg_def == "" for c in conns)
+
+    out = str(tmp_path / "out_idl")
+    info = convert_bag(spark, path, out)
+    assert info.count == 20
+    msgs_t = spark.read.parquet(out + "/Messages")
+    assert msgs_t.count() == 20
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    assert sorted(pose.columns) == ["connection_id", "data", "seqno"]
+    rows = pose.orderBy("seqno").collect()
+    want = [p for cid, _, p in msgs if cid == 1]
+    assert [bytes(r.data) for r in rows] == want
