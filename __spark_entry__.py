@@ -107,8 +107,9 @@ _MODULES = (
 # back.
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
-    # small-file compaction preserving the clustered layout
-    "scd2-asof", "compact-files",
+    # small-file compaction preserving the clustered layout; the streaming
+    # twin of resample-interpolate (incremental grid fill, O(1) state)
+    "scd2-asof", "compact-files", "stream-resample",
     # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
     "stream-neardup-parity",
     # NEW this round: time-grid gap fill (LOCF + bit-exact linear interp)

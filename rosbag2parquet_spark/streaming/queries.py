@@ -327,6 +327,34 @@ def _dedup_exact_oracle() -> str:
     return ORACLE_DEDUP_EXACT
 
 
+def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental time-grid fill (applyInPandasWithState): each arriving
+    event closes the bracket over the grid points behind it, emitting LOCF
+    + bit-exact linear interpolation with O(1) state per entity — the
+    streaming twin of batch `resample-interpolate`, hash-matched to the
+    same oracle. Completes the batch↔stream twin pattern for the last
+    major batch-only operator."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_resample
+
+    events = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+    )
+    tbl = _fresh("stream_resample")
+    run_to_memory(running_resample(events), tbl, mode="append")
+    return spark.table(tbl).select("event_type", "grid_us", "locf", "interp")
+
+
+def _resample_oracle() -> str:
+    from rosbag2parquet_spark.operators.asof import ORACLE_RESAMPLE
+
+    return ORACLE_RESAMPLE
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
@@ -338,6 +366,7 @@ QUERIES = {
     "stream-compact": q_stream_compact,
     "stream-scd2": q_stream_scd2,
     "stream-dedup": q_stream_dedup,
+    "stream-resample": q_stream_resample,
 }
 
 
@@ -375,4 +404,5 @@ ORACLES = {
     "stream-compact": _compact_oracle(),
     "stream-scd2": _scd2_oracle(),
     "stream-dedup": _dedup_exact_oracle(),
+    "stream-resample": _resample_oracle(),
 }

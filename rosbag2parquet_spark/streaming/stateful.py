@@ -166,3 +166,89 @@ def running_scd2(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming resample
+
+RESAMPLE_OUTPUT_SCHEMA = (
+    "event_type string, grid_us long, locf double, interp double"
+)
+RESAMPLE_STATE_SCHEMA = "prev_t long, prev_v double, pending int"
+
+_HOUR_US = 3_600_000_000
+
+
+def _update_resample(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental grid fill (the streaming twin of X6
+    ``resample-interpolate``): state per entity is just the LAST point.
+    Each arriving event CLOSES the bracket over every grid point between
+    the previous point and itself, so LOCF and the linear interpolation
+    emit with both neighbors known — exactly the batch semantics, one
+    emission per grid point, O(1) state.
+
+    Tie semantics mirror the batch order key (t, is_grid, eid): a grid
+    point that coincides with an event reads the LAST event at that
+    instant, so an on-grid point stays PENDING until a strictly later
+    event proves no same-instant override follows (then locf == interp ==
+    the event's value, the batch's gap-0 identity). Interp arithmetic is
+    the same IEEE ops in the same association as the batch/oracle —
+    bit-identical doubles. Like the SCD2 twin, rows sort within an
+    invocation; across micro-batches per-key in-order delivery is assumed
+    (the keyed-log contract). The one open edge: a final grid point
+    EXACTLY at the stream's last instant emits only when a later event
+    arrives — the standard streaming posture (results close as the
+    watermark passes), and unreachable off-hour timestamps make it moot
+    at the fixtures."""
+    (etype,) = key
+    prev_t, prev_v, pending = (
+        state.get if state.exists else (-1, 0.0, 0)
+    )
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    out: dict[str, list] = {
+        "event_type": [], "grid_us": [], "locf": [], "interp": [],
+    }
+
+    def emit(g, locf, interp):
+        out["event_type"].append(etype)
+        out["grid_us"].append(g)
+        out["locf"].append(locf)
+        out["interp"].append(interp)
+
+    for t, v in zip(pdf["ts_us"], pdf["value"]):
+        t, v = int(t), float(v)
+        if prev_t < 0:
+            prev_t, prev_v = t, v
+            pending = 1 if t % _HOUR_US == 0 else 0
+            continue
+        if t > prev_t:
+            if pending:
+                emit(prev_t, prev_v, prev_v)
+                pending = 0
+            g = (prev_t // _HOUR_US + 1) * _HOUR_US
+            while g < t:
+                frac = (g - prev_t) / (t - prev_t)
+                emit(g, prev_v, prev_v + (v - prev_v) * frac)
+                g += _HOUR_US
+            prev_t, prev_v = t, v
+            pending = 1 if t % _HOUR_US == 0 else 0
+        else:
+            # same instant, larger event_id: the batch tie rule reads the
+            # LAST event at t — override the bracket point
+            prev_v = v
+    state.update((prev_t, prev_v, pending))
+    yield pd.DataFrame(out)
+
+
+def running_resample(events: DataFrame) -> DataFrame:
+    """events (streaming, `ts_us` long + `event_id` long + `value` double)
+    → append-mode grid-point emissions per event_type."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_resample,
+        outputStructType=RESAMPLE_OUTPUT_SCHEMA,
+        stateStructType=RESAMPLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -180,3 +180,57 @@ def test_stream_scd2_shuffled_within_batch(spark, tmp_path):
         (1, "view", 4_000_000, -1, 3),
         (2, "purchase", 1_500_000, -1, 1),
     }
+
+
+def test_stream_resample_ties_and_on_grid(spark, tmp_path):
+    """The incremental grid fill honors the batch tie rule: an on-grid
+    event's grid point stays PENDING until a strictly later event proves
+    no same-instant override follows (and then reads the LAST event at
+    that instant); interior points interpolate between the bracketing
+    pair with the batch's exact arithmetic. Two micro-batches prove state
+    carries across triggers."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import (
+        _HOUR_US as H,
+        running_resample,
+    )
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    land = tmp_path / "land_resample"
+    land.mkdir()
+    # entity 'a': event exactly ON hour 1 (two events at the same instant,
+    # later event_id must win), then 2.5 hours later — grid points at
+    # 1H (pending→flushed), 2H, 3H (interior interpolations)
+    batch1 = [
+        ("a", 1 * H, 1, 10.0),
+        ("a", 1 * H, 2, 20.0),   # same instant, larger id: overrides
+    ]
+    batch2 = [
+        ("a", 3 * H + H // 2, 3, 90.0),
+    ]
+    cols = ["event_type", "ts_us", "event_id", "value"]
+    pd.DataFrame(batch1, columns=cols).to_parquet(land / "a.parquet")
+    pd.DataFrame(batch2, columns=cols).to_parquet(land / "b.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts_us long, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_resample(stream), "resample_shuf", mode="append")
+    got = {
+        (r.event_type, r.grid_us, r.locf, r.interp)
+        for r in spark.table("resample_shuf").collect()
+    }
+    prev_t, prev_v, nxt_t, nxt_v = 1 * H, 20.0, 3 * H + H // 2, 90.0
+
+    def interp(g):
+        return prev_v + (nxt_v - prev_v) * ((g - prev_t) / (nxt_t - prev_t))
+
+    assert got == {
+        ("a", 1 * H, 20.0, 20.0),            # on-grid: LAST event at t wins
+        ("a", 2 * H, 20.0, interp(2 * H)),
+        ("a", 3 * H, 20.0, interp(3 * H)),
+    }
