@@ -94,54 +94,28 @@ _MODULES = (
 # Evaluation order for the driver (which iterates dict order and records only
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
-# ROUND-6 ROTATION (executing the r5 note — the rolling freshness
-# invariant): new queries first, then the 9 queries whose latest driver row
-# is r2 (three rounds stale), then the 19 r3-latest rows, then the r4-latest
-# block (oldest remaining) fills the window; the 50 queries r5 just proved
-# rotate to the back. After this round's driver run, NO query's latest row
-# is older than r4.
-# ROUND-7 NOTE: the r6 window = 10 new/changed + 9 r2 + 19 r3 + the first
-# 12 of the r4 block (through "stream-tumbling"). For r7, lead with any
-# new/changed queries, then the REMAINDER of the r4 block ("stream-sliding"
-# onward, 36 queries), then the r5-proven block; r6-proven rotate to the
-# back.
+# ROUND-7 ROTATION (executing the r6 note — second consecutive hold of the
+# rolling freshness invariant): 3 new + 1 changed query first, then the
+# REMAINDER of the r4-latest block (36 queries, "stream-sliding" onward —
+# the oldest remaining rows), which together fill 40 of the 50-query
+# window; the head of the r5-proven block re-proves in the remaining 10.
+# The 50 rows r6 just proved rotate to the back. After this round's driver
+# run, NO query's latest row is older than r5.
+# ROUND-8 NOTE: the r7 window = 4 new/changed + 36 r4 + the first 10 of
+# the r5 block (through "json-funcs"). For r8, lead with any new/changed
+# queries, then the REMAINDER of the r5-proven block ("array-funcs"
+# onward, 40 queries); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
     # twin of resample-interpolate (incremental grid fill, O(1) state)
     "scd2-asof", "compact-files", "stream-resample",
-    # NEW this round: streamed-vs-batch LSH candidate parity, oracle-proven
-    "stream-neardup-parity",
-    # NEW this round: time-grid gap fill (LOCF + bit-exact linear interp)
+    # CHANGED round 7 — must re-prove: the grid explode gained the
+    # empty-span guard (sequence() raises on start > stop; same rows on
+    # data that never trips it, but the plan changed)
     "resample-interpolate",
-    # NEW this round: mergeable HLL partials re-aggregated without rescan
-    "hll-sketch",
-    # NEW this round: SCD2 validity intervals from the event log + its
-    # incremental streaming twin
-    "scd2-intervals", "stream-scd2",
-    # NEW this round: runtime bloom-filter semi-join reduction + the
-    # range-clustered write layout (write-side scan pruning)
-    "bloom-join", "cluster-write", "zorder-write",
-    # CHANGED this round — must re-prove: multi-probe gained the
-    # margin-ordered probe budget (pair set identical at fixture scale —
-    # budget == bits — but the construction changed)
-    "embed-neardup", "embed-recall",
-    # latest driver row is r2 (9) — three rounds stale, the rotation's head
-    "asof", "cube", "grouping-sets", "kmeans", "lag-lead",
-    "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
-    # latest driver row is r3 (19)
-    "demux", "sink", "token-count", "lang-id", "quality-score", "fingerprint",
-    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
-    "knn", "knn-ivf", "knn-batch",
-    "stats-corr", "string-agg", "explode-sequence", "distinct-count",
-    "quantiles", "sessionize",
-    # latest driver row is r4 (48) — oldest remaining; head of this block
-    # fills the 50-query window, the tail spills to r7
-    "text-stats", "null-semantics", "sql-q12",
-    "sample-hash", "split-train-test", "mix-weighted",
-    "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
-    "corpus-filter",
-    "stream-tumbling", "stream-sliding", "stream-sessionize", "stream-neardup",
+    # latest driver row is r4 (36) — the oldest remaining rows
+    "stream-sliding", "stream-sessionize", "stream-neardup",
     "stream-profile",
     "sql-q8", "sql-q21", "knn-recall", "asof-tolerance", "scrub-terms",
     "interval-join",
@@ -152,7 +126,8 @@ _QUERY_ORDER = [
     "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
     "pivot", "unpivot", "histogram",
-    # proven green by the r5 driver run (50) — rotate to the back
+    # proven green by the r5 driver run (50) — its head fills the rest of
+    # the r7 window, the tail leads r8
     "stream-sink", "approx-stats",
     "compact-latest", "funnel", "cohort-retention", "weighted-sample",
     "lsh-recall",
@@ -166,6 +141,25 @@ _QUERY_ORDER = [
     "time-split", "cast", "flatten", "decode-blob", "seqno",
     "groupby-agg", "derived", "rollup", "dim-join", "semi-join",
     "first-seen", "sql", "window-funcs", "window-tumbling",
+    # proven green by the r6 driver run (50) — rotate to the back:
+    # first the r6-new/changed batch...
+    "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
+    "bloom-join", "cluster-write", "zorder-write",
+    "embed-neardup", "embed-recall",
+    # ...then the formerly-r2 rows...
+    "asof", "cube", "grouping-sets", "kmeans", "lag-lead",
+    "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
+    # ...then the formerly-r3 rows...
+    "demux", "sink", "token-count", "lang-id", "quality-score", "fingerprint",
+    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
+    "knn", "knn-ivf", "knn-batch",
+    "stats-corr", "string-agg", "explode-sequence", "distinct-count",
+    "quantiles", "sessionize",
+    # ...then the r4-block head r6 re-proved
+    "text-stats", "null-semantics", "sql-q12",
+    "sample-hash", "split-train-test", "mix-weighted",
+    "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
+    "corpus-filter", "stream-tumbling",
 ]
 
 
