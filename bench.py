@@ -55,6 +55,10 @@ EXTENDED = [
     "bloom-join",
     "cluster-write",
     "zorder-write",
+    # round-7 operators — measured cost from day one
+    "scd2-asof",
+    "compact-files",
+    "stream-resample",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
@@ -111,11 +115,17 @@ def main() -> None:
     # the EXTENDED block runs in its own passes AFTER the headline loop:
     # bucket-join writes real bucketed tables (heavy IO + GC) and would
     # pollute headline timings if interleaved
+    # HEADLINE gets a THIRD pass (min-of-3): the r6 record drifted +10%
+    # over r4 purely from host contention (the same build re-measured at
+    # r4-suite 9.0 s next session) — one extra pass makes the recorded
+    # number robust to a single noisy window without hiding cold costs
+    # (cold_pass_seconds still reports pass 1 verbatim)
     timings: dict[str, float] = {}
     ext_timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for suite, tgt in ((HEADLINE, timings), (EXTENDED, ext_timings)):
-        for _pass in (1, 2):
+        passes = (1, 2, 3) if suite is HEADLINE else (1, 2)
+        for _pass in passes:
             for name in suite:
                 fn = qs[name]
                 t0 = time.perf_counter()
@@ -128,7 +138,7 @@ def main() -> None:
                     cold[name] = dt
                 if name not in tgt or dt < tgt[name]:
                     tgt[name] = dt
-                if _pass == 2:
+                if _pass == passes[-1]:
                     print(f"# {name}: {tgt[name]}s ({n} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
@@ -192,7 +202,7 @@ def main() -> None:
                 # shared-VM host showed 2.5x run-to-run noise on identical
                 # plans); cold_pass_seconds is pass 1 alone — comparable to
                 # the single-pass numbers of rounds 1-3
-                "timing": "min_of_2_passes",
+                "timing": "headline_min_of_3_extended_min_of_2",
                 "cold_pass_seconds": cold_total,
                 # apples-to-apples subtotal vs BENCH_r04 (headline minus
                 # the r5-added bm25-search)
