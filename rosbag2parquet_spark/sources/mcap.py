@@ -162,7 +162,15 @@ def scan_mcap(path: str) -> McapScan:
     summary bytes only — O(index), no walk; unindexed files fall back to a
     single top-level seek-walk. Either way chunk payload prefixes are at
     most a few dozen bytes each and chunk record streams are NOT
-    decompressed."""
+    decompressed.
+
+    Cache-identity contract: the memo key is (path, mtime_ns, size) —
+    exact for the append-only/immutable bags recorders produce. An
+    IN-PLACE rewrite that preserves both size and mtime within filesystem
+    granularity would serve a stale plan; don't rewrite bags in place
+    (write a new file and rename), or touch the file to bump mtime. A
+    content fingerprint would close the window but costs a full read —
+    the wrong trade for object-store-sized bags."""
     st = os.stat(path)
     return _scan_mcap_uncached(path, st.st_mtime_ns, st.st_size)
 
