@@ -108,8 +108,11 @@ _MODULES = (
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
-    # twin of resample-interpolate (incremental grid fill, O(1) state)
-    "scd2-asof", "compact-files", "stream-resample",
+    # twin of resample-interpolate (incremental grid fill, O(1) state);
+    # CDC MERGE apply (last-writer-wins upsert/delete, co-partitioned
+    # full-outer); partition-aware compaction
+    "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
+    "compact-partitioned",
     # CHANGED round 7 — must re-prove: the grid explode gained the
     # empty-span guard (sequence() raises on start > stop; same rows on
     # data that never trips it, but the plan changed)

@@ -392,9 +392,112 @@ JOIN iv ON iv.user_id = p.user_id
 )
 
 
+_MERGE_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format — the CDC apply every
+    warehouse ingest needs: a BASE snapshot (latest state per user before
+    the cutoff) merged with a CHANGE SET (events after it; an 'error'
+    event is the DELETE tombstone, anything else UPSERTs), keyed by
+    user_id, last-writer-wins within the change set.
+
+    Plan: the change set first reduces to its last row per key (window
+    top-1 → WindowGroupLimit, ONE user_id shuffle), then FULL OUTER joins
+    the base on the same key — co-partitioned, so the merge itself adds
+    no extra Exchange beyond the join's. Survivor logic is a CASE over
+    the join result; deletes drop rows whether or not the base had them.
+    This is exactly the distributed shape Delta/Iceberg MERGE compiles
+    to, expressed in plain DataFrame ops with an exact oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.filter(F.col("t_us") < _MERGE_CUTOFF_US)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("base_value"),
+            F.col("t_us").alias("base_t"),
+        )
+    )
+    last_change = (
+        ev.filter(F.col("t_us") >= _MERGE_CUTOFF_US)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("value").alias("chg_value"),
+            F.col("t_us").alias("chg_t"),
+        )
+    )
+    merged = base.join(last_change, "user_id", "full_outer")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.coalesce(F.col("chg_value"), F.col("base_value")).alias("value"),
+            F.coalesce(F.col("chg_t"), F.col("base_t")).alias("last_t"),
+            F.when(F.col("op").isNull(), F.lit("base"))
+            .otherwise(F.lit("change"))
+            .alias("src"),
+        )
+    )
+
+
+ORACLE_MERGE_UPSERT = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),
+base AS (
+  SELECT user_id, value AS base_value, t_us AS base_t
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t_us DESC, event_id DESC) AS rn
+    FROM ev WHERE t_us < {_MERGE_CUTOFF_US}
+  ) WHERE rn = 1
+),
+last_change AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value AS chg_value, t_us AS chg_t
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t_us DESC, event_id DESC) AS rn
+    FROM ev WHERE t_us >= {_MERGE_CUTOFF_US}
+  ) WHERE rn = 1
+)
+SELECT b.user_id AS bu, c.user_id AS cu,
+       coalesce(b.user_id, c.user_id) AS user_id,
+       coalesce(c.chg_value, b.base_value) AS value,
+       coalesce(c.chg_t, b.base_t) AS last_t,
+       CASE WHEN c.op IS NULL THEN 'base' ELSE 'change' END AS src
+FROM base b FULL OUTER JOIN last_change c ON b.user_id = c.user_id
+WHERE c.op IS NULL OR c.op = 'U'
+"""
+# trim the helper join keys out of the oracle projection
+ORACLE_MERGE_UPSERT = f"""
+SELECT user_id, value, last_t, src FROM ({ORACLE_MERGE_UPSERT})
+"""
+
+
 QUERIES = {
     "scd2-intervals": q_scd2_intervals,
     "scd2-asof": q_scd2_asof,
+    "merge-upsert": q_merge_upsert,
     "compact-latest": q_compact_latest,
     "funnel": q_funnel,
     "cohort-retention": q_cohort_retention,
@@ -404,6 +507,7 @@ QUERIES = {
 ORACLES = {
     "scd2-intervals": ORACLE_SCD2,
     "scd2-asof": ORACLE_SCD2_ASOF,
+    "merge-upsert": ORACLE_MERGE_UPSERT,
     "compact-latest": ORACLE_COMPACT_LATEST,
     "funnel": ORACLE_FUNNEL,
     "cohort-retention": ORACLE_COHORT_RETENTION,

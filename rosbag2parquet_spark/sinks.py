@@ -473,6 +473,75 @@ FROM lineitem
 """
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    partition_cols: "list[str]",
+) -> None:
+    """Partition-AWARE compaction: rewrite a hive-partitioned layout so
+    each partition directory holds ONE file (the per-partition OPTIMIZE a
+    streaming demux layout needs — `partitionBy` writers emit one file
+    per task per partition, so a 32-task write fragments every partition
+    32-way).
+
+    ONE job, ONE shuffle: ``repartition(partition_cols)`` hash-routes
+    every row of a partition to the same task (colliding partitions share
+    a task but ``partitionBy`` still splits them into their own
+    directories at write), so the whole table compacts without a
+    per-partition driver loop — the shape that survives 10^5 partitions
+    where one-job-per-partition dies on job-scheduling overhead."""
+    df = spark.read.parquet(in_path)
+    n = max(
+        1,
+        df.select(*partition_cols).distinct().count(),  # tiny dim count
+    )
+    (
+        df.repartition(n, *[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-compaction round-trip as a declared query: events demuxed
+    by event_type with a deliberately fragmented 16-task write, compacted
+    to one file per partition, read back. The oracle is the plain table
+    projection — the file-count-per-partition bound is asserted in
+    tests/test_bucketed.py."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="compact_part_")
+    try:
+        frag = os.path.join(out, "frag")
+        ev.repartition(16).write.partitionBy("event_type").parquet(frag)
+        compact_partitioned(spark, frag, os.path.join(out, "compact"),
+                            ["event_type"])
+        back = (
+            spark.read.parquet(os.path.join(out, "compact"))
+            .select("event_id", "t_us", "user_id", "event_type", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_COMPACT_PARTITIONED = """
+SELECT event_id, epoch_us(ts) AS t_us, user_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+"""
+
+
 QUERIES = {
     "demux": q_demux,
     "sink": q_sink,
@@ -480,6 +549,7 @@ QUERIES = {
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
     "compact-files": q_compact_files,
+    "compact-partitioned": q_compact_partitioned,
 }
 ORACLES = {
     "demux": ORACLE_DEMUX,
@@ -488,4 +558,5 @@ ORACLES = {
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,
     "compact-files": ORACLE_COMPACT_FILES,
+    "compact-partitioned": ORACLE_COMPACT_PARTITIONED,
 }

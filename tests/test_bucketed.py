@@ -279,3 +279,32 @@ def test_compact_files_bounds_and_preserves_clustering(spark, tmp_path):
     assert n2 == len(plain) and 4 <= n2 <= 6
     c = spark.read.parquet(out2)
     assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
+def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
+    """compact_partitioned collapses a fragmented hive layout to ONE file
+    per partition directory in a single shuffle, content-invisibly."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double")
+    )
+    frag = str(tmp_path / "frag_part")
+    ev.repartition(16).write.partitionBy("event_type").parquet(frag)
+    part_dirs = [d for d in os.listdir(frag) if d.startswith("event_type=")]
+    assert part_dirs
+    # the fragmented write left many files in at least one partition
+    assert any(
+        len([f for f in os.listdir(os.path.join(frag, d))
+             if f.endswith(".parquet")]) > 4
+        for d in part_dirs
+    )
+    from rosbag2parquet_spark.sinks import compact_partitioned
+
+    out = str(tmp_path / "compact_part")
+    compact_partitioned(spark, frag, out, ["event_type"])
+    for d in part_dirs:
+        files = [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
