@@ -101,10 +101,11 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 4 new/changed + 36 r4 + the first 10 of
-# the r5 block (through "json-funcs"). For r8, lead with any new/changed
-# queries, then the REMAINDER of the r5-proven block ("array-funcs"
-# onward, 40 queries); r6- then r7-proven rotate to the back.
+# ROUND-8 NOTE: the r7 window = 6 new/changed (through
+# "compact-partitioned") + 36 r4 + the first 8 of the r5 block (through
+# "multimodal-frames"). For r8, lead with any new/changed queries, then
+# the REMAINDER of the r5-proven block ("json-funcs" onward, 42 queries);
+# r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
