@@ -77,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
         help="undecodable payloads: fail (reference parity) or permissive "
         "(dead-letter: NULL fields + _decode_error column, raw blob kept)",
     )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="bag inputs: ADD this batch to an existing layout at --outdir "
+        "(daily-ingest mode): seqno continues after the existing max, "
+        "known connection identities keep their ids, schema drift is "
+        "refused before any write. Without it a non-empty outdir is "
+        "side-stepped (outdir.N), never appended.",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -85,7 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     if os.path.exists(out) and not os.path.isdir(out):
         print(f"error: --outdir {out} exists and is not a directory", file=sys.stderr)
         return 2
-    if os.path.isdir(out) and os.listdir(out):
+    if args.append and os.path.isdir(out) and os.listdir(out):
+        pass  # append writes INTO the existing layout — no rename
+    elif os.path.isdir(out) and os.listdir(out):
         n = 1
         while os.path.exists(f"{out}.{n}"):
             n += 1
@@ -147,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
             compression=args.compression, msgdefs=msgdefs,
             on_error=args.on_error,
+            mode="append" if args.append else "overwrite",
         )
     elif args.input.endswith((".bag", ".sbag")) or (
         os.path.isfile(args.input) and _baglike.bag_format(args.input)
@@ -154,13 +166,23 @@ def main(argv: list[str] | None = None) -> int:
         # real binary-bag path — the reference's full program: one
         # FLATTENED typed table per message type (each decoded with its own
         # msg_def), plus Messages/Connections and the DDL script
-        from rosbag2parquet_spark.convert import convert_bag
+        if args.append:
+            # appending a single bag is the one-bag fleet — same machinery
+            from rosbag2parquet_spark.convert import convert_bags
 
-        info = convert_bag(
-            spark, args.input, out, arrays=args.arrays, unsigned=args.unsigned,
-            compression=args.compression, msgdefs=msgdefs,
-            on_error=args.on_error,
-        )
+            info = convert_bags(
+                spark, [args.input], out, arrays=args.arrays,
+                unsigned=args.unsigned, compression=args.compression,
+                msgdefs=msgdefs, on_error=args.on_error, mode="append",
+            )
+        else:
+            from rosbag2parquet_spark.convert import convert_bag
+
+            info = convert_bag(
+                spark, args.input, out, arrays=args.arrays,
+                unsigned=args.unsigned, compression=args.compression,
+                msgdefs=msgdefs, on_error=args.on_error,
+            )
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -472,6 +472,8 @@ def _write_bag_tables(
     compression: str = "snappy",
     serialization: str = "ros1",
     on_error: str = "fail",
+    mode: str = "overwrite",
+    conns_write_df: "DataFrame | None" = None,
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -479,7 +481,16 @@ def _write_bag_tables(
 
     ``seq`` rows carry seqno and the raw blob through the decoder in one
     pass (keep_cols) — no stitch join; see the inline comment at the
-    per-type decode."""
+    per-type decode.
+
+    ``mode='append'`` adds the batch to an existing layout: every touched
+    table passes the schema-fingerprint guard (the reference's md5 identity
+    check, FlattenedRosWriter.cpp:287), new per-type tables create their
+    own dirs, and ``conns_write_df`` (the genuinely-NEW dim rows only)
+    lands on disk while the full ``conns_df`` still drives the per-type
+    decode."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     if serialization == "cdr":
         from rosbag2parquet_spark.sources.rosbag2 import (
             decode_messages_cdr as decode_messages,
@@ -503,21 +514,16 @@ def _write_bag_tables(
         F.length("data").alias("size"),
         F.col("conn_id").alias("connection_id"),
     )
-    messages.write.options(**writer_opts).mode("overwrite").parquet(
-        os.path.join(out_dir, "Messages")
-    )
-    conns_df.write.options(**writer_opts).mode("overwrite").parquet(
-        os.path.join(out_dir, "Connections")
-    )
+    msg_path = os.path.join(out_dir, "Messages")
+    conn_path = os.path.join(out_dir, "Connections")
 
-    # ---- one flattened typed table per datatype (lazy per-type handlers,
-    # reference FlattenedRosWriter.cpp:273-289)
-    tables = {"Messages": messages.schema, "Connections": conns_df.schema}
+    # ---- per-type grouping + identity validation BEFORE any write: a
+    # refused append (md5 disagreement, schema drift) must leave the
+    # existing layout untouched, not half-appended
     by_type: dict[str, list] = {}
     for c in conn_rows:
         by_type.setdefault(c.datatype, []).append(c)
     for datatype, cs in sorted(by_type.items()):
-        conn_ids = [c.connection_id for c in cs]
         # reference asserts one frozen schema per type (md5 identity,
         # FlattenedRosWriter.cpp:287)
         md5s = {c.md5sum for c in cs}
@@ -525,6 +531,19 @@ def _write_bag_tables(
             raise ValueError(
                 f"{datatype}: connections disagree on md5sum {sorted(md5s)}"
             )
+
+    if mode == "append":
+        assert_append_compatible(messages.sparkSession, msg_path, messages.schema)
+    messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
+    (conns_write_df if conns_write_df is not None else conns_df).write.options(
+        **writer_opts
+    ).mode(mode).parquet(conn_path)
+
+    # ---- one flattened typed table per datatype (lazy per-type handlers,
+    # reference FlattenedRosWriter.cpp:273-289)
+    tables = {"Messages": messages.schema, "Connections": conns_df.schema}
+    for datatype, cs in sorted(by_type.items()):
+        conn_ids = [c.connection_id for c in cs]
         # seqno and the raw blob ride THROUGH the decoder (keep_cols) instead
         # of being stitched back by an offset join: the payload already
         # crosses into the Python worker to be decoded, so returning it in
@@ -565,11 +584,26 @@ def _write_bag_tables(
         ]
         pertype = pertype.select("seqno", *value_cols, "connection_id", "data")
         table = table_name_for_type(datatype)
-        pertype.write.options(**writer_opts).mode("overwrite").parquet(
-            os.path.join(out_dir, table)
-        )
+        table_path = os.path.join(out_dir, table)
+        if mode == "append":
+            assert_append_compatible(
+                pertype.sparkSession, table_path, pertype.schema
+            )
+        pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
         tables[table] = pertype.schema
 
+    if mode == "append":
+        # the DDL script must list EVERY table in the layout, including
+        # per-type tables from earlier batches this append didn't touch —
+        # enumerate the dirs on disk (schema reads are footer-only)
+        spark = seq.sparkSession
+        for d in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, d)
+            if d not in tables and os.path.isdir(p):
+                try:
+                    tables[d] = spark.read.parquet(p).schema
+                except Exception:
+                    pass  # non-table dir (e.g. checkpoints)
     with open(os.path.join(out_dir, "load_tables.sql"), "w") as f:
         f.write(load_script(tables))
 
@@ -771,6 +805,7 @@ def convert_bags(
     compression: str = "snappy",
     msgdefs: "dict[str, str] | None" = None,
     on_error: str = "fail",
+    mode: str = "overwrite",
 ) -> ConvertInfo:
     """Convert a FLEET of bags into ONE table layout — the reference's
     "multiple compatible parquet files can be treated as a single file"
@@ -778,6 +813,15 @@ def convert_bags(
     input order, and the Connections dim is reconciled by identity (same
     (topic, datatype, md5sum, msg_def, callerid, latching) tuple in two
     bags → one global connection_id, first-seen order).
+
+    ``mode='append'`` converts NEW bags into an EXISTING layout — the
+    daily-ingest shape (a recorder fleet lands new bags; rewriting the
+    100 TB layout per batch is a non-starter): seqno continues after the
+    existing max (a parquet column-stats read), connection identities
+    already in the dim KEEP their ids (only genuinely-new identities are
+    appended, numbered after them), and every touched table passes the
+    schema-fingerprint guard. Appending batch B onto converted A equals
+    converting [A, B] in one fleet — test-pinned.
 
     All four grammars fleet (``.bag``/SBAG = ros1, ``.db3``/MCAP-ros1/
     MCAP-cdr), including a recorded rosbag2 DIRECTORY (metadata.yaml names
@@ -810,15 +854,52 @@ def convert_bags(
         )
     serialization = serializations[0] if serializations else "ros1"
 
-    # ---- global Connections dim: first-seen identity across bags
+    # ---- global Connections dim: first-seen identity across bags.
+    # In append mode the dim is SEEDED from the existing layout so prior
+    # identities KEEP their ids (a convert_bag layout keeps bag-local ids,
+    # so the seed is not necessarily dense); new identities number after
+    # the existing max.
     gid: dict[tuple, int] = {}
     dim_rows: list[tuple] = []
+    n_seeded = 0
+    next_id = 0
+    prev_max_seqno = -1
+    if mode == "append":
+        conn_path = os.path.join(out_dir, "Connections")
+        if os.path.isdir(conn_path):
+            existing = (
+                spark.read.parquet(conn_path)
+                .orderBy("connection_id")
+                .collect()
+            )
+            for r in existing:
+                key = (
+                    r.topic, r.datatype, r.md5sum, r.msg_def,
+                    r.callerid, r.latching,
+                )
+                if key in gid:
+                    raise ValueError(
+                        f"{conn_path}: duplicate connection identity for "
+                        f"ids {gid[key]} and {r.connection_id} — corrupt "
+                        "dim; cannot append"
+                    )
+                gid[key] = r.connection_id
+                dim_rows.append((r.connection_id, *key))
+                next_id = max(next_id, r.connection_id + 1)
+            n_seeded = len(gid)
+        msg_path = os.path.join(out_dir, "Messages")
+        if os.path.isdir(msg_path):
+            prev_max_seqno = (
+                spark.read.parquet(msg_path).agg(F.max("seqno")).collect()[0][0]
+            )
+            prev_max_seqno = -1 if prev_max_seqno is None else int(prev_max_seqno)
     remap: dict[int, int] = {}  # bag_index*STRIDE + local conn_id -> global
     for i, meta in enumerate(metas):
         for row in meta["rows"]:
             key = tuple(row[1:])
             if key not in gid:
-                gid[key] = len(gid)
+                gid[key] = next_id
+                next_id += 1
                 dim_rows.append((gid[key], *key))
             remap[i * _CONN_KEY_STRIDE + row[0]] = gid[key]
     if not remap:
@@ -903,7 +984,24 @@ def convert_bags(
         union,
         ["bag_index", "offset"],
         bucket=F.expr(f"bag_index * {slot} + (offset div {width})"),
-    ).cache()
+    )
+    if mode == "append" and prev_max_seqno >= 0:
+        # seqno is the cross-table join key and unique within the layout
+        # (FlattenedRosWriter.cpp:57) — continue after the existing max
+        seq = seq.withColumn(
+            "seqno", (F.col("seqno") + F.lit(prev_max_seqno + 1)).cast("long")
+        )
+    seq = seq.cache()
+
+    # append writes only the genuinely-new dim rows; the decode still sees
+    # the full dim (a type may span old and new connections)
+    conns_write_df = None
+    if mode == "append":
+        conns_write_df = spark.createDataFrame(
+            dim_rows[n_seeded:] or [],
+            "connection_id int, topic string, datatype string, md5sum "
+            "string, msg_def string, callerid string, latching string",
+        )
 
     count, size = _write_bag_tables(
         seq,
@@ -915,6 +1013,8 @@ def convert_bags(
         compression=compression,
         serialization=serialization,
         on_error=on_error,
+        mode=mode,
+        conns_write_df=conns_write_df,
     )
     seq.unpersist()
     return ConvertInfo(

@@ -154,6 +154,26 @@ def test_cli_fleet_mode(fleet, tmp_path, capsys, spark):
     assert os.path.isdir(os.path.join(out, "Messages"))
 
 
+def test_cli_append_mode(fleet, tmp_path, capsys, spark):
+    """`--append` writes INTO the existing layout (no outdir.N rename) and
+    continues seqno after the existing max."""
+    import os
+
+    from rosbag2parquet_spark.__main__ import main
+
+    _, bags = fleet
+    out = str(tmp_path / "cli_append_out")
+    assert main(["--input", bags[0], "--outdir", out]) == 0
+    capsys.readouterr()
+    assert main(["--input", bags[1], "--outdir", out, "--append"]) == 0
+    capsys.readouterr()
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    seqs = sorted(r.seqno for r in msgs.collect())
+    assert seqs == list(range(6))
+    # no outdir.1 side-step happened
+    assert not os.path.exists(out + ".1")
+
+
 def test_remap_key_no_int32_wrap(spark):
     """The (bag_index, conn_id) remap key is LONG: at bag_index >= 2048 an
     int32 key wraps past 2^31 (non-ANSI → silent), misses the remap probe,
@@ -260,3 +280,68 @@ def test_fleet_remap_broadcast_path(spark, fleet, tmp_path, monkeypatch):
     messages = spark.read.parquet(os.path.join(out, "Messages"))
     assert sorted(r.seqno for r in messages.collect()) == list(range(6))
     assert {r.connection_id for r in messages.collect()} == {0, 1}
+
+
+def test_convert_bags_append_equals_one_fleet(spark, tmp_path):
+    """Incremental ingest: convert bag A, then APPEND bag B — the layout
+    must equal converting [A, B] as one fleet: continuous seqno, stable
+    connection ids (identities already in the dim keep theirs; new ones
+    number after), identical per-type content, and a DDL script that still
+    lists every table."""
+    DEF_A = "uint32 a\nstring s\n"
+    DEF_B = "uint32 b\n"
+    conns_a = [ConnectionInfo(1, "/t1", "demo/TypeA", "ma", DEF_A)]
+    conns_b = [
+        ConnectionInfo(1, "/t1", "demo/TypeA", "ma", DEF_A),  # same identity
+        ConnectionInfo(2, "/t2", "demo/TypeB", "mb", DEF_B),  # new identity
+    ]
+
+    def enc_a(i):
+        s = f"x{i}".encode()
+        return struct.pack("<I", i) + struct.pack("<I", len(s)) + s
+
+    msgs_a = [(1, 10**18 + i * 1000, enc_a(i)) for i in range(8)]
+    msgs_b = [(1, 10**18 + (100 + i) * 1000, enc_a(100 + i)) for i in range(5)]
+    msgs_b += [(2, 10**18 + (200 + i) * 1000, struct.pack("<I", i)) for i in range(4)]
+    pa = str(tmp_path / "a.sbag")
+    pb = str(tmp_path / "b.sbag")
+    write_bag(pa, conns_a, msgs_a)
+    write_bag(pb, conns_b, sorted(msgs_b, key=lambda m: m[1]))
+
+    inc = str(tmp_path / "incremental")
+    convert_bags(spark, [pa], inc)
+    info = convert_bags(spark, [pb], inc, mode="append")
+    assert info.count == 9
+
+    fleet = str(tmp_path / "fleet")
+    convert_bags(spark, [pa, pb], fleet)
+
+    for table in ("Messages", "Connections", "demo_TypeA", "demo_TypeB"):
+        x = spark.read.parquet(os.path.join(inc, table))
+        y = spark.read.parquet(os.path.join(fleet, table))
+        assert x.exceptAll(y).count() == 0 and y.exceptAll(x).count() == 0, table
+    seqs = [
+        r.seqno
+        for r in spark.read.parquet(os.path.join(inc, "Messages"))
+        .orderBy("seqno")
+        .collect()
+    ]
+    assert seqs == list(range(17))
+    ddl = open(os.path.join(inc, "load_tables.sql")).read()
+    assert "demo_TypeA" in ddl and "demo_TypeB" in ddl
+
+    # appending a SCHEMA-DRIFTED TypeA bag is refused: the new def carries
+    # a new md5 identity, and one type may not span two md5s (the
+    # reference's FlattenedRosWriter.cpp:287 assert)
+    conns_drift = [ConnectionInfo(1, "/t1", "demo/TypeA", "mc",
+                                  "uint32 a\nuint32 extra\nstring s\n")]
+    pc = str(tmp_path / "c.sbag")
+    write_bag(pc, conns_drift,
+              [(1, 10**18 + 300_000, struct.pack("<II", 1, 2)
+                + struct.pack("<I", 1) + b"z")])
+    with pytest.raises(ValueError, match="schema mismatch|md5"):
+        convert_bags(spark, [pc], inc, mode="append")
+    # the refused append left the layout UNTOUCHED (validation precedes
+    # every write — no half-appended tables)
+    msgs = spark.read.parquet(os.path.join(inc, "Messages"))
+    assert msgs.count() == 17
