@@ -478,26 +478,84 @@ def compact_partitioned(
     in_path: str,
     out_path: str,
     partition_cols: "list[str]",
+    target_file_bytes: "int | None" = None,
 ) -> None:
     """Partition-AWARE compaction: rewrite a hive-partitioned layout so
-    each partition directory holds ONE file (the per-partition OPTIMIZE a
-    streaming demux layout needs — `partitionBy` writers emit one file
-    per task per partition, so a 32-task write fragments every partition
-    32-way).
+    each partition directory holds ~ceil(partition_bytes / target) files
+    (ONE file when no target is given) — the per-partition OPTIMIZE a
+    streaming demux layout needs: `partitionBy` writers emit one file per
+    task per partition, so a 32-task write fragments every partition
+    32-way.
 
-    ONE job, ONE shuffle: ``repartition(partition_cols)`` hash-routes
-    every row of a partition to the same task (colliding partitions share
+    ONE job, ONE shuffle: ``repartition(partition_cols [+ salt])``
+    hash-routes each partition's rows together (colliding partitions share
     a task but ``partitionBy`` still splits them into their own
     directories at write), so the whole table compacts without a
     per-partition driver loop — the shape that survives 10^5 partitions
-    where one-job-per-partition dies on job-scheduling overhead."""
+    where one-job-per-partition dies on job-scheduling overhead.
+
+    Skew: with ``target_file_bytes``, per-partition byte footprints come
+    from a driver-side LISTING of the hive dirs (metadata only, like
+    ``compact_files``) and a broadcast (partition → k) dim salts the
+    shuffle key with ``pmod(xxhash64(*), k)`` — a 1 TB hot partition
+    splits across k tasks/files instead of serializing through one."""
     df = spark.read.parquet(in_path)
-    n = max(
-        1,
-        df.select(*partition_cols).distinct().count(),  # tiny dim count
+    if target_file_bytes is None:
+        n = max(1, df.select(*partition_cols).distinct().count())
+        (
+            df.repartition(n, *[F.col(c) for c in partition_cols])
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+        return
+
+    # per-partition-directory byte footprint: hive dir names are the
+    # partition values (k1=v1/k2=v2/...) — a pure listing, no data read
+    sizes: dict[tuple, int] = {}
+    for root, _dirs, files in os.walk(in_path):
+        rel = os.path.relpath(root, in_path)
+        if rel == ".":
+            continue
+        parts = {}
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                parts[k] = v
+        if set(parts) != set(partition_cols):
+            continue
+        key = tuple(parts[c] for c in partition_cols)
+        sizes[key] = sizes.get(key, 0) + sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    k_rows = [
+        (*key, max(1, -(-b // target_file_bytes))) for key, b in sizes.items()
+    ]
+    if not k_rows:
+        raise ValueError(f"{in_path}: no hive partition dirs for {partition_cols}")
+    schema_cols = ", ".join(f"`{c}` string" for c in partition_cols)
+    kdim = spark.createDataFrame(k_rows, f"{schema_cols}, __k int")
+    # hive partition values read back typed; compare as strings
+    on = [
+        df[c].cast("string") == kdim[c] for c in partition_cols
+    ]
+    n_tasks = max(1, sum(k for *_, k in k_rows))
+    salted = (
+        df.join(F.broadcast(kdim), on, "left")
+        .drop(*[kdim[c] for c in partition_cols])
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                   F.coalesce(F.col("__k"), F.lit(1))),
+        )
     )
     (
-        df.repartition(n, *[F.col(c) for c in partition_cols])
+        salted.repartition(
+            n_tasks, *[F.col(c) for c in partition_cols], F.col("__salt")
+        )
+        .drop("__k", "__salt")
         .write.partitionBy(*partition_cols)
         .mode("overwrite")
         .parquet(out_path)

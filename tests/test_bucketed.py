@@ -308,3 +308,49 @@ def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
     a = spark.read.parquet(frag)
     b = spark.read.parquet(out)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_partitioned_target_size_splits_skew(spark, tmp_path):
+    """With target_file_bytes, a SKEWED partition splits into
+    ~ceil(bytes/target) files while small partitions stay at one — the
+    hot-partition case one-file-per-partition serializes through a single
+    task at 100 TB."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double")
+    )
+    # make 'click' the hot partition: replicate its rows 8x
+    hot = ev.filter(F.col("event_type") == "click")
+    skewed = ev.unionByName(
+        hot.crossJoin(spark.range(7).select(F.lit(1).alias("__d"))).drop("__d")
+    )
+    frag = str(tmp_path / "frag_skew")
+    skewed.repartition(8).write.partitionBy("event_type").parquet(frag)
+    sizes = {}
+    for d in os.listdir(frag):
+        if d.startswith("event_type="):
+            p = os.path.join(frag, d)
+            sizes[d] = sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+    target = max(sizes.values()) // 4  # hot partition should split ~4-way
+
+    from rosbag2parquet_spark.sinks import compact_partitioned
+
+    out = str(tmp_path / "compact_skew")
+    compact_partitioned(spark, frag, out, ["event_type"],
+                        target_file_bytes=target)
+    counts = {}
+    for d in os.listdir(out):
+        if d.startswith("event_type="):
+            counts[d] = len(
+                [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".parquet")]
+            )
+    hot_dir = max(sizes, key=sizes.get)
+    assert counts[hot_dir] >= 3, counts  # the skewed partition split
+    small = [d for d in counts if sizes[d] <= target]
+    assert all(counts[d] == 1 for d in small), (counts, sizes)
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
