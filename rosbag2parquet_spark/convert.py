@@ -457,6 +457,17 @@ def convert_bag(
         serialization=serialization,
         on_error=on_error,
     )
+    if fmt == "mcap":
+        # MCAP side-car files (calibration YAML, intrinsics, URDF —
+        # Attachment records; rosbag has no analog) land as their own
+        # table so nothing in the bag is left behind
+        from rosbag2parquet_spark.sources.mcap import mcap_attachments_df
+
+        att = mcap_attachments_df(spark, bag_path)
+        if att is not None:
+            att.write.options(compression=compression).mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "Attachments"))
     seq.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
 

@@ -60,6 +60,8 @@ OP_MESSAGE = 0x05
 OP_CHUNK = 0x06
 OP_MESSAGE_INDEX = 0x07
 OP_CHUNK_INDEX = 0x08
+OP_ATTACHMENT = 0x09
+OP_ATTACHMENT_INDEX = 0x0A
 OP_DATA_END = 0x0F
 
 #: Footer record: opcode(1) + length(8) + payload(20), then trailing magic
@@ -275,7 +277,7 @@ def _scan_from_summary(path: str, size: int) -> "McapScan | None":
 # ChunkIndex is data the summary would silently drop.
 _GAP_OK_OPS = frozenset(
     {OP_HEADER, OP_SCHEMA, OP_CHANNEL, OP_MESSAGE_INDEX,
-     0x09, 0x0A, 0x0C, 0x0D, OP_DATA_END}
+     OP_ATTACHMENT, OP_ATTACHMENT_INDEX, 0x0C, 0x0D, OP_DATA_END}
 )
 
 
@@ -633,6 +635,86 @@ def mcap_connections_df(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _parse_attachment(buf: bytes, s: int, ln: int, path: str) -> tuple:
+    """Attachment payload → (log_time, create_time, name, media_type, data);
+    validates the record CRC when the writer set it."""
+    log_time, create_time = struct.unpack_from("<QQ", buf, s)
+    name, pos = _str_at(buf, s + 16)
+    media_type, pos = _str_at(buf, pos)
+    (data_size,) = struct.unpack_from("<Q", buf, pos)
+    pos += 8
+    data = buf[pos : pos + data_size]
+    if len(data) != data_size:
+        raise ValueError(f"{path}: truncated attachment {name!r}")
+    (crc,) = struct.unpack_from("<I", buf, pos + data_size)
+    if crc and zlib.crc32(buf[s : pos + data_size]) != crc:
+        raise ValueError(f"{path}: attachment {name!r} crc mismatch")
+    return log_time, create_time, name, media_type, data
+
+
+def mcap_attachments(path: str) -> "list[tuple]":
+    """Side-car files embedded in the bag (calibration YAML, camera
+    intrinsics, URDF — the MCAP spec's Attachment records, which rosbag
+    has no analog for): (log_time, create_time, name, media_type, data)
+    tuples. Indexed files resolve via the summary's AttachmentIndex with
+    one ranged read per attachment; unindexed files fall back to the
+    top-level walk. Record CRCs validate when nonzero."""
+    size = os.path.getsize(path)
+    out: list[tuple] = []
+    with open(path, "rb") as f:
+        if f.read(8) != MCAP_MAGIC:
+            raise ValueError(f"{path}: not an MCAP file")
+        f.seek(size - 8 - _FOOTER_RECORD_LEN)
+        tail = f.read(_FOOTER_RECORD_LEN)
+        summary_start = 0
+        if len(tail) == _FOOTER_RECORD_LEN and tail[0] == OP_FOOTER:
+            (summary_start,) = struct.unpack_from("<Q", tail, 9)
+        if summary_start:
+            f.seek(summary_start)
+            buf = f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
+            for op, s, ln, _ in _walk_records(buf):
+                if op != OP_ATTACHMENT_INDEX:
+                    continue
+                off, rec_len = struct.unpack_from("<QQ", buf, s)
+                f.seek(off)
+                rec = f.read(9 + rec_len)
+                if rec[0] != OP_ATTACHMENT:
+                    raise ValueError(
+                        f"{path}@{off}: AttachmentIndex points at op "
+                        f"0x{rec[0]:02x}, not an Attachment"
+                    )
+                (pln,) = struct.unpack_from("<Q", rec, 1)
+                out.append(_parse_attachment(rec, 9, pln, path))
+            return out
+        # unindexed: top-level walk, header-skip over everything else
+        pos = 8
+        while pos + 9 <= size - 8:
+            f.seek(pos)
+            head = f.read(9)
+            if len(head) < 9:
+                break
+            op = head[0]
+            (ln,) = struct.unpack("<Q", head[1:])
+            if op == OP_ATTACHMENT:
+                payload = f.read(ln)
+                out.append(_parse_attachment(payload, 0, ln, path))
+            pos += 9 + ln
+    return out
+
+
+def mcap_attachments_df(spark: SparkSession, path: str) -> "DataFrame | None":
+    """Attachments as a table (None when the bag carries none):
+    (name, media_type, log_time, create_time, data)."""
+    rows = mcap_attachments(path)
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        [(n, m, lt, ct, bytes(d)) for lt, ct, n, m, d in rows],
+        "name string, media_type string, log_time long, create_time long, "
+        "data binary",
+    )
+
+
 def mcap_serialization(path: str) -> str:
     """'cdr' | 'ros1' — from the channels' message_encoding (one per file;
     mixed encodings are refused, the per-type decode can't dispatch)."""
@@ -846,6 +928,7 @@ def write_mcap(
     chunk_messages: int = 1000,
     indexed: bool = True,
     crcs: bool = False,
+    attachments: "list[tuple] | None" = None,
 ) -> None:
     """Minimal spec-conformant MCAP writer (tests + fixtures): Header,
     Schema+Channel per connection, messages (optionally chunked with
@@ -959,11 +1042,40 @@ def write_mcap(
         for cid, t, p in messages:
             out += message_rec(cid, t, p)
 
+    # attachments: (log_time, create_time, name, media_type, data) — in
+    # the data section after the chunks; indexed files also get one
+    # AttachmentIndex record per attachment in the summary
+    attachment_index_recs: list[bytes] = []
+    for log_t, create_t, aname, media, adata in attachments or []:
+        payload = (
+            struct.pack("<QQ", log_t, create_t)
+            + s(aname)
+            + s(media)
+            + struct.pack("<Q", len(adata))
+            + adata
+        )
+        payload += struct.pack(
+            "<I", zlib.crc32(payload) if crcs else 0
+        )
+        att_off = len(out)
+        out += rec(OP_ATTACHMENT, payload)
+        attachment_index_recs.append(
+            rec(
+                OP_ATTACHMENT_INDEX,
+                # length = full record (header + payload), per spec
+                struct.pack("<QQQQQ", att_off, 9 + len(payload), log_t,
+                            create_t, len(adata))
+                + s(aname)
+                + s(media),
+            )
+        )
+
     if chunked and indexed and chunk_index_recs:
         out += rec(OP_DATA_END, struct.pack("<I", 0))
         summary_start = len(out)
         out += dim  # summary repeats the dim
         out += b"".join(chunk_index_recs)
+        out += b"".join(attachment_index_recs)
         # summary_crc covers summary_start .. the footer's
         # summary_offset_start field inclusive (spec)
         footer_head = (

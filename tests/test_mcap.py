@@ -614,3 +614,49 @@ def test_idl_only_schema_blob_preserves(spark, tmp_path):
     rows = pose.orderBy("seqno").collect()
     want = [p for cid, _, p in msgs if cid == 1]
     assert [bytes(r.data) for r in rows] == want
+
+
+def test_attachments_roundtrip_indexed_and_walk(spark, tmp_path):
+    """Attachment records (the bag's side-car files — calibration,
+    intrinsics) round-trip through BOTH resolution paths: AttachmentIndex
+    ranged reads on indexed files, the top-level walk on unindexed; CRCs
+    validate when written; the converter lands them as an Attachments
+    table."""
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.mcap import (
+        _scan_mcap_uncached,
+        mcap_attachments,
+    )
+
+    atts = [
+        (100, 50, "calib.yaml", "text/yaml", b"fx: 525.0\nfy: 525.0\n"),
+        (200, 60, "robot.urdf", "application/xml", b"<robot name='r'/>"),
+    ]
+    for indexed in (True, False):
+        p = str(tmp_path / f"att_{indexed}.mcap")
+        write_mcap(p, CONNS, _messages(20), chunked=True, chunk_messages=7,
+                   indexed=indexed, crcs=True, attachments=atts)
+        _scan_mcap_uncached.cache_clear()
+        got = mcap_attachments(p)
+        assert [(lt, ct, n, m, bytes(d)) for lt, ct, n, m, d in got] == atts
+
+    # corrupted attachment data trips the record CRC
+    p = str(tmp_path / "att_True.mcap")
+    raw = bytearray(open(p, "rb").read())
+    i = raw.find(b"fx: 525.0")
+    raw[i] ^= 0xFF
+    with open(p, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(ValueError, match="crc"):
+        mcap_attachments(p)
+
+    # converter: Attachments table lands beside Messages/Connections
+    p2 = str(tmp_path / "att_conv.mcap")
+    write_mcap(p2, CONNS, _messages(20), chunked=True, chunk_messages=7,
+               attachments=atts)
+    out = str(tmp_path / "out_att")
+    convert_bag(spark, p2, out)
+    t = spark.read.parquet(out + "/Attachments").orderBy("log_time").collect()
+    assert [(r.name, r.media_type, bytes(r.data)) for r in t] == [
+        (n, m, d) for _, _, n, m, d in atts
+    ]
