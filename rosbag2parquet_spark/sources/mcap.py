@@ -62,6 +62,8 @@ OP_MESSAGE_INDEX = 0x07
 OP_CHUNK_INDEX = 0x08
 OP_ATTACHMENT = 0x09
 OP_ATTACHMENT_INDEX = 0x0A
+OP_METADATA = 0x0C
+OP_METADATA_INDEX = 0x0D
 OP_DATA_END = 0x0F
 
 #: Footer record: opcode(1) + length(8) + payload(20), then trailing magic
@@ -277,7 +279,8 @@ def _scan_from_summary(path: str, size: int) -> "McapScan | None":
 # ChunkIndex is data the summary would silently drop.
 _GAP_OK_OPS = frozenset(
     {OP_HEADER, OP_SCHEMA, OP_CHANNEL, OP_MESSAGE_INDEX,
-     OP_ATTACHMENT, OP_ATTACHMENT_INDEX, 0x0C, 0x0D, OP_DATA_END}
+     OP_ATTACHMENT, OP_ATTACHMENT_INDEX, OP_METADATA, OP_METADATA_INDEX,
+     OP_DATA_END}
 )
 
 
@@ -702,6 +705,66 @@ def mcap_attachments(path: str) -> "list[tuple]":
     return out
 
 
+def _parse_metadata_rec(buf: bytes, s: int, path: str) -> "tuple[str, dict]":
+    """Metadata payload → (name, {key: value})."""
+    name, pos = _str_at(buf, s)
+    (map_len,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    end = pos + map_len
+    kv: dict = {}
+    while pos < end:
+        k, pos = _str_at(buf, pos)
+        v, pos = _str_at(buf, pos)
+        kv[k] = v
+    return name, kv
+
+
+def mcap_metadata(path: str) -> "list[tuple[str, dict]]":
+    """Named key-value maps embedded in the bag (recorder version, vehicle
+    id — the spec's Metadata records): (name, {key: value}) tuples.
+    Indexed files resolve via the summary's MetadataIndex with one ranged
+    read each; unindexed files fall back to the top-level walk."""
+    size = os.path.getsize(path)
+    out: list = []
+    with open(path, "rb") as f:
+        if f.read(8) != MCAP_MAGIC:
+            raise ValueError(f"{path}: not an MCAP file")
+        f.seek(size - 8 - _FOOTER_RECORD_LEN)
+        tail = f.read(_FOOTER_RECORD_LEN)
+        summary_start = 0
+        if len(tail) == _FOOTER_RECORD_LEN and tail[0] == OP_FOOTER:
+            (summary_start,) = struct.unpack_from("<Q", tail, 9)
+        if summary_start:
+            f.seek(summary_start)
+            buf = f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
+            for op, s, ln, _ in _walk_records(buf):
+                if op != OP_METADATA_INDEX:
+                    continue
+                off, rec_len = struct.unpack_from("<QQ", buf, s)
+                f.seek(off)
+                rec = f.read(9 + rec_len)
+                if rec[0] != OP_METADATA:
+                    raise ValueError(
+                        f"{path}@{off}: MetadataIndex points at op "
+                        f"0x{rec[0]:02x}, not a Metadata record"
+                    )
+                out.append(_parse_metadata_rec(rec, 9, path))
+            return out
+        pos = 8
+        while pos + 9 <= size - 8:
+            f.seek(pos)
+            head = f.read(9)
+            if len(head) < 9:
+                break
+            op = head[0]
+            (ln,) = struct.unpack("<Q", head[1:])
+            if op == OP_METADATA:
+                payload = f.read(ln)
+                out.append(_parse_metadata_rec(payload, 0, path))
+            pos += 9 + ln
+    return out
+
+
 def mcap_attachments_df(spark: SparkSession, path: str) -> "DataFrame | None":
     """Attachments as a table (None when the bag carries none):
     (name, media_type, log_time, create_time, data)."""
@@ -929,6 +992,7 @@ def write_mcap(
     indexed: bool = True,
     crcs: bool = False,
     attachments: "list[tuple] | None" = None,
+    metadata: "list[tuple] | None" = None,  # (name, {key: value})
 ) -> None:
     """Minimal spec-conformant MCAP writer (tests + fixtures): Header,
     Schema+Channel per connection, messages (optionally chunked with
@@ -1070,12 +1134,26 @@ def write_mcap(
             )
         )
 
+    metadata_index_recs: list[bytes] = []
+    for mname, kv in metadata or []:
+        entries = b"".join(s(k) + s(v) for k, v in kv.items())
+        payload = s(mname) + struct.pack("<I", len(entries)) + entries
+        md_off = len(out)
+        out += rec(OP_METADATA, payload)
+        metadata_index_recs.append(
+            rec(
+                OP_METADATA_INDEX,
+                struct.pack("<QQ", md_off, 9 + len(payload)) + s(mname),
+            )
+        )
+
     if chunked and indexed and chunk_index_recs:
         out += rec(OP_DATA_END, struct.pack("<I", 0))
         summary_start = len(out)
         out += dim  # summary repeats the dim
         out += b"".join(chunk_index_recs)
         out += b"".join(attachment_index_recs)
+        out += b"".join(metadata_index_recs)
         # summary_crc covers summary_start .. the footer's
         # summary_offset_start field inclusive (spec)
         footer_head = (

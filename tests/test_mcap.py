@@ -660,3 +660,24 @@ def test_attachments_roundtrip_indexed_and_walk(spark, tmp_path):
     assert [(r.name, r.media_type, bytes(r.data)) for r in t] == [
         (n, m, d) for _, _, n, m, d in atts
     ]
+
+
+def test_metadata_roundtrip_indexed_and_walk(tmp_path):
+    """Metadata records (named key-value maps — recorder version, vehicle
+    id) round-trip through the MetadataIndex ranged-read path and the
+    top-level walk."""
+    from rosbag2parquet_spark.sources.mcap import (
+        _scan_mcap_uncached,
+        mcap_metadata,
+    )
+
+    md = [
+        ("recorder", {"version": "2.1.0", "host": "rover-7"}),
+        ("session", {"vehicle": "v42"}),
+    ]
+    for indexed in (True, False):
+        p = str(tmp_path / f"md_{indexed}.mcap")
+        write_mcap(p, CONNS, _messages(14), chunked=True, chunk_messages=7,
+                   indexed=indexed, metadata=md)
+        _scan_mcap_uncached.cache_clear()
+        assert mcap_metadata(p) == md
