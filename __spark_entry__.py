@@ -113,7 +113,7 @@ _QUERY_ORDER = [
     # CDC MERGE apply (last-writer-wins upsert/delete, co-partitioned
     # full-outer); partition-aware compaction
     "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
-    "compact-partitioned",
+    "compact-partitioned", "stream-merge-upsert",
     # CHANGED round 7 — must re-prove: the grid explode gained the
     # empty-span guard (sequence() raises on start > stop; same rows on
     # data that never trips it, but the plan changed)

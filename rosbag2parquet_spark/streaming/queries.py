@@ -355,6 +355,50 @@ def _resample_oracle() -> str:
     return ORACLE_RESAMPLE
 
 
+def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC MERGE (applyInPandasWithState): per-key state is two
+    commutative argmaxes (latest base row, latest change row + tombstone
+    flag), so the merged table converges under ANY arrival order — the
+    order-free streaming twin of batch `merge-upsert`, same oracle. The
+    finishing query keeps each user's LAST update emission and drops
+    tombstoned rows, matching the batch delete semantics."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
+    from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    tbl = _fresh("stream_merge")
+    run_to_memory(
+        running_merge_upsert(events, _MERGE_CUTOFF_US), tbl, mode="update"
+    )
+    # last emission per user = the max-last_t row: last_t is monotone
+    # across a user's emissions (post_t > any pre_t by the cutoff), and
+    # emissions at EQUAL last_t are identical rows (the argmax state is
+    # idempotent), so this pick is value-deterministic — no reliance on
+    # memory-sink row order
+    w = W.partitionBy("user_id").orderBy(F.col("last_t").desc())
+    return (
+        spark.table(tbl)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("deleted") == 0))
+        .select("user_id", "value", "last_t", "src")
+    )
+
+
+def _merge_oracle() -> str:
+    from rosbag2parquet_spark.operators.behavior import ORACLE_MERGE_UPSERT
+
+    return ORACLE_MERGE_UPSERT
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
@@ -367,6 +411,7 @@ QUERIES = {
     "stream-scd2": q_stream_scd2,
     "stream-dedup": q_stream_dedup,
     "stream-resample": q_stream_resample,
+    "stream-merge-upsert": q_stream_merge_upsert,
 }
 
 
@@ -405,4 +450,5 @@ ORACLES = {
     "stream-scd2": _scd2_oracle(),
     "stream-dedup": _dedup_exact_oracle(),
     "stream-resample": _resample_oracle(),
+    "stream-merge-upsert": _merge_oracle(),
 }

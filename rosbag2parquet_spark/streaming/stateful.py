@@ -252,3 +252,75 @@ def running_resample(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming merge
+
+MERGE_OUTPUT_SCHEMA = (
+    "user_id long, value double, last_t long, src string, deleted int"
+)
+MERGE_STATE_SCHEMA = (
+    "pre_t long, pre_eid long, pre_v double, "
+    "post_t long, post_eid long, post_v double, post_del int"
+)
+
+
+def make_merge_updater(cutoff_us: int):
+    """Incremental CDC MERGE (the streaming twin of batch `merge-upsert`):
+    per-key state is two argmaxes — the latest BASE row (events before the
+    cutoff) and the latest CHANGE row (events at/after it, remembering
+    whether it was a delete tombstone). Both reducers are commutative and
+    associative, so ANY arrival order — within a batch, across batches,
+    across replays — converges to the same final row; like
+    `running_compaction`, this needs NO ordering contract at all (stronger
+    than the SCD2 twin). Emission is update-mode: the current merged row
+    per key, the finishing query keeps the last."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            (pre_t, pre_eid, pre_v, post_t, post_eid, post_v,
+             post_del) = state.get
+        else:
+            pre_t, pre_eid, pre_v = -1, -1, 0.0
+            post_t, post_eid, post_v, post_del = -1, -1, 0.0, 0
+        for pdf in batches:
+            for t, eid, etype, v in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                t, eid, v = int(t), int(eid), float(v)
+                if t < cutoff_us:
+                    if (t, eid) > (pre_t, pre_eid):
+                        pre_t, pre_eid, pre_v = t, eid, v
+                elif (t, eid) > (post_t, post_eid):
+                    post_t, post_eid, post_v = t, eid, v
+                    post_del = 1 if str(etype) == "error" else 0
+        state.update(
+            (pre_t, pre_eid, pre_v, post_t, post_eid, post_v, post_del)
+        )
+        if post_t >= 0:
+            row = (user_id, post_v, post_t, "change", post_del)
+        elif pre_t >= 0:
+            row = (user_id, pre_v, pre_t, "base", 0)
+        else:
+            return
+        yield pd.DataFrame(
+            [row],
+            columns=["user_id", "value", "last_t", "src", "deleted"],
+        )
+
+    return update
+
+
+def running_merge_upsert(events: DataFrame, cutoff_us: int) -> DataFrame:
+    """events (streaming: user_id, ts_us, event_id, event_type, value) →
+    update-mode merged row per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_merge_updater(cutoff_us),
+        outputStructType=MERGE_OUTPUT_SCHEMA,
+        stateStructType=MERGE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

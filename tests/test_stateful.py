@@ -234,3 +234,58 @@ def test_stream_resample_ties_and_on_grid(spark, tmp_path):
         ("a", 2 * H, 20.0, interp(2 * H)),
         ("a", 3 * H, 20.0, interp(3 * H)),
     }
+
+
+def test_stream_merge_upsert_out_of_order_batches(spark, tmp_path):
+    """The merge state is two commutative argmaxes, so micro-batches may
+    arrive in ANY order: replaying them reversed AND shuffled must
+    converge to the same merged table — including the delete tombstone
+    (last post-cutoff event is 'error') and the base-only user."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    CUT = 1_000_000
+    rows = [
+        # user 1: base then change → change wins
+        (1, CUT - 50, 1, "view", 10.0),
+        (1, CUT + 10, 2, "click", 20.0),
+        # user 2: last change is the tombstone → deleted
+        (2, CUT - 40, 3, "view", 1.0),
+        (2, CUT + 30, 4, "error", 0.0),
+        (2, CUT + 20, 5, "click", 2.0),
+        # user 3: base only
+        (3, CUT - 5, 6, "purchase", 7.0),
+    ]
+    cols = ["user_id", "ts_us", "event_id", "event_type", "value"]
+    land = tmp_path / "land_merge"
+    land.mkdir()
+    # reversed order, split across two files (micro-batches)
+    rev = list(reversed(rows))
+    pd.DataFrame(rev[:3], columns=cols).to_parquet(land / "a.parquet")
+    pd.DataFrame(rev[3:], columns=cols).to_parquet(land / "b.parquet")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, event_type string, "
+            "value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_merge_upsert(stream, CUT), "merge_shuf", mode="update")
+    final = spark.sql(
+        """
+        SELECT user_id, value, last_t, src, deleted FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY last_t DESC) AS rn
+          FROM merge_shuf
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {(r.user_id, r.value, r.last_t, r.src, r.deleted) for r in final}
+    assert got == {
+        (1, 20.0, CUT + 10, "change", 0),
+        (2, 0.0, CUT + 30, "change", 1),   # tombstoned — consumer drops it
+        (3, 7.0, CUT - 5, "base", 0),
+    }
