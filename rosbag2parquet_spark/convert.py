@@ -1027,6 +1027,25 @@ def convert_bags(
         mode=mode,
         conns_write_df=conns_write_df,
     )
+    # MCAP side-car attachments across the fleet, with bag provenance
+    att_rows = []
+    for i, meta in enumerate(metas):
+        if meta["format"] == "mcap":
+            from rosbag2parquet_spark.sources.mcap import mcap_attachments
+
+            for lt, ct, aname, media, adata in mcap_attachments(meta["path"]):
+                att_rows.append(
+                    (i, os.path.basename(meta["path"]), aname, media,
+                     lt, ct, bytes(adata))
+                )
+    if att_rows:
+        spark.createDataFrame(
+            att_rows,
+            "bag_index int, bag string, name string, media_type string, "
+            "log_time long, create_time long, data binary",
+        ).write.options(compression=compression).mode(mode).parquet(
+            os.path.join(out_dir, "Attachments")
+        )
     seq.unpersist()
     return ConvertInfo(
         bagname=",".join(os.path.basename(p) for p in paths),

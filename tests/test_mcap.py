@@ -681,3 +681,23 @@ def test_metadata_roundtrip_indexed_and_walk(tmp_path):
                    indexed=indexed, metadata=md)
         _scan_mcap_uncached.cache_clear()
         assert mcap_metadata(p) == md
+
+
+def test_fleet_attachments_with_provenance(spark, tmp_path):
+    """A fleet of MCAP bags lands ALL attachments in one table with bag
+    provenance (bag_index, bag)."""
+    from rosbag2parquet_spark.convert import convert_bags
+
+    p1 = str(tmp_path / "f1.mcap")
+    p2 = str(tmp_path / "f2.mcap")
+    write_mcap(p1, CONNS, _messages(10), chunk_messages=5,
+               attachments=[(1, 1, "cal1.yaml", "text/yaml", b"a: 1")])
+    write_mcap(p2, CONNS, _messages(10), chunk_messages=5,
+               attachments=[(2, 2, "cal2.yaml", "text/yaml", b"b: 2")])
+    out = str(tmp_path / "fleet_att")
+    convert_bags(spark, [p1, p2], out)
+    t = spark.read.parquet(out + "/Attachments").orderBy("bag_index").collect()
+    assert [(r.bag_index, r.bag, r.name, bytes(r.data)) for r in t] == [
+        (0, "f1.mcap", "cal1.yaml", b"a: 1"),
+        (1, "f2.mcap", "cal2.yaml", b"b: 2"),
+    ]
