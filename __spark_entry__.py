@@ -101,17 +101,18 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 6 new/changed (through
-# "compact-partitioned") + 36 r4 + the first 8 of the r5 block (through
-# "multimodal-frames"). For r8, lead with any new/changed queries, then
-# the REMAINDER of the r5-proven block ("json-funcs" onward, 42 queries);
+# ROUND-8 NOTE: the r7 window = 7 new/changed (through
+# "resample-interpolate") + 36 r4 + the first 7 of the r5 block (through
+# "lsh-recall"). For r8, lead with any new/changed queries, then the
+# REMAINDER of the r5-proven block ("stream-compact" onward, 43 queries);
 # r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
     # twin of resample-interpolate (incremental grid fill, O(1) state);
     # CDC MERGE apply (last-writer-wins upsert/delete, co-partitioned
-    # full-outer); partition-aware compaction
+    # full-outer) + its order-free streaming twin; partition-aware
+    # compaction
     "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
     "compact-partitioned", "stream-merge-upsert",
     # CHANGED round 7 — must re-prove: the grid explode gained the
