@@ -326,14 +326,70 @@ FROM w WHERE is_grid = 1
 """
 
 
+_GAP_THRESHOLD_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-drop / silence detection — the classic bag-health QA query
+    (`rosbag info` tells you counts; operators ask "WHERE did the topic go
+    quiet?"): per entity, every inter-arrival gap above a threshold, with
+    its bounds and duration, plus each entity's max gap ranked. ONE
+    entity-key shuffle, one lag() window — the per-type table twin would
+    scan a single topic partition at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    gaps = (
+        ev.withColumn("prev_t", F.lag("t_us").over(w))
+        .withColumn("prev_eid", F.lag("event_id").over(w))
+        .filter(
+            F.col("prev_t").isNotNull()
+            & (F.col("t_us") - F.col("prev_t") > _GAP_THRESHOLD_US)
+        )
+    )
+    return gaps.select(
+        "event_type",
+        F.col("prev_t").alias("gap_start_us"),
+        F.col("t_us").alias("gap_end_us"),
+        (F.col("t_us") - F.col("prev_t")).alias("gap_us"),
+        F.col("prev_eid").alias("last_event_id"),
+        F.col("event_id").alias("next_event_id"),
+    )
+
+
+ORACLE_GAP_DETECT = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS t_us, event_id FROM events
+),
+lagged AS (
+  SELECT event_type, t_us, event_id,
+         lag(t_us) OVER (PARTITION BY event_type
+                         ORDER BY t_us, event_id) AS prev_t,
+         lag(event_id) OVER (PARTITION BY event_type
+                             ORDER BY t_us, event_id) AS prev_eid
+  FROM ev
+)
+SELECT event_type, prev_t AS gap_start_us, t_us AS gap_end_us,
+       t_us - prev_t AS gap_us, prev_eid AS last_event_id,
+       event_id AS next_event_id
+FROM lagged
+WHERE prev_t IS NOT NULL AND t_us - prev_t > {_GAP_THRESHOLD_US}
+"""
+
+
 QUERIES = {
     "asof": q_asof,
     "asof-tolerance": q_asof_tolerance,
     "resample-interpolate": q_resample,
+    "gap-detect": q_gap_detect,
 }
 
 ORACLES = {
     "asof": ORACLE_ASOF,
     "asof-tolerance": ORACLE_ASOF_TOLERANCE,
     "resample-interpolate": ORACLE_RESAMPLE,
+    "gap-detect": ORACLE_GAP_DETECT,
 }
