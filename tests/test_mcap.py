@@ -701,3 +701,37 @@ def test_fleet_attachments_with_provenance(spark, tmp_path):
         (0, "f1.mcap", "cal1.yaml", b"a: 1"),
         (1, "f2.mcap", "cal2.yaml", b"b: 2"),
     ]
+
+
+def test_rosbag2_directory_with_mcap_storage(spark, tmp_path):
+    """A recorded ROS 2 directory whose storage is MCAP (the Iron+ default
+    storage plugin — metadata.yaml `storage_identifier: mcap`) converts
+    like its .db3 twin: shards union in MANIFEST order (not alphabetical)
+    with continuous seqno; each shard dispatches by magic bytes."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    d = tmp_path / "ros2_mcap_bag"
+    d.mkdir()
+    msgs = _messages(24)
+    # manifest order 'part_b' then 'part_a' — alphabetical would flip it
+    write_mcap(str(d / "part_b.mcap"), CONNS, msgs[:12], chunk_messages=5)
+    write_mcap(str(d / "part_a.mcap"), CONNS, msgs[12:], chunk_messages=5)
+    (d / "metadata.yaml").write_text(
+        "rosbag2_bagfile_information:\n"
+        "  version: 6\n"
+        "  storage_identifier: mcap\n"
+        "  relative_file_paths:\n"
+        "    - part_b.mcap\n"
+        "    - part_a.mcap\n"
+        "  message_count: 24\n"
+    )
+    out = str(tmp_path / "out_ros2_mcap")
+    info = convert_bag(spark, str(d), out)
+    assert info.count == 24
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite").orderBy("seqno")
+    rows = pose.collect()
+    assert len(rows) == 12
+    # manifest order: part_b's messages (labels wp0..) come FIRST
+    assert rows[0].label == "wp0"
+    msgs_t = spark.read.parquet(out + "/Messages")
+    assert sorted(r.seqno for r in msgs_t.collect()) == list(range(24))
