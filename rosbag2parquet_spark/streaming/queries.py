@@ -399,6 +399,31 @@ def _merge_oracle() -> str:
     return ORACLE_MERGE_UPSERT
 
 
+def q_stream_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental silence detection (applyInPandasWithState): state is the
+    last-seen event per entity; each arrival closes the interval behind it
+    and emits a gap row when it exceeds the threshold — the LIVE fleet
+    health monitor, hash-matched to batch `gap-detect`'s oracle."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_gap_detect
+
+    events = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    tbl = _fresh("stream_gaps")
+    run_to_memory(running_gap_detect(events), tbl, mode="append")
+    return spark.table(tbl)
+
+
+def _gap_oracle() -> str:
+    from rosbag2parquet_spark.operators.asof import ORACLE_GAP_DETECT
+
+    return ORACLE_GAP_DETECT
+
+
 QUERIES = {
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
@@ -412,6 +437,7 @@ QUERIES = {
     "stream-dedup": q_stream_dedup,
     "stream-resample": q_stream_resample,
     "stream-merge-upsert": q_stream_merge_upsert,
+    "stream-gap-detect": q_stream_gap_detect,
 }
 
 
@@ -451,4 +477,5 @@ ORACLES = {
     "stream-dedup": _dedup_exact_oracle(),
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
+    "stream-gap-detect": _gap_oracle(),
 }

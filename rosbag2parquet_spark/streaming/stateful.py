@@ -324,3 +324,58 @@ def running_merge_upsert(events: DataFrame, cutoff_us: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming gaps
+
+GAP_OUTPUT_SCHEMA = (
+    "event_type string, gap_start_us long, gap_end_us long, gap_us long, "
+    "last_event_id long, next_event_id long"
+)
+GAP_STATE_SCHEMA = "prev_t long, prev_eid long"
+
+_GAP_THRESHOLD_US = 30 * 60 * 1_000_000
+
+
+def _update_gaps(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental silence detection (streaming twin of `gap-detect`): the
+    state is the last-seen (t, event_id) per entity; each arriving event
+    CLOSES the inter-arrival interval behind it, emitting a gap row when
+    it exceeds the threshold — the live monitor a fleet health dashboard
+    runs, O(1) state. Rows sort within an invocation; per-key in-order
+    delivery across micro-batches is the keyed-log contract (same as the
+    SCD2/resample twins)."""
+    (etype,) = key
+    prev_t, prev_eid = state.get if state.exists else (-1, -1)
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    out: dict[str, list] = {
+        "event_type": [], "gap_start_us": [], "gap_end_us": [],
+        "gap_us": [], "last_event_id": [], "next_event_id": [],
+    }
+    for t, eid in zip(pdf["ts_us"], pdf["event_id"]):
+        t, eid = int(t), int(eid)
+        if prev_t >= 0 and t - prev_t > _GAP_THRESHOLD_US:
+            out["event_type"].append(etype)
+            out["gap_start_us"].append(prev_t)
+            out["gap_end_us"].append(t)
+            out["gap_us"].append(t - prev_t)
+            out["last_event_id"].append(prev_eid)
+            out["next_event_id"].append(eid)
+        prev_t, prev_eid = t, eid
+    state.update((prev_t, prev_eid))
+    yield pd.DataFrame(out)
+
+
+def running_gap_detect(events: DataFrame) -> DataFrame:
+    """events (streaming: event_type, ts_us, event_id) → append-mode gap
+    emissions per entity."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_gaps,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
