@@ -101,11 +101,11 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 9 new/changed (through
-# "resample-interpolate") + 36 r4 + the first 5 of the r5 block (through
-# "cohort-retention"). For r8, lead with any new/changed queries, then the
-# REMAINDER of the r5-proven block ("weighted-sample" onward, 45 queries);
-# r6- then r7-proven rotate to the back.
+# ROUND-8 NOTE: the r7 window = 10 new/changed (through
+# "resample-interpolate") + 36 r4 + the first 4 of the r5 block (through
+# "funnel"). For r8, lead with any new/changed queries, then the
+# REMAINDER of the r5-proven block ("cohort-retention" onward, 46
+# queries); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
@@ -116,8 +116,8 @@ _QUERY_ORDER = [
     "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
     "compact-partitioned", "stream-merge-upsert",
     # NEW round 7: message-drop / silence detection (bag-health QA) +
-    # its live streaming twin
-    "gap-detect", "stream-gap-detect",
+    # its live streaming twin; mergeable Misra-Gries heavy hitters
+    "gap-detect", "stream-gap-detect", "heavy-hitters",
     # CHANGED round 7 — must re-prove: the grid explode gained the
     # empty-span guard (sequence() raises on start > stop; same rows on
     # data that never trips it, but the plan changed)

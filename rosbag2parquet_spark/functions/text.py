@@ -271,6 +271,106 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+# ---------------------------------------------------------- heavy hitters
+
+#: Misra-Gries summary capacity: every term with global frequency
+#: > N/(K+1) is GUARANTEED reported, with underestimate ≤ N/(K+1)
+_MG_K = 50
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters sketch (Misra-Gries) — the second 100 TB
+    sketch pattern beside `hll-sketch`: per-PARTITION MG summaries of
+    capacity K run with NO shuffle at all (mapInPandas over the token
+    stream), then merge by summing the tiny summaries (≤ K rows per
+    partition — metadata-scale). Guarantees, from the classic analysis:
+    every term with true count > N/(K+1) survives in some summary, and
+    the summed estimate underestimates by at most the total decrement
+    mass D ≤ N/(K+1).
+
+    The COMPARED output is engine-agnostic, the approx-stats/lsh-recall
+    audit pattern: the exact heavy set (true count > N div (K+1) — a
+    plain exact agg DuckDB recomputes) plus two guarantee booleans per
+    term (`reported`: the sketch caught it; `bound_ok`: estimate within
+    the MG envelope), which must all be TRUE. The exact agg is the local
+    AUDIT side; at 100 TB you ship only the sketch."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_words()).alias("term")).filter(
+        F.col("term") != ""
+    )
+
+    def mg(batches):
+        counts: dict = {}
+        dec = 0
+        n = 0
+        for pdf in batches:
+            for t in pdf["term"]:
+                n += 1
+                if t in counts:
+                    counts[t] += 1
+                elif len(counts) < _MG_K:
+                    counts[t] = 1
+                else:
+                    dec += 1  # one decrement op covers K+1 items of mass
+                    for kk in list(counts):
+                        counts[kk] -= 1
+                        if counts[kk] == 0:
+                            del counts[kk]
+        rows = [(t, int(c), 0, 0) for t, c in counts.items()]
+        rows.append((None, 0, dec, n))  # per-partition stats carrier
+        yield pd.DataFrame(
+            rows, columns=["term", "est", "dec", "n"]
+        )
+
+    parts = toks.mapInPandas(mg, "term string, est long, dec long, n long")
+    parts = parts.cache()  # tiny: ≤ K+1 rows per partition
+    sketch = (
+        parts.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
+    totals = parts.agg(
+        F.sum("n").alias("N"), F.sum("dec").alias("D")
+    ).collect()[0]  # 2 scalars — the sketch's merge summary
+    thresh = int(totals.N) // (_MG_K + 1)
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .filter(F.col("true_count") > thresh)
+    )
+    out = (
+        exact.join(sketch, "term", "left")
+        .select(
+            "term",
+            "true_count",
+            F.col("est").isNotNull().alias("reported"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("true_count"))
+                & (F.col("true_count") - F.col("est") <= F.lit(thresh))
+            ).alias("bound_ok"),
+        )
+    )
+    parts.unpersist()
+    return out
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ),
+tok AS (SELECT term FROM toks WHERE term <> ''),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*) AS true_count,
+       TRUE AS reported, TRUE AS bound_ok
+FROM tok, tot
+GROUP BY term, tot.n
+HAVING count(*) > tot.n // {_MG_K + 1}
+"""
+
+
 # ------------------------------------------------------------- scrub-terms
 
 #: deny-list for the scrubbing pass — in production this is the boilerplate/
@@ -476,6 +576,7 @@ tok AS (SELECT doc_id, unnest(w) AS word FROM words),
 
 
 QUERIES = {
+    "heavy-hitters": q_heavy_hitters,
     "text-stats": q_text_stats,
     "token-count": q_token_count,
     "lang-id": q_lang_id,
@@ -488,6 +589,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "heavy-hitters": ORACLE_HEAVY_HITTERS,
     "text-stats": ORACLE_TEXT_STATS,
     "token-count": ORACLE_TOKEN_COUNT,
     "lang-id": _oracle_lang_id(),
