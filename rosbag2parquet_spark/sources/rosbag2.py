@@ -116,7 +116,58 @@ def rosbag2_dir_shards(path: str) -> "list[str] | None":
     missing = [s for s in shards if not os.path.isfile(s)]
     if missing:
         raise ValueError(f"{path}: metadata.yaml names missing shards {missing}")
+    comp_fmt = (info.get("compression_format") or "").strip()
+    comp_mode = (info.get("compression_mode") or "").strip().upper()
+    if comp_fmt and comp_mode == "MESSAGE":
+        raise ValueError(
+            f"{path}: compression_mode MESSAGE (per-payload {comp_fmt} "
+            "frames) is not supported — re-record or `ros2 bag convert` to "
+            "FILE mode or uncompressed"
+        )
+    if comp_fmt:
+        # FILE-mode compression (rosbag2's default when enabled): shards
+        # are whole-file zstd frames (*.db3.zstd). sqlite can't read a
+        # compressed file any more than `ros2 bag play` can — the player
+        # decompresses to scratch first; we do the same, once per shard,
+        # cached on (path, mtime, size) identity
+        if comp_fmt != "zstd":
+            raise ValueError(
+                f"{path}: unsupported compression_format {comp_fmt!r} "
+                "(rosbag2 ships zstd)"
+            )
+        shards = [_decompressed_shard(s) for s in shards]
     return shards
+
+
+def _decompressed_shard(path: str) -> str:
+    """Streaming-decompress a FILE-mode zstd shard into a scratch file
+    (reused across runs via the same (path, mtime, size) identity the MCAP
+    scan memo uses); returns the decompressed path."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()
+    scratch = os.path.join(
+        tempfile.gettempdir(), "rosbag2parquet_spark_zstd"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    out = os.path.join(scratch, f"{tag}.db3")
+    if os.path.isfile(out):
+        return out
+    tmp = out + ".part"
+    with pa.input_stream(path, compression="zstd") as src, open(tmp, "wb") as dst:
+        while True:
+            chunk = src.read(1 << 22)
+            if not chunk:
+                break
+            dst.write(chunk)
+    os.replace(tmp, out)  # atomic publish — concurrent callers converge
+    return out
 
 
 def read_embedded_msgdefs(path: str) -> dict[str, str]:

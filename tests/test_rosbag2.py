@@ -784,3 +784,57 @@ def test_convert_bag_topics_subset_db3(spark, db3_bag_embedded, tmp_path):
     assert spark.read.parquet(out + "/Connections").count() == 1
     msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
     assert [m.seqno for m in msgs] == list(range(20))
+
+
+def test_compressed_recorded_directory_file_mode(spark, tmp_path):
+    """A FILE-mode zstd-compressed recording (compression_format: zstd,
+    shards *.db3.zstd — rosbag2's standard compressed output) converts
+    like its uncompressed twin: shards decompress to scratch once (the
+    same thing `ros2 bag play` does) and stream through the normal
+    planners. Per-MESSAGE compression is refused with a clear error."""
+    import pyarrow as pa
+
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.rosbag2 import rosbag2_dir_shards
+
+    d = tmp_path / "compressed_bag"
+    d.mkdir()
+    plain = str(tmp_path / "plain.db3")
+    _make_shard(plain, range(0, 15))
+    raw = open(plain, "rb").read()
+    comp = pa.CompressedOutputStream(
+        str(d / "shard_0.db3.zstd"), "zstd"
+    )
+    comp.write(raw)
+    comp.close()
+    (d / "metadata.yaml").write_text(
+        "rosbag2_bagfile_information:\n"
+        "  version: 5\n"
+        "  storage_identifier: sqlite3\n"
+        "  compression_format: zstd\n"
+        "  compression_mode: FILE\n"
+        "  relative_file_paths:\n"
+        "    - shard_0.db3.zstd\n"
+        "  message_count: 15\n"
+    )
+    shards = rosbag2_dir_shards(str(d))
+    assert len(shards) == 1 and shards[0].endswith(".db3")
+    out = str(tmp_path / "out_compressed")
+    info = convert_bag(spark, str(d), out)
+    assert info.count == 15
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    assert pose.count() == 15
+
+    # per-message compression: clear refusal, not garbage decode
+    (d / "metadata.yaml").write_text(
+        "rosbag2_bagfile_information:\n"
+        "  version: 5\n"
+        "  storage_identifier: sqlite3\n"
+        "  compression_format: zstd\n"
+        "  compression_mode: MESSAGE\n"
+        "  relative_file_paths:\n"
+        "    - shard_0.db3.zstd\n"
+        "  message_count: 15\n"
+    )
+    with pytest.raises(ValueError, match="MESSAGE"):
+        rosbag2_dir_shards(str(d))
