@@ -119,11 +119,17 @@ def rosbag2_dir_shards(path: str) -> "list[str] | None":
     comp_fmt = (info.get("compression_format") or "").strip()
     comp_mode = (info.get("compression_mode") or "").strip().upper()
     if comp_fmt and comp_mode == "MESSAGE":
-        raise ValueError(
-            f"{path}: compression_mode MESSAGE (per-payload {comp_fmt} "
-            "frames) is not supported — re-record or `ros2 bag convert` to "
-            "FILE mode or uncompressed"
-        )
+        # per-payload zstd frames: rewrite each shard once into a scratch
+        # .db3 with decompressed blobs (driver-side, cached on identity) —
+        # the same normalization `ros2 bag convert` performs; MESSAGE-mode
+        # shards are size-capped by the recorder, so the one-time rewrite
+        # is bounded per shard
+        if comp_fmt != "zstd":
+            raise ValueError(
+                f"{path}: unsupported compression_format {comp_fmt!r} "
+                "(rosbag2 ships zstd)"
+            )
+        return [_message_decompressed_shard(s) for s in shards]
     if comp_fmt:
         # FILE-mode compression (rosbag2's default when enabled): shards
         # are whole-file zstd frames (*.db3.zstd). sqlite can't read a
@@ -137,6 +143,47 @@ def rosbag2_dir_shards(path: str) -> "list[str] | None":
             )
         shards = [_decompressed_shard(s) for s in shards]
     return shards
+
+
+def _message_decompressed_shard(path: str) -> str:
+    """Rewrite a MESSAGE-mode shard into scratch with every payload's zstd
+    frame decompressed (schema and row ids preserved), cached on file
+    identity like the FILE-mode path."""
+    import hashlib
+    import shutil
+    import sqlite3 as _sq
+    import tempfile
+
+    import pyarrow as pa
+
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"msg:{os.path.abspath(path)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()
+    scratch = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_zstd")
+    os.makedirs(scratch, exist_ok=True)
+    out = os.path.join(scratch, f"{tag}.db3")
+    if os.path.isfile(out):
+        return out
+    tmp = out + ".part"
+    shutil.copy(path, tmp)  # keeps topics/message_definitions/schema intact
+    def _unzstd(blob: bytes) -> bytes:
+        # streaming decode: zstd frames need no size hint this way
+        with pa.input_stream(pa.BufferReader(blob), compression="zstd") as f:
+            return bytes(f.read())
+
+    con = _sq.connect(tmp)
+    try:
+        rows = con.execute("SELECT id, data FROM messages").fetchall()
+        con.executemany(
+            "UPDATE messages SET data = ? WHERE id = ?",
+            ((_unzstd(blob), rid) for rid, blob in rows),
+        )
+        con.commit()
+    finally:
+        con.close()
+    os.replace(tmp, out)
+    return out
 
 
 def _decompressed_shard(path: str) -> str:

@@ -825,16 +825,35 @@ def test_compressed_recorded_directory_file_mode(spark, tmp_path):
     pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
     assert pose.count() == 15
 
-    # per-message compression: clear refusal, not garbage decode
-    (d / "metadata.yaml").write_text(
+    # per-MESSAGE compression: payload zstd frames normalize through the
+    # scratch rewrite and convert identically
+    import sqlite3 as _sq
+
+    d2 = tmp_path / "msg_compressed_bag"
+    d2.mkdir()
+    msg_shard = str(d2 / "shard_0.db3")
+    _make_shard(msg_shard, range(0, 15))
+    con = _sq.connect(msg_shard)
+    rows = con.execute("SELECT id, data FROM messages").fetchall()
+    comp = pa.Codec("zstd")
+    con.executemany(
+        "UPDATE messages SET data = ? WHERE id = ?",
+        [(comp.compress(blob, asbytes=True), rid) for rid, blob in rows],
+    )
+    con.commit()
+    con.close()
+    (d2 / "metadata.yaml").write_text(
         "rosbag2_bagfile_information:\n"
         "  version: 5\n"
         "  storage_identifier: sqlite3\n"
         "  compression_format: zstd\n"
         "  compression_mode: MESSAGE\n"
         "  relative_file_paths:\n"
-        "    - shard_0.db3.zstd\n"
+        "    - shard_0.db3\n"
         "  message_count: 15\n"
     )
-    with pytest.raises(ValueError, match="MESSAGE"):
-        rosbag2_dir_shards(str(d))
+    out2 = str(tmp_path / "out_msg_compressed")
+    info2 = convert_bag(spark, str(d2), out2)
+    assert info2.count == 15
+    pose2 = spark.read.parquet(out2 + "/geometry_msgs_PoseLite")
+    assert pose2.count() == 15
