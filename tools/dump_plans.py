@@ -72,6 +72,13 @@ RATIONALE = {
         "broadcast (partition -> k) dim salts the key so hot partitions "
         "split instead of serializing through one task."
     ),
+    "heavy-hitters": (
+        "NO shuffle before the sketch: mapInPandas emits capacity-K "
+        "Misra-Gries summaries per partition (<= K+1 rows each), the merge "
+        "aggregates only summary rows. The exact groupBy in this plan is "
+        "the AUDIT side (guarantee booleans) — at 100 TB you ship the "
+        "sketch alone."
+    ),
     "stream-resample": (
         "Runs a real Structured Streaming query to completion per "
         "invocation (micro-batch startup dominates locally). State is ONE "
@@ -162,7 +169,7 @@ def main() -> None:
         # (stream-resample's value is its stateful twin parity, proven by
         # the shared oracle + tests/test_stateful.py, not its plan)
         "scd2-asof", "compact-files", "merge-upsert",
-        "compact-partitioned",
+        "compact-partitioned", "gap-detect", "heavy-hitters",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
