@@ -59,6 +59,10 @@ EXTENDED = [
     "scd2-asof",
     "compact-files",
     "stream-resample",
+    "merge-upsert",
+    "compact-partitioned",
+    "gap-detect",
+    "heavy-hitters",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
