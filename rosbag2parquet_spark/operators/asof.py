@@ -326,6 +326,117 @@ FROM w WHERE is_grid = 1
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor time join — the either-direction variant classic
+    sensor alignment wants (backward-only as-of misses a reading 1 ms
+    AFTER the frame in favor of one 5 s before): for each 'error' event,
+    the same user's closest 'purchase' in EITHER direction. Same
+    one-shuffle union construction as ``q_resample``: quotes and probes
+    union, ONE user_id Exchange, a running frame carries the latest
+    quote at-or-before each probe and a REVERSED running frame carries
+    the earliest strictly-after quote (Spark's unboundedFollowing is
+    O(n²) — the r6 lesson, reused); the closer side wins, ties to the
+    earlier quote. Left semantics: errors with no purchases keep NULLs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        "event_type",
+    )
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t", F.col("event_id").alias("q_eid"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("p_eid"),
+    )
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "t", F.lit(None).cast("long").alias("q_eid"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("p_eid"),
+    )
+    tagged = quotes.unionByName(probes)
+    order = [F.col("t"), F.col("is_probe"), F.col("q_eid")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*[c.desc() for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_of_quote = F.when(F.col("q_eid").isNotNull(), F.col("t"))
+    enriched = tagged.select(
+        "user_id",
+        "t",
+        "is_probe",
+        "p_eid",
+        F.last("q_eid", ignorenulls=True).over(w_prev).alias("prev_eid"),
+        F.last(t_of_quote, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.last("q_eid", ignorenulls=True).over(w_next).alias("next_eid"),
+        F.last(t_of_quote, ignorenulls=True).over(w_next).alias("next_t"),
+    ).filter(F.col("is_probe") == 1)
+    prev_closer = (
+        F.col("next_t").isNull()
+        | (
+            F.col("prev_t").isNotNull()
+            & ((F.col("t") - F.col("prev_t")) <= (F.col("next_t") - F.col("t")))
+        )
+    )
+    return enriched.select(
+        F.col("p_eid").alias("event_id"),
+        "user_id",
+        F.col("t").alias("t_us"),
+        F.when(prev_closer, F.col("prev_eid"))
+        .otherwise(F.col("next_eid"))
+        .alias("nearest_purchase_id"),
+        F.when(prev_closer, F.col("t") - F.col("prev_t"))
+        .otherwise(F.col("next_t") - F.col("t"))
+        .alias("dist_us"),
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+),
+tagged AS (
+  SELECT user_id, t, event_id AS q_eid, 0 AS is_probe,
+         CAST(NULL AS BIGINT) AS p_eid
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, t, NULL, 1, event_id
+  FROM ev WHERE event_type = 'error'
+),
+w AS (
+  SELECT user_id, t, is_probe, p_eid,
+         last_value(q_eid IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, is_probe, q_eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_eid,
+         last_value(CASE WHEN q_eid IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, is_probe, q_eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         last_value(q_eid IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY t DESC, is_probe DESC, q_eid DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_eid,
+         last_value(CASE WHEN q_eid IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+           ORDER BY t DESC, is_probe DESC, q_eid DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_t
+  FROM tagged
+)
+SELECT p_eid AS event_id, user_id, t AS t_us,
+       CASE WHEN next_t IS NULL
+              OR (prev_t IS NOT NULL AND t - prev_t <= next_t - t)
+            THEN prev_eid ELSE next_eid END AS nearest_purchase_id,
+       CASE WHEN next_t IS NULL
+              OR (prev_t IS NOT NULL AND t - prev_t <= next_t - t)
+            THEN t - prev_t ELSE next_t - t END AS dist_us
+FROM w WHERE is_probe = 1
+"""
+
+
 _GAP_THRESHOLD_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -385,6 +496,7 @@ QUERIES = {
     "asof-tolerance": q_asof_tolerance,
     "resample-interpolate": q_resample,
     "gap-detect": q_gap_detect,
+    "asof-nearest": q_asof_nearest,
 }
 
 ORACLES = {
@@ -392,4 +504,5 @@ ORACLES = {
     "asof-tolerance": ORACLE_ASOF_TOLERANCE,
     "resample-interpolate": ORACLE_RESAMPLE,
     "gap-detect": ORACLE_GAP_DETECT,
+    "asof-nearest": ORACLE_ASOF_NEAREST,
 }
