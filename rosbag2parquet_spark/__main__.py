@@ -78,6 +78,27 @@ def main(argv: list[str] | None = None) -> int:
         "(dead-letter: NULL fields + _decode_error column, raw blob kept)",
     )
     ap.add_argument(
+        "--topics",
+        default=None,
+        help="bag inputs: comma-separated topic selection — whole "
+        "connections prune BEFORE the scan consumes their payloads (the "
+        "classic `rosbag filter` workflow; container indexes skip chunks "
+        "at plan time)",
+    )
+    ap.add_argument(
+        "--start-ns",
+        type=int,
+        default=None,
+        help="bag inputs: keep messages with time_ns >= this (plan-time "
+        "chunk pruning where the container indexes support it)",
+    )
+    ap.add_argument(
+        "--end-ns",
+        type=int,
+        default=None,
+        help="bag inputs: keep messages with time_ns < this",
+    )
+    ap.add_argument(
         "--append",
         action="store_true",
         help="bag inputs: ADD this batch to an existing layout at --outdir "
@@ -88,6 +109,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+
+    filters_used = (
+        args.topics is not None
+        or args.start_ns is not None
+        or args.end_ns is not None
+    )
+    if filters_used and args.append:
+        print(
+            "error: --topics/--start-ns/--end-ns produce a SUBSET layout — "
+            "appending a subset into an existing full layout would be "
+            "silent data loss; convert the subset to its own outdir",
+            file=sys.stderr,
+        )
+        return 2
 
     # output-dir negotiation (ref main.cpp:35-54: derive, create, fail fast)
     out = args.outdir
@@ -152,6 +187,13 @@ def main(argv: list[str] | None = None) -> int:
         # multi-file union claim, README.md:16, made explicit). A recorded
         # rosbag2 directory routes here too — resolve_bag_paths follows its
         # metadata.yaml shard manifest.
+        if filters_used:
+            print(
+                "error: --topics/--start-ns/--end-ns are per-bag subset "
+                "conversion — pass one bag file, not a fleet/directory",
+                file=sys.stderr,
+            )
+            return 2
         from rosbag2parquet_spark.convert import convert_bags
 
         info = convert_bags(
@@ -182,8 +224,22 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, out, arrays=args.arrays,
                 unsigned=args.unsigned, compression=args.compression,
                 msgdefs=msgdefs, on_error=args.on_error,
+                topics=(
+                    [t.strip() for t in args.topics.split(",") if t.strip()]
+                    if args.topics
+                    else None
+                ),
+                start_ns=args.start_ns,
+                end_ns=args.end_ns,
             )
     else:
+        if filters_used:
+            print(
+                "error: --topics/--start-ns/--end-ns apply to bag inputs "
+                "only (a parquet stream filters with plain SQL)",
+                file=sys.stderr,
+            )
+            return 2
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         stream = spark.read.parquet(args.input)

@@ -157,3 +157,14 @@ def print_info(spark: SparkSession, path: str) -> None:
         tag = "TOTAL" if r.datatype == "<all>" else f"{r.datatype} {r.topic}"
         freq = f" @ {r.freq_hz} Hz" if r.freq_hz is not None else ""
         print(f"  {tag}: {r.n_msgs} msgs, {r.total_bytes} bytes{freq}")
+    if _fmt(path) == "mcap":
+        from rosbag2parquet_spark.sources.mcap import (
+            mcap_attachments,
+            mcap_metadata,
+        )
+
+        for lt, _ct, name, media, data in mcap_attachments(path):
+            print(f"  attachment: {name} ({media}, {len(data)} bytes)")
+        for name, kv in mcap_metadata(path):
+            pairs = ", ".join(f"{k}={v}" for k, v in sorted(kv.items()))
+            print(f"  metadata: {name}: {pairs}")

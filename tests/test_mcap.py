@@ -735,3 +735,47 @@ def test_rosbag2_directory_with_mcap_storage(spark, tmp_path):
     assert rows[0].label == "wp0"
     msgs_t = spark.read.parquet(out + "/Messages")
     assert sorted(r.seqno for r in msgs_t.collect()) == list(range(24))
+
+
+def test_cli_filter_flags_and_info_attachments(spark, tmp_path, capsys):
+    """`--topics`/`--start-ns`/`--end-ns` run the classic `rosbag filter`
+    workflow from the CLI (plan-time chunk pruning rides the source);
+    `info` lists attachments and metadata; filter flags are refused for
+    fleet inputs and --append."""
+    from rosbag2parquet_spark.__main__ import main
+
+    msgs = _messages(40)
+    p = str(tmp_path / "cli_filter.mcap")
+    write_mcap(p, CONNS, msgs, chunk_messages=7,
+               attachments=[(5, 5, "cal.yaml", "text/yaml", b"k: v")],
+               metadata=[("recorder", {"v": "1"})])
+    out = str(tmp_path / "cli_filter_out")
+    assert main(["--input", p, "--outdir", out, "--topics", "/pose"]) == 0
+    capsys.readouterr()
+    msgs_t = spark.read.parquet(out + "/Messages")
+    assert msgs_t.count() == 20  # /pose only
+
+    t0 = 1_700_000_000_000_000_000
+    out2 = str(tmp_path / "cli_time_out")
+    assert main([
+        "--input", p, "--outdir", out2,
+        "--start-ns", str(t0 + 10 * 1_000_000),
+        "--end-ns", str(t0 + 20 * 1_000_000),
+    ]) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out2 + "/Messages").count() == 10
+
+    # refusals: filters with --append, and with a fleet directory
+    assert main(["--input", p, "--outdir", out, "--topics", "/pose",
+                 "--append"]) == 2
+    d = tmp_path / "fleetdir"
+    d.mkdir()
+    write_mcap(str(d / "a.mcap"), CONNS, msgs[:10], chunk_messages=5)
+    assert main(["--input", str(d), "--outdir", str(tmp_path / "x"),
+                 "--topics", "/pose"]) == 2
+    capsys.readouterr()
+
+    assert main(["info", "--input", p]) == 0
+    out_text = capsys.readouterr().out
+    assert "attachment: cal.yaml (text/yaml, 4 bytes)" in out_text
+    assert "metadata: recorder: v=1" in out_text
