@@ -101,11 +101,11 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 11 new/changed (through
-# "resample-interpolate") + 36 r4 + the first 3 of the r5 block (through
-# "compact-latest"). For r8, lead with any new/changed queries, then the
-# REMAINDER of the r5-proven block ("funnel" onward, 47 queries); r6-
-# then r7-proven rotate to the back.
+# ROUND-8 NOTE: the r7 window = 12 new/changed (through
+# "resample-interpolate") + 36 r4 + the first 2 of the r5 block (through
+# "approx-stats"). For r8, lead with any new/changed queries, then the
+# REMAINDER of the r5-proven block ("compact-latest" onward, 48 queries);
+# r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
@@ -118,7 +118,8 @@ _QUERY_ORDER = [
     # NEW round 7: message-drop / silence detection (bag-health QA) +
     # its live streaming twin; mergeable Misra-Gries heavy hitters;
     # nearest-neighbor (either-direction) time join
-    "gap-detect", "stream-gap-detect", "heavy-hitters", "asof-nearest",
+    "gap-detect", "stream-gap-detect", "heavy-hitters",
+    "stream-heavy-hitters", "asof-nearest",
     # CHANGED round 7 — must re-prove: the grid explode gained the
     # empty-span guard (sequence() raises on start > stop; same rows on
     # data that never trips it, but the plan changed)

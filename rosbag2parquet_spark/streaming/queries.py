@@ -399,6 +399,73 @@ def _merge_oracle() -> str:
     return ORACLE_MERGE_UPSERT
 
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Misra-Gries heavy hitters (applyInPandasWithState keyed
+    by term-hash bucket — disjoint term partitions, so per-bucket
+    capacity-K summaries carry the batch sketch's global guarantee, and MG
+    is one-pass so ANY arrival order preserves it). The finishing query
+    takes each bucket's latest summary emission and runs the SAME exact
+    audit as batch `heavy-hitters` — same oracle."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.text import _MG_K, _words
+    from rosbag2parquet_spark.sources.catalog import load_table
+    from rosbag2parquet_spark.streaming.neardup import stream_documents
+    from rosbag2parquet_spark.streaming.stateful import running_heavy_hitters
+
+    toks = (
+        stream_documents(spark, sf_dir)
+        .select(F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("bucket"),
+            "term",
+        )
+    )
+    tbl = _fresh("stream_hh")
+    run_to_memory(running_heavy_hitters(toks), tbl, mode="update")
+    w = W.partitionBy("bucket")
+    latest = (
+        spark.table(tbl)
+        .withColumn("max_seen", F.max("seen").over(w))
+        .filter(F.col("seen") == F.col("max_seen"))
+    )
+    sketch = (
+        latest.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("est").alias("est"))
+    )
+    totals = latest.filter(F.col("term").isNull()).agg(
+        F.sum("n").alias("N"), F.sum("dec").alias("D")
+    ).collect()[0]  # 2 scalars — the sketch's merge summary
+    thresh = int(totals.N) // (_MG_K + 1)
+    exact = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_words()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .filter(F.col("true_count") > thresh)
+    )
+    return exact.join(sketch, "term", "left").select(
+        "term",
+        "true_count",
+        F.col("est").isNotNull().alias("reported"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("true_count"))
+            & (F.col("true_count") - F.col("est") <= F.lit(thresh))
+        ).alias("bound_ok"),
+    )
+
+
+def _hh_oracle() -> str:
+    from rosbag2parquet_spark.functions.text import ORACLE_HEAVY_HITTERS
+
+    return ORACLE_HEAVY_HITTERS
+
+
 def q_stream_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental silence detection (applyInPandasWithState): state is the
     last-seen event per entity; each arrival closes the interval behind it
@@ -438,6 +505,7 @@ QUERIES = {
     "stream-resample": q_stream_resample,
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-gap-detect": q_stream_gap_detect,
+    "stream-heavy-hitters": q_stream_heavy_hitters,
 }
 
 
@@ -478,4 +546,5 @@ ORACLES = {
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
     "stream-gap-detect": _gap_oracle(),
+    "stream-heavy-hitters": _hh_oracle(),
 }

@@ -379,3 +379,63 @@ def running_gap_detect(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------- streaming heavy hitters
+
+HH_OUTPUT_SCHEMA = "bucket int, term string, est long, dec long, n long, seen long"
+HH_STATE_SCHEMA = "terms array<string>, counts array<long>, dec long, n long"
+
+_HH_K = 50  # per-bucket Misra-Gries capacity (matches batch _MG_K)
+
+
+def _update_heavy_hitters(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental Misra-Gries keyed by TERM-HASH BUCKET: buckets are
+    disjoint term partitions, so per-bucket capacity-K summaries carry the
+    same global guarantee as the batch sketch (every term above N/(K+1)
+    survives; underestimate ≤ Σ per-bucket decrements ≤ N/(K+1)) — and MG
+    is a one-pass streaming algorithm by construction, so the guarantees
+    hold under ANY arrival order. Each invocation emits the bucket's full
+    summary stamped with tokens-seen-so-far; the finishing query keeps
+    each bucket's latest emission."""
+    (bucket,) = key
+    if state.exists:
+        terms, counts, dec, n = state.get
+        d = dict(zip(list(terms), [int(c) for c in counts]))
+        dec, n = int(dec), int(n)
+    else:
+        d, dec, n = {}, 0, 0
+    for pdf in batches:
+        for t in pdf["term"]:
+            t = str(t)
+            n += 1
+            if t in d:
+                d[t] += 1
+            elif len(d) < _HH_K:
+                d[t] = 1
+            else:
+                dec += 1
+                for kk in list(d):
+                    d[kk] -= 1
+                    if d[kk] == 0:
+                        del d[kk]
+    state.update((list(d.keys()), list(d.values()), dec, n))
+    rows = [(bucket, t, c, 0, 0, n) for t, c in d.items()]
+    rows.append((bucket, None, 0, dec, n, n))
+    yield pd.DataFrame(
+        rows, columns=["bucket", "term", "est", "dec", "n", "seen"]
+    )
+
+
+def running_heavy_hitters(tokens: DataFrame) -> DataFrame:
+    """tokens (streaming: bucket int, term string) → update-mode per-bucket
+    MG summaries."""
+    return tokens.groupBy("bucket").applyInPandasWithState(
+        _update_heavy_hitters,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
