@@ -170,6 +170,7 @@ def main() -> None:
         # the shared oracle + tests/test_stateful.py, not its plan)
         "scd2-asof", "compact-files", "merge-upsert",
         "compact-partitioned", "gap-detect", "heavy-hitters",
+        "asof-nearest",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
