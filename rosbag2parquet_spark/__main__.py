@@ -231,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 start_ns=args.start_ns,
                 end_ns=args.end_ns,
+                max_mbs=args.max_mbs,
             )
     else:
         if filters_used:

@@ -323,6 +323,7 @@ def convert_bag(
     topics: "list[str] | None" = None,
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
+    max_mbs: "float | None" = None,
     max_records_per_file: int = 1_000_000,
     compression: str = "snappy",
     msgdefs: "dict[str, str] | None" = None,
@@ -370,6 +371,7 @@ def convert_bag(
             num_partitions=num_partitions,
             arrays=arrays,
             unsigned=unsigned,
+            max_mbs=max_mbs,
             max_records_per_file=max_records_per_file,
             compression=compression,
             msgdefs=msgdefs,
@@ -445,7 +447,25 @@ def convert_bag(
     width = seqno_bucket_width(bag_path)
     seq = assign_seqno(
         msgs, ["offset"], bucket=F.expr(f"offset div {width}")
-    ).cache()
+    )
+    if max_mbs is not None:
+        # the reference's byte-bounded scan limit applies to BAG input
+        # (rosbag2parquet.cpp:56-58: stop once cumulative payload bytes
+        # pass the cap) — the bucketed two-pass running sum over seqno,
+        # same construction as the stream converter's
+        from rosbag2parquet_spark.operators.relational import (
+            running_sum_scalable,
+        )
+
+        seq = (
+            running_sum_scalable(
+                seq, "seqno",
+                F.length("data").cast("decimal(18,4)"), 1_000_000,
+            )
+            .filter(F.col("__running") <= max_mbs * (1 << 20))
+            .drop("__b", "__running")
+        )
+    seq = seq.cache()
     count, size = _write_bag_tables(
         seq,
         conns_df,
@@ -812,6 +832,7 @@ def convert_bags(
     num_partitions: int = 32,
     arrays: str = "skip",
     unsigned: str = "signed",
+    max_mbs: "float | None" = None,
     max_records_per_file: int = 1_000_000,
     compression: str = "snappy",
     msgdefs: "dict[str, str] | None" = None,
@@ -1001,6 +1022,27 @@ def convert_bags(
         # (FlattenedRosWriter.cpp:57) — continue after the existing max
         seq = seq.withColumn(
             "seqno", (F.col("seqno") + F.lit(prev_max_seqno + 1)).cast("long")
+        )
+    if max_mbs is not None:
+        # byte-bounded limit across the whole fleet in seqno order (the
+        # reference's --max_mbs, rosbag2parquet.cpp:56-58); under append
+        # the cap applies to THIS batch (seqno is batch-contiguous)
+        from rosbag2parquet_spark.operators.relational import (
+            running_sum_scalable,
+        )
+
+        base = prev_max_seqno + 1 if mode == "append" else 0
+        seq = (
+            running_sum_scalable(
+                seq.withColumn(
+                    "__rel", (F.col("seqno") - F.lit(base)).cast("long")
+                ),
+                "__rel",
+                F.length("data").cast("decimal(18,4)"),
+                1_000_000,
+            )
+            .filter(F.col("__running") <= max_mbs * (1 << 20))
+            .drop("__b", "__running", "__rel")
         )
     seq = seq.cache()
 

@@ -194,3 +194,37 @@ def test_convert_bag_permissive_survives_poison(spark, tmp_path):
     assert len(bad_rows) == 1 and bad_rows[0].a is None
     # the raw blob is preserved even for the bad row — nothing is lost
     assert bytes(bad_rows[0].data) == bad
+
+
+def test_convert_bag_max_mbs_prefix(spark, tmp_path):
+    """--max_mbs parity on the BAG path (reference rosbag2parquet.cpp:56-58:
+    stop once cumulative payload bytes pass the cap): conversion keeps the
+    seqno-prefix whose running payload total fits, and the fleet path
+    honors the same cap across bags."""
+    from rosbag2parquet_spark.convert import convert_bag, convert_bags
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    import struct
+
+    deftext = "uint32 a\n"
+    conns = [ConnectionInfo(1, "/t", "demo/M", "", deftext)]
+    # 10 messages x 4-byte payloads; the cap counts payload bytes, so a
+    # 24-byte cap keeps exactly the first 6 messages in seqno order
+    msgs = [
+        (1, 10**18 + i * 1000, struct.pack("<I", i)) for i in range(10)
+    ]
+    path = str(tmp_path / "cap.sbag")
+    write_bag(path, conns, msgs)
+
+    out = str(tmp_path / "capped")
+    info = convert_bag(spark, path, out, max_mbs=6 * 4 / (1 << 20))
+    assert info.count == 6
+    got = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
+    assert [r.seqno for r in got] == list(range(6))
+    # the kept prefix is the EARLIEST messages, values intact
+    typed = spark.read.parquet(out + "/demo_M").orderBy("seqno").collect()
+    assert [r.a for r in typed] == list(range(6))
+
+    out2 = str(tmp_path / "capped_fleet")
+    info2 = convert_bags(spark, [path], out2, max_mbs=6 * 4 / (1 << 20))
+    assert info2.count == 6
