@@ -63,6 +63,8 @@ EXTENDED = [
     "compact-partitioned",
     "gap-detect",
     "heavy-hitters",
+    "asof-nearest",
+    "semdedup",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
