@@ -491,7 +491,74 @@ def _gap_oracle() -> str:
     return ORACLE_GAP_DETECT
 
 
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders.parquet staged as a file stream (same pattern as
+    stream_events; the quote side of the streaming as-of join)."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "rosbag2parquet_spark_orderstream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "orders.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "orders.parquet"), link)
+    return spark.readStream.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).parquet(stage)
+
+
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental as-of join: quotes (orders) and probes (events) arrive
+    interleaved as TWO file streams unioned onto one keyed log; per-user
+    state is the single carried quote (applyInPandasWithState) and each
+    probe emits with it — the batch union-and-carry-forward plan
+    incrementalized with O(1) state per key. Same output columns and the
+    SAME oracle as batch `asof` (left semantics: a probe before any quote
+    emits NULLs). Neither stream sets maxFilesPerTrigger, so the staged
+    fixture pair lands in one micro-batch; cross-batch ordering is the
+    keyed-log contract (test-pinned in tests/test_stateful.py)."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_asof
+
+    events = stream_events(spark, sf_dir)
+    orders = stream_orders(spark, sf_dir)
+    quotes = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros("o_orderdate").alias("t_us"),
+        F.lit(0).alias("side"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    probes = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(-1).cast("long").alias("okey"),
+        F.lit(0.0).alias("price"),
+    )
+    tbl = _fresh("stream_asof")
+    run_to_memory(running_asof(quotes.unionByName(probes)), tbl, mode="append")
+    return spark.table(tbl).select(
+        "event_id", "user_id", "ts_us", "last_orderkey", "last_order_price"
+    )
+
+
+def _asof_oracle() -> str:
+    from rosbag2parquet_spark.operators.asof import ORACLE_ASOF
+
+    return ORACLE_ASOF
+
+
 QUERIES = {
+    "stream-asof": q_stream_asof,
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
     "stream-sessionize": q_stream_sessionize,
@@ -533,6 +600,7 @@ FROM cand
 
 
 ORACLES = {
+    "stream-asof": _asof_oracle(),
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
     "stream-sliding": batch_windows.ORACLES["window-sliding"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],

@@ -439,3 +439,75 @@ def running_heavy_hitters(tokens: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming as-of
+
+ASOF_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts_us long, "
+    "last_orderkey long, last_order_price double"
+)
+ASOF_STATE_SCHEMA = "qt long, okey long, price double"
+
+
+def _update_asof(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental as-of join (streaming twin of X6 `asof`): state per key
+    is ONE carried quote — the latest seen. Rows of both sides arrive
+    interleaved on one keyed stream (side 0 = quote, side 1 = probe) and
+    are swept in (t, side, okey) order: a quote overwrites the carried
+    state, a probe emits with whatever is carried — exactly the batch
+    union-and-carry-forward window, incrementalized with O(1) state.
+
+    Tie semantics mirror the batch order key: side 0 sorts before side 1
+    at the same instant (`<=` as-of inclusivity), and among same-instant
+    quotes the max o_orderkey lands last in the sweep, reproducing the
+    batch's max_by pre-dedup. Rows sort within an invocation; across
+    micro-batches the operator assumes per-key in-order delivery (the
+    keyed-log contract, as the SCD2/resample twins)."""
+    (user_id,) = key
+    qt, okey, price = state.get if state.exists else (-1, -1, 0.0)
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["t_us", "side", "okey"], kind="mergesort")
+    out: dict[str, list] = {
+        "event_id": [], "ts_us": [], "last_orderkey": [],
+        "last_order_price": [],
+    }
+    for t, side, eid, ok, pr in zip(
+        pdf["t_us"], pdf["side"], pdf["event_id"], pdf["okey"], pdf["price"]
+    ):
+        if side == 0:
+            qt, okey, price = int(t), int(ok), float(pr)
+        else:
+            out["event_id"].append(int(eid))
+            out["ts_us"].append(int(t))
+            out["last_orderkey"].append(okey if qt >= 0 else None)
+            out["last_order_price"].append(price if qt >= 0 else None)
+    state.update((qt, okey, price))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array(out["event_id"], dtype="Int64"),
+            "user_id": pd.array(
+                [user_id] * len(out["event_id"]), dtype="Int64"
+            ),
+            "ts_us": pd.array(out["ts_us"], dtype="Int64"),
+            "last_orderkey": pd.array(out["last_orderkey"], dtype="Int64"),
+            "last_order_price": pd.array(
+                out["last_order_price"], dtype="Float64"
+            ),
+        }
+    )
+
+
+def running_asof(merged: DataFrame) -> DataFrame:
+    """merged (streaming) columns: user_id long, t_us long, side int
+    (0 = quote, 1 = probe), event_id long, okey long, price double →
+    append-mode probe emissions carrying the as-of quote."""
+    return merged.groupBy("user_id").applyInPandasWithState(
+        _update_asof,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -289,3 +289,67 @@ def test_stream_merge_upsert_out_of_order_batches(spark, tmp_path):
         (2, 0.0, CUT + 30, "change", 1),   # tombstoned — consumer drops it
         (3, 7.0, CUT - 5, "base", 0),
     }
+
+
+def test_stream_asof_across_batches(spark, tmp_path):
+    """The carried-quote state survives micro-batch boundaries: quotes in
+    batch 1 serve probes in batch 2, a newer quote overwrites, and a probe
+    before any quote emits NULLs. Same-instant quote+probe resolves quote
+    first (`<=` inclusivity), same-instant quotes resolve to max okey (the
+    batch max_by pre-dedup). Rows within each batch are shuffled — the
+    per-invocation (t, side, okey) sort makes intra-batch order moot."""
+    import random
+
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_asof
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    cols = ["user_id", "t_us", "side", "event_id", "okey", "price"]
+    b1 = [
+        # user 1: probe@5 before any quote -> NULLs; quotes @10 (two,
+        # okey 7 wins) serve probe@10 (same instant, quote-first)
+        (1, 5, 1, 100, -1, 0.0),
+        (1, 10, 0, -1, 3, 30.0),
+        (1, 10, 0, -1, 7, 70.0),
+        (1, 10, 1, 101, -1, 0.0),
+        # user 2: quote@8 only
+        (2, 8, 0, -1, 9, 90.0),
+    ]
+    b2 = [
+        # user 1: probe@20 reads the batch-1 quote; quote@25 then probe@30
+        (1, 20, 1, 102, -1, 0.0),
+        (1, 25, 0, -1, 11, 110.0),
+        (1, 30, 1, 103, -1, 0.0),
+        # user 2: probe@9 reads the batch-1 quote from state
+        (2, 9, 1, 104, -1, 0.0),
+    ]
+    rng = random.Random(13)
+    land = tmp_path / "land_asof"
+    land.mkdir()
+    for name, rows in (("a", b1), ("b", b2)):
+        rows = rows[:]
+        rng.shuffle(rows)
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["side"] = pdf["side"].astype("int32")
+        pdf.to_parquet(land / f"{name}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, t_us long, side int, event_id long, "
+            "okey long, price double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_asof(stream), "asof_xbatch", mode="append")
+    got = {
+        (r.event_id, r.user_id, r.ts_us, r.last_orderkey, r.last_order_price)
+        for r in spark.table("asof_xbatch").collect()
+    }
+    assert got == {
+        (100, 1, 5, None, None),
+        (101, 1, 10, 7, 70.0),
+        (102, 1, 20, 7, 70.0),
+        (103, 1, 30, 11, 110.0),
+        (104, 2, 9, 9, 90.0),
+    }
