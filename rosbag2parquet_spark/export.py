@@ -1,0 +1,169 @@
+"""Parquet layout → MCAP export: the reverse direction of the converter,
+closing the round trip (bag → tables → bag). The reference is one-way
+(rosbag2parquet.cpp converts bags INTO parquet); re-materializing a bag
+from the tables is what lets a user hand a subset/repartitioned/filtered
+layout back to bag-native tooling (foxglove, ros2 bag play).
+
+Spark-first shape: the blob union + seqno-range repartition is a normal
+DataFrame plan (each per-type table contributes (seqno, connection_id,
+data); Messages contributes the timestamps), and each output part file is
+written by ITS OWN task via ``mapInPandas`` — the same executor-parallel,
+one-file-per-partition contract as Spark's parquet sink, so export
+bandwidth scales with the cluster, not the driver. Each part is a fully
+self-describing, indexed, spec-conformant MCAP (own Header/Schema/Channel
+dims, chunked with ChunkIndex summary + Footer), so parts convert back
+independently or as a fleet; attachments re-attach to part 0.
+
+Connections are the driver-side dim (same posture as conversion: the dim
+is small by construction). Message payloads are carried VERBATIM from the
+layout's ``data`` blobs — the caller declares what they are via
+``encoding``/``schema_encoding`` (the layout does not record the source
+grammar; defaults are the modern cdr/ros2msg pair).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: layout directories that are not per-type message tables
+_META_TABLES = {"Messages", "Connections", "Attachments"}
+
+#: default target bytes of payload per exported part file
+_TARGET_PART_BYTES = 256 << 20
+
+
+@dataclass
+class ExportInfo:
+    paths: list[str]
+    count: int
+    parts: int
+
+
+def _type_tables(layout_dir: str) -> list[str]:
+    out = []
+    for name in sorted(os.listdir(layout_dir)):
+        p = os.path.join(layout_dir, name)
+        if os.path.isdir(p) and name not in _META_TABLES:
+            out.append(p)
+    return out
+
+
+def export_mcap(
+    spark: SparkSession,
+    layout_dir: str,
+    out_dir: str,
+    *,
+    parts: "int | None" = None,
+    encoding: str = "cdr",
+    schema_encoding: str = "ros2msg",
+    chunk_messages: int = 1000,
+    compression: str = "",
+    crcs: bool = False,
+) -> ExportInfo:
+    """Export a converted layout back to one-or-more MCAP part files.
+
+    ``parts`` defaults to ceil(total payload bytes / 256 MiB) (≥1), sized
+    from the Messages table's ``size`` column — one cheap column agg, no
+    blob scan. Parts split on seqno ranges, so concatenating parts in
+    file order replays the original seqno order; converting the parts
+    back as a fleet reproduces the layout (round-trip test-pinned)."""
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    type_tables = _type_tables(layout_dir)
+    if not type_tables:
+        raise ValueError(f"{layout_dir}: no per-type tables to export")
+
+    conn_rows = (
+        spark.read.parquet(os.path.join(layout_dir, "Connections"))
+        .orderBy("connection_id")
+        .collect()
+    )
+    conns = [
+        ConnectionInfo(
+            int(r.connection_id),
+            r.topic,
+            r.datatype,
+            r.md5sum or "",
+            r.msg_def or "",
+            r.callerid,
+            r.latching,
+        )
+        for r in conn_rows
+    ]
+
+    msgs = spark.read.parquet(os.path.join(layout_dir, "Messages"))
+    if parts is None:
+        total = msgs.agg(F.sum("size").alias("b")).collect()[0].b or 0
+        parts = max(1, -(-int(total) // _TARGET_PART_BYTES))
+
+    blobs = None
+    for p in type_tables:
+        t = spark.read.parquet(p).select("seqno", "connection_id", "data")
+        blobs = t if blobs is None else blobs.unionByName(t)
+
+    joined = blobs.join(
+        msgs.select("seqno", "time_sec", "time_nsec"), "seqno"
+    ).select("seqno", "connection_id", "time_sec", "time_nsec", "data")
+
+    att_rows: list[tuple] = []
+    att_path = os.path.join(layout_dir, "Attachments")
+    if os.path.isdir(att_path):
+        att_rows = [
+            (int(r.log_time), int(r.create_time), r.name, r.media_type,
+             bytes(r.data))
+            for r in spark.read.parquet(att_path).orderBy("name").collect()
+        ]
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        messages: list[tuple[int, int, bytes]] = []
+        for pdf in batches:
+            for cid, ts, tn, d in zip(
+                pdf["connection_id"], pdf["time_sec"], pdf["time_nsec"],
+                pdf["data"],
+            ):
+                messages.append(
+                    (int(cid), int(ts) * 1_000_000_000 + int(tn), bytes(d))
+                )
+        if not messages:
+            return
+        path = os.path.join(out_dir, f"part-{pid:05d}.mcap")
+        write_mcap(
+            path,
+            conns,
+            messages,
+            encoding=encoding,
+            schema_encoding=schema_encoding,
+            chunked=True,
+            compression=compression,
+            chunk_messages=chunk_messages,
+            indexed=True,
+            crcs=crcs,
+            attachments=att_rows if pid == 0 else None,
+        )
+        yield pd.DataFrame(
+            {"path": [path], "n": [len(messages)]}
+        )
+
+    part_df = (
+        joined.repartitionByRange(parts, "seqno")
+        .sortWithinPartitions("seqno")
+        .mapInPandas(write_part, "path string, n long")
+    )
+    rows = part_df.collect()
+    return ExportInfo(
+        paths=sorted(r.path for r in rows),
+        count=int(sum(r.n for r in rows)),
+        parts=len(rows),
+    )

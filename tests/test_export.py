@@ -1,0 +1,100 @@
+"""Round-trip tests for the parquet-layout -> MCAP export (export.py):
+bag -> tables -> bag -> tables must be lossless for messages, dims, and
+attachments; multi-part export must preserve seqno order across parts."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.convert import convert_bag, convert_bags
+from rosbag2parquet_spark.export import export_mcap
+from rosbag2parquet_spark.sources.mcap import scan_mcap, write_mcap
+from tests.test_mcap import CONNS, _messages
+
+
+def _table(spark, layout, name):
+    return spark.read.parquet(os.path.join(layout, name))
+
+
+def _message_tuples(spark, layout):
+    """(topic, time_ns, payload) in seqno order — the grammar-independent
+    content of a converted layout."""
+    msgs = _table(spark, layout, "Messages")
+    conns = _table(spark, layout, "Connections")
+    rows = (
+        msgs.join(conns, "connection_id")
+        .orderBy("seqno")
+        .select(
+            "topic",
+            (F.col("time_sec").cast("long") * 1_000_000_000
+             + F.col("time_nsec")).alias("t"),
+            "seqno",
+        )
+        .collect()
+    )
+    return [(r.topic, r.t) for r in rows]
+
+
+def test_export_roundtrip_single_part(spark, tmp_path):
+    bag = str(tmp_path / "orig.mcap")
+    write_mcap(
+        bag, CONNS, _messages(), chunked=True, chunk_messages=7,
+        attachments=[(5, 3, "calib.yaml", "text/yaml", b"k: v\n")],
+    )
+    layout1 = str(tmp_path / "layout1")
+    convert_bag(spark, bag, layout1)
+
+    exp = str(tmp_path / "exported")
+    info = export_mcap(spark, layout1, exp, parts=1)
+    assert info.parts == 1 and info.count == 40
+
+    # the exported part is indexed and self-describing: O(index) planning
+    scan = scan_mcap(info.paths[0])
+    assert scan.chunks and scan.channels
+
+    layout2 = str(tmp_path / "layout2")
+    convert_bag(spark, info.paths[0], layout2)
+
+    assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
+    # typed tables decode identically (payloads carried verbatim)
+    for t in ("geometry_msgs_PoseLite", "sensor_msgs_ImuLite"):
+        a = _table(spark, layout1, t).orderBy("seqno").drop("connection_id")
+        b = _table(spark, layout2, t).orderBy("seqno").drop("connection_id")
+        assert a.collect() == b.collect()
+    # the attachment rode along
+    att = _table(spark, layout2, "Attachments").collect()
+    assert [(r.name, bytes(r.data)) for r in att] == [
+        ("calib.yaml", b"k: v\n")
+    ]
+
+
+def test_export_multi_part_fleet_roundtrip(spark, tmp_path):
+    bag = str(tmp_path / "orig.mcap")
+    write_mcap(bag, CONNS, _messages(), chunked=True, chunk_messages=7)
+    layout1 = str(tmp_path / "layout1")
+    convert_bag(spark, bag, layout1)
+
+    exp = str(tmp_path / "exported")
+    info = export_mcap(spark, layout1, exp, parts=3)
+    assert info.parts == 3 and info.count == 40
+    # parts split on seqno ranges: each part's time span precedes the next
+    spans = []
+    for p in info.paths:
+        s = scan_mcap(p)
+        spans.append(
+            (min(c.start_time for c in s.chunks),
+             max(c.end_time for c in s.chunks))
+        )
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+    layout2 = str(tmp_path / "layout2")
+    convert_bags(spark, info.paths, layout2)
+    assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
+
+
+def test_export_empty_layout_refused(spark, tmp_path):
+    layout = tmp_path / "empty"
+    (layout / "Messages").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no per-type tables"):
+        export_mcap(spark, str(layout), str(tmp_path / "out"))
