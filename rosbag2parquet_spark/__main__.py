@@ -33,40 +33,56 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] == "export":
         ep = argparse.ArgumentParser(prog="rosbag2parquet_spark export")
         ep.add_argument("--layout", required=True, help="converted layout dir")
-        ep.add_argument("--outdir", required=True, help="MCAP output dir")
+        ep.add_argument("--outdir", required=True, help="bag output dir")
+        ep.add_argument(
+            "--format", default="mcap", choices=("mcap", "rosbag"),
+            help="target container grammar",
+        )
         ep.add_argument(
             "--parts", type=int, default=None,
             help="part-file count (default: ~256 MiB payload per part)",
         )
         ep.add_argument(
             "--encoding", default="cdr", choices=("cdr", "ros1"),
-            help="message encoding recorded on the channels (payloads are "
-            "carried verbatim; declare what the layout's blobs are)",
+            help="MCAP: message encoding recorded on the channels "
+            "(payloads are carried verbatim; declare what the layout's "
+            "blobs are)",
         )
         ep.add_argument(
             "--schema-encoding", default="ros2msg",
             choices=("ros2msg", "ros1msg"),
         )
         ep.add_argument(
-            "--compression", default="", choices=("", "lz4", "zstd"),
-            help="MCAP chunk compression",
+            "--compression", default=None,
+            choices=(None, "", "lz4", "zstd", "none", "bz2"),
+            help="chunk compression (mcap: lz4/zstd; rosbag: bz2/lz4)",
         )
         ep.add_argument("--crcs", action="store_true",
-                        help="emit real chunk/summary CRCs")
+                        help="MCAP: emit real chunk/summary CRCs")
         args = ep.parse_args(argv[1:])
-        from rosbag2parquet_spark.export import export_mcap
+        from rosbag2parquet_spark.export import export_mcap, export_rosbag
         from rosbag2parquet_spark.session import get_spark
 
-        info = export_mcap(
-            get_spark("rosbag2parquet_spark_export"),
-            args.layout,
-            args.outdir,
-            parts=args.parts,
-            encoding=args.encoding,
-            schema_encoding=args.schema_encoding,
-            compression=args.compression,
-            crcs=args.crcs,
-        )
+        spark = get_spark("rosbag2parquet_spark_export")
+        if args.format == "mcap":
+            info = export_mcap(
+                spark,
+                args.layout,
+                args.outdir,
+                parts=args.parts,
+                encoding=args.encoding,
+                schema_encoding=args.schema_encoding,
+                compression=args.compression or "",
+                crcs=args.crcs,
+            )
+        else:
+            info = export_rosbag(
+                spark,
+                args.layout,
+                args.outdir,
+                parts=args.parts,
+                compression=args.compression or "none",
+            )
         print(
             f"{info.count} messages exported to {info.parts} part(s) "
             f"under {args.outdir}"

@@ -1,4 +1,4 @@
-"""Parquet layout → MCAP export: the reverse direction of the converter,
+"""Parquet layout → bag export: the reverse direction of the converter,
 closing the round trip (bag → tables → bag). The reference is one-way
 (rosbag2parquet.cpp converts bags INTO parquet); re-materializing a bag
 from the tables is what lets a user hand a subset/repartitioned/filtered
@@ -10,21 +10,23 @@ data); Messages contributes the timestamps), and each output part file is
 written by ITS OWN task via ``mapInPandas`` — the same executor-parallel,
 one-file-per-partition contract as Spark's parquet sink, so export
 bandwidth scales with the cluster, not the driver. Each part is a fully
-self-describing, indexed, spec-conformant MCAP (own Header/Schema/Channel
-dims, chunked with ChunkIndex summary + Footer), so parts convert back
-independently or as a fleet; attachments re-attach to part 0.
+self-describing, indexed, spec-conformant bag (own header + connection
+dims, chunked with index records), so parts convert back independently or
+as a fleet. Two target grammars share the machinery: MCAP (attachments
+re-attach to part 0) and rosbag 2.0.
 
 Connections are the driver-side dim (same posture as conversion: the dim
 is small by construction). Message payloads are carried VERBATIM from the
 layout's ``data`` blobs — the caller declares what they are via
 ``encoding``/``schema_encoding`` (the layout does not record the source
-grammar; defaults are the modern cdr/ros2msg pair).
+grammar; defaults are the modern cdr/ros2msg pair for MCAP, ros1 for
+rosbag 2.0 by construction).
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,38 +55,20 @@ def _type_tables(layout_dir: str) -> list[str]:
     return out
 
 
-def export_mcap(
-    spark: SparkSession,
-    layout_dir: str,
-    out_dir: str,
-    *,
-    parts: "int | None" = None,
-    encoding: str = "cdr",
-    schema_encoding: str = "ros2msg",
-    chunk_messages: int = 1000,
-    compression: str = "",
-    crcs: bool = False,
-) -> ExportInfo:
-    """Export a converted layout back to one-or-more MCAP part files.
-
-    ``parts`` defaults to ceil(total payload bytes / 256 MiB) (≥1), sized
-    from the Messages table's ``size`` column — one cheap column agg, no
-    blob scan. Parts split on seqno ranges, so concatenating parts in
-    file order replays the original seqno order; converting the parts
-    back as a fleet reproduces the layout (round-trip test-pinned)."""
+def _layout_connections(spark: SparkSession, layout_dir: str) -> list:
     from rosbag2parquet_spark.sources.baglike import ConnectionInfo
-    from rosbag2parquet_spark.sources.mcap import write_mcap
 
-    type_tables = _type_tables(layout_dir)
-    if not type_tables:
+    # guard before touching any table so an un-exportable layout fails
+    # with the actionable message, not a parquet read error
+    if not _type_tables(layout_dir):
         raise ValueError(f"{layout_dir}: no per-type tables to export")
 
-    conn_rows = (
+    rows = (
         spark.read.parquet(os.path.join(layout_dir, "Connections"))
         .orderBy("connection_id")
         .collect()
     )
-    conns = [
+    return [
         ConnectionInfo(
             int(r.connection_id),
             r.topic,
@@ -94,8 +78,30 @@ def export_mcap(
             r.callerid,
             r.latching,
         )
-        for r in conn_rows
+        for r in rows
     ]
+
+
+def _export_parts(
+    spark: SparkSession,
+    layout_dir: str,
+    out_dir: str,
+    parts: "int | None",
+    ext: str,
+    write_part_file: "Callable[[str, list, int], None]",
+) -> ExportInfo:
+    """Shared export pipeline: union blobs, attach times, range-split on
+    seqno, write one ``part-NNNNN.{ext}`` per task. ``write_part_file``
+    gets (path, messages, partition_id) and closes over the dims/options.
+
+    ``parts`` defaults to ceil(total payload bytes / 256 MiB) (≥1), sized
+    from the Messages table's ``size`` column — one cheap column agg, no
+    blob scan. Parts split on seqno ranges, so concatenating parts in
+    file order replays the original seqno order; converting the parts
+    back as a fleet reproduces the layout (round-trip test-pinned)."""
+    type_tables = _type_tables(layout_dir)
+    if not type_tables:
+        raise ValueError(f"{layout_dir}: no per-type tables to export")
 
     msgs = spark.read.parquet(os.path.join(layout_dir, "Messages"))
     if parts is None:
@@ -110,15 +116,6 @@ def export_mcap(
     joined = blobs.join(
         msgs.select("seqno", "time_sec", "time_nsec"), "seqno"
     ).select("seqno", "connection_id", "time_sec", "time_nsec", "data")
-
-    att_rows: list[tuple] = []
-    att_path = os.path.join(layout_dir, "Attachments")
-    if os.path.isdir(att_path):
-        att_rows = [
-            (int(r.log_time), int(r.create_time), r.name, r.media_type,
-             bytes(r.data))
-            for r in spark.read.parquet(att_path).orderBy("name").collect()
-        ]
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -138,7 +135,52 @@ def export_mcap(
                 )
         if not messages:
             return
-        path = os.path.join(out_dir, f"part-{pid:05d}.mcap")
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        write_part_file(path, messages, pid)
+        yield pd.DataFrame({"path": [path], "n": [len(messages)]})
+
+    rows = (
+        joined.repartitionByRange(parts, "seqno")
+        .sortWithinPartitions("seqno")
+        .mapInPandas(write_part, "path string, n long")
+        .collect()
+    )
+    return ExportInfo(
+        paths=sorted(r.path for r in rows),
+        count=int(sum(r.n for r in rows)),
+        parts=len(rows),
+    )
+
+
+def export_mcap(
+    spark: SparkSession,
+    layout_dir: str,
+    out_dir: str,
+    *,
+    parts: "int | None" = None,
+    encoding: str = "cdr",
+    schema_encoding: str = "ros2msg",
+    chunk_messages: int = 1000,
+    compression: str = "",
+    crcs: bool = False,
+) -> ExportInfo:
+    """Export a converted layout back to one-or-more indexed MCAP part
+    files (summary ChunkIndex + Footer: the reader's O(index) planning
+    path works on every part). Attachments re-attach to part 0."""
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    conns = _layout_connections(spark, layout_dir)
+
+    att_rows: list[tuple] = []
+    att_path = os.path.join(layout_dir, "Attachments")
+    if os.path.isdir(att_path):
+        att_rows = [
+            (int(r.log_time), int(r.create_time), r.name, r.media_type,
+             bytes(r.data))
+            for r in spark.read.parquet(att_path).orderBy("name").collect()
+        ]
+
+    def write_part_file(path: str, messages: list, pid: int) -> None:
         write_mcap(
             path,
             conns,
@@ -152,18 +194,40 @@ def export_mcap(
             crcs=crcs,
             attachments=att_rows if pid == 0 else None,
         )
-        yield pd.DataFrame(
-            {"path": [path], "n": [len(messages)]}
+
+    return _export_parts(
+        spark, layout_dir, out_dir, parts, "mcap", write_part_file
+    )
+
+
+def export_rosbag(
+    spark: SparkSession,
+    layout_dir: str,
+    out_dir: str,
+    *,
+    parts: "int | None" = None,
+    compression: str = "none",
+    messages_per_chunk: int = 100,
+) -> ExportInfo:
+    """Export a converted layout back to rosbag 2.0 part files (chunked,
+    with trailing connection + ChunkInfo index records — the same
+    time/topic chunk-pruning the reader plans from). Payloads are carried
+    verbatim (rosbag payloads are ros1-serialized by construction).
+    rosbag has no attachment analog, so any Attachments table is left in
+    the layout (export to MCAP to carry side-cars along)."""
+    from rosbag2parquet_spark.sources.rosbag import write_rosbag
+
+    conns = _layout_connections(spark, layout_dir)
+
+    def write_part_file(path: str, messages: list, pid: int) -> None:
+        write_rosbag(
+            path,
+            conns,
+            messages,
+            compression=compression,
+            messages_per_chunk=messages_per_chunk,
         )
 
-    part_df = (
-        joined.repartitionByRange(parts, "seqno")
-        .sortWithinPartitions("seqno")
-        .mapInPandas(write_part, "path string, n long")
-    )
-    rows = part_df.collect()
-    return ExportInfo(
-        paths=sorted(r.path for r in rows),
-        count=int(sum(r.n for r in rows)),
-        parts=len(rows),
+    return _export_parts(
+        spark, layout_dir, out_dir, parts, "bag", write_part_file
     )

@@ -98,3 +98,43 @@ def test_export_empty_layout_refused(spark, tmp_path):
     (layout / "Messages").mkdir(parents=True)
     with pytest.raises(ValueError, match="no per-type tables"):
         export_mcap(spark, str(layout), str(tmp_path / "out"))
+
+
+def test_export_rosbag_roundtrip(spark, tmp_path):
+    """Same round trip for the rosbag 2.0 grammar: .bag -> tables ->
+    .bag parts -> tables, message content and typed decode preserved."""
+    from rosbag2parquet_spark.export import export_rosbag
+    from rosbag2parquet_spark.sources.rosbag import scan_rosbag, write_rosbag
+    from tests.test_baglike import _imu_payload
+    from tests.test_rosbag import CONN
+
+    bag = str(tmp_path / "orig.bag")
+    msgs = [
+        (3, 1_000_000_000 + i * 1_000_000, _imu_payload(
+            i, (1 + i, 0), "imu", (0.0, 0.1, 0.2, 1.0),
+            (0.0, 0.0, 0.0), (0.0, 0.0, 9.81)))
+        for i in range(12)
+    ]
+    write_rosbag(bag, [CONN], msgs, compression="none", messages_per_chunk=5)
+    layout1 = str(tmp_path / "layout1")
+    convert_bag(spark, bag, layout1)
+
+    exp = str(tmp_path / "exported")
+    info = export_rosbag(
+        spark, layout1, exp, parts=2, compression="bz2",
+        messages_per_chunk=4,
+    )
+    assert info.parts == 2 and info.count == 12
+    # each part is indexed (ChunkInfo records present) and self-describing
+    for p in info.paths:
+        conns, chunks = scan_rosbag(p)
+        assert len(conns) == 1 and chunks
+
+    layout2 = str(tmp_path / "layout2")
+    convert_bags(spark, info.paths, layout2)
+    assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
+    a = _table(spark, layout1, "sensor_msgs_Imu").orderBy("seqno").drop(
+        "connection_id")
+    b = _table(spark, layout2, "sensor_msgs_Imu").orderBy("seqno").drop(
+        "connection_id")
+    assert a.collect() == b.collect()
