@@ -59,7 +59,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         ep.add_argument("--crcs", action="store_true",
                         help="MCAP: emit real chunk/summary CRCs")
+        ep.add_argument(
+            "--topics", default=None,
+            help="comma-separated topic subset (the converter's filter, "
+            "mirrored on the way out; pushed to the parquet scans)",
+        )
+        ep.add_argument("--start-ns", type=int, default=None,
+                        help="inclusive log-time lower bound")
+        ep.add_argument("--end-ns", type=int, default=None,
+                        help="exclusive log-time upper bound")
         args = ep.parse_args(argv[1:])
+        topics = args.topics.split(",") if args.topics else None
         from rosbag2parquet_spark.export import export_mcap, export_rosbag
         from rosbag2parquet_spark.session import get_spark
 
@@ -74,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
                 schema_encoding=args.schema_encoding,
                 compression=args.compression or "",
                 crcs=args.crcs,
+                topics=topics,
+                start_ns=args.start_ns,
+                end_ns=args.end_ns,
             )
         else:
             info = export_rosbag(
@@ -82,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.outdir,
                 parts=args.parts,
                 compression=args.compression or "none",
+                topics=topics,
+                start_ns=args.start_ns,
+                end_ns=args.end_ns,
             )
         print(
             f"{info.count} messages exported to {info.parts} part(s) "

@@ -89,6 +89,9 @@ def _export_parts(
     parts: "int | None",
     ext: str,
     write_part_file: "Callable[[str, list, int], None]",
+    topics: "list[str] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
 ) -> ExportInfo:
     """Shared export pipeline: union blobs, attach times, range-split on
     seqno, write one ``part-NNNNN.{ext}`` per task. ``write_part_file``
@@ -113,9 +116,34 @@ def _export_parts(
         t = spark.read.parquet(p).select("seqno", "connection_id", "data")
         blobs = t if blobs is None else blobs.unionByName(t)
 
-    joined = blobs.join(
-        msgs.select("seqno", "time_sec", "time_nsec"), "seqno"
-    ).select("seqno", "connection_id", "time_sec", "time_nsec", "data")
+    # subset filters — the converter's --topics/--start-ns/--end-ns
+    # mirrored on the way OUT. Topic resolves to connection ids driver-side
+    # (the dim is tiny) so the per-type scans get a plain
+    # `connection_id IN (...)` predicate, and the time bounds are integer
+    # comparisons on Messages columns — both reach the parquet scans as
+    # PushedFilters, so a narrow export reads only matching row groups.
+    if topics is not None:
+        wanted = {
+            int(r.connection_id)
+            for r in spark.read.parquet(
+                os.path.join(layout_dir, "Connections")
+            )
+            .filter(F.col("topic").isin(list(topics)))
+            .collect()
+        }
+        if not wanted:
+            raise ValueError(f"{layout_dir}: no connection matches {topics}")
+        blobs = blobs.filter(F.col("connection_id").isin(sorted(wanted)))
+    times = msgs.select("seqno", "time_sec", "time_nsec")
+    t_ns = F.col("time_sec").cast("long") * 1_000_000_000 + F.col("time_nsec")
+    if start_ns is not None:
+        times = times.filter(t_ns >= start_ns)
+    if end_ns is not None:
+        times = times.filter(t_ns < end_ns)
+
+    joined = blobs.join(times, "seqno").select(
+        "seqno", "connection_id", "time_sec", "time_nsec", "data"
+    )
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -163,6 +191,9 @@ def export_mcap(
     chunk_messages: int = 1000,
     compression: str = "",
     crcs: bool = False,
+    topics: "list[str] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
 ) -> ExportInfo:
     """Export a converted layout back to one-or-more indexed MCAP part
     files (summary ChunkIndex + Footer: the reader's O(index) planning
@@ -196,7 +227,8 @@ def export_mcap(
         )
 
     return _export_parts(
-        spark, layout_dir, out_dir, parts, "mcap", write_part_file
+        spark, layout_dir, out_dir, parts, "mcap", write_part_file,
+        topics=topics, start_ns=start_ns, end_ns=end_ns,
     )
 
 
@@ -208,6 +240,9 @@ def export_rosbag(
     parts: "int | None" = None,
     compression: str = "none",
     messages_per_chunk: int = 100,
+    topics: "list[str] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
 ) -> ExportInfo:
     """Export a converted layout back to rosbag 2.0 part files (chunked,
     with trailing connection + ChunkInfo index records — the same
@@ -229,5 +264,6 @@ def export_rosbag(
         )
 
     return _export_parts(
-        spark, layout_dir, out_dir, parts, "bag", write_part_file
+        spark, layout_dir, out_dir, parts, "bag", write_part_file,
+        topics=topics, start_ns=start_ns, end_ns=end_ns,
     )

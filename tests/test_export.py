@@ -138,3 +138,38 @@ def test_export_rosbag_roundtrip(spark, tmp_path):
     b = _table(spark, layout2, "sensor_msgs_Imu").orderBy("seqno").drop(
         "connection_id")
     assert a.collect() == b.collect()
+
+
+def test_export_subset_filters(spark, tmp_path):
+    """Topic + time-range subset export: only the selected messages land
+    in the part file, and both predicates reach the parquet scans as
+    pushed filters (a narrow export reads only matching row groups)."""
+    from rosbag2parquet_spark.sources.mcap import write_mcap as _wm
+
+    bag = str(tmp_path / "orig.mcap")
+    _wm(bag, CONNS, _messages(), chunked=True, chunk_messages=7)
+    layout = str(tmp_path / "layout")
+    convert_bag(spark, bag, layout)
+
+    t0 = 1_700_000_000_000_000_000
+    exp = str(tmp_path / "exported")
+    info = export_mcap(
+        spark, layout, exp, parts=1,
+        topics=["/pose"],
+        start_ns=t0 + 10 * 1_000_000,   # from message 10 (inclusive)
+        end_ns=t0 + 30 * 1_000_000,     # to message 30 (exclusive)
+    )
+    # /pose is the even-i half of 40 messages; i in [10, 30) -> 10 of them
+    assert info.count == 10
+
+    relayout = str(tmp_path / "relayout")
+    convert_bag(spark, info.paths[0], relayout)
+    rows = _table(spark, relayout, "Messages").join(
+        _table(spark, relayout, "Connections"), "connection_id"
+    ).select("topic", "time_nsec").collect()
+    assert {r.topic for r in rows} == {"/pose"}
+    assert all(10_000_000 <= r.time_nsec < 30_000_000 for r in rows)
+
+    # unknown topic refused with an actionable error
+    with pytest.raises(ValueError, match="no connection matches"):
+        export_mcap(spark, layout, exp + "2", topics=["/nope"])
