@@ -159,12 +159,14 @@ def main() -> None:
     # disable with SPARK_GRAFT_BENCH_CONVERT=0
     convert_stats = None
     fleet_stats = None
+    export_stats = None
     db3_stats = None
     mcap_stats = None
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
         from bench_convert import run_db3 as _db3_run
+        from bench_convert import run_export as _export_run
         from bench_convert import run_fleet as _fleet_run
         from bench_convert import run_mcap as _mcap_run
 
@@ -195,6 +197,12 @@ def main() -> None:
             key=lambda d: d["convert_s"],
         )
         print(f"# convert mcap: {mcap_stats}", file=sys.stderr)
+        # the reverse direction at the same corpus: layout -> MCAP parts
+        export_stats = min(
+            (_export_run(spark=spark) for _ in range(2)),
+            key=lambda d: d["export_s"],
+        )
+        print(f"# export mcap: {export_stats}", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     print(
@@ -222,6 +230,7 @@ def main() -> None:
                 "convert_fleet": fleet_stats,
                 "convert_db3": db3_stats,
                 "convert_mcap": mcap_stats,
+                "export_mcap": export_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -259,6 +259,43 @@ def run_mcap(n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None) -> dict:
     return _run_grammar(synth_mcap, "mcap", n_msgs, blob_bytes, spark)
 
 
+def run_export(
+    n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None
+) -> dict:
+    """Export throughput: the SAME MCAP walkthrough corpus converted once
+    (untimed), then re-materialized as indexed MCAP parts via export_mcap —
+    the reverse-direction MB/s beside the converters' forward numbers.
+    Timed region = the distributed export only (blob-union plan, seqno
+    range split, one part file per task)."""
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.export import export_mcap
+    from rosbag2parquet_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        bag = os.path.join(work, "walkthrough.mcap")
+        synth_mcap(bag, n_msgs, blob_bytes)
+        spark = spark or get_spark("bench_convert")
+        spark.range(1).count()
+        layout = os.path.join(work, "layout")
+        convert_bag(spark, bag, layout, num_partitions=32)
+
+        t0 = time.perf_counter()
+        info = export_mcap(spark, layout, os.path.join(work, "exp"), parts=4)
+        dt = time.perf_counter() - t0
+        assert info.count == n_msgs
+        out_mb = sum(os.path.getsize(p) for p in info.paths) / (1 << 20)
+        return {
+            "bag_mb": round(out_mb, 1),
+            "messages": info.count,
+            "parts": info.parts,
+            "export_s": round(dt, 2),
+            "mb_per_s": round(out_mb / dt, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_fleet(
     n_bags: int = 4,
     msgs_per_bag: int = 1_500,
