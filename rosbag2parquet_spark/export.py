@@ -107,43 +107,50 @@ def _export_parts(
         raise ValueError(f"{layout_dir}: no per-type tables to export")
 
     msgs = spark.read.parquet(os.path.join(layout_dir, "Messages"))
-    if parts is None:
-        total = msgs.agg(F.sum("size").alias("b")).collect()[0].b or 0
-        parts = max(1, -(-int(total) // _TARGET_PART_BYTES))
-
-    blobs = None
-    for p in type_tables:
-        t = spark.read.parquet(p).select("seqno", "connection_id", "data")
-        blobs = t if blobs is None else blobs.unionByName(t)
 
     # subset filters — the converter's --topics/--start-ns/--end-ns
     # mirrored on the way OUT. Topic resolves to connection ids driver-side
-    # (the dim is tiny) so the per-type scans get a plain
-    # `connection_id IN (...)` predicate, and the time bounds are integer
-    # comparisons on Messages columns — both reach the parquet scans as
-    # PushedFilters, so a narrow export reads only matching row groups.
+    # (the dim is tiny) so BOTH the Messages scan and the per-type blob
+    # scans get a plain `connection_id IN (...)` predicate, and the time
+    # bounds are integer comparisons on Messages columns — all reach the
+    # parquet scans as PushedFilters, so a narrow export reads only
+    # matching row groups.
+    wanted: "list[int] | None" = None
     if topics is not None:
-        wanted = {
+        wanted = sorted(
             int(r.connection_id)
             for r in spark.read.parquet(
                 os.path.join(layout_dir, "Connections")
             )
             .filter(F.col("topic").isin(list(topics)))
             .collect()
-        }
+        )
         if not wanted:
             raise ValueError(f"{layout_dir}: no connection matches {topics}")
-        blobs = blobs.filter(F.col("connection_id").isin(sorted(wanted)))
-    times = msgs.select("seqno", "time_sec", "time_nsec")
+        msgs = msgs.filter(F.col("connection_id").isin(wanted))
     t_ns = F.col("time_sec").cast("long") * 1_000_000_000 + F.col("time_nsec")
     if start_ns is not None:
-        times = times.filter(t_ns >= start_ns)
+        msgs = msgs.filter(t_ns >= start_ns)
     if end_ns is not None:
-        times = times.filter(t_ns < end_ns)
+        msgs = msgs.filter(t_ns < end_ns)
 
-    joined = blobs.join(times, "seqno").select(
-        "seqno", "connection_id", "time_sec", "time_nsec", "data"
-    )
+    if parts is None:
+        # sized from the FILTERED selection (a narrow subset export should
+        # not inherit the full layout's part count): one cheap column agg
+        # over Messages.size, no blob scan
+        total = msgs.agg(F.sum("size").alias("b")).collect()[0].b or 0
+        parts = max(1, -(-int(total) // _TARGET_PART_BYTES))
+
+    blobs = None
+    for p in type_tables:
+        t = spark.read.parquet(p).select("seqno", "connection_id", "data")
+        if wanted is not None:
+            t = t.filter(F.col("connection_id").isin(wanted))
+        blobs = t if blobs is None else blobs.unionByName(t)
+
+    joined = blobs.join(
+        msgs.select("seqno", "time_sec", "time_nsec"), "seqno"
+    ).select("seqno", "connection_id", "time_sec", "time_nsec", "data")
 
     os.makedirs(out_dir, exist_ok=True)
 
