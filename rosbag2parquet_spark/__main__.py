@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
         ep.add_argument("--layout", required=True, help="converted layout dir")
         ep.add_argument("--outdir", required=True, help="bag output dir")
         ep.add_argument(
-            "--format", default="mcap", choices=("mcap", "rosbag"),
+            "--format", default="mcap", choices=("mcap", "rosbag", "db3"),
             help="target container grammar",
         )
         ep.add_argument(
@@ -70,7 +70,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="exclusive log-time upper bound")
         args = ep.parse_args(argv[1:])
         topics = args.topics.split(",") if args.topics else None
-        from rosbag2parquet_spark.export import export_mcap, export_rosbag
+        from rosbag2parquet_spark.export import (
+            export_db3,
+            export_mcap,
+            export_rosbag,
+        )
         from rosbag2parquet_spark.session import get_spark
 
         spark = get_spark("rosbag2parquet_spark_export")
@@ -84,6 +88,18 @@ def main(argv: list[str] | None = None) -> int:
                 schema_encoding=args.schema_encoding,
                 compression=args.compression or "",
                 crcs=args.crcs,
+                topics=topics,
+                start_ns=args.start_ns,
+                end_ns=args.end_ns,
+            )
+        elif args.format == "db3":
+            info = export_db3(
+                spark,
+                args.layout,
+                args.outdir,
+                parts=args.parts,
+                serialization_format=args.encoding,
+                schema_encoding=args.schema_encoding,
                 topics=topics,
                 start_ns=args.start_ns,
                 end_ns=args.end_ns,

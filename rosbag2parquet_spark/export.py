@@ -274,3 +274,38 @@ def export_rosbag(
         spark, layout_dir, out_dir, parts, "bag", write_part_file,
         topics=topics, start_ns=start_ns, end_ns=end_ns,
     )
+
+
+def export_db3(
+    spark: SparkSession,
+    layout_dir: str,
+    out_dir: str,
+    *,
+    parts: "int | None" = None,
+    serialization_format: str = "cdr",
+    schema_encoding: str = "ros2msg",
+    topics: "list[str] | None" = None,
+    start_ns: "int | None" = None,
+    end_ns: "int | None" = None,
+) -> ExportInfo:
+    """Export a converted layout back to rosbag2 sqlite (.db3) part files —
+    each part self-describing via the Iron+/v4 embedded
+    message_definitions table, so it converts back with no caller msgdefs.
+    Completes export symmetry for all three real container grammars."""
+    from rosbag2parquet_spark.sources.rosbag2 import write_db3
+
+    conns = _layout_connections(spark, layout_dir)
+
+    def write_part_file(path: str, messages: list, pid: int) -> None:
+        write_db3(
+            path,
+            conns,
+            messages,
+            serialization_format=serialization_format,
+            schema_encoding=schema_encoding,
+        )
+
+    return _export_parts(
+        spark, layout_dir, out_dir, parts, "db3", write_part_file,
+        topics=topics, start_ns=start_ns, end_ns=end_ns,
+    )

@@ -980,3 +980,60 @@ def decode_messages_cdr(
 
     sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])
     return df.select(*sel).mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------------------------ writer
+
+
+def write_db3(
+    path: str,
+    connections: "list",
+    messages: "list[tuple[int, int, bytes]]",  # (conn_id, time_ns, payload)
+    *,
+    serialization_format: str = "cdr",
+    schema_encoding: str = "ros2msg",
+) -> None:
+    """Minimal self-describing (Iron+/v4) rosbag2 sqlite writer — the same
+    schema the reader's embedded-definitions path consumes (topics +
+    messages + message_definitions), so a written bag converts with no
+    caller msgdefs. Connection ids become topic ids verbatim; payloads are
+    carried as given (declare them via ``serialization_format``)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        con.execute(
+            "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT,"
+            " type TEXT, serialization_format TEXT,"
+            " offered_qos_profiles TEXT, type_description_hash TEXT)"
+        )
+        con.execute(
+            "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+            " timestamp INTEGER, data BLOB)"
+        )
+        con.execute(
+            "CREATE TABLE message_definitions(id INTEGER PRIMARY KEY,"
+            " topic_type TEXT, encoding TEXT,"
+            " encoded_message_definition TEXT, type_description_hash TEXT)"
+        )
+        seen_types: set[str] = set()
+        for c in connections:
+            con.execute(
+                "INSERT INTO topics VALUES (?,?,?,?,?,?)",
+                (c.conn_id, c.topic, c.datatype, serialization_format, "",
+                 c.md5sum or ""),
+            )
+            if c.datatype not in seen_types:
+                seen_types.add(c.datatype)
+                con.execute(
+                    "INSERT INTO message_definitions VALUES (?,?,?,?,?)",
+                    (len(seen_types), c.datatype, schema_encoding,
+                     c.msg_def or "", c.md5sum or ""),
+                )
+        con.executemany(
+            "INSERT INTO messages VALUES (?,?,?,?)",
+            [(None, cid, t, p) for cid, t, p in messages],
+        )
+        con.commit()
+    finally:
+        con.close()

@@ -173,3 +173,28 @@ def test_export_subset_filters(spark, tmp_path):
     # unknown topic refused with an actionable error
     with pytest.raises(ValueError, match="no connection matches"):
         export_mcap(spark, layout, exp + "2", topics=["/nope"])
+
+
+def test_export_db3_roundtrip(spark, tmp_path):
+    """Third grammar: layout -> .db3 parts (self-describing via embedded
+    Iron+ message_definitions) -> layout, lossless."""
+    from rosbag2parquet_spark.export import export_db3
+
+    bag = str(tmp_path / "orig.mcap")
+    write_mcap(bag, CONNS, _messages(), chunked=True, chunk_messages=7)
+    layout1 = str(tmp_path / "layout1")
+    convert_bag(spark, bag, layout1)
+
+    exp = str(tmp_path / "exported")
+    info = export_db3(spark, layout1, exp, parts=2)
+    assert info.parts == 2 and info.count == 40
+    assert all(p.endswith(".db3") for p in info.paths)
+
+    # each part converts back with NO caller msgdefs (embedded defs)
+    layout2 = str(tmp_path / "layout2")
+    convert_bags(spark, info.paths, layout2)
+    assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
+    for t in ("geometry_msgs_PoseLite", "sensor_msgs_ImuLite"):
+        a = _table(spark, layout1, t).orderBy("seqno").drop("connection_id")
+        b = _table(spark, layout2, t).orderBy("seqno").drop("connection_id")
+        assert a.collect() == b.collect()
