@@ -101,17 +101,17 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 14 new/changed (through
-# "resample-interpolate") + the 36 r4-latest rows — exactly 50. For r8,
-# lead with any new/changed queries, then the r5-proven block
-# ("stream-sink" onward, 50 queries); r6- then r7-proven rotate to the
-# back.
+# ROUND-8 NOTE: the r7 window = 15 new/changed (through
+# "resample-interpolate") + the first 35 of the 36 r4-latest rows
+# (through "sql-q18"). For r8, lead with any new/changed queries, then
+# the remaining r4 row ("scalar-funcs" onward) and the r5-proven block;
+# r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
     # the streaming twin of the as-of join (carried-quote state over the
     # unioned keyed log)
-    "semdedup", "stream-asof",
+    "semdedup", "stream-asof", "stream-semdedup",
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
     # twin of resample-interpolate (incremental grid fill, O(1) state);

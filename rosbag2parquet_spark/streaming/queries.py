@@ -512,6 +512,60 @@ def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(stage)
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet staged as a file stream (same pattern as
+    stream_events; the document stream of the incremental semantic dedup)."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "rosbag2parquet_spark_embstream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    return spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(stage)
+
+
+def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: documents stream into their k-means
+    cell (assignment by the deterministic batch-fit centroids — a
+    stateless codegen'd expression on the stream) and compare against the
+    per-cluster seen-document index held as state; survivors emit
+    immediately. Same oracle as batch `semdedup` — the streamed kept set
+    must equal the batch kept set exactly (arrival order == vec_id order
+    under the keyed-log contract; parquet staging delivers one in-order
+    micro-batch here, cross-batch continuity is test-pinned)."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.kmeans import (
+        assign_clusters,
+        kmeans_fit_cached,
+    )
+    from rosbag2parquet_spark.streaming.stateful import running_semdedup
+
+    centroids, _ = kmeans_fit_cached(spark, sf_dir)
+    vecs = stream_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    assigned = assign_clusters(vecs, centroids)
+    tbl = _fresh("stream_semdedup")
+    run_to_memory(running_semdedup(assigned), tbl, mode="append")
+    return spark.table(tbl).select("vec_id", "cluster")
+
+
+def _semdedup_oracle() -> str:
+    from rosbag2parquet_spark.functions.kmeans import ORACLES as _KM_ORACLES
+
+    return _KM_ORACLES["semdedup"]
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental as-of join: quotes (orders) and probes (events) arrive
     interleaved as TWO file streams unioned onto one keyed log; per-user
@@ -559,6 +613,7 @@ def _asof_oracle() -> str:
 
 QUERIES = {
     "stream-asof": q_stream_asof,
+    "stream-semdedup": q_stream_semdedup,
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
     "stream-sessionize": q_stream_sessionize,
@@ -601,6 +656,7 @@ FROM cand
 
 ORACLES = {
     "stream-asof": _asof_oracle(),
+    "stream-semdedup": _semdedup_oracle(),
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
     "stream-sliding": batch_windows.ORACLES["window-sliding"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],

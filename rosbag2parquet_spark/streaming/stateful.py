@@ -511,3 +511,78 @@ def running_asof(merged: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------- streaming semdedup
+
+SEMDEDUP_OUTPUT_SCHEMA = "vec_id long, cluster int"
+SEMDEDUP_STATE_SCHEMA = "ids array<bigint>, vecs binary"
+
+_SD_DIM = 64
+
+
+def _update_semdedup(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental semantic dedup (streaming twin of X2 `semdedup`): state
+    per k-means cluster is the SEEN document set (ids + vectors) — the
+    incremental index, the same O(cluster-population) posture as the
+    streaming LSH bucket index. Each arriving document compares against
+    every EARLIER document of its cluster (kept or dropped — the batch
+    rule is "exists smaller id with cos >= tau", not "exists kept"), then
+    joins the index; survivors emit immediately. Rows sort by vec_id
+    within an invocation; across micro-batches the operator assumes
+    per-key id-ordered delivery (the keyed-log contract), which makes
+    arrival order == id order and the emitted set EQUAL the batch query's.
+    Cosine uses the same np.round(·, 6) >= tau decision as batch."""
+    import numpy as np
+
+    from rosbag2parquet_spark.functions.kmeans import SEMDEDUP_TAU
+
+    (cluster,) = key
+    if state.exists:
+        ids_raw, vec_bytes = state.get
+        ids = list(ids_raw)
+        seen = np.frombuffer(vec_bytes, dtype=np.float64).reshape(
+            -1, _SD_DIM
+        ).copy()
+    else:
+        ids = []
+        seen = np.empty((0, _SD_DIM), dtype=np.float64)
+    norms = np.sqrt((seen * seen).sum(axis=1)) if len(ids) else np.empty(0)
+
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values("vec_id", kind="mergesort")
+    kept_ids: list[int] = []
+    for vid, vec in zip(pdf["vec_id"], pdf["e"]):
+        v = np.asarray(vec, dtype=np.float64)
+        nv = float(np.sqrt((v * v).sum()))
+        dup = False
+        if len(ids):
+            cos = np.round((seen @ v) / (norms * nv), 6)
+            dup = bool((cos >= SEMDEDUP_TAU).any())
+        if not dup:
+            kept_ids.append(int(vid))
+        ids.append(int(vid))
+        seen = np.vstack([seen, v[None, :]])
+        norms = np.append(norms, nv)
+    state.update((ids, seen.tobytes()))
+    yield pd.DataFrame(
+        {
+            "vec_id": pd.array(kept_ids, dtype="Int64"),
+            "cluster": pd.array([int(cluster)] * len(kept_ids), dtype="Int32"),
+        }
+    )
+
+
+def running_semdedup(vecs: DataFrame) -> DataFrame:
+    """vecs (streaming) columns: vec_id long, e array<double>, cluster int
+    → append-mode emissions of the documents that survive the incremental
+    semantic-dedup index."""
+    return vecs.groupBy("cluster").applyInPandasWithState(
+        _update_semdedup,
+        outputStructType=SEMDEDUP_OUTPUT_SCHEMA,
+        stateStructType=SEMDEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

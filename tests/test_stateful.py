@@ -353,3 +353,56 @@ def test_stream_asof_across_batches(spark, tmp_path):
         (103, 1, 30, 11, 110.0),
         (104, 2, 9, 9, 90.0),
     }
+
+
+def test_stream_semdedup_across_batches(spark, tmp_path):
+    """The per-cluster seen-document index survives micro-batch
+    boundaries: a batch-2 document is dropped against a batch-1 near-dup
+    (kept OR dropped — the batch 'exists smaller id' rule), and distinct
+    clusters never interact."""
+    import numpy as np
+    import pandas as pd
+
+    from rosbag2parquet_spark.functions.kmeans import SEMDEDUP_TAU
+    from rosbag2parquet_spark.streaming.stateful import running_semdedup
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    dim = 64
+    base = np.zeros(dim); base[0] = 1.0
+    near = np.zeros(dim); near[0] = 1.0; near[1] = 0.05   # cos ~0.999
+    far = np.zeros(dim); far[1] = 1.0                     # cos 0
+    other = np.zeros(dim); other[2] = 1.0
+
+    land = tmp_path / "land_sd"
+    land.mkdir()
+    b1 = pd.DataFrame(
+        {
+            "vec_id": pd.array([10, 11], dtype="Int64"),
+            "e": [list(base), list(far)],
+            "cluster": pd.array([0, 0], dtype="Int32"),
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            # 20 dups batch-1's base (cross-batch state); 21 is far's twin
+            # in ANOTHER cluster — must survive (clusters are disjoint)
+            "vec_id": pd.array([20, 21], dtype="Int64"),
+            "e": [list(near), list(far)],
+            "cluster": pd.array([0, 1], dtype="Int32"),
+        }
+    )
+    b1.to_parquet(land / "a.parquet")
+    b2.to_parquet(land / "b.parquet")
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, e array<double>, cluster int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_semdedup(stream), "sd_xbatch", mode="append")
+    got = {
+        (r.vec_id, r.cluster)
+        for r in spark.table("sd_xbatch").collect()
+    }
+    assert got == {(10, 0), (11, 0), (21, 1)}
