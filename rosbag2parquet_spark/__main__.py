@@ -200,8 +200,21 @@ def main(argv: list[str] | None = None) -> int:
         "refused before any write. Without it a non-empty outdir is "
         "side-stepped (outdir.N), never appended.",
     )
+    ap.add_argument(
+        "--evolve",
+        action="store_true",
+        help="with --append: allow ADDITIVE schema evolution on per-type "
+        "tables (a definition gained or lost fields between recording "
+        "sessions) — common columns must keep their types, new files carry "
+        "the union schema with NULL pads; read evolved layouts with "
+        "mergeSchema (the generated DDL does). Without --append: refused.",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.evolve and not args.append:
+        print("--evolve requires --append", file=sys.stderr)
+        return 2
 
     filters_used = (
         args.topics is not None
@@ -294,6 +307,7 @@ def main(argv: list[str] | None = None) -> int:
             compression=args.compression, msgdefs=msgdefs,
             on_error=args.on_error,
             mode="append" if args.append else "overwrite",
+            evolve=args.evolve,
         )
     elif args.input.endswith((".bag", ".sbag")) or (
         os.path.isfile(args.input) and _baglike.bag_format(args.input)
@@ -309,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, [args.input], out, arrays=args.arrays,
                 unsigned=args.unsigned, compression=args.compression,
                 msgdefs=msgdefs, on_error=args.on_error, mode="append",
+                evolve=args.evolve,
             )
         else:
             from rosbag2parquet_spark.convert import convert_bag

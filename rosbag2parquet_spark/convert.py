@@ -62,13 +62,33 @@ def schema_fingerprint(schema) -> str:
     return hashlib.md5(canon.encode()).hexdigest()
 
 
-def assert_append_compatible(spark: SparkSession, path: str, schema) -> None:
+def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: bool = False):
     """Refuse to append into an existing table whose schema fingerprint
     differs — silent unionByName coercion would mask exactly the drift the
-    reference's md5 assert exists to catch."""
+    reference's md5 assert exists to catch.
+
+    ``evolve=True`` relaxes the guard to ADDITIVE evolution (the real-world
+    fleet case the reference's hard md5 assert cannot ingest at all: a
+    message definition gained or lost fields between recording sessions):
+    columns present on BOTH sides must have identical types — a changed
+    type is still refused — while added/removed columns are allowed; the
+    caller pads the incoming batch to the union so every new file carries
+    a superset schema. Returns the existing on-disk schema (None when the
+    table doesn't exist yet) so the caller can pad."""
     if not os.path.isdir(path):
-        return
+        return None
     existing = spark.read.parquet(path).schema
+    if evolve:
+        old = {f.name: f.dataType.simpleString() for f in existing.fields}
+        new = {f.name: f.dataType.simpleString() for f in schema.fields}
+        clash = sorted(n for n in old.keys() & new.keys() if old[n] != new[n])
+        if clash:
+            raise ValueError(
+                f"evolve-append to {path}: column type conflicts "
+                + ", ".join(f"{n}: {old[n]} != {new[n]}" for n in clash)
+                + " (type changes are never silently coerced)"
+            )
+        return existing
     fp_old, fp_new = schema_fingerprint(existing), schema_fingerprint(schema)
     if fp_old != fp_new:
         raise ValueError(
@@ -76,6 +96,17 @@ def assert_append_compatible(spark: SparkSession, path: str, schema) -> None:
             f"incoming {fp_new} (existing: {existing.simpleString()}, "
             f"incoming: {schema.simpleString()})"
         )
+    return existing
+
+
+def read_layout_table(spark: SparkSession, layout_dir: str, table: str) -> DataFrame:
+    """Read a converted-layout table with schema merging ON — required for
+    layouts built with ``evolve=True`` appends, where files carry different
+    (superset) schemas; harmless elsewhere (one footer more to read)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(layout_dir, table))
+    )
 
 
 def checked_union(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -492,6 +523,35 @@ def convert_bag(
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
 
 
+def _pad_union(datatype: str, frames: "list[DataFrame]") -> DataFrame:
+    """Union per-definition-version frames of one type, padding each to the
+    union column set with typed NULLs; a column typed differently across
+    versions is refused (never silently coerced). Single-frame calls (the
+    non-evolve norm) return the frame untouched."""
+    if len(frames) == 1:
+        return frames[0]
+    types: dict[str, object] = {}
+    for f in frames:
+        for fld in f.schema.fields:
+            seen = types.get(fld.name)
+            if seen is not None and seen.simpleString() != fld.dataType.simpleString():
+                raise ValueError(
+                    f"{datatype}: column {fld.name!r} typed "
+                    f"{seen.simpleString()} and {fld.dataType.simpleString()} "
+                    "across definition versions (type changes are never "
+                    "silently coerced)"
+                )
+            types.setdefault(fld.name, fld.dataType)
+    out = None
+    for f in frames:
+        missing = [n for n in types if n not in set(f.columns)]
+        for n in missing:
+            f = f.withColumn(n, F.lit(None).cast(types[n]))
+        f = f.select(*types.keys())
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
 def _write_bag_tables(
     seq: DataFrame,
     conns_df: DataFrame,
@@ -504,6 +564,7 @@ def _write_bag_tables(
     serialization: str = "ros1",
     on_error: str = "fail",
     mode: str = "overwrite",
+    evolve: bool = False,
     conns_write_df: "DataFrame | None" = None,
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
@@ -556,9 +617,11 @@ def _write_bag_tables(
         by_type.setdefault(c.datatype, []).append(c)
     for datatype, cs in sorted(by_type.items()):
         # reference asserts one frozen schema per type (md5 identity,
-        # FlattenedRosWriter.cpp:287)
+        # FlattenedRosWriter.cpp:287); under evolve, definition VERSIONS of
+        # a type may coexist (each connection decodes with its own def and
+        # the table pads to the union — the per-type loop below)
         md5s = {c.md5sum for c in cs}
-        if len(md5s) > 1:
+        if len(md5s) > 1 and not evolve:
             raise ValueError(
                 f"{datatype}: connections disagree on md5sum {sorted(md5s)}"
             )
@@ -574,40 +637,53 @@ def _write_bag_tables(
     # reference FlattenedRosWriter.cpp:273-289)
     tables = {"Messages": messages.schema, "Connections": conns_df.schema}
     for datatype, cs in sorted(by_type.items()):
-        conn_ids = [c.connection_id for c in cs]
-        # seqno and the raw blob ride THROUGH the decoder (keep_cols) instead
-        # of being stitched back by an offset join: the payload already
-        # crosses into the Python worker to be decoded, so returning it in
-        # the same Arrow batch is free — the join formulation re-shuffled
-        # every blob byte a second time (pertype stage on the 95 MB
-        # walkthrough: 3.6 s → 1.5 s cold, 1.1 s → 0.8 s warm, same
-        # session A/B). The raw column is renamed
-        # for the decode so a flattened payload field named `data` (e.g.
-        # CompressedImage.data in blobs mode) cannot capture it.
-        slice_df = seq.filter(F.col("conn_id").isin(conn_ids)).withColumnRenamed(
-            "data", "__raw__"
-        )
-        if not cs[0].msg_def.strip():
-            # blob-preserving fallback: no decodable schema text for this
-            # type (e.g. an MCAP ros2idl/protobuf-encoded schema) — the
-            # typed columns are absent but nothing is lost: seqno +
-            # connection + the raw payload blob still land, and a later
-            # pass with real msgdefs can flatten from this table alone
-            flat = slice_df.select("seqno", "conn_id", "__raw__")
-        else:
-            flat = decode_messages(
-                slice_df,
-                datatype,
-                cs[0].msg_def,
-                data_col="__raw__",
-                keep_cols=("seqno", "conn_id", "__raw__"),
-                arrays=arrays,
-                unsigned=unsigned,
-                on_error=on_error,
+        # one decode per DEFINITION VERSION: identical everywhere except
+        # evolve mode, where connections of the same type may carry
+        # different defs — each group decodes with ITS def and the groups
+        # pad to the union (type conflicts refused by _pad_union)
+        defgroups: dict[str, list] = {}
+        for c in cs:
+            defgroups.setdefault(c.msg_def, []).append(c)
+        group_frames = []
+        for msg_def, gcs in sorted(defgroups.items()):
+            conn_ids = [c.connection_id for c in gcs]
+            # seqno and the raw blob ride THROUGH the decoder (keep_cols)
+            # instead of being stitched back by an offset join: the payload
+            # already crosses into the Python worker to be decoded, so
+            # returning it in the same Arrow batch is free — the join
+            # formulation re-shuffled every blob byte a second time
+            # (pertype stage on the 95 MB walkthrough: 3.6 s → 1.5 s cold,
+            # 1.1 s → 0.8 s warm, same session A/B). The raw column is
+            # renamed for the decode so a flattened payload field named
+            # `data` (e.g. CompressedImage.data in blobs mode) cannot
+            # capture it.
+            slice_df = seq.filter(
+                F.col("conn_id").isin(conn_ids)
+            ).withColumnRenamed("data", "__raw__")
+            if not msg_def.strip():
+                # blob-preserving fallback: no decodable schema text for
+                # this type (e.g. an MCAP ros2idl/protobuf-encoded schema)
+                # — the typed columns are absent but nothing is lost:
+                # seqno + connection + the raw payload blob still land,
+                # and a later pass with real msgdefs can flatten from this
+                # table alone
+                flat = slice_df.select("seqno", "conn_id", "__raw__")
+            else:
+                flat = decode_messages(
+                    slice_df,
+                    datatype,
+                    msg_def,
+                    data_col="__raw__",
+                    keep_cols=("seqno", "conn_id", "__raw__"),
+                    arrays=arrays,
+                    unsigned=unsigned,
+                    on_error=on_error,
+                )
+            group_frames.append(
+                flat.withColumnRenamed("conn_id", "connection_id")
+                .withColumnRenamed("__raw__", "data")
             )
-        pertype = flat.withColumnRenamed("conn_id", "connection_id").withColumnRenamed(
-            "__raw__", "data"
-        )
+        pertype = _pad_union(datatype, group_frames)
         # column order per MessageTable.cpp:326-343
         value_cols = [
             c for c in pertype.columns
@@ -617,9 +693,31 @@ def _write_bag_tables(
         table = table_name_for_type(datatype)
         table_path = os.path.join(out_dir, table)
         if mode == "append":
-            assert_append_compatible(
-                pertype.sparkSession, table_path, pertype.schema
+            existing = assert_append_compatible(
+                pertype.sparkSession, table_path, pertype.schema,
+                evolve=evolve,
             )
+            if evolve and existing is not None:
+                # pad the batch to the UNION schema: columns the layout has
+                # that this batch's definition dropped land as NULLs, so
+                # every new file carries a superset schema; earlier files
+                # keep theirs — read evolved layouts with mergeSchema=true
+                # (the DDL script and read_layout_table do)
+                missing = [
+                    f for f in existing.fields
+                    if f.name not in set(pertype.columns)
+                ]
+                for f in missing:
+                    pertype = pertype.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+                vals = [
+                    c for c in pertype.columns
+                    if c not in ("seqno", "connection_id", "data")
+                ]
+                pertype = pertype.select(
+                    "seqno", *vals, "connection_id", "data"
+                )
         pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
         tables[table] = pertype.schema
 
@@ -632,7 +730,9 @@ def _write_bag_tables(
             p = os.path.join(out_dir, d)
             if d not in tables and os.path.isdir(p):
                 try:
-                    tables[d] = spark.read.parquet(p).schema
+                    tables[d] = (
+                        spark.read.option("mergeSchema", "true").parquet(p).schema
+                    )
                 except Exception:
                     pass  # non-table dir (e.g. checkpoints)
     with open(os.path.join(out_dir, "load_tables.sql"), "w") as f:
@@ -838,6 +938,7 @@ def convert_bags(
     msgdefs: "dict[str, str] | None" = None,
     on_error: str = "fail",
     mode: str = "overwrite",
+    evolve: bool = False,
 ) -> ConvertInfo:
     """Convert a FLEET of bags into ONE table layout — the reference's
     "multiple compatible parquet files can be treated as a single file"
@@ -1067,6 +1168,7 @@ def convert_bags(
         serialization=serialization,
         on_error=on_error,
         mode=mode,
+        evolve=evolve,
         conns_write_df=conns_write_df,
     )
     # MCAP side-car attachments across the fleet, with bag provenance

@@ -345,3 +345,69 @@ def test_convert_bags_append_equals_one_fleet(spark, tmp_path):
     # every write — no half-appended tables)
     msgs = spark.read.parquet(os.path.join(inc, "Messages"))
     assert msgs.count() == 17
+
+
+def test_append_evolve_additive_schema(spark, tmp_path):
+    """Schema evolution across recording sessions (the case the reference's
+    hard md5 assert refuses outright): a later bag's definition GAINS a
+    field — strict append refuses, evolve-append lands the batch padded to
+    the union schema, and a mergeSchema read shows old rows with NULLs in
+    the new column. A TYPE change is refused even under evolve."""
+    import pytest as _pytest
+
+    from rosbag2parquet_spark.convert import (
+        convert_bag,
+        convert_bags,
+        read_layout_table,
+    )
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    def mk(path, deftext, payloads, md5):
+        conns = [ConnectionInfo(1, "/t", "demo/Evolving", md5, deftext)]
+        write_bag(path, conns, payloads)
+        return path
+
+    import struct
+
+    a = mk(
+        str(tmp_path / "a.sbag"), "uint32 a\n",
+        [(1, 10**18 + i, struct.pack("<I", i)) for i in range(4)], "m1",
+    )
+    b = mk(
+        str(tmp_path / "b.sbag"), "uint32 a\nuint32 b\n",
+        [(1, 10**18 + 10**9 + i, struct.pack("<II", i, 100 + i)) for i in range(3)],
+        "m2",
+    )
+    out = str(tmp_path / "layout")
+    convert_bag(spark, a, out)
+
+    # strict append refuses the widened definition (md5 identity — BEFORE
+    # any write, so the layout is untouched)
+    with _pytest.raises(ValueError, match="disagree on md5sum"):
+        convert_bags(spark, [b], out, mode="append")
+
+    info = convert_bags(spark, [b], out, mode="append", evolve=True)
+    assert info.count == 3
+
+    t = read_layout_table(spark, out, "demo_Evolving").orderBy("seqno")
+    rows = t.collect()
+    assert len(rows) == 7
+    assert [r.a for r in rows] == [0, 1, 2, 3, 0, 1, 2]
+    assert [r.b for r in rows] == [None] * 4 + [100, 101, 102]
+
+    # dropping the field again is also fine (padded back to the union)
+    c = mk(
+        str(tmp_path / "c.sbag"), "uint32 a\n",
+        [(1, 10**18 + 2 * 10**9, struct.pack("<I", 9))], "m1",
+    )
+    info = convert_bags(spark, [c], out, mode="append", evolve=True)
+    rows = read_layout_table(spark, out, "demo_Evolving").orderBy("seqno").collect()
+    assert len(rows) == 8 and rows[-1].a == 9 and rows[-1].b is None
+
+    # a TYPE change is never silently coerced
+    d = mk(
+        str(tmp_path / "d.sbag"), "float64 a\n",
+        [(1, 10**18 + 3 * 10**9, struct.pack("<d", 1.5))], "m3",
+    )
+    with _pytest.raises(ValueError, match="never silently coerced"):
+        convert_bags(spark, [d], out, mode="append", evolve=True)
