@@ -600,9 +600,75 @@ FROM events
 """
 
 
+def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag → tables → bag → tables, driver-gate edition (export.py's
+    round trip proven against an INDEPENDENT DuckDB oracle, not just local
+    tests): a deterministic 1%-slice of events (event_id % 100 == 0)
+    becomes an SBAG (typed int64/float64 payloads), converts to a layout,
+    exports back to an indexed MCAP part, re-converts, and the final typed
+    table is compared to DuckDB's direct select over events. Exact value
+    parity — int64/float64 round-trip bit-for-bit through both container
+    grammars. Memoized per (session, sf_dir) like the other layout
+    queries; the pipeline itself is the distributed converter/exporter,
+    only the tiny slice staging is driver-side."""
+    import struct
+
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.export import export_mcap
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(), "rosbag2parquet_spark_exportrt"
+    )
+    out2 = os.path.join(root, tag)
+    if not os.path.isdir(out2):
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 100 == 0)
+            .select("event_id", F.unix_micros("ts").alias("ts_us"), "value")
+            .orderBy("event_id")
+            .collect()
+        )
+        deftext = "int64 event_id\nfloat64 value\n"
+        conns = [ConnectionInfo(1, "/events", "demo/Event", "", deftext)]
+        msgs = [
+            (1, r.ts_us * 1_000, struct.pack("<qd", r.event_id, r.value))
+            for r in rows
+        ]
+        bag = os.path.join(work, "slice.sbag")
+        write_bag(bag, conns, msgs)
+        convert_bag(spark, bag, os.path.join(work, "lay1"))
+        info = export_mcap(
+            spark, os.path.join(work, "lay1"), os.path.join(work, "exp"),
+            parts=1,
+            # the blobs came from an SBAG — declare what they are (ros1
+            # struct packing), the caller contract export.py documents
+            encoding="ros1", schema_encoding="ros1msg",
+        )
+        convert_bag(spark, info.paths[0], os.path.join(work, "lay2"))
+        try:
+            os.rename(os.path.join(work, "lay2"), out2)
+        except OSError:
+            pass  # another process won the race; output equivalent
+    return (
+        spark.read.parquet(os.path.join(out2, "demo_Event"))
+        .select("event_id", "value")
+    )
+
+
+ORACLE_EXPORT_ROUNDTRIP = """
+SELECT event_id, CAST(value AS DOUBLE) AS value
+FROM events WHERE event_id % 100 = 0
+"""
+
+
 QUERIES = {
     "demux": q_demux,
     "sink": q_sink,
+    "export-roundtrip": q_export_roundtrip,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
@@ -612,6 +678,7 @@ QUERIES = {
 ORACLES = {
     "demux": ORACLE_DEMUX,
     "sink": ORACLE_SINK,
+    "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,
