@@ -101,9 +101,9 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 16 new/changed (through
-# "resample-interpolate") + the first 34 of the 36 r4-latest rows
-# (through "sql-q10"). For r8, lead with any new/changed queries, then
+# ROUND-8 NOTE: the r7 window = 17 new/changed (through
+# "resample-interpolate") + the first 33 of the 36 r4-latest rows
+# (through "sql-q6"). For r8, lead with any new/changed queries, then
 # the remaining r4 row ("scalar-funcs" onward) and the r5-proven block;
 # r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
@@ -112,6 +112,7 @@ _QUERY_ORDER = [
     # the streaming twin of the as-of join (carried-quote state over the
     # unioned keyed log)
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
+    "stream-knn",
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
     # twin of resample-interpolate (incremental grid fill, O(1) state);

@@ -566,6 +566,80 @@ def _semdedup_oracle() -> str:
     return _KM_ORACLES["semdedup"]
 
 
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-query top-k (the live-index ANN shape): the M query
+    vectors are fixed (collected once, normalized, shipped in the scoring
+    closure); corpus vectors STREAM in, a stateless Arrow `mapInPandas`
+    stage scores each arriving doc against all M queries in one BLAS
+    matvec (M rows out per doc), and a per-query stateful top-k
+    (applyInPandasWithState keyed by query_id — state shards across
+    executors) maintains the running answer. Top-k maintenance is
+    commutative, so ANY arrival order converges to batch `knn-batch`'s
+    answer — same oracle. The finishing query keeps each query's last
+    emission (max seen-counter)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.similarity import (
+        KNN_BATCH_QUERIES,
+        KNN_K,
+    )
+    from rosbag2parquet_spark.sources.catalog import load_table
+    from rosbag2parquet_spark.streaming.stateful import running_topk
+
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KNN_BATCH_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qm = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in qrows]
+    )
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids = [int(r.vec_id) for r in qrows]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            s = np.round(v @ qm.T, 6)  # docs x M
+            n, m = s.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(np.array(qids), n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "cos_sim": s.ravel(),
+                }
+            )
+
+    scored = (
+        stream_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .mapInPandas(score, "query_id long, vec_id long, cos_sim double")
+    )
+    tbl = _fresh("stream_knn")
+    run_to_memory(running_topk(scored, KNN_K), tbl, mode="append")
+    t = spark.table(tbl)
+    w = "PARTITION BY query_id ORDER BY n DESC"
+    return (
+        t.withColumn("maxn", F.expr(f"max(n) OVER ({w})"))
+        .filter(F.col("n") == F.col("maxn"))
+        .select("query_id", "rk", "vec_id", "cos_sim")
+    )
+
+
+def _knn_oracle() -> str:
+    from rosbag2parquet_spark.functions.similarity import ORACLE_KNN_BATCH
+
+    return ORACLE_KNN_BATCH
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental as-of join: quotes (orders) and probes (events) arrive
     interleaved as TWO file streams unioned onto one keyed log; per-user
@@ -614,6 +688,7 @@ def _asof_oracle() -> str:
 QUERIES = {
     "stream-asof": q_stream_asof,
     "stream-semdedup": q_stream_semdedup,
+    "stream-knn": q_stream_knn,
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
     "stream-sessionize": q_stream_sessionize,
@@ -657,6 +732,7 @@ FROM cand
 ORACLES = {
     "stream-asof": _asof_oracle(),
     "stream-semdedup": _semdedup_oracle(),
+    "stream-knn": _knn_oracle(),
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
     "stream-sliding": batch_windows.ORACLES["window-sliding"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],

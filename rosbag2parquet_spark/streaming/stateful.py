@@ -586,3 +586,60 @@ def running_semdedup(vecs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming top-k
+
+KNN_OUTPUT_SCHEMA = (
+    "query_id long, rk int, vec_id long, cos_sim double, n long"
+)
+KNN_STATE_SCHEMA = "n long, ids array<bigint>, sims array<double>"
+
+
+def make_knn_update(k: int):
+    """Build the per-query top-k maintainer (streaming twin of X3
+    `knn-batch`): state per query id is the current top-k (ids + rounded
+    cosines) plus a monotone seen-counter; each invocation merges the
+    arriving (vec_id, cos_sim) pairs, re-sorts by (-cos_sim, vec_id) — the
+    batch tie rule — and emits the refreshed top-k stamped with the
+    counter, so the finishing query keeps each query's LAST emission
+    (max n). Order-free: top-k maintenance is commutative, any arrival
+    order converges to the batch answer."""
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (query_id,) = key
+        n, ids, sims = state.get if state.exists else (0, [], [])
+        ids, sims = list(ids), list(sims)
+        pdf = pd.concat(list(batches), ignore_index=True)
+        n += len(pdf)
+        ids += [int(v) for v in pdf["vec_id"]]
+        sims += [float(s) for s in pdf["cos_sim"]]
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:k]
+        ids = [ids[i] for i in order]
+        sims = [sims[i] for i in order]
+        state.update((n, ids, sims))
+        yield pd.DataFrame(
+            {
+                "query_id": [int(query_id)] * len(ids),
+                "rk": list(range(1, len(ids) + 1)),
+                "vec_id": ids,
+                "cos_sim": sims,
+                "n": [n] * len(ids),
+            }
+        )
+
+    return update
+
+
+def running_topk(scored: DataFrame, k: int) -> DataFrame:
+    """scored (streaming) columns: query_id long, vec_id long,
+    cos_sim double → append-mode refreshed top-k emissions per query."""
+    return scored.groupBy("query_id").applyInPandasWithState(
+        make_knn_update(k),
+        outputStructType=KNN_OUTPUT_SCHEMA,
+        stateStructType=KNN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -406,3 +406,53 @@ def test_stream_semdedup_across_batches(spark, tmp_path):
         for r in spark.table("sd_xbatch").collect()
     }
     assert got == {(10, 0), (11, 0), (21, 1)}
+
+
+def test_stream_topk_out_of_order_batches(spark, tmp_path):
+    """Top-k maintenance is commutative: micro-batches arriving in any
+    order converge to the same top-k, ties break by vec_id (the batch
+    rule), and the finishing rule (max seen-counter) picks the final
+    emission."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_topk
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    land = tmp_path / "land_topk"
+    land.mkdir()
+    # query 1: high scores arrive FIRST, then lower ones; query 2: reverse.
+    # tie at 0.5 between vec 30 and vec 20 -> vec 20 (smaller id) ranks
+    # first
+    b1 = [(1, 10, 0.9), (1, 30, 0.5), (2, 10, 0.1)]
+    b2 = [(1, 20, 0.5), (1, 40, 0.95), (2, 20, 0.8)]
+    for name, rows in (("a", b1), ("b", b2)):
+        pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "cos_sim"]
+        ).to_parquet(land / f"{name}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "query_id long, vec_id long, cos_sim double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_topk(stream, 3), "topk_ooo", mode="append")
+    t = spark.table("topk_ooo")
+    final = {
+        (r.query_id, r.rk): (r.vec_id, r.cos_sim)
+        for r in spark.sql(
+            """
+            SELECT query_id, rk, vec_id, cos_sim FROM (
+              SELECT *, max(n) OVER (PARTITION BY query_id) AS mx
+              FROM topk_ooo
+            ) WHERE n = mx
+            """
+        ).collect()
+    }
+    assert final == {
+        (1, 1): (40, 0.95),
+        (1, 2): (10, 0.9),
+        (1, 3): (20, 0.5),  # tie with vec 30: smaller id wins rank 3
+        (2, 1): (20, 0.8),
+        (2, 2): (10, 0.1),
+    }
