@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="inclusive log-time lower bound")
         ep.add_argument("--end-ns", type=int, default=None,
                         help="exclusive log-time upper bound")
+        ep.add_argument(
+            "--as-recording", action="store_true",
+            help="db3: also write metadata.yaml so the outdir is a "
+            "recorded rosbag2 directory (ros2 bag play consumable)",
+        )
         args = ep.parse_args(argv[1:])
         topics = args.topics.split(",") if args.topics else None
         from rosbag2parquet_spark.export import (
@@ -103,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
                 topics=topics,
                 start_ns=args.start_ns,
                 end_ns=args.end_ns,
+                as_recording=args.as_recording,
             )
         else:
             info = export_rosbag(

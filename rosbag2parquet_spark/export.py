@@ -287,6 +287,7 @@ def export_db3(
     topics: "list[str] | None" = None,
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
+    as_recording: bool = False,
 ) -> ExportInfo:
     """Export a converted layout back to rosbag2 sqlite (.db3) part files —
     each part self-describing via the Iron+/v4 embedded
@@ -305,7 +306,83 @@ def export_db3(
             schema_encoding=schema_encoding,
         )
 
-    return _export_parts(
+    info = _export_parts(
         spark, layout_dir, out_dir, parts, "db3", write_part_file,
         topics=topics, start_ns=start_ns, end_ns=end_ns,
     )
+    if as_recording:
+        _write_recording_metadata(out_dir, info, conns, serialization_format)
+    return info
+
+
+def _write_recording_metadata(
+    out_dir: str, info: ExportInfo, conns: list, serialization_format: str
+) -> None:
+    """metadata.yaml for the exported shards — the manifest that makes the
+    directory a RECORDED bag (`ros2 bag play` and this engine's own
+    directory reader both resolve shards via relative_file_paths in
+    recorded order). Stats come from the freshly-written sqlite shards
+    themselves (one scan per part at close — what the recorder does), so
+    they are correct under any subset filters the export applied."""
+    import sqlite3
+
+    import yaml
+
+    by_topic: dict[int, int] = {}
+    t_min, t_max, total = None, None, 0
+    files = []
+    for path in info.paths:
+        con = sqlite3.connect(path)
+        try:
+            n, lo, hi = con.execute(
+                "SELECT count(*), min(timestamp), max(timestamp) FROM messages"
+            ).fetchone()
+            for tid, cnt in con.execute(
+                "SELECT topic_id, count(*) FROM messages GROUP BY topic_id"
+            ):
+                by_topic[tid] = by_topic.get(tid, 0) + cnt
+        finally:
+            con.close()
+        total += n
+        if n:
+            t_min = lo if t_min is None else min(t_min, lo)
+            t_max = hi if t_max is None else max(t_max, hi)
+            files.append(
+                {
+                    "path": os.path.basename(path),
+                    "starting_time": {"nanoseconds_since_epoch": int(lo)},
+                    "duration": {"nanoseconds": int(hi - lo)},
+                    "message_count": int(n),
+                }
+            )
+    doc = {
+        "rosbag2_bagfile_information": {
+            "version": 5,
+            "storage_identifier": "sqlite3",
+            "relative_file_paths": [os.path.basename(p) for p in info.paths],
+            "files": files,
+            "duration": {
+                "nanoseconds": int((t_max - t_min) if total else 0)
+            },
+            "starting_time": {
+                "nanoseconds_since_epoch": int(t_min if total else 0)
+            },
+            "message_count": int(total),
+            "topics_with_message_count": [
+                {
+                    "topic_metadata": {
+                        "name": c.topic,
+                        "type": c.datatype,
+                        "serialization_format": serialization_format,
+                        "offered_qos_profiles": "",
+                    },
+                    "message_count": int(by_topic.get(c.conn_id, 0)),
+                }
+                for c in conns
+            ],
+            "compression_format": "",
+            "compression_mode": "",
+        }
+    }
+    with open(os.path.join(out_dir, "metadata.yaml"), "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)

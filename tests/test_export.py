@@ -198,3 +198,40 @@ def test_export_db3_roundtrip(spark, tmp_path):
         a = _table(spark, layout1, t).orderBy("seqno").drop("connection_id")
         b = _table(spark, layout2, t).orderBy("seqno").drop("connection_id")
         assert a.collect() == b.collect()
+
+
+def test_export_db3_recording_directory(spark, tmp_path):
+    """as_recording=True makes the output a RECORDED rosbag2 directory:
+    metadata.yaml manifests the shards in order with per-topic counts and
+    time bounds, and the whole DIRECTORY converts back through the
+    manifest path (convert_bag on the dir) losslessly."""
+    import yaml
+
+    from rosbag2parquet_spark.export import export_db3
+
+    bag = str(tmp_path / "orig.mcap")
+    write_mcap(bag, CONNS, _messages(), chunked=True, chunk_messages=7)
+    layout1 = str(tmp_path / "layout1")
+    convert_bag(spark, bag, layout1)
+
+    exp = str(tmp_path / "recording")
+    info = export_db3(spark, layout1, exp, parts=2, as_recording=True)
+    assert info.parts == 2
+
+    with open(os.path.join(exp, "metadata.yaml")) as f:
+        meta = yaml.safe_load(f)["rosbag2_bagfile_information"]
+    assert meta["relative_file_paths"] == ["part-00000.db3", "part-00001.db3"]
+    assert meta["message_count"] == 40
+    by_name = {
+        t["topic_metadata"]["name"]: t["message_count"]
+        for t in meta["topics_with_message_count"]
+    }
+    assert by_name == {"/pose": 20, "/imu": 20}
+    t0 = 1_700_000_000_000_000_000
+    assert meta["starting_time"]["nanoseconds_since_epoch"] == t0
+    assert meta["duration"]["nanoseconds"] == 39 * 1_000_000
+
+    # the DIRECTORY converts back via the manifest path
+    layout2 = str(tmp_path / "layout2")
+    convert_bag(spark, exp, layout2)
+    assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
