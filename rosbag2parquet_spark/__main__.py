@@ -70,8 +70,8 @@ def main(argv: list[str] | None = None) -> int:
                         help="exclusive log-time upper bound")
         ep.add_argument(
             "--as-recording", action="store_true",
-            help="db3: also write metadata.yaml so the outdir is a "
-            "recorded rosbag2 directory (ros2 bag play consumable)",
+            help="db3/mcap: also write metadata.yaml so the outdir is a "
+            "recorded ROS 2 directory (ros2 bag play consumable)",
         )
         args = ep.parse_args(argv[1:])
         topics = args.topics.split(",") if args.topics else None
@@ -96,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
                 topics=topics,
                 start_ns=args.start_ns,
                 end_ns=args.end_ns,
+                as_recording=args.as_recording,
             )
         elif args.format == "db3":
             info = export_db3(

@@ -44,6 +44,8 @@ class ExportInfo:
     paths: list[str]
     count: int
     parts: int
+    #: per-part stats in path order: {path, n, t_min, t_max, conn_counts}
+    files: "list[dict]" = None
 
 
 def _type_tables(layout_dir: str) -> list[str]:
@@ -155,6 +157,8 @@ def _export_parts(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(batches: Iterator) -> Iterator:
+        import json
+
         import pandas as pd
         from pyspark import TaskContext
 
@@ -172,18 +176,50 @@ def _export_parts(
             return
         path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
         write_part_file(path, messages, pid)
-        yield pd.DataFrame({"path": [path], "n": [len(messages)]})
+        counts: dict[int, int] = {}
+        for cid, _t, _p in messages:
+            counts[cid] = counts.get(cid, 0) + 1
+        yield pd.DataFrame(
+            {
+                "path": [path],
+                "n": [len(messages)],
+                "t_min": [min(t for _c, t, _p in messages)],
+                "t_max": [max(t for _c, t, _p in messages)],
+                "conn_counts": [json.dumps(counts)],
+            }
+        )
 
     rows = (
         joined.repartitionByRange(parts, "seqno")
         .sortWithinPartitions("seqno")
-        .mapInPandas(write_part, "path string, n long")
+        .mapInPandas(
+            write_part,
+            "path string, n long, t_min long, t_max long, conn_counts string",
+        )
         .collect()
     )
+    import json as _json
+
+    files = sorted(
+        (
+            {
+                "path": r.path,
+                "n": int(r.n),
+                "t_min": int(r.t_min),
+                "t_max": int(r.t_max),
+                "conn_counts": {
+                    int(k): v for k, v in _json.loads(r.conn_counts).items()
+                },
+            }
+            for r in rows
+        ),
+        key=lambda d: d["path"],
+    )
     return ExportInfo(
-        paths=sorted(r.path for r in rows),
-        count=int(sum(r.n for r in rows)),
-        parts=len(rows),
+        paths=[d["path"] for d in files],
+        count=int(sum(d["n"] for d in files)),
+        parts=len(files),
+        files=files,
     )
 
 
@@ -201,10 +237,14 @@ def export_mcap(
     topics: "list[str] | None" = None,
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
+    as_recording: bool = False,
 ) -> ExportInfo:
     """Export a converted layout back to one-or-more indexed MCAP part
     files (summary ChunkIndex + Footer: the reader's O(index) planning
-    path works on every part). Attachments re-attach to part 0."""
+    path works on every part). Attachments re-attach to part 0.
+    ``as_recording=True`` also writes metadata.yaml (storage_identifier:
+    mcap) so the outdir is a recorded ROS 2 directory — the Iron+ default
+    storage shape our fleet reader already consumes."""
     from rosbag2parquet_spark.sources.mcap import write_mcap
 
     conns = _layout_connections(spark, layout_dir)
@@ -233,10 +273,13 @@ def export_mcap(
             attachments=att_rows if pid == 0 else None,
         )
 
-    return _export_parts(
+    info = _export_parts(
         spark, layout_dir, out_dir, parts, "mcap", write_part_file,
         topics=topics, start_ns=start_ns, end_ns=end_ns,
     )
+    if as_recording:
+        _write_recording_metadata(out_dir, info, conns, encoding, "mcap")
+    return info
 
 
 def export_rosbag(
@@ -311,54 +354,47 @@ def export_db3(
         topics=topics, start_ns=start_ns, end_ns=end_ns,
     )
     if as_recording:
-        _write_recording_metadata(out_dir, info, conns, serialization_format)
+        _write_recording_metadata(
+            out_dir, info, conns, serialization_format, "sqlite3"
+        )
     return info
 
 
 def _write_recording_metadata(
-    out_dir: str, info: ExportInfo, conns: list, serialization_format: str
+    out_dir: str,
+    info: ExportInfo,
+    conns: list,
+    serialization_format: str,
+    storage_identifier: str,
 ) -> None:
     """metadata.yaml for the exported shards — the manifest that makes the
     directory a RECORDED bag (`ros2 bag play` and this engine's own
     directory reader both resolve shards via relative_file_paths in
-    recorded order). Stats come from the freshly-written sqlite shards
-    themselves (one scan per part at close — what the recorder does), so
-    they are correct under any subset filters the export applied."""
-    import sqlite3
-
+    recorded order). Stats come from each part task's own tally (the
+    messages were in its hands at write time — no shard re-read), so they
+    are correct under any subset filters the export applied."""
     import yaml
 
     by_topic: dict[int, int] = {}
-    t_min, t_max, total = None, None, 0
-    files = []
-    for path in info.paths:
-        con = sqlite3.connect(path)
-        try:
-            n, lo, hi = con.execute(
-                "SELECT count(*), min(timestamp), max(timestamp) FROM messages"
-            ).fetchone()
-            for tid, cnt in con.execute(
-                "SELECT topic_id, count(*) FROM messages GROUP BY topic_id"
-            ):
-                by_topic[tid] = by_topic.get(tid, 0) + cnt
-        finally:
-            con.close()
-        total += n
-        if n:
-            t_min = lo if t_min is None else min(t_min, lo)
-            t_max = hi if t_max is None else max(t_max, hi)
-            files.append(
-                {
-                    "path": os.path.basename(path),
-                    "starting_time": {"nanoseconds_since_epoch": int(lo)},
-                    "duration": {"nanoseconds": int(hi - lo)},
-                    "message_count": int(n),
-                }
-            )
+    for d in info.files:
+        for cid, cnt in d["conn_counts"].items():
+            by_topic[cid] = by_topic.get(cid, 0) + cnt
+    total = info.count
+    t_min = min((d["t_min"] for d in info.files), default=0)
+    t_max = max((d["t_max"] for d in info.files), default=0)
+    files = [
+        {
+            "path": os.path.basename(d["path"]),
+            "starting_time": {"nanoseconds_since_epoch": d["t_min"]},
+            "duration": {"nanoseconds": d["t_max"] - d["t_min"]},
+            "message_count": d["n"],
+        }
+        for d in info.files
+    ]
     doc = {
         "rosbag2_bagfile_information": {
             "version": 5,
-            "storage_identifier": "sqlite3",
+            "storage_identifier": storage_identifier,
             "relative_file_paths": [os.path.basename(p) for p in info.paths],
             "files": files,
             "duration": {

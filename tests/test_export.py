@@ -235,3 +235,45 @@ def test_export_db3_recording_directory(spark, tmp_path):
     layout2 = str(tmp_path / "layout2")
     convert_bag(spark, exp, layout2)
     assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
+
+
+def test_export_mcap_recording_directory(spark, tmp_path):
+    """as_recording for the MCAP grammar (the Iron+ default storage):
+    metadata.yaml manifests the .mcap shards, stats match the export's
+    SUBSET filters (from each part task's own tally), and the directory
+    converts back through the manifest path."""
+    import yaml
+
+    bag = str(tmp_path / "orig.mcap")
+    write_mcap(bag, CONNS, _messages(), chunked=True, chunk_messages=7)
+    layout1 = str(tmp_path / "layout1")
+    convert_bag(spark, bag, layout1)
+
+    t0 = 1_700_000_000_000_000_000
+    exp = str(tmp_path / "recording")
+    info = export_mcap(
+        spark, layout1, exp, parts=2, as_recording=True,
+        topics=["/imu"],
+    )
+    assert info.parts == 2 and info.count == 20
+
+    with open(os.path.join(exp, "metadata.yaml")) as f:
+        meta = yaml.safe_load(f)["rosbag2_bagfile_information"]
+    assert meta["storage_identifier"] == "mcap"
+    assert meta["relative_file_paths"] == [
+        "part-00000.mcap", "part-00001.mcap",
+    ]
+    assert meta["message_count"] == 20
+    by_name = {
+        t["topic_metadata"]["name"]: t["message_count"]
+        for t in meta["topics_with_message_count"]
+    }
+    # the subset filter is reflected: /pose exported 0 messages
+    assert by_name == {"/imu": 20, "/pose": 0}
+    assert meta["starting_time"]["nanoseconds_since_epoch"] == t0 + 1_000_000
+
+    layout2 = str(tmp_path / "layout2")
+    convert_bag(spark, exp, layout2)
+    assert _message_tuples(spark, layout2) == [
+        t for t in _message_tuples(spark, layout1) if t[0] == "/imu"
+    ]
