@@ -22,10 +22,18 @@ def main(argv: list[str] | None = None) -> int:
             "--input", required=True, help="bag file (.bag = rosbag 2.0, else SBAG)"
         )
         args = ip.parse_args(argv[1:])
-        from rosbag2parquet_spark.info import print_info
         from rosbag2parquet_spark.session import get_spark
 
-        print_info(get_spark("rosbag2parquet_spark_info"), args.input)
+        spark = get_spark("rosbag2parquet_spark_info")
+        if os.path.isdir(os.path.join(args.input, "Messages")):
+            # a CONVERTED layout: same stats from the metadata tables
+            from rosbag2parquet_spark.info import print_layout_info
+
+            print_layout_info(spark, args.input)
+            return 0
+        from rosbag2parquet_spark.info import print_info
+
+        print_info(spark, args.input)
         return 0
 
     # subcommand: `export` = the reverse direction — converted layout back

@@ -168,3 +168,56 @@ def print_info(spark: SparkSession, path: str) -> None:
         for name, kv in mcap_metadata(path):
             pairs = ", ".join(f"{k}={v}" for k, v in sorted(kv.items()))
             print(f"  metadata: {name}: {pairs}")
+
+
+def layout_info(spark: SparkSession, layout_dir: str) -> DataFrame:
+    """`bag_info` over a CONVERTED layout instead of a bag: the same
+    per-(datatype, topic) stats + rollup rows, computed from the
+    Messages/Connections metadata tables alone — column-pruned scans of
+    two narrow tables, no per-type blob ever read (the reason the
+    metadata tables exist, reference FlattenedRosWriter.cpp:49-137)."""
+    import os
+
+    msgs = spark.read.parquet(os.path.join(layout_dir, "Messages")).select(
+        "connection_id",
+        "size",
+        (
+            F.col("time_sec").cast("long") * 1_000_000_000
+            + F.col("time_nsec")
+        ).alias("time_ns"),
+    )
+    conns = spark.read.parquet(os.path.join(layout_dir, "Connections"))
+    joined = msgs.join(F.broadcast(conns), "connection_id")
+    agg = joined.rollup("datatype", "topic").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum("size").alias("total_bytes"),
+        F.min("time_ns").alias("min_ns"),
+        F.max("time_ns").alias("max_ns"),
+    )
+    span_s = (F.col("max_ns") - F.col("min_ns")) / 1e9
+    return agg.select(
+        F.coalesce("datatype", F.lit("<all>")).alias("datatype"),
+        F.coalesce("topic", F.lit("<all>")).alias("topic"),
+        "n_msgs",
+        "total_bytes",
+        F.when(span_s > 0, F.round(F.col("n_msgs") / span_s, 3)).alias("freq_hz"),
+        F.when(span_s > 0, F.round(F.col("total_bytes") / span_s, 1)).alias(
+            "bytes_per_s"
+        ),
+    )
+
+
+def print_layout_info(spark: SparkSession, layout_dir: str) -> None:
+    import os
+
+    df = layout_info(spark, layout_dir).orderBy("datatype", "topic")
+    print(f"layout: {layout_dir}")
+    for r in df.collect():
+        tag = "TOTAL" if r.datatype == "<all>" else f"{r.datatype} {r.topic}"
+        freq = f" @ {r.freq_hz} Hz" if r.freq_hz is not None else ""
+        print(f"  {tag}: {r.n_msgs} msgs, {r.total_bytes} bytes{freq}")
+    tables = sorted(
+        d for d in os.listdir(layout_dir)
+        if os.path.isdir(os.path.join(layout_dir, d))
+    )
+    print(f"  tables: {', '.join(tables)}")

@@ -228,3 +228,38 @@ def test_convert_bag_max_mbs_prefix(spark, tmp_path):
     out2 = str(tmp_path / "capped_fleet")
     info2 = convert_bags(spark, [path], out2, max_mbs=6 * 4 / (1 << 20))
     assert info2.count == 6
+
+
+def test_layout_info_matches_bag_info(spark, tmp_path, capsys):
+    """`info` over a CONVERTED layout equals `info` over the source bag —
+    same per-(type, topic) counts/bytes/rates computed from the two narrow
+    metadata tables (no per-type blob read); the CLI routes a
+    Messages-bearing directory to the layout path."""
+    import struct
+
+    from rosbag2parquet_spark.__main__ import main
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.info import bag_info, layout_info
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    conns = [
+        ConnectionInfo(1, "/a", "demo/A", "", "uint32 x\n"),
+        ConnectionInfo(2, "/b", "demo/B", "", "uint64 y\n"),
+    ]
+    msgs = [
+        (1 + i % 2, 10**18 + i * 10**6,
+         struct.pack("<I", i) if i % 2 == 0 else struct.pack("<Q", i))
+        for i in range(10)
+    ]
+    bag = str(tmp_path / "x.sbag")
+    write_bag(bag, conns, msgs)
+    out = str(tmp_path / "lay")
+    convert_bag(spark, bag, out)
+
+    a = {tuple(r) for r in bag_info(spark, bag).collect()}
+    b = {tuple(r) for r in layout_info(spark, out).collect()}
+    assert a == b
+
+    assert main(["info", "--input", out]) == 0
+    printed = capsys.readouterr().out
+    assert "layout:" in printed and "TOTAL: 10 msgs" in printed
