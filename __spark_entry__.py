@@ -103,9 +103,12 @@ _MODULES = (
 # run, NO query's latest row is older than r5.
 # ROUND-8 NOTE: the r7 window = 17 new/changed (through
 # "resample-interpolate") + the first 33 of the 36 r4-latest rows
-# (through "sql-q6"). For r8, lead with any new/changed queries, then
-# the remaining r4 row ("scalar-funcs" onward) and the r5-proven block;
-# r6- then r7-proven rotate to the back.
+# (through "scalar-funcs"). The 17 genuinely-new queries outprioritized
+# the last three r4 rows — "pivot", "unpivot", "histogram" slip past the
+# freshness target this once (r4-latest after r7; a first-ever row for a
+# new query beats re-proving a stable green one). For r8: those THREE
+# FIRST, then any new/changed, then the r5-proven block ("stream-sink"
+# onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
