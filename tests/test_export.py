@@ -277,3 +277,46 @@ def test_export_mcap_recording_directory(spark, tmp_path):
     assert _message_tuples(spark, layout2) == [
         t for t in _message_tuples(spark, layout1) if t[0] == "/imu"
     ]
+
+
+def test_export_edge_shapes(spark, tmp_path):
+    """Edges the happy-path round trips don't hit: a connection with ZERO
+    messages still rides the dim through export; parts exceeding the
+    message count yields only non-empty part files; var-length payloads
+    (strings) survive verbatim."""
+    import struct
+
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    def s_payload(txt: bytes) -> bytes:
+        return struct.pack("<I", len(txt)) + txt
+
+    conns = [
+        ConnectionInfo(1, "/talk", "demo/Str", "", "string s\n"),
+        ConnectionInfo(2, "/silent", "demo/Str", "", "string s\n"),
+    ]
+    msgs = [(1, 10**18 + i * 1000, s_payload(b"x" * i)) for i in range(5)]
+    bag = str(tmp_path / "edge.sbag")
+    write_bag(bag, conns, msgs)
+    layout1 = str(tmp_path / "l1")
+    convert_bag(spark, bag, layout1)
+
+    exp = str(tmp_path / "exp")
+    info = export_mcap(
+        spark, layout1, exp, parts=16,
+        encoding="ros1", schema_encoding="ros1msg",
+    )
+    assert info.count == 5
+    # no empty part files on disk
+    assert info.parts == len(os.listdir(exp)) and info.parts <= 5
+    for d in info.files:
+        assert d["n"] >= 1
+
+    layout2 = str(tmp_path / "l2")
+    convert_bags(spark, info.paths, layout2)
+    t1 = _table(spark, layout1, "demo_Str").orderBy("seqno").collect()
+    t2 = _table(spark, layout2, "demo_Str").orderBy("seqno").collect()
+    assert [r.s for r in t1] == [r.s for r in t2] == ["", "x", "xx", "xxx", "xxxx"]
+    # the silent connection's channel survives the container round trip
+    conns2 = _table(spark, layout2, "Connections").collect()
+    assert {c.topic for c in conns2} == {"/talk", "/silent"}
