@@ -65,6 +65,7 @@ EXTENDED = [
     "heavy-hitters",
     "asof-nearest",
     "semdedup",
+    "lm-surprise",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

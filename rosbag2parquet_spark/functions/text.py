@@ -575,7 +575,97 @@ tok AS (SELECT doc_id, unnest(w) AS word FROM words),
 )
 
 
+# ---------------------------------------------------- lm-surprise (X4)
+
+
+def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring (the CCNet-style perplexity
+    signal) in INTEGER-EXACT form: per document, the sum over its bigrams
+    of floor((C1(w1) + V) / (C2(w1, w2) + 1)) — the floored inverse of the
+    add-one-smoothed conditional bigram probability. Common continuations
+    contribute small terms, rare/unnatural ones large terms, so the score
+    ranks documents by LM surprise exactly like a negative log-likelihood
+    would — but every term is integer arithmetic over corpus counts, so
+    Spark and DuckDB agree bit-for-bit (a log/exp formulation could not be
+    value-oracled: libm transcendentals differ across engines).
+
+    Plan: one explode for bigrams; the bigram-count join is co-keyed with
+    the groupBy that built it (one shuffle reused); the unigram table
+    broadcasts when small (AQE decides); V rides as a 1-row broadcast
+    cross join. Per-doc aggregation is the only doc-keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bi = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    uni = (
+        docs.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("(c1 + v) div (c2 + 1)")).alias("surprise"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprise", F.lit(0)).cast("long").alias("surprise"),
+        )
+    )
+
+
+ORACLE_LM_SURPRISE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bi AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+c1 AS (
+  SELECT t AS w1, count(*) AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+),
+v AS (SELECT count(*) AS v FROM c1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+per_doc AS (
+  SELECT bi.doc_id, count(*) AS n_bigrams,
+         sum((c1.c1 + v.v) // (c2.c2 + 1)) AS surprise
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY bi.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.surprise, 0) AS BIGINT) AS surprise
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
+    "lm-surprise": q_lm_surprise,
     "heavy-hitters": q_heavy_hitters,
     "text-stats": q_text_stats,
     "token-count": q_token_count,
@@ -589,6 +679,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm-surprise": ORACLE_LM_SURPRISE,
     "heavy-hitters": ORACLE_HEAVY_HITTERS,
     "text-stats": ORACLE_TEXT_STATS,
     "token-count": ORACLE_TOKEN_COUNT,
