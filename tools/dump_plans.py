@@ -85,6 +85,15 @@ RATIONALE = {
         "(t, v) pair per entity — emission cost is grid-points-passed, "
         "independent of stream length."
     ),
+    "lm-surprise": (
+        "Every arithmetic term is an integer over corpus counts, so the "
+        "perplexity-style ranking value-oracles bit-for-bit (a log/exp "
+        "formulation cannot cross engines). The bigram-count join reuses "
+        "the partitioning of the groupBy that built the counts; the "
+        "unigram dim broadcasts under AQE; V is a 1-row broadcast scalar "
+        "(the hll-sketch class). One doc-keyed shuffle for the final "
+        "per-document sum."
+    ),
     "semdedup": (
         "ONE shuffle of N rows on `cluster`, then a per-cluster BLAS gram "
         "matrix inside applyInPandas — the published SemDeDup shape. A "
@@ -180,9 +189,10 @@ def main() -> None:
         "scd2-asof", "compact-files", "merge-upsert",
         "compact-partitioned", "gap-detect", "heavy-hitters",
         "asof-nearest",
-        # late round-7: semantic dedup (stream-asof's value is its twin
-        # parity, proven by the shared oracle + tests/test_stateful.py)
-        "semdedup",
+        # late round-7: semantic dedup + integer-exact LM scoring (the
+        # stream-* twins' value is their parity, proven by the shared
+        # oracles + tests/test_stateful.py)
+        "semdedup", "lm-surprise",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
