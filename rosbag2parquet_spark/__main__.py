@@ -83,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         args = ep.parse_args(argv[1:])
         topics = args.topics.split(",") if args.topics else None
+        # codec/format compatibility checked HERE, not deep inside an
+        # executor task after part files already landed
+        _codecs = {
+            "mcap": {None, "", "lz4", "zstd"},
+            "rosbag": {None, "none", "bz2", "lz4"},
+            "db3": {None},
+        }
+        if args.compression not in _codecs[args.format]:
+            print(
+                f"error: --compression {args.compression!r} is not valid "
+                f"for --format {args.format} (valid: "
+                f"{sorted(c for c in _codecs[args.format] if c)})",
+                file=sys.stderr,
+            )
+            return 2
         from rosbag2parquet_spark.export import (
             export_db3,
             export_mcap,
@@ -323,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
             on_error=args.on_error,
             mode="append" if args.append else "overwrite",
             evolve=args.evolve,
+            max_mbs=args.max_mbs,
         )
     elif args.input.endswith((".bag", ".sbag")) or (
         os.path.isfile(args.input) and _baglike.bag_format(args.input)
@@ -339,6 +355,7 @@ def main(argv: list[str] | None = None) -> int:
                 unsigned=args.unsigned, compression=args.compression,
                 msgdefs=msgdefs, on_error=args.on_error, mode="append",
                 evolve=args.evolve,
+                max_mbs=args.max_mbs,
             )
         else:
             from rosbag2parquet_spark.convert import convert_bag

@@ -626,16 +626,14 @@ def _write_bag_tables(
                 f"{datatype}: connections disagree on md5sum {sorted(md5s)}"
             )
 
-    if mode == "append":
-        assert_append_compatible(messages.sparkSession, msg_path, messages.schema)
-    messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
-    (conns_write_df if conns_write_df is not None else conns_df).write.options(
-        **writer_opts
-    ).mode(mode).parquet(conn_path)
-
     # ---- one flattened typed table per datatype (lazy per-type handlers,
-    # reference FlattenedRosWriter.cpp:273-289)
+    # reference FlattenedRosWriter.cpp:273-289). The frames are BUILT AND
+    # VALIDATED first (plan construction only, nothing executes) so every
+    # refusal — strict fingerprint mismatch, evolve type conflict — fires
+    # before ANY table is written; a refused append leaves the layout
+    # untouched, never half-appended
     tables = {"Messages": messages.schema, "Connections": conns_df.schema}
+    pertype_writes: list = []
     for datatype, cs in sorted(by_type.items()):
         # one decode per DEFINITION VERSION: identical everywhere except
         # evolve mode, where connections of the same type may carry
@@ -718,6 +716,15 @@ def _write_bag_tables(
                 pertype = pertype.select(
                     "seqno", *vals, "connection_id", "data"
                 )
+        pertype_writes.append((table, table_path, pertype))
+
+    if mode == "append":
+        assert_append_compatible(messages.sparkSession, msg_path, messages.schema)
+    messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
+    (conns_write_df if conns_write_df is not None else conns_df).write.options(
+        **writer_opts
+    ).mode(mode).parquet(conn_path)
+    for table, table_path, pertype in pertype_writes:
         pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
         tables[table] = pertype.schema
 

@@ -154,6 +154,11 @@ def _export_parts(
         msgs.select("seqno", "time_sec", "time_nsec"), "seqno"
     ).select("seqno", "connection_id", "time_sec", "time_nsec", "data")
 
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(
+            f"{out_dir}: not empty — refusing to mix with a previous "
+            "export (stale part files would double-count on reconvert)"
+        )
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(batches: Iterator) -> Iterator:
@@ -248,6 +253,13 @@ def export_mcap(
     from rosbag2parquet_spark.sources.mcap import write_mcap
 
     conns = _layout_connections(spark, layout_dir)
+    too_big = [c.conn_id for c in conns if c.conn_id > 0xFFFF]
+    if too_big:
+        raise ValueError(
+            f"{layout_dir}: connection ids {too_big[:5]} exceed MCAP's "
+            "uint16 channel-id space — export per-subset (--topics) or to "
+            "rosbag/db3 (32-bit connection ids)"
+        )
 
     att_rows: list[tuple] = []
     att_path = os.path.join(layout_dir, "Attachments")
@@ -257,6 +269,11 @@ def export_mcap(
              bytes(r.data))
             for r in spark.read.parquet(att_path).orderBy("name").collect()
         ]
+
+    # attachments can be large side-cars (maps, calibration blobs) and only
+    # part 0 embeds them — ship via a Spark broadcast (once per executor)
+    # instead of the task closure (once per task)
+    att_bc = spark.sparkContext.broadcast(att_rows)
 
     def write_part_file(path: str, messages: list, pid: int) -> None:
         write_mcap(
@@ -270,7 +287,7 @@ def export_mcap(
             chunk_messages=chunk_messages,
             indexed=True,
             crcs=crcs,
-            attachments=att_rows if pid == 0 else None,
+            attachments=att_bc.value if pid == 0 else None,
         )
 
     info = _export_parts(
@@ -339,6 +356,18 @@ def export_db3(
     from rosbag2parquet_spark.sources.rosbag2 import write_db3
 
     conns = _layout_connections(spark, layout_dir)
+    defs_per_type: dict[str, set] = {}
+    for c in conns:
+        defs_per_type.setdefault(c.datatype, set()).add(c.msg_def or "")
+    multi = sorted(t for t, ds in defs_per_type.items() if len(ds) > 1)
+    if multi:
+        raise ValueError(
+            f"{layout_dir}: datatypes {multi} carry multiple definition "
+            "versions (evolve-append layout) — rosbag2's "
+            "message_definitions table is keyed per TYPE, so a .db3 "
+            "cannot represent them; export to MCAP or rosbag 2.0, whose "
+            "schemas are per-connection"
+        )
 
     def write_part_file(path: str, messages: list, pid: int) -> None:
         write_db3(

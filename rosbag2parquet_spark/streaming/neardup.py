@@ -50,16 +50,11 @@ STATE_SCHEMA = "ids array<bigint>"
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet staged as a file stream (same pattern as
     streaming.windowed.stream_events)."""
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "rosbag2parquet_spark_docstream",
-        os.path.basename(os.path.normpath(sf_dir)),
+    from rosbag2parquet_spark.streaming.windowed import stage_stream_file
+
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(
+        stage_stream_file(sf_dir, "documents.parquet", "docstream")
     )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
-    return spark.readStream.schema(DOCS_SCHEMA).parquet(stage)
 
 
 def band_buckets(docs: DataFrame) -> DataFrame:

@@ -494,42 +494,22 @@ def _gap_oracle() -> str:
 def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders.parquet staged as a file stream (same pattern as
     stream_events; the quote side of the streaming as-of join)."""
-    import os
-    import tempfile
+    from rosbag2parquet_spark.streaming.windowed import stage_stream_file
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "rosbag2parquet_spark_orderstream",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "orders.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "orders.parquet"), link)
     return spark.readStream.schema(
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
-    ).parquet(stage)
+    ).parquet(stage_stream_file(sf_dir, "orders.parquet", "orderstream"))
 
 
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings.parquet staged as a file stream (same pattern as
     stream_events; the document stream of the incremental semantic dedup)."""
-    import os
-    import tempfile
+    from rosbag2parquet_spark.streaming.windowed import stage_stream_file
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "rosbag2parquet_spark_embstream",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "embeddings.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
     return spark.readStream.schema(
         "vec_id long, embedding array<float>, label int"
-    ).parquet(stage)
+    ).parquet(stage_stream_file(sf_dir, "embeddings.parquet", "embstream"))
 
 
 def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,27 @@ def _events_schema(ts_is_nanos: bool) -> T.StructType:
     )
 
 
+def stage_stream_file(sf_dir: str, filename: str, tag: str) -> str:
+    """Stage one fixture parquet into a per-(tag, sf) scratch dir as a
+    symlink and return the directory — the file-source needs a DIRECTORY
+    (each arriving file is a micro-batch; in production this is the
+    landing directory new log files drop into). Shared by every fixture
+    stream (events/documents/orders/embeddings)."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"rosbag2parquet_spark_{tag}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, filename)
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, filename), link)
+    return stage
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a stream (file-source; each arriving parquet file is
     a micro-batch). The file source needs a directory, so the fixture file is
@@ -41,19 +62,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly) so stream and batch read identical values whichever way the
     fixture was written."""
     import os
-    import tempfile
 
     from rosbag2parquet_spark.sources.catalog import _nanos_timestamp_cols
 
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "rosbag2parquet_spark_stream",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stage = stage_stream_file(sf_dir, "events.parquet", "stream")
 
     ts_is_nanos = "ts" in _nanos_timestamp_cols(os.path.join(sf_dir, "events.parquet"))
     if ts_is_nanos:

@@ -409,5 +409,11 @@ def test_append_evolve_additive_schema(spark, tmp_path):
         str(tmp_path / "d.sbag"), "float64 a\n",
         [(1, 10**18 + 3 * 10**9, struct.pack("<d", 1.5))], "m3",
     )
+    before_msgs = spark.read.parquet(os.path.join(out, "Messages")).count()
+    before_rows = read_layout_table(spark, out, "demo_Evolving").count()
     with _pytest.raises(ValueError, match="never silently coerced"):
         convert_bags(spark, [d], out, mode="append", evolve=True)
+    # the refused evolve-append left the layout UNTOUCHED — validation
+    # runs before ANY table write (no orphan Messages/Connections rows)
+    assert spark.read.parquet(os.path.join(out, "Messages")).count() == before_msgs
+    assert read_layout_table(spark, out, "demo_Evolving").count() == before_rows

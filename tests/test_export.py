@@ -320,3 +320,45 @@ def test_export_edge_shapes(spark, tmp_path):
     # the silent connection's channel survives the container round trip
     conns2 = _table(spark, layout2, "Connections").collect()
     assert {c.topic for c in conns2} == {"/talk", "/silent"}
+
+
+def test_export_refusals(spark, tmp_path):
+    """Driver-side refusals fire BEFORE any distributed work: a non-empty
+    outdir (stale parts would double-count), and a .db3 export of an
+    evolved layout (rosbag2's defs table is keyed per type)."""
+    import struct
+
+    from rosbag2parquet_spark.export import export_db3
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+
+    bag = str(tmp_path / "o.mcap")
+    write_mcap(bag, CONNS, _messages(), chunked=True, chunk_messages=7)
+    layout = str(tmp_path / "lay")
+    convert_bag(spark, bag, layout)
+
+    exp = str(tmp_path / "exp")
+    export_mcap(spark, layout, exp, parts=1)
+    with pytest.raises(ValueError, match="not empty"):
+        export_mcap(spark, layout, exp, parts=1)
+
+    # evolved layout (two defs for one type) -> db3 refused with guidance
+    from rosbag2parquet_spark.convert import convert_bags
+
+    a = str(tmp_path / "a.sbag")
+    write_bag(a, [ConnectionInfo(1, "/t", "demo/E", "m1", "uint32 a\n")],
+              [(1, 10**18, struct.pack("<I", 1))])
+    b = str(tmp_path / "b.sbag")
+    write_bag(b, [ConnectionInfo(1, "/t", "demo/E", "m2",
+                                 "uint32 a\nuint32 b\n")],
+              [(1, 10**18 + 10**9, struct.pack("<II", 2, 3))])
+    lay2 = str(tmp_path / "lay2")
+    convert_bag(spark, a, lay2)
+    convert_bags(spark, [b], lay2, mode="append", evolve=True)
+    with pytest.raises(ValueError, match="multiple definition versions"):
+        export_db3(spark, lay2, str(tmp_path / "exp2"))
+    # ...but MCAP carries per-connection schemas: the same layout exports
+    info = export_mcap(
+        spark, lay2, str(tmp_path / "exp3"), parts=1,
+        encoding="ros1", schema_encoding="ros1msg",
+    )
+    assert info.count == 2
