@@ -497,6 +497,21 @@ def convert_bag(
             .drop("__b", "__running")
         )
     seq = seq.cache()
+    att_df = None
+    if fmt == "mcap":
+        # MCAP side-car files (calibration YAML, intrinsics, URDF —
+        # Attachment records; rosbag has no analog) land as their own
+        # table so nothing in the bag is left behind — SAME 7-column
+        # provenance shape as the fleet path (bag_index/bag), so single
+        # and fleet conversions interchange and appends fingerprint-match
+        from rosbag2parquet_spark.sources.mcap import mcap_attachments
+
+        rows = [
+            (0, os.path.basename(bag_path), n, m, lt, ct, bytes(d))
+            for lt, ct, n, m, d in mcap_attachments(bag_path)
+        ]
+        if rows:
+            att_df = spark.createDataFrame(rows, _ATTACHMENTS_SCHEMA)
     count, size = _write_bag_tables(
         seq,
         conns_df,
@@ -507,20 +522,19 @@ def convert_bag(
         compression=compression,
         serialization=serialization,
         on_error=on_error,
+        attachments_df=att_df,
     )
-    if fmt == "mcap":
-        # MCAP side-car files (calibration YAML, intrinsics, URDF —
-        # Attachment records; rosbag has no analog) land as their own
-        # table so nothing in the bag is left behind
-        from rosbag2parquet_spark.sources.mcap import mcap_attachments_df
-
-        att = mcap_attachments_df(spark, bag_path)
-        if att is not None:
-            att.write.options(compression=compression).mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, "Attachments"))
     seq.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
+
+
+#: MCAP side-car attachments with bag provenance — ONE shape for single-bag
+#: and fleet conversions (bag_index is the batch-relative bag ordinal,
+#: continued across appends like seqno)
+_ATTACHMENTS_SCHEMA = (
+    "bag_index int, bag string, name string, media_type string, "
+    "log_time long, create_time long, data binary"
+)
 
 
 def _pad_union(datatype: str, frames: "list[DataFrame]") -> DataFrame:
@@ -566,6 +580,7 @@ def _write_bag_tables(
     mode: str = "overwrite",
     evolve: bool = False,
     conns_write_df: "DataFrame | None" = None,
+    attachments_df: "DataFrame | None" = None,
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -727,6 +742,19 @@ def _write_bag_tables(
     for table, table_path, pertype in pertype_writes:
         pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
         tables[table] = pertype.schema
+
+    if attachments_df is not None:
+        att_path = os.path.join(out_dir, "Attachments")
+        if mode == "append":
+            # same fingerprint guard as every other table — the unified
+            # 7-column provenance shape appends cleanly across batches
+            assert_append_compatible(
+                attachments_df.sparkSession, att_path, attachments_df.schema
+            )
+        attachments_df.write.options(**writer_opts).mode(mode).parquet(
+            att_path
+        )
+        tables["Attachments"] = attachments_df.schema
 
     if mode == "append":
         # the DDL script must list EVERY table in the layout, including
@@ -1164,6 +1192,34 @@ def convert_bags(
             "string, msg_def string, callerid string, latching string",
         )
 
+    # MCAP side-car attachments across the fleet, with bag provenance —
+    # the shared 7-column shape; under append, bag_index continues after
+    # the existing max (a column-stats read, like seqno) so provenance
+    # ordinals stay globally unique across ingest batches
+    att_df = None
+    att_rows = []
+    base_bag_index = 0
+    att_path = os.path.join(out_dir, "Attachments")
+    if mode == "append" and os.path.isdir(att_path):
+        prev = (
+            spark.read.parquet(att_path)
+            .agg(F.max("bag_index").alias("m"))
+            .collect()[0]
+            .m
+        )
+        base_bag_index = (prev if prev is not None else -1) + 1
+    for i, meta in enumerate(metas):
+        if meta["format"] == "mcap":
+            from rosbag2parquet_spark.sources.mcap import mcap_attachments
+
+            for lt, ct, aname, media, adata in mcap_attachments(meta["path"]):
+                att_rows.append(
+                    (base_bag_index + i, os.path.basename(meta["path"]),
+                     aname, media, lt, ct, bytes(adata))
+                )
+    if att_rows:
+        att_df = spark.createDataFrame(att_rows, _ATTACHMENTS_SCHEMA)
+
     count, size = _write_bag_tables(
         seq,
         conns_df,
@@ -1177,26 +1233,8 @@ def convert_bags(
         mode=mode,
         evolve=evolve,
         conns_write_df=conns_write_df,
+        attachments_df=att_df,
     )
-    # MCAP side-car attachments across the fleet, with bag provenance
-    att_rows = []
-    for i, meta in enumerate(metas):
-        if meta["format"] == "mcap":
-            from rosbag2parquet_spark.sources.mcap import mcap_attachments
-
-            for lt, ct, aname, media, adata in mcap_attachments(meta["path"]):
-                att_rows.append(
-                    (i, os.path.basename(meta["path"]), aname, media,
-                     lt, ct, bytes(adata))
-                )
-    if att_rows:
-        spark.createDataFrame(
-            att_rows,
-            "bag_index int, bag string, name string, media_type string, "
-            "log_time long, create_time long, data binary",
-        ).write.options(compression=compression).mode(mode).parquet(
-            os.path.join(out_dir, "Attachments")
-        )
     seq.unpersist()
     return ConvertInfo(
         bagname=",".join(os.path.basename(p) for p in paths),

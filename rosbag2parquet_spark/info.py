@@ -159,12 +159,14 @@ def print_info(spark: SparkSession, path: str) -> None:
         print(f"  {tag}: {r.n_msgs} msgs, {r.total_bytes} bytes{freq}")
     if _fmt(path) == "mcap":
         from rosbag2parquet_spark.sources.mcap import (
-            mcap_attachments,
+            mcap_attachment_stats,
             mcap_metadata,
         )
 
-        for lt, _ct, name, media, data in mcap_attachments(path):
-            print(f"  attachment: {name} ({media}, {len(data)} bytes)")
+        # sizes come from AttachmentIndex records when the file is indexed
+        # — no payload bytes read to print a listing
+        for name, media, nbytes in mcap_attachment_stats(path):
+            print(f"  attachment: {name} ({media}, {nbytes} bytes)")
         for name, kv in mcap_metadata(path):
             pairs = ", ".join(f"{k}={v}" for k, v in sorted(kv.items()))
             print(f"  metadata: {name}: {pairs}")

@@ -655,30 +655,60 @@ def _parse_attachment(buf: bytes, s: int, ln: int, path: str) -> tuple:
     return log_time, create_time, name, media_type, data
 
 
+def _read_summary_buf(path: str, f, size: int) -> "bytes | None":
+    """Magic check + footer parse + summary-section read — the shared
+    prefix of every summary-driven reader (scan planning, attachments,
+    metadata). Returns the raw summary bytes, or None for an unindexed
+    file (zeroed footer) so the caller falls back to its walk."""
+    if f.read(8) != MCAP_MAGIC:
+        raise ValueError(f"{path}: not an MCAP file")
+    f.seek(size - 8 - _FOOTER_RECORD_LEN)
+    tail = f.read(_FOOTER_RECORD_LEN)
+    if len(tail) != _FOOTER_RECORD_LEN or tail[0] != OP_FOOTER:
+        return None
+    (summary_start,) = struct.unpack_from("<Q", tail, 9)
+    if not summary_start:
+        return None
+    f.seek(summary_start)
+    return f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
+
+
+def _walk_top_level(f, size: int, want_op: int):
+    """Yield (payload, length) for every top-level record of ``want_op``
+    — the unindexed fallback shared by the attachment/metadata readers."""
+    pos = 8
+    while pos + 9 <= size - 8:
+        f.seek(pos)
+        head = f.read(9)
+        if len(head) < 9:
+            break
+        op = head[0]
+        (ln,) = struct.unpack("<Q", head[1:])
+        if op == want_op:
+            yield f.read(ln), ln
+        pos += 9 + ln
+
+
 def mcap_attachments(path: str) -> "list[tuple]":
     """Side-car files embedded in the bag (calibration YAML, camera
     intrinsics, URDF — the MCAP spec's Attachment records, which rosbag
     has no analog for): (log_time, create_time, name, media_type, data)
     tuples. Indexed files resolve via the summary's AttachmentIndex with
-    one ranged read per attachment; unindexed files fall back to the
-    top-level walk. Record CRCs validate when nonzero."""
+    one ranged read per attachment; unindexed files — AND indexed files
+    whose summary omits the (optional) AttachmentIndex group — fall back
+    to the top-level walk, so attachments are never silently dropped.
+    Record CRCs validate when nonzero."""
     size = os.path.getsize(path)
     out: list[tuple] = []
     with open(path, "rb") as f:
-        if f.read(8) != MCAP_MAGIC:
-            raise ValueError(f"{path}: not an MCAP file")
-        f.seek(size - 8 - _FOOTER_RECORD_LEN)
-        tail = f.read(_FOOTER_RECORD_LEN)
-        summary_start = 0
-        if len(tail) == _FOOTER_RECORD_LEN and tail[0] == OP_FOOTER:
-            (summary_start,) = struct.unpack_from("<Q", tail, 9)
-        if summary_start:
-            f.seek(summary_start)
-            buf = f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
-            for op, s, ln, _ in _walk_records(buf):
+        buf = _read_summary_buf(path, f, size)
+        if buf is not None:
+            saw_index = False
+            for op, st, ln, _ in _walk_records(buf):
                 if op != OP_ATTACHMENT_INDEX:
                     continue
-                off, rec_len = struct.unpack_from("<QQ", buf, s)
+                saw_index = True
+                off, rec_len = struct.unpack_from("<QQ", buf, st)
                 f.seek(off)
                 rec = f.read(9 + rec_len)
                 if rec[0] != OP_ATTACHMENT:
@@ -688,21 +718,37 @@ def mcap_attachments(path: str) -> "list[tuple]":
                     )
                 (pln,) = struct.unpack_from("<Q", rec, 1)
                 out.append(_parse_attachment(rec, 9, pln, path))
-            return out
-        # unindexed: top-level walk, header-skip over everything else
-        pos = 8
-        while pos + 9 <= size - 8:
-            f.seek(pos)
-            head = f.read(9)
-            if len(head) < 9:
-                break
-            op = head[0]
-            (ln,) = struct.unpack("<Q", head[1:])
-            if op == OP_ATTACHMENT:
-                payload = f.read(ln)
-                out.append(_parse_attachment(payload, 0, ln, path))
-            pos += 9 + ln
+            if saw_index:
+                return out
+        for payload, ln in _walk_top_level(f, size, OP_ATTACHMENT):
+            out.append(_parse_attachment(payload, 0, ln, path))
     return out
+
+
+def mcap_attachment_stats(path: str) -> "list[tuple[str, str, int]]":
+    """(name, media_type, data_size) per attachment WITHOUT reading any
+    payload bytes when the file is indexed — the AttachmentIndex record
+    already carries data_size, so listing a bag with hundreds of MB of
+    side-cars costs a few bytes per attachment (`info` uses this)."""
+    size = os.path.getsize(path)
+    out: list[tuple[str, str, int]] = []
+    with open(path, "rb") as f:
+        buf = _read_summary_buf(path, f, size)
+        if buf is not None:
+            saw_index = False
+            for op, st, _ln, _ in _walk_records(buf):
+                if op != OP_ATTACHMENT_INDEX:
+                    continue
+                saw_index = True
+                (dsz,) = struct.unpack_from("<Q", buf, st + 32)
+                name, pos = _str_at(buf, st + 40)
+                media, _pos = _str_at(buf, pos)
+                out.append((name, media, dsz))
+            if saw_index:
+                return out
+    return [
+        (n, m, len(d)) for _lt, _ct, n, m, d in mcap_attachments(path)
+    ]
 
 
 def _parse_metadata_rec(buf: bytes, s: int, path: str) -> "tuple[str, dict]":
@@ -723,24 +769,19 @@ def mcap_metadata(path: str) -> "list[tuple[str, dict]]":
     """Named key-value maps embedded in the bag (recorder version, vehicle
     id — the spec's Metadata records): (name, {key: value}) tuples.
     Indexed files resolve via the summary's MetadataIndex with one ranged
-    read each; unindexed files fall back to the top-level walk."""
+    read each; unindexed files — and indexed files whose summary omits the
+    optional MetadataIndex group — fall back to the top-level walk."""
     size = os.path.getsize(path)
     out: list = []
     with open(path, "rb") as f:
-        if f.read(8) != MCAP_MAGIC:
-            raise ValueError(f"{path}: not an MCAP file")
-        f.seek(size - 8 - _FOOTER_RECORD_LEN)
-        tail = f.read(_FOOTER_RECORD_LEN)
-        summary_start = 0
-        if len(tail) == _FOOTER_RECORD_LEN and tail[0] == OP_FOOTER:
-            (summary_start,) = struct.unpack_from("<Q", tail, 9)
-        if summary_start:
-            f.seek(summary_start)
-            buf = f.read(size - 8 - _FOOTER_RECORD_LEN - summary_start)
-            for op, s, ln, _ in _walk_records(buf):
+        buf = _read_summary_buf(path, f, size)
+        if buf is not None:
+            saw_index = False
+            for op, st, ln, _ in _walk_records(buf):
                 if op != OP_METADATA_INDEX:
                     continue
-                off, rec_len = struct.unpack_from("<QQ", buf, s)
+                saw_index = True
+                off, rec_len = struct.unpack_from("<QQ", buf, st)
                 f.seek(off)
                 rec = f.read(9 + rec_len)
                 if rec[0] != OP_METADATA:
@@ -749,19 +790,10 @@ def mcap_metadata(path: str) -> "list[tuple[str, dict]]":
                         f"0x{rec[0]:02x}, not a Metadata record"
                     )
                 out.append(_parse_metadata_rec(rec, 9, path))
-            return out
-        pos = 8
-        while pos + 9 <= size - 8:
-            f.seek(pos)
-            head = f.read(9)
-            if len(head) < 9:
-                break
-            op = head[0]
-            (ln,) = struct.unpack("<Q", head[1:])
-            if op == OP_METADATA:
-                payload = f.read(ln)
-                out.append(_parse_metadata_rec(payload, 0, path))
-            pos += 9 + ln
+            if saw_index:
+                return out
+        for payload, _ln in _walk_top_level(f, size, OP_METADATA):
+            out.append(_parse_metadata_rec(payload, 0, path))
     return out
 
 
@@ -779,17 +811,28 @@ def mcap_attachments_df(spark: SparkSession, path: str) -> "DataFrame | None":
 
 
 def mcap_serialization(path: str) -> str:
-    """'cdr' | 'ros1' — from the channels' message_encoding (one per file;
-    mixed encodings are refused, the per-type decode can't dispatch)."""
+    """'cdr' | 'ros1' — from the DECODABLE channels' message_encoding (one
+    per file; mixed decodable encodings are refused, the per-type decode
+    can't dispatch). Channels whose schema is not msg-def text (ros2idl,
+    protobuf) are blob-preserved by the converter and never reach a
+    decoder, so their message_encoding doesn't constrain the file — a
+    protobuf-only Foxglove recording converts blob-preserving instead of
+    being refused outright."""
     scan = scan_mcap(path)
-    encs = {m for _, _, m in scan.channels.values()}
+    decodable = set()
+    for _cid, (sid, _topic, menc) in scan.channels.items():
+        _name, senc, data = scan.schemas.get(sid, ("", "", b""))
+        if senc in ("ros1msg", "ros2msg", "") and data:
+            decodable.add(menc)
     mapped = {"cdr": "cdr", "ros1": "ros1"}
-    bad = encs - set(mapped)
+    bad = decodable - set(mapped)
     if bad:
         raise ValueError(f"{path}: unsupported message encodings {sorted(bad)}")
-    if len(encs) > 1:
-        raise ValueError(f"{path}: mixed message encodings {sorted(encs)}")
-    return mapped[encs.pop()] if encs else "cdr"
+    if len(decodable) > 1:
+        raise ValueError(
+            f"{path}: mixed message encodings {sorted(decodable)}"
+        )
+    return mapped[decodable.pop()] if decodable else "cdr"
 
 
 def seqno_bucket_width(path: str) -> int:

@@ -165,7 +165,11 @@ def _message_decompressed_shard(path: str) -> str:
     out = os.path.join(scratch, f"{tag}.db3")
     if os.path.isfile(out):
         return out
-    tmp = out + ".part"
+    # per-process unique temp name: two concurrent converters of the same
+    # shard must never interleave writes into one .part file (whichever
+    # os.replace lands last publishes an IDENTICAL result)
+    fd, tmp = tempfile.mkstemp(suffix=".part", prefix=tag, dir=scratch)
+    os.close(fd)
     shutil.copy(path, tmp)  # keeps topics/message_definitions/schema intact
     def _unzstd(blob: bytes) -> bytes:
         # streaming decode: zstd frames need no size hint this way
@@ -206,7 +210,9 @@ def _decompressed_shard(path: str) -> str:
     out = os.path.join(scratch, f"{tag}.db3")
     if os.path.isfile(out):
         return out
-    tmp = out + ".part"
+    # per-process unique temp name (see _message_decompressed_shard)
+    fd, tmp = tempfile.mkstemp(suffix=".part", prefix=tag, dir=scratch)
+    os.close(fd)
     with pa.input_stream(path, compression="zstd") as src, open(tmp, "wb") as dst:
         while True:
             chunk = src.read(1 << 22)

@@ -779,3 +779,110 @@ def test_cli_filter_flags_and_info_attachments(spark, tmp_path, capsys):
     out_text = capsys.readouterr().out
     assert "attachment: cal.yaml (text/yaml, 4 bytes)" in out_text
     assert "metadata: recorder: v=1" in out_text
+
+
+def test_attachments_unified_schema_append_and_ddl(spark, tmp_path):
+    """Attachments carry ONE provenance shape (bag_index/bag) through both
+    the single-bag and fleet paths: appending a second attachment-bearing
+    bag fingerprint-matches, bag_index continues after the existing max,
+    and the DDL script lists the Attachments table from the first convert
+    (it is written BEFORE load_tables.sql is generated)."""
+    from rosbag2parquet_spark.convert import convert_bag, convert_bags
+
+    def mk(name, att):
+        p = str(tmp_path / name)
+        write_mcap(p, CONNS, _messages(10), chunked=True, chunk_messages=7,
+                   attachments=[att])
+        return p
+
+    a = mk("a.mcap", (1, 1, "cal_a.yaml", "text/yaml", b"a: 1\n"))
+    b = mk("b.mcap", (2, 2, "cal_b.yaml", "text/yaml", b"b: 2\n"))
+    out = str(tmp_path / "lay")
+    convert_bag(spark, a, out)
+
+    import os as _os
+
+    ddl = open(_os.path.join(out, "load_tables.sql")).read()
+    assert "Attachments" in ddl
+
+    convert_bags(spark, [b], out, mode="append")
+    rows = (
+        spark.read.parquet(_os.path.join(out, "Attachments"))
+        .orderBy("bag_index")
+        .collect()
+    )
+    assert [(r.bag_index, r.bag, r.name) for r in rows] == [
+        (0, "a.mcap", "cal_a.yaml"),
+        (1, "b.mcap", "cal_b.yaml"),
+    ]
+
+
+def test_protobuf_encoding_blob_preserves(spark, tmp_path):
+    """A protobuf MCAP (message_encoding AND schema encoding protobuf —
+    the Foxglove recording shape) converts via the blob-preserving path:
+    non-decodable channels' message_encoding must not block the file
+    (review finding: mcap_serialization refused 'protobuf' before the
+    blob-preserve branch could run)."""
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.mcap import mcap_serialization
+
+    msgs = _messages(12)
+    path = str(tmp_path / "pb.mcap")
+    write_mcap(path, CONNS, msgs, encoding="protobuf",
+               schema_encoding="protobuf", chunk_messages=5)
+    assert mcap_serialization(path) == "cdr"  # no decodable channels
+
+    out = str(tmp_path / "out_pb")
+    info = convert_bag(spark, path, out)
+    assert info.count == 12
+    pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
+    assert sorted(pose.columns) == ["connection_id", "data", "seqno"]
+    want = [p for cid, _, p in msgs if cid == 1]
+    assert [bytes(r.data) for r in pose.orderBy("seqno").collect()] == want
+
+
+def test_attachments_survive_indexed_file_without_attachment_index(tmp_path):
+    """An INDEXED file whose summary omits the optional AttachmentIndex
+    group still yields its data-section Attachment records (fallback to
+    the walk — the same no-silent-loss posture as the missing-ChunkIndex
+    case)."""
+    from rosbag2parquet_spark.sources.mcap import (
+        MCAP_MAGIC,
+        OP_ATTACHMENT,
+        OP_DATA_END,
+        OP_FOOTER,
+        OP_HEADER,
+        mcap_attachments,
+        mcap_attachment_stats,
+    )
+
+    def rec(op, payload):
+        return bytes([op]) + struct.pack("<Q", len(payload)) + payload
+
+    def s(v):
+        b = v.encode()
+        return struct.pack("<I", len(b)) + b
+
+    att_payload = (
+        struct.pack("<QQ", 5, 3) + s("cal.yaml") + s("text/yaml")
+        + struct.pack("<Q", 4) + b"k: v" + struct.pack("<I", 0)
+    )
+    out = bytearray()
+    out += MCAP_MAGIC
+    out += rec(OP_HEADER, s("") + s("test"))
+    out += rec(OP_ATTACHMENT, att_payload)
+    out += rec(OP_DATA_END, struct.pack("<I", 0))
+    summary_start = len(out)
+    # summary present (footer points here) but EMPTY of AttachmentIndex
+    out += rec(OP_HEADER, s("") + s("summary-filler"))
+    out += rec(OP_FOOTER, struct.pack("<QQI", summary_start, 0, 0))
+    out += MCAP_MAGIC
+    path = str(tmp_path / "noidx.mcap")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+    got = mcap_attachments(path)
+    assert [(n, bytes(d)) for _lt, _ct, n, _m, d in got] == [
+        ("cal.yaml", b"k: v")
+    ]
+    assert mcap_attachment_stats(path) == [("cal.yaml", "text/yaml", 4)]
