@@ -101,13 +101,13 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 18 new/changed (through
-# "resample-interpolate") + the first 32 of the 36 r4-latest rows
-# (through "sql-q18"). The 18 genuinely-new queries outprioritized
-# the last four r4 rows — "scalar-funcs", "pivot", "unpivot",
-# "histogram" slip past the
+# ROUND-8 NOTE: the r7 window = 20 new/changed (through
+# "resample-interpolate") + the first 30 of the 36 r4-latest rows
+# (through "sql-q6"). The 20 genuinely-new queries outprioritized
+# the last six r4 rows — "sql-q10", "sql-q18", "scalar-funcs", "pivot",
+# "unpivot", "histogram" slip past the
 # freshness target this once (r4-latest after r7; a first-ever row for a
-# new query beats re-proving a stable green one). For r8: those FOUR
+# new query beats re-proving a stable green one). For r8: those SIX
 # FIRST, then any new/changed, then the r5-proven block ("stream-sink"
 # onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
@@ -116,7 +116,7 @@ _QUERY_ORDER = [
     # the streaming twin of the as-of join (carried-quote state over the
     # unioned keyed log)
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
-    "stream-knn", "lm-surprise",
+    "stream-knn", "lm-surprise", "ewma", "stream-ewma",
     # NEW round 7: point-in-time join against the SCD2 interval table;
     # small-file compaction preserving the clustered layout; the streaming
     # twin of resample-interpolate (incremental grid fill, O(1) state);

@@ -66,6 +66,7 @@ EXTENDED = [
     "asof-nearest",
     "semdedup",
     "lm-surprise",
+    "ewma",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -491,7 +491,97 @@ WHERE prev_t IS NOT NULL AND t_us - prev_t > {_GAP_THRESHOLD_US}
 """
 
 
+# ----------------------------------------------------------------- ewma
+
+#: EWMA smoothing factor alpha = EWMA_NUM / EWMA_DEN (integer arithmetic —
+#: see q_ewma)
+EWMA_NUM = 1
+EWMA_DEN = 4
+
+#: fixed-point scale for the double value column
+EWMA_SCALE = 1_000_000
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per entity — the classic
+    sensor-smoothing filter (y_t = alpha*x_t + (1-alpha)*y_{t-1}) with
+    alpha = 1/4, in INTEGER-EXACT fixed-point form so the inherently
+    sequential recursion value-oracles across engines: x scales by 10^6
+    via floor (floor of an identical IEEE product is deterministic
+    everywhere; no rounding-mode coupling), and each step is
+    y' = (x + 3*y) >> 2 — for the NONNEGATIVE signals this operator is
+    defined over (sensor magnitudes; the fixture's `value` is >= 0),
+    arithmetic shift, truncating division, and floor division coincide,
+    so Spark's shiftright and DuckDB's `//` (which the oracle unrolls as
+    a recursive CTE stepping row_number) agree bit-for-bit.
+
+    Execution is pure Catalyst, no UDF: ONE user_id shuffle collects each
+    entity's ordered series, an `aggregate` fold threads the running y
+    through the array (appending per step), and posexplode returns the
+    per-row outputs. Per-entity series are bounded (a user's events, a
+    sensor's window) — the same per-key-sequential shape every EWMA
+    implementation has; entities parallelize across executors."""
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+            F.floor(F.col("value") * EWMA_SCALE).cast("long").alias("x"),
+        ).alias("r"),
+    )
+    series = rows.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("r")).alias("xs")
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+        lambda acc, r: F.when(
+            F.size(acc) == 0, F.array(r.getField("x"))
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.shiftright(
+                        F.lit(EWMA_NUM) * r.getField("x")
+                        + F.lit(EWMA_DEN - EWMA_NUM)
+                        * F.element_at(acc, -1),
+                        2,  # >> 2 == div EWMA_DEN (4) on nonneg
+                    )
+                ),
+            )
+        ),
+    )
+    out = series.select(
+        "user_id", F.posexplode(fold).alias("pos", "y")
+    )
+    return out.select(
+        "user_id", (F.col("pos") + 1).cast("long").alias("rn"), "y"
+    )
+
+
+ORACLE_EWMA = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn,
+         CAST(floor(value * {EWMA_SCALE}) AS BIGINT) AS x
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, x AS y FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn,
+         ({EWMA_NUM} * b.x + {EWMA_DEN - EWMA_NUM} * r.y) // {EWMA_DEN}
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, y FROM r
+"""
+
+
 QUERIES = {
+    "ewma": q_ewma,
     "asof": q_asof,
     "asof-tolerance": q_asof_tolerance,
     "resample-interpolate": q_resample,
@@ -500,6 +590,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ewma": ORACLE_EWMA,
     "asof": ORACLE_ASOF,
     "asof-tolerance": ORACLE_ASOF_TOLERANCE,
     "resample-interpolate": ORACLE_RESAMPLE,

@@ -620,6 +620,33 @@ def _knn_oracle() -> str:
     return ORACLE_KNN_BATCH
 
 
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA filter running LIVE: per-entity state is one (ordinal,
+    smoothed value) pair — the O(1) telemetry-smoothing shape; emissions
+    reproduce batch `ewma` exactly (same fixed-point step, same order
+    key), so it carries the same recursive-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.asof import EWMA_SCALE
+    from rosbag2parquet_spark.streaming.stateful import running_ewma
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"),
+        F.floor(F.col("value") * EWMA_SCALE).cast("long").alias("x"),
+    )
+    tbl = _fresh("stream_ewma")
+    run_to_memory(running_ewma(events), tbl, mode="append")
+    return spark.table(tbl)
+
+
+def _ewma_oracle() -> str:
+    from rosbag2parquet_spark.operators.asof import ORACLE_EWMA
+
+    return ORACLE_EWMA
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental as-of join: quotes (orders) and probes (events) arrive
     interleaved as TWO file streams unioned onto one keyed log; per-user
@@ -669,6 +696,7 @@ QUERIES = {
     "stream-asof": q_stream_asof,
     "stream-semdedup": q_stream_semdedup,
     "stream-knn": q_stream_knn,
+    "stream-ewma": q_stream_ewma,
     "stream-tumbling": q_stream_tumbling,
     "stream-sliding": q_stream_sliding,
     "stream-sessionize": q_stream_sessionize,
@@ -713,6 +741,7 @@ ORACLES = {
     "stream-asof": _asof_oracle(),
     "stream-semdedup": _semdedup_oracle(),
     "stream-knn": _knn_oracle(),
+    "stream-ewma": _ewma_oracle(),
     "stream-tumbling": batch_windows.ORACLES["window-tumbling"],
     "stream-sliding": batch_windows.ORACLES["window-sliding"],
     "stream-sessionize": batch_windows.ORACLES["sessionize"],

@@ -643,3 +643,51 @@ def running_topk(scored: DataFrame, k: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------- streaming EWMA
+
+EWMA_OUTPUT_SCHEMA = "user_id long, rn long, y long"
+EWMA_STATE_SCHEMA = "rn long, y long"
+
+
+def _update_ewma(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental EWMA (streaming twin of `ewma`): state per entity is
+    the last smoothed value + row ordinal — the O(1) live sensor filter.
+    Same integer fixed-point step as batch (y' = (x + 3*y) >> 2 on the
+    nonnegative signal). Rows sort by (t, eid) within an invocation;
+    across micro-batches the operator assumes per-key in-order delivery
+    (the keyed-log contract)."""
+    (user_id,) = key
+    rn, y = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["t", "eid"], kind="mergesort")
+    out_rn, out_y = [], []
+    for x in pdf["x"]:
+        x = int(x)
+        y = x if rn == 0 else (x + 3 * y) >> 2
+        rn += 1
+        out_rn.append(rn)
+        out_y.append(y)
+    state.update((rn, y))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user_id)] * len(out_rn),
+            "rn": out_rn,
+            "y": out_y,
+        }
+    )
+
+
+def running_ewma(events: DataFrame) -> DataFrame:
+    """events (streaming) columns: user_id long, t long, eid long, x long
+    → append-mode smoothed emissions, one per input row."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

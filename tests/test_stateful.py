@@ -456,3 +456,35 @@ def test_stream_topk_out_of_order_batches(spark, tmp_path):
         (2, 1): (20, 0.8),
         (2, 2): (10, 0.1),
     }
+
+
+def test_stream_ewma_across_batches(spark, tmp_path):
+    """The smoothed value carries across micro-batch boundaries with the
+    exact batch fixed-point arithmetic: y1 = x1; y2 = (x2 + 3*y1) >> 2."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_ewma
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    land = tmp_path / "land_ewma"
+    land.mkdir()
+    pd.DataFrame(
+        [(1, 10, 100, 1000)], columns=["user_id", "t", "eid", "x"]
+    ).to_parquet(land / "a.parquet")
+    pd.DataFrame(
+        [(1, 20, 101, 2000), (1, 30, 102, 0)],
+        columns=["user_id", "t", "eid", "x"],
+    ).to_parquet(land / "b.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, t long, eid long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_ewma(stream), "ewma_xbatch", mode="append")
+    got = {
+        (r.user_id, r.rn): r.y for r in spark.table("ewma_xbatch").collect()
+    }
+    y1 = 1000
+    y2 = (2000 + 3 * y1) >> 2   # 1250
+    y3 = (0 + 3 * y2) >> 2      # 937
+    assert got == {(1, 1): y1, (1, 2): y2, (1, 3): y3}
