@@ -94,6 +94,14 @@ RATIONALE = {
         "(the hll-sketch class). One doc-keyed shuffle for the final "
         "per-document sum."
     ),
+    "ewma": (
+        "Inherently sequential per entity — ONE entity shuffle collects "
+        "each ordered series and an aggregate fold threads the running "
+        "smoothed value; no UDF, no per-row driver loop. Integer "
+        "fixed-point (shift step) is what lets a recursive filter be "
+        "value-oracled at all. Entities parallelize; per-entity series "
+        "are bounded by construction."
+    ),
     "semdedup": (
         "ONE shuffle of N rows on `cluster`, then a per-cluster BLAS gram "
         "matrix inside applyInPandas — the published SemDeDup shape. A "
@@ -192,7 +200,7 @@ def main() -> None:
         # late round-7: semantic dedup + integer-exact LM scoring (the
         # stream-* twins' value is their parity, proven by the shared
         # oracles + tests/test_stateful.py)
-        "semdedup", "lm-surprise",
+        "semdedup", "lm-surprise", "ewma",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
