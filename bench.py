@@ -67,6 +67,7 @@ EXTENDED = [
     "semdedup",
     "lm-surprise",
     "ewma",
+    "stream-ewma",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -498,6 +498,13 @@ WHERE prev_t IS NOT NULL AND t_us - prev_t > {_GAP_THRESHOLD_US}
 EWMA_NUM = 1
 EWMA_DEN = 4
 
+#: the batch fold divides by EWMA_DEN via arithmetic right shift, so the
+#: denominator must stay a power of two; deriving the shift here keeps the
+#: three implementations (batch fold, streaming state step, DuckDB oracle)
+#: locked to the SAME constants — changing alpha changes all three together
+EWMA_SHIFT = EWMA_DEN.bit_length() - 1
+assert EWMA_DEN == 1 << EWMA_SHIFT, "EWMA_DEN must be a power of two"
+
 #: fixed-point scale for the double value column
 EWMA_SCALE = 1_000_000
 
@@ -546,7 +553,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(EWMA_NUM) * r.getField("x")
                         + F.lit(EWMA_DEN - EWMA_NUM)
                         * F.element_at(acc, -1),
-                        2,  # >> 2 == div EWMA_DEN (4) on nonneg
+                        EWMA_SHIFT,  # >> shift == div EWMA_DEN on nonneg
                     )
                 ),
             )
@@ -564,7 +571,7 @@ ORACLE_EWMA = f"""
 WITH RECURSIVE base AS (
   SELECT user_id,
          row_number() OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
          ) AS rn,
          CAST(floor(value * {EWMA_SCALE}) AS BIGINT) AS x
   FROM events

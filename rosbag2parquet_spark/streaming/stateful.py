@@ -656,18 +656,28 @@ def _update_ewma(
 ) -> Iterator[pd.DataFrame]:
     """Incremental EWMA (streaming twin of `ewma`): state per entity is
     the last smoothed value + row ordinal — the O(1) live sensor filter.
-    Same integer fixed-point step as batch (y' = (x + 3*y) >> 2 on the
-    nonnegative signal). Rows sort by (t, eid) within an invocation;
-    across micro-batches the operator assumes per-key in-order delivery
-    (the keyed-log contract)."""
+    Same integer fixed-point step as batch, with the SAME constants
+    (y' = (EWMA_NUM*x + (EWMA_DEN-EWMA_NUM)*y) // EWMA_DEN; floor division
+    == the batch fold's arithmetic shift for power-of-two EWMA_DEN). A
+    NULL input propagates NULL through the rest of the chain exactly as
+    the batch fold and the recursive-CTE oracle do. Rows sort by (t, eid)
+    within an invocation; across micro-batches the operator assumes
+    per-key in-order delivery (the keyed-log contract)."""
+    from rosbag2parquet_spark.operators.asof import EWMA_DEN, EWMA_NUM
+
     (user_id,) = key
     rn, y = state.get if state.exists else (0, 0)
     pdf = pd.concat(list(batches), ignore_index=True)
     pdf = pdf.sort_values(["t", "eid"], kind="mergesort")
     out_rn, out_y = [], []
     for x in pdf["x"]:
-        x = int(x)
-        y = x if rn == 0 else (x + 3 * y) >> 2
+        x = None if pd.isna(x) else int(x)
+        if rn == 0:
+            y = x
+        elif x is None or y is None:
+            y = None
+        else:
+            y = (EWMA_NUM * x + (EWMA_DEN - EWMA_NUM) * y) // EWMA_DEN
         rn += 1
         out_rn.append(rn)
         out_y.append(y)
@@ -676,7 +686,9 @@ def _update_ewma(
         {
             "user_id": [int(user_id)] * len(out_rn),
             "rn": out_rn,
-            "y": out_y,
+            # nullable Int64 so a propagated NULL survives the Arrow
+            # conversion (a plain list with None would coerce to float64)
+            "y": pd.array(out_y, dtype="Int64"),
         }
     )
 

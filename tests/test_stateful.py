@@ -488,3 +488,45 @@ def test_stream_ewma_across_batches(spark, tmp_path):
     y2 = (2000 + 3 * y1) >> 2   # 1250
     y3 = (0 + 3 * y2) >> 2      # 937
     assert got == {(1, 1): y1, (1, 2): y2, (1, 3): y3}
+
+
+def test_stream_ewma_null_propagates_like_batch(spark, tmp_path):
+    """A NULL input value must flow through the recursion as NULL (the
+    batch fold and the recursive-CTE oracle both go NULL from that row
+    on), not crash the worker — and the state must survive the None so a
+    later micro-batch keeps emitting NULLs."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_ewma
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    land = tmp_path / "land_ewma_null"
+    land.mkdir()
+    pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "t": [10, 20],
+            "eid": [100, 101],
+            "x": pd.array([1000, None], dtype="Int64"),
+        }
+    ).to_parquet(land / "a.parquet")
+    pd.DataFrame(
+        {
+            "user_id": [1],
+            "t": [30],
+            "eid": [102],
+            "x": pd.array([4000], dtype="Int64"),
+        }
+    ).to_parquet(land / "b.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, t long, eid long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_ewma(stream), "ewma_null", mode="append")
+    got = {
+        (r.user_id, r.rn): r.y for r in spark.table("ewma_null").collect()
+    }
+    # y1 = 1000; y2 = NULL (x NULL); y3 = NULL (prior y NULL) — matches
+    # the batch fold, where element_at(acc,-1)=NULL poisons every step
+    assert got == {(1, 1): 1000, (1, 2): None, (1, 3): None}
