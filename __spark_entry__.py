@@ -115,6 +115,9 @@ _QUERY_ORDER = [
     # cosine prune with a deterministic keep-lowest-id representative;
     # the streaming twin of the as-of join (carried-quote state over the
     # unioned keyed log)
+    # NEW round 7 (latest): protobuf MCAP decode proven in the driver gate
+    # (hand-rolled FileDescriptorSet + wire decoder, sources/protobuf.py)
+    "protobuf-roundtrip",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
     "stream-knn", "lm-surprise", "ewma", "stream-ewma",
     # NEW round 7: point-in-time join against the SCD2 interval table;

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from rosbag2parquet_spark.plans.ddl import load_script
 from rosbag2parquet_spark.sources.msgdef import table_name_for_type
+from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
 
 
 @dataclass
@@ -675,12 +676,31 @@ def _write_bag_tables(
             ).withColumnRenamed("data", "__raw__")
             if not msg_def.strip():
                 # blob-preserving fallback: no decodable schema text for
-                # this type (e.g. an MCAP ros2idl/protobuf-encoded schema)
-                # — the typed columns are absent but nothing is lost:
-                # seqno + connection + the raw payload blob still land,
-                # and a later pass with real msgdefs can flatten from this
+                # this type (e.g. an MCAP ros2idl-encoded schema) — the
+                # typed columns are absent but nothing is lost: seqno +
+                # connection + the raw payload blob still land, and a
+                # later pass with real msgdefs can flatten from this
                 # table alone
                 flat = slice_df.select("seqno", "conn_id", "__raw__")
+            elif msg_def.startswith(PROTOBUF_DEF_PREFIX):
+                # protobuf channel (MCAP schema encoding 'protobuf'): the
+                # msg_def slot carries the marked FileDescriptorSet; the
+                # protobuf tier flattens with the same column conventions
+                # as the ros decoders (sources/protobuf.py)
+                from rosbag2parquet_spark.sources.protobuf import (
+                    decode_messages_protobuf,
+                )
+
+                flat = decode_messages_protobuf(
+                    slice_df,
+                    datatype,
+                    msg_def,
+                    data_col="__raw__",
+                    keep_cols=("seqno", "conn_id", "__raw__"),
+                    arrays=arrays,
+                    unsigned=unsigned,
+                    on_error=on_error,
+                )
             else:
                 flat = decode_messages(
                     slice_df,
@@ -866,6 +886,7 @@ def _bag_scan_meta(path: str, msgdefs: "dict[str, str] | None" = None) -> dict:
         serialization = "cdr"
     elif fmt == "mcap":
         from rosbag2parquet_spark.sources.mcap import (
+            mcap_connection_rows,
             mcap_serialization,
             scan_mcap,
         )
@@ -875,11 +896,9 @@ def _bag_scan_meta(path: str, msgdefs: "dict[str, str] | None" = None) -> dict:
         from rosbag2parquet_spark.sources.mcap import offset_shift as _mcap_shift
 
         scan = scan_mcap(path)
-        rows = []
-        for cid in sorted(scan.channels):
-            sid, topic, _menc = scan.channels[cid]
-            name, _senc, data = scan.schemas.get(sid, ("", "", b""))
-            rows.append((cid, topic, name, "", data.decode(), "", ""))
+        # senc-aware msg_def (protobuf marker / idl blob-preserve) — the
+        # same rows the single-bag dim emits, so fleet decodability agrees
+        rows = mcap_connection_rows(path)
         width = _mcap_width(path)
         if scan.chunks:
             max_offset = (len(scan.chunks) + 1) << _mcap_shift(scan.chunks)

@@ -57,6 +57,25 @@ def _type_tables(layout_dir: str) -> list[str]:
     return out
 
 
+def _refuse_protobuf_defs(conns: list, layout_dir: str, grammar: str) -> None:
+    """rosbag 2.0 / .db3 schema slots hold ros msg-def TEXT; a protobuf
+    FileDescriptorSet (binary, carried behind the msg_def marker) has no
+    representation there — refuse with guidance instead of writing a
+    base64 blob a ros reader would choke on. MCAP export handles these
+    per-schema (write_mcap emits encoding='protobuf')."""
+    from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
+
+    bad = sorted(
+        {c.datatype for c in conns if c.msg_def.startswith(PROTOBUF_DEF_PREFIX)}
+    )
+    if bad:
+        raise ValueError(
+            f"{layout_dir}: datatypes {bad} carry protobuf descriptor "
+            f"schemas — {grammar} stores ros msg-def text and cannot "
+            "represent them; export to MCAP instead"
+        )
+
+
 def _layout_connections(spark: SparkSession, layout_dir: str) -> list:
     from rosbag2parquet_spark.sources.baglike import ConnectionInfo
 
@@ -320,6 +339,7 @@ def export_rosbag(
     from rosbag2parquet_spark.sources.rosbag import write_rosbag
 
     conns = _layout_connections(spark, layout_dir)
+    _refuse_protobuf_defs(conns, layout_dir, "rosbag 2.0")
 
     def write_part_file(path: str, messages: list, pid: int) -> None:
         write_rosbag(
@@ -356,6 +376,7 @@ def export_db3(
     from rosbag2parquet_spark.sources.rosbag2 import write_db3
 
     conns = _layout_connections(spark, layout_dir)
+    _refuse_protobuf_defs(conns, layout_dir, "rosbag2 .db3")
     defs_per_type: dict[str, set] = {}
     for c in conns:
         defs_per_type.setdefault(c.datatype, set()).add(c.msg_def or "")

@@ -665,10 +665,120 @@ FROM events WHERE event_id % 100 = 0
 """
 
 
+def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf MCAP → typed tables, driver-gate edition: a deterministic
+    1%-slice of events (event_id % 100 == 50) is wire-encoded driver-side
+    as ``demo.PbEvent`` messages (int64 + nested sint64/uint32 + double +
+    string — varint, zigzag, and submessage flatten all on the hot path),
+    written as an indexed protobuf MCAP whose Schema record carries the
+    hand-built FileDescriptorSet, converted by the engine's protobuf
+    decode tier (sources/protobuf.py), and the flattened typed table is
+    compared to DuckDB's direct select over events. The reference only
+    ever decodes ros1 (rosbag2parquet.cpp:1); this proves the third
+    message grammar end-to-end in the correctness gate. Memoized per
+    (session, sf_dir) like export-roundtrip."""
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+    from rosbag2parquet_spark.sources.protobuf import (
+        TYPE_DOUBLE,
+        TYPE_INT64,
+        TYPE_MESSAGE,
+        TYPE_SINT64,
+        TYPE_STRING,
+        TYPE_UINT32,
+        build_fds,
+        enc_double_field,
+        enc_int_field,
+        enc_len_field,
+        enc_str,
+        enc_zigzag_field,
+        msgdef_from_fds,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_pbrt")
+    out = os.path.join(root, tag)
+    if not os.path.isdir(out):
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 100 == 50)
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "value",
+                "event_type",
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        fds = build_fds(
+            "demo",
+            {
+                "PbEvent": [
+                    ("event_id", 1, TYPE_INT64),
+                    ("meta", 2, TYPE_MESSAGE, False, ".demo.Meta"),
+                    ("value", 3, TYPE_DOUBLE),
+                    ("event_type", 4, TYPE_STRING),
+                ],
+                "Meta": [
+                    ("neg_user", 1, TYPE_SINT64),
+                    ("seq", 2, TYPE_UINT32),
+                ],
+            },
+        )
+        conns = [
+            ConnectionInfo(1, "/events", "demo.PbEvent", "", msgdef_from_fds(fds))
+        ]
+        msgs = [
+            (
+                1,
+                r.ts_us * 1_000,
+                enc_int_field(1, r.event_id)
+                + enc_len_field(
+                    2,
+                    enc_zigzag_field(1, -r.user_id)
+                    + enc_int_field(2, r.user_id),
+                )
+                + enc_double_field(3, r.value)
+                + enc_str(4, r.event_type),
+            )
+            for r in rows
+        ]
+        bag = os.path.join(work, "slice.mcap")
+        write_mcap(bag, conns, msgs)
+        convert_bag(spark, bag, os.path.join(work, "lay"))
+        try:
+            os.rename(os.path.join(work, "lay"), out)
+        except OSError:
+            pass  # another process won the race; output equivalent
+    return spark.read.parquet(os.path.join(out, "demo_PbEvent")).select(
+        "event_id",
+        F.col("meta_neg_user"),
+        F.col("meta_seq"),
+        "value",
+        "event_type",
+    )
+
+
+ORACLE_PROTOBUF_ROUNDTRIP = """
+SELECT event_id,
+       CAST(-user_id AS BIGINT) AS meta_neg_user,
+       CAST(user_id AS INTEGER) AS meta_seq,
+       CAST(value AS DOUBLE) AS value,
+       event_type
+FROM events WHERE event_id % 100 = 50
+"""
+
+
 QUERIES = {
     "demux": q_demux,
     "sink": q_sink,
     "export-roundtrip": q_export_roundtrip,
+    "protobuf-roundtrip": q_protobuf_roundtrip,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
@@ -679,6 +789,7 @@ ORACLES = {
     "demux": ORACLE_DEMUX,
     "sink": ORACLE_SINK,
     "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
+    "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,

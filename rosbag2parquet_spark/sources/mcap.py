@@ -611,28 +611,47 @@ def _parse_message(buf: bytes, s: int, ln: int):
     return cid, log_time, buf[s + 22 : s + ln]
 
 
-def mcap_connections_df(spark: SparkSession, path: str) -> DataFrame:
-    """Connections dim from the embedded Channel+Schema records — the
-    engine's 7-column shape; msg_def is the EMBEDDED schema text (ros1msg/
-    ros2msg are both the plain definition syntax the schema compiler
-    already parses)."""
+def mcap_connection_rows(path: str) -> list[tuple]:
+    """7-column Connections rows with senc-aware ``msg_def``: ros1msg/
+    ros2msg schemas carry their definition text verbatim (the schema
+    compiler parses both), ``protobuf`` schemas carry the base64-marked
+    FileDescriptorSet the protobuf decode tier dispatches on, and any
+    other encoding (ros2idl, jsonschema, ...) gets an EMPTY msg_def so
+    the converter blob-preserves that type (Messages/Connections + raw
+    data, no flatten) — the reference's own array posture (columnarize
+    what you can, keep the blob). Shared by the single-bag dim and the
+    fleet planner so both paths agree on decodability."""
+    from rosbag2parquet_spark.sources.protobuf import msgdef_from_fds, parse_fds
+
     scan = scan_mcap(path)
     rows = []
     for cid in sorted(scan.channels):
         sid, topic, _menc = scan.channels[cid]
         name, senc, data = scan.schemas.get(sid, ("", "", b""))
-        if senc not in ("ros1msg", "ros2msg", ""):
-            # ros2idl/protobuf schema text is not msg-def syntax: emit the
-            # connection with an EMPTY msg_def instead of refusing the
-            # whole bag — the converter then blob-preserves that type
-            # (Messages/Connections + raw data, no flatten), the
-            # reference's own array posture (columnarize what you can,
-            # keep the blob)
+        if senc == "protobuf" and data:
+            # only mark decodable if the payload really parses as a
+            # FileDescriptorSet — a recorder that mislabels text (or a
+            # corrupted schema record) falls back to blob-preserve
+            # instead of blowing up mid-convert
+            try:
+                parse_fds(data)
+            except ValueError:
+                rows.append((cid, topic, name, "", "", "", ""))
+                continue
+            rows.append((cid, topic, name, "", msgdef_from_fds(data), "", ""))
+        elif senc in ("ros1msg", "ros2msg", ""):
+            rows.append((cid, topic, name, "", data.decode(), "", ""))
+        else:
             rows.append((cid, topic, name, "", "", "", ""))
-            continue
-        rows.append((cid, topic, name, "", data.decode(), "", ""))
+    return rows
+
+
+def mcap_connections_df(spark: SparkSession, path: str) -> DataFrame:
+    """Connections dim from the embedded Channel+Schema records — the
+    engine's 7-column shape; see :func:`mcap_connection_rows` for the
+    per-encoding msg_def contract."""
     return spark.createDataFrame(
-        rows,
+        mcap_connection_rows(path),
         "connection_id int, topic string, datatype string, md5sum string, "
         "msg_def string, callerid string, latching string",
     )
@@ -811,13 +830,14 @@ def mcap_attachments_df(spark: SparkSession, path: str) -> "DataFrame | None":
 
 
 def mcap_serialization(path: str) -> str:
-    """'cdr' | 'ros1' — from the DECODABLE channels' message_encoding (one
-    per file; mixed decodable encodings are refused, the per-type decode
-    can't dispatch). Channels whose schema is not msg-def text (ros2idl,
-    protobuf) are blob-preserved by the converter and never reach a
-    decoder, so their message_encoding doesn't constrain the file — a
-    protobuf-only Foxglove recording converts blob-preserving instead of
-    being refused outright."""
+    """'cdr' | 'ros1' — from the msg-def-DECODABLE channels'
+    message_encoding (one per file; mixed decodable encodings are refused,
+    the per-type decode can't dispatch). ``protobuf`` channels dispatch to
+    their own decode tier via the msg_def marker (protobuf.py) and
+    ``ros2idl`` channels are blob-preserved, so neither constrains the
+    file's ros serialization — a protobuf-only Foxglove recording converts
+    with typed tables, an idl-only one blob-preserves, and neither is
+    refused outright."""
     scan = scan_mcap(path)
     decodable = set()
     for _cid, (sid, _topic, menc) in scan.channels.items():
@@ -1054,17 +1074,37 @@ def write_mcap(
         return struct.pack("<I", len(b)) + b
 
     def schema_rec(sid: int, c: ConnectionInfo) -> bytes:
-        data = c.msg_def.encode()
+        # MCAP schema encoding is PER Schema record: a connection whose
+        # msg_def carries the protobuf descriptor marker writes the raw
+        # FileDescriptorSet under encoding 'protobuf' (round-trip of a
+        # protobuf-decoded layout), everything else writes the definition
+        # text under the caller-declared encoding
+        from rosbag2parquet_spark.sources.protobuf import (
+            PROTOBUF_DEF_PREFIX,
+            fds_from_msgdef,
+        )
+
+        if c.msg_def.startswith(PROTOBUF_DEF_PREFIX):
+            data, senc = fds_from_msgdef(c.msg_def), "protobuf"
+        else:
+            data, senc = c.msg_def.encode(), schema_encoding
         return rec(
             OP_SCHEMA,
-            struct.pack("<H", sid) + s(c.datatype) + s(schema_encoding)
+            struct.pack("<H", sid) + s(c.datatype) + s(senc)
             + struct.pack("<I", len(data)) + data,
         )
 
     def channel_rec(sid: int, c: ConnectionInfo) -> bytes:
+        from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
+
+        menc = (
+            "protobuf"
+            if c.msg_def.startswith(PROTOBUF_DEF_PREFIX)
+            else encoding
+        )
         return rec(
             OP_CHANNEL,
-            struct.pack("<HH", c.conn_id, sid) + s(c.topic) + s(encoding)
+            struct.pack("<HH", c.conn_id, sid) + s(c.topic) + s(menc)
             + struct.pack("<I", 0),
         )
 

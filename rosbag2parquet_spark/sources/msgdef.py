@@ -230,5 +230,6 @@ def table_schema(root_type: str, msgdef_text: str, arrays: str = "skip") -> T.St
 
 
 def table_name_for_type(datatype: str) -> str:
-    """`sensor_msgs/Imu` → `sensor_msgs_Imu` (reference MessageTable.cpp:315)."""
-    return datatype.replace("/", "_")
+    """`sensor_msgs/Imu` → `sensor_msgs_Imu` (reference MessageTable.cpp:315);
+    protobuf fq names sanitize the same way (`demo.Event` → `demo_Event`)."""
+    return datatype.replace("/", "_").replace(".", "_")
