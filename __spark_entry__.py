@@ -101,13 +101,13 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 20 new/changed (through
-# "resample-interpolate") + the first 30 of the 36 r4-latest rows
-# (through "sql-q6"). The 20 genuinely-new queries outprioritized
-# the last six r4 rows — "sql-q10", "sql-q18", "scalar-funcs", "pivot",
-# "unpivot", "histogram" slip past the
+# ROUND-8 NOTE: the r7 window = 21 new/changed (through
+# "resample-interpolate") + the first 29 of the 36 r4-latest rows
+# (through "sql-q5"). The 21 genuinely-new queries outprioritized
+# the last seven r4 rows — "sql-q6", "sql-q10", "sql-q18",
+# "scalar-funcs", "pivot", "unpivot", "histogram" slip past the
 # freshness target this once (r4-latest after r7; a first-ever row for a
-# new query beats re-proving a stable green one). For r8: those SIX
+# new query beats re-proving a stable green one). For r8: those SEVEN
 # FIRST, then any new/changed, then the r5-proven block ("stream-sink"
 # onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [

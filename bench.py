@@ -165,6 +165,7 @@ def main() -> None:
     export_stats = None
     db3_stats = None
     mcap_stats = None
+    protobuf_stats = None
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
@@ -172,6 +173,7 @@ def main() -> None:
         from bench_convert import run_export as _export_run
         from bench_convert import run_fleet as _fleet_run
         from bench_convert import run_mcap as _mcap_run
+        from bench_convert import run_protobuf as _protobuf_run
 
         # min-of-2 like the query suite: observed 2x host noise on the
         # identical conversion minutes apart
@@ -200,6 +202,13 @@ def main() -> None:
             key=lambda d: d["convert_s"],
         )
         print(f"# convert mcap: {mcap_stats}", file=sys.stderr)
+        # the fourth grammar: protobuf-encoded MCAP at the same corpus,
+        # decoded by the wire-walk tier (sources/protobuf.py)
+        protobuf_stats = min(
+            (_protobuf_run(spark=spark) for _ in range(2)),
+            key=lambda d: d["convert_s"],
+        )
+        print(f"# convert protobuf: {protobuf_stats}", file=sys.stderr)
         # the reverse direction at the same corpus: layout -> MCAP parts
         export_stats = min(
             (_export_run(spark=spark) for _ in range(2)),
@@ -233,6 +242,7 @@ def main() -> None:
                 "convert_fleet": fleet_stats,
                 "convert_db3": db3_stats,
                 "convert_mcap": mcap_stats,
+                "convert_protobuf": protobuf_stats,
                 "export_mcap": export_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -590,10 +590,18 @@ def decode_messages(
                     f"{len(pdf)} x {np_dtype.itemsize}B records of {root_type}"
                 )
             arr = np.frombuffer(buf, dtype=np_dtype)
-            for name in flat_names:
-                cols[name] = arr[name]
+            # positional remap: the layout walker emits ORIGINAL field
+            # names; flat_names carry the reserved-collision sanitize
+            # (msgdef._sanitize_flat_names) in the same walk order
+            orig = [n for n in np_dtype.names if not n.startswith("__pad")]
+            assert len(orig) == len(flat_names)
+            for name, o in zip(flat_names, orig):
+                cols[name] = arr[o]
         elif batch_decode is not None:
-            cols.update(batch_decode([bytes(b) for b in pdf[data_col]]))
+            decoded = batch_decode([bytes(b) for b in pdf[data_col]])
+            assert len(decoded) == len(flat_names)
+            for name, v in zip(flat_names, decoded.values()):
+                cols[name] = v
         else:
             decoded = [decode(bytes(b)) for b in pdf[data_col]]
             for i, name in enumerate(flat_names):

@@ -211,7 +211,37 @@ def to_struct_type(
                 walk(sub, f"{name}_")
 
     walk(specs[root_type], "")
-    return T.StructType(fields)
+    return T.StructType(_sanitize_flat_names(fields))
+
+
+# the per-type table's metadata columns (table_schema below, reference
+# MessageTable.cpp:305-343) plus the permissive-mode dead-letter column
+RESERVED_COLUMNS = frozenset(
+    {"seqno", "connection_id", "data", "_decode_error"}
+)
+
+
+def _sanitize_flat_names(fields: list) -> list:
+    """Flattened payload columns must not capture the table's metadata
+    columns: a root-level field named ``data`` (CompressedImage.data in
+    blobs/native mode!) or a prefix-flatten collision like a nested
+    ``connection.id`` → ``connection_id`` would make the final select
+    ambiguous and break every reader of the layout. Colliding names —
+    including duplicates among the flattened names themselves (field
+    ``a_b`` beside nested ``a{b}``) — get trailing underscores until
+    unique. Decode stays positional, so renaming here is the single
+    source of truth for every decoder tier."""
+    seen: set = set()
+    out = []
+    for f in fields:
+        name = f.name
+        while name in RESERVED_COLUMNS or name in seen:
+            name += "_"
+        seen.add(name)
+        out.append(
+            f if name == f.name else T.StructField(name, f.dataType, f.nullable)
+        )
+    return out
 
 
 def table_schema(root_type: str, msgdef_text: str, arrays: str = "skip") -> T.StructType:

@@ -431,8 +431,16 @@ def compile_proto(
         return plan
 
     plan = walk(root_type, "", ())
+    from rosbag2parquet_spark.sources.msgdef import _sanitize_flat_names
+
+    # same reserved-column rule as the msg-def compiler: a field named
+    # `data` (ubiquitous in protobuf payload messages) must not capture
+    # the raw-blob column; decode is positional so renaming is free
     return _Compiled(
-        T.StructType(fields), plan, tuple(rep_slots), tuple(defaults)
+        T.StructType(_sanitize_flat_names(fields)),
+        plan,
+        tuple(rep_slots),
+        tuple(defaults),
     )
 
 

@@ -385,10 +385,13 @@ def test_blob_extraction_mode(spark, tmp_path):
 
     specs = parse_msgdef("sensor_msgs/CompressedImage", IMG_BLOB_DEF)
     schema = to_struct_type("sensor_msgs/CompressedImage", specs, arrays="blobs")
+    # the root blob field is named `data` in the msg-def; the flat schema
+    # sanitizes it to `data_` so it can never capture the table's raw
+    # payload column (msgdef.RESERVED_COLUMNS)
     assert [f.name for f in schema.fields] == [
-        "seq", "stamp_sec", "stamp_nsec", "frame_id", "format", "data",
+        "seq", "stamp_sec", "stamp_nsec", "frame_id", "format", "data_",
     ]
-    assert schema["data"].dataType.typeName() == "binary"
+    assert schema["data_"].dataType.typeName() == "binary"
 
     blobs = [bytes([i] * (i * 7 % 50)) for i in range(20)]  # incl. empty
     bufs = [_img_payload(i, b) for i, b in enumerate(blobs)]
@@ -402,8 +405,8 @@ def test_blob_extraction_mode(spark, tmp_path):
     got = make_vector_decoder(ops)(bufs)
     assert [bytes(x) for x in got["data"]] == blobs
 
-    # full distributed pipeline over a bag (payload column renamed __raw so
-    # the extracted blob field keeps its schema name)
+    # full distributed pipeline over a bag: the extracted blob lands as
+    # `data_` (sanitized), regardless of what the payload column is named
     path = str(tmp_path / "img.sbag")
     write_bag(
         path,
@@ -415,7 +418,7 @@ def test_blob_extraction_mode(spark, tmp_path):
         msgs, "sensor_msgs/CompressedImage", IMG_BLOB_DEF,
         data_col="__raw", arrays="blobs",
     ).orderBy("offset").collect()
-    assert [bytes(r.data) for r in out] == blobs
+    assert [bytes(r.data_) for r in out] == blobs
     assert [r.format for r in out] == ["jpeg"] * len(blobs)
 
 

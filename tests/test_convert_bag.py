@@ -263,3 +263,41 @@ def test_layout_info_matches_bag_info(spark, tmp_path, capsys):
     assert main(["info", "--input", out]) == 0
     printed = capsys.readouterr().out
     assert "layout:" in printed and "TOTAL: 10 msgs" in printed
+
+
+def test_reserved_column_collision_sanitized(spark, tmp_path):
+    """A payload field named `data` (CompressedImage.data — the single
+    most common blob field name in ROS) must not capture the table's raw
+    payload column: the flattened column lands as `data_`, `data` stays
+    the raw blob, and prefix-flatten collisions (`connection.id` →
+    `connection_id`) plus a literal `seqno` field sanitize the same way.
+    Before the fix this was an AMBIGUOUS_REFERENCE crash in the per-type
+    select — blobs-mode CompressedImage conversion was impossible."""
+    img_def = "string format\nuint8[] data"
+    clash_def = (
+        "int32 seqno\nConn connection\n"
+        + "=" * 80
+        + "\nMSG: demo/Conn\nint32 id"
+    )
+    conns = [
+        ConnectionInfo(1, "/cam", "demo/Img", "", img_def),
+        ConnectionInfo(2, "/clash", "demo/Clash", "", clash_def),
+    ]
+    blob = bytes(range(200))
+    img = struct.pack("<I", 4) + b"jpeg" + struct.pack("<I", len(blob)) + blob
+    clash = struct.pack("<ii", 77, 88)
+    msgs = [(1, 1_000, img), (2, 2_000, clash)]
+    bag = str(tmp_path / "clash.sbag")
+    write_bag(bag, conns, msgs)
+    out = str(tmp_path / "lay")
+    convert_bag(spark, bag, out, arrays="blobs")
+
+    im = spark.read.parquet(os.path.join(out, "demo_Img"))
+    assert im.columns == ["seqno", "format", "data_", "connection_id", "data"]
+    r = im.first()
+    assert bytes(r.data_) == blob and r.format == "jpeg"
+    assert bytes(r.data) == img  # raw payload column intact
+
+    cl = spark.read.parquet(os.path.join(out, "demo_Clash")).first()
+    assert cl.seqno_ == 77 and cl.connection_id_ == 88
+    assert cl.seqno == 1 and cl.connection_id == 2  # metadata untouched

@@ -360,3 +360,24 @@ def test_fleet_convert_includes_protobuf_bag(spark, tmp_path):
     df = spark.read.parquet(os.path.join(out, "demo_Event"))
     assert df.count() == 16
     assert df.filter(F.col("a") == 7).count() == 2
+
+
+def test_reserved_column_collision_sanitized():
+    """A proto field named `data` (ubiquitous — bytes payloads) sanitizes
+    to `data_` so it can never capture the table's raw-blob column; decode
+    stays positional so values land under the renamed column."""
+    fds = build_fds(
+        "c",
+        {"M": [("seqno", 1, TYPE_INT64), ("data", 2, TYPE_BYTES)]},
+    )
+    comp = compile_proto("c.M", fds)
+    assert [f.name for f in comp.schema.fields] == ["seqno_", "data_"]
+    row = dict(
+        zip(
+            [f.name for f in comp.schema.fields],
+            make_proto_decoder(comp)(
+                enc_int_field(1, 9) + enc_len_field(2, b"\x01\x02")
+            ),
+        )
+    )
+    assert row["seqno_"] == 9 and row["data_"] == b"\x01\x02"

@@ -452,10 +452,15 @@ def _row_tier(root, deftext, payloads, arrays="skip", unsigned="signed"):
 def _assert_tiers_agree(vec, row):
     import numpy as np
 
-    assert set(vec) == set(row)
-    for k in row:
-        got = [list(v) if isinstance(v, np.ndarray) else v for v in list(vec[k])]
-        want = [list(v) if isinstance(v, (list, np.ndarray)) else v for v in row[k]]
+    # vec is keyed by the walker's ORIGINAL field names, row by the
+    # sanitized schema names (msgdef._sanitize_flat_names, e.g. a blob
+    # field named `data` → `data_`); the walk order is identical, so
+    # compare positionally — the same remap decode_messages_cdr does
+    assert len(vec) == len(row)
+    for (kv, gv), (k, wv) in zip(vec.items(), row.items()):
+        assert k == kv or k.rstrip("_") == kv, (k, kv)
+        got = [list(v) if isinstance(v, np.ndarray) else v for v in list(gv)]
+        want = [list(v) if isinstance(v, (list, np.ndarray)) else v for v in wv]
         # numpy scalars compare fine via ==; normalize bytes
         got = [bytes(g) if isinstance(g, (bytes, bytearray)) else g for g in got]
         want = [bytes(w) if isinstance(w, (bytes, bytearray)) else w for w in want]

@@ -251,8 +251,82 @@ def _run_grammar(synth, suffix: str, n_msgs: int, blob_bytes: int, spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def synth_pb_mcap(path: str, n_msgs: int, blob_bytes: int) -> None:
+    """Indexed chunked MCAP with PROTOBUF-encoded payloads at the same
+    walkthrough corpus shape (seq + stamp submessage + frame/format
+    strings + blob) — the fourth grammar's throughput beside the three
+    ros containers; decode runs the wire-walk tier (protobuf.py)."""
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+    from rosbag2parquet_spark.sources.protobuf import (
+        TYPE_BYTES,
+        TYPE_MESSAGE,
+        TYPE_STRING,
+        TYPE_UINT32,
+        build_fds,
+        enc_int_field,
+        enc_len_field,
+        enc_str,
+        msgdef_from_fds,
+    )
+
+    blob = bytes(range(256)) * (blob_bytes // 256)
+    fds = build_fds(
+        "bench",
+        {
+            "CompressedImage": [
+                ("seq", 1, TYPE_UINT32),
+                ("stamp", 2, TYPE_MESSAGE, False, ".bench.Stamp"),
+                ("frame_id", 3, TYPE_STRING),
+                ("format", 4, TYPE_STRING),
+                ("data", 5, TYPE_BYTES),
+            ],
+            "Stamp": [("sec", 1, TYPE_UINT32), ("nsec", 2, TYPE_UINT32)],
+        },
+    )
+
+    def payload(i: int) -> bytes:
+        stamp = enc_int_field(1, 1_700_000_000 + i // 30) + enc_int_field(
+            2, (i % 30) * 33_000_000
+        )
+        return (
+            enc_int_field(1, i)
+            + enc_len_field(2, stamp)
+            + enc_str(3, "camera_link")
+            + enc_str(4, "jpeg")
+            + enc_len_field(5, blob)
+        )
+
+    conns = [
+        ConnectionInfo(
+            conn_id=1,
+            topic="/camera/image/compressed",
+            datatype="bench.CompressedImage",
+            md5sum="",
+            msg_def=msgdef_from_fds(fds),
+        )
+    ]
+    write_mcap(
+        path,
+        conns,
+        [
+            (1, 1_700_000_000_000_000_000 + i * 33_000_000, payload(i))
+            for i in range(n_msgs)
+        ],
+        chunked=True,
+        chunk_messages=200,
+        indexed=True,
+    )
+
+
 def run_db3(n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None) -> dict:
     return _run_grammar(synth_db3, "db3", n_msgs, blob_bytes, spark)
+
+
+def run_protobuf(
+    n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None
+) -> dict:
+    return _run_grammar(synth_pb_mcap, "mcap", n_msgs, blob_bytes, spark)
 
 
 def run_mcap(n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None) -> dict:
