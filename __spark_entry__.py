@@ -101,13 +101,13 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 21 new/changed (through
-# "resample-interpolate") + the first 29 of the 36 r4-latest rows
-# (through "sql-q5"). The 21 genuinely-new queries outprioritized
-# the last seven r4 rows — "sql-q6", "sql-q10", "sql-q18",
+# ROUND-8 NOTE: the r7 window = 22 new/changed (through
+# "resample-interpolate") + the first 28 of the 36 r4-latest rows
+# (through "sql-q3"). The 22 genuinely-new queries outprioritized
+# the last eight r4 rows — "sql-q5", "sql-q6", "sql-q10", "sql-q18",
 # "scalar-funcs", "pivot", "unpivot", "histogram" slip past the
 # freshness target this once (r4-latest after r7; a first-ever row for a
-# new query beats re-proving a stable green one). For r8: those SEVEN
+# new query beats re-proving a stable green one). For r8: those EIGHT
 # FIRST, then any new/changed, then the r5-proven block ("stream-sink"
 # onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
@@ -116,8 +116,11 @@ _QUERY_ORDER = [
     # the streaming twin of the as-of join (carried-quote state over the
     # unioned keyed log)
     # NEW round 7 (latest): protobuf MCAP decode proven in the driver gate
-    # (hand-rolled FileDescriptorSet + wire decoder, sources/protobuf.py)
-    "protobuf-roundtrip",
+    # (hand-rolled FileDescriptorSet + wire decoder, sources/protobuf.py);
+    # incremental grown-bag ingest (resume_convert_bag — first half
+    # recorded+converted, second half INSERTed into the same .db3 and
+    # resumed via the _ingest_state.json cursor, seqno continuous)
+    "protobuf-roundtrip", "convert-resume",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
     "stream-knn", "lm-surprise", "ewma", "stream-ewma",
     # NEW round 7: point-in-time join against the SCD2 interval table;

@@ -239,11 +239,27 @@ def main(argv: list[str] | None = None) -> int:
         "the union schema with NULL pads; read evolved layouts with "
         "mergeSchema (the generated DDL does). Without --append: refused.",
     )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="single bag input: convert only the DELTA of a bag that GREW "
+        "since --outdir was built (live-recording ingest; .db3/SBAG, whose "
+        "offsets are append-stable) — O(new rows) via the "
+        "_ingest_state.json cursor; refuses a re-recorded bag.",
+    )
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     if args.evolve and not args.append:
         print("--evolve requires --append", file=sys.stderr)
+        return 2
+    if args.resume and args.append:
+        print("--resume and --append are exclusive: resume grows ONE bag "
+              "in place, append ingests new bags", file=sys.stderr)
+        return 2
+    if args.resume and (args.arrays != "skip" or args.unsigned != "signed"):
+        print("--resume re-uses the layout's recorded --arrays/--unsigned "
+              "modes (schema identity); don't pass them", file=sys.stderr)
         return 2
 
     filters_used = (
@@ -251,11 +267,12 @@ def main(argv: list[str] | None = None) -> int:
         or args.start_ns is not None
         or args.end_ns is not None
     )
-    if filters_used and args.append:
+    if filters_used and (args.append or args.resume):
         print(
             "error: --topics/--start-ns/--end-ns produce a SUBSET layout — "
-            "appending a subset into an existing full layout would be "
-            "silent data loss; convert the subset to its own outdir",
+            "appending/resuming a subset into an existing full layout "
+            "would be silent data loss; convert the subset to its own "
+            "outdir",
             file=sys.stderr,
         )
         return 2
@@ -265,8 +282,8 @@ def main(argv: list[str] | None = None) -> int:
     if os.path.exists(out) and not os.path.isdir(out):
         print(f"error: --outdir {out} exists and is not a directory", file=sys.stderr)
         return 2
-    if args.append and os.path.isdir(out) and os.listdir(out):
-        pass  # append writes INTO the existing layout — no rename
+    if (args.append or args.resume) and os.path.isdir(out) and os.listdir(out):
+        pass  # append/resume writes INTO the existing layout — no rename
     elif os.path.isdir(out) and os.listdir(out):
         n = 1
         while os.path.exists(f"{out}.{n}"):
@@ -330,6 +347,13 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.resume:
+            print(
+                "error: --resume grows ONE bag in place — pass the bag "
+                "file; new fleet files ingest via --append",
+                file=sys.stderr,
+            )
+            return 2
         from rosbag2parquet_spark.convert import convert_bags
 
         info = convert_bags(
@@ -346,7 +370,16 @@ def main(argv: list[str] | None = None) -> int:
         # real binary-bag path — the reference's full program: one
         # FLATTENED typed table per message type (each decoded with its own
         # msg_def), plus Messages/Connections and the DDL script
-        if args.append:
+        if args.resume:
+            # grown-bag delta ingest: cursor from the layout's
+            # _ingest_state.json, O(new rows)
+            from rosbag2parquet_spark.convert import resume_convert_bag
+
+            info = resume_convert_bag(
+                spark, args.input, out, compression=args.compression,
+                msgdefs=msgdefs, on_error=args.on_error,
+            )
+        elif args.append:
             # appending a single bag is the one-bag fleet — same machinery
             from rosbag2parquet_spark.convert import convert_bags
 
@@ -378,6 +411,12 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 "error: --topics/--start-ns/--end-ns apply to bag inputs "
                 "only (a parquet stream filters with plain SQL)",
+                file=sys.stderr,
+            )
+            return 2
+        if args.resume:
+            print(
+                "error: --resume applies to bag inputs only",
                 file=sys.stderr,
             )
             return 2

@@ -29,6 +29,7 @@ Returns the same summary the reference's library API returns
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -525,7 +526,253 @@ def convert_bag(
         on_error=on_error,
         attachments_df=att_df,
     )
+    if (
+        topics is None and start_ns is None and end_ns is None
+        and max_mbs is None
+    ):
+        # complete, unfiltered conversion: record the incremental-resume
+        # cursor so a GROWN bag (the .db3 recorder appends rows in place)
+        # can convert only its delta later (resume_convert_bag)
+        tail = seq.agg(
+            F.max("offset").alias("mo"),
+            F.max_by("time_ns", "offset").alias("lt"),
+        ).collect()[0]
+        _write_ingest_state(
+            out_dir, bag_path, fmt,
+            last_offset=tail.mo, last_time_ns=tail.lt,
+            count=count, arrays=arrays, unsigned=unsigned,
+            serialization=serialization,
+        )
     seq.unpersist()
+    return ConvertInfo(bagname=bag_path, count=count, size=float(size))
+
+
+#: incremental-resume sidecar, written beside the layout tables by every
+#: complete unfiltered single-bag conversion
+INGEST_STATE = "_ingest_state.json"
+
+
+def _write_ingest_state(
+    out_dir: str,
+    bag_path: str,
+    fmt: str,
+    *,
+    last_offset: "int | None",
+    last_time_ns: "int | None",
+    count: int,
+    arrays: str,
+    unsigned: str,
+    serialization: str,
+) -> None:
+    state = {
+        "version": 1,
+        "bag": os.path.basename(bag_path),
+        "format": fmt,
+        # cursor: first unconverted offset (rowid for .db3, byte offset
+        # for SBAG); (last_offset, last_time_ns) is the identity probe a
+        # resume re-reads from the bag to prove the converted prefix is
+        # still the same recording (a re-recorded bag must not silently
+        # append-corrupt the layout)
+        "next_offset": (last_offset + 1) if last_offset is not None else 0,
+        "last_offset": last_offset,
+        "last_time_ns": last_time_ns,
+        "count": int(count),
+        "arrays": arrays,
+        "unsigned": unsigned,
+        "serialization": serialization,
+    }
+    if fmt == "sbag":
+        from rosbag2parquet_spark.sources.baglike import read_header
+
+        # offsets are header-relative byte positions: a changed header
+        # (new connections declared) shifts every record — the resume
+        # refuses when this moves
+        state["msg_region_start"] = read_header(bag_path)[1]
+    tmp = os.path.join(out_dir, INGEST_STATE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, os.path.join(out_dir, INGEST_STATE))
+
+
+def _probe_last_row(bag_path: str, fmt: str, offset: int) -> "int | None":
+    """time_ns of the record at ``offset``, or None if absent — the
+    identity probe resume uses (O(1): one b-tree lookup / one seek)."""
+    if fmt == "rosbag2":
+        import sqlite3
+
+        con = sqlite3.connect(f"file:{bag_path}?mode=ro", uri=True)
+        try:
+            row = con.execute(
+                "SELECT timestamp FROM messages WHERE id = ?", (int(offset),)
+            ).fetchone()
+        finally:
+            con.close()
+        return None if row is None else int(row[0])
+    import struct
+
+    size = os.path.getsize(bag_path)
+    if offset + 16 > size:
+        return None
+    with open(bag_path, "rb") as f:
+        f.seek(offset)
+        rec_len, _conn, time_ns = struct.unpack("<IIQ", f.read(16))
+    if rec_len < 12 or offset + 4 + rec_len > size:
+        return None
+    return time_ns
+
+
+def resume_convert_bag(
+    spark: SparkSession,
+    bag_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 32,
+    max_records_per_file: int = 1_000_000,
+    compression: str = "snappy",
+    msgdefs: "dict[str, str] | None" = None,
+    on_error: str = "fail",
+) -> ConvertInfo:
+    """Convert only the DELTA of a bag that has GROWN since the layout was
+    built — the live-recording ingest shape (a ROS 2 .db3 recorder INSERTs
+    rows into the same file for hours; re-converting the whole bag per
+    pass is O(bag), this is O(new rows)).
+
+    The cursor comes from the ``_ingest_state.json`` sidecar every
+    complete unfiltered :func:`convert_bag` writes. Correctness rests on
+    append-stable offsets, so the resume is supported exactly where that
+    holds — ``.db3`` (sqlite rowids; the WHERE id >= cursor rides the
+    primary-key b-tree) and SBAG (byte offsets under pure append, pruned
+    at PLAN time) — and refused for rosbag/MCAP, whose synthetic
+    chunk-index offsets can re-encode as the file grows (their ingest
+    story is the fleet append over new FILES, convert_bags(mode='append')).
+    Before touching anything the identity of the converted prefix is
+    proven by re-reading the last converted record and comparing its
+    timestamp — a re-recorded (restarted) bag at the same path is refused
+    instead of silently append-corrupting the layout. New messages append
+    with seqno continuing after the existing max; new connections (new
+    topics mid-recording — normal for .db3) extend the dim keeping
+    existing ids; every touched table passes the schema-fingerprint guard.
+    Resuming after growth equals converting the grown bag in one shot —
+    test-pinned.
+
+    The reference has no incremental story (rosbag2parquet.cpp converts
+    whole files); this is the operational upgrade a 100 TB fleet needs."""
+    from rosbag2parquet_spark.info import _fmt, load_bag, seqno_bucket_width
+    from rosbag2parquet_spark.operators.keys import assign_seqno
+
+    state_path = os.path.join(out_dir, INGEST_STATE)
+    if not os.path.isfile(state_path):
+        raise ValueError(
+            f"{out_dir}: no {INGEST_STATE} — resume needs a layout built "
+            "by a complete unfiltered convert_bag (filtered/fleet layouts "
+            "carry no cursor)"
+        )
+    with open(state_path) as f:
+        state = json.load(f)
+    fmt = _fmt(bag_path)
+    if os.path.basename(bag_path) != state["bag"] or fmt != state["format"]:
+        raise ValueError(
+            f"{bag_path} ({fmt}) does not match the layout's recorded bag "
+            f"{state['bag']} ({state['format']})"
+        )
+    if fmt in ("rosbag", "mcap"):
+        raise ValueError(
+            f"resume is not supported for {fmt}: offsets are synthetic "
+            "chunk-index encodings, not append-stable; ingest new FILES "
+            "via convert_bags(mode='append') instead"
+        )
+    if fmt == "sbag" and state.get("msg_region_start") is not None:
+        from rosbag2parquet_spark.sources.baglike import read_header
+
+        now_start = read_header(bag_path)[1]
+        if now_start != state["msg_region_start"]:
+            raise ValueError(
+                f"{bag_path}: header changed since conversion "
+                f"({state['msg_region_start']} -> {now_start} bytes) — "
+                "byte offsets shifted; re-convert from scratch"
+            )
+    if state["last_offset"] is not None:
+        got = _probe_last_row(bag_path, fmt, state["last_offset"])
+        if got != state["last_time_ns"]:
+            raise ValueError(
+                f"{bag_path}: record at offset {state['last_offset']} has "
+                f"time_ns {got}, layout recorded {state['last_time_ns']} — "
+                "the bag was re-recorded, not grown; re-convert from scratch"
+            )
+
+    arrays = state["arrays"]
+    unsigned = state["unsigned"]
+    serialization = state["serialization"]
+    cursor = int(state["next_offset"])
+    msgs, conns_df = load_bag(
+        spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs,
+        on_error=on_error, start_offset=cursor,
+    )
+
+    # dim reconciliation: existing ids are kept verbatim; a grown bag may
+    # DECLARE new connections (new topics mid-recording) — those append.
+    # An existing id whose identity changed means a different recording.
+    existing = {
+        r.connection_id: tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "Connections")
+        ).collect()
+    }
+    new_rows = []
+    for r in conns_df.collect():
+        if r.connection_id in existing:
+            if tuple(r) != existing[r.connection_id]:
+                raise ValueError(
+                    f"connection {r.connection_id} changed identity since "
+                    f"conversion: {existing[r.connection_id]} -> {tuple(r)}"
+                )
+        else:
+            new_rows.append(tuple(r))
+    # always a frame (possibly EMPTY) — passing None under append would
+    # re-write the full dim as duplicate rows
+    conns_write_df = spark.createDataFrame(new_rows, conns_df.schema)
+
+    width = seqno_bucket_width(bag_path)
+    cached = assign_seqno(
+        msgs, ["offset"], bucket=F.expr(f"offset div {width}")
+    ).cache()
+    seq = cached
+    tail = seq.agg(
+        F.count("*").alias("n"),
+        F.max("offset").alias("mo"),
+        F.max_by("time_ns", "offset").alias("lt"),
+    ).collect()[0]
+    if tail.n == 0:
+        cached.unpersist()
+        return ConvertInfo(bagname=bag_path, count=0, size=0.0)
+    prev_max = (
+        spark.read.parquet(os.path.join(out_dir, "Messages"))
+        .agg(F.max("seqno")).collect()[0][0]
+    )
+    if prev_max is not None:
+        seq = seq.withColumn(
+            "seqno", (F.col("seqno") + F.lit(int(prev_max) + 1)).cast("long")
+        )
+    count, size = _write_bag_tables(
+        seq,
+        conns_df,
+        out_dir,
+        arrays=arrays,
+        unsigned=unsigned,
+        max_records_per_file=max_records_per_file,
+        compression=compression,
+        serialization=serialization,
+        on_error=on_error,
+        mode="append",
+        conns_write_df=conns_write_df,
+    )
+    _write_ingest_state(
+        out_dir, bag_path, fmt,
+        last_offset=tail.mo, last_time_ns=tail.lt,
+        count=int(state["count"]) + count,
+        arrays=arrays, unsigned=unsigned, serialization=serialization,
+    )
+    cached.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
 
 

@@ -30,14 +30,27 @@ def load_bag(
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
     on_error: str = "fail",
+    start_offset: "int | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(messages, connections) for any bag generation, detected from magic
     bytes: rosbag 2.0 record/chunk format, ROS 2 rosbag2 (.db3 sqlite3
     storage — definitions read from the embedded ``message_definitions``
     table when present (Iron+), else from caller-supplied ``msgdefs``), or
     the SBAG test format. All yield the same
-    (offset, time_ns, conn_id, data) scan schema."""
+    (offset, time_ns, conn_id, data) scan schema.
+
+    ``start_offset`` (incremental-resume cursor) is supported where the
+    container's offsets are append-stable — .db3 (sqlite rowids) and SBAG
+    (byte offsets under pure append); rosbag/MCAP offsets are synthetic
+    chunk-index encodings whose shift can change as the file grows, so
+    the cursor is refused there."""
     fmt = _fmt(path)
+    if start_offset is not None and fmt in ("rosbag", "mcap"):
+        raise ValueError(
+            f"start_offset resume is not supported for {fmt}: its offsets "
+            "are synthetic chunk-index encodings, not append-stable; "
+            "convert new files via the fleet append instead"
+        )
     if fmt == "rosbag":
         from rosbag2parquet_spark.sources.rosbag import (
             read_rosbag,
@@ -74,11 +87,15 @@ def load_bag(
             read_rosbag2(
                 spark, path, num_partitions=num_partitions,
                 start_ns=start_ns, end_ns=end_ns,
+                start_offset=start_offset,
             ),
             rosbag2_connections_df(spark, path, msgdefs),
         )
     return (
-        read_bag(spark, path, num_partitions=num_partitions),
+        read_bag(
+            spark, path, num_partitions=num_partitions,
+            start_offset=start_offset,
+        ),
         connections_df(spark, path),
     )
 

@@ -774,11 +774,100 @@ FROM events WHERE event_id % 100 = 50
 """
 
 
+def q_convert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental GROWN-BAG ingest proven in the driver gate: a
+    deterministic 1%-slice of events (event_id % 100 == 75) is CDR-encoded
+    into a self-describing .db3, the FIRST HALF recorded and converted,
+    then the recorder 'keeps running' (the second half INSERTs into the
+    same sqlite file — true growth) and ``resume_convert_bag`` converts
+    only the delta via the ``_ingest_state.json`` cursor (WHERE id >=
+    cursor on the pk b-tree — O(new rows), the live-recording shape the
+    whole-file-only reference lacks, rosbag2parquet.cpp). The final typed
+    table — first half converted, second half resumed, seqno continuous —
+    must value-match DuckDB's direct select over ALL slice rows. Memoized
+    per (session, sf_dir)."""
+    import sqlite3
+    import struct
+
+    from rosbag2parquet_spark.convert import convert_bag, resume_convert_bag
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.rosbag2 import write_db3
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_resume")
+    out = os.path.join(root, tag)
+    if not os.path.isdir(out):
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 100 == 75)
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "value",
+                "event_type",
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+
+        def cdr(r) -> bytes:
+            raw = r.event_type.encode() + b"\x00"
+            return (
+                b"\x00\x01\x00\x00"
+                + struct.pack("<qdi", r.event_id, r.value, r.user_id)
+                + struct.pack("<I", len(raw))
+                + raw
+            )
+
+        deftext = (
+            "int64 event_id\nfloat64 value\nint32 user_id\n"
+            "string event_type\n"
+        )
+        conns = [ConnectionInfo(1, "/events", "demo/RsEvent", "", deftext)]
+        msgs = [(1, r.ts_us * 1_000, cdr(r)) for r in rows]
+        half = len(msgs) // 2
+        bag = os.path.join(work, "live.db3")
+        write_db3(bag, conns, msgs[:half])
+        lay = os.path.join(work, "lay")
+        convert_bag(spark, bag, lay)
+        con = sqlite3.connect(bag)  # the recorder keeps running
+        try:
+            con.executemany(
+                "INSERT INTO messages(topic_id, timestamp, data)"
+                " VALUES (?,?,?)",
+                msgs[half:],
+            )
+            con.commit()
+        finally:
+            con.close()
+        resume_convert_bag(spark, bag, lay)
+        try:
+            os.rename(lay, out)
+        except OSError:
+            pass  # another process won the race; output equivalent
+    return spark.read.parquet(os.path.join(out, "demo_RsEvent")).select(
+        "event_id", "value", "user_id", "event_type"
+    )
+
+
+ORACLE_CONVERT_RESUME = """
+SELECT event_id,
+       CAST(value AS DOUBLE) AS value,
+       CAST(user_id AS INTEGER) AS user_id,
+       event_type
+FROM events WHERE event_id % 100 = 75
+"""
+
+
 QUERIES = {
     "demux": q_demux,
     "sink": q_sink,
     "export-roundtrip": q_export_roundtrip,
     "protobuf-roundtrip": q_protobuf_roundtrip,
+    "convert-resume": q_convert_resume,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
@@ -790,6 +879,7 @@ ORACLES = {
     "sink": ORACLE_SINK,
     "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
     "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
+    "convert-resume": ORACLE_CONVERT_RESUME,
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,

@@ -178,10 +178,16 @@ class _BagReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         self.n_partitions = int(options.get("numPartitions", "8"))
+        # incremental-resume cursor: records below this byte offset are
+        # dropped at PLAN time (the index walk is seeks-only; no payload
+        # below the cursor is ever read by an executor)
+        self.start_offset = int(options.get("startOffset", "0"))
 
     def partitions(self):
         _, start = read_header(self.path)
         offsets = _index_offsets(self.path, start)
+        if self.start_offset:
+            offsets = [o for o in offsets if o >= self.start_offset]
         if not offsets:  # header-only bag: one empty partition, zero rows
             return [_BagPartition(self.path, [])]
         n = max(1, min(self.n_partitions, len(offsets)))
@@ -265,14 +271,21 @@ def register(spark: SparkSession) -> None:
     spark.dataSource.register(BagDataSource)
 
 
-def read_bag(spark: SparkSession, path: str, num_partitions: int = 8) -> DataFrame:
+def read_bag(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int = 8,
+    start_offset: "int | None" = None,
+) -> DataFrame:
     register(spark)
-    return (
+    reader = (
         spark.read.format("sbag")
         .option("path", path)
         .option("numPartitions", str(num_partitions))
-        .load()
     )
+    if start_offset is not None:
+        reader = reader.option("startOffset", str(int(start_offset)))
+    return reader.load()
 
 
 def connections_df(spark: SparkSession, path: str) -> DataFrame:

@@ -302,6 +302,7 @@ def read_rosbag2(
     start_ns: "int | None" = None,
     end_ns: "int | None" = None,
     conn_ids: "list[int] | None" = None,
+    start_offset: "int | None" = None,
 ) -> DataFrame:
     """(offset=rowid, time_ns, conn_id=topic_id, data) — the same scan
     schema every bag source emits, so seqno/demux/decode compose unchanged.
@@ -310,7 +311,10 @@ def read_rosbag2(
     ``start_ns``/``end_ns`` and ``conn_ids`` (topic selection) push INTO
     the sqlite WHERE clause on both the driver's min/max probe and each
     task's slice query — the container's own b-tree does the skipping
-    instead of Spark filtering rows it already paid to read."""
+    instead of Spark filtering rows it already paid to read.
+    ``start_offset`` is the incremental-resume cursor (rowid >= cursor):
+    sqlite rowids are append-stable, so a GROWING .db3 recording converts
+    its delta via the primary-key b-tree — O(new rows), not O(bag)."""
     import pandas as pd
 
     path = os.path.abspath(path)
@@ -318,6 +322,9 @@ def read_rosbag2(
         raise ValueError(f"not a rosbag2 sqlite3 file: {path}")
     t_where = ""
     t_args: tuple = ()
+    if start_offset is not None:
+        t_where += " AND id >= ?"
+        t_args += (int(start_offset),)
     if start_ns is not None:
         t_where += " AND timestamp >= ?"
         t_args += (int(start_ns),)

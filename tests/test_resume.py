@@ -1,0 +1,276 @@
+"""Incremental resume of a GROWN bag (the live-recording ingest shape):
+convert_bag writes an `_ingest_state.json` cursor; resume_convert_bag
+converts only offsets past it, appending with continuous seqno — and
+resuming after growth must equal converting the grown bag in one shot.
+Supported exactly where offsets are append-stable (.db3 rowids, SBAG byte
+offsets); re-recorded bags and shifted headers are refused before any
+write. The reference converts whole files only (rosbag2parquet.cpp) —
+this is the operational upgrade a recorder fleet needs."""
+
+import json
+import os
+import sqlite3
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.convert import (
+    INGEST_STATE,
+    convert_bag,
+    resume_convert_bag,
+)
+from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+from rosbag2parquet_spark.sources.rosbag2 import write_db3
+from tests.test_rosbag2 import IMU_DEF, encode_imu
+
+T0 = 1_700_000_000_000_000_000
+
+GPS_DEF = "uint32 fix\nfloat64 lat\n"
+
+
+def _gps(i: int) -> bytes:
+    # CDR LE: encapsulation header + uint32 + pad + float64
+    return (
+        b"\x00\x01\x00\x00"
+        + struct.pack("<I", i)
+        + b"\x00" * 4
+        + struct.pack("<d", 42.5 + i)
+    )
+
+
+def _imu_msgs(lo, hi, conn_id=1):
+    return [
+        (conn_id, T0 + i * 1_000_000, encode_imu(i, (0.1, 0.2, 9.8), "x"))
+        for i in range(lo, hi)
+    ]
+
+
+def _grow_db3(path, messages, new_topics=(), new_defs=()):
+    """TRUE growth — INSERT into the same sqlite file, exactly what the
+    ROS 2 recorder does between checkpoints."""
+    con = sqlite3.connect(path)
+    try:
+        for tid, name, dtype in new_topics:
+            con.execute(
+                "INSERT INTO topics(id, name, type, serialization_format,"
+                " offered_qos_profiles, type_description_hash)"
+                " VALUES (?,?,?,?,'','')",
+                (tid, name, dtype, "cdr"),
+            )
+        for dtype, text in new_defs:
+            con.execute(
+                "INSERT INTO message_definitions(topic_type, encoding,"
+                " encoded_message_definition, type_description_hash)"
+                " VALUES (?,?,?,'')",
+                (dtype, "ros2msg", text),
+            )
+        con.executemany(
+            "INSERT INTO messages(topic_id, timestamp, data) VALUES (?,?,?)",
+            messages,
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+def _grow_sbag(path, messages):
+    """Pure append — old record byte offsets untouched."""
+    with open(path, "ab") as f:
+        for conn_id, time_ns, payload in messages:
+            f.write(struct.pack("<I", 12 + len(payload)))
+            f.write(struct.pack("<IQ", conn_id, time_ns))
+            f.write(payload)
+
+
+def _typed_rows(spark, layout, table="sensor_msgs_ImuLite"):
+    return [
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(layout, table))
+        .orderBy("seqno")
+        .collect()
+    ]
+
+
+def test_resume_db3_equals_oneshot(spark, tmp_path):
+    """Grow a .db3 (new rows AND a new topic mid-recording), resume, and
+    the layout must equal converting the grown bag in one shot — typed
+    tables, Messages, Connections, and the advanced cursor all pinned;
+    a second resume with no growth is a 0-row no-op."""
+    bag = str(tmp_path / "live.db3")
+    conns = [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)]
+    write_db3(bag, conns, _imu_msgs(0, 20))
+    lay = str(tmp_path / "lay")
+    info = convert_bag(spark, bag, lay)
+    assert info.count == 20
+    state = json.load(open(os.path.join(lay, INGEST_STATE)))
+    assert state["format"] == "rosbag2" and state["count"] == 20
+
+    delta = _imu_msgs(20, 35) + [
+        (2, T0 + (20 + i) * 1_000_000 + 500, _gps(i)) for i in range(5)
+    ]
+    _grow_db3(
+        bag,
+        sorted(delta, key=lambda m: m[1]),
+        new_topics=[(2, "/gps", "demo/GpsLite")],
+        new_defs=[("demo/GpsLite", GPS_DEF)],
+    )
+    rinfo = resume_convert_bag(spark, bag, lay)
+    assert rinfo.count == 20
+
+    # one-shot conversion of the grown bag is the oracle
+    lay2 = str(tmp_path / "oneshot")
+    convert_bag(spark, bag, lay2)
+    assert _typed_rows(spark, lay) == _typed_rows(spark, lay2)
+    assert _typed_rows(spark, lay, "demo_GpsLite") == _typed_rows(
+        spark, lay2, "demo_GpsLite"
+    )
+    for t in ("Messages", "Connections"):
+        a = sorted(map(tuple, spark.read.parquet(f"{lay}/{t}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{lay2}/{t}").collect()))
+        assert a == b, t
+
+    state2 = json.load(open(os.path.join(lay, INGEST_STATE)))
+    assert state2["count"] == 40
+    assert state2["next_offset"] == state["next_offset"] + 20
+
+    # idempotent: nothing new -> no-op, state unchanged
+    assert resume_convert_bag(spark, bag, lay).count == 0
+    assert json.load(open(os.path.join(lay, INGEST_STATE))) == state2
+
+
+def test_resume_sbag_pure_append(spark, tmp_path):
+    bag = str(tmp_path / "live.sbag")
+    conns = [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)]
+    # SBAG carries ros1 payloads; reuse the CDR-free imu encoder? ros1
+    # decode of IMU_DEF expects plain little-endian — encode_imu emits a
+    # CDR header, so use a minimal ros1 def instead
+    simple_def = "uint32 a\nfloat64 b"
+    conns = [ConnectionInfo(1, "/t", "demo/Simple", "", simple_def)]
+
+    def pay(i):
+        return struct.pack("<Id", i, i * 1.5)
+
+    msgs1 = [(1, T0 + i * 1000, pay(i)) for i in range(12)]
+    write_bag(bag, conns, msgs1)
+    lay = str(tmp_path / "lay")
+    assert convert_bag(spark, bag, lay).count == 12
+
+    _grow_sbag(bag, [(1, T0 + i * 1000, pay(i)) for i in range(12, 30)])
+    assert resume_convert_bag(spark, bag, lay).count == 18
+
+    lay2 = str(tmp_path / "oneshot")
+    convert_bag(spark, bag, lay2)
+    assert _typed_rows(spark, lay, "demo_Simple") == _typed_rows(
+        spark, lay2, "demo_Simple"
+    )
+
+
+def test_resume_source_pushdown_reads_only_delta(spark, tmp_path):
+    """The cursor prunes at PLAN time: the .db3 scan with start_offset
+    returns exactly the delta rowids (the WHERE rides the pk b-tree), and
+    the SBAG planner drops pre-cursor offsets before any executor reads."""
+    from rosbag2parquet_spark.sources.baglike import read_bag
+    from rosbag2parquet_spark.sources.rosbag2 import read_rosbag2
+
+    db3 = str(tmp_path / "p.db3")
+    write_db3(
+        db3,
+        [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)],
+        _imu_msgs(0, 30),
+    )
+    got = read_rosbag2(spark, db3, start_offset=21).select("offset").collect()
+    assert sorted(r.offset for r in got) == list(range(21, 31))
+
+    sb = str(tmp_path / "p.sbag")
+    msgs = [(1, T0 + i, struct.pack("<Id", i, 0.0)) for i in range(10)]
+    write_bag(sb, [ConnectionInfo(1, "/t", "d/S", "", "uint32 a\nfloat64 b")], msgs)
+    all_offs = sorted(
+        r.offset for r in read_bag(spark, sb).select("offset").collect()
+    )
+    cut = all_offs[6]
+    got = sorted(
+        r.offset
+        for r in read_bag(spark, sb, start_offset=cut).select("offset").collect()
+    )
+    assert got == all_offs[6:]
+
+
+def test_resume_refusals(spark, tmp_path):
+    """A re-recorded bag (same path, different recording), a changed SBAG
+    header, a chunked grammar, and a filtered layout are all refused
+    before any write."""
+    # re-recorded .db3: same path, fresh recording with different stamps
+    bag = str(tmp_path / "r.db3")
+    conns = [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)]
+    write_db3(bag, conns, _imu_msgs(0, 10))
+    lay = str(tmp_path / "lay")
+    convert_bag(spark, bag, lay)
+    os.remove(bag)
+    write_db3(
+        bag,
+        conns,
+        [(1, T0 + 999 + i * 777, encode_imu(i, (0, 0, 0), "y"))
+         for i in range(25)],
+    )
+    with pytest.raises(ValueError, match="re-recorded"):
+        resume_convert_bag(spark, bag, lay)
+
+    # SBAG header change (a new connection declared) shifts every offset
+    sdef = "uint32 a\nfloat64 b"
+    sb = str(tmp_path / "h.sbag")
+    sconns = [ConnectionInfo(1, "/t", "d/S", "", sdef)]
+    msgs = [(1, T0 + i, struct.pack("<Id", i, 0.0)) for i in range(8)]
+    write_bag(sb, sconns, msgs)
+    slay = str(tmp_path / "slay")
+    convert_bag(spark, sb, slay)
+    write_bag(
+        sb,
+        sconns + [ConnectionInfo(2, "/u", "d/S", "", sdef)],
+        msgs + [(2, T0 + 100, struct.pack("<Id", 9, 0.0))],
+    )
+    with pytest.raises(ValueError, match="header changed"):
+        resume_convert_bag(spark, sb, slay)
+
+    # chunked grammars: refused with fleet-append guidance
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    mc = str(tmp_path / "c.mcap")
+    write_mcap(
+        mc,
+        [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)],
+        _imu_msgs(0, 6),
+    )
+    mlay = str(tmp_path / "mlay")
+    convert_bag(spark, mc, mlay)
+    with pytest.raises(ValueError, match="not supported for mcap"):
+        resume_convert_bag(spark, mc, mlay)
+
+    # filtered conversion carries NO cursor (its layout is a subset)
+    flay = str(tmp_path / "flay")
+    convert_bag(spark, bag, flay, start_ns=T0)
+    assert not os.path.exists(os.path.join(flay, INGEST_STATE))
+    with pytest.raises(ValueError, match="no _ingest_state"):
+        resume_convert_bag(spark, bag, flay)
+
+
+def test_cli_resume(spark, tmp_path, capsys):
+    """`convert --resume` routes the grown bag through the cursor path and
+    writes INTO the existing layout (no outdir side-step); mode flags are
+    refused (the layout's recorded modes win)."""
+    from rosbag2parquet_spark.__main__ import main
+
+    bag = str(tmp_path / "cli.db3")
+    conns = [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)]
+    write_db3(bag, conns, _imu_msgs(0, 8))
+    lay = str(tmp_path / "clilay")
+    assert main(["--input", bag, "--outdir", lay]) == 0
+    _grow_db3(bag, _imu_msgs(8, 14))
+    assert main(["--input", bag, "--outdir", lay, "--resume"]) == 0
+    n = spark.read.parquet(os.path.join(lay, "Messages")).count()
+    assert n == 14
+    assert (
+        main(["--input", bag, "--outdir", lay, "--resume", "--arrays",
+              "native"]) == 2
+    )
+    assert main(["--input", bag, "--outdir", lay, "--resume", "--append"]) == 2
