@@ -204,6 +204,75 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_ANALYZE_NUM_COLS = ("l_discount", "l_extendedprice", "l_quantity")
+_ANALYZE_STR_COLS = ("l_linestatus", "l_returnflag")
+
+
+def q_analyze_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE — per-column statistics collection, the CBO/data-
+    quality primitive every warehouse runs nightly (the reference's
+    rosbag_example.cpp:14-77 computes per-topic stats; this is the
+    per-COLUMN generalization a query optimizer feeds on): row count,
+    non-null count, exact NDV, and min/max for a numeric + string column
+    set of ``lineitem`` — in ONE distributed pass. All measures share one
+    aggregate (the distinct counts ride a single Expand, so the fact
+    table is scanned once; partial aggs combine map-side and the final is
+    a 1-row reduce — kilobytes to the driver regardless of table size),
+    then the wide row unpivots via ``stack`` into one row per column.
+    Exact NDV is the oracle-able choice here; the mergeable-sketch twin
+    for 100 TB incremental maintenance is `hll-sketch`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _ANALYZE_NUM_COLS + _ANALYZE_STR_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(c).alias(f"{c}__nd"))
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    wide = li.agg(*aggs)
+    parts = [
+        f"'{c}', __n, {c}__nn, {c}__nd, "
+        f"CAST({c}__min AS DOUBLE), CAST({c}__max AS DOUBLE), "
+        "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        for c in _ANALYZE_NUM_COLS
+    ] + [
+        f"'{c}', __n, {c}__nn, {c}__nd, "
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+        f"{c}__min, {c}__max"
+        for c in _ANALYZE_STR_COLS
+    ]
+    return wide.selectExpr(
+        f"stack({len(parts)}, " + ", ".join(parts) + ") AS "
+        "(col_name, n_rows, n_nonnull, n_distinct, "
+        "min_num, max_num, min_str, max_str)"
+    ).orderBy("col_name")
+
+
+ORACLE_ANALYZE_TABLE = " UNION ALL ".join(
+    [
+        f"SELECT '{c}' AS col_name,"
+        " CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count({c}) AS BIGINT) AS n_nonnull,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" CAST(min({c}) AS DOUBLE) AS min_num,"
+        f" CAST(max({c}) AS DOUBLE) AS max_num,"
+        " CAST(NULL AS VARCHAR) AS min_str,"
+        " CAST(NULL AS VARCHAR) AS max_str FROM lineitem"
+        for c in _ANALYZE_NUM_COLS
+    ]
+    + [
+        f"SELECT '{c}' AS col_name,"
+        " CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count({c}) AS BIGINT) AS n_nonnull,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        " CAST(NULL AS DOUBLE) AS min_num,"
+        " CAST(NULL AS DOUBLE) AS max_num,"
+        f" CAST(min({c}) AS VARCHAR) AS min_str,"
+        f" CAST(max({c}) AS VARCHAR) AS max_str FROM lineitem"
+        for c in _ANALYZE_STR_COLS
+    ]
+)
+
+
 def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation for one region/year — the
     full star-chain join (region→nation→customer→orders→lineitem→supplier)
@@ -840,6 +909,7 @@ QUERIES = {
     "sql-q22": q_sql_q22,
     "approx-stats": q_approx_stats,
     "hll-sketch": q_hll_sketch,
+    "analyze-table": q_analyze_table,
 }
 
 ORACLES = {
@@ -867,4 +937,5 @@ ORACLES = {
     # engine-specific sketch estimates never reach the hashed columns.
     "approx-stats": ORACLE_APPROX_STATS,
     "hll-sketch": ORACLE_HLL_SKETCH,
+    "analyze-table": ORACLE_ANALYZE_TABLE,
 }

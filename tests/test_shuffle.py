@@ -75,6 +75,9 @@ def test_no_unexpected_single_partition_exchange(spark):
         # reductions (sketch partials/count partials map-side), broadcast back
         "lm-surprise",  # vocab size V: one 1-row count over the unigram dim
         # (count partials map-side), broadcast back into the factor expr
+        "analyze-table",  # ANALYZE is BY DESIGN a global reduce: partial
+        # aggs combine map-side, one wide stats row crosses the exchange,
+        # then stack-unpivots to per-column rows (kilobytes at any scale)
     }
     # demux/sink write converted layouts first — covered by their own tests;
     # export-roundtrip runs the converter+exporter pipeline (own tests)
