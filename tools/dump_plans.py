@@ -201,6 +201,9 @@ def main() -> None:
         # stream-* twins' value is their parity, proven by the shared
         # oracles + tests/test_stateful.py)
         "semdedup", "lm-surprise", "ewma",
+        # latest round-7: per-column ANALYZE stats (the 1-row global
+        # reduce is the op's design — only partials cross the exchange)
+        "analyze-table",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
