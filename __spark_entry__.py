@@ -101,15 +101,15 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 23 new/changed (through
-# "resample-interpolate") + the first 27 of the 36 r4-latest rows
-# (through "intersect"). The 23 genuinely-new queries outprioritized
-# the last nine r4 rows — "sql-q3", "sql-q5", "sql-q6", "sql-q10",
-# "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram" slip past
-# the freshness target this once (r4-latest after r7; a first-ever row
-# for a new query beats re-proving a stable green one). For r8: those
-# NINE FIRST, then any new/changed, then the r5-proven block
-# ("stream-sink" onward); r6- then r7-proven rotate to the back.
+# ROUND-8 NOTE: the r7 window = 24 new/changed (through
+# "resample-interpolate") + the first 26 of the 36 r4-latest rows
+# (through "range-join"). The 24 genuinely-new queries outprioritized
+# the last ten r4 rows — "intersect", "sql-q3", "sql-q5", "sql-q6",
+# "sql-q10", "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram"
+# slip past the freshness target this once (r4-latest after r7; a
+# first-ever row for a new query beats re-proving a stable green one).
+# For r8: those TEN FIRST, then any new/changed, then the r5-proven
+# block ("stream-sink" onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
@@ -122,7 +122,9 @@ _QUERY_ORDER = [
     # resumed via the _ingest_state.json cursor, seqno continuous)
     # NEW round 7 (latest): ANALYZE — per-column stats (count/nulls/exact
     # NDV/min/max) in one Expand-shared pass, stack-unpivoted
-    "protobuf-roundtrip", "convert-resume", "analyze-table",
+    # NEW round 7 (latest): copy-on-write DELETE WHERE (only files
+    # containing matches rewritten, per-file atomic swap)
+    "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
     "stream-knn", "lm-surprise", "ewma", "stream-ewma",
     # NEW round 7: point-in-time join against the SCD2 interval table;

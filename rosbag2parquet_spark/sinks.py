@@ -562,6 +562,194 @@ def compact_partitioned(
     )
 
 
+#: hidden-file suffix for delete_where replacement files — dot-prefixed so
+#: a reader that lists the directory mid-rewrite never sees them (Spark
+#: skips names starting with '.' or '_')
+_DEL_NEW_PREFIX = "."
+_DEL_NEW_SUFFIX = ".delnew"
+
+
+def delete_where(spark: SparkSession, path: str, predicate) -> dict:
+    """Copy-on-write row DELETE over a plain parquet layout — the
+    GDPR/TTL primitive (Delta/Iceberg ``DELETE WHERE`` semantics without
+    a table format): ONLY files that CONTAIN matching rows are rewritten;
+    every other file is left byte-identical — at 100 TB a targeted delete
+    touches the handful of files the predicate lands in, not the table.
+
+    Three steps:
+    1. **Discover** affected files with one filtered scan projecting only
+       ``input_file_name()`` — the predicate pushes to the parquet reader,
+       so row-group statistics prune most files without reading data.
+    2. **Rewrite** the survivors of each affected file in ONE distributed
+       job: rows group by source file (``applyInPandas`` keyed on the file
+       path, one task per affected file) and each task writes its
+       replacement beside the original as a HIDDEN dot-file via pyarrow,
+       preserving the file's physical schema (hive partition columns live
+       in directory names, not the file — they are re-derived on read).
+    3. **Swap** driver-side: ``os.replace`` promotes each hidden
+       replacement over its original — atomic PER FILE on POSIX — and
+       originals whose rows ALL matched are removed outright.
+
+    Crash story (documented, same posture as the compaction swap): a
+    crash in step 2 leaves only hidden files readers never see (a
+    re-run sweeps stale ``.{name}.delnew`` leftovers first); a crash
+    mid-step-3 leaves the delete applied to a prefix of the affected
+    files — re-running the same delete completes it (matching rows are
+    rediscovered only in the not-yet-swapped files). No transient state
+    ever shows duplicate or partially-deleted FILES to a reader.
+
+    Works on flat and hive-partitioned layouts (``basePath`` keeps
+    partition columns readable for the predicate). Returns
+    ``{"files_matched", "files_rewritten", "files_removed",
+    "rows_deleted"}``."""
+    import glob as _glob
+    from urllib.parse import unquote, urlparse
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # sweep stale hidden replacements from a previous crashed run
+    for stale in _glob.glob(
+        os.path.join(path, "**", f"{_DEL_NEW_PREFIX}*{_DEL_NEW_SUFFIX}"),
+        recursive=True,
+    ):
+        os.remove(stale)
+
+    df = spark.read.option("basePath", path).parquet(path)
+    hit = (
+        df.select("*", F.col("_metadata.file_path").alias("__src"))
+        .filter(predicate)
+        .groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__matches"))
+        .collect()
+    )
+    files = {
+        # bracket access: Row.__getattr__ refuses __-prefixed names
+        unquote(urlparse(r["__src"]).path): int(r["__matches"]) for r in hit
+    }
+    if not files:
+        return {
+            "files_matched": 0, "files_rewritten": 0,
+            "files_removed": 0, "rows_deleted": 0,
+        }
+    rows_deleted = sum(files.values())
+
+    # one shuffle keyed on the source file: afterwards a file's surviving
+    # rows live in exactly ONE task (a parquet scan partition can SPLIT a
+    # large file across tasks — two tasks writing one replacement would
+    # each write a partial file), and each task accumulates its files
+    # across Arrow batches before writing
+    kept = (
+        spark.read.option("basePath", path)
+        .parquet(*sorted(files))
+        .select("*", F.col("_metadata.file_path").alias("__src"))
+        .filter(~predicate)
+        .repartition(len(files), "__src")
+    )
+
+    def write_replacements(batches):
+        from collections import defaultdict
+
+        buf: dict = defaultdict(list)
+        for pdf in batches:
+            for src_uri, g in pdf.groupby("__src", sort=False):
+                buf[src_uri].append(g)
+        out_src, out_kept = [], []
+        for src_uri, parts in buf.items():
+            src = unquote(urlparse(src_uri).path)
+            pdf = pd.concat(parts, ignore_index=True)
+            # the physical file schema (hive partition columns are NOT in
+            # the file — they re-derive from the directory name on read)
+            phys = pq.read_schema(src)
+            tmp = os.path.join(
+                os.path.dirname(src),
+                f"{_DEL_NEW_PREFIX}{os.path.basename(src)}{_DEL_NEW_SUFFIX}",
+            )
+            table = pa.Table.from_pandas(
+                pdf[phys.names], preserve_index=False
+            ).cast(phys)
+            pq.write_table(table, tmp, compression="snappy")
+            out_src.append(src)
+            out_kept.append(len(pdf))
+        if out_src:
+            yield pd.DataFrame({"src": out_src, "kept": out_kept})
+
+    wrote = {
+        r.src: r.kept
+        for r in kept.mapInPandas(
+            write_replacements, schema="src string, kept long"
+        ).collect()
+    }
+
+    rewritten = removed = 0
+    for src in sorted(files):
+        tmp = os.path.join(
+            os.path.dirname(src),
+            f"{_DEL_NEW_PREFIX}{os.path.basename(src)}{_DEL_NEW_SUFFIX}",
+        )
+        # Hadoop's LocalFileSystem keeps a `.{name}.crc` sidecar; after the
+        # swap it describes the OLD bytes and every re-read would fail with
+        # ChecksumException — drop it with the original
+        crc = os.path.join(
+            os.path.dirname(src), f".{os.path.basename(src)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        if src in wrote:
+            os.replace(tmp, src)  # atomic per file
+            rewritten += 1
+        else:
+            # every row of this file matched: no replacement was written
+            os.remove(src)
+            removed += 1
+    return {
+        "files_matched": len(files),
+        "files_rewritten": rewritten,
+        "files_removed": removed,
+        "rows_deleted": rows_deleted,
+    }
+
+
+def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE as a declared query: events land as a
+    16-file-per-partition hive layout (event_type dirs), a targeted
+    predicate delete (user_id % 7 == 3) rewrites ONLY the files holding
+    matches via `delete_where`, and the surviving layout is read back.
+    The oracle is the complement select; the only-touched-files property
+    (untouched files byte-identical, all-match files removed, hidden
+    replacements invisible mid-flight) is pinned in tests/test_delete.py."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="delete_rows_")
+    try:
+        lay = os.path.join(out, "lay")
+        ev.repartition(8).write.partitionBy("event_type").parquet(lay)
+        delete_where(spark, lay, F.col("user_id") % 7 == 3)
+        back = (
+            spark.read.parquet(lay)
+            .select("event_id", "t_us", "user_id", "event_type", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_DELETE_ROWS = """
+SELECT event_id, epoch_us(ts) AS t_us, user_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events WHERE NOT (user_id % 7 = 3)
+"""
+
+
 def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned-compaction round-trip as a declared query: events demuxed
     by event_type with a deliberately fragmented 16-task write, compacted
@@ -868,6 +1056,7 @@ QUERIES = {
     "export-roundtrip": q_export_roundtrip,
     "protobuf-roundtrip": q_protobuf_roundtrip,
     "convert-resume": q_convert_resume,
+    "delete-rows": q_delete_rows,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
@@ -880,6 +1069,7 @@ ORACLES = {
     "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
     "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
     "convert-resume": ORACLE_CONVERT_RESUME,
+    "delete-rows": ORACLE_DELETE_ROWS,
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,

@@ -1,0 +1,111 @@
+"""Copy-on-write DELETE WHERE (`sinks.delete_where`): only files that
+CONTAIN matches are rewritten — untouched files stay byte-identical,
+all-match files are removed outright, replacements are hidden dot-files
+until the per-file atomic swap, and stale crash leftovers sweep on the
+next run. The oracle-level value check is the `delete-rows` driver query."""
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sinks import delete_where
+
+
+def _files(root):
+    out = {}
+    for r, _d, fs in os.walk(root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def _mklayout(spark, path, partitioned=True):
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    w = df.repartitionByRange(4, "id").write
+    if partitioned:
+        w = w.partitionBy("grp")
+    w.parquet(path)
+
+
+def test_only_matching_files_rewritten(spark, tmp_path):
+    lay = str(tmp_path / "lay")
+    _mklayout(spark, lay)
+    before = _files(lay)
+    # ids 0..99 live in specific files; predicate hits a subset of files
+    res = delete_where(spark, lay, F.col("id") < 50)
+    after = _files(lay)
+
+    assert res["rows_deleted"] == 50
+    assert res["files_matched"] == res["files_rewritten"] + res["files_removed"]
+    # ids are RANGE-partitioned into 4 task ranges then split by grp dir:
+    # only the first range's files contain ids < 50 — everything else must
+    # be byte-identical (rewritten files keep their path, so compare md5)
+    changed = {p for p in set(before) & set(after) if before[p] != after[p]}
+    removed = set(before) - set(after)
+    assert len(changed) == res["files_rewritten"]
+    assert len(removed) == res["files_removed"]
+    assert 0 < res["files_matched"] < len(before)  # a strict file subset
+    untouched = set(before) - changed - removed
+    assert len(untouched) == len(before) - res["files_matched"]
+    # values: complement select
+    got = sorted(r.id for r in spark.read.parquet(lay).collect())
+    assert got == list(range(50, 400))
+    # no hidden leftovers
+    assert not [
+        f for r, _d, fs in os.walk(lay) for f in fs if f.endswith(".delnew")
+    ]
+    # re-run: nothing matches, pure no-op
+    res2 = delete_where(spark, lay, F.col("id") < 50)
+    assert res2 == {
+        "files_matched": 0, "files_rewritten": 0,
+        "files_removed": 0, "rows_deleted": 0,
+    }
+    assert _files(lay) == after
+
+
+def test_all_match_file_removed_and_partition_predicate(spark, tmp_path):
+    """A predicate on the hive PARTITION column matches every row of that
+    partition's files — they are removed, not rewritten (the TTL shape:
+    dropping an expired partition costs zero data writes)."""
+    lay = str(tmp_path / "lay")
+    _mklayout(spark, lay)
+    res = delete_where(spark, lay, F.col("grp") == "2")
+    assert res["rows_deleted"] == 100
+    assert res["files_removed"] == res["files_matched"] > 0
+    assert res["files_rewritten"] == 0
+    left = spark.read.parquet(lay)
+    assert left.filter(F.col("grp") == "2").count() == 0
+    assert left.count() == 300
+
+
+def test_stale_crash_leftovers_swept(spark, tmp_path):
+    lay = str(tmp_path / "lay")
+    _mklayout(spark, lay, partitioned=False)
+    stale = os.path.join(lay, ".part-junk.parquet.delnew")
+    open(stale, "wb").write(b"garbage from a crashed run")
+    res = delete_where(spark, lay, F.col("id") == 7)
+    assert not os.path.exists(stale)
+    assert res["rows_deleted"] == 1
+    assert spark.read.parquet(lay).count() == 399
+
+
+def test_flat_layout_and_schema_fidelity(spark, tmp_path):
+    """Non-partitioned layout: replacement files carry the original
+    physical schema (pyarrow cast), so the surviving table reads back
+    with identical dtypes."""
+    lay = str(tmp_path / "lay")
+    _mklayout(spark, lay, partitioned=False)
+    before_types = dict(spark.read.parquet(lay).dtypes)
+    delete_where(spark, lay, (F.col("id") % 10 == 0) & (F.col("v") < 500))
+    df = spark.read.parquet(lay)
+    assert dict(df.dtypes) == before_types
+    deleted = [i for i in range(400) if i % 10 == 0 and i * 2.5 < 500]
+    assert df.count() == 400 - len(deleted)
+    assert df.filter((F.col("id") % 10 == 0) & (F.col("v") < 500)).count() == 0
