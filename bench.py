@@ -68,6 +68,11 @@ EXTENDED = [
     "lm-surprise",
     "ewma",
     "stream-ewma",
+    # latest round-7 operators — measured cost from day one (analyze is
+    # the one-pass stats reduce; delete builds a fresh hive layout and
+    # rewrites only match-bearing files, so its time is build+delete)
+    "analyze-table",
+    "delete-rows",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
