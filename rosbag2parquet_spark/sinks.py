@@ -578,7 +578,7 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
 
     Three steps:
     1. **Discover** affected files with one filtered scan projecting only
-       ``input_file_name()`` — the predicate pushes to the parquet reader,
+       ``_metadata.file_path`` — the predicate pushes to the parquet reader,
        so row-group statistics prune most files without reading data.
     2. **Rewrite** the survivors of each affected file in ONE distributed
        job: rows group by source file (``applyInPandas`` keyed on the file
@@ -605,7 +605,6 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     import glob as _glob
     from urllib.parse import unquote, urlparse
 
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -639,7 +638,10 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     # rows live in exactly ONE task (a parquet scan partition can SPLIT a
     # large file across tasks — two tasks writing one replacement would
     # each write a partial file), and each task accumulates its files
-    # across Arrow batches before writing
+    # across Arrow batches before writing. The rewrite stays Arrow
+    # END-TO-END (mapInArrow, never pandas): a pandas hop would degrade
+    # nullable ints to float64 and timestamps to ns — the replacement
+    # must carry the file's EXACT physical types
     kept = (
         spark.read.option("basePath", path)
         .parquet(*sorted(files))
@@ -649,35 +651,54 @@ def delete_where(spark: SparkSession, path: str, predicate) -> dict:
     )
 
     def write_replacements(batches):
+        import pyarrow.compute as pc
+
         from collections import defaultdict
 
         buf: dict = defaultdict(list)
-        for pdf in batches:
-            for src_uri, g in pdf.groupby("__src", sort=False):
-                buf[src_uri].append(g)
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            for src_uri in pc.unique(t.column("__src")).to_pylist():
+                buf[src_uri].append(
+                    t.filter(pc.equal(t.column("__src"), src_uri))
+                )
         out_src, out_kept = [], []
         for src_uri, parts in buf.items():
             src = unquote(urlparse(src_uri).path)
-            pdf = pd.concat(parts, ignore_index=True)
+            rows = pa.concat_tables(parts)
             # the physical file schema (hive partition columns are NOT in
             # the file — they re-derive from the directory name on read)
             phys = pq.read_schema(src)
+            # Spark's default parquet timestamps are INT96 (pyarrow maps
+            # them to timestamp[ns]); writing them back as INT64
+            # TIMESTAMP(NANOS) would make Spark's vectorized reader
+            # refuse the replacement — mirror the source's INT96 choice
+            src_md = pq.read_metadata(src).schema
+            int96 = any(
+                src_md.column(i).physical_type == "INT96"
+                for i in range(len(src_md))
+            )
             tmp = os.path.join(
                 os.path.dirname(src),
                 f"{_DEL_NEW_PREFIX}{os.path.basename(src)}{_DEL_NEW_SUFFIX}",
             )
-            table = pa.Table.from_pandas(
-                pdf[phys.names], preserve_index=False
-            ).cast(phys)
-            pq.write_table(table, tmp, compression="snappy")
+            pq.write_table(
+                rows.select(phys.names).cast(phys), tmp,
+                compression="snappy",
+                use_deprecated_int96_timestamps=int96,
+            )
             out_src.append(src)
-            out_kept.append(len(pdf))
+            out_kept.append(len(rows))
         if out_src:
-            yield pd.DataFrame({"src": out_src, "kept": out_kept})
+            yield pa.record_batch(
+                [pa.array(out_src, pa.string()),
+                 pa.array(out_kept, pa.int64())],
+                names=["src", "kept"],
+            )
 
     wrote = {
         r.src: r.kept
-        for r in kept.mapInPandas(
+        for r in kept.mapInArrow(
             write_replacements, schema="src string, kept long"
         ).collect()
     }

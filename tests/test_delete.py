@@ -109,3 +109,33 @@ def test_flat_layout_and_schema_fidelity(spark, tmp_path):
     deleted = [i for i in range(400) if i % 10 == 0 and i * 2.5 < 500]
     assert df.count() == 400 - len(deleted)
     assert df.filter((F.col("id") % 10 == 0) & (F.col("v") < 500)).count() == 0
+
+
+def test_nullable_and_timestamp_fidelity(spark, tmp_path):
+    """The rewrite is Arrow END-TO-END: nullable bigint columns (a pandas
+    hop would degrade them to float64) and timestamp columns survive a
+    delete with exact types and values."""
+    from datetime import datetime, timezone
+
+    lay = str(tmp_path / "lay")
+    rows = [
+        (i,
+         None if i % 5 == 0 else i * 100,
+         datetime(2024, 1, 1, 0, 0, i % 60, tzinfo=timezone.utc))
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "id bigint, maybe bigint, ts timestamp"
+    ).repartitionByRange(3, "id").write.parquet(lay)
+    before_types = dict(spark.read.parquet(lay).dtypes)
+
+    res = delete_where(spark, lay, F.col("id") % 4 == 1)
+    assert res["rows_deleted"] == 15
+    df = spark.read.parquet(lay)
+    assert dict(df.dtypes) == before_types
+    got = {r.id: (r.maybe, r.ts) for r in df.collect()}
+    assert len(got) == 45
+    for i, (maybe, ts) in got.items():
+        assert i % 4 != 1
+        assert maybe == (None if i % 5 == 0 else i * 100)
+        assert ts.second == i % 60
