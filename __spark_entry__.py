@@ -101,15 +101,16 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 24 new/changed (through
-# "resample-interpolate") + the first 26 of the 36 r4-latest rows
-# (through "range-join"). The 24 genuinely-new queries outprioritized
-# the last ten r4 rows — "intersect", "sql-q3", "sql-q5", "sql-q6",
-# "sql-q10", "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram"
-# slip past the freshness target this once (r4-latest after r7; a
-# first-ever row for a new query beats re-proving a stable green one).
-# For r8: those TEN FIRST, then any new/changed, then the r5-proven
-# block ("stream-sink" onward); r6- then r7-proven rotate to the back.
+# ROUND-8 NOTE: the r7 window = 25 new/changed (through
+# "resample-interpolate") + the first 25 of the 36 r4-latest rows
+# (through "anti-join"). The 25 genuinely-new queries outprioritized
+# the last eleven r4 rows — "range-join", "intersect", "sql-q3",
+# "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs", "pivot",
+# "unpivot", "histogram" slip past the freshness target this once
+# (r4-latest after r7; a first-ever row for a new query beats re-proving
+# a stable green one). For r8: those ELEVEN FIRST, then any new/changed,
+# then the r5-proven block ("stream-sink" onward); r6- then r7-proven
+# rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
@@ -124,7 +125,10 @@ _QUERY_ORDER = [
     # NDV/min/max) in one Expand-shared pass, stack-unpivoted
     # NEW round 7 (latest): copy-on-write DELETE WHERE (only files
     # containing matches rewritten, per-file atomic swap)
+    # NEW round 7 (latest): continuous ANALYZE — the O(1)-state streaming
+    # stats monitor twin
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
+    "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
     "stream-knn", "lm-surprise", "ewma", "stream-ewma",
     # NEW round 7: point-in-time join against the SCD2 interval table;

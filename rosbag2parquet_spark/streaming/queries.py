@@ -692,8 +692,71 @@ def _asof_oracle() -> str:
     return ORACLE_ASOF
 
 
+def q_stream_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANALYZE — the streaming twin of `analyze-table` scoped
+    to its O(1)-state measures: per-column row/non-null counts and
+    min/max maintained as ONE streaming aggregate whose state is a single
+    row per column (CONSTANT regardless of stream length — the stats
+    monitor that can run forever beside the landing directory). Arriving
+    rows unpivot map-side via ``stack`` into (col_name, nval, sval)
+    triples, so the stateful agg itself is the plain mergeable min/max/
+    count form Catalyst incrementalizes exactly. Exact NDV is
+    deliberately batch-only (its exact form needs per-value state; the
+    mergeable sketch alternative is `hll-sketch`). Same oracle shape as
+    the batch ANALYZE: the final table must equal DuckDB's per-column
+    stats over the whole fixture."""
+    from pyspark.sql import functions as F
+
+    ev = stream_events(spark, sf_dir)
+    trip = ev.selectExpr(
+        "stack(4, "
+        "'event_id', CAST(event_id AS DOUBLE), CAST(NULL AS STRING), "
+        "'user_id', CAST(user_id AS DOUBLE), CAST(NULL AS STRING), "
+        "'value', CAST(value AS DOUBLE), CAST(NULL AS STRING), "
+        "'event_type', CAST(NULL AS DOUBLE), event_type"
+        ") AS (col_name, nval, sval)"
+    )
+    agg = trip.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count("nval") + F.count("sval")).alias("n_nonnull"),
+        F.min("nval").alias("min_num"),
+        F.max("nval").alias("max_num"),
+        F.min("sval").alias("min_str"),
+        F.max("sval").alias("max_str"),
+    )
+    tbl = _fresh("stream_analyze")
+    run_to_memory(agg, tbl, mode="complete")
+    return spark.table(tbl).orderBy("col_name")
+
+
+_STREAM_ANALYZE_NUM = ("event_id", "user_id", "value")
+
+ORACLE_STREAM_ANALYZE = " UNION ALL ".join(
+    [
+        f"SELECT '{c}' AS col_name,"
+        " CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count({c}) AS BIGINT) AS n_nonnull,"
+        f" CAST(min({c}) AS DOUBLE) AS min_num,"
+        f" CAST(max({c}) AS DOUBLE) AS max_num,"
+        " CAST(NULL AS VARCHAR) AS min_str,"
+        " CAST(NULL AS VARCHAR) AS max_str FROM events"
+        for c in _STREAM_ANALYZE_NUM
+    ]
+    + [
+        "SELECT 'event_type' AS col_name,"
+        " CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(count(event_type) AS BIGINT) AS n_nonnull,"
+        " CAST(NULL AS DOUBLE) AS min_num,"
+        " CAST(NULL AS DOUBLE) AS max_num,"
+        " min(event_type) AS min_str,"
+        " max(event_type) AS max_str FROM events"
+    ]
+)
+
+
 QUERIES = {
     "stream-asof": q_stream_asof,
+    "stream-analyze": q_stream_analyze,
     "stream-semdedup": q_stream_semdedup,
     "stream-knn": q_stream_knn,
     "stream-ewma": q_stream_ewma,
@@ -739,6 +802,7 @@ FROM cand
 
 ORACLES = {
     "stream-asof": _asof_oracle(),
+    "stream-analyze": ORACLE_STREAM_ANALYZE,
     "stream-semdedup": _semdedup_oracle(),
     "stream-knn": _knn_oracle(),
     "stream-ewma": _ewma_oracle(),
