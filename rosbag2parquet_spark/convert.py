@@ -588,10 +588,33 @@ def _write_ingest_state(
         # (new connections declared) shifts every record — the resume
         # refuses when this moves
         state["msg_region_start"] = read_header(bag_path)[1]
+    if fmt == "mcap":
+        # the MCAP cursor is the CHUNK index (synthetic message offsets
+        # can re-encode as the file grows, but a real appender never
+        # rewrites closed chunks): store the converted chunk-prefix
+        # length plus the last chunk's identity so a re-recorded file is
+        # detected before any write
+        state.update(_mcap_chunk_cursor(bag_path))
     tmp = os.path.join(out_dir, INGEST_STATE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(state, f)
     os.replace(tmp, os.path.join(out_dir, INGEST_STATE))
+
+
+def _mcap_chunk_cursor(bag_path: str) -> dict:
+    from rosbag2parquet_spark.sources.mcap import scan_mcap
+
+    scan = scan_mcap(bag_path)
+    cur = {"n_chunks": len(scan.chunks)}
+    if scan.chunks:
+        last = scan.chunks[-1]
+        cur["last_chunk"] = {
+            "records_off": last.records_off,
+            "records_size": last.records_size,
+            "start_time": last.start_time,
+            "end_time": last.end_time,
+        }
+    return cur
 
 
 def _probe_last_row(bag_path: str, fmt: str, offset: int) -> "int | None":
@@ -639,21 +662,26 @@ def resume_convert_bag(
 
     The cursor comes from the ``_ingest_state.json`` sidecar every
     complete unfiltered :func:`convert_bag` writes. Correctness rests on
-    append-stable offsets, so the resume is supported exactly where that
-    holds — ``.db3`` (sqlite rowids; the WHERE id >= cursor rides the
-    primary-key b-tree) and SBAG (byte offsets under pure append, pruned
-    at PLAN time) — and refused for rosbag/MCAP, whose synthetic
-    chunk-index offsets can re-encode as the file grows (their ingest
-    story is the fleet append over new FILES, convert_bags(mode='append')).
-    Before touching anything the identity of the converted prefix is
-    proven by re-reading the last converted record and comparing its
-    timestamp — a re-recorded (restarted) bag at the same path is refused
-    instead of silently append-corrupting the layout. New messages append
-    with seqno continuing after the existing max; new connections (new
-    topics mid-recording — normal for .db3) extend the dim keeping
-    existing ids; every touched table passes the schema-fingerprint guard.
-    Resuming after growth equals converting the grown bag in one shot —
-    test-pinned.
+    an append-stable cursor, supported per grammar: ``.db3`` (sqlite
+    rowids; the WHERE id >= cursor rides the primary-key b-tree), SBAG
+    (byte offsets under pure append, pruned at PLAN time), and MCAP
+    (the cursor is the CHUNK index — a real appender extends the chunk
+    list and rewrites only the summary, so already-converted chunks drop
+    at PLAN time; delta offsets stay monotone after the prefix even if
+    the offset shift re-encodes, because seqno is assigned within the
+    delta only). rosbag 2.0 is refused (an appended .bag needs a reindex
+    that may reframe chunks; its ingest story is the fleet append over
+    new FILES, convert_bags(mode='append')). Before touching anything
+    the identity of the converted prefix is proven — .db3/SBAG re-read
+    the last converted record and compare its timestamp, MCAP compares
+    the last converted chunk's (offset, size, time-bounds) identity — so
+    a re-recorded (restarted) bag at the same path is refused instead of
+    silently append-corrupting the layout. New messages append with
+    seqno continuing after the existing max; new connections (new topics
+    mid-recording — normal for .db3/MCAP) extend the dim keeping
+    existing ids; new MCAP attachments diff-append; every touched table
+    passes the schema-fingerprint guard. Resuming after growth equals
+    converting the grown bag in one shot — test-pinned.
 
     The reference has no incremental story (rosbag2parquet.cpp converts
     whole files); this is the operational upgrade a 100 TB fleet needs."""
@@ -675,11 +703,11 @@ def resume_convert_bag(
             f"{bag_path} ({fmt}) does not match the layout's recorded bag "
             f"{state['bag']} ({state['format']})"
         )
-    if fmt in ("rosbag", "mcap"):
+    if fmt == "rosbag":
         raise ValueError(
-            f"resume is not supported for {fmt}: offsets are synthetic "
-            "chunk-index encodings, not append-stable; ingest new FILES "
-            "via convert_bags(mode='append') instead"
+            "resume is not supported for rosbag: an appended .bag needs a "
+            "reindex that may reframe chunks; ingest new FILES via "
+            "convert_bags(mode='append') instead"
         )
     if fmt == "sbag" and state.get("msg_region_start") is not None:
         from rosbag2parquet_spark.sources.baglike import read_header
@@ -691,23 +719,66 @@ def resume_convert_bag(
                 f"({state['msg_region_start']} -> {now_start} bytes) — "
                 "byte offsets shifted; re-convert from scratch"
             )
-    if state["last_offset"] is not None:
-        got = _probe_last_row(bag_path, fmt, state["last_offset"])
-        if got != state["last_time_ns"]:
-            raise ValueError(
-                f"{bag_path}: record at offset {state['last_offset']} has "
-                f"time_ns {got}, layout recorded {state['last_time_ns']} — "
-                "the bag was re-recorded, not grown; re-convert from scratch"
-            )
 
     arrays = state["arrays"]
     unsigned = state["unsigned"]
     serialization = state["serialization"]
-    cursor = int(state["next_offset"])
-    msgs, conns_df = load_bag(
-        spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs,
-        on_error=on_error, start_offset=cursor,
-    )
+    att_df = None
+    if fmt == "mcap":
+        from rosbag2parquet_spark.sources.mcap import (
+            mcap_connections_df,
+            mcap_serialization,
+            read_mcap,
+            scan_mcap,
+        )
+
+        scan = scan_mcap(bag_path)
+        n_prev = int(state["n_chunks"])
+        if len(scan.chunks) < n_prev:
+            raise ValueError(
+                f"{bag_path}: {len(scan.chunks)} chunks, layout converted "
+                f"{n_prev} — the bag shrank (re-recorded); re-convert"
+            )
+        if n_prev:
+            last = scan.chunks[n_prev - 1]
+            want = state["last_chunk"]
+            got = {
+                "records_off": last.records_off,
+                "records_size": last.records_size,
+                "start_time": last.start_time,
+                "end_time": last.end_time,
+            }
+            if got != want:
+                raise ValueError(
+                    f"{bag_path}: chunk {n_prev - 1} identity changed "
+                    f"({want} -> {got}) — the bag was re-recorded, not "
+                    "grown; re-convert from scratch"
+                )
+        if mcap_serialization(bag_path) != serialization:
+            raise ValueError(
+                f"{bag_path}: serialization changed since conversion"
+            )
+        msgs = read_mcap(
+            spark, bag_path, num_partitions=num_partitions,
+            on_error=on_error, start_chunk=n_prev,
+        )
+        conns_df = mcap_connections_df(spark, bag_path)
+        att_df = _new_attachments_df(spark, bag_path, out_dir)
+    else:
+        if state["last_offset"] is not None:
+            got = _probe_last_row(bag_path, fmt, state["last_offset"])
+            if got != state["last_time_ns"]:
+                raise ValueError(
+                    f"{bag_path}: record at offset {state['last_offset']} "
+                    f"has time_ns {got}, layout recorded "
+                    f"{state['last_time_ns']} — the bag was re-recorded, "
+                    "not grown; re-convert from scratch"
+                )
+        cursor = int(state["next_offset"])
+        msgs, conns_df = load_bag(
+            spark, bag_path, num_partitions=num_partitions, msgdefs=msgdefs,
+            on_error=on_error, start_offset=cursor,
+        )
 
     # dim reconciliation: existing ids are kept verbatim; a grown bag may
     # DECLARE new connections (new topics mid-recording) — those append.
@@ -742,7 +813,7 @@ def resume_convert_bag(
         F.max("offset").alias("mo"),
         F.max_by("time_ns", "offset").alias("lt"),
     ).collect()[0]
-    if tail.n == 0:
+    if tail.n == 0 and att_df is None:
         cached.unpersist()
         return ConvertInfo(bagname=bag_path, count=0, size=0.0)
     prev_max = (
@@ -765,6 +836,7 @@ def resume_convert_bag(
         on_error=on_error,
         mode="append",
         conns_write_df=conns_write_df,
+        attachments_df=att_df,
     )
     _write_ingest_state(
         out_dir, bag_path, fmt,
@@ -774,6 +846,35 @@ def resume_convert_bag(
     )
     cached.unpersist()
     return ConvertInfo(bagname=bag_path, count=count, size=float(size))
+
+
+def _new_attachments_df(
+    spark: SparkSession, bag_path: str, out_dir: str
+) -> "DataFrame | None":
+    """Attachments of the grown MCAP NOT yet in the layout's Attachments
+    table (identity = the full record tuple) — a resume appends exactly
+    the side-car files the recorder added since the last pass."""
+    from rosbag2parquet_spark.sources.mcap import mcap_attachments
+
+    bag = os.path.basename(bag_path)
+    rows = [
+        (0, bag, n, m, lt, ct, bytes(d))
+        for lt, ct, n, m, d in mcap_attachments(bag_path)
+    ]
+    if not rows:
+        return None
+    att_path = os.path.join(out_dir, "Attachments")
+    seen = set()
+    if os.path.isdir(att_path):
+        seen = {
+            (r.bag, r.name, r.media_type, r.log_time, r.create_time,
+             bytes(r.data))
+            for r in spark.read.parquet(att_path).collect()
+        }
+    fresh = [r for r in rows if (r[1], *r[2:6], r[6]) not in seen]
+    if not fresh:
+        return None
+    return spark.createDataFrame(fresh, _ATTACHMENTS_SCHEMA)
 
 
 #: MCAP side-car attachments with bag provenance — ONE shape for single-bag

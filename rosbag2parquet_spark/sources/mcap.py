@@ -918,6 +918,7 @@ def read_mcap(
     end_ns: "int | None" = None,
     conn_ids: "list[int] | None" = None,
     on_error: str = "fail",
+    start_chunk: "int | None" = None,
 ) -> DataFrame:
     """(offset, time_ns, conn_id=channel_id, data) — the shared scan schema.
     Chunked files partition by chunk (each task decompresses its own);
@@ -944,6 +945,10 @@ def read_mcap(
         rows = [
             (i, c.records_off, c.records_size, c.compression, c.size)
             for i, c in chunks_in_range(scan.chunks, start_ns, end_ns, conn_ids)
+            # incremental-resume cursor: whole already-converted chunks
+            # drop at PLAN time (the chunk keeps its file-order index, so
+            # delta offsets stay monotone after the converted prefix)
+            if start_chunk is None or i >= start_chunk
         ]
         if not rows:
             return spark.createDataFrame([], MESSAGE_SCHEMA)

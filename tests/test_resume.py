@@ -232,18 +232,35 @@ def test_resume_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="header changed"):
         resume_convert_bag(spark, sb, slay)
 
-    # chunked grammars: refused with fleet-append guidance
+    # rosbag 2.0: refused with fleet-append guidance (append needs reindex)
+    from rosbag2parquet_spark.sources.rosbag import write_rosbag
+
+    rb = str(tmp_path / "c.bag")
+    write_rosbag(
+        rb,
+        [ConnectionInfo(1, "/t", "demo/Simple", "", "uint32 a\nfloat64 b")],
+        [(1, T0 + i, struct.pack("<Id", i, 0.0)) for i in range(6)],
+    )
+    rlay = str(tmp_path / "rlay")
+    convert_bag(spark, rb, rlay)
+    with pytest.raises(ValueError, match="not supported for rosbag"):
+        resume_convert_bag(spark, rb, rlay)
+
+    # MCAP re-record: the converted chunk-prefix identity changed
     from rosbag2parquet_spark.sources.mcap import write_mcap
 
     mc = str(tmp_path / "c.mcap")
-    write_mcap(
-        mc,
-        [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)],
-        _imu_msgs(0, 6),
-    )
+    mconns = [ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF)]
+    write_mcap(mc, mconns, _imu_msgs(0, 9), chunk_messages=3)
     mlay = str(tmp_path / "mlay")
     convert_bag(spark, mc, mlay)
-    with pytest.raises(ValueError, match="not supported for mcap"):
+    write_mcap(
+        mc, mconns,
+        [(1, T0 + 5_555 + i * 777, encode_imu(i, (1, 1, 1), "zz"))
+         for i in range(12)],
+        chunk_messages=3,
+    )
+    with pytest.raises(ValueError, match="re-recorded|identity changed"):
         resume_convert_bag(spark, mc, mlay)
 
     # filtered conversion carries NO cursor (its layout is a subset)
@@ -274,3 +291,51 @@ def test_cli_resume(spark, tmp_path, capsys):
               "native"]) == 2
     )
     assert main(["--input", bag, "--outdir", lay, "--resume", "--append"]) == 2
+
+
+def test_resume_mcap_grown_chunks(spark, tmp_path):
+    """MCAP resume: the recorder appends whole chunks (and an attachment)
+    after the converted prefix — resume converts only the new chunks
+    (chunk-index cursor) and the result equals one-shot conversion of the
+    grown file, attachments diff-appended; a second resume is a no-op."""
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    bag = str(tmp_path / "live.mcap")
+    conns = [
+        ConnectionInfo(1, "/imu", "sensor_msgs/ImuLite", "", IMU_DEF),
+        # topic declared at recording start, first message arrives later —
+        # the zero-message connection rides the dim (r7 export test shape)
+        ConnectionInfo(2, "/gps", "demo/GpsLite", "", GPS_DEF),
+    ]
+    msgs1 = _imu_msgs(0, 18)  # 2 full chunks at chunk_messages=9
+    write_mcap(bag, conns, msgs1, chunk_messages=9)
+    lay = str(tmp_path / "lay")
+    assert convert_bag(spark, bag, lay).count == 18
+    state = json.load(open(os.path.join(lay, INGEST_STATE)))
+    assert state["format"] == "mcap" and state["n_chunks"] == 2
+
+    delta = _imu_msgs(18, 25) + [
+        (2, T0 + (25 + i) * 1_000_000, _gps(i)) for i in range(5)
+    ]
+    att = [(T0, T0, "cal.yaml", "text/yaml", b"k: v")]
+    write_mcap(bag, conns, msgs1 + sorted(delta, key=lambda m: m[1]),
+               chunk_messages=9, attachments=att)
+    rinfo = resume_convert_bag(spark, bag, lay)
+    assert rinfo.count == 12
+
+    lay2 = str(tmp_path / "oneshot")
+    convert_bag(spark, bag, lay2)
+    assert _typed_rows(spark, lay) == _typed_rows(spark, lay2)
+    assert _typed_rows(spark, lay, "demo_GpsLite") == _typed_rows(
+        spark, lay2, "demo_GpsLite"
+    )
+    for t in ("Messages", "Connections", "Attachments"):
+        a = sorted(map(tuple, spark.read.parquet(f"{lay}/{t}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{lay2}/{t}").collect()))
+        assert a == b, t
+
+    state2 = json.load(open(os.path.join(lay, INGEST_STATE)))
+    assert state2["n_chunks"] == 4 and state2["count"] == 30
+    # idempotent — including attachments (already diff-appended)
+    assert resume_convert_bag(spark, bag, lay).count == 0
+    assert spark.read.parquet(f"{lay}/Attachments").count() == 1
