@@ -127,6 +127,10 @@ _QUERY_ORDER = [
     # containing matches rewritten, per-file atomic swap)
     # NEW round 7 (latest): continuous ANALYZE — the O(1)-state streaming
     # stats monitor twin
+    # NEW round 7 (session 2): snapshot CDC extraction — the inverse of
+    # merge-upsert (insert/delete/update set from two keyed snapshots,
+    # one co-partitioned full-outer join)
+    "table-diff",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

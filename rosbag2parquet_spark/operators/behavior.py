@@ -494,10 +494,106 @@ SELECT user_id, value, last_t, src FROM ({ORACLE_MERGE_UPSERT})
 """
 
 
+# ------------------------------------------------------------- table-diff
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, payload: list
+) -> DataFrame:
+    """Row-level diff of two keyed snapshots — the inverse of
+    ``q_merge_upsert``: derive the CDC change set (insert/delete/update)
+    that transforms ``old`` into ``new``. This is Delta's Change Data Feed
+    computed from plain snapshots (no table format), the primitive behind
+    incremental downstream refresh and audit diffing.
+
+    Plan: ONE full-outer join co-partitioned on the key (each side
+    shuffles once; over bucketed layouts — see ``q_bucket_join`` — even
+    that Exchange disappears). Unchanged rows are dropped by a null-safe
+    payload comparison (``eqNullSafe`` — a NULL payload on both sides is
+    'unchanged', not 'update'), so only the change set flows out: at
+    100 TB the output is proportional to the churn, not the table."""
+    # presence is tracked via a sentinel column, not payload nullness
+    o = old.select(
+        F.col(key),
+        F.lit(1).alias("__in_o"),
+        *[F.col(c).alias(f"__o_{c}") for c in payload],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(1).alias("__in_n"),
+        *[F.col(c).alias(f"__n_{c}") for c in payload],
+    )
+    j = o.join(n, key, "full_outer")
+    same = None
+    for c in payload:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("__in_o").isNull(), "insert")
+        .when(F.col("__in_n").isNull(), "delete")
+        .when(~same, "update")
+    )
+    out = j.withColumn("change", change).filter(F.col("change").isNotNull())
+    cols = [F.col(key), F.col("change")]
+    for c in payload:
+        cols.append(F.col(f"__o_{c}").alias(f"old_{c}"))
+        cols.append(F.col(f"__n_{c}").alias(f"new_{c}"))
+    return out.select(*cols)
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC extraction: two deterministic versions of a keyed table
+    are derived from events (v1 drops every 97th key — rows 'inserted
+    later'; v2 drops every 89th — rows 'deleted since' — and doubles
+    ``value`` on every 11th — 'updated since'), and ``snapshot_diff``
+    recovers exactly the insert/delete/update set. The reference has no
+    table-maintenance story at all (one-shot bag → parquet,
+    rosbag2parquet.cpp:1); at 100 TB this is how a downstream consumer
+    refreshes incrementally from periodic full snapshots."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    v1 = ev.filter(F.col("event_id") % 97 != 0)
+    v2 = ev.filter(F.col("event_id") % 89 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 11 == 0, F.col("value") * 2.0
+        ).otherwise(F.col("value")),
+    )
+    return snapshot_diff(v1, v2, "event_id", ["user_id", "value"])
+
+
+ORACLE_TABLE_DIFF = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value FROM events
+),
+v1 AS (SELECT * FROM ev WHERE event_id % 97 <> 0),
+v2 AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 11 = 0 THEN value * 2.0 ELSE value END AS value
+  FROM ev WHERE event_id % 89 <> 0
+)
+SELECT coalesce(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'insert'
+            WHEN n.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       o.user_id AS old_user_id, n.user_id AS new_user_id,
+       o.value AS old_value, n.value AS new_value
+FROM v1 o FULL OUTER JOIN v2 n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL
+   OR o.user_id IS DISTINCT FROM n.user_id
+   OR o.value IS DISTINCT FROM n.value
+"""
+
+
 QUERIES = {
     "scd2-intervals": q_scd2_intervals,
     "scd2-asof": q_scd2_asof,
     "merge-upsert": q_merge_upsert,
+    "table-diff": q_table_diff,
     "compact-latest": q_compact_latest,
     "funnel": q_funnel,
     "cohort-retention": q_cohort_retention,
@@ -508,6 +604,7 @@ ORACLES = {
     "scd2-intervals": ORACLE_SCD2,
     "scd2-asof": ORACLE_SCD2_ASOF,
     "merge-upsert": ORACLE_MERGE_UPSERT,
+    "table-diff": ORACLE_TABLE_DIFF,
     "compact-latest": ORACLE_COMPACT_LATEST,
     "funnel": ORACLE_FUNNEL,
     "cohort-retention": ORACLE_COHORT_RETENTION,

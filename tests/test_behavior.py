@@ -135,3 +135,28 @@ def test_weighted_sample_plans_top_k(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_snapshot_diff_null_safe_and_change_classes(spark):
+    """snapshot_diff semantics the events-derived oracle can't exercise:
+    NULL payloads on both sides are 'unchanged' (dropped), NULL-vs-value
+    is an 'update' (eqNullSafe, not =), and presence is keyed off the
+    sentinel column so an all-NULL payload row still diffs correctly."""
+    from rosbag2parquet_spark.operators.behavior import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0), (4, 7.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, None), (3, None), (4, 8.0), (5, 1.0)], "k long, v double"
+    )
+    got = {
+        r.k: (r.change, r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    assert got == {
+        1: ("delete", 10.0, None),
+        3: ("update", 5.0, None),
+        4: ("update", 7.0, 8.0),
+        5: ("insert", None, 1.0),
+    }  # k=2 (NULL == NULL) is unchanged and absent
