@@ -129,8 +129,10 @@ _QUERY_ORDER = [
     # stats monitor twin
     # NEW round 7 (session 2): snapshot CDC extraction — the inverse of
     # merge-upsert (insert/delete/update set from two keyed snapshots,
-    # one co-partitioned full-outer join)
-    "table-diff",
+    # one co-partitioned full-outer join); span-level duplicate mass
+    # (positional 5-word windows occurring >=2x corpus-wide — the
+    # suffix-style dedup granularity the document-level tiers can't see)
+    "table-diff", "substring-dedup",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

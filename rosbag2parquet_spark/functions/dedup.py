@@ -659,8 +659,98 @@ FROM tot, hit
 """
 
 
+# ------------------------------------------------- substring-dedup (X2+)
+
+#: positional word-5-shingles — the span granularity of suffix-style
+#: training-data dedup (Lee et al., "Deduplicating Training Data Makes
+#: Language Models Better"): a span is duplicated if the SAME 5-word
+#: window occurs anywhere else in the corpus (cross- OR within-doc).
+#: Same greatest(...,1) guard as the contamination shingles: a <5-token
+#: doc yields one (short) shingle on both engines.
+_SPAN_K = 5
+_SPANS_SPARK = (
+    f"transform(sequence(1, greatest(size(split(text, ' ')) - {_SPAN_K - 1},"
+    " 1)), i ->"
+    f" concat_ws(' ', slice(split(text, ' '), i, {_SPAN_K})))"
+)
+_SPANS_DUCK = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) -"
+    f" {_SPAN_K - 1}, 1) + 1), i ->"
+    f" array_to_string((string_split(text, ' '))[i:i+{_SPAN_K - 1}], ' '))"
+)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate MASS per document — the granularity the
+    document-level tiers above can't see (two docs sharing one boilerplate
+    paragraph are not near-dups, but that paragraph is still duplicated
+    training data). For every positional 5-word window, the span is
+    duplicated iff it occurs >= 2 times corpus-wide; the per-doc report is
+    (total spans, duplicated spans) — the signal a span-removal pass
+    thresholds on.
+
+    Plan: spans explode narrow as (doc_id, xxhash64(span)) — the 8-byte
+    hash shuffles, never the text (the 100 TB posture; at fixture scale the
+    oracle's exact string grouping cross-checks that 64-bit collisions
+    don't occur). Corpus-wide occurrence counts come from a COUNT window
+    over the hash partition — ONE Exchange on the hash, no join-back
+    (a groupBy+join would shuffle the span stream twice; mostly-unique
+    keys mean partial aggregation buys nothing). Then one doc_id
+    re-aggregation; total spans is arithmetic on the token count, no
+    second text scan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    occ = spans.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    dup = (
+        occ.filter(F.col("occ") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_spans"))
+    )
+    totals = docs.select(
+        "doc_id",
+        F.expr(
+            f"greatest(size(split(text, ' ')) - {_SPAN_K - 1}, 1)"
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return totals.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias(
+            "dup_spans"
+        ),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SPANS_DUCK}) AS s FROM documents
+),
+occ AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY s) AS occ FROM sh
+),
+dup AS (
+  SELECT doc_id, count(*) AS dup_spans FROM occ WHERE occ >= 2
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(len(string_split(d.text, ' ')) - {_SPAN_K - 1}, 1)
+            AS BIGINT) AS n_spans,
+       CAST(coalesce(dup.dup_spans, 0) AS BIGINT) AS dup_spans
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+"""
+
+
 QUERIES = {
     "dedup-exact": q_dedup_exact,
+    "substring-dedup": q_substring_dedup,
     "dedup-minhash-lsh": q_minhash_lsh,
     "dedup-ngram-jaccard": q_ngram_jaccard,
     "dedup-simhash": q_simhash,
@@ -672,6 +762,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup-exact": ORACLE_DEDUP_EXACT,
+    "substring-dedup": ORACLE_SUBSTRING_DEDUP,
     "dedup-minhash-lsh": ORACLE_MINHASH_LSH,
     "dedup-ngram-jaccard": ORACLE_NGRAM_JACCARD,
     "dedup-simhash": _oracle_simhash(),
