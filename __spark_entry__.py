@@ -132,7 +132,8 @@ _QUERY_ORDER = [
     # one co-partitioned full-outer join); span-level duplicate mass
     # (positional 5-word windows occurring >=2x corpus-wide — the
     # suffix-style dedup granularity the document-level tiers can't see)
-    "table-diff", "substring-dedup",
+    # the per-key group-size log2 histogram (the salting decision input)
+    "table-diff", "substring-dedup", "skew-profile",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

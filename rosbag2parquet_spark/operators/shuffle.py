@@ -155,15 +155,75 @@ GROUP BY o_orderpriority
 """
 
 
+def q_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """The diagnostic BEHIND salting: the per-key group-size distribution
+    of a shuffle key, reported as a log2 histogram (bucket b holds keys
+    with 2^b <= rows < 2^(b+1)) plus each bucket's row mass and its
+    heaviest key. One glance answers 'does this key need salting, and how
+    many shards' — the decision q_salted_agg/q_salted_join hard-code.
+
+    Plan: two-level aggregation — groupBy(key).count partial-combines
+    map-side (the only full-data shuffle), then the histogram re-aggregates
+    ~|keys| tiny rows. floor(log2(n)) is length(bin(n))-1 — integer-exact
+    in both engines, no libm (the float log2 could round differently).
+    max_by picks the bucket's heaviest key with a deterministic key
+    tie-break so reruns and the oracle agree."""
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucketed = per_key.withColumn(
+        "log2_bucket", (F.length(F.bin("n")) - 1).cast("int")
+    )
+    return bucketed.groupBy("log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.max_by(
+            "user_id", F.struct(F.col("n"), (-F.col("user_id")).alias("tb"))
+        ).alias("heaviest_key"),
+    )
+
+
+ORACLE_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+bucketed AS (
+  SELECT user_id, n, CAST(len(bin(n)) - 1 AS INTEGER) AS log2_bucket
+  FROM per_key
+),
+mx AS (
+  SELECT log2_bucket, max(n) AS mx_n FROM bucketed GROUP BY log2_bucket
+)
+SELECT b.log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(b.n) AS BIGINT) AS n_rows,
+       CAST(any_value(m.mx_n) AS BIGINT) AS max_rows,
+       min(CASE WHEN b.n = m.mx_n THEN b.user_id END) AS heaviest_key
+FROM bucketed b JOIN mx m USING (log2_bucket)
+GROUP BY b.log2_bucket
+"""
+# DuckDB's max_by can't take a struct ordering key, so the oracle states
+# the same winner as max-filter-min: the smallest user_id among the
+# bucket's max-count keys — exactly Spark's max_by(user_id,
+# struct(n, -user_id)).
+
+
 QUERIES = {
     "salted-agg": q_salted_agg,
     "salted-join": q_salted_join,
     "bloom-join": q_bloom_join,
+    "skew-profile": q_skew_profile,
 }
 ORACLES = {
     "salted-agg": ORACLE_SALTED_AGG,
     "salted-join": ORACLE_SALTED_JOIN,
     "bloom-join": ORACLE_BLOOM_JOIN,
+    "skew-profile": ORACLE_SKEW_PROFILE,
 }
 
 
