@@ -132,8 +132,9 @@ _QUERY_ORDER = [
     # one co-partitioned full-outer join); span-level duplicate mass
     # (positional 5-word windows occurring >=2x corpus-wide — the
     # suffix-style dedup granularity the document-level tiers can't see)
-    # the per-key group-size log2 histogram (the salting decision input)
-    "table-diff", "substring-dedup", "skew-profile",
+    # the per-key group-size log2 histogram (the salting decision input);
+    # class-balanced sampling with data-derived per-stratum rates
+    "table-diff", "substring-dedup", "skew-profile", "stratified-sample",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

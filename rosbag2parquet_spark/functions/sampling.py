@@ -152,6 +152,56 @@ GROUP BY lang
 """
 
 
+# -------------------------------------------------------- stratified-sample
+
+_BUCKET_STRAT = md5_bucket_sql("doc_id", salt="strat|")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified sampling with DATA-DERIVED rates — the
+    rebalancing pass mix-weighted can't do (its recipe is fixed): every
+    ``source`` stratum is downsampled to the size of the SMALLEST stratum,
+    so the output is class-balanced no matter how skewed the input. The
+    per-row keep decision is the integer threshold crossing
+    ``bucket * n_s < n_min * 2^20`` (keep rate n_min/n_s without a single
+    division — exact in both engines, no float rounding at the boundary).
+
+    Plan: one tiny per-stratum count (partial-combines map-side), one
+    1-row min reduce broadcast back (same scalar posture as lm-surprise's
+    V), then the data path is a broadcast join + map-side filter — the
+    corpus itself never shuffles. Changing the balance target re-filters
+    without re-shuffling anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    nmin = strata.agg(F.min("n_s").alias("n_min"))
+    dim = F.broadcast(strata.crossJoin(F.broadcast(nmin)))
+    keep = F.expr(f"{_BUCKET_STRAT} * n_s < n_min * {BUCKET_SPACE}")
+    return (
+        docs.join(dim, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.any_value(F.col("n_min")).cast("long").alias("n_quota"),
+        )
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH strata AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+nm AS (SELECT min(n_s) AS n_min FROM strata)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN ({_BUCKET_STRAT}) * s.n_s < nm.n_min * {BUCKET_SPACE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(any_value(nm.n_min) AS BIGINT) AS n_quota
+FROM documents d JOIN strata s USING (source) CROSS JOIN nm
+GROUP BY d.source
+"""
+
+
 # ------------------------------------------------------------ cap-per-group
 
 _CAP_PER_LANG = 50
@@ -528,6 +578,7 @@ QUERIES = {
     "weighted-sample": q_weighted_sample,
     "split-train-test": q_split_train_test,
     "mix-weighted": q_mix_weighted,
+    "stratified-sample": q_stratified_sample,
     "cap-per-group": q_cap_per_group,
     "pack-sequences": q_pack_sequences,
     "shuffle-global": q_shuffle_global,
@@ -541,6 +592,7 @@ ORACLES = {
     "weighted-sample": ORACLE_WEIGHTED_SAMPLE,
     "split-train-test": ORACLE_SPLIT_TRAIN_TEST,
     "mix-weighted": ORACLE_MIX_WEIGHTED,
+    "stratified-sample": ORACLE_STRATIFIED_SAMPLE,
     "cap-per-group": ORACLE_CAP_PER_GROUP,
     "pack-sequences": ORACLE_PACK_SEQUENCES,
     "shuffle-global": ORACLE_SHUFFLE_GLOBAL,

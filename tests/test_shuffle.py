@@ -75,6 +75,8 @@ def test_no_unexpected_single_partition_exchange(spark):
         # reductions (sketch partials/count partials map-side), broadcast back
         "lm-surprise",  # vocab size V: one 1-row count over the unigram dim
         # (count partials map-side), broadcast back into the factor expr
+        "stratified-sample",  # balance target n_min: one 1-row min over
+        # the tiny strata dim, broadcast back into the keep threshold
         "analyze-table",  # ANALYZE is BY DESIGN a global reduce: partial
         # aggs combine map-side, one wide stats row crosses the exchange,
         # then stack-unpivots to per-column rows (kilobytes at any scale)
