@@ -134,7 +134,10 @@ _QUERY_ORDER = [
     # suffix-style dedup granularity the document-level tiers can't see)
     # the per-key group-size log2 histogram (the salting decision input);
     # class-balanced sampling with data-derived per-stratum rates
+    # materialized-rollup refresh (delta partials merged into a stored
+    # base — history touched exactly once)
     "table-diff", "substring-dedup", "skew-profile", "stratified-sample",
+    "incr-rollup",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

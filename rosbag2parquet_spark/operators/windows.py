@@ -204,6 +204,109 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------ incremental rollup refresh
+
+#: refresh boundary: rows at or after this instant are "the new data since
+#: the last refresh" (2024-01-15 00:00:00 UTC, same epoch family as the
+#: merge-upsert cutoff)
+_REFRESH_CUTOFF_US = 1_705_276_800_000_000
+
+#: the mergeable measure columns a materialized rollup must carry so a
+#: refresh can combine partials without the raw history: additive (n,
+#: sum_dec), extremal (mn, mx). avg/total derive at READ time from the
+#: merged partials — never stored, so they merge trivially.
+_ROLLUP_MEASURES = ("n", "sum_dec", "mn", "mx")
+
+
+def rollup_partials(ev: DataFrame) -> DataFrame:
+    """Aggregate events to the stored grain (hour × event_type) keeping
+    only MERGEABLE partials. DECIMAL sum, not double: float addition isn't
+    associative, so a double-summed rollup would drift from the direct
+    aggregate under re-merging — decimal partials make refresh lossless."""
+    return ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_start_us"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_dec"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+
+
+def refresh_rollup(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a DELTA's partials into a materialized BASE rollup — the
+    continuous-aggregate refresh: cost is O(|delta| + touched groups),
+    never O(history). Union + re-aggregate is the mergeable-partial
+    combine; groups only the delta touches are the only ones whose rows
+    change."""
+    u = base.select("hour_start_us", "event_type", *_ROLLUP_MEASURES).unionByName(
+        delta.select("hour_start_us", "event_type", *_ROLLUP_MEASURES)
+    )
+    return u.groupBy("hour_start_us", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup REFRESH end-to-end: the pre-cutoff rollup is
+    written to parquet ONCE (memoized per session+sf, like bucket-join's
+    warehouse tables — it plays the stored continuous aggregate), then the
+    post-cutoff delta aggregates and merges into it WITHOUT rescanning any
+    pre-cutoff event. The oracle aggregates ALL raw events directly —
+    equality proves the refresh is lossless, including min/max and the
+    read-time avg derived from merged partials. At 100 TB this is the
+    nightly-refresh plan: history is touched exactly once, ever."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(), "rosbag2parquet_spark_incr_rollup"
+    )
+    base_path = os.path.join(root, tag)
+    if not os.path.isdir(base_path):
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        rollup_partials(
+            ev.filter(F.unix_micros("ts") < _REFRESH_CUTOFF_US)
+        ).write.parquet(os.path.join(work, "base"))
+        try:
+            os.rename(os.path.join(work, "base"), base_path)
+        except OSError:
+            pass  # another process won the race; output equivalent
+    base = spark.read.parquet(base_path)
+    delta = rollup_partials(
+        ev.filter(F.unix_micros("ts") >= _REFRESH_CUTOFF_US)
+    )
+    merged = refresh_rollup(base, delta)
+    return merged.select(
+        "hour_start_us",
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("sum_dec").cast("double").alias("total_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_value"),
+    )
+
+
+ORACLE_INCR_ROLLUP = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 #: trailing-window width in epoch microseconds (1 hour)
 _TRAIL_US = 3_600_000_000
 
@@ -262,6 +365,7 @@ QUERIES = {
     "window-sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "rollup-hypertable": q_rollup_hypertable,
+    "incr-rollup": q_incr_rollup,
     "rolling-window": q_rolling_window,
 }
 
@@ -270,5 +374,6 @@ ORACLES = {
     "window-sliding": ORACLE_WINDOW_SLIDING,
     "sessionize": ORACLE_SESSIONIZE,
     "rollup-hypertable": ORACLE_ROLLUP_HYPERTABLE,
+    "incr-rollup": ORACLE_INCR_ROLLUP,
     "rolling-window": ORACLE_ROLLING_WINDOW,
 }
