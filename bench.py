@@ -73,6 +73,12 @@ EXTENDED = [
     # rewrites only match-bearing files, so its time is build+delete)
     "analyze-table",
     "delete-rows",
+    # session-2 round-7 operators
+    "table-diff",
+    "substring-dedup",
+    "skew-profile",
+    "stratified-sample",
+    "incr-rollup",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -204,6 +204,13 @@ def main() -> None:
         # latest round-7: per-column ANALYZE stats (the 1-row global
         # reduce is the op's design — only partials cross the exchange)
         "analyze-table",
+        # session-2 round-7: snapshot CDC diff (one co-partitioned
+        # full-outer), span-level dup mass (hash-keyed COUNT window, no
+        # join-back), skew histogram (two-level agg), balanced sampling
+        # (broadcast dim + map-side filter; the 1-row min is by design),
+        # materialized-rollup refresh (delta merge, base read from disk)
+        "table-diff", "substring-dedup", "skew-profile",
+        "stratified-sample", "incr-rollup",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
