@@ -136,8 +136,9 @@ _QUERY_ORDER = [
     # class-balanced sampling with data-derived per-stratum rates
     # materialized-rollup refresh (delta partials merged into a stored
     # base — history touched exactly once)
+    # and the live funnel (ordered-stage state, O(1)/key, batch oracle)
     "table-diff", "substring-dedup", "skew-profile", "stratified-sample",
-    "incr-rollup",
+    "incr-rollup", "stream-funnel",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -754,6 +754,38 @@ ORACLE_STREAM_ANALYZE = " UNION ALL ".join(
 )
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel maintained LIVE: per-user ordered-stage state (three
+    stage timestamps, O(1) per key) advanced as events arrive under the
+    keyed-log contract — the conversion dashboard that updates per
+    micro-batch instead of rescanning history. Stage flags are monotone,
+    so max-per-user over the update-mode emissions is the final funnel
+    position; the 3-scalar reduce then matches batch `funnel` and carries
+    its oracle."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.streaming.stateful import running_funnel
+
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    tbl = _fresh("stream_funnel")
+    run_to_memory(running_funnel(events), tbl, mode="update")
+    per_user = spark.table(tbl).groupBy("user_id").agg(
+        F.max("s1").alias("s1"),
+        F.max("s2").alias("s2"),
+        F.max("s3").alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").cast("long").alias("n_view"),
+        F.sum("s2").cast("long").alias("n_view_click"),
+        F.sum("s3").cast("long").alias("n_full_funnel"),
+    )
+
+
 QUERIES = {
     "stream-asof": q_stream_asof,
     "stream-analyze": q_stream_analyze,
@@ -774,6 +806,7 @@ QUERIES = {
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-gap-detect": q_stream_gap_detect,
     "stream-heavy-hitters": q_stream_heavy_hitters,
+    "stream-funnel": q_stream_funnel,
 }
 
 
@@ -800,6 +833,12 @@ FROM cand
     )
 
 
+def _funnel_oracle() -> str:
+    from rosbag2parquet_spark.operators.behavior import ORACLE_FUNNEL
+
+    return ORACLE_FUNNEL
+
+
 ORACLES = {
     "stream-asof": _asof_oracle(),
     "stream-analyze": ORACLE_STREAM_ANALYZE,
@@ -820,4 +859,5 @@ ORACLES = {
     "stream-merge-upsert": _merge_oracle(),
     "stream-gap-detect": _gap_oracle(),
     "stream-heavy-hitters": _hh_oracle(),
+    "stream-funnel": _funnel_oracle(),
 }

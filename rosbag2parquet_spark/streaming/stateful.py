@@ -703,3 +703,72 @@ def running_ewma(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming funnel
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, s1 integer, s2 integer, s3 integer"
+#: ordered-stage timestamps, -1 = stage not reached yet
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+
+
+def _update_funnel(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    for pdf in batches:
+        # Vectorized stage advancement — valid under the keyed-log
+        # contract (per-key arrival in (ts, event_id) order): a stage
+        # threshold, once set, is final (earlier-batch events all have
+        # ts <= everything here, so they could never have been eligible
+        # for a stage that opened later), and within a batch eligibility
+        # is a pure ts comparison (an eligible click cannot positionally
+        # precede the view that opened its stage: ts order forbids it).
+        if t1 < 0:
+            v = pdf.loc[pdf["event_type"] == "view", "ts_us"]
+            if len(v):
+                t1 = int(v.min())
+        if t1 >= 0 and t2 < 0:
+            c = pdf.loc[
+                (pdf["event_type"] == "click") & (pdf["ts_us"] > t1),
+                "ts_us",
+            ]
+            if len(c):
+                t2 = int(c.min())
+        if t2 >= 0 and t3 < 0:
+            p = pdf.loc[
+                (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t2),
+                "ts_us",
+            ]
+            if len(p):
+                t3 = int(p.min())
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "s1": [1 if t1 >= 0 else 0],
+            "s2": [1 if t2 >= 0 else 0],
+            "s3": [1 if t3 >= 0 else 0],
+        }
+    )
+
+
+def running_funnel(events: DataFrame) -> DataFrame:
+    """Streaming funnel: per-user ordered-stage progression (view →
+    click-after-view → purchase-after-that-click) with O(1) state per
+    key — three stage timestamps. The compaction reducer above is
+    order-free; the funnel is inherently order-SENSITIVE (a late view can
+    re-open earlier clicks, which would need the full click history), so
+    this operator rides the keyed-log contract like running_asof: per-key
+    arrival in (ts, event_id) order, any interleaving across keys. Stage
+    flags are monotone — they only ever switch on — so the LAST emission
+    per user is the final funnel position. Input columns: user_id, ts_us,
+    event_id, event_type."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

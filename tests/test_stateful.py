@@ -530,3 +530,54 @@ def test_stream_ewma_null_propagates_like_batch(spark, tmp_path):
     # y1 = 1000; y2 = NULL (x NULL); y3 = NULL (prior y NULL) — matches
     # the batch fold, where element_at(acc,-1)=NULL poisons every step
     assert got == {(1, 1): 1000, (1, 2): None, (1, 3): None}
+
+
+def test_stream_funnel_across_batches(spark, tmp_path):
+    """Ordered-stage state survives micro-batch boundaries, and the strict
+    '>' stage gates match the batch funnel: a click at the SAME instant as
+    the first view does not advance (ts > t1 strict); a click arriving
+    before any view never counts; a purchase gated on the click set in an
+    EARLIER batch completes the funnel; stage flags are monotone so the
+    max-per-user reduction is the final position."""
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.stateful import running_funnel
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    cols = ["user_id", "ts_us", "event_id", "event_type"]
+    b1 = [
+        (1, 10, 1, "view"),
+        (1, 10, 2, "click"),      # same instant as t1 -> NOT eligible
+        (2, 5, 3, "click"),       # click before any view -> never counts
+        (2, 8, 4, "view"),
+        (3, 7, 5, "purchase"),    # purchase with no funnel prefix
+    ]
+    b2 = [
+        (1, 20, 6, "click"),      # opens stage 2 at 20
+        (1, 20, 7, "purchase"),   # same instant as t2 -> NOT eligible
+        (2, 12, 8, "click"),
+        (2, 15, 9, "purchase"),   # full funnel for user 2
+    ]
+    land = tmp_path / "land_funnel"
+    land.mkdir()
+    pd.DataFrame(b1, columns=cols).to_parquet(land / "a.parquet")
+    pd.DataFrame(b2, columns=cols).to_parquet(land / "b.parquet")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts_us long, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(running_funnel(stream), "funnel_xbatch", mode="update")
+    import pyspark.sql.functions as F
+
+    final = {
+        r.user_id: (r.s1, r.s2, r.s3)
+        for r in spark.table("funnel_xbatch")
+        .groupBy("user_id")
+        .agg(F.max("s1").alias("s1"), F.max("s2").alias("s2"),
+             F.max("s3").alias("s3"))
+        .collect()
+    }
+    assert final == {1: (1, 1, 0), 2: (1, 1, 1), 3: (0, 0, 0)}
