@@ -138,7 +138,9 @@ _QUERY_ORDER = [
     # base — history touched exactly once)
     # and the live funnel (ordered-stage state, O(1)/key, batch oracle)
     "table-diff", "substring-dedup", "skew-profile", "stratified-sample",
-    "incr-rollup", "stream-funnel",
+    # layout VACUUM (crash-artifact GC: _temporary, orphan .crc, stale
+    # .delnew; interrupted swaps repaired, never deleted)
+    "incr-rollup", "stream-funnel", "vacuum",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -36,6 +36,21 @@ def main(argv: list[str] | None = None) -> int:
         print_info(spark, args.input)
         return 0
 
+    # subcommand: `vacuum` = layout crash-artifact GC (sinks.vacuum_layout)
+    if argv and argv[0] == "vacuum":
+        vp = argparse.ArgumentParser(prog="rosbag2parquet_spark vacuum")
+        vp.add_argument("--layout", required=True, help="parquet layout dir")
+        vp.add_argument(
+            "--dry-run", action="store_true",
+            help="list artifacts without removing/repairing",
+        )
+        args = vp.parse_args(argv[1:])
+        from rosbag2parquet_spark.sinks import vacuum_layout
+
+        for p in vacuum_layout(args.layout, dry_run=args.dry_run):
+            print(p)
+        return 0
+
     # subcommand: `export` = the reverse direction — converted layout back
     # to indexed MCAP part files (round-trip surface; see export.py)
     if argv and argv[0] == "export":

@@ -771,6 +771,119 @@ FROM events WHERE NOT (user_id % 7 = 3)
 """
 
 
+def vacuum_layout(path: str, dry_run: bool = False) -> "list[str]":
+    """VACUUM for a plain-parquet layout — GC of the crash artifacts every
+    writer in this engine can leave behind, without a table format's
+    manifest to diff against. Exactly four KNOWN artifact classes are
+    handled; unknown files are NEVER touched (a half-written visible data
+    file is indistinguishable from a valid one by name — only owners that
+    write hidden-then-promote can be vacuumed safely, and all our writers
+    do):
+
+    - Spark ``_temporary/`` job scratch (a killed write job's staging)
+    - orphan Hadoop ``.{name}.crc`` sidecars whose data file is gone
+      (a swapped/removed file's stale checksum would fail later reads)
+    - stale ``.{name}.delnew`` hidden replacements (a ``delete_where``
+      run that crashed before promote; its own re-run also sweeps these)
+    - interrupted ``.__compact_tmp``/``.__compact_old`` partition swaps —
+      these are REPAIRED (finished or rolled back via the compaction
+      service's crash-window logic), never just deleted: one of the two
+      dirs may be the only live copy of the partition.
+
+    Driver-side listing, same posture as the compaction sizers (metadata
+    walk, no data read; on an object store this is the LIST call a
+    manifest-less layout pays anyway). Not safe concurrently with an
+    active writer on the same layout — the standard VACUUM caveat.
+    Returns the removed (or, with ``dry_run``, would-be-removed) paths;
+    repaired swaps are listed with a ``repair:`` prefix."""
+    import shutil
+
+    from rosbag2parquet_spark.streaming.compaction_service import (
+        _OLD_SUFFIX,
+        _TMP_SUFFIX,
+        _repair_interrupted_swaps,
+    )
+
+    acted: "list[str]" = []
+    for root, dirs, files in os.walk(path):
+        for d in dirs:
+            if d.endswith((_TMP_SUFFIX, _OLD_SUFFIX)):
+                acted.append("repair:" + os.path.join(root, d))
+    if acted and not dry_run:
+        _repair_interrupted_swaps(path)
+
+    for root, dirs, files in os.walk(path, topdown=True):
+        for d in list(dirs):
+            if d == "_temporary":
+                p = os.path.join(root, d)
+                acted.append(p)
+                if not dry_run:
+                    shutil.rmtree(p)
+                dirs.remove(d)
+        for f in files:
+            p = os.path.join(root, f)
+            if f.startswith(_DEL_NEW_PREFIX) and f.endswith(_DEL_NEW_SUFFIX):
+                acted.append(p)
+                if not dry_run:
+                    os.remove(p)
+            elif f.startswith(".") and f.endswith(".crc"):
+                if not os.path.exists(os.path.join(root, f[1:-4])):
+                    acted.append(p)
+                    if not dry_run:
+                        os.remove(p)
+    return acted
+
+
+def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM as a declared query: events land as a hive layout, all three
+    removable artifact classes are planted (a ``_temporary`` staging dir,
+    an orphan ``.crc`` sidecar, a stale ``.delnew`` replacement), and the
+    layout is vacuumed and read back. The oracle is the plain select —
+    VACUUM must be content-invisible; that the artifacts are actually
+    removed (and interrupted swaps repaired, not deleted) is pinned in
+    tests/test_delete.py."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="vacuum_")
+    try:
+        lay = os.path.join(out, "lay")
+        ev.repartition(4).write.partitionBy("event_type").parquet(lay)
+        os.makedirs(os.path.join(lay, "_temporary", "0"))
+        with open(os.path.join(lay, "_temporary", "0", "junk"), "w") as f:
+            f.write("x")
+        with open(os.path.join(lay, ".ghost.parquet.crc"), "w") as f:
+            f.write("x")
+        with open(
+            os.path.join(lay, f".part-0{_DEL_NEW_SUFFIX}"), "w"
+        ) as f:
+            f.write("x")
+        n = len(vacuum_layout(lay))
+        if n < 3:
+            raise AssertionError(f"vacuum removed {n} < 3 artifacts")
+        back = (
+            spark.read.parquet(lay)
+            .select("event_id", "t_us", "user_id", "event_type", "value")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_VACUUM = """
+SELECT event_id, epoch_us(ts) AS t_us, user_id, event_type,
+       CAST(value AS DOUBLE) AS value
+FROM events
+"""
+
+
 def q_compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned-compaction round-trip as a declared query: events demuxed
     by event_type with a deliberately fragmented 16-task write, compacted
@@ -1078,6 +1191,7 @@ QUERIES = {
     "protobuf-roundtrip": q_protobuf_roundtrip,
     "convert-resume": q_convert_resume,
     "delete-rows": q_delete_rows,
+    "vacuum": q_vacuum,
     "bucket-join": q_bucket_join,
     "cluster-write": q_cluster_write,
     "zorder-write": q_zorder_write,
@@ -1091,6 +1205,7 @@ ORACLES = {
     "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
     "convert-resume": ORACLE_CONVERT_RESUME,
     "delete-rows": ORACLE_DELETE_ROWS,
+    "vacuum": ORACLE_VACUUM,
     "bucket-join": ORACLE_BUCKET_JOIN,
     "cluster-write": ORACLE_CLUSTER_WRITE,
     "zorder-write": ORACLE_ZORDER_WRITE,

@@ -139,3 +139,62 @@ def test_nullable_and_timestamp_fidelity(spark, tmp_path):
         assert i % 4 != 1
         assert maybe == (None if i % 5 == 0 else i * 100)
         assert ts.second == i % 60
+
+
+def test_vacuum_removes_artifacts_repairs_swaps(spark, tmp_path):
+    """vacuum_layout removes exactly the known artifact classes
+    (_temporary staging, orphan .crc, stale .delnew), REPAIRS an
+    interrupted partition swap instead of deleting it (the .__compact_old
+    dir may be the only live copy), leaves content untouched, and is
+    idempotent."""
+    import shutil
+
+    from rosbag2parquet_spark.sinks import vacuum_layout
+
+    lay = str(tmp_path / "lay")
+    df = spark.range(40).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part"
+    )
+    df.write.partitionBy("part").parquet(lay)
+    want = set(range(40))
+
+    # plant the three removable classes
+    os.makedirs(os.path.join(lay, "_temporary", "0"))
+    open(os.path.join(lay, "_temporary", "0", "junk"), "w").write("x")
+    open(os.path.join(lay, ".ghost.parquet.crc"), "w").write("x")
+    open(os.path.join(lay, "part=0", ".p.parquet.delnew"), "w").write("x")
+    # a KEPT .crc: Hadoop's LocalFileSystem already wrote real sidecars
+    # for the data files (and validates them on read — planting a fake
+    # one would poison the read, the exact failure stale sidecars cause)
+    keep_crcs = [
+        f for f in os.listdir(os.path.join(lay, "part=0"))
+        if f.startswith(".") and f.endswith(".crc")
+    ]
+    assert keep_crcs
+    # crash between the two swap renames: live dir moved away
+    os.rename(
+        os.path.join(lay, "part=1"),
+        os.path.join(lay, "part=1.__compact_old"),
+    )
+    # an unknown file must NEVER be touched, hidden or not (hidden here
+    # so Spark's reader also ignores it)
+    open(os.path.join(lay, ".mystery.tmp"), "w").write("keep me")
+
+    listed = vacuum_layout(lay, dry_run=True)
+    assert len([p for p in listed if p.startswith("repair:")]) == 1
+    assert os.path.isdir(os.path.join(lay, "part=1.__compact_old"))
+
+    acted = vacuum_layout(lay)
+    assert len(acted) == 4  # 3 removals + 1 repair
+    assert not os.path.exists(os.path.join(lay, "_temporary"))
+    assert not os.path.exists(os.path.join(lay, ".ghost.parquet.crc"))
+    assert not os.path.exists(os.path.join(lay, "part=0", ".p.parquet.delnew"))
+    assert os.path.isdir(os.path.join(lay, "part=1"))  # rolled back
+    assert sorted(
+        f for f in os.listdir(os.path.join(lay, "part=0"))
+        if f.startswith(".") and f.endswith(".crc")
+    ) == sorted(keep_crcs)
+    assert os.path.exists(os.path.join(lay, ".mystery.tmp"))
+    got = {r.id for r in spark.read.parquet(lay).collect()}
+    assert got == want
+    assert vacuum_layout(lay) == []
