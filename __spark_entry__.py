@@ -140,7 +140,8 @@ _QUERY_ORDER = [
     "table-diff", "substring-dedup", "skew-profile", "stratified-sample",
     # layout VACUUM (crash-artifact GC: _temporary, orphan .crc, stale
     # .delnew; interrupted swaps repaired, never deleted)
-    "incr-rollup", "stream-funnel", "vacuum",
+    # per-doc top-3 tf/df keyword extraction (WindowGroupLimit cut)
+    "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -500,6 +500,7 @@ def convert_bag(
         )
     seq = seq.cache()
     att_df = None
+    md_df = None
     if fmt == "mcap":
         # MCAP side-car files (calibration YAML, intrinsics, URDF —
         # Attachment records; rosbag has no analog) land as their own
@@ -514,6 +515,9 @@ def convert_bag(
         ]
         if rows:
             att_df = spark.createDataFrame(rows, _ATTACHMENTS_SCHEMA)
+        md_rows = _metadata_rows(bag_path, 0)
+        if md_rows:
+            md_df = spark.createDataFrame(md_rows, _METADATA_SCHEMA)
     count, size = _write_bag_tables(
         seq,
         conns_df,
@@ -525,6 +529,7 @@ def convert_bag(
         serialization=serialization,
         on_error=on_error,
         attachments_df=att_df,
+        metadata_df=md_df,
     )
     if (
         topics is None and start_ns is None and end_ns is None
@@ -724,6 +729,7 @@ def resume_convert_bag(
     unsigned = state["unsigned"]
     serialization = state["serialization"]
     att_df = None
+    md_df = None
     if fmt == "mcap":
         from rosbag2parquet_spark.sources.mcap import (
             mcap_connections_df,
@@ -764,6 +770,7 @@ def resume_convert_bag(
         )
         conns_df = mcap_connections_df(spark, bag_path)
         att_df = _new_attachments_df(spark, bag_path, out_dir)
+        md_df = _new_metadata_df(spark, bag_path, out_dir)
     else:
         if state["last_offset"] is not None:
             got = _probe_last_row(bag_path, fmt, state["last_offset"])
@@ -813,7 +820,7 @@ def resume_convert_bag(
         F.max("offset").alias("mo"),
         F.max_by("time_ns", "offset").alias("lt"),
     ).collect()[0]
-    if tail.n == 0 and att_df is None:
+    if tail.n == 0 and att_df is None and md_df is None:
         cached.unpersist()
         return ConvertInfo(bagname=bag_path, count=0, size=0.0)
     prev_max = (
@@ -837,6 +844,7 @@ def resume_convert_bag(
         mode="append",
         conns_write_df=conns_write_df,
         attachments_df=att_df,
+        metadata_df=md_df,
     )
     _write_ingest_state(
         out_dir, bag_path, fmt,
@@ -877,6 +885,28 @@ def _new_attachments_df(
     return spark.createDataFrame(fresh, _ATTACHMENTS_SCHEMA)
 
 
+def _new_metadata_df(
+    spark: SparkSession, bag_path: str, out_dir: str
+) -> "DataFrame | None":
+    """Metadata rows of the grown MCAP NOT yet in the layout's Metadata
+    table (identity = the full flattened row) — new named key-value
+    records the recorder added since the last pass diff-append."""
+    rows = _metadata_rows(bag_path, 0)
+    if not rows:
+        return None
+    md_path = os.path.join(out_dir, "Metadata")
+    seen = set()
+    if os.path.isdir(md_path):
+        seen = {
+            (r.bag, r.name, r.key, r.value)
+            for r in spark.read.parquet(md_path).collect()
+        }
+    fresh = [r for r in rows if (r[1], r[2], r[3], r[4]) not in seen]
+    if not fresh:
+        return None
+    return spark.createDataFrame(fresh, _METADATA_SCHEMA)
+
+
 #: MCAP side-car attachments with bag provenance — ONE shape for single-bag
 #: and fleet conversions (bag_index is the batch-relative bag ordinal,
 #: continued across appends like seqno)
@@ -884,6 +914,26 @@ _ATTACHMENTS_SCHEMA = (
     "bag_index int, bag string, name string, media_type string, "
     "log_time long, create_time long, data binary"
 )
+
+#: MCAP named key-value Metadata records (recorder version, vehicle id —
+#: the spec's other side-car class) flattened to one row per key, SAME
+#: bag provenance as Attachments so the two tables' ordinals agree
+_METADATA_SCHEMA = (
+    "bag_index int, bag string, name string, key string, value string"
+)
+
+
+def _metadata_rows(bag_path: str, bag_index: int) -> list:
+    """Metadata records of one MCAP as _METADATA_SCHEMA rows; an empty-map
+    record keeps a (name, NULL, NULL) row so the record itself survives."""
+    from rosbag2parquet_spark.sources.mcap import mcap_metadata
+
+    base = os.path.basename(bag_path)
+    rows = []
+    for name, kv in mcap_metadata(bag_path):
+        items = list(kv.items()) or [(None, None)]
+        rows += [(bag_index, base, name, k, v) for k, v in items]
+    return rows
 
 
 def _pad_union(datatype: str, frames: "list[DataFrame]") -> DataFrame:
@@ -930,6 +980,7 @@ def _write_bag_tables(
     evolve: bool = False,
     conns_write_df: "DataFrame | None" = None,
     attachments_df: "DataFrame | None" = None,
+    metadata_df: "DataFrame | None" = None,
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -1123,6 +1174,15 @@ def _write_bag_tables(
             att_path
         )
         tables["Attachments"] = attachments_df.schema
+
+    if metadata_df is not None:
+        md_path = os.path.join(out_dir, "Metadata")
+        if mode == "append":
+            assert_append_compatible(
+                metadata_df.sparkSession, md_path, metadata_df.schema
+            )
+        metadata_df.write.options(**writer_opts).mode(mode).parquet(md_path)
+        tables["Metadata"] = metadata_df.schema
 
     if mode == "append":
         # the DDL script must list EVERY table in the layout, including
@@ -1564,17 +1624,25 @@ def convert_bags(
     # the existing max (a column-stats read, like seqno) so provenance
     # ordinals stay globally unique across ingest batches
     att_df = None
+    md_df = None
     att_rows = []
+    md_rows = []
     base_bag_index = 0
-    att_path = os.path.join(out_dir, "Attachments")
-    if mode == "append" and os.path.isdir(att_path):
-        prev = (
-            spark.read.parquet(att_path)
-            .agg(F.max("bag_index").alias("m"))
-            .collect()[0]
-            .m
-        )
-        base_bag_index = (prev if prev is not None else -1) + 1
+    if mode == "append":
+        # shared base over BOTH provenance tables so one bag's ordinal
+        # agrees between Attachments and Metadata across ingest batches
+        prevs = []
+        for t in ("Attachments", "Metadata"):
+            tp = os.path.join(out_dir, t)
+            if os.path.isdir(tp):
+                prevs.append(
+                    spark.read.parquet(tp)
+                    .agg(F.max("bag_index").alias("m"))
+                    .collect()[0]
+                    .m
+                )
+        prevs = [p for p in prevs if p is not None]
+        base_bag_index = (max(prevs) if prevs else -1) + 1
     for i, meta in enumerate(metas):
         if meta["format"] == "mcap":
             from rosbag2parquet_spark.sources.mcap import mcap_attachments
@@ -1584,8 +1652,11 @@ def convert_bags(
                     (base_bag_index + i, os.path.basename(meta["path"]),
                      aname, media, lt, ct, bytes(adata))
                 )
+            md_rows += _metadata_rows(meta["path"], base_bag_index + i)
     if att_rows:
         att_df = spark.createDataFrame(att_rows, _ATTACHMENTS_SCHEMA)
+    if md_rows:
+        md_df = spark.createDataFrame(md_rows, _METADATA_SCHEMA)
 
     count, size = _write_bag_tables(
         seq,
@@ -1601,6 +1672,7 @@ def convert_bags(
         evolve=evolve,
         conns_write_df=conns_write_df,
         attachments_df=att_df,
+        metadata_df=md_df,
     )
     seq.unpersist()
     return ConvertInfo(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: layout directories that are not per-type message tables
-_META_TABLES = {"Messages", "Connections", "Attachments"}
+_META_TABLES = {"Messages", "Connections", "Attachments", "Metadata"}
 
 #: default target bytes of payload per exported part file
 _TARGET_PART_BYTES = 256 << 20
@@ -289,6 +289,23 @@ def export_mcap(
             for r in spark.read.parquet(att_path).orderBy("name").collect()
         ]
 
+    # Metadata records reconstruct from the flattened table: one record
+    # per (bag_index, name), NULL-key rows = the record had an empty map.
+    # Tiny by nature (named key-value maps) — the task closure carries them
+    md_recs: list[tuple] = []
+    md_path = os.path.join(layout_dir, "Metadata")
+    if os.path.isdir(md_path):
+        grouped: dict = {}
+        for r in (
+            spark.read.parquet(md_path)
+            .orderBy("bag_index", "name", "key")
+            .collect()
+        ):
+            kv = grouped.setdefault((int(r.bag_index), r.name), {})
+            if r.key is not None:
+                kv[r.key] = r.value
+        md_recs = [(name, kv) for (_bi, name), kv in sorted(grouped.items())]
+
     # attachments can be large side-cars (maps, calibration blobs) and only
     # part 0 embeds them — ship via a Spark broadcast (once per executor)
     # instead of the task closure (once per task)
@@ -307,6 +324,7 @@ def export_mcap(
             indexed=True,
             crcs=crcs,
             attachments=att_bc.value if pid == 0 else None,
+            metadata=md_recs if pid == 0 else None,
         )
 
     info = _export_parts(
@@ -334,8 +352,9 @@ def export_rosbag(
     with trailing connection + ChunkInfo index records — the same
     time/topic chunk-pruning the reader plans from). Payloads are carried
     verbatim (rosbag payloads are ros1-serialized by construction).
-    rosbag has no attachment analog, so any Attachments table is left in
-    the layout (export to MCAP to carry side-cars along)."""
+    rosbag has no attachment/metadata analog, so any Attachments or
+    Metadata table is left in the layout (export to MCAP to carry
+    side-cars along)."""
     from rosbag2parquet_spark.sources.rosbag import write_rosbag
 
     conns = _layout_connections(spark, layout_dir)

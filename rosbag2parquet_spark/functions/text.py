@@ -13,7 +13,7 @@ expression evaluation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rosbag2parquet_spark.sources.catalog import load_table
@@ -664,8 +664,83 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ------------------------------------------------------------ doc-keywords
+
+_KEYWORDS_PER_DOC = 3
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — the tagging/indexing pass
+    (top-terms builds the corpus vocabulary; this ranks terms WITHIN each
+    document): for every doc, the top-3 non-stopword terms by tf/df (term
+    frequency over corpus document frequency — TF-IDF's ranking without
+    the logarithm: for a fixed corpus, tf·log(N/df) and tf/df order
+    differently in general, but tf/df is itself a standard rarity
+    weighting and, unlike log, is IEEE-division exact across engines).
+
+    Plan: one token explode → (doc, term) tf agg; df derives FROM the tf
+    table (rows are already distinct per (doc,term), so df = per-term row
+    count — no second pass over text); the df dim joins back co-keyed on
+    term (reusing the partitioning its groupBy just built), then the
+    per-doc top-3 is a row_number window that plans WindowGroupLimit —
+    each map task keeps 3 rows per doc before the doc_id shuffle.
+    Deterministic tie-break (score desc, term asc) so the cut is stable
+    across engines and retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("term"))
+        .filter(~F.col("term").isin(*STOPWORDS) & (F.col("term") != ""))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_dim = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_dim, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KEYWORDS_PER_DOC)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
+
+
+ORACLE_DOC_KEYWORDS = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term NOT IN ({_STOP_SQL}) AND term <> ''
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= {_KEYWORDS_PER_DOC}
+"""
+
+
 QUERIES = {
     "lm-surprise": q_lm_surprise,
+    "doc-keywords": q_doc_keywords,
     "heavy-hitters": q_heavy_hitters,
     "text-stats": q_text_stats,
     "token-count": q_token_count,
@@ -680,6 +755,7 @@ QUERIES = {
 
 ORACLES = {
     "lm-surprise": ORACLE_LM_SURPRISE,
+    "doc-keywords": ORACLE_DOC_KEYWORDS,
     "heavy-hitters": ORACLE_HEAVY_HITTERS,
     "text-stats": ORACLE_TEXT_STATS,
     "token-count": ORACLE_TOKEN_COUNT,

@@ -41,6 +41,7 @@ def test_export_roundtrip_single_part(spark, tmp_path):
     write_mcap(
         bag, CONNS, _messages(), chunked=True, chunk_messages=7,
         attachments=[(5, 3, "calib.yaml", "text/yaml", b"k: v\n")],
+        metadata=[("recorder", {"ver": "1.2", "rig": "r9"}), ("blank", {})],
     )
     layout1 = str(tmp_path / "layout1")
     convert_bag(spark, bag, layout1)
@@ -67,6 +68,19 @@ def test_export_roundtrip_single_part(spark, tmp_path):
     assert [(r.name, bytes(r.data)) for r in att] == [
         ("calib.yaml", b"k: v\n")
     ]
+    # ...and so did the named key-value Metadata records, including the
+    # empty-map one (NULL key/value row keeps the record itself alive)
+    want_md = {
+        ("recorder", "rig", "r9"),
+        ("recorder", "ver", "1.2"),
+        ("blank", None, None),
+    }
+    for lay in (layout1, layout2):
+        got = {
+            (r.name, r.key, r.value)
+            for r in _table(spark, lay, "Metadata").collect()
+        }
+        assert got == want_md, lay
 
 
 def test_export_multi_part_fleet_roundtrip(spark, tmp_path):

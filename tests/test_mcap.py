@@ -703,6 +703,35 @@ def test_fleet_attachments_with_provenance(spark, tmp_path):
     ]
 
 
+def test_fleet_metadata_with_provenance(spark, tmp_path):
+    """A fleet of MCAP bags lands ALL named key-value Metadata records in
+    one flattened table with the SAME bag provenance ordinals as
+    Attachments (shared bag_index base)."""
+    from rosbag2parquet_spark.convert import convert_bags
+
+    p1 = str(tmp_path / "m1.mcap")
+    p2 = str(tmp_path / "m2.mcap")
+    write_mcap(p1, CONNS, _messages(10), chunk_messages=5,
+               metadata=[("recorder", {"ver": "1"})],
+               attachments=[(1, 1, "c.yaml", "text/yaml", b"x")])
+    write_mcap(p2, CONNS, _messages(10), chunk_messages=5,
+               metadata=[("recorder", {"ver": "2"}), ("blank", {})])
+    out = str(tmp_path / "fleet_md")
+    convert_bags(spark, [p1, p2], out)
+    t = (
+        spark.read.parquet(out + "/Metadata")
+        .orderBy("bag_index", "name", "key")
+        .collect()
+    )
+    assert [(r.bag_index, r.bag, r.name, r.key, r.value) for r in t] == [
+        (0, "m1.mcap", "recorder", "ver", "1"),
+        (1, "m2.mcap", "blank", None, None),
+        (1, "m2.mcap", "recorder", "ver", "2"),
+    ]
+    att = spark.read.parquet(out + "/Attachments").collect()
+    assert [(r.bag_index, r.bag) for r in att] == [(0, "m1.mcap")]
+
+
 def test_rosbag2_directory_with_mcap_storage(spark, tmp_path):
     """A recorded ROS 2 directory whose storage is MCAP (the Iron+ default
     storage plugin — metadata.yaml `storage_identifier: mcap`) converts

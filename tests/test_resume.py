@@ -308,7 +308,8 @@ def test_resume_mcap_grown_chunks(spark, tmp_path):
         ConnectionInfo(2, "/gps", "demo/GpsLite", "", GPS_DEF),
     ]
     msgs1 = _imu_msgs(0, 18)  # 2 full chunks at chunk_messages=9
-    write_mcap(bag, conns, msgs1, chunk_messages=9)
+    write_mcap(bag, conns, msgs1, chunk_messages=9,
+               metadata=[("recorder", {"ver": "1"})])
     lay = str(tmp_path / "lay")
     assert convert_bag(spark, bag, lay).count == 18
     state = json.load(open(os.path.join(lay, INGEST_STATE)))
@@ -319,7 +320,9 @@ def test_resume_mcap_grown_chunks(spark, tmp_path):
     ]
     att = [(T0, T0, "cal.yaml", "text/yaml", b"k: v")]
     write_mcap(bag, conns, msgs1 + sorted(delta, key=lambda m: m[1]),
-               chunk_messages=9, attachments=att)
+               chunk_messages=9, attachments=att,
+               metadata=[("recorder", {"ver": "1"}),
+                         ("session", {"leg": "2"})])
     rinfo = resume_convert_bag(spark, bag, lay)
     assert rinfo.count == 12
 
@@ -329,7 +332,7 @@ def test_resume_mcap_grown_chunks(spark, tmp_path):
     assert _typed_rows(spark, lay, "demo_GpsLite") == _typed_rows(
         spark, lay2, "demo_GpsLite"
     )
-    for t in ("Messages", "Connections", "Attachments"):
+    for t in ("Messages", "Connections", "Attachments", "Metadata"):
         a = sorted(map(tuple, spark.read.parquet(f"{lay}/{t}").collect()))
         b = sorted(map(tuple, spark.read.parquet(f"{lay2}/{t}").collect()))
         assert a == b, t
@@ -339,3 +342,6 @@ def test_resume_mcap_grown_chunks(spark, tmp_path):
     # idempotent — including attachments (already diff-appended)
     assert resume_convert_bag(spark, bag, lay).count == 0
     assert spark.read.parquet(f"{lay}/Attachments").count() == 1
+    # metadata likewise diff-appended once: ver row from the first pass,
+    # session row from the resume, no duplicates after the no-op pass
+    assert spark.read.parquet(f"{lay}/Metadata").count() == 2
