@@ -141,7 +141,10 @@ _QUERY_ORDER = [
     # layout VACUUM (crash-artifact GC: _temporary, orphan .crc, stale
     # .delnew; interrupted swaps repaired, never deleted)
     # per-doc top-3 tf/df keyword extraction (WindowGroupLimit cut)
+    # and the JSON message-encoding tier (pure-Catalyst from_json decode,
+    # the fourth message grammar) proven in the driver gate
     "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
+    "json-roundtrip",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

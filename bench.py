@@ -177,6 +177,7 @@ def main() -> None:
     db3_stats = None
     mcap_stats = None
     protobuf_stats = None
+    json_stats = None
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
@@ -185,6 +186,7 @@ def main() -> None:
         from bench_convert import run_fleet as _fleet_run
         from bench_convert import run_mcap as _mcap_run
         from bench_convert import run_protobuf as _protobuf_run
+        from bench_convert import run_json as _json_run
 
         # min-of-2 like the query suite: observed 2x host noise on the
         # identical conversion minutes apart
@@ -220,6 +222,12 @@ def main() -> None:
             key=lambda d: d["convert_s"],
         )
         print(f"# convert protobuf: {protobuf_stats}", file=sys.stderr)
+        # the json grammar: from_json tier, zero Python in the row loop
+        json_stats = min(
+            (_json_run(spark=spark) for _ in range(2)),
+            key=lambda d: d["convert_s"],
+        )
+        print(f"# convert json: {json_stats}", file=sys.stderr)
         # the reverse direction at the same corpus: layout -> MCAP parts
         export_stats = min(
             (_export_run(spark=spark) for _ in range(2)),
@@ -254,6 +262,7 @@ def main() -> None:
                 "convert_db3": db3_stats,
                 "convert_mcap": mcap_stats,
                 "convert_protobuf": protobuf_stats,
+                "convert_json": json_stats,
                 "export_mcap": export_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

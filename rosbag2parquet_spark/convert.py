@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from rosbag2parquet_spark.plans.ddl import load_script
 from rosbag2parquet_spark.sources.msgdef import table_name_for_type
 from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
+from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
 
 
 @dataclass
@@ -1091,6 +1092,24 @@ def _write_bag_tables(
                 )
 
                 flat = decode_messages_protobuf(
+                    slice_df,
+                    datatype,
+                    msg_def,
+                    data_col="__raw__",
+                    keep_cols=("seqno", "conn_id", "__raw__"),
+                    arrays=arrays,
+                    unsigned=unsigned,
+                    on_error=on_error,
+                )
+            elif msg_def.startswith(JSON_DEF_PREFIX):
+                # jsonschema channel (MCAP schema encoding 'jsonschema'):
+                # decodes ENTIRELY JVM-side — from_json against the
+                # schema-compiled StructType, no Python worker at all
+                from rosbag2parquet_spark.sources.jsonschema import (
+                    decode_messages_json,
+                )
+
+                flat = decode_messages_json(
                     slice_df,
                     datatype,
                     msg_def,

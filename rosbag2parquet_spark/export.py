@@ -65,12 +65,18 @@ def _refuse_protobuf_defs(conns: list, layout_dir: str, grammar: str) -> None:
     per-schema (write_mcap emits encoding='protobuf')."""
     from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
 
+    from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
+
     bad = sorted(
-        {c.datatype for c in conns if c.msg_def.startswith(PROTOBUF_DEF_PREFIX)}
+        {
+            c.datatype
+            for c in conns
+            if c.msg_def.startswith((PROTOBUF_DEF_PREFIX, JSON_DEF_PREFIX))
+        }
     )
     if bad:
         raise ValueError(
-            f"{layout_dir}: datatypes {bad} carry protobuf descriptor "
+            f"{layout_dir}: datatypes {bad} carry protobuf/jsonschema "
             f"schemas — {grammar} stores ros msg-def text and cannot "
             "represent them; export to MCAP instead"
         )

@@ -1096,6 +1096,104 @@ FROM events WHERE event_id % 100 = 50
 """
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON MCAP → typed tables, driver-gate edition: a deterministic
+    1%-slice of events (event_id % 100 == 25) is serialized driver-side as
+    UTF-8 JSON payloads (nested object + integer/number/string/boolean on
+    the hot path), written as an indexed MCAP whose Schema record carries
+    a ``jsonschema`` document, converted by the pure-Catalyst from_json
+    tier (sources/jsonschema.py — the only decode tier with ZERO Python in
+    the row loop), and the flattened typed table is compared to DuckDB's
+    direct select over events. Proves the FOURTH message grammar
+    (ros1/cdr, protobuf, json) end-to-end in the correctness gate.
+    Memoized per (session, sf_dir) like the other converter gates."""
+    import json as _json
+
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_jsrt")
+    out = os.path.join(root, tag)
+    if not os.path.isdir(out):
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 100 == 25)
+            .select(
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "user_id",
+                "value",
+                "event_type",
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        schema = _json.dumps({
+            "type": "object",
+            "properties": {
+                "event_id": {"type": "integer"},
+                "meta": {
+                    "type": "object",
+                    "properties": {
+                        "neg_user": {"type": "integer"},
+                        "is_click": {"type": "boolean"},
+                    },
+                },
+                "value": {"type": "number"},
+                "event_type": {"type": "string"},
+            },
+        })
+        conns = [
+            ConnectionInfo(1, "/events", "demo.JsEvent", "",
+                           JSON_DEF_PREFIX + schema)
+        ]
+        msgs = [
+            (
+                1,
+                r.ts_us * 1_000,
+                _json.dumps({
+                    "event_id": r.event_id,
+                    "meta": {
+                        "neg_user": -r.user_id,
+                        "is_click": r.event_type == "click",
+                    },
+                    "value": r.value,
+                    "event_type": r.event_type,
+                }).encode(),
+            )
+            for r in rows
+        ]
+        bag = os.path.join(work, "slice.mcap")
+        write_mcap(bag, conns, msgs)
+        convert_bag(spark, bag, os.path.join(work, "lay"))
+        try:
+            os.rename(os.path.join(work, "lay"), out)
+        except OSError:
+            pass  # another process won the race; output equivalent
+    return spark.read.parquet(os.path.join(out, "demo_JsEvent")).select(
+        "event_id",
+        F.col("meta_neg_user"),
+        F.col("meta_is_click"),
+        "value",
+        "event_type",
+    )
+
+
+ORACLE_JSON_ROUNDTRIP = """
+SELECT event_id,
+       CAST(-user_id AS BIGINT) AS meta_neg_user,
+       event_type = 'click' AS meta_is_click,
+       CAST(value AS DOUBLE) AS value,
+       event_type
+FROM events WHERE event_id % 100 = 25
+"""
+
+
 def q_convert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental GROWN-BAG ingest proven in the driver gate: a
     deterministic 1%-slice of events (event_id % 100 == 75) is CDR-encoded
@@ -1190,6 +1288,7 @@ QUERIES = {
     "export-roundtrip": q_export_roundtrip,
     "protobuf-roundtrip": q_protobuf_roundtrip,
     "convert-resume": q_convert_resume,
+    "json-roundtrip": q_json_roundtrip,
     "delete-rows": q_delete_rows,
     "vacuum": q_vacuum,
     "bucket-join": q_bucket_join,
@@ -1204,6 +1303,7 @@ ORACLES = {
     "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
     "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
     "convert-resume": ORACLE_CONVERT_RESUME,
+    "json-roundtrip": ORACLE_JSON_ROUNDTRIP,
     "delete-rows": ORACLE_DELETE_ROWS,
     "vacuum": ORACLE_VACUUM,
     "bucket-join": ORACLE_BUCKET_JOIN,

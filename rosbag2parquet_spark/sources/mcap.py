@@ -639,6 +639,24 @@ def mcap_connection_rows(path: str) -> list[tuple]:
                 rows.append((cid, topic, name, "", "", "", ""))
                 continue
             rows.append((cid, topic, name, "", msgdef_from_fds(data), "", ""))
+        elif senc == "jsonschema" and data:
+            # decodable only if the document stays inside the supported
+            # subset — anything else (arrays of objects, $ref) falls back
+            # to blob-preserve, same posture as an unparseable descriptor
+            from rosbag2parquet_spark.sources.jsonschema import (
+                JSON_DEF_PREFIX,
+                spark_schema_from_jsonschema,
+            )
+
+            try:
+                spark_schema_from_jsonschema(data.decode())
+            except (ValueError, UnicodeDecodeError):
+                rows.append((cid, topic, name, "", "", "", ""))
+                continue
+            rows.append(
+                (cid, topic, name, "", JSON_DEF_PREFIX + data.decode(),
+                 "", "")
+            )
         elif senc in ("ros1msg", "ros2msg", ""):
             rows.append((cid, topic, name, "", data.decode(), "", ""))
         else:
@@ -834,8 +852,9 @@ def mcap_serialization(path: str) -> str:
     message_encoding (one per file; mixed decodable encodings are refused,
     the per-type decode can't dispatch). ``protobuf`` channels dispatch to
     their own decode tier via the msg_def marker (protobuf.py) and
-    ``ros2idl`` channels are blob-preserved, so neither constrains the
-    file's ros serialization — a protobuf-only Foxglove recording converts
+    ``ros2idl`` channels are blob-preserved, ``jsonschema`` channels
+    dispatch to the pure-Catalyst from_json tier (jsonschema.py) — so
+    none of them constrains the file's ros serialization — a protobuf-only Foxglove recording converts
     with typed tables, an idl-only one blob-preserves, and neither is
     refused outright."""
     scan = scan_mcap(path)
@@ -1089,8 +1108,13 @@ def write_mcap(
             fds_from_msgdef,
         )
 
+        from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
+
         if c.msg_def.startswith(PROTOBUF_DEF_PREFIX):
             data, senc = fds_from_msgdef(c.msg_def), "protobuf"
+        elif c.msg_def.startswith(JSON_DEF_PREFIX):
+            data = c.msg_def[len(JSON_DEF_PREFIX):].encode()
+            senc = "jsonschema"
         else:
             data, senc = c.msg_def.encode(), schema_encoding
         return rec(
@@ -1102,11 +1126,14 @@ def write_mcap(
     def channel_rec(sid: int, c: ConnectionInfo) -> bytes:
         from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
 
-        menc = (
-            "protobuf"
-            if c.msg_def.startswith(PROTOBUF_DEF_PREFIX)
-            else encoding
-        )
+        from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
+
+        if c.msg_def.startswith(PROTOBUF_DEF_PREFIX):
+            menc = "protobuf"
+        elif c.msg_def.startswith(JSON_DEF_PREFIX):
+            menc = "json"
+        else:
+            menc = encoding
         return rec(
             OP_CHANNEL,
             struct.pack("<HH", c.conn_id, sid) + s(c.topic) + s(menc)

@@ -323,6 +323,58 @@ def run_db3(n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None) -> dict:
     return _run_grammar(synth_db3, "db3", n_msgs, blob_bytes, spark)
 
 
+def synth_json_mcap(path: str, n_msgs: int, blob_bytes: int) -> None:
+    """Indexed chunked MCAP with JSON-encoded payloads at the same
+    walkthrough corpus shape (seq + stamp object + strings + a
+    blob-length data string) — the json grammar's throughput beside the
+    others; decode is the pure-Catalyst from_json tier (jsonschema.py),
+    the only tier with zero Python in the row loop."""
+    import json
+
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo
+    from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
+    from rosbag2parquet_spark.sources.mcap import write_mcap
+
+    schema = json.dumps({
+        "type": "object",
+        "properties": {
+            "seq": {"type": "integer"},
+            "stamp": {"type": "object", "properties": {
+                "sec": {"type": "integer"}, "nsec": {"type": "integer"}}},
+            "frame_id": {"type": "string"},
+            "format": {"type": "string"},
+            "payload": {"type": "string"},
+        },
+    })
+    filler = ("0123456789abcdef" * (blob_bytes // 16 + 1))[:blob_bytes]
+    conns = [
+        ConnectionInfo(1, "/camera/image", "bench.JsonImage", "",
+                       JSON_DEF_PREFIX + schema)
+    ]
+    msgs = [
+        (
+            1,
+            1_700_000_000_000_000_000 + i * 33_000_000,
+            json.dumps({
+                "seq": i,
+                "stamp": {"sec": 1_700_000_000 + i // 30,
+                          "nsec": (i % 30) * 33_000_000},
+                "frame_id": "cam0",
+                "format": "jpeg",
+                "payload": filler,
+            }).encode(),
+        )
+        for i in range(n_msgs)
+    ]
+    write_mcap(path, conns, msgs, chunked=True, chunk_messages=200, indexed=True)
+
+
+def run_json(
+    n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None
+) -> dict:
+    return _run_grammar(synth_json_mcap, "mcap", n_msgs, blob_bytes, spark)
+
+
 def run_protobuf(
     n_msgs: int = 6_000, blob_bytes: int = 4_096, spark=None
 ) -> dict:
