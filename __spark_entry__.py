@@ -32,6 +32,7 @@ from rosbag2parquet_spark.operators import (  # noqa: E402
     behavior,
     keys,
     olap,
+    quality,
     relational,
     setops,
     shuffle,
@@ -73,6 +74,7 @@ _MODULES = (
     relational,
     keys,
     olap,
+    quality,
     behavior,
     setops,
     tpch,
@@ -142,9 +144,11 @@ _QUERY_ORDER = [
     # .delnew; interrupted swaps repaired, never deleted)
     # per-doc top-3 tf/df keyword extraction (WindowGroupLimit cut)
     # and the JSON message-encoding tier (pure-Catalyst from_json decode,
-    # the fourth message grammar) proven in the driver gate
+    # the fourth message grammar) proven in the driver gate; plus the
+    # Deequ-style constraint-validation gate (8 rules, 3 rule classes,
+    # row-local rules folded into ONE aggregate)
     "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
-    "json-roundtrip",
+    "json-roundtrip", "validate-constraints",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

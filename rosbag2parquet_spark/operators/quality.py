@@ -1,0 +1,187 @@
+"""Constraint validation — the Deequ/Great-Expectations-style data-quality
+gate a 100 TB ingest pipeline runs before publishing a table (the
+reference's conversion asserts per-message invariants ad hoc —
+rosbag2parquet.cpp's size/offset checks; this is the declarative,
+engine-level generalization over relational outputs).
+
+A rule set is validated in as few passes as the rule classes allow:
+
+- ROW-LOCAL rules (completeness, range, set membership, sign) all fold
+  into ONE aggregate over the fact table — map-side partials, a single
+  wide row crosses the exchange regardless of table size.
+- UNIQUENESS rules share one two-level aggregate: the fine-grained key
+  (``l_orderkey, l_linenumber``) groupBy partial-combines map-side, and
+  the coarser key (``l_orderkey``) re-aggregates the ALREADY-REDUCED
+  rows — the second rule costs ~|keys| tiny rows, not a second scan.
+- REFERENTIAL-INTEGRITY rules join the reduced key table (not the fact
+  rows) against the parent's key column: orphan mass comes back as
+  ``sum(c)`` over anti-join survivors, so the join moves |distinct keys|
+  rows and the verdict still counts fact ROWS.
+
+The per-rule scalars cross-join into one wide row (each side is 1 row —
+the analyze-table posture, allowlisted by design) and ``stack``-unpivot
+into one row per rule: ``(rule, checked, violations, ok)``. The suite
+includes rules that PASS and rules that genuinely FAIL on the fixture
+(quantity capped at 25 fails on TPC-H's 1..50; ``l_orderkey`` alone is
+not unique) so both verdict paths are exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.sources.catalog import load_table
+
+
+def _viol(cond) -> F.Column:
+    # NULL predicate input counts as not-violating, matching the oracle's
+    # count(*) FILTER (WHERE <cond>) which skips NULL conditions
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    # --- pass 1: every row-local rule in one aggregate ------------------
+    scal = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _viol(F.col("l_orderkey").isNull()).alias("v_null"),
+        _viol(~F.col("l_quantity").between(1, 25)).alias("v_range"),
+        _viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_set"),
+        _viol(F.col("l_extendedprice") <= 0).alias("v_sign"),
+    )
+
+    # --- pass 2: uniqueness ladder (fine key, then re-agg coarse key) ---
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u_line = per_line.agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
+        ).cast("long").alias("v_uline"),
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(F.sum("c").alias("c"))
+    u_order = per_order.agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
+        ).cast("long").alias("v_uorder")
+    )
+
+    # --- pass 3: referential integrity over REDUCED key tables ----------
+    # NULL keys are a completeness failure, not an FK orphan (SQL FK
+    # semantics; the oracle's NOT IN drops them the same way) — and an
+    # anti join would otherwise KEEP them (NULL never equi-matches)
+    ri_li = (
+        per_order.filter(F.col("l_orderkey").isNotNull())
+        .join(
+            ords.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v_fk_li"))
+    )
+    per_cust = ords.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    ri_ord = (
+        per_cust.filter(F.col("o_custkey").isNotNull())
+        .join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v_fk_ord"))
+    )
+    n_ord = ords.agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
+
+    wide = (
+        scal.crossJoin(u_line)
+        .crossJoin(u_order)
+        .crossJoin(ri_li)
+        .crossJoin(ri_ord)
+        .crossJoin(n_ord)
+    )
+    rules = [
+        ("completeness:l_orderkey", "n", "v_null"),
+        ("range:l_quantity:[1,25]", "n", "v_range"),
+        ("set:l_returnflag:{A,N,R}", "n", "v_set"),
+        ("positive:l_extendedprice", "n", "v_sign"),
+        ("unique:l_orderkey+l_linenumber", "n", "v_uline"),
+        ("unique:l_orderkey", "n", "v_uorder"),
+        ("fk:lineitem.l_orderkey->orders", "n", "v_fk_li"),
+        ("fk:orders.o_custkey->customer", "n_ord", "v_fk_ord"),
+    ]
+    parts = ", ".join(
+        f"'{name}', {checked}, {viol}, {viol} = 0" for name, checked, viol in rules
+    )
+    return wide.selectExpr(
+        f"stack({len(rules)}, {parts}) AS (rule, checked, violations, ok)"
+    ).orderBy("rule")
+
+
+ORACLE_VALIDATE_CONSTRAINTS = """
+WITH fine AS (
+  SELECT l_orderkey, l_linenumber, count(*) AS c
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+), coarse AS (
+  SELECT l_orderkey, sum(c) AS c FROM fine GROUP BY l_orderkey
+), ocust AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+)
+SELECT * FROM (
+SELECT 'completeness:l_orderkey' AS rule,
+       CAST(count(*) AS BIGINT) AS checked,
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations,
+       count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS ok
+FROM lineitem
+UNION ALL
+SELECT 'range:l_quantity:[1,25]', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE NOT l_quantity BETWEEN 1 AND 25) AS BIGINT),
+       count(*) FILTER (WHERE NOT l_quantity BETWEEN 1 AND 25) = 0
+FROM lineitem
+UNION ALL
+SELECT 'set:l_returnflag:{A,N,R}', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+       count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) = 0
+FROM lineitem
+UNION ALL
+SELECT 'positive:l_extendedprice', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+       count(*) FILTER (WHERE l_extendedprice <= 0) = 0
+FROM lineitem
+UNION ALL
+SELECT 'unique:l_orderkey+l_linenumber',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) = 0
+FROM fine
+UNION ALL
+SELECT 'unique:l_orderkey',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) = 0
+FROM coarse
+UNION ALL
+SELECT 'fk:lineitem.l_orderkey->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST(coalesce(sum(c), 0) AS BIGINT),
+       coalesce(sum(c), 0) = 0
+FROM coarse WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'fk:orders.o_custkey->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST(coalesce(sum(c), 0) AS BIGINT),
+       coalesce(sum(c), 0) = 0
+FROM ocust WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+) ORDER BY rule
+"""
+
+
+QUERIES = {
+    "validate-constraints": q_validate_constraints,
+}
+
+ORACLES = {
+    "validate-constraints": ORACLE_VALIDATE_CONSTRAINTS,
+}

@@ -1,0 +1,63 @@
+"""Constraint-validation semantics beyond what the non-null fixture
+exercises: NULL predicate inputs never count as violations (matching the
+oracle's count(*) FILTER skipping NULL conditions), NULL keys surface
+through the completeness rule (not the uniqueness/FK rules), and orphan
+FK mass counts fact ROWS, not distinct keys."""
+
+import os
+
+import pytest
+
+from rosbag2parquet_spark.operators.quality import q_validate_constraints
+
+
+@pytest.fixture(scope="module")
+def tiny_layout(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("quality"))
+    # lineitem: one NULL orderkey row, one out-of-range qty (NULL qty too),
+    # a duplicated (orderkey, linenumber) pair, and an orphan orderkey
+    # carried by TWO rows (FK violations must count rows, not keys)
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10.0, "A", 5.0),
+            (1, 1, 10.0, "N", 5.0),   # dup fine key
+            (2, 1, None, "R", 5.0),   # NULL qty: range rule must not fire
+            (None, 1, 10.0, "A", 5.0),  # NULL key: completeness only
+            (9, 1, 10.0, "A", 5.0),   # orphan order 9, row 1
+            (9, 2, 99.0, "A", 5.0),   # orphan order 9, row 2 (+range viol)
+        ],
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_returnflag string, l_extendedprice double",
+    )
+    ords = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 101)], "o_orderkey long, o_custkey long"
+    )
+    cust = spark.createDataFrame([(100,)], "c_custkey long")
+    li.write.parquet(os.path.join(root, "lineitem.parquet"))
+    ords.write.parquet(os.path.join(root, "orders.parquet"))
+    cust.write.parquet(os.path.join(root, "customer.parquet"))
+    return root
+
+
+def test_rule_verdicts_on_edge_rows(spark, tiny_layout):
+    out = {
+        r["rule"]: (r["checked"], r["violations"], r["ok"])
+        for r in q_validate_constraints(spark, tiny_layout).collect()
+    }
+    n = 6
+    # one NULL key row
+    assert out["completeness:l_orderkey"] == (n, 1, False)
+    # only the 99.0 row violates; NULL qty does NOT count
+    assert out["range:l_quantity:[1,25]"] == (n, 1, False)
+    assert out["set:l_returnflag:{A,N,R}"] == (n, 0, True)
+    assert out["positive:l_extendedprice"] == (n, 0, True)
+    # the duplicated fine key contributes surplus 1
+    assert out["unique:l_orderkey+l_linenumber"] == (n, 1, False)
+    # orderkey 1 has 2 rows (surplus 1) and orderkey 9 has 2 (surplus 1);
+    # NULL keys group as one key with c=1 → no surplus from them
+    assert out["unique:l_orderkey"] == (n, 2, False)
+    # order 9 is absent from orders and carries TWO fact rows; the NULL
+    # key does not join and is not an FK violation (completeness owns it)
+    assert out["fk:lineitem.l_orderkey->orders"] == (n, 2, False)
+    # custkey 101 has one order and no customer row
+    assert out["fk:orders.o_custkey->customer"] == (3, 1, False)
