@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from rosbag2parquet_spark import sinks  # noqa: E402
+from rosbag2parquet_spark import sinks, snapshots  # noqa: E402
 from rosbag2parquet_spark.functions import (  # noqa: E402
     dedup,
     kmeans,
@@ -89,6 +89,7 @@ _MODULES = (
     sampling,
     shuffle,
     sinks,
+    snapshots,
     streaming_queries,
 )
 
@@ -103,16 +104,21 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 25 new/changed (through
-# "resample-interpolate") + the first 25 of the 36 r4-latest rows
-# (through "anti-join"). The 25 genuinely-new queries outprioritized
-# the last eleven r4 rows — "range-join", "intersect", "sql-q3",
-# "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs", "pivot",
-# "unpivot", "histogram" slip past the freshness target this once
-# (r4-latest after r7; a first-ever row for a new query beats re-proving
-# a stable green one). For r8: those ELEVEN FIRST, then any new/changed,
-# then the r5-proven block ("stream-sink" onward); r6- then r7-proven
-# rotate to the back.
+# ROUND-8 NOTE: the r7 window = 37 new/changed (through
+# "resample-interpolate") + the first 13 of the 36 r4-latest rows
+# (through "sql-q13"). The 37 genuinely-new queries outprioritized the
+# last TWENTY-THREE r4 rows — "sql-q14" through "histogram" in this
+# list's order slip past the freshness target this once (r4-latest after
+# r7; a first-ever row for a new query beats re-proving a stable green
+# one; 170 queries against a 50-row window makes a full rotation 3.4
+# rounds, so a 37-new round necessarily defers re-proofs). For r8: those
+# TWENTY-THREE FIRST ("sql-q14", "sql-q15", "sql-q17", "sql-q19",
+# "sql-q22", "rollup-hypertable", "top-terms", "outer-join",
+# "salted-agg", "dedup-clusters", "like-filter", "anti-join",
+# "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
+# "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram"), then any
+# new/changed, then the r5-proven block ("stream-sink" onward); r6- then
+# r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
@@ -146,9 +152,14 @@ _QUERY_ORDER = [
     # and the JSON message-encoding tier (pure-Catalyst from_json decode,
     # the fourth message grammar) proven in the driver gate; plus the
     # Deequ-style constraint-validation gate (8 rules, 3 rule classes,
-    # row-local rules folded into ONE aggregate)
+    # row-local rules folded into ONE aggregate) and its O(1)-state
+    # streaming twin (row-local rules as one incremental aggregate)
+    # plus snapshot manifests + time-travel reads (pin the exact file set
+    # a training run read; AS-OF reads plan from the manifest, staleness
+    # after in-place mutation refused loudly)
     "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
-    "json-roundtrip", "validate-constraints",
+    "json-roundtrip", "validate-constraints", "stream-validate",
+    "snapshot-read",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -79,6 +79,13 @@ EXTENDED = [
     "skew-profile",
     "stratified-sample",
     "incr-rollup",
+    # session-3 round-7 operators (vacuum/doc-keywords are layout/corpus
+    # maintenance; validate-constraints is the 3-pass data-quality gate)
+    "vacuum",
+    "doc-keywords",
+    "validate-constraints",
+    "stream-validate",
+    "snapshot-read",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

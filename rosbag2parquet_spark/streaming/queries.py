@@ -786,8 +786,89 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring — the streaming twin of
+    `validate-constraints` scoped to its ROW-LOCAL rule class
+    (completeness / range / set membership / sign): the four rules fold
+    into ONE streaming global aggregate whose state is a single row of
+    counters — O(1) for any stream length, the quality gate that can run
+    forever beside a landing directory and trip an alert the micro-batch
+    a bad producer deploys. Uniqueness and referential integrity stay
+    batch-only by design (their exact forms need per-key state; the keyed
+    incremental analog is `stream-dedup`'s state posture). Verdicts
+    unpivot AFTER the sink so the stateful plan is the plain mergeable
+    sum/count form Catalyst incrementalizes exactly; same
+    ``(rule, checked, violations, ok)`` shape as the batch gate, oracle
+    over the whole fixture. The range and set rules genuinely FAIL on the
+    fixture (value tops out ~490; event_type includes 'error') so both
+    verdict paths are live end-to-end."""
+    from pyspark.sql import functions as F
+
+    def viol(cond) -> "F.Column":
+        # NULL predicate input counts as not-violating (count(*) FILTER)
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    ev = stream_events(spark, sf_dir)
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        viol(F.col("event_id").isNull()).alias("v_null"),
+        viol(~F.col("value").between(0, 100)).alias("v_range"),
+        viol(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup")
+        ).alias("v_set"),
+        viol(F.col("value") <= 0).alias("v_sign"),
+    )
+    tbl = _fresh("stream_validate")
+    run_to_memory(agg, tbl, mode="complete")
+    rules = [
+        ("completeness:event_id", "v_null"),
+        ("positive:value", "v_sign"),
+        ("range:value:[0,100]", "v_range"),
+        ("set:event_type:known4", "v_set"),
+    ]
+    parts = ", ".join(f"'{r}', n, {v}, {v} = 0" for r, v in rules)
+    return (
+        spark.table(tbl)
+        .selectExpr(
+            f"stack({len(rules)}, {parts}) AS (rule, checked, violations, ok)"
+        )
+        .orderBy("rule")
+    )
+
+
+ORACLE_STREAM_VALIDATE = """
+SELECT * FROM (
+SELECT 'completeness:event_id' AS rule,
+       CAST(count(*) AS BIGINT) AS checked,
+       CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS violations,
+       count(*) FILTER (WHERE event_id IS NULL) = 0 AS ok
+FROM events
+UNION ALL
+SELECT 'positive:value', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE value <= 0) AS BIGINT),
+       count(*) FILTER (WHERE value <= 0) = 0
+FROM events
+UNION ALL
+SELECT 'range:value:[0,100]', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE NOT value BETWEEN 0 AND 100) AS BIGINT),
+       count(*) FILTER (WHERE NOT value BETWEEN 0 AND 100) = 0
+FROM events
+UNION ALL
+SELECT 'set:event_type:known4', CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (
+           WHERE event_type NOT IN ('view','click','purchase','signup')
+       ) AS BIGINT),
+       count(*) FILTER (
+           WHERE event_type NOT IN ('view','click','purchase','signup')
+       ) = 0
+FROM events
+) ORDER BY rule
+"""
+
+
 QUERIES = {
     "stream-asof": q_stream_asof,
+    "stream-validate": q_stream_validate,
     "stream-analyze": q_stream_analyze,
     "stream-semdedup": q_stream_semdedup,
     "stream-knn": q_stream_knn,
@@ -841,6 +922,7 @@ def _funnel_oracle() -> str:
 
 ORACLES = {
     "stream-asof": _asof_oracle(),
+    "stream-validate": ORACLE_STREAM_VALIDATE,
     "stream-analyze": ORACLE_STREAM_ANALYZE,
     "stream-semdedup": _semdedup_oracle(),
     "stream-knn": _knn_oracle(),

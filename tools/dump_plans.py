@@ -211,6 +211,10 @@ def main() -> None:
         # materialized-rollup refresh (delta merge, base read from disk)
         "table-diff", "substring-dedup", "skew-profile",
         "stratified-sample", "incr-rollup",
+        # session-3 round-7: per-doc keyword cut (partial WindowGroupLimit
+        # before the doc shuffle) and the 3-pass data-quality gate (row-
+        # local rules in ONE aggregate; the scalar cross-join is by design)
+        "doc-keywords", "validate-constraints",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
