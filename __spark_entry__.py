@@ -104,16 +104,16 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 37 new/changed (through
-# "resample-interpolate") + the first 13 of the 36 r4-latest rows
-# (through "sql-q13"). The 37 genuinely-new queries outprioritized the
-# last TWENTY-THREE r4 rows — "sql-q14" through "histogram" in this
+# ROUND-8 NOTE: the r7 window = 38 new/changed (through
+# "resample-interpolate") + the first 12 of the 36 r4-latest rows
+# (through "sql-q7"). The 38 genuinely-new queries outprioritized the
+# last TWENTY-FOUR r4 rows — "sql-q13" through "histogram" in this
 # list's order slip past the freshness target this once (r4-latest after
 # r7; a first-ever row for a new query beats re-proving a stable green
-# one; 170 queries against a 50-row window makes a full rotation 3.4
-# rounds, so a 37-new round necessarily defers re-proofs). For r8: those
-# TWENTY-THREE FIRST ("sql-q14", "sql-q15", "sql-q17", "sql-q19",
-# "sql-q22", "rollup-hypertable", "top-terms", "outer-join",
+# one; 171 queries against a 50-row window makes a full rotation 3.4
+# rounds, so a 38-new round necessarily defers re-proofs). For r8: those
+# TWENTY-FOUR FIRST ("sql-q13", "sql-q14", "sql-q15", "sql-q17",
+# "sql-q19", "sql-q22", "rollup-hypertable", "top-terms", "outer-join",
 # "salted-agg", "dedup-clusters", "like-filter", "anti-join",
 # "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
 # "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram"), then any
@@ -157,9 +157,11 @@ _QUERY_ORDER = [
     # plus snapshot manifests + time-travel reads (pin the exact file set
     # a training run read; AS-OF reads plan from the manifest, staleness
     # after in-place mutation refused loudly)
+    # plus the Pass-Join edit-distance dedup tier (pigeonhole segment
+    # equi-join blocking, EXACT recall, candidates-only levenshtein)
     "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
     "json-roundtrip", "validate-constraints", "stream-validate",
-    "snapshot-read",
+    "snapshot-read", "dedup-editdist",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

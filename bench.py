@@ -86,6 +86,7 @@ EXTENDED = [
     "validate-constraints",
     "stream-validate",
     "snapshot-read",
+    "dedup-editdist",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

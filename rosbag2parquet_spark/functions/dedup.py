@@ -748,8 +748,183 @@ FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
 """
 
 
+# ------------------------------------------------- edit-distance (Pass-Join)
+
+#: edit-distance threshold for the character-level tier
+EDITDIST_TAU = 4
+
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: all pairs with Levenshtein distance <= 4,
+    found WITHOUT the O(n^2) distance matrix via Pass-Join-style segment
+    blocking (Li/Deng/Feng/Wang, PVLDB 2011 — public): partition each doc
+    into tau+1 = 5 disjoint segments; if ed(a,b) <= tau, at most tau
+    segments receive an edit, so BY PIGEONHOLE at least one segment of the
+    shorter doc appears EXACTLY in the longer one — and an alignment with
+    <= tau edits moves any character at most tau positions, so that
+    occurrence sits within +-tau of the segment's home position. Candidate
+    generation is therefore a pure EQUI-join: the shorter side emits its 5
+    segments keyed (len, segment_index, text); the longer side emits every
+    substring that a length-compatible partner's segment could equal (<= 5
+    candidate lengths x 5 segments x 9 shifts, each a short key) — the
+    corpus text itself never fans out, only ~60-byte probe keys, distinct-
+    collapsed map-side before ONE shuffle. Exact ``levenshtein(_, _, tau)``
+    (early-abort threshold form) verifies candidates only — the same
+    candidates-only posture as the MinHash tier, at character rather than
+    shingle granularity (catches the small-typo/boilerplate-tweak
+    duplicates a word-shingle tier scores as far apart). The tighter
+    multi-match-aware probe window of the paper is a constant-factor
+    optimization over the +-tau window used here; both are supersets of
+    the true pair set, so recall is EXACT (not probabilistic — unlike
+    MinHash, this tier cannot miss a pair). Docs shorter than tau+1 chars
+    are out of scope for this tier (their segments degenerate; exact/
+    normalized dedup owns them; the fixture has none). The oracle blocks
+    with the looser contains-anywhere form — fine at fixture scale,
+    quadratic at 100 TB, which is exactly why the positioned equi-join is
+    the engine's plan. Output: (a_id, b_id, ed), a_id < b_id."""
+    tau = EDITDIST_TAU
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.length("text").alias("len"))
+        .filter(F.col("len") > tau)
+    )
+
+    # shorter side: 5 disjoint segments per doc, keyed by (len, i, text).
+    # 0-based start of segment i: i*base + min(i, rem); length base(+1<rem)
+    seg = (
+        d.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("len").alias("la"),
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
+        )
+        .withColumn("base", F.expr("la div 5"))
+        .withColumn("rem", F.expr("la % 5"))
+        .select(
+            "a_id",
+            "la",
+            "i",
+            F.expr(
+                "substring(text, i*base + least(i, rem) + 1,"
+                " base + IF(i < rem, 1, 0))"
+            ).alias("s"),
+        )
+    )
+
+    # longer side: for every compatible partner length la in [len-4, len]
+    # and segment i, every substring within +-tau of the segment's home
+    probe = (
+        d.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("len").alias("lb"),
+            "text",
+            F.explode(
+                F.sequence(F.col("len") - tau, F.col("len"))
+            ).alias("la"),
+        )
+        .filter(F.col("la") > tau)
+        .select(
+            "b_id",
+            "lb",
+            "text",
+            "la",
+            F.explode(F.sequence(F.lit(0), F.lit(tau))).alias("i"),
+        )
+        .withColumn("base", F.expr("la div 5"))
+        .withColumn("rem", F.expr("la % 5"))
+        .withColumn("slen", F.expr("base + IF(i < rem, 1, 0)"))
+        .withColumn("sa0", F.expr("i*base + least(i, rem)"))
+        .select(
+            "b_id",
+            "la",
+            "i",
+            "slen",
+            "sa0",
+            "text",
+            "lb",
+            F.explode(F.sequence(F.lit(-tau), F.lit(tau))).alias("sh"),
+        )
+        .withColumn("p0", F.col("sa0") + F.col("sh"))
+        .filter((F.col("p0") >= 0) & (F.col("p0") + F.col("slen") <= F.col("lb")))
+        .select(
+            "b_id",
+            "la",
+            "i",
+            F.expr("substring(text, p0 + 1, slen)").alias("s"),
+        )
+        .distinct()
+    )
+
+    cand = (
+        seg.join(probe, ["la", "i", "s"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    texts = d.select("doc_id", "text")
+    ver = (
+        cand.join(
+            texts.select(
+                F.col("doc_id").alias("a_id"), F.col("text").alias("ta")
+            ),
+            "a_id",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("b_id"), F.col("text").alias("tb")
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "ed", F.levenshtein(F.col("ta"), F.col("tb"), tau).cast("long")
+        )
+        .filter((F.col("ed") >= 0) & (F.col("ed") <= tau))
+    )
+    return (
+        ver.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "ed",
+        )
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE_DEDUP_EDITDIST = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS len FROM documents
+  WHERE length(text) > 4
+), seg AS (
+  SELECT doc_id AS a_id, len AS la, i,
+         substr(text,
+                CAST(i*(len//5) + least(i, len%5) + 1 AS BIGINT),
+                CAST((len//5) + CASE WHEN i < len%5 THEN 1 ELSE 0 END
+                     AS BIGINT)) AS s
+  FROM d, range(5) t(i)
+), cand AS (
+  SELECT DISTINCT seg.a_id, b.doc_id AS b_id
+  FROM seg JOIN d b
+    ON b.len BETWEEN seg.la AND seg.la + 4
+   AND seg.a_id <> b.doc_id
+   AND position(seg.s IN b.text) > 0
+), ver AS (
+  SELECT least(c.a_id, c.b_id) AS a_id,
+         greatest(c.a_id, c.b_id) AS b_id,
+         CAST(levenshtein(x.text, y.text) AS BIGINT) AS ed
+  FROM cand c
+  JOIN d x ON x.doc_id = c.a_id
+  JOIN d y ON y.doc_id = c.b_id
+  WHERE levenshtein(x.text, y.text) <= 4
+)
+SELECT DISTINCT a_id, b_id, ed FROM ver ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
     "dedup-exact": q_dedup_exact,
+    "dedup-editdist": q_dedup_editdist,
     "substring-dedup": q_substring_dedup,
     "dedup-minhash-lsh": q_minhash_lsh,
     "dedup-ngram-jaccard": q_ngram_jaccard,
@@ -762,6 +937,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup-exact": ORACLE_DEDUP_EXACT,
+    "dedup-editdist": ORACLE_DEDUP_EDITDIST,
     "substring-dedup": ORACLE_SUBSTRING_DEDUP,
     "dedup-minhash-lsh": ORACLE_MINHASH_LSH,
     "dedup-ngram-jaccard": ORACLE_NGRAM_JACCARD,

@@ -1,0 +1,81 @@
+"""Pass-Join edit-distance tier semantics the fixture can't pin: the
+pigeonhole + shift-window blocking must FIND pairs whose unedited segment
+is displaced by insertions (the case the +-tau probe window exists for),
+must EXCLUDE pairs just over the threshold, must emit an equal-length
+pair exactly once despite double orientation, and must leave sub-tau-
+length docs to the exact tiers."""
+
+import os
+
+import pytest
+
+from rosbag2parquet_spark.functions.dedup import EDITDIST_TAU, q_dedup_editdist
+
+BASE = "the quick brown fox jumps over the lazy dog near the riverbank"
+
+
+@pytest.fixture(scope="module")
+def layout(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("editdist"))
+    # 4 chars INSERTED up front — every later segment shifts right by 4,
+    # the maximum displacement the +-tau window must still catch
+    shifted = "WXYZ" + BASE
+    # 5 substitutions spread across all 5 segments: ed=5 > tau, and no
+    # segment survives unedited (the blocking may or may not emit it as a
+    # candidate; verification must kill it either way)
+    over = list(BASE)
+    for k in range(5):
+        pos = 3 + k * (len(BASE) // 5)
+        over[pos] = "#"
+    over = "".join(over)
+    # equal length, 2 substitutions: found via BOTH orientations, one row
+    twin = BASE[:10] + "##" + BASE[12:]
+    docs = [
+        (1, BASE),
+        (2, shifted),   # ed=4 (pure insertions)
+        (3, over),      # ed=5 — excluded
+        (4, twin),      # ed=2, same length as 1
+        (5, "abc"),     # len <= tau: out of tier scope
+        (6, "abc"),     # even though exactly equal to 5
+        (7, BASE),      # ed=0 exact dup — still a pair
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    return root
+
+
+def test_pairs_and_exclusions(spark, layout):
+    rows = {
+        (r["a_id"], r["b_id"]): r["ed"]
+        for r in q_dedup_editdist(spark, layout).collect()
+    }
+    # insertion-displaced pair caught at the full shift
+    assert rows[(1, 2)] == 4
+    assert rows[(2, 7)] == 4
+    # exact dup is distance 0
+    assert rows[(1, 7)] == 0
+    # equal-length twin found once, ed exact
+    assert rows[(1, 4)] == 2
+    assert rows[(4, 7)] == 2
+    # over-threshold and sub-tau-length docs never appear
+    assert all(3 not in p and 5 not in p and 6 not in p for p in rows)
+    # twin-vs-shifted: 2 subs + 4 inserts = ed 6 — absent
+    assert (2, 4) not in rows
+    assert len(rows) == 5
+
+
+def test_window_bound_is_tau(spark, layout):
+    """tau+1 leading insertions push every segment one past the probe
+    window; blocking correctly has no obligation there (ed > tau anyway),
+    pinning that the +-tau window matches the threshold it serves."""
+    assert EDITDIST_TAU == 4
+    with_5 = "VWXYZ" + BASE  # ed=5
+    extra = [(1, BASE), (2, with_5)]
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="editdist2_")
+    spark.createDataFrame(extra, "doc_id long, text string").write.parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    assert q_dedup_editdist(spark, root).count() == 0

@@ -215,6 +215,9 @@ def main() -> None:
         # before the doc shuffle) and the 3-pass data-quality gate (row-
         # local rules in ONE aggregate; the scalar cross-join is by design)
         "doc-keywords", "validate-constraints",
+        # session-3 round-7: Pass-Join edit-distance tier (positioned
+        # segment equi-join blocking; corpus text never fans out)
+        "dedup-editdist",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
