@@ -104,21 +104,21 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 38 new/changed (through
-# "resample-interpolate") + the first 12 of the 36 r4-latest rows
-# (through "sql-q7"). The 38 genuinely-new queries outprioritized the
-# last TWENTY-FOUR r4 rows — "sql-q13" through "histogram" in this
+# ROUND-8 NOTE: the r7 window = 39 new/changed (through
+# "resample-interpolate") + the first 11 of the 36 r4-latest rows
+# (through "sql-q4"). The 39 genuinely-new queries outprioritized the
+# last TWENTY-FIVE r4 rows — "sql-q7" through "histogram" in this
 # list's order slip past the freshness target this once (r4-latest after
 # r7; a first-ever row for a new query beats re-proving a stable green
-# one; 171 queries against a 50-row window makes a full rotation 3.4
-# rounds, so a 38-new round necessarily defers re-proofs). For r8: those
-# TWENTY-FOUR FIRST ("sql-q13", "sql-q14", "sql-q15", "sql-q17",
-# "sql-q19", "sql-q22", "rollup-hypertable", "top-terms", "outer-join",
-# "salted-agg", "dedup-clusters", "like-filter", "anti-join",
-# "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
-# "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram"), then any
-# new/changed, then the r5-proven block ("stream-sink" onward); r6- then
-# r7-proven rotate to the back.
+# one; 172 queries against a 50-row window makes a full rotation 3.4
+# rounds, so a 39-new round necessarily defers re-proofs). For r8: those
+# TWENTY-FIVE FIRST ("sql-q7", "sql-q13", "sql-q14", "sql-q15",
+# "sql-q17", "sql-q19", "sql-q22", "rollup-hypertable", "top-terms",
+# "outer-join", "salted-agg", "dedup-clusters", "like-filter",
+# "anti-join", "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6",
+# "sql-q10", "sql-q18", "scalar-funcs", "pivot", "unpivot",
+# "histogram"), then any new/changed, then the r5-proven block
+# ("stream-sink" onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
@@ -161,7 +161,9 @@ _QUERY_ORDER = [
     # equi-join blocking, EXACT recall, candidates-only levenshtein)
     "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
     "json-roundtrip", "validate-constraints", "stream-validate",
-    "snapshot-read", "dedup-editdist",
+    # plus the privacy-transform pass (peppered key pseudonymization +
+    # hour generalization + k=5 suppression, one co-keyed shuffle)
+    "snapshot-read", "dedup-editdist", "pseudonymize",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

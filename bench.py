@@ -87,6 +87,7 @@ EXTENDED = [
     "stream-validate",
     "snapshot-read",
     "dedup-editdist",
+    "pseudonymize",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -760,23 +760,26 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking (Li/Deng/Feng/Wang, PVLDB 2011 — public): partition each doc
     into tau+1 = 5 disjoint segments; if ed(a,b) <= tau, at most tau
     segments receive an edit, so BY PIGEONHOLE at least one segment of the
-    shorter doc appears EXACTLY in the longer one — and an alignment with
-    <= tau edits moves any character at most tau positions, so that
-    occurrence sits within +-tau of the segment's home position. Candidate
-    generation is therefore a pure EQUI-join: the shorter side emits its 5
-    segments keyed (len, segment_index, text); the longer side emits every
+    shorter doc appears EXACTLY in the longer one — and its displacement x
+    obeys the multi-match-aware bound |x| + |x - (len_b - len_a)| <= tau
+    (|x| <= edits before the segment, |x - delta| <= edits after it, and
+    the two classes share the tau budget), i.e. at most ~tau/2 positions
+    either side of the length-adjusted home. Candidate generation is
+    therefore a pure EQUI-join: the shorter side emits its 5 segments
+    keyed (len, segment_index, text); the longer side emits every
     substring that a length-compatible partner's segment could equal (<= 5
-    candidate lengths x 5 segments x 9 shifts, each a short key) — the
+    candidate lengths x 5 segments x ~5 shifts, each a short key) — the
     corpus text itself never fans out, only ~60-byte probe keys, distinct-
     collapsed map-side before ONE shuffle. Exact ``levenshtein(_, _, tau)``
     (early-abort threshold form) verifies candidates only — the same
     candidates-only posture as the MinHash tier, at character rather than
     shingle granularity (catches the small-typo/boilerplate-tweak
-    duplicates a word-shingle tier scores as far apart). The tighter
-    multi-match-aware probe window of the paper is a constant-factor
-    optimization over the +-tau window used here; both are supersets of
-    the true pair set, so recall is EXACT (not probabilistic — unlike
-    MinHash, this tier cannot miss a pair). Docs shorter than tau+1 chars
+    duplicates a word-shingle tier scores as far apart). The blocked
+    candidate set is a superset of the true pair set, so recall is EXACT
+    (not probabilistic — unlike
+    MinHash, this tier cannot miss a pair — the displacement bound above
+    is derived, not heuristic, and the oracle's independent blocking
+    cross-checks it). Docs shorter than tau+1 chars
     are out of scope for this tier (their segments degenerate; exact/
     normalized dedup owns them; the fixture has none). The oracle blocks
     with the looser contains-anywhere form — fine at fixture scale,
@@ -842,7 +845,18 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sa0",
             "text",
             "lb",
-            F.explode(F.sequence(F.lit(-tau), F.lit(tau))).alias("sh"),
+            # multi-match-aware shift window: an unedited segment's
+            # displacement x = ins_before - del_before satisfies
+            # |x| <= edits_before and |x - delta| = |ins_after - del_after|
+            # <= edits_after, so |x| + |x - delta| <= tau (delta = lb-la).
+            # That halves the +-tau window: x in
+            # [-((tau-delta) div 2), (tau+delta) div 2].
+            F.explode(
+                F.expr(
+                    f"sequence(-(({tau} - (lb - la)) div 2),"
+                    f" ({tau} + (lb - la)) div 2)"
+                )
+            ).alias("sh"),
         )
         .withColumn("p0", F.col("sa0") + F.col("sh"))
         .filter((F.col("p0") >= 0) & (F.col("p0") + F.col("slen") <= F.col("lb")))

@@ -178,10 +178,79 @@ FROM ocust WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 """
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy transform for sharing an event log — the three standard
+    moves applied in one pass (GDPR pseudonymization; complements the
+    hard-delete path `delete-rows` owns):
+
+    - KEY PSEUDONYMIZATION: ``user_id`` replaced by a peppered SHA-256
+      (the pepper is what stops a rainbow table over a small id space;
+      deterministic, so joinability across tables/epochs is preserved —
+      the property tokenization must keep and random ids would lose).
+    - GENERALIZATION: event timestamps coarsen to the hour (quasi-
+      identifier blunting; the raw microsecond is a fingerprint).
+    - K-SUPPRESSION (k=2) on the published quasi-identifier
+      ``(event_type, hour)``: a row whose QI cell is UNIQUE in the
+      release pinpoints one person to anyone who knows when they acted
+      (the classic linkage attack) even though the key is masked —
+      k-anonymity drops singleton cells rather than publishing them.
+
+    Plan: hashing + generalization are MAP-ONLY (JVM sha2/date_trunc, no
+    Python); the k-gate aggregates the QI dim (|type x hour| tiny rows,
+    partial-combined map-side) and BROADCASTS it back, so the event log
+    itself never shuffles — a k-policy change re-filters without moving
+    the corpus, the same posture as `stratified-sample`. Deterministic
+    end to end, so the oracle is exact (DuckDB sha256 and Spark
+    sha2(256) both emit lowercase hex over identical ``pepper:id``
+    strings). The fixture has live suppression at sf0.001/sf0.01 (both
+    verdict paths run)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_us", F.unix_micros(F.date_trunc("hour", F.col("ts")))
+    )
+    cells = ev.groupBy("event_type", "hour_us").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    return (
+        ev.join(F.broadcast(cells), ["event_type", "hour_us"])
+        .filter(F.col("n_cell") >= 2)
+        .select(
+            "event_id",
+            F.sha2(
+                F.concat(F.lit("pepper:"), F.col("user_id").cast("string")),
+                256,
+            ).alias("pseudonym"),
+            "hour_us",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_PSEUDONYMIZE = """
+WITH k AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_cell
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id,
+       sha256('pepper:' || CAST(e.user_id AS VARCHAR)) AS pseudonym,
+       epoch_us(date_trunc('hour', e.ts)) AS hour_us,
+       e.event_type,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e
+JOIN k ON k.event_type = e.event_type
+      AND k.h = date_trunc('hour', e.ts)
+WHERE k.n_cell >= 2
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "validate-constraints": q_validate_constraints,
+    "pseudonymize": q_pseudonymize,
 }
 
 ORACLES = {
     "validate-constraints": ORACLE_VALIDATE_CONSTRAINTS,
+    "pseudonymize": ORACLE_PSEUDONYMIZE,
 }

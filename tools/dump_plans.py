@@ -216,8 +216,9 @@ def main() -> None:
         # local rules in ONE aggregate; the scalar cross-join is by design)
         "doc-keywords", "validate-constraints",
         # session-3 round-7: Pass-Join edit-distance tier (positioned
-        # segment equi-join blocking; corpus text never fans out)
-        "dedup-editdist",
+        # segment equi-join blocking; corpus text never fans out) and the
+        # privacy pass (map-only hash/generalize, one co-keyed k-gate)
+        "dedup-editdist", "pseudonymize",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
