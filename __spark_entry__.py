@@ -104,15 +104,15 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 39 new/changed (through
-# "resample-interpolate") + the first 11 of the 36 r4-latest rows
-# (through "sql-q4"). The 39 genuinely-new queries outprioritized the
-# last TWENTY-FIVE r4 rows — "sql-q7" through "histogram" in this
+# ROUND-8 NOTE: the r7 window = 40 new/changed (through
+# "resample-interpolate") + the first 10 of the 36 r4-latest rows
+# (through "interval-join"). The 40 genuinely-new queries outprioritized
+# the last TWENTY-SIX r4 rows — "sql-q4" through "histogram" in this
 # list's order slip past the freshness target this once (r4-latest after
 # r7; a first-ever row for a new query beats re-proving a stable green
-# one; 172 queries against a 50-row window makes a full rotation 3.4
-# rounds, so a 39-new round necessarily defers re-proofs). For r8: those
-# TWENTY-FIVE FIRST ("sql-q7", "sql-q13", "sql-q14", "sql-q15",
+# one; 173 queries against a 50-row window makes a full rotation 3.5
+# rounds, so a 40-new round necessarily defers re-proofs). For r8: those
+# TWENTY-SIX FIRST ("sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
 # "sql-q17", "sql-q19", "sql-q22", "rollup-hypertable", "top-terms",
 # "outer-join", "salted-agg", "dedup-clusters", "like-filter",
 # "anti-join", "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6",
@@ -162,8 +162,11 @@ _QUERY_ORDER = [
     "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
     "json-roundtrip", "validate-constraints", "stream-validate",
     # plus the privacy-transform pass (peppered key pseudonymization +
-    # hour generalization + k=5 suppression, one co-keyed shuffle)
+    # hour generalization + k=2 QI-cell suppression, corpus never
+    # shuffles) and alpha=0.5 temperature mixture rebalancing
+    # (integer-exact isqrt weights, broadcast dim + map-side filter)
     "snapshot-read", "dedup-editdist", "pseudonymize",
+    "temperature-sample",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -88,6 +88,7 @@ EXTENDED = [
     "snapshot-read",
     "dedup-editdist",
     "pseudonymize",
+    "temperature-sample",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -51,6 +51,58 @@ def main(argv: list[str] | None = None) -> int:
             print(p)
         return 0
 
+    # subcommand: `snapshot` = manifest lifecycle for time-travel reads
+    # (snapshots.py) — create/list/verify are driver-side metadata ops
+    if argv and argv[0] == "snapshot":
+        sp = argparse.ArgumentParser(prog="rosbag2parquet_spark snapshot")
+        sp.add_argument("--layout", required=True, help="parquet layout dir")
+        g = sp.add_mutually_exclusive_group(required=True)
+        g.add_argument(
+            "--create", action="store_true",
+            help="record the current file set as the next version",
+        )
+        g.add_argument(
+            "--list", action="store_true", help="print existing versions"
+        )
+        g.add_argument(
+            "--verify", type=int, metavar="V",
+            help="check a version's files still exist at recorded sizes",
+        )
+        args = sp.parse_args(argv[1:])
+        from rosbag2parquet_spark import snapshots as snap
+
+        if args.create:
+            print(f"v{snap.snapshot_create(args.layout)}")
+        elif args.list:
+            for v in snap.snapshot_versions(args.layout):
+                print(f"v{v}")
+        else:
+            import json as _json
+
+            mp = os.path.join(
+                args.layout, snap.SNAPSHOT_DIR, f"v{args.verify}.json"
+            )
+            if not os.path.exists(mp):
+                print(f"no snapshot v{args.verify}", file=sys.stderr)
+                return 1
+            with open(mp) as f:
+                entries = _json.load(f)["files"]
+            stale = [
+                e["path"]
+                for e in entries
+                if not os.path.exists(os.path.join(args.layout, e["path"]))
+                or os.path.getsize(os.path.join(args.layout, e["path"]))
+                != e["size"]
+            ]
+            for p in stale:
+                print(f"stale {p}")
+            print(
+                f"v{args.verify}: {len(entries) - len(stale)}/{len(entries)} "
+                "files intact"
+            )
+            return 1 if stale else 0
+        return 0
+
     # subcommand: `export` = the reverse direction — converted layout back
     # to indexed MCAP part files (round-trip surface; see export.py)
     if argv and argv[0] == "export":

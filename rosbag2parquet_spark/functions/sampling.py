@@ -202,6 +202,85 @@ GROUP BY d.source
 """
 
 
+# -------------------------------------------------------- temperature-sample
+
+_BUCKET_TEMP = md5_bucket_sql("doc_id", salt="temp|")
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing — the alpha-exponent family
+    between mix-weighted's fixed recipe (alpha=1 keeps natural
+    proportions) and stratified-sample's hard equalization (alpha=0):
+    stratum s is sampled toward share proportional to ``n_s^alpha``, the
+    standard multilingual-corpus rebalance (mT5/XLM-R style) that keeps
+    head languages from drowning the tail without flattening it entirely.
+    alpha=0.5 here, made INTEGER-EXACT cross-engine: the stratum weight
+    is ``w_s = floor(sqrt(n_s))`` (sqrt of an integer is IEEE
+    correctly-rounded in both engines and floor() cannot straddle — for
+    n = m^2 - 1 the true root sits ~1/(2m) below m, orders of magnitude
+    more than a double ulp at any realistic stratum size), and the
+    per-row keep decision is the integer threshold crossing
+    ``bucket * S_w * n_s < T * w_s * 2^20`` (rate T*w_s/(S_w*n_s) with no
+    division; T = N div 2 is the target total, S_w the weight sum —
+    integer addition, order-free, unlike a float sum). Rates above 1 clip
+    to keep-everything — filtering cannot upsample; the caveat every
+    sampling-by-filter implementation shares, stated rather than hidden.
+
+    Plan: one tiny per-stratum count, one 1-row totals reduce broadcast
+    back, then broadcast join + map-side filter — the corpus never
+    shuffles, and a temperature change re-filters without re-shuffling
+    (same posture as stratified-sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "w_s",
+            F.expr("CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT)"),
+        )
+    )
+    totals = strata.agg(
+        F.sum("w_s").alias("s_w"),
+        F.expr("CAST(sum(n_s) div 2 AS BIGINT)").alias("t_goal"),
+    )
+    dim = F.broadcast(strata.crossJoin(F.broadcast(totals)))
+    keep = F.expr(
+        f"{_BUCKET_TEMP} * s_w * n_s < t_goal * w_s * {BUCKET_SPACE}"
+    )
+    return (
+        docs.join(dim, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+            F.any_value(F.col("w_s")).cast("long").alias("w"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEMPERATURE_SAMPLE = f"""
+WITH strata AS (
+  SELECT lang, count(*) AS n_s,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_s
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(w_s) AS s_w, CAST(sum(n_s) // 2 AS BIGINT) AS t_goal
+  FROM strata
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN ({_BUCKET_TEMP}) * t.s_w * s.n_s
+                          < t.t_goal * s.w_s * {BUCKET_SPACE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(any_value(s.w_s) AS BIGINT) AS w
+FROM documents d JOIN strata s USING (lang) CROSS JOIN tot t
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 # ------------------------------------------------------------ cap-per-group
 
 _CAP_PER_LANG = 50
@@ -579,6 +658,7 @@ QUERIES = {
     "split-train-test": q_split_train_test,
     "mix-weighted": q_mix_weighted,
     "stratified-sample": q_stratified_sample,
+    "temperature-sample": q_temperature_sample,
     "cap-per-group": q_cap_per_group,
     "pack-sequences": q_pack_sequences,
     "shuffle-global": q_shuffle_global,
@@ -593,6 +673,7 @@ ORACLES = {
     "split-train-test": ORACLE_SPLIT_TRAIN_TEST,
     "mix-weighted": ORACLE_MIX_WEIGHTED,
     "stratified-sample": ORACLE_STRATIFIED_SAMPLE,
+    "temperature-sample": ORACLE_TEMPERATURE_SAMPLE,
     "cap-per-group": ORACLE_CAP_PER_GROUP,
     "pack-sequences": ORACLE_PACK_SEQUENCES,
     "shuffle-global": ORACLE_SHUFFLE_GLOBAL,

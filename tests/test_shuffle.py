@@ -77,6 +77,8 @@ def test_no_unexpected_single_partition_exchange(spark):
         # (count partials map-side), broadcast back into the factor expr
         "stratified-sample",  # balance target n_min: one 1-row min over
         # the tiny strata dim, broadcast back into the keep threshold
+        "temperature-sample",  # same posture: one 1-row (S_w, T) reduce
+        # over the strata dim, broadcast back into the keep threshold
         "validate-constraints",  # rule verdicts ARE global scalars: the
         # row-local rules fold into one map-side-partial aggregate, the
         # uniqueness/FK passes reduce key tables; ~8 scalars cross total

@@ -218,7 +218,7 @@ def main() -> None:
         # session-3 round-7: Pass-Join edit-distance tier (positioned
         # segment equi-join blocking; corpus text never fans out) and the
         # privacy pass (map-only hash/generalize, one co-keyed k-gate)
-        "dedup-editdist", "pseudonymize",
+        "dedup-editdist", "pseudonymize", "temperature-sample",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
