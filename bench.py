@@ -274,10 +274,33 @@ def main() -> None:
                 "convert_protobuf": protobuf_stats,
                 "convert_json": json_stats,
                 "export_mcap": export_stats,
+                # engine-independent host calibration: min-of-5 wall of a
+                # fixed numpy kernel (1600x1600 float64 matmul). The shared
+                # VM's throughput drifts 1.3-2.5x between rounds on
+                # IDENTICAL plans (r7 measured: same suite 11.0 -> 14.6 s
+                # while warm min-of-5 per-query times matched r6) — divide
+                # suite seconds by (calib_ms / its round-over-round value)
+                # to separate host drift from plan regressions
+                "calib_matmul_ms": _calibrate(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def _calibrate() -> float:
+    """Fixed-work host-speed probe (see calib_matmul_ms in the JSON)."""
+    import time as _time
+
+    import numpy as _np
+
+    a = _np.arange(1600 * 1600, dtype=_np.float64).reshape(1600, 1600) / 1e6
+    best = float("inf")
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        (a @ a).sum()
+        best = min(best, _time.perf_counter() - t0)
+    return round(best * 1000, 2)
 
 
 def _bench_decode(n: int = 50_000) -> float:
