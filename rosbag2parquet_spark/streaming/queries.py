@@ -786,6 +786,44 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def validate_rules_agg(ev: DataFrame) -> DataFrame:
+    """The four row-local rules as ONE global aggregate (shared by the
+    registered query and the cross-batch unit test): a single counter row
+    is the entire streaming state."""
+    from pyspark.sql import functions as F
+
+    def viol(cond) -> "F.Column":
+        # NULL predicate input counts as not-violating (count(*) FILTER)
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        viol(F.col("event_id").isNull()).alias("v_null"),
+        viol(~F.col("value").between(0, 100)).alias("v_range"),
+        viol(
+            ~F.col("event_type").isin("view", "click", "purchase", "signup")
+        ).alias("v_set"),
+        viol(F.col("value") <= 0).alias("v_sign"),
+    )
+
+
+#: (rule label, violation counter) — shared by query and test
+VALIDATE_RULES = [
+    ("completeness:event_id", "v_null"),
+    ("positive:value", "v_sign"),
+    ("range:value:[0,100]", "v_range"),
+    ("set:event_type:known4", "v_set"),
+]
+
+
+def validate_verdicts(wide: DataFrame) -> DataFrame:
+    parts = ", ".join(f"'{r}', n, {v}, {v} = 0" for r, v in VALIDATE_RULES)
+    return wide.selectExpr(
+        f"stack({len(VALIDATE_RULES)}, {parts})"
+        " AS (rule, checked, violations, ok)"
+    ).orderBy("rule")
+
+
 def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous data-quality monitoring — the streaming twin of
     `validate-constraints` scoped to its ROW-LOCAL rule class
@@ -802,38 +840,10 @@ def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the whole fixture. The range and set rules genuinely FAIL on the
     fixture (value tops out ~490; event_type includes 'error') so both
     verdict paths are live end-to-end."""
-    from pyspark.sql import functions as F
-
-    def viol(cond) -> "F.Column":
-        # NULL predicate input counts as not-violating (count(*) FILTER)
-        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
-
-    ev = stream_events(spark, sf_dir)
-    agg = ev.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        viol(F.col("event_id").isNull()).alias("v_null"),
-        viol(~F.col("value").between(0, 100)).alias("v_range"),
-        viol(
-            ~F.col("event_type").isin("view", "click", "purchase", "signup")
-        ).alias("v_set"),
-        viol(F.col("value") <= 0).alias("v_sign"),
-    )
+    agg = validate_rules_agg(stream_events(spark, sf_dir))
     tbl = _fresh("stream_validate")
     run_to_memory(agg, tbl, mode="complete")
-    rules = [
-        ("completeness:event_id", "v_null"),
-        ("positive:value", "v_sign"),
-        ("range:value:[0,100]", "v_range"),
-        ("set:event_type:known4", "v_set"),
-    ]
-    parts = ", ".join(f"'{r}', n, {v}, {v} = 0" for r, v in rules)
-    return (
-        spark.table(tbl)
-        .selectExpr(
-            f"stack({len(rules)}, {parts}) AS (rule, checked, violations, ok)"
-        )
-        .orderBy("rule")
-    )
+    return validate_verdicts(spark.table(tbl))
 
 
 ORACLE_STREAM_VALIDATE = """

@@ -581,3 +581,69 @@ def test_stream_funnel_across_batches(spark, tmp_path):
         .collect()
     }
     assert final == {1: (1, 1, 0), 2: (1, 1, 1), 3: (0, 0, 0)}
+
+
+def test_stream_validate_cross_batch(spark, tmp_path):
+    """The quality monitor's counters accumulate correctly ACROSS
+    micro-batches (complete-mode global agg): rule expressions — NULL
+    predicate inputs never violating, a row violating TWO rules counting
+    once per rule — hold over the merged state, not just within a file."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from rosbag2parquet_spark.streaming.queries import (
+        validate_rules_agg,
+        validate_verdicts,
+    )
+    from rosbag2parquet_spark.streaming.windowed import run_to_memory
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    a = pd.DataFrame(
+        [
+            (None, 1, "view", 10.0),    # completeness violation
+            (2, 1, "click", 150.0),     # range violation
+            (3, 2, "purchase", 50.0),   # clean
+        ],
+        columns=cols,
+    )
+    b = pd.DataFrame(
+        [
+            (4, 2, "error", 10.0),      # set violation
+            (5, 3, "view", -1.0),       # range AND sign violation
+            (6, 3, "signup", None),     # NULL value: no rule fires
+            (7, 1, "view", 0.5),        # clean
+        ],
+        columns=cols,
+    )
+    # nullable dtypes: plain pandas would coerce the None-bearing int
+    # column to float64 (schema mismatch) and the None double to NaN
+    # (which is NOT NULL — NaN fails `between`, NULL skips the rule)
+    for df in (a, b):
+        df["event_id"] = df["event_id"].astype("Int64")
+        df["value"] = df["value"].astype("Float64")
+    land = tmp_path / "land_validate"
+    land.mkdir()
+    a.to_parquet(land / "a.parquet")
+    b.to_parquet(land / "b.parquet")
+    now = _time.time()
+    os.utime(land / "a.parquet", (now - 60, now - 60))
+    os.utime(land / "b.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    run_to_memory(validate_rules_agg(stream), "validate_xbatch", mode="complete")
+    out = {
+        r["rule"]: (r["checked"], r["violations"], r["ok"])
+        for r in validate_verdicts(spark.table("validate_xbatch")).collect()
+    }
+    assert out["completeness:event_id"] == (7, 1, False)
+    assert out["range:value:[0,100]"] == (7, 2, False)   # 150.0 and -1.0
+    assert out["set:event_type:known4"] == (7, 1, False)
+    assert out["positive:value"] == (7, 1, False)        # only -1.0
