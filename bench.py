@@ -89,6 +89,7 @@ EXTENDED = [
     "dedup-editdist",
     "pseudonymize",
     "temperature-sample",
+    "schema-evolution",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -1282,8 +1282,68 @@ FROM events WHERE event_id % 100 = 75
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across a layout's lifetime — the contract a 100 TB
+    landing directory lives by (a recorder/producer upgrade adds a column;
+    years of old part files must stay readable without rewrite): part
+    files written under the OLD schema (no ``event_type``) and the NEW
+    schema land in one directory; a ``mergeSchema`` read unifies them,
+    old rows surfacing NULL for the added column — Parquet's add-nullable-
+    column evolution rule, exercised end-to-end rather than assumed.
+
+    Scale note: ``mergeSchema`` pays one footer read PER FILE at planning
+    (it must union all schemas); steady-state readers should pin the
+    evolved schema explicitly (``spark.read.schema(...)``) and pay it
+    only when the schema actually changes — both paths produce identical
+    rows, which is what this gate proves. The oracle is the two-epoch
+    UNION with NULL for the pre-evolution half."""
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        lay = os.path.join(out, "lay")
+        # epoch 1: the producer didn't record event_type yet
+        ev.filter(F.col("event_id") % 2 == 0).drop("event_type").write.parquet(
+            lay
+        )
+        # epoch 2: upgraded producer appends the wider schema
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(lay)
+        merged = spark.read.option("mergeSchema", "true").parquet(lay)
+        # the explicit-schema steady-state read must agree row-for-row
+        pinned = spark.read.schema(merged.schema).parquet(lay)
+        if pinned.exceptAll(merged).count() or merged.exceptAll(pinned).count():
+            raise AssertionError(
+                "mergeSchema and pinned-schema reads disagree"
+            )
+        back = merged.select(
+            "event_id", "t_us", "user_id", "event_type", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+SELECT event_id, epoch_us(ts) AS t_us, user_id,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(value AS DOUBLE) AS value
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, epoch_us(ts) AS t_us, user_id,
+       event_type, CAST(value AS DOUBLE) AS value
+FROM events WHERE event_id % 2 = 1
+"""
+
+
 QUERIES = {
     "demux": q_demux,
+    "schema-evolution": q_schema_evolution,
     "sink": q_sink,
     "export-roundtrip": q_export_roundtrip,
     "protobuf-roundtrip": q_protobuf_roundtrip,
@@ -1299,6 +1359,7 @@ QUERIES = {
 }
 ORACLES = {
     "demux": ORACLE_DEMUX,
+    "schema-evolution": ORACLE_SCHEMA_EVOLUTION,
     "sink": ORACLE_SINK,
     "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
     "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
