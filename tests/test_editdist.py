@@ -79,3 +79,14 @@ def test_window_bound_is_tau(spark, layout):
         os.path.join(root, "documents.parquet")
     )
     assert q_dedup_editdist(spark, root).count() == 0
+
+
+def test_blocking_is_equi_join(spark, layout):
+    """The whole point of Pass-Join blocking: candidate generation must
+    plan as an EQUI join on the segment key — never a nested-loop/cartesian
+    over doc pairs (the O(n^2) this tier exists to avoid)."""
+    from rosbag2parquet_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q_dedup_editdist(spark, layout))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

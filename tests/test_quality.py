@@ -61,3 +61,23 @@ def test_rule_verdicts_on_edge_rows(spark, tiny_layout):
     assert out["fk:lineitem.l_orderkey->orders"] == (n, 2, False)
     # custkey 101 has one order and no customer row
     assert out["fk:orders.o_custkey->customer"] == (3, 1, False)
+
+
+def test_pseudonymize_corpus_never_shuffles(spark):
+    """The k-gate must come back as a BROADCAST onto the event scan — the
+    corpus side may not hash-partition on the QI key (a policy change must
+    re-filter without moving the data)."""
+    from rosbag2parquet_spark.operators.quality import q_pseudonymize
+    from rosbag2parquet_spark.plans.inspect import physical_plan
+    from tests.conftest import SF_DIR
+
+    plan = physical_plan(q_pseudonymize(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the only hash Exchange allowed is the tiny QI-dim aggregation
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for cols in hash_exchanges:
+        assert "event_id" not in cols and "user_id" not in cols, (
+            f"corpus-side shuffle leaked into the plan: {cols}"
+        )
