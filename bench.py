@@ -90,6 +90,7 @@ EXTENDED = [
     "pseudonymize",
     "temperature-sample",
     "schema-evolution",
+    "scrub-dup-spans",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

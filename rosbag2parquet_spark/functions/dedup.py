@@ -748,6 +748,111 @@ FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
 """
 
 
+def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL — the apply step `substring-dedup` only scores (Lee et
+    al.'s dedup actually deletes the duplicated text; two docs sharing one
+    boilerplate paragraph keep their unique prose and lose the paragraph):
+    every token covered by ANY duplicated positional 5-word window (window
+    occurring >= 2x corpus-wide) is removed, and the cleaned text plus
+    removal accounting comes back per document.
+
+    Plan — built so TOKENS NEVER SHUFFLE: the span stream shuffles as
+    8-byte hashes for the corpus-wide occurrence count (same single
+    Exchange as substring-dedup), duplicated windows explode into covered
+    token positions and reduce to ONE small int-array row per affected doc
+    (collect_set over doc_id — the only other shuffle, proportional to
+    duplicated mass, not corpus size), and that array joins back to the
+    documents at doc grain where the removal itself is a map-side
+    higher-order filter (indexed transform + array_contains). A
+    token-grain anti-join would shuffle every token twice; this shuffles
+    none. The oracle uses the token-grain formulation — equivalent
+    semantics, fixture-affordable, and its exact string grouping
+    cross-checks the hash blocking."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # window start positions are 0-based token indices (posexplode index)
+    spans = docs.select(
+        "doc_id", F.posexplode(F.expr(_SPANS_SPARK)).alias("p", "s")
+    ).select("doc_id", "p", F.xxhash64("s").alias("h"))
+    occ = spans.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    covered = (
+        occ.filter(F.col("occ") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(_SPAN_K - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
+    )
+    return (
+        docs.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("split(text, ' ')").alias("toks"),
+            F.coalesce("cov", F.expr("array()")).alias("cov"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "transform(filter(transform(toks, (t, i) -> struct(i AS i,"
+                " t AS t)), x -> NOT array_contains(cov, x.i)), x -> x.t)"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.expr("size(kept)")).cast("long").alias(
+                "n_removed"
+            ),
+            F.expr("array_join(kept, ' ')").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SCRUB_DUP_SPANS = f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, ' '),
+                (t, i) -> {{'tok': t, 'pos': i - 1}})) AS u
+  FROM documents
+), toks AS (
+  SELECT doc_id, u.tok AS tok, CAST(u.pos AS BIGINT) AS pos FROM toks0
+), sp0 AS (
+  SELECT doc_id,
+         unnest(list_transform({_SPANS_DUCK},
+                (s, i) -> {{'s': s, 'p': i - 1}})) AS u
+  FROM documents
+), sp AS (
+  SELECT doc_id, u.s AS s, CAST(u.p AS BIGINT) AS p FROM sp0
+), occ AS (
+  SELECT doc_id, p, count(*) OVER (PARTITION BY s) AS occ FROM sp
+), covered AS (
+  SELECT DISTINCT doc_id, p + g.g AS pos
+  FROM occ, range({_SPAN_K}) g(g) WHERE occ >= 2
+), kept AS (
+  SELECT t.doc_id,
+         count(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - coalesce(k.n_kept, 0)
+            AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------- edit-distance (Pass-Join)
 
 #: edit-distance threshold for the character-level tier
@@ -939,6 +1044,7 @@ SELECT DISTINCT a_id, b_id, ed FROM ver ORDER BY a_id, b_id
 QUERIES = {
     "dedup-exact": q_dedup_exact,
     "dedup-editdist": q_dedup_editdist,
+    "scrub-dup-spans": q_scrub_dup_spans,
     "substring-dedup": q_substring_dedup,
     "dedup-minhash-lsh": q_minhash_lsh,
     "dedup-ngram-jaccard": q_ngram_jaccard,
@@ -952,6 +1058,7 @@ QUERIES = {
 ORACLES = {
     "dedup-exact": ORACLE_DEDUP_EXACT,
     "dedup-editdist": ORACLE_DEDUP_EDITDIST,
+    "scrub-dup-spans": ORACLE_SCRUB_DUP_SPANS,
     "substring-dedup": ORACLE_SUBSTRING_DEDUP,
     "dedup-minhash-lsh": ORACLE_MINHASH_LSH,
     "dedup-ngram-jaccard": ORACLE_NGRAM_JACCARD,
