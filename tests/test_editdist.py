@@ -90,3 +90,34 @@ def test_blocking_is_equi_join(spark, layout):
     plan = physical_plan(q_dedup_editdist(spark, layout))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scrub_dup_spans_boilerplate(spark, tmp_path):
+    """The removal semantics on crafted docs: a 7-word paragraph shared by
+    two docs is deleted from BOTH while each doc's unique prose survives;
+    within one doc, only tokens covered by a duplicated 5-window go; a doc
+    with no duplicated span is untouched."""
+    import os
+
+    from rosbag2parquet_spark.functions.dedup import q_scrub_dup_spans
+
+    boiler = "please subscribe to our newsletter for more updates"  # 8 words
+    docs = [
+        (1, "alpha beta gamma delta " + boiler),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, "one two three four five six seven eight nine"),
+    ]
+    root = str(tmp_path / "lay")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in q_scrub_dup_spans(spark, root).collect()
+    }
+    # every 5-window inside the shared 8-word run occurs in both docs ->
+    # all 8 boilerplate tokens are covered in each; unique prose survives
+    assert out[1] == (12, 8, "alpha beta gamma delta")
+    assert out[2] == (12, 8, "epsilon zeta eta theta")
+    # untouched doc comes back verbatim
+    assert out[3] == (9, 0, "one two three four five six seven eight nine")

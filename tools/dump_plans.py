@@ -233,6 +233,9 @@ def main() -> None:
         # segment equi-join blocking; corpus text never fans out) and the
         # privacy pass (map-only hash/generalize, one co-keyed k-gate)
         "dedup-editdist", "pseudonymize", "temperature-sample",
+        # span removal: tokens never shuffle — span-hash Exchange +
+        # per-doc covered-array reduce, removal is a map-side HOF filter
+        "scrub-dup-spans",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
