@@ -121,3 +121,72 @@ def test_scrub_dup_spans_boilerplate(spark, tmp_path):
     assert out[2] == (12, 8, "epsilon zeta eta theta")
     # untouched doc comes back verbatim
     assert out[3] == (9, 0, "one two three four five six seven eight nine")
+
+
+def test_editdist_fuzz_against_dp(spark, tmp_path):
+    """30 seeded random pairs, each a base string plus <=6 random
+    character edits, ground-truthed by a local DP levenshtein: every pair
+    with true ed <= tau MUST be found with the exact distance (blocking
+    has no permitted misses), and no reported distance may disagree with
+    the DP. Each pair gets a disjoint id-token prefix so cross-pair
+    near-matches can't occur by construction."""
+    import os
+    import random
+
+    from rosbag2parquet_spark.functions.dedup import (
+        EDITDIST_TAU,
+        q_dedup_editdist,
+    )
+
+    def dp(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    alpha = "abcdefghij"
+    docs, expected = [], {}
+    for k in range(30):
+        base = f"pair{k:02d}x" + "".join(
+            rng.choice(alpha) for _ in range(rng.randint(20, 60))
+        )
+        s = list(base)
+        for _ in range(rng.randint(0, 6)):
+            op = rng.choice("ins del sub".split())
+            p = rng.randrange(len(s))
+            if op == "ins":
+                s.insert(p, rng.choice(alpha))
+            elif op == "del" and len(s) > 10:
+                del s[p]
+            else:
+                s[p] = rng.choice(alpha)
+        other = "".join(s)
+        a_id, b_id = 2 * k, 2 * k + 1
+        docs += [(a_id, base), (b_id, other)]
+        ed = dp(base, other)
+        if ed <= EDITDIST_TAU:
+            expected[(a_id, b_id)] = ed
+
+    root = str(tmp_path / "lay")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    texts = dict(docs)
+    got = {
+        (r["a_id"], r["b_id"]): r["ed"]
+        for r in q_dedup_editdist(spark, root).collect()
+    }
+    # exact recall: every true <=tau pair found with the right distance
+    for pair, ed in expected.items():
+        assert got.get(pair) == ed, f"missed/wrong {pair}: {got.get(pair)} != {ed}"
+    # soundness: everything reported matches the DP truth
+    for (a, b), ed in got.items():
+        assert dp(texts[a], texts[b]) == ed
+    assert expected, "fuzz produced no <=tau pairs — broaden the generator"
