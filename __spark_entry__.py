@@ -104,22 +104,22 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 42 new/changed (through
-# "resample-interpolate") + the first 8 of the 36 r4-latest rows
-# (through "asof-tolerance"). The 42 genuinely-new queries outprioritized
-# the last TWENTY-EIGHT r4 rows — "scrub-terms" through "histogram" in
+# ROUND-8 NOTE: the r7 window = 43 new/changed (through
+# "resample-interpolate") + the first 7 of the 36 r4-latest rows
+# (through "knn-recall"). The 43 genuinely-new queries outprioritized
+# the last TWENTY-NINE r4 rows — "asof-tolerance" through "histogram" in
 # this list's order slip past the freshness target this once (r4-latest
 # after r7; a first-ever row for a new query beats re-proving a stable
-# green one; 175 queries against a 50-row window makes a full rotation
-# 3.5 rounds, so a 42-new round necessarily defers re-proofs). For r8:
-# those TWENTY-EIGHT FIRST ("scrub-terms", "interval-join", "sql-q4",
-# "sql-q7", "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19",
-# "sql-q22", "rollup-hypertable", "top-terms", "outer-join",
-# "salted-agg", "dedup-clusters", "like-filter", "anti-join",
-# "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
-# "sql-q18", "scalar-funcs", "pivot", "unpivot", "histogram"), then any
-# new/changed, then the r5-proven block ("stream-sink" onward); r6- then
-# r7-proven rotate to the back.
+# green one; 176 queries against a 50-row window makes a full rotation
+# 3.5 rounds, so a 43-new round necessarily defers re-proofs). For r8:
+# those TWENTY-NINE FIRST ("asof-tolerance", "scrub-terms",
+# "interval-join", "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
+# "sql-q17", "sql-q19", "sql-q22", "rollup-hypertable", "top-terms",
+# "outer-join", "salted-agg", "dedup-clusters", "like-filter",
+# "anti-join", "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6",
+# "sql-q10", "sql-q18", "scalar-funcs", "pivot", "unpivot",
+# "histogram"), then any new/changed, then the r5-proven block
+# ("stream-sink" onward); r6- then r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
@@ -171,8 +171,11 @@ _QUERY_ORDER = [
     # and span REMOVAL (the apply step substring-dedup scores: tokens
     # covered by corpus-duplicated 5-windows deleted map-side — tokens
     # never shuffle, only span hashes + covered-position arrays do)
+    # and the distribution-drift monitor (per-type epoch shares compared
+    # in integer basis points — no float shares, no libm PSI)
     "snapshot-read", "dedup-editdist", "pseudonymize",
     "temperature-sample", "schema-evolution", "scrub-dup-spans",
+    "drift-detect",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -91,6 +91,7 @@ EXTENDED = [
     "temperature-sample",
     "schema-evolution",
     "scrub-dup-spans",
+    "drift-detect",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -245,12 +245,89 @@ ORDER BY e.event_id
 """
 
 
+def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the gate that catches a producer-mix
+    change BEFORE it skews training data (validate-constraints checks
+    rules a row can break alone; drift is a population property no row
+    breaks): the event stream splits at its time midpoint and each
+    event_type's share of epoch 1 vs epoch 2 is compared, the shift
+    reported in integer basis points — ``|n1*t2 - n2*t1| * 10000 div
+    (t1*t2)`` is pure BIGINT arithmetic (no float shares, no libm PSI
+    logarithm), so the drift score is bit-identical cross-engine and
+    stable under re-partitioning. A type present in only one epoch still
+    rows out (full outer on the type dim) — appearing/disappearing
+    categories ARE the drift signal most worth alarming on.
+
+    Plan: one 2-scalar (min,max) reduce broadcast back as the epoch
+    boundary (allowlisted global scalar, same posture as interval-join's
+    grid bounds), then ONE partial-combined groupBy over (type, epoch) —
+    the fact table is scanned once and only |types x 2| tiny rows plus
+    two scalars ever cross an exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    bounds = ev.agg(
+        F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "epoch",
+            (F.col("t_us") < F.expr("(t_lo + t_hi) div 2")).cast("int"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("epoch").cast("long").alias("n1"),
+            F.sum(F.lit(1) - F.col("epoch")).cast("long").alias("n2"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr(
+                "CAST(abs(n1 * t2 - n2 * t1) * 10000 div (t1 * t2) AS BIGINT)"
+            ).alias("drift_bps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DRIFT_DETECT = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t_lo, epoch_us(max(ts)) AS t_hi FROM events
+), cells AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_us(e.ts) < (b.t_lo + b.t_hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN epoch_us(e.ts) < (b.t_lo + b.t_hi) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM events e CROSS JOIN b
+  GROUP BY event_type
+), tot AS (
+  SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells
+)
+SELECT event_type, n1, n2,
+       CAST(abs(n1 * t2 - n2 * t1) * 10000 // (t1 * t2) AS BIGINT)
+           AS drift_bps
+FROM cells CROSS JOIN tot
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "validate-constraints": q_validate_constraints,
     "pseudonymize": q_pseudonymize,
+    "drift-detect": q_drift_detect,
 }
 
 ORACLES = {
     "validate-constraints": ORACLE_VALIDATE_CONSTRAINTS,
     "pseudonymize": ORACLE_PSEUDONYMIZE,
+    "drift-detect": ORACLE_DRIFT_DETECT,
 }

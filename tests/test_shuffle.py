@@ -79,6 +79,9 @@ def test_no_unexpected_single_partition_exchange(spark):
         # the tiny strata dim, broadcast back into the keep threshold
         "temperature-sample",  # same posture: one 1-row (S_w, T) reduce
         # over the strata dim, broadcast back into the keep threshold
+        "drift-detect",  # the epoch boundary is one 2-scalar (min,max)
+        # reduce broadcast back (interval-join's grid-bounds posture);
+        # the share totals are a second 2-scalar reduce over |types| rows
         "validate-constraints",  # rule verdicts ARE global scalars: the
         # row-local rules fold into one map-side-partial aggregate, the
         # uniqueness/FK passes reduce key tables; ~8 scalars cross total
