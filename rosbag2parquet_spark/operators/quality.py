@@ -28,6 +28,8 @@ not unique) so both verdict paths are exercised end-to-end.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,84 +42,212 @@ def _viol(cond) -> F.Column:
     return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
 
 
+# ----------------------------------------------------- declarative rule API
+#
+# Users declare WHAT must hold; `validate()` plans the minimal passes:
+# every row-local rule folds into one aggregate, uniqueness rules form a
+# re-aggregation ladder (a coarser key reduces the finer key's ALREADY
+# reduced rows, never the fact table), and FK rules anti-join whichever
+# reduced key table already exists. The registered `validate-constraints`
+# query is itself expressed through this API — the fixed query IS a user
+# of the engine feature, not a special case.
+
+
+@dataclass(frozen=True)
+class Completeness:
+    column: str
+
+    @property
+    def name(self) -> str:
+        return f"completeness:{self.column}"
+
+    def cond(self) -> F.Column:
+        return F.col(self.column).isNull()
+
+
+@dataclass(frozen=True)
+class InRange:
+    column: str
+    lo: float
+    hi: float
+
+    @property
+    def name(self) -> str:
+        return f"range:{self.column}:[{self.lo},{self.hi}]"
+
+    def cond(self) -> F.Column:
+        return ~F.col(self.column).between(self.lo, self.hi)
+
+
+@dataclass(frozen=True)
+class InSet:
+    column: str
+    values: tuple
+
+    @property
+    def name(self) -> str:
+        return f"set:{self.column}:{{{','.join(map(str, self.values))}}}"
+
+    def cond(self) -> F.Column:
+        return ~F.col(self.column).isin(*self.values)
+
+
+@dataclass(frozen=True)
+class Positive:
+    column: str
+
+    @property
+    def name(self) -> str:
+        return f"positive:{self.column}"
+
+    def cond(self) -> F.Column:
+        return F.col(self.column) <= 0
+
+
+@dataclass(frozen=True)
+class Unique:
+    columns: tuple
+
+    @property
+    def name(self) -> str:
+        return f"unique:{'+'.join(self.columns)}"
+
+
+@dataclass(frozen=True)
+class ForeignKey:
+    columns: tuple
+    parent_columns: tuple
+    label: str  # e.g. "lineitem.l_orderkey->orders"
+
+    @property
+    def name(self) -> str:
+        return f"fk:{self.label}"
+
+
+_ROW_LOCAL = (Completeness, InRange, InSet, Positive)
+
+
+def _surplus(reduced: DataFrame) -> DataFrame:
+    """Duplicate mass of a reduced key table: sum of (count-1) over keys."""
+    return reduced.agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
+        ).cast("long")
+    )
+
+
+def validate(
+    df: DataFrame, rules: list, parents: "dict[str, DataFrame] | None" = None
+) -> DataFrame:
+    """Validate ``rules`` over ``df`` in the fewest passes the rule
+    classes allow; returns one ``(rule, checked, violations, ok)`` row
+    per rule (unordered — callers sort). ``parents`` maps a
+    ForeignKey's label to its parent DataFrame. NULL semantics: a NULL
+    predicate input never violates a row-local rule; NULL keys are
+    completeness failures, not uniqueness/FK violations (explicitly
+    filtered — an anti join would otherwise KEEP them, NULL never
+    equi-matches)."""
+    parents = parents or {}
+    row_local = [r for r in rules if isinstance(r, _ROW_LOCAL)]
+    uniques = sorted(
+        (r for r in rules if isinstance(r, Unique)),
+        key=lambda r: -len(r.columns),
+    )
+    fks = [r for r in rules if isinstance(r, ForeignKey)]
+
+    pieces, cols = [], []  # 1-row DataFrames to cross, (name, violcol)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, r in enumerate(row_local):
+        aggs.append(_viol(r.cond()).alias(f"v{i}"))
+        cols.append((r.name, f"v{i}"))
+    pieces.append(df.agg(*aggs))
+
+    # uniqueness ladder: coarser keys re-aggregate finer reduced tables
+    reduced: "dict[frozenset, DataFrame]" = {}
+
+    def _reduced_for(key_cols: tuple) -> DataFrame:
+        want = frozenset(key_cols)
+        if want in reduced:
+            return reduced[want]
+        donor = next(
+            (k for k in reduced if want < k), None
+        )
+        if donor is not None:
+            out = (
+                reduced[donor]
+                .groupBy(*key_cols)
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            out = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("c"))
+        reduced[want] = out
+        return out
+
+    for j, u in enumerate(uniques):
+        pieces.append(
+            _surplus(_reduced_for(u.columns)).toDF(f"u{j}")
+        )
+        cols.append((u.name, f"u{j}"))
+
+    for k, fk in enumerate(fks):
+        child = _reduced_for(fk.columns)
+        for c in fk.columns:
+            child = child.filter(F.col(c).isNotNull())
+        parent = parents[fk.label].select(
+            *[
+                F.col(pc).alias(cc)
+                for pc, cc in zip(fk.parent_columns, fk.columns)
+            ]
+        )
+        orphan = (
+            child.join(parent, list(fk.columns), "left_anti")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long"))
+            .toDF(f"f{k}")
+        )
+        pieces.append(orphan)
+        cols.append((fk.name, f"f{k}"))
+
+    wide = pieces[0]
+    for p in pieces[1:]:
+        wide = wide.crossJoin(p)
+    parts = ", ".join(
+        f"'{name}', n, {v}, {v} = 0" for name, v in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {parts}) AS (rule, checked, violations, ok)"
+    )
+
+
 def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ords = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
 
-    # --- pass 1: every row-local rule in one aggregate ------------------
-    scal = li.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        _viol(F.col("l_orderkey").isNull()).alias("v_null"),
-        _viol(~F.col("l_quantity").between(1, 25)).alias("v_range"),
-        _viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_set"),
-        _viol(F.col("l_extendedprice") <= 0).alias("v_sign"),
-    )
-
-    # --- pass 2: uniqueness ladder (fine key, then re-agg coarse key) ---
-    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    u_line = per_line.agg(
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
-        ).cast("long").alias("v_uline"),
-    )
-    per_order = per_line.groupBy("l_orderkey").agg(F.sum("c").alias("c"))
-    u_order = per_order.agg(
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") - 1).otherwise(F.lit(0))
-        ).cast("long").alias("v_uorder")
-    )
-
-    # --- pass 3: referential integrity over REDUCED key tables ----------
-    # NULL keys are a completeness failure, not an FK orphan (SQL FK
-    # semantics; the oracle's NOT IN drops them the same way) — and an
-    # anti join would otherwise KEEP them (NULL never equi-matches)
-    ri_li = (
-        per_order.filter(F.col("l_orderkey").isNotNull())
-        .join(
-            ords.select(F.col("o_orderkey").alias("l_orderkey")),
-            "l_orderkey",
-            "left_anti",
-        )
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v_fk_li"))
-    )
-    per_cust = ords.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
-    ri_ord = (
-        per_cust.filter(F.col("o_custkey").isNotNull())
-        .join(
-            cust.select(F.col("c_custkey").alias("o_custkey")),
-            "o_custkey",
-            "left_anti",
-        )
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v_fk_ord"))
-    )
-    n_ord = ords.agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
-
-    wide = (
-        scal.crossJoin(u_line)
-        .crossJoin(u_order)
-        .crossJoin(ri_li)
-        .crossJoin(ri_ord)
-        .crossJoin(n_ord)
-    )
-    rules = [
-        ("completeness:l_orderkey", "n", "v_null"),
-        ("range:l_quantity:[1,25]", "n", "v_range"),
-        ("set:l_returnflag:{A,N,R}", "n", "v_set"),
-        ("positive:l_extendedprice", "n", "v_sign"),
-        ("unique:l_orderkey+l_linenumber", "n", "v_uline"),
-        ("unique:l_orderkey", "n", "v_uorder"),
-        ("fk:lineitem.l_orderkey->orders", "n", "v_fk_li"),
-        ("fk:orders.o_custkey->customer", "n_ord", "v_fk_ord"),
+    li_rules = [
+        Completeness("l_orderkey"),
+        InRange("l_quantity", 1, 25),
+        InSet("l_returnflag", ("A", "N", "R")),
+        Positive("l_extendedprice"),
+        Unique(("l_orderkey", "l_linenumber")),
+        Unique(("l_orderkey",)),
+        ForeignKey(
+            ("l_orderkey",), ("o_orderkey",), "lineitem.l_orderkey->orders"
+        ),
     ]
-    parts = ", ".join(
-        f"'{name}', {checked}, {viol}, {viol} = 0" for name, checked, viol in rules
+    ord_rules = [
+        ForeignKey(
+            ("o_custkey",), ("c_custkey",), "orders.o_custkey->customer"
+        )
+    ]
+    return (
+        validate(li, li_rules, {"lineitem.l_orderkey->orders": ords})
+        .unionByName(
+            validate(
+                ords, ord_rules, {"orders.o_custkey->customer": cust}
+            )
+        )
+        .orderBy("rule")
     )
-    return wide.selectExpr(
-        f"stack({len(rules)}, {parts}) AS (rule, checked, violations, ok)"
-    ).orderBy("rule")
 
 
 ORACLE_VALIDATE_CONSTRAINTS = """

@@ -81,3 +81,56 @@ def test_pseudonymize_corpus_never_shuffles(spark):
         assert "event_id" not in cols and "user_id" not in cols, (
             f"corpus-side shuffle leaked into the plan: {cols}"
         )
+
+
+def test_validate_api_custom_rules(spark):
+    """The declarative rule API on user-supplied frames: a multi-column
+    FK, a uniqueness ladder whose coarse key re-aggregates the fine key's
+    reduced rows, and row-local rules — shapes the registered query does
+    not cover."""
+    from rosbag2parquet_spark.operators.quality import (
+        Completeness,
+        ForeignKey,
+        InRange,
+        InSet,
+        Positive,
+        Unique,
+        validate,
+    )
+
+    fact = spark.createDataFrame(
+        [
+            (1, "a", 1, 5.0, "x"),
+            (1, "a", 2, 6.0, "y"),   # dup on (k1,k2,seq)? no — seq differs
+            (1, "a", 2, 7.0, "x"),   # dup fine key (k1,k2,seq=2)
+            (2, "b", 1, -1.0, "z"),  # orphan FK + nonpositive + bad set
+            (None, "c", 1, 200.0, "x"),  # NULL key + out of range
+        ],
+        "k1 long, k2 string, seq long, v double, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (9, "z")], "p1 long, p2 string"
+    )
+    rules = [
+        Completeness("k1"),
+        InRange("v", 0, 100),
+        InSet("tag", ("x", "y")),
+        Positive("v"),
+        Unique(("k1", "k2", "seq")),
+        Unique(("k1", "k2")),
+        ForeignKey(("k1", "k2"), ("p1", "p2"), "fact->dim"),
+    ]
+    out = {
+        r["rule"]: (r["checked"], r["violations"], r["ok"])
+        for r in validate(fact, rules, {"fact->dim": dim}).collect()
+    }
+    assert out["completeness:k1"] == (5, 1, False)
+    assert out["range:v:[0,100]"] == (5, 2, False)       # -1 and 200
+    assert out["set:tag:{x,y}"] == (5, 1, False)         # "z"
+    assert out["positive:v"] == (5, 1, False)            # -1
+    # fine key (1,a,2) has 2 rows -> surplus 1
+    assert out["unique:k1+k2+seq"] == (5, 1, False)
+    # coarse key (1,a) has 3 rows -> surplus 2; NULL key groups don't count
+    assert out["unique:k1+k2"] == (5, 2, False)
+    # (2,b) is absent from dim and carries ONE row; NULL key not an orphan
+    assert out["fk:fact->dim"] == (5, 1, False)

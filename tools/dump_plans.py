@@ -236,6 +236,8 @@ def main() -> None:
         # span removal: tokens never shuffle — span-hash Exchange +
         # per-doc covered-array reduce, removal is a map-side HOF filter
         "scrub-dup-spans",
+        # drift monitor: one scan + two 2-scalar reduces (by design)
+        "drift-detect",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
