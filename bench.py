@@ -92,6 +92,7 @@ EXTENDED = [
     "schema-evolution",
     "scrub-dup-spans",
     "drift-detect",
+    "stream-drift",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

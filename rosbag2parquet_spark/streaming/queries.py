@@ -876,9 +876,74 @@ FROM events
 """
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitored LIVE — the stream-static twin of
+    `drift-detect`: the reference epoch's per-type counts are a STATIC
+    frame computed once (the training-set mix you shipped), the current
+    epoch streams through ONE per-type counting aggregate (state = |types|
+    rows, O(1) for any stream length), and each refresh compares the live
+    mix against the frozen reference in the same integer basis points —
+    the alarm that fires the micro-batch a producer's mix shifts, without
+    ever rescanning the reference. The epoch boundary is a 2-scalar
+    driver snapshot (the z-order min/max posture); the final comparison
+    is a full outer join on the tiny type dim so appearing/disappearing
+    categories row out. Shares `drift-detect`'s oracle verbatim — the
+    live monitor must converge to exactly the batch answer."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    ev_b = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    lo, hi = ev_b.agg(F.min("t_us"), F.max("t_us")).collect()[0]
+    mid = (lo + hi) // 2
+    ref = ev_b.filter(F.col("t_us") < mid).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+
+    cur = (
+        stream_events(spark, sf_dir)
+        .filter(F.unix_micros("ts") >= F.lit(mid))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    tbl = _fresh("stream_drift")
+    run_to_memory(cur, tbl, mode="complete")
+
+    cells = (
+        ref.join(spark.table(tbl), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+        )
+    )
+    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr(
+                "CAST(abs(n1 * t2 - n2 * t1) * 10000 div (t1 * t2) AS BIGINT)"
+            ).alias("drift_bps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _drift_oracle() -> str:
+    from rosbag2parquet_spark.operators.quality import ORACLE_DRIFT_DETECT
+
+    return ORACLE_DRIFT_DETECT
+
+
 QUERIES = {
     "stream-asof": q_stream_asof,
     "stream-validate": q_stream_validate,
+    "stream-drift": q_stream_drift,
     "stream-analyze": q_stream_analyze,
     "stream-semdedup": q_stream_semdedup,
     "stream-knn": q_stream_knn,
@@ -933,6 +998,7 @@ def _funnel_oracle() -> str:
 ORACLES = {
     "stream-asof": _asof_oracle(),
     "stream-validate": ORACLE_STREAM_VALIDATE,
+    "stream-drift": _drift_oracle(),
     "stream-analyze": ORACLE_STREAM_ANALYZE,
     "stream-semdedup": _semdedup_oracle(),
     "stream-knn": _knn_oracle(),
