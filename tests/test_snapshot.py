@@ -108,3 +108,29 @@ def test_vacuum_leaves_manifests_alone(spark, layout):
     removed = vacuum_layout(layout)
     assert not any(SNAPSHOT_DIR in p for p in removed)
     assert read_snapshot(spark, layout, 1).count() == 3
+
+
+def test_delete_where_invalidates_snapshot(spark, tmp_path):
+    """The lifecycle contract against the REAL in-place mutator (not a
+    synthetic byte-poke): delete_where rewrites match-bearing files, so an
+    earlier snapshot must REFUSE afterward — and a fresh snapshot taken
+    post-delete reads the surviving rows fine."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.sinks import delete_where
+
+    lay = str(tmp_path / "lay")
+    spark.range(100).selectExpr(
+        "id", "CAST(id % 7 AS LONG) AS bucket", "CAST(id AS DOUBLE) AS v"
+    ).repartition(4).write.parquet(lay)
+    v1 = snapshot_create(lay)
+    assert read_snapshot(spark, lay, v1).count() == 100
+
+    delete_where(spark, lay, F.col("bucket") == 3)
+
+    with pytest.raises(ValueError, match="invalidated by in-place"):
+        read_snapshot(spark, lay, v1)
+    v2 = snapshot_create(lay)
+    got = read_snapshot(spark, lay, v2)
+    assert got.count() == 100 - 14  # ids 3,10,...,94
+    assert got.filter("bucket = 3").count() == 0
