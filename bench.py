@@ -93,6 +93,7 @@ EXTENDED = [
     "scrub-dup-spans",
     "drift-detect",
     "stream-drift",
+    "drift-numeric",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -450,14 +450,107 @@ ORDER BY event_type
 """
 
 
+def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift — `drift-detect`'s companion for the case ML
+    monitoring actually hits most (a continuous feature's distribution
+    slides while every categorical column looks stable): the ``value``
+    column's histogram over 10 equal-width buckets anchored to the
+    REFERENCE epoch's [min, max] (anchoring to the reference is the
+    point — a shifted current epoch lands mass in the edge buckets
+    instead of silently re-normalizing; out-of-range values clamp to the
+    edge buckets, which is the alarm). Per-bucket shares compare in the
+    same integer basis points as the categorical monitor.
+
+    Determinism: bucket = floor((v - lo) * 10 / (hi - lo)) clamped to
+    [0, 9] — subtraction, multiply, divide are each IEEE
+    correctly-rounded, so both engines compute the SAME double from the
+    same inputs and floor cannot disagree; the drift score itself is pure
+    BIGINT arithmetic. Plan: one fact scan, the epoch/range bounds are
+    one 3-scalar reduce broadcast back, then a partial-combined
+    (bucket, epoch) groupBy — only ~20 tiny rows cross."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    bounds = ev.agg(
+        F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi")
+    )
+    with_epoch = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "epoch",
+        (F.col("t_us") < F.expr("(t_lo + t_hi) div 2")).cast("int"),
+    )
+    ref_range = with_epoch.filter(F.col("epoch") == 1).agg(
+        F.min("v").alias("v_lo"), F.max("v").alias("v_hi")
+    )
+    cells = (
+        with_epoch.crossJoin(F.broadcast(ref_range))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(greatest(0, least(9,"
+                " floor((v - v_lo) * 10 / (v_hi - v_lo)))) AS BIGINT)"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("epoch").cast("long").alias("n1"),
+            F.sum(F.lit(1) - F.col("epoch")).cast("long").alias("n2"),
+        )
+    )
+    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n1",
+            "n2",
+            F.expr(
+                "CAST(abs(n1 * t2 - n2 * t1) * 10000 div (t1 * t2) AS BIGINT)"
+            ).alias("drift_bps"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_DRIFT_NUMERIC = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t_lo, epoch_us(max(ts)) AS t_hi FROM events
+), e AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN epoch_us(ts) < (b.t_lo + b.t_hi) // 2
+              THEN 1 ELSE 0 END AS epoch
+  FROM events CROSS JOIN b
+), r AS (
+  SELECT min(v) AS v_lo, max(v) AS v_hi FROM e WHERE epoch = 1
+), cells AS (
+  SELECT CAST(greatest(0, least(9,
+             floor((v - r.v_lo) * 10 / (r.v_hi - r.v_lo)))) AS BIGINT)
+             AS bucket,
+         CAST(sum(epoch) AS BIGINT) AS n1,
+         CAST(sum(1 - epoch) AS BIGINT) AS n2
+  FROM e CROSS JOIN r
+  GROUP BY 1
+), tot AS (
+  SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells
+)
+SELECT bucket, n1, n2,
+       CAST(abs(n1 * t2 - n2 * t1) * 10000 // (t1 * t2) AS BIGINT)
+           AS drift_bps
+FROM cells CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "validate-constraints": q_validate_constraints,
     "pseudonymize": q_pseudonymize,
     "drift-detect": q_drift_detect,
+    "drift-numeric": q_drift_numeric,
 }
 
 ORACLES = {
     "validate-constraints": ORACLE_VALIDATE_CONSTRAINTS,
     "pseudonymize": ORACLE_PSEUDONYMIZE,
     "drift-detect": ORACLE_DRIFT_DETECT,
+    "drift-numeric": ORACLE_DRIFT_NUMERIC,
 }

@@ -82,6 +82,8 @@ def test_no_unexpected_single_partition_exchange(spark):
         "drift-detect",  # the epoch boundary is one 2-scalar (min,max)
         # reduce broadcast back (interval-join's grid-bounds posture);
         # the share totals are a second 2-scalar reduce over |types| rows
+        "drift-numeric",  # same posture + the reference [min,max] range
+        # as one more 2-scalar reduce broadcast into the bucket expr
         "validate-constraints",  # rule verdicts ARE global scalars: the
         # row-local rules fold into one map-side-partial aggregate, the
         # uniqueness/FK passes reduce key tables; ~8 scalars cross total
