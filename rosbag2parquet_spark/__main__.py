@@ -51,6 +51,46 @@ def main(argv: list[str] | None = None) -> int:
             print(p)
         return 0
 
+    # subcommand: `validate` = the declarative data-quality gate over any
+    # parquet table (operators/quality.py rule API; JSON rule spec)
+    if argv and argv[0] == "validate":
+        qp = argparse.ArgumentParser(prog="rosbag2parquet_spark validate")
+        qp.add_argument(
+            "--table", required=True, help="parquet table path to validate"
+        )
+        qp.add_argument(
+            "--rules", required=True,
+            help="JSON rule-spec file (see quality.rules_from_spec)",
+        )
+        args = qp.parse_args(argv[1:])
+        import json as _json
+
+        from rosbag2parquet_spark.operators.quality import (
+            rules_from_spec,
+            validate,
+        )
+        from rosbag2parquet_spark.session import get_spark
+
+        spark = get_spark("rosbag2parquet_spark_validate")
+        with open(args.rules) as f:
+            spec = _json.load(f)
+        rules, parent_frames = rules_from_spec(spark, spec)
+        rows = (
+            validate(spark.read.parquet(args.table), rules, parent_frames)
+            .orderBy("rule")
+            .collect()
+        )
+        failed = 0
+        for r in rows:
+            mark = "ok  " if r["ok"] else "FAIL"
+            failed += 0 if r["ok"] else 1
+            print(
+                f"{mark} {r['rule']}: {r['violations']}/{r['checked']}"
+                " violations"
+            )
+        print(f"{len(rows) - failed}/{len(rows)} rules passed")
+        return 1 if failed else 0
+
     # subcommand: `snapshot` = manifest lifecycle for time-travel reads
     # (snapshots.py) — create/list/verify are driver-side metadata ops
     if argv and argv[0] == "snapshot":

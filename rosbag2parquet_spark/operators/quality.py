@@ -218,6 +218,52 @@ def validate(
     )
 
 
+def rules_from_spec(
+    spark: SparkSession, spec: dict
+) -> "tuple[list, dict[str, DataFrame]]":
+    """Build (rules, parents) from a JSON-able rule spec — the CLI's input
+    format, so the quality gate runs on ANY parquet table without code:
+
+    ``{"rules": [{"type": "completeness", "column": "seqno"},
+                 {"type": "range", "column": "v", "lo": 0, "hi": 10},
+                 {"type": "in_set", "column": "c", "values": ["a"]},
+                 {"type": "positive", "column": "v"},
+                 {"type": "unique", "columns": ["a", "b"]},
+                 {"type": "foreign_key", "columns": ["a"],
+                  "parent": "<parquet path>", "parent_columns": ["x"],
+                  "label": "child.a->parent"}]}``
+
+    Foreign-key parents are parquet paths read here, so a spec file is
+    self-contained."""
+    rules: list = []
+    parents: "dict[str, DataFrame]" = {}
+    for r in spec["rules"]:
+        t = r["type"]
+        if t == "completeness":
+            rules.append(Completeness(r["column"]))
+        elif t == "range":
+            rules.append(InRange(r["column"], r["lo"], r["hi"]))
+        elif t == "in_set":
+            rules.append(InSet(r["column"], tuple(r["values"])))
+        elif t == "positive":
+            rules.append(Positive(r["column"]))
+        elif t == "unique":
+            rules.append(Unique(tuple(r["columns"])))
+        elif t == "foreign_key":
+            label = r.get(
+                "label", f"{'+'.join(r['columns'])}->{r['parent']}"
+            )
+            rules.append(
+                ForeignKey(
+                    tuple(r["columns"]), tuple(r["parent_columns"]), label
+                )
+            )
+            parents[label] = spark.read.parquet(r["parent"])
+        else:
+            raise ValueError(f"unknown rule type {t!r}")
+    return rules, parents
+
+
 def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ords = load_table(spark, sf_dir, "orders")

@@ -134,3 +134,42 @@ def test_validate_api_custom_rules(spark):
     assert out["unique:k1+k2"] == (5, 2, False)
     # (2,b) is absent from dim and carries ONE row; NULL key not an orphan
     assert out["fk:fact->dim"] == (5, 1, False)
+
+
+def test_validate_cli(spark, tmp_path, capsys):
+    """The `validate` CLI runs the rule API from a self-contained JSON
+    spec (FK parents are parquet paths) and exit-codes the verdict."""
+    import json
+
+    from rosbag2parquet_spark.__main__ import main
+
+    child = str(tmp_path / "child")
+    parent = str(tmp_path / "parent")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (9, 3.0)], "k long, v double"
+    ).write.parquet(child)
+    spark.createDataFrame([(1,), (2,)], "x long").write.parquet(parent)
+    spec = {
+        "rules": [
+            {"type": "completeness", "column": "k"},
+            {"type": "positive", "column": "v"},
+            {"type": "unique", "columns": ["k"]},
+            {
+                "type": "foreign_key",
+                "columns": ["k"],
+                "parent": parent,
+                "parent_columns": ["x"],
+                "label": "child.k->parent",
+            },
+        ]
+    }
+    rf = tmp_path / "rules.json"
+    rf.write_text(json.dumps(spec))
+    rc = main(["validate", "--table", child, "--rules", str(rf)])
+    out = capsys.readouterr().out
+    assert rc == 1  # positive:v and fk fail
+    assert "FAIL positive:v: 1/3 violations" in out
+    assert "FAIL fk:child.k->parent: 1/3 violations" in out
+    assert "ok   completeness:k" in out
+    assert "ok   unique:k" in out
+    assert "2/4 rules passed" in out
