@@ -124,6 +124,22 @@ class ForeignKey:
         return f"fk:{self.label}"
 
 
+@dataclass(frozen=True)
+class RowCountBetween:
+    """Table-level cardinality bound (the classic Deequ size check — an
+    empty or exploded ingest batch is a pipeline failure no row-level
+    rule sees). Costs nothing extra: the verdict derives from the count
+    the row-local pass already computes; ``violations`` is the distance
+    outside the bound (0 inside)."""
+
+    lo: int
+    hi: int
+
+    @property
+    def name(self) -> str:
+        return f"rowcount:[{self.lo},{self.hi}]"
+
+
 _ROW_LOCAL = (Completeness, InRange, InSet, Positive)
 
 
@@ -149,17 +165,26 @@ def validate(
     equi-matches)."""
     parents = parents or {}
     row_local = [r for r in rules if isinstance(r, _ROW_LOCAL)]
+    counts = [r for r in rules if isinstance(r, RowCountBetween)]
     uniques = sorted(
         (r for r in rules if isinstance(r, Unique)),
         key=lambda r: -len(r.columns),
     )
     fks = [r for r in rules if isinstance(r, ForeignKey)]
 
-    pieces, cols = [], []  # 1-row DataFrames to cross, (name, violcol)
+    pieces, cols = [], []  # 1-row DataFrames to cross, (name, viol sql)
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for i, r in enumerate(row_local):
         aggs.append(_viol(r.cond()).alias(f"v{i}"))
         cols.append((r.name, f"v{i}"))
+    for r in counts:
+        # rides the already-computed n; violation = distance out of bound
+        cols.append(
+            (
+                r.name,
+                f"CAST(greatest(0L, {r.lo} - n, n - {r.hi}) AS BIGINT)",
+            )
+        )
     pieces.append(df.agg(*aggs))
 
     # uniqueness ladder: coarser keys re-aggregate finer reduced tables
@@ -249,6 +274,8 @@ def rules_from_spec(
             rules.append(Positive(r["column"]))
         elif t == "unique":
             rules.append(Unique(tuple(r["columns"])))
+        elif t == "row_count":
+            rules.append(RowCountBetween(r["lo"], r["hi"]))
         elif t == "foreign_key":
             label = r.get(
                 "label", f"{'+'.join(r['columns'])}->{r['parent']}"

@@ -173,3 +173,24 @@ def test_validate_cli(spark, tmp_path, capsys):
     assert "ok   completeness:k" in out
     assert "ok   unique:k" in out
     assert "2/4 rules passed" in out
+
+
+def test_rowcount_rule(spark):
+    """RowCountBetween rides the row-local pass's count: violations is the
+    distance outside the bound, zero inside."""
+    from rosbag2parquet_spark.operators.quality import (
+        RowCountBetween,
+        validate,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(7)], "x long")
+    out = {
+        r["rule"]: (r["checked"], r["violations"], r["ok"])
+        for r in validate(
+            df, [RowCountBetween(1, 10), RowCountBetween(10, 20),
+                 RowCountBetween(1, 5)]
+        ).collect()
+    }
+    assert out["rowcount:[1,10]"] == (7, 0, True)
+    assert out["rowcount:[10,20]"] == (7, 3, False)  # 3 short of 10
+    assert out["rowcount:[1,5]"] == (7, 2, False)    # 2 over 5
