@@ -104,15 +104,15 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 45 new/changed (through
-# "resample-interpolate") + the first 5 of the 36 r4-latest rows
-# (through "sql-q8"). The 45 genuinely-new queries outprioritized the
-# last THIRTY-ONE r4 rows — "sql-q21" through "histogram" in this list's
-# order slip past the freshness target this once (r4-latest after r7; a
-# first-ever row for a new query beats re-proving a stable green one;
-# 178 queries against a 50-row window makes a full rotation 3.6 rounds,
-# so a 45-new round necessarily defers re-proofs). For r8: those
-# THIRTY-ONE FIRST ("sql-q21", "knn-recall", "asof-tolerance",
+# ROUND-8 NOTE: the r7 window = 46 new/changed (through
+# "resample-interpolate") + the first 4 of the 36 r4-latest rows
+# (through "stream-profile"). The 46 genuinely-new queries outprioritized
+# the last THIRTY-TWO r4 rows — "sql-q8" through "histogram" in this
+# list's order slip past the freshness target this once (r4-latest after
+# r7; a first-ever row for a new query beats re-proving a stable green
+# one; 179 queries against a 50-row window makes a full rotation 3.6
+# rounds, so a 46-new round necessarily defers re-proofs). For r8: those
+# THIRTY-TWO FIRST ("sql-q8", "sql-q21", "knn-recall", "asof-tolerance",
 # "scrub-terms", "interval-join", "sql-q4", "sql-q7", "sql-q13",
 # "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
 # "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
@@ -179,8 +179,10 @@ _QUERY_ORDER = [
     # epoch, |types|-row state, batch drift's oracle verbatim)
     # plus the numeric companion (value histogram over reference-anchored
     # equal-width buckets — a shifted epoch alarms in the edge buckets)
+    # and per-type volume trend (integer-exact closed-form OLS slope of
+    # hourly counts — the dying-sensor / runaway-producer monitor)
     "temperature-sample", "schema-evolution", "scrub-dup-spans",
-    "drift-detect", "stream-drift", "drift-numeric",
+    "drift-detect", "stream-drift", "drift-numeric", "volume-trend",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

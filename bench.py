@@ -94,6 +94,7 @@ EXTENDED = [
     "drift-detect",
     "stream-drift",
     "drift-numeric",
+    "volume-trend",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -614,11 +614,89 @@ ORDER BY bucket
 """
 
 
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume trend per event type — the third monitoring axis beside the
+    two drift monitors (drift sees the MIX shift; this sees a type's
+    absolute volume growing or dying, the failing-sensor / runaway-
+    producer signal): closed-form OLS slope of hourly event counts over
+    time, computed ENTIRELY in BIGINT sums — x is the hour index
+    rebased to the corpus' first hour (slope is translation-invariant in
+    x; rebasing buys overflow headroom and is the only reason the global
+    min-hour scalar exists), y is the hour's count, and
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) is ONE IEEE division of
+    two exactly-computed integers — bit-identical cross-engine, no
+    float accumulation order anywhere. Hours with zero events are simply
+    absent (OLS over observed support; `resample-interpolate` is the op
+    that fills gaps when a dense grid is wanted). A single-hour type
+    yields NULL slope (den 0), not a fake 0.
+
+    Plan: ONE partial-combined groupBy to hour grain (the only full-data
+    shuffle), then the per-type regression re-aggregates ~|types x hours|
+    tiny rows; the min-hour rebase is a 1-scalar reduce broadcast back."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    )
+    base = ev.agg(F.min("h").alias("h0"))
+    hourly = (
+        ev.crossJoin(F.broadcast(base))
+        .select("event_type", (F.col("h") - F.col("h0")).alias("x"))
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "sy",
+            F.expr(
+                "CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+                " / nullif(n_hours * sxx - sx * sx, 0)"
+            ).alias("slope_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VOLUME_TREND = """
+WITH b AS (
+  SELECT min(epoch_us(ts) // 3600000000) AS h0 FROM events
+), hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 - b.h0 AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events CROSS JOIN b
+  GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours, sy,
+       CAST(n_hours * sxy - sx * sy AS DOUBLE)
+           / nullif(n_hours * sxx - sx * sx, 0) AS slope_per_hour
+FROM s ORDER BY event_type
+"""
+
+
 QUERIES = {
     "validate-constraints": q_validate_constraints,
     "pseudonymize": q_pseudonymize,
     "drift-detect": q_drift_detect,
     "drift-numeric": q_drift_numeric,
+    "volume-trend": q_volume_trend,
 }
 
 ORACLES = {
@@ -626,4 +704,5 @@ ORACLES = {
     "pseudonymize": ORACLE_PSEUDONYMIZE,
     "drift-detect": ORACLE_DRIFT_DETECT,
     "drift-numeric": ORACLE_DRIFT_NUMERIC,
+    "volume-trend": ORACLE_VOLUME_TREND,
 }

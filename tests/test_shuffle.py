@@ -84,6 +84,8 @@ def test_no_unexpected_single_partition_exchange(spark):
         # the share totals are a second 2-scalar reduce over |types| rows
         "drift-numeric",  # same posture + the reference [min,max] range
         # as one more 2-scalar reduce broadcast into the bucket expr
+        "volume-trend",  # the min-hour rebase is one 1-scalar reduce
+        # broadcast back; the regression re-aggregates hour-grain rows
         "validate-constraints",  # rule verdicts ARE global scalars: the
         # row-local rules fold into one map-side-partial aggregate, the
         # uniqueness/FK passes reduce key tables; ~8 scalars cross total
