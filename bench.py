@@ -95,6 +95,7 @@ EXTENDED = [
     "stream-drift",
     "drift-numeric",
     "volume-trend",
+    "embed-quantize",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

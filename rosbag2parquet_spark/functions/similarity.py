@@ -746,8 +746,63 @@ GROUP BY sim_band
 """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x storage
+    compression an ANN corpus takes before it can live at 100 TB (the
+    IVF coarse quantizer bounds SEARCH cost; this bounds STORAGE and
+    memory bandwidth; product quantization is the documented next rung).
+    Per-vector symmetric quantization: scale = 127 / max_abs(v), code =
+    floor(x * scale) clamped to [-127, 127], emitted as real TINYINT —
+    entirely map-side higher-order expressions, zero shuffle, zero
+    Python.
+
+    Determinism: max_abs is an order-free exact fold (greatest of abs);
+    127.0 / max_abs is one correctly-rounded IEEE division and x * scale
+    one multiplication, so both engines floor the SAME double — the code
+    arrays are bit-identical cross-engine, which is exactly what makes
+    int8 codes safe to ship between systems. A zero vector quantizes to
+    NULL codes via nullif (explicit, not inf-garbage)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    return (
+        emb.withColumn(
+            "max_abs",
+            F.aggregate(
+                F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+            ),
+        )
+        .select(
+            "vec_id",
+            "max_abs",
+            F.expr(
+                "transform(e, x -> CAST(greatest(-127.0, least(127.0,"
+                " floor(x * (127.0 / nullif(max_abs, 0.0))))) AS TINYINT))"
+            ).alias("codes"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+SELECT vec_id, max_abs,
+       list_transform(e, x -> CAST(greatest(-127.0, least(127.0,
+           floor(x * (127.0 / nullif(max_abs, 0.0))))) AS TINYINT))
+           AS codes
+FROM (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+)
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "knn": q_knn,
+    "embed-quantize": q_embed_quantize,
     "knn-ivf": q_knn_ivf,
     "knn-batch": q_knn_batch,
     "knn-recall": q_knn_recall,
@@ -757,6 +812,7 @@ QUERIES = {
 
 ORACLES = {
     "knn": ORACLE_KNN,
+    "embed-quantize": ORACLE_EMBED_QUANTIZE,
     "knn-ivf": _oracle_knn_ivf(),
     "knn-batch": ORACLE_KNN_BATCH,
     "knn-recall": _oracle_knn_recall(),
