@@ -104,23 +104,24 @@ _MODULES = (
 # window; the head of the r5-proven block re-proves in the remaining 10.
 # The 50 rows r6 just proved rotate to the back. After this round's driver
 # run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 47 new/changed (through
-# "resample-interpolate") + the first 3 of the 36 r4-latest rows
-# (through "stream-neardup"). The 47 genuinely-new queries outprioritized
-# the last THIRTY-THREE r4 rows — "stream-profile" through "histogram"
-# in this list's order slip past the freshness target this once
-# (r4-latest after r7; a first-ever row for a new query beats re-proving
-# a stable green one; 180 queries against a 50-row window makes a full
-# rotation 3.6 rounds, so a 47-new round necessarily defers re-proofs).
-# For r8: those THIRTY-THREE FIRST ("stream-profile", "sql-q8",
-# "sql-q21", "knn-recall", "asof-tolerance", "scrub-terms",
-# "interval-join", "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
-# "sql-q17", "sql-q19", "sql-q22", "rollup-hypertable", "top-terms",
-# "outer-join", "salted-agg", "dedup-clusters", "like-filter",
-# "anti-join", "range-join", "intersect", "sql-q3", "sql-q5", "sql-q6",
-# "sql-q10", "sql-q18", "scalar-funcs", "pivot", "unpivot",
-# "histogram"), then any new/changed, then the r5-proven block
-# ("stream-sink" onward); r6- then r7-proven rotate to the back.
+# ROUND-8 NOTE: the r7 window = 48 new/changed (through
+# "resample-interpolate") + the first 2 of the 36 r4-latest rows
+# (through "stream-sessionize"). The 48 genuinely-new queries
+# outprioritized the last THIRTY-FOUR r4 rows — "stream-neardup" through
+# "histogram" in this list's order slip past the freshness target this
+# once (r4-latest after r7; a first-ever row for a new query beats
+# re-proving a stable green one; 181 queries against a 50-row window
+# makes a full rotation 3.6 rounds, so a 48-new round necessarily defers
+# re-proofs). For r8: those THIRTY-FOUR FIRST ("stream-neardup",
+# "stream-profile", "sql-q8", "sql-q21", "knn-recall", "asof-tolerance",
+# "scrub-terms", "interval-join", "sql-q4", "sql-q7", "sql-q13",
+# "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
+# "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
+# "dedup-clusters", "like-filter", "anti-join", "range-join",
+# "intersect", "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
+# "scalar-funcs", "pivot", "unpivot", "histogram"), then any
+# new/changed, then the r5-proven block ("stream-sink" onward); r6- then
+# r7-proven rotate to the back.
 _QUERY_ORDER = [
     # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
     # cosine prune with a deterministic keep-lowest-id representative;
@@ -185,7 +186,7 @@ _QUERY_ORDER = [
     # map-side HOF, bit-identical TINYINT codes cross-engine)
     "temperature-sample", "schema-evolution", "scrub-dup-spans",
     "drift-detect", "stream-drift", "drift-numeric", "volume-trend",
-    "embed-quantize",
+    "embed-quantize", "knn-quantized",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze",
     "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",

@@ -96,6 +96,7 @@ EXTENDED = [
     "drift-numeric",
     "volume-trend",
     "embed-quantize",
+    "knn-quantized",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -800,9 +800,88 @@ ORDER BY vec_id
 """
 
 
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served FROM the int8 codes — the query side that makes
+    `embed-quantize` an index, not just compression: both corpus and
+    query quantize their unit-normalized vectors, the score is the
+    INTEGER code dot (exact — products and 64-term sums of small ints
+    are exactly representable doubles, order-free) rescaled by the two
+    per-vector scales, and top-k ranks by that reconstructed cosine.
+    Memory bandwidth per candidate drops 4x vs the float corpus — the
+    production reason quantized scan beats exact scan at 100 TB; the
+    deterministic construction means THIS ranking (approximation and
+    all) is bit-identical cross-engine, so the oracle checks the real
+    quantized scores, not a tolerance band. Accuracy vs exact `knn` is
+    visible by comparing the two queries' driver rows over the same
+    fixture."""
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    qn = emb.withColumn(
+        "s",
+        F.aggregate(
+            F.col("en"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        ),
+    ).withColumn(
+        "codes",
+        F.expr(
+            "transform(en, x -> CAST(greatest(-127.0, least(127.0,"
+            " floor(x * (127.0 / nullif(s, 0.0))))) AS TINYINT))"
+        ),
+    )
+    query = qn.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("codes").alias("qc"), F.col("s").alias("qs")
+    )
+    scored = (
+        qn.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(
+                    F.expr("transform(codes, x -> CAST(x AS DOUBLE))"),
+                    F.expr("transform(qc, x -> CAST(x AS DOUBLE))"),
+                )
+                * F.col("s")
+                * F.col("qs")
+                / F.lit(16129.0),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    return scored.orderBy(F.desc("qcos"), F.asc("vec_id")).limit(KNN_K)
+
+
+ORACLE_KNN_QUANTIZED = f"""
+WITH n AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS en
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, label, en,
+         list_max(list_transform(en, x -> abs(x))) AS s
+  FROM n
+), qc AS (
+  SELECT vec_id, label, s,
+         list_transform(en, x -> CAST(greatest(-127.0, least(127.0,
+             floor(x * (127.0 / nullif(s, 0.0))))) AS TINYINT)) AS codes
+  FROM qz
+), q AS (
+  SELECT codes AS qcodes, s AS qs FROM qc WHERE vec_id = {KNN_QUERY_ID}
+)
+SELECT c.vec_id, c.label,
+       round(list_dot_product(c.codes::DOUBLE[], q.qcodes::DOUBLE[])
+             * c.s * q.qs / 16129.0, 6) AS qcos
+FROM qc c, q WHERE c.vec_id != {KNN_QUERY_ID}
+ORDER BY qcos DESC, c.vec_id LIMIT {KNN_K}
+"""
+
+
 QUERIES = {
     "knn": q_knn,
     "embed-quantize": q_embed_quantize,
+    "knn-quantized": q_knn_quantized,
     "knn-ivf": q_knn_ivf,
     "knn-batch": q_knn_batch,
     "knn-recall": q_knn_recall,
@@ -813,6 +892,7 @@ QUERIES = {
 ORACLES = {
     "knn": ORACLE_KNN,
     "embed-quantize": ORACLE_EMBED_QUANTIZE,
+    "knn-quantized": ORACLE_KNN_QUANTIZED,
     "knn-ivf": _oracle_knn_ivf(),
     "knn-batch": ORACLE_KNN_BATCH,
     "knn-recall": _oracle_knn_recall(),
