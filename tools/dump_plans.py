@@ -238,6 +238,9 @@ def main() -> None:
         "scrub-dup-spans",
         # drift monitor: one scan + two 2-scalar reduces (by design)
         "drift-detect",
+        # monitoring + vector-index closing set: integer-OLS trend,
+        # map-side int8 quantization, quantized-scan ANN
+        "volume-trend", "embed-quantize", "knn-quantized",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
