@@ -175,7 +175,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strata = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     nmin = strata.agg(F.min("n_s").alias("n_min"))
     dim = F.broadcast(strata.crossJoin(F.broadcast(nmin)))
-    keep = F.expr(f"{_BUCKET_STRAT} * n_s < n_min * {BUCKET_SPACE}")
+    # bucket * n_s wraps BIGINT once a stratum passes ~2^43 rows; widened to
+    # DECIMAL(38,0) (exact integers to 1e38) so the keep decision survives
+    # the 100 TB posture. The oracle widens to HUGEINT (int128) — both
+    # arithmetics are exact, so the boolean is identical.
+    keep = F.expr(
+        f"CAST({_BUCKET_STRAT} AS DECIMAL(38,0)) * n_s"
+        f" < CAST(n_min AS DECIMAL(38,0)) * {BUCKET_SPACE}"
+    )
     return (
         docs.join(dim, "source")
         .groupBy("source")
@@ -194,7 +201,8 @@ WITH strata AS (
 nm AS (SELECT min(n_s) AS n_min FROM strata)
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_total,
-       CAST(sum(CASE WHEN ({_BUCKET_STRAT}) * s.n_s < nm.n_min * {BUCKET_SPACE}
+       CAST(sum(CASE WHEN CAST(({_BUCKET_STRAT}) AS HUGEINT) * s.n_s
+                          < CAST(nm.n_min AS HUGEINT) * {BUCKET_SPACE}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(any_value(nm.n_min) AS BIGINT) AS n_quota
 FROM documents d JOIN strata s USING (source) CROSS JOIN nm
@@ -244,8 +252,13 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n_s) div 2 AS BIGINT)").alias("t_goal"),
     )
     dim = F.broadcast(strata.crossJoin(F.broadcast(totals)))
+    # bucket * s_w * n_s (and t_goal * w_s * 2^20) wrap BIGINT at a few
+    # billion rows — far below the posture this docstring advertises. Both
+    # sides widen to DECIMAL(38,0) (engine) / HUGEINT (oracle): exact
+    # integer arithmetic on each, so the keep boolean is identical.
     keep = F.expr(
-        f"{_BUCKET_TEMP} * s_w * n_s < t_goal * w_s * {BUCKET_SPACE}"
+        f"CAST({_BUCKET_TEMP} AS DECIMAL(38,0)) * s_w * n_s"
+        f" < CAST(t_goal AS DECIMAL(38,0)) * w_s * {BUCKET_SPACE}"
     )
     return (
         docs.join(dim, "lang")
@@ -271,8 +284,8 @@ tot AS (
 )
 SELECT d.lang,
        CAST(count(*) AS BIGINT) AS n_total,
-       CAST(sum(CASE WHEN ({_BUCKET_TEMP}) * t.s_w * s.n_s
-                          < t.t_goal * s.w_s * {BUCKET_SPACE}
+       CAST(sum(CASE WHEN CAST(({_BUCKET_TEMP}) AS HUGEINT) * t.s_w * s.n_s
+                          < CAST(t.t_goal AS HUGEINT) * s.w_s * {BUCKET_SPACE}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(any_value(s.w_s) AS BIGINT) AS w
 FROM documents d JOIN strata s USING (lang) CROSS JOIN tot t

@@ -761,7 +761,14 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     one multiplication, so both engines floor the SAME double — the code
     arrays are bit-identical cross-engine, which is exactly what makes
     int8 codes safe to ship between systems. A zero vector quantizes to
-    NULL codes via nullif (explicit, not inf-garbage)."""
+    NULL codes via nullif (explicit, not inf-garbage).
+
+    The COMPARED projection joins the codes into one comma string
+    (`codes_str`): the engine-side column stays a real ARRAY<TINYINT>
+    (`knn_quantized` consumes it), but a raw array cell is unhashable
+    under the driver's pandas canonicalizer (r7 red row; the replica
+    guard now refuses top-level arrays outright), and the joined string
+    carries the exact same bit-identical information."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("e")
     )
@@ -772,13 +779,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
             ),
         )
+        .withColumn(
+            "codes",
+            F.expr(
+                "transform(e, x -> CAST(greatest(-127.0, least(127.0,"
+                " floor(x * (127.0 / nullif(max_abs, 0.0))))) AS TINYINT))"
+            ),
+        )
         .select(
             "vec_id",
             "max_abs",
             F.expr(
-                "transform(e, x -> CAST(greatest(-127.0, least(127.0,"
-                " floor(x * (127.0 / nullif(max_abs, 0.0))))) AS TINYINT))"
-            ).alias("codes"),
+                "array_join(transform(codes,"
+                " x -> coalesce(CAST(x AS STRING), 'null')), ',')"
+            ).alias("codes_str"),
         )
         .orderBy("vec_id")
     )
@@ -786,9 +800,10 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EMBED_QUANTIZE = """
 SELECT vec_id, max_abs,
-       list_transform(e, x -> CAST(greatest(-127.0, least(127.0,
-           floor(x * (127.0 / nullif(max_abs, 0.0))))) AS TINYINT))
-           AS codes
+       array_to_string(list_transform(
+           list_transform(e, x -> CAST(greatest(-127.0, least(127.0,
+               floor(x * (127.0 / nullif(max_abs, 0.0))))) AS TINYINT)),
+           c -> coalesce(CAST(c AS VARCHAR), 'null')), ',') AS codes_str
 FROM (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,

@@ -36,6 +36,30 @@ from pyspark.sql import functions as F
 from rosbag2parquet_spark.sources.catalog import load_table
 
 
+# Spark's `div` truncates toward zero while DuckDB's `//` floors — the two
+# differ on negative operands (pre-1970 timestamps), so every bucket /
+# midpoint derivation uses explicit FLOOR semantics on the Spark side:
+# (a - pmod(a, b)) div b — pmod yields the non-negative remainder, making
+# the numerator exactly divisible, so the truncating div IS the floor.
+_MID_US = "((t_lo + t_hi) - pmod(t_lo + t_hi, 2)) div 2"
+
+# |n1*t2 - n2*t1| * 10000 div (t1*t2) in plain BIGINT silently wraps once a
+# product passes 2^63 — reachable at ~3e9 rows/epoch, far below the 100 TB
+# posture. The engine widens to DECIMAL(38,0) (exact integers to 1e38; at
+# 1e14 rows/epoch the products are ~1e32) and the oracle to HUGEINT
+# (int128, exact to 1.7e38); the quotient is <= 10000 by construction
+# (|n1*t2 - n2*t1| <= t1*t2), so the final BIGINT never wraps.
+DRIFT_BPS_SQL = (
+    "CAST(abs(CAST(n1 AS DECIMAL(38,0)) * t2"
+    " - CAST(n2 AS DECIMAL(38,0)) * t1)"
+    " * 10000 div (CAST(t1 AS DECIMAL(38,0)) * t2) AS BIGINT)"
+)
+DRIFT_BPS_DUCK = (
+    "CAST(abs(CAST(n1 AS HUGEINT) * t2 - CAST(n2 AS HUGEINT) * t1)"
+    " * 10000 // (CAST(t1 AS HUGEINT) * t2) AS BIGINT)"
+)
+
+
 def _viol(cond) -> F.Column:
     # NULL predicate input counts as not-violating, matching the oracle's
     # count(*) FILTER (WHERE <cond>) which skips NULL conditions
@@ -476,7 +500,7 @@ def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(bounds))
         .withColumn(
             "epoch",
-            (F.col("t_us") < F.expr("(t_lo + t_hi) div 2")).cast("int"),
+            (F.col("t_us") < F.expr(_MID_US)).cast("int"),
         )
         .groupBy("event_type")
         .agg(
@@ -493,15 +517,13 @@ def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n1",
             "n2",
-            F.expr(
-                "CAST(abs(n1 * t2 - n2 * t1) * 10000 div (t1 * t2) AS BIGINT)"
-            ).alias("drift_bps"),
+            F.expr(DRIFT_BPS_SQL).alias("drift_bps"),
         )
         .orderBy("event_type")
     )
 
 
-ORACLE_DRIFT_DETECT = """
+ORACLE_DRIFT_DETECT = f"""
 WITH b AS (
   SELECT epoch_us(min(ts)) AS t_lo, epoch_us(max(ts)) AS t_hi FROM events
 ), cells AS (
@@ -516,7 +538,7 @@ WITH b AS (
   SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells
 )
 SELECT event_type, n1, n2,
-       CAST(abs(n1 * t2 - n2 * t1) * 10000 // (t1 * t2) AS BIGINT)
+       {DRIFT_BPS_DUCK}
            AS drift_bps
 FROM cells CROSS JOIN tot
 ORDER BY event_type
@@ -550,7 +572,7 @@ def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_epoch = ev.crossJoin(F.broadcast(bounds)).withColumn(
         "epoch",
-        (F.col("t_us") < F.expr("(t_lo + t_hi) div 2")).cast("int"),
+        (F.col("t_us") < F.expr(_MID_US)).cast("int"),
     )
     ref_range = with_epoch.filter(F.col("epoch") == 1).agg(
         F.min("v").alias("v_lo"), F.max("v").alias("v_hi")
@@ -560,8 +582,9 @@ def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bucket",
             F.expr(
-                "CAST(greatest(0, least(9,"
-                " floor((v - v_lo) * 10 / (v_hi - v_lo)))) AS BIGINT)"
+                "CAST(coalesce(greatest(0, least(9,"
+                " floor((v - v_lo) * 10 / nullif(v_hi - v_lo, 0.0d)))),"
+                " 0) AS BIGINT)"
             ),
         )
         .groupBy("bucket")
@@ -577,15 +600,13 @@ def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "n1",
             "n2",
-            F.expr(
-                "CAST(abs(n1 * t2 - n2 * t1) * 10000 div (t1 * t2) AS BIGINT)"
-            ).alias("drift_bps"),
+            F.expr(DRIFT_BPS_SQL).alias("drift_bps"),
         )
         .orderBy("bucket")
     )
 
 
-ORACLE_DRIFT_NUMERIC = """
+ORACLE_DRIFT_NUMERIC = f"""
 WITH b AS (
   SELECT epoch_us(min(ts)) AS t_lo, epoch_us(max(ts)) AS t_hi FROM events
 ), e AS (
@@ -596,8 +617,9 @@ WITH b AS (
 ), r AS (
   SELECT min(v) AS v_lo, max(v) AS v_hi FROM e WHERE epoch = 1
 ), cells AS (
-  SELECT CAST(greatest(0, least(9,
-             floor((v - r.v_lo) * 10 / (r.v_hi - r.v_lo)))) AS BIGINT)
+  SELECT CAST(coalesce(greatest(0, least(9,
+             floor((v - r.v_lo) * 10 / nullif(r.v_hi - r.v_lo, 0)))),
+             0) AS BIGINT)
              AS bucket,
          CAST(sum(epoch) AS BIGINT) AS n1,
          CAST(sum(1 - epoch) AS BIGINT) AS n2
@@ -607,7 +629,7 @@ WITH b AS (
   SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells
 )
 SELECT bucket, n1, n2,
-       CAST(abs(n1 * t2 - n2 * t1) * 10000 // (t1 * t2) AS BIGINT)
+       {DRIFT_BPS_DUCK}
            AS drift_bps
 FROM cells CROSS JOIN tot
 ORDER BY bucket
@@ -635,7 +657,8 @@ def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny rows; the min-hour rebase is a 1-scalar reduce broadcast back."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+               " div 3600000000").alias("h"),
     )
     base = ev.agg(F.min("h").alias("h0"))
     hourly = (

@@ -891,6 +891,7 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     live monitor must converge to exactly the batch answer."""
     from pyspark.sql import functions as F
 
+    from rosbag2parquet_spark.operators.quality import DRIFT_BPS_SQL
     from rosbag2parquet_spark.sources.catalog import load_table
 
     ev_b = load_table(spark, sf_dir, "events").select(
@@ -926,9 +927,7 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n1",
             "n2",
-            F.expr(
-                "CAST(abs(n1 * t2 - n2 * t1) * 10000 div (t1 * t2) AS BIGINT)"
-            ).alias("drift_bps"),
+            F.expr(DRIFT_BPS_SQL).alias("drift_bps"),
         )
         .orderBy("event_type")
     )

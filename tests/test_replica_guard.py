@@ -1,30 +1,32 @@
 """The local replica must be strictly STRICTER than the driver's gate.
 
-Two rounds were lost to replica/driver divergence (r3: DuckDB HUGEINT →
+Three rounds were lost to replica/driver divergence (r3: DuckDB HUGEINT →
 float64 under the driver's pandas fetch; r4: raw BinaryType → unhashable
-``bytearray`` under its canonicalizer). This pins the structural rules that
-kill those classes: any compared output carrying BinaryType anywhere in its
-type tree is refused by ``tools.check_oracle``, and no registered query
-emits one.
+``bytearray`` under its canonicalizer; r7: top-level ArrayType → unhashable
+``list`` under the same ``sort_values → Categorical → factorize`` path).
+This pins the structural rules that kill those classes: any compared output
+carrying BinaryType anywhere in its type tree, OR a top-level
+Array/Map/Struct column, is refused by ``tools.check_oracle``, and no
+registered query emits one.
 """
 
 from pyspark.sql import types as T
 
 import __spark_entry__ as entrymod
-from tools.check_oracle import binary_columns
+from tools.check_oracle import unhashable_columns
 
 
-def test_binary_columns_flags_top_level():
+def test_flags_top_level_binary():
     schema = T.StructType(
         [
             T.StructField("a", T.LongType()),
             T.StructField("data", T.BinaryType()),
         ]
     )
-    assert binary_columns(schema) == ["data"]
+    assert unhashable_columns(schema) == ["data"]
 
 
-def test_binary_columns_flags_nested():
+def test_flags_nested_binary():
     schema = T.StructType(
         [
             T.StructField("arr", T.ArrayType(T.BinaryType())),
@@ -35,23 +37,42 @@ def test_binary_columns_flags_nested():
                 "s",
                 T.StructType([T.StructField("inner", T.BinaryType())]),
             ),
-            T.StructField("ok", T.ArrayType(T.DoubleType())),
+            T.StructField("ok", T.StringType()),
         ]
     )
-    assert binary_columns(schema) == ["arr", "m", "s"]
+    assert unhashable_columns(schema) == ["arr", "m", "s"]
 
 
-def test_binary_columns_clean_schema():
+def test_flags_top_level_array_map_struct():
+    """The r7 class: a clean-elemented top-level array is STILL a list cell
+    under the driver's pandas fetch — unhashable in factorize. Maps and
+    structs land as dicts under the Arrow path: same failure."""
+    schema = T.StructType(
+        [
+            T.StructField("codes", T.ArrayType(T.ByteType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+            T.StructField(
+                "s", T.StructType([T.StructField("x", T.LongType())])
+            ),
+            T.StructField("ok", T.DoubleType()),
+        ]
+    )
+    assert unhashable_columns(schema) == ["codes", "m", "s"]
+
+
+def test_clean_schema():
     schema = T.StructType(
         [
             T.StructField("a", T.StringType()),
-            T.StructField("b", T.ArrayType(T.LongType())),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.DoubleType()),
+            T.StructField("d", T.DecimalType(20, 0)),
         ]
     )
-    assert binary_columns(schema) == []
+    assert unhashable_columns(schema) == []
 
 
-def test_no_registered_query_emits_binary(spark):
+def test_no_registered_query_emits_unhashable(spark):
     """Every compared output must hash under the driver's pandas
     canonicalizer — schema-only check (cheap: no execution beyond planning;
     queries that materialize streams are exercised by the parity suite)."""
@@ -61,7 +82,7 @@ def test_no_registered_query_emits_binary(spark):
     for name, fn in entrymod.queries().items():
         if name.startswith("stream-"):
             continue  # streaming twins run minutes; covered in parity tests
-        cols = binary_columns(fn(spark, SF_DIR).schema)
+        cols = unhashable_columns(fn(spark, SF_DIR).schema)
         if cols:
             offenders[name] = cols
     assert offenders == {}

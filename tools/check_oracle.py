@@ -75,15 +75,26 @@ def normalize(rows, cols, float_fmt="repr"):
     return [cols[i] for i in order], out
 
 
-def binary_columns(schema) -> list[str]:
-    """Names of columns that contain BinaryType anywhere in their type tree.
+def unhashable_columns(schema) -> list[str]:
+    """Names of columns the DRIVER's pandas canonicalizer cannot hash.
 
-    The driver's pandas canonicalizer cannot hash raw binary (``bytearray``
-    is unhashable under ``factorize`` — r4's `stream-sink` driver-red), while
-    this replica's type-tagged encoding happily accepts it. The replica must
-    be strictly STRICTER than the driver, never looser, so any compared
-    output carrying BinaryType is refused outright: compare ``hex(col)``
-    instead.
+    The driver sorts the fetched frame with ``sort_values`` over every
+    column, which routes each column through ``Categorical → factorize`` —
+    and ``factorize`` hashes cell VALUES. Three rounds were lost to cells
+    that are unhashable there while this replica's type-tagged encoding
+    happily accepted them:
+
+    - r4: BinaryType → ``bytearray`` (unhashable) — ``stream-sink`` red;
+    - r7: ArrayType → ``list`` (unhashable) — ``embed-quantize`` red.
+
+    The replica must be strictly STRICTER than the driver, never looser,
+    so any compared output is refused outright when it carries
+
+    - BinaryType ANYWHERE in its type tree (compare ``hex(col)`` instead);
+    - a top-level ArrayType or MapType (list/dict cells — emit
+      ``array_join``/``to_json`` scalars, or explode to one row per
+      element, instead);
+    - a top-level StructType (a dict cell under the Arrow fetch path).
     """
     from pyspark.sql import types as T
 
@@ -98,7 +109,17 @@ def binary_columns(schema) -> list[str]:
             return any(has_binary(f.dataType) for f in dt.fields)
         return False
 
-    return [f.name for f in schema.fields if has_binary(f.dataType)]
+    out = []
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            out.append(f.name)
+        elif has_binary(f.dataType):
+            out.append(f.name)
+    return out
+
+
+# kept as the historical name some callers use; same predicate
+binary_columns = unhashable_columns
 
 
 def _pandas_rows(pdf):
@@ -149,12 +170,13 @@ def main() -> int:
         t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
-            bincols = binary_columns(sdf.schema)
+            bincols = unhashable_columns(sdf.schema)
             if bincols:
                 print(
-                    f"FAIL {name}: BinaryType in compared output {bincols} — "
-                    "the driver's pandas hasher chokes on bytearray; "
-                    "compare hex(col) instead"
+                    f"FAIL {name}: driver-unhashable columns {bincols} — "
+                    "the driver's pandas sort_values/factorize chokes on "
+                    "bytearray/list/dict cells; compare hex(col), "
+                    "array_join(...), or explode to scalar rows instead"
                 )
                 n_fail += 1
                 continue
