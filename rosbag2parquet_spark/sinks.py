@@ -795,7 +795,9 @@ def vacuum_layout(path: str, dry_run: bool = False) -> "list[str]":
     manifest-less layout pays anyway). Not safe concurrently with an
     active writer on the same layout — the standard VACUUM caveat.
     Returns the removed (or, with ``dry_run``, would-be-removed) paths;
-    repaired swaps are listed with a ``repair:`` prefix."""
+    repaired swaps are listed once per swap as ``repair:<live root>``
+    (a crash can leave BOTH the tmp and old dir for one partition —
+    still one repair)."""
     import shutil
 
     from rosbag2parquet_spark.streaming.compaction_service import (
@@ -805,11 +807,19 @@ def vacuum_layout(path: str, dry_run: bool = False) -> "list[str]":
     )
 
     acted: "list[str]" = []
+    # one repair entry per SWAP (keyed by the live partition root): an
+    # interrupted swap can leave both .__compact_tmp and .__compact_old
+    # for one partition — that is ONE repair, not two
+    swap_roots: "set[str]" = set()
     for root, dirs, files in os.walk(path):
         for d in dirs:
-            if d.endswith((_TMP_SUFFIX, _OLD_SUFFIX)):
-                acted.append("repair:" + os.path.join(root, d))
-    if acted and not dry_run:
+            for suf in (_TMP_SUFFIX, _OLD_SUFFIX):
+                if d.endswith(suf):
+                    live = os.path.join(root, d[: -len(suf)])
+                    if live not in swap_roots:
+                        swap_roots.add(live)
+                        acted.append("repair:" + live)
+    if swap_roots and not dry_run:
         _repair_interrupted_swaps(path)
 
     for root, dirs, files in os.walk(path, topdown=True):
@@ -820,6 +830,7 @@ def vacuum_layout(path: str, dry_run: bool = False) -> "list[str]":
                 if not dry_run:
                     shutil.rmtree(p)
                 dirs.remove(d)
+        crc_candidates: "list[str]" = []
         for f in files:
             p = os.path.join(root, f)
             if f.startswith(_DEL_NEW_PREFIX) and f.endswith(_DEL_NEW_SUFFIX):
@@ -827,10 +838,24 @@ def vacuum_layout(path: str, dry_run: bool = False) -> "list[str]":
                 if not dry_run:
                     os.remove(p)
             elif f.startswith(".") and f.endswith(".crc"):
-                if not os.path.exists(os.path.join(root, f[1:-4])):
-                    acted.append(p)
-                    if not dry_run:
-                        os.remove(p)
+                crc_candidates.append(f)
+        # .crc orphan check AFTER this directory's .delnew removals: a
+        # sidecar of a .delnew removed above must go in the SAME pass,
+        # not survive to a second vacuum run
+        for f in crc_candidates:
+            base = f[1:-4]
+            orphan = not os.path.exists(os.path.join(root, base))
+            if dry_run and not orphan:
+                # removals were only listed, not performed — a sidecar of
+                # a would-be-removed .delnew still reports as removable
+                orphan = base.startswith(_DEL_NEW_PREFIX) and base.endswith(
+                    _DEL_NEW_SUFFIX
+                )
+            if orphan:
+                p = os.path.join(root, f)
+                acted.append(p)
+                if not dry_run:
+                    os.remove(p)
     return acted
 
 

@@ -14,7 +14,8 @@ Lifecycle contract (documented, test-pinned):
   are never touched.
 - IN-PLACE operations (``delete_where``, compaction, vacuum of live
   data) REWRITE files and therefore invalidate older snapshots — read
-  verification catches this (size/existence per manifest entry) and
+  verification catches this (existence + size + mtime_ns per manifest
+  entry; mtime closes the same-size-rewrite hole size alone misses) and
   refuses with a clear error instead of silently returning wrong rows.
   A format with tombstones keeps those reads alive; a manifest-less
   layout cannot, and saying so loudly is the correct behavior.
@@ -79,10 +80,15 @@ def _data_files(layout: str) -> "list[dict]":
             if f.startswith(("_", ".")):
                 continue
             p = os.path.join(root, f)
+            st = os.stat(p)
             files.append(
                 {
                     "path": os.path.relpath(p, layout).replace(os.sep, "/"),
-                    "size": os.path.getsize(p),
+                    "size": st.st_size,
+                    # size alone misses a same-length in-place rewrite (a
+                    # delete_where swap can produce an equal-length file);
+                    # any rewrite lands a NEW inode with a fresh mtime
+                    "mtime_ns": st.st_mtime_ns,
                 }
             )
     return files
@@ -133,11 +139,19 @@ def read_snapshot(
             if not os.path.exists(p):
                 stale.append(f"missing {e['path']}")
                 continue
-            sz = os.path.getsize(p)
-            if sz != e["size"]:
+            st = os.stat(p)
+            if st.st_size != e["size"]:
                 stale.append(
-                    f"rewritten {e['path']} ({e['size']} -> {sz} bytes)"
+                    f"rewritten {e['path']} ({e['size']} -> "
+                    f"{st.st_size} bytes)"
                 )
+            elif (
+                e.get("mtime_ns") is not None
+                and st.st_mtime_ns != e["mtime_ns"]
+            ):
+                # equal size but touched since the manifest: the same-size
+                # rewrite case size-only verification silently passes
+                stale.append(f"rewritten {e['path']} (same size, new mtime)")
         paths.append(p)
     if stale:
         raise ValueError(

@@ -320,12 +320,11 @@ def variable_layout(
     """
     np_dtype_map = dict(_NP_DTYPE)
     if unsigned == "exact":
+        # scalars AND array elements: u64 reads unsigned, the shared schema
+        # carries DECIMAL(20,0) / array<DECIMAL(20,0)> (msgdef r8)
         np_dtype_map["uint32"] = "<u4"
-    # scalar fields only: uint64 → u8 (DECIMAL schema); array ELEMENTS keep
-    # the signed relaxation (array<long> schema) — see to_struct_type
-    np_scalar_map = dict(np_dtype_map)
-    if unsigned == "exact":
-        np_scalar_map["uint64"] = "<u8"
+        np_dtype_map["uint64"] = "<u8"
+    np_scalar_map = np_dtype_map
     ops: list[tuple] = []
 
     def fixed_bytes(spec: MsgSpec) -> int | None:
@@ -555,6 +554,12 @@ def decode_messages(
     dec_names = [
         f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
     ]
+    dec_arr_names = [
+        f.name
+        for f in flat.fields
+        if isinstance(f.dataType, T.ArrayType)
+        and isinstance(f.dataType.elementType, T.DecimalType)
+    ]
 
     layout = fixed_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
     np_dtype = None
@@ -646,6 +651,17 @@ def decode_messages(
                 vals = v.tolist() if hasattr(v, "tolist") else list(v)
                 cols[n] = pd.Series(
                     [None if x is None else int(x) for x in vals],
+                    dtype=object,
+                )
+            for n in dec_arr_names:
+                # array<DECIMAL(20,0)> cells arrive as numpy u8 arrays
+                # (vector tiers) or int lists (per-row tier); Arrow takes
+                # plain-int lists against a decimal element type
+                cols[n] = pd.Series(
+                    [
+                        None if x is None else [int(e) for e in x]
+                        for x in list(cols[n])
+                    ],
                     dtype=object,
                 )
             yield pd.DataFrame(cols)

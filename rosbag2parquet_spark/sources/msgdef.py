@@ -154,13 +154,16 @@ def to_struct_type(
                      TODO "uint32/64 columns are stored as signed").
     unsigned='exact' — upgrade: uint32 promoted to LongType so values past
                      2^31 read correctly (a ROS Header.seq is uint32!), and
-                     uint64 SCALARS promoted to DECIMAL(20,0) — the only
-                     Spark container that holds a u64 counter above 2^63
-                     without flipping negative, closing the reference's
-                     signedness bug entirely. uint64 ARRAY elements keep
-                     the signed relaxation in both modes (an
-                     array<decimal> column would poison vectorized
-                     downstream arithmetic for a rare shape; documented).
+                     uint64 promoted to DECIMAL(20,0) — the only Spark
+                     container that holds a u64 counter above 2^63 without
+                     flipping negative — for SCALARS and (since r8) ARRAY
+                     elements alike, closing the reference's signedness
+                     bug entirely. (Before r8 array elements kept the
+                     signed relaxation, which was not merely lossy but a
+                     latent Arrow failure: the decoders already produced
+                     unbounded unsigned ints in exact mode, and a value
+                     past 2^63 against an array<long> schema dies in the
+                     pandas→Arrow conversion.)
     """
     if unsigned not in ("signed", "exact"):
         raise ValueError(f"unsigned must be signed|exact, got {unsigned!r}")
@@ -168,10 +171,11 @@ def to_struct_type(
     builtin = dict(BUILTIN_TYPES)
     if unsigned == "exact":
         builtin["uint32"] = T.LongType()
-    # array ELEMENT types: uint64 stays signed-relaxed even in exact mode
-    elem_types = dict(builtin)
     if unsigned == "exact":
         builtin["uint64"] = T.DecimalType(20, 0)
+    # array ELEMENT types promote identically (r8): the decode tiers read
+    # u64 unsigned in exact mode, so the element type must hold 2^63..2^64
+    elem_types = dict(builtin)
 
     fields: list[T.StructField] = []
 

@@ -27,8 +27,9 @@ Semantics notes (documented trade-offs):
 - ``unsigned`` modes mirror msgdef.py:152-164: ``signed`` stores
   uint32/fixed32 and uint64/fixed64 as their signed reinterpretation
   (the reference's documented relaxation, rosbag2parquet.cpp:36);
-  ``exact`` promotes uint32→long and uint64 SCALARS→DECIMAL(20,0);
-  repeated uint64 elements keep the signed relaxation in both modes.
+  ``exact`` promotes uint32→long and uint64→DECIMAL(20,0) for scalars
+  AND repeated elements alike (since r8 — the last residue of the
+  reference's signedness bug is gone in exact mode).
 - proto2 ``group`` fields (wire types 3/4) are refused — deprecated
   since 2008 and absent from every MCAP producer we know of.
 - ``map<k,v>`` fields arrive as repeated synthetic-entry messages and
@@ -299,8 +300,8 @@ _SCALARS = {
 
 def _conv(kind: str, unsigned: str, element: bool):
     """Value converter for one scalar kind under one unsigned mode.
-    ``element=True`` keeps uint64 signed-relaxed (array elements,
-    msgdef.py:170-172)."""
+    ``element`` is accepted for signature parity with the schema helper;
+    exact mode treats scalars and array elements identically (r8)."""
     if kind == "double":
         return lambda v: struct.unpack("<d", v.to_bytes(8, "little"))[0]
     if kind == "float":
@@ -320,8 +321,8 @@ def _conv(kind: str, unsigned: str, element: bool):
             return lambda v: v
         return lambda v: v - (1 << 32) if v >= (1 << 31) else v
     if kind in ("uint64", "uint64_fixed"):
-        if unsigned == "exact" and not element:
-            return lambda v: v  # python int → Decimal(20,0) column
+        if unsigned == "exact":
+            return lambda v: v  # python int → Decimal(20,0) column/element
         return _signed64
     raise AssertionError(kind)
 
@@ -332,9 +333,7 @@ def _scalar_spark_type(ftype: int, unsigned: str, element: bool):
         dt = T.LongType() if unsigned == "exact" else T.IntegerType()
     elif kind in ("uint64", "uint64_fixed"):
         dt = (
-            T.DecimalType(20, 0)
-            if unsigned == "exact" and not element
-            else T.LongType()
+            T.DecimalType(20, 0) if unsigned == "exact" else T.LongType()
         )
     else:
         dt = factory()

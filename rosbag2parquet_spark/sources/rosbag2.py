@@ -417,13 +417,13 @@ def cdr_fixed_layout(
         "bool": "?", "int8": "i1", "uint8": "u1", "byte": "u1", "char": "u1",
         "int16": "i2", "uint16": "u2", "int32": "i4",
         "uint32": "u4" if unsigned == "exact" else "i4",
-        "int64": "i8", "uint64": "i8", "float32": "f4", "float64": "f8",
+        "int64": "i8",
+        "uint64": "u8" if unsigned == "exact" else "i8",
+        "float32": "f4", "float64": "f8",
     }
-    # scalar fields only: exact-mode uint64 decodes unsigned (DECIMAL
-    # schema); array ELEMENTS keep the signed relaxation (array<long>)
-    np_scalar = dict(np_fmt)
-    if unsigned == "exact":
-        np_scalar["uint64"] = "u8"
+    # exact mode reads u64 unsigned for scalars AND array elements; the
+    # shared schema carries DECIMAL(20,0) / array<DECIMAL(20,0)> (r8)
+    np_scalar = np_fmt
     size_of = {
         "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
         "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
@@ -516,13 +516,13 @@ def cdr_variable_layout(
         "bool": "<?", "int8": "<i1", "uint8": "<u1", "byte": "<u1",
         "char": "<u1", "int16": "<i2", "uint16": "<u2", "int32": "<i4",
         "uint32": "<u4" if unsigned == "exact" else "<i4",
-        "int64": "<i8", "uint64": "<i8", "float32": "<f4", "float64": "<f8",
+        "int64": "<i8",
+        "uint64": "<u8" if unsigned == "exact" else "<i8",
+        "float32": "<f4", "float64": "<f8",
     }
-    # scalar fields only: exact-mode uint64 decodes unsigned (DECIMAL
-    # schema); array ELEMENTS keep the signed relaxation (array<long>)
-    np_scalar = dict(np_fmt)
-    if unsigned == "exact":
-        np_scalar["uint64"] = "<u8"
+    # exact mode reads u64 unsigned for scalars AND array elements; the
+    # shared schema carries DECIMAL(20,0) / array<DECIMAL(20,0)> (r8)
+    np_scalar = np_fmt
     size_of = {
         "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
         "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
@@ -925,6 +925,12 @@ def decode_messages_cdr(
     dec_names = [
         f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
     ]
+    dec_arr_names = [
+        f.name
+        for f in flat.fields
+        if isinstance(f.dataType, T.ArrayType)
+        and isinstance(f.dataType.elementType, T.DecimalType)
+    ]
 
     def _decode_fast(pdf) -> dict:
         cols: dict = {}
@@ -993,6 +999,17 @@ def decode_messages_cdr(
                 vals = v.tolist() if hasattr(v, "tolist") else list(v)
                 cols[n] = pd.Series(
                     [None if x is None else int(x) for x in vals],
+                    dtype=object,
+                )
+            for n in dec_arr_names:
+                # array<DECIMAL(20,0)> cells arrive as numpy u8 arrays
+                # (vector tiers) or int lists (per-row tier); Arrow takes
+                # plain-int lists against a decimal element type
+                cols[n] = pd.Series(
+                    [
+                        None if x is None else [int(e) for e in x]
+                        for x in list(cols[n])
+                    ],
                     dtype=object,
                 )
             yield pd.DataFrame(cols)

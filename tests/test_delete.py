@@ -198,3 +198,51 @@ def test_vacuum_removes_artifacts_repairs_swaps(spark, tmp_path):
     got = {r.id for r in spark.read.parquet(lay).collect()}
     assert got == want
     assert vacuum_layout(lay) == []
+
+
+def test_vacuum_single_pass_and_repair_dedupe(spark, tmp_path):
+    """Two advisor holes pinned: (1) a swap that left BOTH .__compact_tmp
+    and .__compact_old for one partition reports ONE repair, keyed by the
+    live root; (2) the .crc sidecar of a .delnew removed in the same pass
+    is removed in that pass — vacuum is single-pass idempotent, a second
+    run finds nothing."""
+    import shutil
+
+    from rosbag2parquet_spark.sinks import vacuum_layout
+    from rosbag2parquet_spark.streaming.compaction_service import (
+        _OLD_SUFFIX,
+        _TMP_SUFFIX,
+    )
+
+    lay = str(tmp_path / "lay")
+    df = spark.range(20).selectExpr("id", "CAST(id % 2 AS STRING) AS part")
+    df.write.partitionBy("part").parquet(lay)
+
+    # (1) both swap dirs for ONE partition: live moved to old, tmp staged
+    os.rename(
+        os.path.join(lay, "part=1"), os.path.join(lay, "part=1" + _OLD_SUFFIX)
+    )
+    shutil.copytree(
+        os.path.join(lay, "part=1" + _OLD_SUFFIX),
+        os.path.join(lay, "part=1" + _TMP_SUFFIX),
+    )
+    # (2) a stale .delnew WITH its own .crc sidecar
+    open(os.path.join(lay, "part=0", ".p.parquet.delnew"), "w").write("x")
+    open(os.path.join(lay, "part=0", "..p.parquet.delnew.crc"), "w").write("x")
+
+    listed = vacuum_layout(lay, dry_run=True)
+    repairs = [p for p in listed if p.startswith("repair:")]
+    assert repairs == ["repair:" + os.path.join(lay, "part=1")]
+    # dry run already reports the sidecar as removable
+    assert any(p.endswith(".p.parquet.delnew.crc") for p in listed)
+
+    acted = vacuum_layout(lay)
+    assert [p for p in acted if p.startswith("repair:")] == repairs
+    assert not os.path.exists(os.path.join(lay, "part=0", ".p.parquet.delnew"))
+    assert not os.path.exists(
+        os.path.join(lay, "part=0", "..p.parquet.delnew.crc")
+    )
+    assert os.path.isdir(os.path.join(lay, "part=1"))
+    assert vacuum_layout(lay) == []  # single-pass: nothing left
+    got = {r.id for r in spark.read.parquet(lay).collect()}
+    assert got == set(range(20))

@@ -165,8 +165,8 @@ def test_unsigned_exact_uint64_decimal(spark):
     """unsigned='exact' promotes uint64 SCALARS to DECIMAL(20,0) so a
     counter above 2^63 round-trips exactly (the reference's signedness
     bug, rosbag2parquet.cpp:36, closed completely) — in ALL THREE ROS 1
-    decode tiers; the default keeps the signed relaxation; uint64 ARRAY
-    elements stay signed-relaxed even in exact mode."""
+    decode tiers; the default keeps the signed relaxation; since r8
+    uint64 ARRAY elements promote the same way in exact mode."""
     import struct
 
     from pyspark.sql import Row
@@ -204,16 +204,85 @@ def test_unsigned_exact_uint64_decimal(spark):
         assert parity.schema[col].dataType.simpleString() == "bigint", msgdef
         assert parity.collect()[0][col] == expected_signed, msgdef
 
-    # array elements keep the signed relaxation in exact mode
+    # array elements promote to DECIMAL(20,0) in exact mode too (r8):
+    # variable uint64[] rides the offset-scan tier; adding string[] forces
+    # the per-row tier — both must agree with the unsigned ground truth
     arr_payload = struct.pack("<I", 2) + struct.pack("<QQ", big, 7)
-    df = spark.createDataFrame(
-        [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(arr_payload))]
+    perrow_payload = (
+        arr_payload + struct.pack("<I", 1) + struct.pack("<I", 2) + b"hi"
     )
-    got = decode_messages(
-        df, "demo/T", "uint64[] xs", arrays="native", unsigned="exact"
-    )
-    assert got.schema["xs"].dataType.simpleString() == "array<bigint>"
-    assert list(got.collect()[0]["xs"]) == [expected_signed, 7]
+    for msgdef, payload in [
+        ("uint64[] xs", arr_payload),
+        ("uint64[] xs\nstring[] ss", perrow_payload),
+    ]:
+        df = spark.createDataFrame(
+            [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+        )
+        got = decode_messages(
+            df, "demo/T", msgdef, arrays="native", unsigned="exact"
+        )
+        assert (
+            got.schema["xs"].dataType.simpleString() == "array<decimal(20,0)>"
+        ), msgdef
+        assert [int(x) for x in got.collect()[0]["xs"]] == [big, 7], msgdef
+        # the default keeps the signed relaxation for parity
+        parity = decode_messages(df, "demo/T", msgdef, arrays="native")
+        assert parity.schema["xs"].dataType.simpleString() == "array<bigint>"
+        assert list(parity.collect()[0]["xs"]) == [expected_signed, 7]
+
+
+def test_unsigned_exact_uint64_array_cdr(spark):
+    """CDR repeated-uint64 exact mode across all three tiers: a FIXED
+    uint64[2] with no variable field rides the fixed-stride structured
+    dtype (subarray column), a variable sequence rides the offset scan,
+    and string[] forces the per-row walk — every tier must deliver
+    DECIMAL(20,0) elements carrying the >2^63 value exactly."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from rosbag2parquet_spark.sources.rosbag2 import decode_messages_cdr
+
+    big = (1 << 63) + 424242
+    enc = b"\x00\x01\x00\x00"
+
+    def s(v: str) -> bytes:
+        b = v.encode() + b"\x00"
+        return struct.pack("<I", len(b)) + b
+
+    cases = [
+        # fixed-stride: bounded array, fixed size overall
+        ("uint64[2] xs", enc + struct.pack("<QQ", big, 7)),
+        # offset-scan: variable sequence (length prefix, 8-aligned payload)
+        (
+            "uint64[] xs",
+            enc + struct.pack("<I", 2) + b"\x00" * 4 + struct.pack("<QQ", big, 7),
+        ),
+        # per-row: string[] alongside
+        (
+            "uint64[] xs\nstring[] ss",
+            enc
+            + struct.pack("<I", 2)
+            + b"\x00" * 4
+            + struct.pack("<QQ", big, 7)
+            + struct.pack("<I", 1)
+            + s("hi"),
+        ),
+    ]
+    for msgdef, payload in cases:
+        df = spark.createDataFrame(
+            [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+        )
+        got = decode_messages_cdr(
+            df, "demo/T", msgdef, arrays="native", unsigned="exact"
+        )
+        assert (
+            got.schema["xs"].dataType.simpleString() == "array<decimal(20,0)>"
+        ), msgdef
+        assert [int(x) for x in got.collect()[0]["xs"]] == [big, 7], msgdef
+        parity = decode_messages_cdr(df, "demo/T", msgdef, arrays="native")
+        assert parity.schema["xs"].dataType.simpleString() == "array<bigint>"
+        assert list(parity.collect()[0]["xs"]) == [big - (1 << 64), 7]
 
 
 def test_unsigned_exact_uint64_decimal_cdr(spark):

@@ -166,6 +166,57 @@ def test_decode_values_signed_and_exact():
     assert row["f64"] == (1 << 63) + 7
 
 
+def test_repeated_uint64_exact(spark):
+    """Repeated uint64 promotes to array<DECIMAL(20,0)> in exact mode (r8 —
+    the last residue of the reference's signedness bug): packed and
+    unpacked wire forms both carry a >2^63 element exactly through the
+    mapInPandas path; signed mode keeps the relaxed array<bigint>."""
+    from pyspark.sql import Row
+
+    fds = build_fds(
+        "demo",
+        {"Rep": [("xs", 1, TYPE_UINT64, True), ("f64s", 2, TYPE_FIXED64, True)]},
+    )
+    big = (1 << 63) + 55
+    # packed varints for xs; unpacked fixed64 records for f64s
+    payload = (
+        enc_len_field(1, enc_varint(big) + enc_varint(7))
+        + enc_fixed64_field(2, big)
+        + enc_fixed64_field(2, 9)
+    )
+
+    ex = compile_proto("demo.Rep", fds, arrays="native", unsigned="exact")
+    d = {f.name: f.dataType.simpleString() for f in ex.schema.fields}
+    assert d["xs"] == "array<decimal(20,0)>"
+    assert d["f64s"] == "array<decimal(20,0)>"
+    row = dict(
+        zip([f.name for f in ex.schema.fields], make_proto_decoder(ex)(payload))
+    )
+    assert row["xs"] == [big, 7] and row["f64s"] == [big, 9]
+
+    sg = compile_proto("demo.Rep", fds, arrays="native", unsigned="signed")
+    d = {f.name: f.dataType.simpleString() for f in sg.schema.fields}
+    assert d["xs"] == "array<bigint>" and d["f64s"] == "array<bigint>"
+    row = dict(
+        zip([f.name for f in sg.schema.fields], make_proto_decoder(sg)(payload))
+    )
+    assert row["xs"] == [big - (1 << 64), 7]
+
+    # end-to-end through the Arrow mapInPandas path (list-of-int cells
+    # against a decimal element type)
+    import base64
+
+    msg_def = PROTOBUF_DEF_PREFIX + base64.b64encode(fds).decode()
+    df = spark.createDataFrame(
+        [Row(offset=0, time_ns=1, conn_id=1, data=bytearray(payload))]
+    )
+    out = decode_messages_protobuf(
+        df, "demo.Rep", msg_def, arrays="native", unsigned="exact"
+    ).collect()[0]
+    assert [int(x) for x in out["xs"]] == [big, 7]
+    assert [int(x) for x in out["f64s"]] == [big, 9]
+
+
 def test_decode_missing_fields_proto3_defaults():
     comp = compile_proto("demo.Event", FDS, arrays="native")
     row = dict(

@@ -134,3 +134,38 @@ def test_delete_where_invalidates_snapshot(spark, tmp_path):
     got = read_snapshot(spark, lay, v2)
     assert got.count() == 100 - 14  # ids 3,10,...,94
     assert got.filter("bucket = 3").count() == 0
+
+
+def test_same_size_rewrite_refused(spark, layout):
+    """A byte-for-byte-length in-place rewrite passes a size-only check —
+    the advisor's hole: a delete_where swap can land an equal-length
+    file. The manifest records mtime_ns, so the rewrite still refuses."""
+    v1 = snapshot_create(layout)
+    # rewrite one data file in place with the SAME byte length
+    target = None
+    for root, dirs, fs in os.walk(layout):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in fs:
+            if not f.startswith(("_", ".")):
+                target = os.path.join(root, f)
+                break
+        if target:
+            break
+    data = open(target, "rb").read()
+    os.remove(target)
+    with open(target, "wb") as fh:
+        fh.write(data)  # same bytes, same size — new inode, new mtime
+    with pytest.raises(ValueError, match="same size, new mtime"):
+        read_snapshot(spark, layout, v1)
+
+
+def test_legacy_manifest_without_mtime_still_reads(spark, layout):
+    """Manifests written before mtime_ns was recorded (r7) must keep
+    verifying on existence+size alone, not KeyError."""
+    v1 = snapshot_create(layout)
+    mp = os.path.join(layout, SNAPSHOT_DIR, f"v{v1}.json")
+    m = json.load(open(mp))
+    for e in m["files"]:
+        e.pop("mtime_ns", None)
+    json.dump(m, open(mp, "w"))
+    assert read_snapshot(spark, layout, v1).count() == 3
