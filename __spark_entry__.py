@@ -97,163 +97,86 @@ _MODULES = (
 # Evaluation order for the driver (which iterates dict order and records only
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
-# ROUND-7 ROTATION (executing the r6 note — second consecutive hold of the
-# rolling freshness invariant): 3 new + 1 changed query first, then the
-# REMAINDER of the r4-latest block (36 queries, "stream-sliding" onward —
-# the oldest remaining rows), which together fill 40 of the 50-query
-# window; the head of the r5-proven block re-proves in the remaining 10.
-# The 50 rows r6 just proved rotate to the back. After this round's driver
-# run, NO query's latest row is older than r5.
-# ROUND-8 NOTE: the r7 window = 48 new/changed (through
-# "resample-interpolate") + the first 2 of the 36 r4-latest rows
-# (through "stream-sessionize"). The 48 genuinely-new queries
-# outprioritized the last THIRTY-FOUR r4 rows — "stream-neardup" through
-# "histogram" in this list's order slip past the freshness target this
-# once (r4-latest after r7; a first-ever row for a new query beats
-# re-proving a stable green one; 181 queries against a 50-row window
-# makes a full rotation 3.6 rounds, so a 48-new round necessarily defers
-# re-proofs). For r8: those THIRTY-FOUR FIRST ("stream-neardup",
-# "stream-profile", "sql-q8", "sql-q21", "knn-recall", "asof-tolerance",
-# "scrub-terms", "interval-join", "sql-q4", "sql-q7", "sql-q13",
-# "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
-# "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
-# "dedup-clusters", "like-filter", "anti-join", "range-join",
-# "intersect", "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18",
-# "scalar-funcs", "pivot", "unpivot", "histogram"), then any
-# new/changed, then the r5-proven block ("stream-sink" onward); r6- then
-# r7-proven rotate to the back.
+#
+# ROUND-8 ROTATION (executing the r7 note verbatim): the THIRTY-FOUR
+# r4-latest rows lead ("stream-neardup" .. "histogram" — after r7 these
+# were the only rows older than r5), then the 7 changed queries
+# (embed-quantize fixed from the r7 red; the drift trio and two samplers
+# hardened per ADVICE), then the new + refactored similarity queries.
+# Registry growth this round is deliberately throttled (<= 14 new) so the
+# window covers stale + changed + new: 34 + 7 + new + 2 <= 50.
+# ROUND-9 NOTE: after the r8 driver run the freshness histogram should be
+# r5: ~40 (the "stream-sink".. block tail the r8 window could not reach),
+# r6: ~47, r7/r8: the rest. For r9: lead with the r5-proven block
+# ("stream-sink" onward, in this list's order), then new/changed; r6-,
+# r7- and r8-proven rotate to the back. At ~186 queries a full rotation
+# is 3.7 rounds — keep new-query growth <= 10/round or the oldest-row age
+# exceeds 4 rounds by arithmetic.
 _QUERY_ORDER = [
-    # NEW round 7 (late): semantic dedup — k-means cells + intra-cluster
-    # cosine prune with a deterministic keep-lowest-id representative;
-    # the streaming twin of the as-of join (carried-quote state over the
-    # unioned keyed log)
-    # NEW round 7 (latest): protobuf MCAP decode proven in the driver gate
-    # (hand-rolled FileDescriptorSet + wire decoder, sources/protobuf.py);
-    # incremental grown-bag ingest (resume_convert_bag — first half
-    # recorded+converted, second half INSERTed into the same .db3 and
-    # resumed via the _ingest_state.json cursor, seqno continuous)
-    # NEW round 7 (latest): ANALYZE — per-column stats (count/nulls/exact
-    # NDV/min/max) in one Expand-shared pass, stack-unpivoted
-    # NEW round 7 (latest): copy-on-write DELETE WHERE (only files
-    # containing matches rewritten, per-file atomic swap)
-    # NEW round 7 (latest): continuous ANALYZE — the O(1)-state streaming
-    # stats monitor twin
-    # NEW round 7 (session 2): snapshot CDC extraction — the inverse of
-    # merge-upsert (insert/delete/update set from two keyed snapshots,
-    # one co-partitioned full-outer join); span-level duplicate mass
-    # (positional 5-word windows occurring >=2x corpus-wide — the
-    # suffix-style dedup granularity the document-level tiers can't see)
-    # the per-key group-size log2 histogram (the salting decision input);
-    # class-balanced sampling with data-derived per-stratum rates
-    # materialized-rollup refresh (delta partials merged into a stored
-    # base — history touched exactly once)
-    # and the live funnel (ordered-stage state, O(1)/key, batch oracle)
-    "table-diff", "substring-dedup", "skew-profile", "stratified-sample",
-    # layout VACUUM (crash-artifact GC: _temporary, orphan .crc, stale
-    # .delnew; interrupted swaps repaired, never deleted)
-    # per-doc top-3 tf/df keyword extraction (WindowGroupLimit cut)
-    # and the JSON message-encoding tier (pure-Catalyst from_json decode,
-    # the fourth message grammar) proven in the driver gate; plus the
-    # Deequ-style constraint-validation gate (8 rules, 3 rule classes,
-    # row-local rules folded into ONE aggregate) and its O(1)-state
-    # streaming twin (row-local rules as one incremental aggregate)
-    # plus snapshot manifests + time-travel reads (pin the exact file set
-    # a training run read; AS-OF reads plan from the manifest, staleness
-    # after in-place mutation refused loudly)
-    # plus the Pass-Join edit-distance dedup tier (pigeonhole segment
-    # equi-join blocking, EXACT recall, candidates-only levenshtein)
-    "incr-rollup", "stream-funnel", "vacuum", "doc-keywords",
-    "json-roundtrip", "validate-constraints", "stream-validate",
-    # plus the privacy-transform pass (peppered key pseudonymization +
-    # hour generalization + k=2 QI-cell suppression, corpus never
-    # shuffles) and alpha=0.5 temperature mixture rebalancing
-    # (integer-exact isqrt weights, broadcast dim + map-side filter)
-    # and the schema-evolution read contract (old parts NULL-fill the
-    # added column; mergeSchema == pinned-schema read, gate-proven)
-    # and span REMOVAL (the apply step substring-dedup scores: tokens
-    # covered by corpus-duplicated 5-windows deleted map-side — tokens
-    # never shuffle, only span hashes + covered-position arrays do)
-    # and the distribution-drift monitor (per-type epoch shares compared
-    # in integer basis points — no float shares, no libm PSI)
-    "snapshot-read", "dedup-editdist", "pseudonymize",
-    # with its live twin (static reference mix vs a streamed current
-    # epoch, |types|-row state, batch drift's oracle verbatim)
-    # plus the numeric companion (value histogram over reference-anchored
-    # equal-width buckets — a shifted epoch alarms in the edge buckets)
-    # and per-type volume trend (integer-exact closed-form OLS slope of
-    # hourly counts — the dying-sensor / runaway-producer monitor)
-    # and int8 embedding quantization (per-vector symmetric scale,
-    # map-side HOF, bit-identical TINYINT codes cross-engine)
-    "temperature-sample", "schema-evolution", "scrub-dup-spans",
-    "drift-detect", "stream-drift", "drift-numeric", "volume-trend",
-    "embed-quantize", "knn-quantized",
-    "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
-    "stream-analyze",
-    "semdedup", "stream-asof", "stream-semdedup", "export-roundtrip",
-    "stream-knn", "lm-surprise", "ewma", "stream-ewma",
-    # NEW round 7: point-in-time join against the SCD2 interval table;
-    # small-file compaction preserving the clustered layout; the streaming
-    # twin of resample-interpolate (incremental grid fill, O(1) state);
-    # CDC MERGE apply (last-writer-wins upsert/delete, co-partitioned
-    # full-outer) + its order-free streaming twin; partition-aware
-    # compaction
-    "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
-    "compact-partitioned", "stream-merge-upsert",
-    # NEW round 7: message-drop / silence detection (bag-health QA) +
-    # its live streaming twin; mergeable Misra-Gries heavy hitters;
-    # nearest-neighbor (either-direction) time join
-    "gap-detect", "stream-gap-detect", "heavy-hitters",
-    "stream-heavy-hitters", "asof-nearest",
-    # CHANGED round 7 — must re-prove: the grid explode gained the
-    # empty-span guard (sequence() raises on start > stop; same rows on
-    # data that never trips it, but the plan changed)
-    "resample-interpolate",
-    # latest driver row is r4 (36) — the oldest remaining rows
-    "stream-sliding", "stream-sessionize", "stream-neardup",
-    "stream-profile",
-    "sql-q8", "sql-q21", "knn-recall", "asof-tolerance", "scrub-terms",
-    "interval-join",
-    "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
-    "sql-q17", "sql-q19", "sql-q22",
+    # --- r8 window ---------------------------------------------------------
+    # THE 34 r4-LATEST ROWS FIRST (executing the round-8 note verbatim:
+    # these are the oldest driver rows — 16 TPC-H shapes, the join/set-op
+    # tier, knn-recall, the r4 streaming twins — all code-unchanged and
+    # locally green, re-proven before anything else)
+    "stream-neardup", "stream-profile", "sql-q8", "sql-q21", "knn-recall",
+    "asof-tolerance", "scrub-terms", "interval-join", "sql-q4", "sql-q7",
+    "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
-    "dedup-clusters",
-    "like-filter", "anti-join", "range-join", "intersect",
+    "dedup-clusters", "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
     "pivot", "unpivot", "histogram",
-    # proven green by the r5 driver run (50) — its head fills the rest of
-    # the r7 window, the tail leads r8
-    "stream-sink", "approx-stats",
-    "compact-latest", "funnel", "cohort-retention", "weighted-sample",
-    "lsh-recall",
-    "stream-compact", "multimodal-frames",
-    "json-funcs", "array-funcs",
-    "dedup-containment", "dedup-normalized", "rolling-window",
-    "sql-q2", "sql-q9", "sql-q11", "sql-q16", "sql-q20",
-    "repetition-score", "bm25-search", "stream-dedup",
+    # CHANGED round 8 — must re-prove: embed-quantize emits the codes as a
+    # comma-joined string (the r7 driver-red: a raw ARRAY cell is
+    # unhashable under the driver's canonicalizer); the drift trio + the
+    # two data-derived samplers widened to DECIMAL(38,0)/HUGEINT overflow-
+    # safe arithmetic, floor-division midpoints/hour-buckets, and the
+    # drift-numeric zero-range guard (advisor items)
+    "embed-quantize", "stratified-sample", "temperature-sample",
+    "drift-detect", "stream-drift", "drift-numeric", "volume-trend",
+    # NEW round 8: the composed production ANN serve shape (IVF cell
+    # pruning x int8 code scan — `knn-ivf` bounds SEARCH, `embed-quantize`
+    # bounds STORAGE; this is the index both docstrings gesture at)
+    "knn-ivf-quantized",
+    # refactored round 8 (shared _ivf_probe_cells/_quantized_codes helpers
+    # — same expressions, same plans; re-proven out of caution)
+    "knn-quantized", "knn-ivf",
+    # --- window ends ~here (50); r5-proven head re-proves in any slack ----
+    # proven green by the r5 driver run — the oldest remaining rows lead
+    # the post-window order, then the r6- and r7-proven blocks rotate back
+    "stream-sink", "approx-stats", "compact-latest", "funnel",
+    "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
+    "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
+    "dedup-normalized", "rolling-window", "sql-q2", "sql-q9", "sql-q11",
+    "sql-q16", "sql-q20", "repetition-score", "bm25-search", "stream-dedup",
     "bucket-join", "join", "salted-join", "tokenize-chunk", "markov-chain",
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
-    "time-split", "cast", "flatten", "decode-blob", "seqno",
-    "groupby-agg", "derived", "rollup", "dim-join", "semi-join",
-    "first-seen", "sql", "window-funcs", "window-tumbling",
-    # proven green by the r6 driver run (50) — rotate to the back:
-    # first the r6-new/changed batch...
-    "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
-    "bloom-join", "cluster-write", "zorder-write",
-    "embed-neardup", "embed-recall",
-    # ...then the formerly-r2 rows...
-    "asof", "cube", "grouping-sets", "kmeans", "lag-lead",
-    "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
-    # ...then the formerly-r3 rows...
-    "demux", "sink", "token-count", "lang-id", "quality-score", "fingerprint",
-    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash",
-    "knn", "knn-ivf", "knn-batch",
-    "stats-corr", "string-agg", "explode-sequence", "distinct-count",
-    "quantiles", "sessionize",
-    # ...then the r4-block head r6 re-proved
-    "text-stats", "null-semantics", "sql-q12",
-    "sample-hash", "split-train-test", "mix-weighted",
-    "cap-per-group", "pack-sequences", "shuffle-global", "contamination",
-    "corpus-filter", "stream-tumbling",
+    "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
+    "derived", "rollup", "dim-join", "semi-join", "first-seen", "sql",
+    "window-funcs", "window-tumbling", "stream-neardup-parity", "hll-sketch",
+    "scd2-intervals", "stream-scd2", "bloom-join", "cluster-write",
+    "zorder-write", "embed-neardup", "embed-recall", "asof", "cube",
+    "grouping-sets", "kmeans", "lag-lead", "multimodal-features",
+    "multimodal-pointers", "window-sliding", "zscore", "demux", "sink",
+    "token-count", "lang-id", "quality-score", "fingerprint", "dedup-exact",
+    "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash", "knn",
+    "knn-batch", "stats-corr", "string-agg", "explode-sequence",
+    "distinct-count", "quantiles", "sessionize", "text-stats",
+    "null-semantics", "sql-q12", "sample-hash", "split-train-test",
+    "mix-weighted", "cap-per-group", "pack-sequences", "shuffle-global",
+    "contamination", "corpus-filter", "stream-tumbling",
+    # proven green by the r7 driver run (49/50; rotate to the back)
+    "table-diff", "substring-dedup", "skew-profile", "incr-rollup",
+    "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
+    "validate-constraints", "stream-validate", "snapshot-read",
+    "dedup-editdist", "pseudonymize", "schema-evolution", "scrub-dup-spans",
+    "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
+    "stream-analyze", "semdedup", "stream-asof", "stream-semdedup",
+    "export-roundtrip", "stream-knn", "lm-surprise", "ewma", "stream-ewma",
+    "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
+    "compact-partitioned", "stream-merge-upsert", "gap-detect",
+    "stream-gap-detect", "heavy-hitters", "stream-heavy-hitters",
+    "asof-nearest", "resample-interpolate", "stream-sliding",
+    "stream-sessionize",
 ]
 
 

@@ -474,6 +474,33 @@ def _dec12(x: float):
     return Decimal(x).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
 
 
+def _ivf_probe_cells(spark, sf_dir: str, raw: DataFrame):
+    """(probed cell ids, assignment frame) for the fixed query vector:
+    K tiny driver-side decimal-exact centroid scores (the same
+    DECIMAL(28,12) term rounding the trainer uses) pick the IVF_NPROBE
+    highest cells — bit-identical to the oracle's cell CTE, so engine
+    and oracle probe the SAME cells. Shared by `knn-ivf` (float scan of
+    the probed cells) and `knn-ivf-quantized` (int8 scan of the same)."""
+    import math
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+
+    centroids, assigned = kmeans_fit_cached(spark, sf_dir)
+    qe = [
+        float(x)
+        for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select(_as_double("embedding").alias("e"))
+        .collect()[0]["e"]
+    ]
+    scores = []
+    for cl, c in enumerate(centroids):
+        num = sum((_dec12(ci * qi) for ci, qi in zip(c, qe)), start=_dec12(0.0))
+        den = sum((_dec12(ci * ci) for ci in c), start=_dec12(0.0))
+        scores.append((float(num) / math.sqrt(float(den)), cl))
+    probe_cells = sorted(((-sc, cl) for sc, cl in scores))[:IVF_NPROBE]
+    return [cl for _, cl in probe_cells], assigned
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the k-means coarse quantizer (functions.kmeans — the
     real trainer, 5 deterministic Lloyd's iterations) partitions the corpus
@@ -491,28 +518,8 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(28,12) term rounding as the trainer) so the probed cell set is
     bit-identical to the oracle's; the final cosine ranking uses the same
     rounded-fold scoring as `knn`."""
-    import math
-
-    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
-
     raw = load_table(spark, sf_dir, "embeddings")
-    centroids, assigned = kmeans_fit_cached(spark, sf_dir)
-
-    qe = [
-        float(x)
-        for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select(_as_double("embedding").alias("e"))
-        .collect()[0]["e"]
-    ]
-    scores = []
-    for cl, c in enumerate(centroids):
-        num = sum((_dec12(ci * qi) for ci, qi in zip(c, qe)), start=_dec12(0.0))
-        den = sum((_dec12(ci * ci) for ci in c), start=_dec12(0.0))
-        scores.append((float(num) / math.sqrt(float(den)), cl))
-    probe_cells = sorted(
-        ((-s, cl) for s, cl in scores)
-    )[:IVF_NPROBE]
-    cells = [cl for _, cl in probe_cells]
+    cells, assigned = _ivf_probe_cells(spark, sf_dir, raw)
 
     emb = _normalized(raw)
     query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
@@ -815,6 +822,26 @@ ORDER BY vec_id
 """
 
 
+def _quantized_codes(emb: DataFrame) -> DataFrame:
+    """Attach per-vector symmetric int8 quantization to a normalized frame
+    (columns ``s`` = max_abs scale basis, ``codes`` = TINYINT array): the
+    same deterministic construction `embed-quantize` proves bit-identical
+    cross-engine. Shared by `knn-quantized` (flat quantized scan) and
+    `knn-ivf-quantized` (quantized scan of the probed IVF cells)."""
+    return emb.withColumn(
+        "s",
+        F.aggregate(
+            F.col("en"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        ),
+    ).withColumn(
+        "codes",
+        F.expr(
+            "transform(en, x -> CAST(greatest(-127.0, least(127.0,"
+            " floor(x * (127.0 / nullif(s, 0.0))))) AS TINYINT))"
+        ),
+    )
+
+
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN served FROM the int8 codes — the query side that makes
     `embed-quantize` an index, not just compression: both corpus and
@@ -829,19 +856,7 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized scores, not a tolerance band. Accuracy vs exact `knn` is
     visible by comparing the two queries' driver rows over the same
     fixture."""
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
-    qn = emb.withColumn(
-        "s",
-        F.aggregate(
-            F.col("en"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
-        ),
-    ).withColumn(
-        "codes",
-        F.expr(
-            "transform(en, x -> CAST(greatest(-127.0, least(127.0,"
-            " floor(x * (127.0 / nullif(s, 0.0))))) AS TINYINT))"
-        ),
-    )
+    qn = _quantized_codes(_normalized(load_table(spark, sf_dir, "embeddings")))
     query = qn.filter(F.col("vec_id") == KNN_QUERY_ID).select(
         F.col("codes").alias("qc"), F.col("s").alias("qs")
     )
@@ -893,11 +908,108 @@ ORDER BY qcos DESC, c.vec_id LIMIT {KNN_K}
 """
 
 
+def q_knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN serve shape at 100 TB — IVF bounds
+    SEARCH cost (only the IVF_NPROBE best cells are scanned: ~nprobe/K of
+    the corpus) and int8 bounds STORAGE/bandwidth (the probed cells are
+    scanned as codes, 4x less memory traffic per candidate): the two
+    halves `knn-ivf` and `knn-quantized` each prove separately, composed
+    here into the index a real 100 TB corpus serves from (an IVF over
+    float vectors re-reads the full-width corpus; a quantized flat scan
+    still reads every row — only the composition bounds both).
+
+    Plan: probe-cell selection is K tiny driver-side decimal-exact scores
+    (shared helper `_ivf_probe_cells`, bit-identical to the oracle's cell
+    CTE); membership restricts the scan via a broadcast semi-join; the
+    scored expression is the integer code dot (exact — products and
+    64-term sums of small ints are exactly representable doubles,
+    order-free) rescaled by the two per-vector scales, identical to
+    `knn-quantized`. Deterministic end to end, so the oracle checks the
+    REAL quantized scores of the REAL probed cells — approximation
+    included, no tolerance band. Recall vs exact `knn` is measured in
+    tests/test_operators.py (test_knn_ivf_quantized_recall_vs_exact)."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    cells, assigned = _ivf_probe_cells(spark, sf_dir, raw)
+
+    qn = _quantized_codes(_normalized(raw))
+    query = qn.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("codes").alias("qc"), F.col("s").alias("qs")
+    )
+    members = assigned.filter(F.col("cluster").isin(cells)).select("vec_id")
+    scored = (
+        qn.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .join(F.broadcast(members), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(
+                    F.expr("transform(codes, x -> CAST(x AS DOUBLE))"),
+                    F.expr("transform(qc, x -> CAST(x AS DOUBLE))"),
+                )
+                * F.col("s")
+                * F.col("qs")
+                / F.lit(16129.0),
+                6,
+            ).alias("qcos"),
+        )
+    )
+    return scored.orderBy(F.desc("qcos"), F.asc("vec_id")).limit(KNN_K)
+
+
+def _oracle_knn_ivf_quantized() -> str:
+    from rosbag2parquet_spark.functions.kmeans import N_ITER, kmeans_cte_sql
+
+    return (
+        kmeans_cte_sql()
+        + f""",
+q0 AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
+qdims AS (SELECT i AS pos, qe[i] AS x FROM q0, unnest(generate_series(1, 64)) AS t(i)),
+cells AS (
+  SELECT cl FROM (
+    SELECT c.cl,
+           CAST(sum(CAST(c.m * qd.x AS DECIMAL(28,12))) AS DOUBLE)
+             / sqrt(CAST(sum(CAST(c.m * c.m AS DECIMAL(28,12))) AS DOUBLE)) AS score
+    FROM c{N_ITER} c JOIN qdims qd USING (pos)
+    GROUP BY c.cl
+  ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}
+),
+n AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS en
+  FROM embeddings
+), qz AS (
+  SELECT vec_id, label, en,
+         list_max(list_transform(en, x -> abs(x))) AS s
+  FROM n
+), qc AS (
+  SELECT vec_id, label, s,
+         list_transform(en, x -> CAST(greatest(-127.0, least(127.0,
+             floor(x * (127.0 / nullif(s, 0.0))))) AS TINYINT)) AS codes
+  FROM qz
+), q AS (
+  SELECT codes AS qcodes, s AS qs FROM qc WHERE vec_id = {KNN_QUERY_ID}
+)
+SELECT c.vec_id, c.label,
+       round(list_dot_product(c.codes::DOUBLE[], q.qcodes::DOUBLE[])
+             * c.s * q.qs / 16129.0, 6) AS qcos
+FROM qc c, q
+WHERE c.vec_id != {KNN_QUERY_ID}
+  AND c.vec_id IN (SELECT vec_id FROM a{N_ITER} WHERE cl IN (SELECT cl FROM cells))
+ORDER BY qcos DESC, c.vec_id LIMIT {KNN_K}
+"""
+    )
+
+
 QUERIES = {
     "knn": q_knn,
     "embed-quantize": q_embed_quantize,
     "knn-quantized": q_knn_quantized,
     "knn-ivf": q_knn_ivf,
+    "knn-ivf-quantized": q_knn_ivf_quantized,
     "knn-batch": q_knn_batch,
     "knn-recall": q_knn_recall,
     "embed-neardup": q_embed_neardup,
@@ -909,6 +1021,7 @@ ORACLES = {
     "embed-quantize": ORACLE_EMBED_QUANTIZE,
     "knn-quantized": ORACLE_KNN_QUANTIZED,
     "knn-ivf": _oracle_knn_ivf(),
+    "knn-ivf-quantized": _oracle_knn_ivf_quantized(),
     "knn-batch": ORACLE_KNN_BATCH,
     "knn-recall": _oracle_knn_recall(),
     "embed-neardup": _oracle_embed_neardup(),
