@@ -135,8 +135,11 @@ _QUERY_ORDER = [
     "drift-detect", "stream-drift", "drift-numeric", "volume-trend",
     # NEW round 8: the composed production ANN serve shape (IVF cell
     # pruning x int8 code scan — `knn-ivf` bounds SEARCH, `embed-quantize`
-    # bounds STORAGE; this is the index both docstrings gesture at)
-    "knn-ivf-quantized",
+    # bounds STORAGE; this is the index both docstrings gesture at), and
+    # the live twins completing the monitoring trio's streaming coverage
+    # (frozen-reference numeric histogram, <=10-row state; per-type-hour
+    # volume counts, state bounded by time span not stream length)
+    "knn-ivf-quantized", "stream-numeric-drift", "stream-volume-trend",
     # refactored round 8 (shared _ivf_probe_cells/_quantized_codes helpers
     # — same expressions, same plans; re-proven out of caution)
     "knn-quantized", "knn-ivf",

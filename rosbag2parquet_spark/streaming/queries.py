@@ -939,10 +939,150 @@ def _drift_oracle() -> str:
     return ORACLE_DRIFT_DETECT
 
 
+def q_stream_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift monitored LIVE — the stream-static twin of
+    `drift-numeric`, completing the monitoring trio's live coverage: the
+    REFERENCE epoch's value histogram (10 equal-width buckets anchored to
+    its own [min, max]) is a static frame computed once — the
+    distribution the training set shipped with; the current epoch streams
+    through ONE per-bucket counting aggregate (state <= 10 bucket rows,
+    O(1) for any stream length), and each refresh compares live mass
+    against the frozen reference in the same overflow-safe integer basis
+    points. The epoch boundary and reference range are driver scalar
+    snapshots (the z-order min/max posture); out-of-range live values
+    CLAMP into the edge buckets — which is the alarm, not an error.
+    Shares `drift-numeric`'s oracle verbatim — the live monitor must
+    converge to exactly the batch answer."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.quality import DRIFT_BPS_SQL
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    ev_b = load_table(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    lo, hi = ev_b.agg(F.min("t_us"), F.max("t_us")).collect()[0]
+    mid = (lo + hi) // 2
+    vr = (
+        ev_b.filter(F.col("t_us") < mid)
+        .agg(F.min("v"), F.max("v"))
+        .collect()[0]
+    )
+    v_lo, v_hi = float(vr[0]), float(vr[1])
+    # repr round-trips the exact double, so the literal-rebuilt bucket
+    # expression computes the SAME bucket as the batch broadcast form
+    bucket_sql = (
+        f"CAST(coalesce(greatest(0, least(9,"
+        f" floor((v - {v_lo!r}D) * 10"
+        f" / nullif({v_hi!r}D - {v_lo!r}D, 0.0d)))), 0) AS BIGINT)"
+    )
+
+    ref = (
+        ev_b.filter(F.col("t_us") < mid)
+        .select(F.expr(bucket_sql).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    )
+
+    cur = (
+        stream_events(spark, sf_dir)
+        .filter(F.unix_micros("ts") >= F.lit(mid))
+        .select(F.col("value").cast("double").alias("v"))
+        .select(F.expr(bucket_sql).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    tbl = _fresh("stream_numeric_drift")
+    run_to_memory(cur, tbl, mode="complete")
+
+    cells = ref.join(spark.table(tbl), "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+    )
+    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select("bucket", "n1", "n2", F.expr(DRIFT_BPS_SQL).alias("drift_bps"))
+        .orderBy("bucket")
+    )
+
+
+def _numeric_drift_oracle() -> str:
+    from rosbag2parquet_spark.operators.quality import ORACLE_DRIFT_NUMERIC
+
+    return ORACLE_DRIFT_NUMERIC
+
+
+def q_stream_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend monitored LIVE — the dying-sensor /
+    runaway-producer alarm as a continuous query: the stream folds into
+    ONE (event_type, hour) counting aggregate — state is one row per
+    type-hour, bounded by the monitored TIME SPAN (|types| x |hours|),
+    not by stream length — and each refresh re-runs the closed-form
+    BIGINT OLS over that tiny state table (the exact batch re-aggregation
+    over at most a few thousand rows). The min-hour rebase is one driver
+    scalar snapshot. Shares `volume-trend`'s oracle verbatim."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    ev_b = load_table(spark, sf_dir, "events")
+    # min(floor(t/h)) == floor(min(t)/h): floor division is monotone
+    t0 = ev_b.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    h0 = t0 // 3600000000
+
+    hourly = (
+        stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000))"
+                f" div 3600000000 - {h0}"
+            ).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tbl = _fresh("stream_volume_trend")
+    run_to_memory(hourly, tbl, mode="complete")
+
+    return (
+        spark.table(tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n_hours",
+            "sy",
+            F.expr(
+                "CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+                " / nullif(n_hours * sxx - sx * sx, 0)"
+            ).alias("slope_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _volume_trend_oracle() -> str:
+    from rosbag2parquet_spark.operators.quality import ORACLE_VOLUME_TREND
+
+    return ORACLE_VOLUME_TREND
+
+
 QUERIES = {
     "stream-asof": q_stream_asof,
     "stream-validate": q_stream_validate,
     "stream-drift": q_stream_drift,
+    "stream-numeric-drift": q_stream_numeric_drift,
+    "stream-volume-trend": q_stream_volume_trend,
     "stream-analyze": q_stream_analyze,
     "stream-semdedup": q_stream_semdedup,
     "stream-knn": q_stream_knn,
@@ -998,6 +1138,8 @@ ORACLES = {
     "stream-asof": _asof_oracle(),
     "stream-validate": ORACLE_STREAM_VALIDATE,
     "stream-drift": _drift_oracle(),
+    "stream-numeric-drift": _numeric_drift_oracle(),
+    "stream-volume-trend": _volume_trend_oracle(),
     "stream-analyze": ORACLE_STREAM_ANALYZE,
     "stream-semdedup": _semdedup_oracle(),
     "stream-knn": _knn_oracle(),
