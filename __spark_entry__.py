@@ -22,6 +22,7 @@ from rosbag2parquet_spark.functions import (  # noqa: E402
     dedup,
     kmeans,
     multimodal,
+    pq,
     sampling,
     similarity,
     text,
@@ -84,6 +85,7 @@ _MODULES = (
     text,
     dedup,
     similarity,
+    pq,
     kmeans,
     multimodal,
     sampling,
@@ -139,7 +141,10 @@ _QUERY_ORDER = [
     # the live twins completing the monitoring trio's streaming coverage
     # (frozen-reference numeric histogram, <=10-row state; per-type-hour
     # volume counts, state bounded by time span not stream length)
+    # and the product-quantization rung (M=4 x K=8 codebooks from the
+    # deterministic trainer; ADC search from PQ codes — ~128x compression)
     "knn-ivf-quantized", "stream-numeric-drift", "stream-volume-trend",
+    "pq-quantize", "knn-pq",
     # refactored round 8 (shared _ivf_probe_cells/_quantized_codes helpers
     # — same expressions, same plans; re-proven out of caution)
     "knn-quantized", "knn-ivf",

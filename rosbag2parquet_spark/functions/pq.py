@@ -1,0 +1,354 @@
+"""Product quantization — the compression rung ABOVE int8 scalar
+quantization (`embed-quantize`: 4x) that a real 100 TB ANN corpus runs on
+(Jégou et al., "Product Quantization for Nearest Neighbor Search", IEEE
+TPAMI 2011 — public): the normalized vector splits into PQ_M subvectors,
+each subspace trains its own PQ_K-codeword k-means codebook, and a vector
+is stored as PQ_M small code ids — here 64 doubles (512 B) → 4 codes
+(4 B), a 128x reduction, searched without decompression via ADC
+(asymmetric distance computation: the QUERY stays float, each candidate's
+score is PQ_M table lookups).
+
+Cross-engine DETERMINISTIC — and therefore exact-oracled, like the
+`kmeans`/`knn-ivf` pair this builds on:
+
+- codebooks come from the same deterministic Lloyd's trainer
+  (functions.kmeans: decimal-exact distances, index tie-breaks, first-K
+  init, fixed iterations) run per subspace on the normalized slices;
+- code assignment is the same decimal-exact argmin, executed MAP-SIDE
+  over literal codebooks (zero shuffle — the quantize pass at 100 TB is
+  embarrassingly parallel);
+- the ADC lookup table is PQ_M x PQ_K dot products computed driver-side
+  with per-term DECIMAL(28,12) rounding (the knn-ivf cell-score
+  construction), so each LUT entry is bit-identical to the oracle's;
+- a candidate's score sums its PQ_M LUT entries in fixed subspace order —
+  four IEEE additions of identical doubles, identical in both engines —
+  and rounds to 6 decimals like every similarity score in this engine.
+
+Scale posture: training touches a sample (here the fixture corpus; in
+production a bounded sample, like any codebook), the quantize pass is
+map-only against broadcast-literal codebooks, and `knn-pq` scans codes at
+PQ_M bytes per candidate with no float vector read at all — the memory-
+bandwidth bound `knn-quantized` lowers 4x, lowered ~128x. Reference
+analog: the "query the output efficiently" posture (README.md:14-18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosbag2parquet_spark.functions.kmeans import _DEC, kmeans_fit
+from rosbag2parquet_spark.functions.similarity import (
+    KNN_K,
+    KNN_QUERY_ID,
+    _dec12,
+    _normalized,
+)
+from rosbag2parquet_spark.sources.catalog import load_table
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = EMBED_DIM = 64)
+PQ_K = 16  # codewords per subspace
+PQ_N_ITER = 2  # Lloyd's iterations per codebook (oracle unrolls them)
+PQ_SHORTLIST = 50  # ADC shortlist size re-ranked exactly (10% of fixture)
+
+
+_FIT_CACHE: dict = {}
+
+
+def pq_fit_cached(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Session-memoized per-subspace codebooks over the normalized fixture
+    embeddings: ``codebooks[m][cl]`` is the PQ_SUB-dim centroid of
+    codeword ``cl`` in subspace ``m``. Same memo pattern as
+    kmeans_fit_cached (keyed by applicationId)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _FIT_CACHE:
+        emb = (
+            _normalized(load_table(spark, sf_dir, "embeddings"))
+            .select("vec_id", "en")
+            .cache()
+        )
+        books = []
+        for m in range(PQ_M):
+            sub = emb.select(
+                "vec_id", F.slice("en", m * PQ_SUB + 1, PQ_SUB).alias("e")
+            )
+            centroids, _ = kmeans_fit(sub, k=PQ_K, n_iter=PQ_N_ITER)
+            books.append(centroids)
+        _FIT_CACHE[key] = books
+    return _FIT_CACHE[key]
+
+
+def _argmin_code(vec: Column, centroids: list[list[float]]) -> Column:
+    """Codeword id for one subvector against a literal codebook — the
+    assign_clusters construction (decimal-exact squared distances,
+    min-of-(dist, index) structs) over an arbitrary Column instead of the
+    fixed ``e`` column, so PQ can assign all PQ_M subspaces in ONE
+    map-side projection."""
+    cents = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    pairs = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: ((a - b) * (a - b)).cast(_DEC)),
+                F.lit(0).cast(_DEC),
+                lambda acc, x: (acc + x).cast(_DEC),
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    return F.array_min(pairs).getField("i").cast("int")
+
+
+def _with_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, en, c0..c{M-1}) — the map-only quantize pass: every
+    subspace's argmin evaluates against its broadcast-literal codebook in
+    one projection; the corpus never shuffles."""
+    books = pq_fit_cached(spark, sf_dir)
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    cols = [
+        _argmin_code(
+            F.slice("en", m * PQ_SUB + 1, PQ_SUB), books[m]
+        ).alias(f"c{m}")
+        for m in range(PQ_M)
+    ]
+    return emb.select("vec_id", "label", "en", *cols)
+
+
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code table: one INT code column per subspace — the stored
+    form of the corpus (PQ_M bytes/vector at serve time; the TINYINT-vs-
+    INT difference is a storage declaration, compared as exact ints
+    either way). Map-only; oracle recomputes the codebooks via the
+    unrolled per-subspace k-means CTE chains and must agree on every
+    code — approximation included, bit for bit."""
+    return (
+        _with_codes(spark, sf_dir)
+        .select("vec_id", *[f"c{m}" for m in range(PQ_M)])
+        .orderBy("vec_id")
+    )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served FROM the PQ codes by ADC + exact re-rank — the standard
+    two-stage production search (Jégou et al. §V): stage 1 scans ONLY the
+    codes (the query stays float; each subspace's PQ_K dot products
+    against its codebook are computed once driver-side with decimal-exact
+    terms — the lookup table — and a candidate's score is PQ_M literal-
+    array lookups summed in fixed subspace order, no float vector read);
+    stage 2 reads the float vectors of just the PQ_SHORTLIST best ADC
+    candidates and re-ranks them by exact cosine. At 100 TB this is the
+    economics PQ exists for: 100% of the corpus moves at PQ_M bytes per
+    row, full-width vectors move for a fixed shortlist only.
+
+    Deterministic end to end (deterministic codebooks -> deterministic
+    codes -> bit-identical LUT -> fixed-order 8-term sums -> vec_id
+    tie-breaks), so the oracle reproduces the REAL shortlist —
+    approximation included — and the exact rescoring on top. Shortlist
+    recall vs exact `knn` is measured in tests/test_operators.py."""
+    books = pq_fit_cached(spark, sf_dir)
+    coded = _with_codes(spark, sf_dir)
+    qen = [
+        float(x)
+        for x in coded.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("en")
+        .collect()[0]["en"]
+    ]
+    # LUT[m][cl] = decimal-exact dot(query subvector m, codebook m[cl])
+    luts = []
+    for m in range(PQ_M):
+        qs = qen[m * PQ_SUB : (m + 1) * PQ_SUB]
+        luts.append(
+            [
+                float(
+                    sum(
+                        (_dec12(ci * qi) for ci, qi in zip(c, qs)),
+                        start=_dec12(0.0),
+                    )
+                )
+                for c in books[m]
+            ]
+        )
+    score = " + ".join(
+        "element_at(array("
+        + ",".join(f"{v!r}D" for v in luts[m])
+        + f"), c{m} + 1)"
+        for m in range(PQ_M)
+    )
+    shortlist = (
+        coded.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .select("vec_id", F.expr(score).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    # stage 2: exact cosine over the shortlist only (semi-join restricts
+    # the float read; the query row is a 1-row broadcast, like `knn`)
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    dotp = F.aggregate(
+        F.zip_with(
+            F.col("en"), F.col("qen"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+# ------------------------------------------------------------- oracles
+
+
+def _pq_cte_sql() -> str:
+    """Per-subspace unrolled k-means CTE chains over the NORMALIZED
+    embedding dims (global 1-based pos keys; subspace m covers pos in
+    [m*PQ_SUB+1, (m+1)*PQ_SUB]) — the kmeans_cte_sql construction
+    (functions/kmeans.py:156) sliced per subspace. Final codes CTE:
+    ``codes (vec_id, c0..c{M-1})``."""
+    parts = [
+        """
+n AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS en
+  FROM embeddings
+),
+dims AS MATERIALIZED (
+  SELECT vec_id, i AS pos, en[i] AS x
+  FROM n, unnest(generate_series(1, 64)) AS t(i)
+)"""
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        parts.append(
+            f"""
+c0_{m} AS MATERIALIZED (
+  SELECT r.cl, d.pos, d.x AS m
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM embeddings ORDER BY vec_id LIMIT {PQ_K}) r
+  JOIN dims d USING (vec_id)
+  WHERE d.pos BETWEEN {lo} AND {hi}
+)"""
+        )
+        for t in range(PQ_N_ITER + 1):
+            parts.append(
+                f"""
+d{t}_{m} AS MATERIALIZED (
+  SELECT d.vec_id, c.cl,
+         sum(CAST((d.x - c.m) * (d.x - c.m) AS {_DEC})) AS dist
+  FROM dims d JOIN c{t}_{m} c USING (pos)
+  WHERE d.pos BETWEEN {lo} AND {hi}
+  GROUP BY d.vec_id, c.cl
+),
+a{t}_{m} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+    FROM d{t}_{m}
+  ) WHERE rk = 1
+)"""
+            )
+            if t < PQ_N_ITER:
+                parts.append(
+                    f"""
+c{t + 1}_{m} AS MATERIALIZED (
+  SELECT a.cl, d.pos,
+         CAST(sum(CAST(d.x AS {_DEC})) AS DOUBLE) / count(*) AS m
+  FROM dims d JOIN a{t}_{m} a USING (vec_id)
+  WHERE d.pos BETWEEN {lo} AND {hi}
+  GROUP BY a.cl, d.pos
+  UNION ALL
+  SELECT c.cl, c.pos, c.m FROM c{t}_{m} c
+  WHERE c.cl NOT IN (SELECT DISTINCT cl FROM a{t}_{m})
+)"""
+                )
+    code_cols = ", ".join(
+        f"a{PQ_N_ITER}_{m}.cl AS c{m}" for m in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN a{PQ_N_ITER}_{m} ON a{PQ_N_ITER}_{m}.vec_id = n.vec_id"
+        for m in range(PQ_M)
+    )
+    parts.append(
+        f"""
+codes AS MATERIALIZED (
+  SELECT n.vec_id, n.label, {code_cols}
+  FROM n {joins}
+)"""
+    )
+    return "WITH " + ",".join(parts)
+
+
+def _oracle_pq_quantize() -> str:
+    cols = ", ".join(f"CAST(c{m} AS INTEGER) AS c{m}" for m in range(PQ_M))
+    return (
+        _pq_cte_sql()
+        + f"""
+SELECT vec_id, {cols} FROM codes ORDER BY vec_id
+"""
+    )
+
+
+def _oracle_knn_pq() -> str:
+    # LUT per (subspace, codeword): decimal-exact dot of the query's
+    # normalized subvector with the final codebook entry, cast to double —
+    # identical to the engine's driver-side computation
+    lut_ctes = ",".join(
+        f"""
+lut_{m} AS MATERIALIZED (
+  SELECT c.cl, CAST(sum(CAST(c.m * d.x AS {_DEC})) AS DOUBLE) AS v
+  FROM c{PQ_N_ITER}_{m} c
+  JOIN dims d ON d.pos = c.pos AND d.vec_id = {KNN_QUERY_ID}
+  GROUP BY c.cl
+)"""
+        for m in range(PQ_M)
+    )
+    score = " + ".join(f"lut_{m}.v" for m in range(PQ_M))
+    joins = " ".join(
+        f"JOIN lut_{m} ON lut_{m}.cl = codes.c{m}" for m in range(PQ_M)
+    )
+    return (
+        _pq_cte_sql()
+        + ","
+        + lut_ctes
+        + f""",
+shortlist AS MATERIALIZED (
+  SELECT codes.vec_id
+  FROM codes {joins}
+  WHERE codes.vec_id != {KNN_QUERY_ID}
+  ORDER BY {score} DESC, codes.vec_id LIMIT {PQ_SHORTLIST}
+),
+q AS (SELECT en AS qen FROM n WHERE vec_id = {KNN_QUERY_ID})
+SELECT n.vec_id, n.label,
+       round(list_dot_product(n.en, q.qen), 6) AS cos_sim
+FROM n JOIN shortlist USING (vec_id) CROSS JOIN q
+ORDER BY cos_sim DESC, n.vec_id LIMIT {KNN_K}
+"""
+    )
+
+
+QUERIES = {
+    "pq-quantize": q_pq_quantize,
+    "knn-pq": q_knn_pq,
+}
+
+ORACLES = {
+    "pq-quantize": _oracle_pq_quantize(),
+    "knn-pq": _oracle_knn_pq(),
+}

@@ -183,6 +183,46 @@ def test_knn_ivf_quantized_recall_vs_exact(spark):
     assert len(ivf & composed) >= 8
 
 
+def test_knn_pq_recall_vs_exact(spark):
+    """X3 PQ rung: two-stage ADC-shortlist + exact re-rank must retain a
+    real share of the exact top-10 while stage 2 reads only
+    PQ_SHORTLIST/N of the float corpus (10% on the fixture). Measured on
+    this near-noise fixture: shortlist@50 covers 6/10 of the exact
+    top-10 (@100 covers 9/10 — the dial is PQ_SHORTLIST); the bound is
+    >= 0.5. Scores that survive the re-rank are EXACT cosines, so the
+    surviving members rank identically to `knn`."""
+    from rosbag2parquet_spark.functions.pq import q_knn_pq
+    from rosbag2parquet_spark.functions.similarity import q_knn
+
+    exact = {r["vec_id"] for r in q_knn(spark, SF_DIR).collect()}
+    pq_rows = q_knn_pq(spark, SF_DIR).collect()
+    pq = {r["vec_id"] for r in pq_rows}
+    assert len(pq) == 10
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ shortlist recall@10 collapsed: {recall}"
+    # re-ranked scores are exact: any shared member carries the same
+    # rounded cosine as the exact scan
+    exact_scores = {
+        r["vec_id"]: r["cos_sim"] for r in q_knn(spark, SF_DIR).collect()
+    }
+    for r in pq_rows:
+        if r["vec_id"] in exact_scores:
+            assert r["cos_sim"] == exact_scores[r["vec_id"]]
+
+
+def test_pq_codes_compact_and_complete(spark):
+    """Every corpus vector gets a complete code tuple (no NULLs — a zero
+    vector cannot occur in the normalized fixture) with each code in
+    [0, PQ_K)."""
+    from rosbag2parquet_spark.functions.pq import PQ_K, PQ_M, q_pq_quantize
+
+    rows = q_pq_quantize(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        for m in range(PQ_M):
+            assert r[f"c{m}"] is not None and 0 <= r[f"c{m}"] < PQ_K
+
+
 def test_lsh_signature_scales_with_corpus(spark):
     """X2 scale shape: the sign-LSH signature width must GROW with the
     corpus (fixed-width = O((N/2^bits)²) within-bucket blowup at 100×),
