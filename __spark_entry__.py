@@ -144,7 +144,7 @@ _QUERY_ORDER = [
     # and the product-quantization rung (M=4 x K=8 codebooks from the
     # deterministic trainer; ADC search from PQ codes — ~128x compression)
     "knn-ivf-quantized", "stream-numeric-drift", "stream-volume-trend",
-    "pq-quantize", "knn-pq",
+    "pq-quantize", "knn-pq", "pq-recall",
     # refactored round 8 (shared _ivf_probe_cells/_quantized_codes helpers
     # — same expressions, same plans; re-proven out of caution)
     "knn-quantized", "knn-ivf",

@@ -97,6 +97,14 @@ EXTENDED = [
     "volume-trend",
     "embed-quantize",
     "knn-quantized",
+    # round-8 operators — measured cost from day one (the quantize/search
+    # pairs include their deterministic codebook training at this scale;
+    # production trains once on a sample and broadcasts)
+    "knn-ivf-quantized",
+    "pq-quantize",
+    "knn-pq",
+    "stream-numeric-drift",
+    "stream-volume-trend",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -343,12 +343,50 @@ ORDER BY cos_sim DESC, n.vec_id LIMIT {KNN_K}
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two-stage PQ search against the exact scan — the
+    quality number a PQ index is tuned by (PQ_M/PQ_K/PQ_SHORTLIST trade),
+    the `knn-recall` posture for the compression ladder's coarsest rung.
+    Both sides are the engine's own deterministic queries, so recall is a
+    reproducible integer, not a sample estimate — and the driver row IS
+    the measured-accuracy proof (expected 6/10 -> 6000 bps on the
+    fixture's near-noise embeddings at shortlist 50)."""
+    from rosbag2parquet_spark.functions.similarity import q_knn
+
+    exact = q_knn(spark, sf_dir).select("vec_id")
+    pq = q_knn_pq(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(pq, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(KNN_K).cast("int").alias("k"),
+            "n_overlap",
+            F.expr(f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)").alias(
+                "recall_bps"
+            ),
+        )
+    )
+
+
+def _oracle_pq_recall() -> str:
+    from rosbag2parquet_spark.functions.similarity import ORACLE_KNN
+
+    return f"""
+SELECT CAST({KNN_K} AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
+FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_pq()}) p USING (vec_id)
+"""
+
+
 QUERIES = {
     "pq-quantize": q_pq_quantize,
     "knn-pq": q_knn_pq,
+    "pq-recall": q_pq_recall,
 }
 
 ORACLES = {
     "pq-quantize": _oracle_pq_quantize(),
     "knn-pq": _oracle_knn_pq(),
+    "pq-recall": _oracle_pq_recall(),
 }

@@ -66,6 +66,14 @@ RATIONALE = {
         "covering interval) — NOT an equi-join with a range residual, which "
         "explodes O(events x intervals) per user at scale."
     ),
+    "knn-pq": (
+        "Two-stage by design: stage 1 is a map-only ADC scan (8 literal-"
+        "array lookups/row, TakeOrderedAndProject shortlist — no float "
+        "vector read); stage 2 re-ranks the fixed-size shortlist by exact "
+        "cosine behind a broadcast semi-join. The codebook training jobs "
+        "visible at this scale are a once-per-deploy cost in production "
+        "(trained on a sample, shipped as literals), not per-query work."
+    ),
     "compact-files": (
         "Write-dominated by design, like bucket-join: the query pays a "
         "64-file fragmentation write AND the clustered compaction rewrite "
@@ -241,6 +249,11 @@ def main() -> None:
         # monitoring + vector-index closing set: integer-OLS trend,
         # map-side int8 quantization, quantized-scan ANN
         "volume-trend", "embed-quantize", "knn-quantized",
+        # round-8: the composed ANN serve shape (broadcast semi-join of
+        # probed-cell members restricts the quantized scan) and the PQ
+        # pair (map-only code assignment against literal codebooks; ADC
+        # shortlist TakeOrdered + broadcast-semi-join exact re-rank)
+        "knn-ivf-quantized", "pq-quantize", "knn-pq",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
