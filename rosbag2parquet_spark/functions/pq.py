@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rosbag2parquet_spark.functions.kmeans import _DEC, kmeans_fit
+from rosbag2parquet_spark.functions.kmeans import _DEC
 from rosbag2parquet_spark.functions.similarity import (
     KNN_K,
     KNN_QUERY_ID,
@@ -68,15 +68,73 @@ def pq_fit_cached(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
             .select("vec_id", "en")
             .cache()
         )
-        books = []
-        for m in range(PQ_M):
-            sub = emb.select(
-                "vec_id", F.slice("en", m * PQ_SUB + 1, PQ_SUB).alias("e")
-            )
-            centroids, _ = kmeans_fit(sub, k=PQ_K, n_iter=PQ_N_ITER)
-            books.append(centroids)
-        _FIT_CACHE[key] = books
+        _FIT_CACHE[key] = pq_fit(emb)
     return _FIT_CACHE[key]
+
+
+def pq_fit(emb: DataFrame) -> list[list[list[float]]]:
+    """JOINT training of all PQ_M codebooks — value-identical to PQ_M
+    independent ``kmeans_fit`` runs over the slices (same first-K init,
+    same decimal-exact argmin, same exact-decimal mean update, same
+    empty-codeword carry-forward; the per-subspace oracle CTE chains pin
+    this equivalence), but each Lloyd's iteration is ONE assignment
+    projection (all PQ_M argmins in one map-side pass) plus ONE
+    (subspace, code, pos) groupBy — one shuffle and one driver collect
+    per iteration instead of PQ_M of each. At any corpus size the
+    training cost is 1 + PQ_N_ITER passes, independent of PQ_M."""
+    init_rows = emb.orderBy("vec_id").limit(PQ_K).select("en").collect()
+    books = [
+        [
+            [float(x) for x in r["en"][m * PQ_SUB : (m + 1) * PQ_SUB]]
+            for r in init_rows
+        ]
+        for m in range(PQ_M)
+    ]
+    code_arr = "array(" + ",".join(f"c{m}" for m in range(PQ_M)) + ")"
+    for _ in range(PQ_N_ITER):
+        coded = emb.select(
+            "en",
+            *[
+                _argmin_code(
+                    F.slice("en", m * PQ_SUB + 1, PQ_SUB), books[m]
+                ).alias(f"c{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        # each exploded (vector, pos) element belongs to exactly ONE
+        # subspace; its codeword there keys the mean — grouped rows are
+        # exactly the per-subspace member sets, so the decimal sum /
+        # count quotient is the kmeans_fit update verbatim
+        means = (
+            coded.select(
+                F.posexplode("en").alias("pos", "x"),
+                F.expr(f"{code_arr}").alias("cs"),
+            )
+            .select(
+                F.expr(f"pos div {PQ_SUB}").alias("sub"),
+                F.expr(
+                    f"element_at(cs, CAST(pos div {PQ_SUB} AS INT) + 1)"
+                ).alias("code"),
+                "pos",
+                "x",
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast(_DEC)).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        new_books = [
+            [list(books[m][c]) for c in range(PQ_K)] for m in range(PQ_M)
+        ]
+        for r in means:
+            sub, code = int(r["sub"]), int(r["code"])
+            new_books[sub][code][int(r["pos"]) - sub * PQ_SUB] = float(r["m"])
+        books = new_books
+    return books
 
 
 def _argmin_code(vec: Column, centroids: list[list[float]]) -> Column:

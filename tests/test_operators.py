@@ -223,6 +223,32 @@ def test_pq_codes_compact_and_complete(spark):
             assert r[f"c{m}"] is not None and 0 <= r[f"c{m}"] < PQ_K
 
 
+def test_pq_joint_training_equals_per_subspace(spark):
+    """The joint trainer (one assignment projection + one grouped mean
+    per iteration) must produce BIT-IDENTICAL codebooks to PQ_M
+    independent kmeans_fit runs over the slices — the equivalence the
+    oracle's per-subspace CTE chains assume."""
+    import pyspark.sql.functions as F
+
+    from rosbag2parquet_spark.functions import pq as pqmod
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit
+    from rosbag2parquet_spark.functions.similarity import _normalized
+
+    emb = (
+        _normalized(load_table(spark, SF_DIR, "embeddings"))
+        .select("vec_id", "en")
+        .cache()
+    )
+    joint = pqmod.pq_fit(emb)
+    for m in (0, pqmod.PQ_M - 1):  # first + last subspace (full sweep is slow)
+        sub = emb.select(
+            "vec_id",
+            F.slice("en", m * pqmod.PQ_SUB + 1, pqmod.PQ_SUB).alias("e"),
+        )
+        ref, _ = kmeans_fit(sub, k=pqmod.PQ_K, n_iter=pqmod.PQ_N_ITER)
+        assert joint[m] == ref
+
+
 def test_lsh_signature_scales_with_corpus(spark):
     """X2 scale shape: the sign-LSH signature width must GROW with the
     corpus (fixed-width = O((N/2^bits)²) within-bucket blowup at 100×),
