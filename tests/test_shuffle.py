@@ -144,3 +144,45 @@ def test_bloom_join_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_quantize_plan_is_map_only(spark):
+    """The PQ quantize pass must be map-side against literal codebooks:
+    the ONLY exchange in its plan is the final presentation ORDER BY
+    (rangepartitioning) — the corpus never hash-shuffles. At 100 TB this
+    is what makes re-quantizing after a codebook retrain a single
+    read-transform-write pass."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["pq-quantize"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_knn_ivf_quantized_plan_shape(spark):
+    """The composed ANN must keep both halves' plan properties: the
+    probed-member restriction arrives as a BROADCAST (semi) join — the
+    corpus never shuffles for it — and top-k is TakeOrderedAndProject,
+    never a global sort."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["knn-ivf-quantized"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_knn_pq_plan_shape(spark):
+    """Two-stage PQ search: the ADC stage is a map-only scan (lookups
+    against literal arrays) feeding TakeOrderedAndProject; the exact
+    re-rank restricts the float read behind broadcast joins. No hash
+    shuffle of the corpus anywhere."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["knn-pq"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
