@@ -145,6 +145,11 @@ _QUERY_ORDER = [
     # deterministic trainer; ADC search from PQ codes — ~128x compression)
     "knn-ivf-quantized", "stream-numeric-drift", "stream-volume-trend",
     "pq-quantize", "knn-pq", "pq-recall",
+    # CHANGED round 8 (late): every converter's Messages table gains the
+    # nullable header-stamp pair (reference TODO #6) — the sink
+    # round-trip re-proves the new shape; the Stats table + fail-fast
+    # path validation landed in the same change
+    "sink",
     # refactored round 8 (shared _ivf_probe_cells/_quantized_codes helpers
     # — same expressions, same plans; re-proven out of caution)
     "knn-quantized", "knn-ivf",
@@ -164,7 +169,7 @@ _QUERY_ORDER = [
     "scd2-intervals", "stream-scd2", "bloom-join", "cluster-write",
     "zorder-write", "embed-neardup", "embed-recall", "asof", "cube",
     "grouping-sets", "kmeans", "lag-lead", "multimodal-features",
-    "multimodal-pointers", "window-sliding", "zscore", "demux", "sink",
+    "multimodal-pointers", "window-sliding", "zscore", "demux",
     "token-count", "lang-id", "quality-score", "fingerprint", "dedup-exact",
     "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash", "knn",
     "knn-batch", "stats-corr", "string-agg", "explode-sequence",

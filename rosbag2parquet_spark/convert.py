@@ -275,7 +275,21 @@ def convert(
         (rem * 1000).cast("int").alias("time_nsec"),
         F.col(size_col).alias("size"),
         "connection_id",
+        # SBAG payloads are JSON — no leading ros Header to extract; the
+        # column pair exists so every converter emits ONE Messages shape
+        # (reference TODO #6: "adding nulls for msgs without header stamp")
+        F.lit(None).cast("int").alias("header_stamp_sec"),
+        F.lit(None).cast("int").alias("header_stamp_nsec"),
     )
+    # per-connection batch stats (reference TODO #2/#2.1) — same shape as
+    # the bag converters' Stats table
+    stats = resolved.groupBy("connection_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_messages"),
+        (F.min(F.unix_micros(F.col(time_col))) * 1000).alias("min_time_ns"),
+        (F.max(F.unix_micros(F.col(time_col))) * 1000).alias("max_time_ns"),
+        F.sum(F.col(size_col).cast("long")).cast("long").alias("total_bytes"),
+    )
+    stats_path = os.path.join(out_dir, "Stats")
 
     writer_opts = {
         "maxRecordsPerFile": str(max_records_per_file),
@@ -284,9 +298,11 @@ def convert(
     if mode == "append":
         assert_append_compatible(spark, msg_path, messages.schema)
         assert_append_compatible(spark, conn_path, connections.schema)
+        assert_append_compatible(spark, stats_path, stats.schema)
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
     # append writes only the genuinely-new dim rows (existing ids kept)
     connections.write.options(**writer_opts).mode(mode).parquet(conn_path)
+    stats.write.options(**writer_opts).mode(mode).parquet(stats_path)
 
     # ---- per-type demux: ONE partitioned write (reference GetHandler routing,
     # FlattenedRosWriter.cpp:273-289). Layout per MessageTable.cpp:326-343:
@@ -334,6 +350,7 @@ def convert(
     tables = {
         "Messages": messages.schema,
         "Connections": connections.schema,
+        "Stats": stats.schema,
     }
     for row in full_dim.select("datatype").distinct().collect():
         tables[table_name_for_type(row.datatype)] = pertype.drop("datatype").schema
@@ -390,6 +407,7 @@ def convert_bag(
     from rosbag2parquet_spark.info import _fmt, load_bag, seqno_bucket_width
     from rosbag2parquet_spark.operators.keys import assign_seqno
 
+    _validate_convert_paths(bag_path, out_dir)
     if os.path.isdir(bag_path):
         # a recorded rosbag2 DIRECTORY (metadata.yaml + storage shards) —
         # the multi-shard fleet path with the manifest's stream order
@@ -966,6 +984,137 @@ def _pad_union(datatype: str, frames: "list[DataFrame]") -> DataFrame:
     return out
 
 
+def _leading_stamp_offset(
+    datatype: str, msg_def: str, serialization: str
+) -> "int | None":
+    """Payload byte offset (0-based; CDR offsets include the 4-byte
+    encapsulation) of the leading std_msgs/Header's stamp — 8 bytes of
+    little-endian (sec, nsec) int32 pairs — or None when the type does
+    not lead with a fixed-prefix Header (reference TODO #6,
+    rosbag2parquet.cpp:27: "emit a header timestamp to the same global
+    parquet table (requires adding nulls for msgs without header
+    stamp)"). Handles both Header shapes: ros1 (uint32 seq, time stamp,
+    string frame_id — stamp at +4) and ros2 (builtin_interfaces/Time
+    stamp first — stamp at the origin)."""
+    from rosbag2parquet_spark.sources.decode import _FIXED_SIZE
+    from rosbag2parquet_spark.sources.jsonschema import JSON_DEF_PREFIX
+    from rosbag2parquet_spark.sources.msgdef import (
+        TIME_TYPES,
+        _resolve,
+        parse_msgdef,
+    )
+    from rosbag2parquet_spark.sources.protobuf import PROTOBUF_DEF_PREFIX
+
+    if serialization not in ("ros1", "cdr") or not msg_def.strip():
+        return None
+    if msg_def.startswith((PROTOBUF_DEF_PREFIX, JSON_DEF_PREFIX)):
+        return None
+    try:
+        specs = parse_msgdef(datatype, msg_def)
+        root = specs[datatype]
+    except Exception:
+        return None
+    if not root.fields:
+        return None
+    f0 = root.fields[0]
+    if f0.is_array or f0.type_name.rsplit("/", 1)[-1] != "Header":
+        return None
+    pkg = root.full_name.split("/")[0] if "/" in root.full_name else ""
+    hdr = _resolve(f0.type_name, pkg, specs)
+    if hdr is None:
+        return None
+    off = 4 if serialization == "cdr" else 0  # CDR: post-encapsulation
+
+    def align(o: int, sz: int) -> int:
+        if serialization != "cdr":
+            return o
+        return o + (-(o - 4)) % min(sz, 8)
+
+    for f in hdr.fields:
+        if f.is_array:
+            return None
+        if f.type_name in TIME_TYPES:
+            return align(off, 4)
+        if f.type_name not in _FIXED_SIZE:
+            # the ros2 spelling: builtin_interfaces/Time stamp — a nested
+            # struct of exactly two 4-byte ints (sec, nanosec)
+            sub = _resolve(f.type_name, pkg, specs)
+            if (
+                f.name == "stamp"
+                and sub is not None
+                and len(sub.fields) == 2
+                and all(
+                    (not sf.is_array)
+                    and _FIXED_SIZE.get(sf.type_name) == 4
+                    for sf in sub.fields
+                )
+            ):
+                return align(off, 4)
+            return None
+        sz = _FIXED_SIZE[f.type_name]
+        off = align(off, sz) + sz
+    return None
+
+
+def _le32_sql(off0: int) -> str:
+    """Little-endian uint32 at 0-based payload offset ``off0`` as a pure
+    Catalyst expression (per-byte hex -> conv -> shift; 4 JVM-side terms,
+    no Python): the blob-prefix read the header-stamp column rides on."""
+    return (
+        "("
+        + " + ".join(
+            f"shiftleft(CAST(conv(hex(substring(data, {off0 + 1 + i}, 1)),"
+            f" 16, 10) AS BIGINT), {8 * i})"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _header_stamp_exprs(
+    conn_rows, serialization: str
+) -> "tuple[str, str]":
+    """(sec_sql, nsec_sql) for the Messages table's nullable
+    ``header_stamp_sec``/``header_stamp_nsec`` columns: connections whose
+    type leads with a fixed-prefix Header decode the stamp JVM-side from
+    the raw blob prefix (grouped by byte offset — one CASE arm per
+    distinct offset, not per connection); everything else is NULL. A
+    too-short payload is NULL, not garbage."""
+    by_off: "dict[int, list[int]]" = {}
+    for c in conn_rows:
+        o = _leading_stamp_offset(c.datatype, c.msg_def, serialization)
+        if o is not None:
+            by_off.setdefault(o, []).append(c.connection_id)
+    if not by_off:
+        return "CAST(NULL AS INT)", "CAST(NULL AS INT)"
+    sec, nsec = "CASE", "CASE"
+    for o, cids in sorted(by_off.items()):
+        ids = ",".join(str(i) for i in sorted(cids))
+        guard = f"conn_id IN ({ids}) AND length(data) >= {o + 8}"
+        # long -> int cast wraps to the signed reinterpretation — the
+        # reference's own INT32 storage for time pairs
+        sec += f" WHEN {guard} THEN CAST({_le32_sql(o)} AS INT)"
+        nsec += f" WHEN {guard} THEN CAST({_le32_sql(o + 4)} AS INT)"
+    return sec + " ELSE CAST(NULL AS INT) END", nsec + " ELSE CAST(NULL AS INT) END"
+
+
+def _validate_convert_paths(in_path: str, out_dir: str) -> None:
+    """Reference TODO #1 (rosbag2parquet.cpp:21: "check input/output path
+    validity before opening rosbag — want to fail quickly"): an invalid
+    output must fail BEFORE any scan/decode work, not after it."""
+    if not os.path.exists(in_path):
+        raise FileNotFoundError(f"input bag not found: {in_path}")
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    if not os.path.isdir(parent):
+        raise NotADirectoryError(
+            f"output parent directory does not exist: {parent}"
+        )
+    if not os.access(parent, os.W_OK):
+        raise PermissionError(f"output parent not writable: {parent}")
+    if os.path.isfile(out_dir):
+        raise NotADirectoryError(f"output path is a file: {out_dir}")
+
+
 def _write_bag_tables(
     seq: DataFrame,
     conns_df: DataFrame,
@@ -1015,15 +1164,31 @@ def _write_bag_tables(
         "compression": compression,
     }
     sec = F.expr("(time_ns - pmod(time_ns, 1000000000)) div 1000000000")
+    # header stamp (reference TODO #6): nullable int32 pair decoded from
+    # the blob prefix for Header-led types, NULL for everything else
+    hs_sec, hs_nsec = _header_stamp_exprs(conn_rows, serialization)
     messages = seq.select(
         "seqno",
         sec.cast("int").alias("time_sec"),
         F.pmod("time_ns", F.lit(1_000_000_000)).cast("int").alias("time_nsec"),
         F.length("data").alias("size"),
         F.col("conn_id").alias("connection_id"),
+        F.expr(hs_sec).alias("header_stamp_sec"),
+        F.expr(hs_nsec).alias("header_stamp_nsec"),
+    )
+    # per-connection batch statistics (reference TODO #2/#2.1: the
+    # `rosbag info` aggregates persisted beside the layout): shares the
+    # cached scan, appends one row per (batch, connection) — exact global
+    # per-connection stats are a tiny rollup of this table
+    stats = seq.groupBy(F.col("conn_id").alias("connection_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_messages"),
+        F.min("time_ns").alias("min_time_ns"),
+        F.max("time_ns").alias("max_time_ns"),
+        F.sum(F.length("data").cast("long")).cast("long").alias("total_bytes"),
     )
     msg_path = os.path.join(out_dir, "Messages")
     conn_path = os.path.join(out_dir, "Connections")
+    stats_path = os.path.join(out_dir, "Stats")
 
     # ---- per-type grouping + identity validation BEFORE any write: a
     # refused append (md5 disagreement, schema drift) must leave the
@@ -1048,7 +1213,11 @@ def _write_bag_tables(
     # refusal — strict fingerprint mismatch, evolve type conflict — fires
     # before ANY table is written; a refused append leaves the layout
     # untouched, never half-appended
-    tables = {"Messages": messages.schema, "Connections": conns_df.schema}
+    tables = {
+        "Messages": messages.schema,
+        "Connections": conns_df.schema,
+        "Stats": stats.schema,
+    }
     pertype_writes: list = []
     for datatype, cs in sorted(by_type.items()):
         # one decode per DEFINITION VERSION: identical everywhere except
@@ -1173,10 +1342,12 @@ def _write_bag_tables(
 
     if mode == "append":
         assert_append_compatible(messages.sparkSession, msg_path, messages.schema)
+        assert_append_compatible(messages.sparkSession, stats_path, stats.schema)
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
     (conns_write_df if conns_write_df is not None else conns_df).write.options(
         **writer_opts
     ).mode(mode).parquet(conn_path)
+    stats.write.options(**writer_opts).mode(mode).parquet(stats_path)
     for table, table_path, pertype in pertype_writes:
         pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
         tables[table] = pertype.schema
@@ -1455,7 +1626,9 @@ def convert_bags(
     from rosbag2parquet_spark.sources.baglike import read_bag
     from rosbag2parquet_spark.sources.rosbag import read_rosbag
 
-    paths = resolve_bag_paths(bags)
+    paths = resolve_bag_paths(bags)  # raises on an empty resolution
+    for p in paths:
+        _validate_convert_paths(p, out_dir)
     with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
         metas = list(pool.map(lambda p: _bag_scan_meta(p, msgdefs), paths))
 

@@ -93,7 +93,9 @@ def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink round-trip (reference TableBuffer write path,
     TableBuffer.cpp:10-162): the ``Messages`` table as written to disk and
     read back — the reference's exact (seqno, time_sec, time_nsec, size,
-    connection_id) layout must survive the sink."""
+    connection_id) layout — plus the nullable header-stamp pair every
+    converter emits since r8 (reference TODO #6; NULL here: SBAG
+    payloads are JSON, no leading ros Header) — must survive the sink."""
     out = _converted_dir(spark, sf_dir)
     return spark.read.parquet(os.path.join(out, "Messages"))
 
@@ -104,7 +106,9 @@ ORACLE_SINK = (
 SELECT seqno,
        CAST(epoch_us(ts) // 1000000 AS INTEGER) AS time_sec,
        CAST((epoch_us(ts) % 1000000) * 1000 AS INTEGER) AS time_nsec,
-       value AS size, connection_id
+       value AS size, connection_id,
+       CAST(NULL AS INTEGER) AS header_stamp_sec,
+       CAST(NULL AS INTEGER) AS header_stamp_nsec
 FROM seq JOIN conns USING (user_id, event_type)
 """
 )

@@ -36,7 +36,10 @@ def test_tables_exist_with_schema(converted, spark):
     messages = spark.read.parquet(os.path.join(out, "Messages"))
     connections = spark.read.parquet(os.path.join(out, "Connections"))
     # the reference's exact Messages layout (README.md:26-32)
-    assert messages.columns == ["seqno", "time_sec", "time_nsec", "size", "connection_id"]
+    assert messages.columns == [
+        "seqno", "time_sec", "time_nsec", "size", "connection_id",
+        "header_stamp_sec", "header_stamp_nsec",
+    ]
     assert set(connections.columns) == {
         "connection_id", "topic", "datatype", "md5sum", "msg_def", "callerid",
     }

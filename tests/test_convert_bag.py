@@ -301,3 +301,81 @@ def test_reserved_column_collision_sanitized(spark, tmp_path):
     cl = spark.read.parquet(os.path.join(out, "demo_Clash")).first()
     assert cl.seqno_ == 77 and cl.connection_id_ == 88
     assert cl.seqno == 1 and cl.connection_id == 2  # metadata untouched
+
+
+def test_header_stamp_in_messages_table(spark, two_type_bag, tmp_path):
+    """Reference TODO #6 (rosbag2parquet.cpp:27): the global Messages table
+    carries the leading Header's stamp as a nullable int32 pair — decoded
+    JVM-side from the blob prefix for Header-led types (Imu), NULL for
+    types without one (Gps leads with a bare uint32 seq)."""
+    out = str(tmp_path / "out_hs")
+    convert_bag(spark, two_type_bag, out)
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    assert msgs.columns[-2:] == ["header_stamp_sec", "header_stamp_nsec"]
+    rows = {r.seqno: r for r in msgs.collect()}
+    # seqno 0, 2 are Imu (Header-led); 1, 3, 4 are Gps (no Header)
+    for sq in (0, 2):
+        assert (rows[sq].header_stamp_sec, rows[sq].header_stamp_nsec) == STAMP
+    for sq in (1, 3, 4):
+        assert rows[sq].header_stamp_sec is None
+        assert rows[sq].header_stamp_nsec is None
+
+
+def test_stats_table(spark, two_type_bag, tmp_path):
+    """Reference TODO #2/#2.1 (rosbag2parquet.cpp:22-24): the `rosbag info`
+    aggregates persist beside the layout — one Stats row per
+    (batch, connection) with message count, time bounds, byte total; the
+    values must equal the same aggregates recomputed from Messages."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out_stats")
+    convert_bag(spark, two_type_bag, out)
+    stats = {
+        r.connection_id: r
+        for r in spark.read.parquet(os.path.join(out, "Stats")).collect()
+    }
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    expect = {
+        r.connection_id: r
+        for r in msgs.groupBy("connection_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.col("time_sec").cast("long") * 1_000_000_000
+                + F.col("time_nsec")
+            ).alias("lo"),
+            F.max(
+                F.col("time_sec").cast("long") * 1_000_000_000
+                + F.col("time_nsec")
+            ).alias("hi"),
+            F.sum(F.col("size").cast("long")).alias("b"),
+        )
+        .collect()
+    }
+    assert set(stats) == set(expect) == {1, 2}
+    for cid, e in expect.items():
+        s = stats[cid]
+        assert s.n_messages == e.n
+        assert s.min_time_ns == e.lo and s.max_time_ns == e.hi
+        assert s.total_bytes == e.b
+    ddl = open(os.path.join(out, "load_tables.sql")).read()
+    assert "Stats" in ddl
+
+
+def test_convert_fails_fast_on_bad_paths(spark, two_type_bag, tmp_path):
+    """Reference TODO #1 (rosbag2parquet.cpp:21): invalid input/output
+    paths refuse BEFORE any scan or decode work."""
+    from rosbag2parquet_spark.convert import convert_bags
+
+    with pytest.raises(FileNotFoundError, match="input bag not found"):
+        convert_bag(spark, str(tmp_path / "ghost.bag"), str(tmp_path / "o"))
+    with pytest.raises(NotADirectoryError, match="does not exist"):
+        convert_bag(
+            spark, two_type_bag, str(tmp_path / "no" / "such" / "parent")
+        )
+    f = tmp_path / "a_file"
+    f.write_text("x")
+    with pytest.raises(NotADirectoryError, match="is a file"):
+        convert_bag(spark, two_type_bag, str(f))
+    with pytest.raises(ValueError, match="no bag files found"):
+        convert_bags(spark, str(tmp_path / "none_*.bag"), str(tmp_path / "o"))

@@ -862,3 +862,24 @@ def test_compressed_recorded_directory_file_mode(spark, tmp_path):
     assert info2.count == 15
     pose2 = spark.read.parquet(out2 + "/geometry_msgs_PoseLite")
     assert pose2.count() == 15
+
+
+def test_header_stamp_in_messages_cdr(spark, db3_bag, tmp_path):
+    """Reference TODO #6, CDR flavor: PoseLite leads with a
+    seq-then-builtin_interfaces/Time Header — its stamp lands in the
+    global Messages table decoded from the blob prefix (encapsulation 4B
+    + aligned uint32 seq -> stamp at byte 8); ImuLite leads with a bare
+    uint32 -> NULL pair."""
+    from rosbag2parquet_spark.convert import convert_bag
+
+    out = str(tmp_path / "out_hs")
+    convert_bag(spark, db3_bag, out, msgdefs=MSGDEFS)
+    msgs = spark.read.parquet(out + "/Messages").orderBy("seqno").collect()
+    for m in msgs:
+        i = m.seqno
+        if m.connection_id == 1:  # pose: encode_pose(i, 1_700_000_000+i, i*1000, ...)
+            assert m.header_stamp_sec == 1_700_000_000 + i
+            assert m.header_stamp_nsec == i * 1000
+        else:  # imu: no leading Header
+            assert m.header_stamp_sec is None
+            assert m.header_stamp_nsec is None
