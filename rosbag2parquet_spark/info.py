@@ -191,28 +191,46 @@ def print_info(spark: SparkSession, path: str) -> None:
 
 def layout_info(spark: SparkSession, layout_dir: str) -> DataFrame:
     """`bag_info` over a CONVERTED layout instead of a bag: the same
-    per-(datatype, topic) stats + rollup rows, computed from the
-    Messages/Connections metadata tables alone — column-pruned scans of
-    two narrow tables, no per-type blob ever read (the reason the
-    metadata tables exist, reference FlattenedRosWriter.cpp:49-137)."""
+    per-(datatype, topic) stats + rollup rows. Layouts written since r8
+    persist the aggregates as a ``Stats`` table (reference TODO #2.1 —
+    one row per batch x connection), so info is a rollup of a
+    KILOBYTE-scale table: at 100 TB, `rosbag info` answers without
+    touching Messages at all. Legacy layouts fall back to the
+    column-pruned Messages scan (still no per-type blob ever read — the
+    reason the metadata tables exist, FlattenedRosWriter.cpp:49-137).
+    Both paths compute identical values (sums/mins/maxes re-aggregate
+    exactly); pinned in tests/test_convert_bag.py."""
     import os
 
-    msgs = spark.read.parquet(os.path.join(layout_dir, "Messages")).select(
-        "connection_id",
-        "size",
-        (
-            F.col("time_sec").cast("long") * 1_000_000_000
-            + F.col("time_nsec")
-        ).alias("time_ns"),
-    )
     conns = spark.read.parquet(os.path.join(layout_dir, "Connections"))
-    joined = msgs.join(F.broadcast(conns), "connection_id")
-    agg = joined.rollup("datatype", "topic").agg(
-        F.count(F.lit(1)).alias("n_msgs"),
-        F.sum("size").alias("total_bytes"),
-        F.min("time_ns").alias("min_ns"),
-        F.max("time_ns").alias("max_ns"),
-    )
+    stats_path = os.path.join(layout_dir, "Stats")
+    if os.path.isdir(stats_path):
+        rows = spark.read.parquet(stats_path)
+        joined = rows.join(F.broadcast(conns), "connection_id")
+        agg = joined.rollup("datatype", "topic").agg(
+            F.sum("n_messages").alias("n_msgs"),
+            F.sum("total_bytes").alias("total_bytes"),
+            F.min("min_time_ns").alias("min_ns"),
+            F.max("max_time_ns").alias("max_ns"),
+        )
+    else:
+        msgs = spark.read.parquet(
+            os.path.join(layout_dir, "Messages")
+        ).select(
+            "connection_id",
+            "size",
+            (
+                F.col("time_sec").cast("long") * 1_000_000_000
+                + F.col("time_nsec")
+            ).alias("time_ns"),
+        )
+        joined = msgs.join(F.broadcast(conns), "connection_id")
+        agg = joined.rollup("datatype", "topic").agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("size").alias("total_bytes"),
+            F.min("time_ns").alias("min_ns"),
+            F.max("time_ns").alias("max_ns"),
+        )
     span_s = (F.col("max_ns") - F.col("min_ns")) / 1e9
     return agg.select(
         F.coalesce("datatype", F.lit("<all>")).alias("datatype"),

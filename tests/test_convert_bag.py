@@ -379,3 +379,23 @@ def test_convert_fails_fast_on_bad_paths(spark, two_type_bag, tmp_path):
         convert_bag(spark, two_type_bag, str(f))
     with pytest.raises(ValueError, match="no bag files found"):
         convert_bags(spark, str(tmp_path / "none_*.bag"), str(tmp_path / "o"))
+
+
+def test_layout_info_from_stats_equals_messages_scan(spark, two_type_bag, tmp_path):
+    """layout_info answers from the persisted Stats table when present
+    (metadata-only `rosbag info`) and must equal the legacy
+    Messages-scan fallback value for value."""
+    import shutil
+
+    from rosbag2parquet_spark.info import layout_info
+
+    out = str(tmp_path / "out_info")
+    convert_bag(spark, two_type_bag, out)
+    via_stats = sorted(
+        tuple(r) for r in layout_info(spark, out).collect()
+    )
+    # hide Stats -> fallback path
+    shutil.move(os.path.join(out, "Stats"), os.path.join(out, "_hidden"))
+    via_scan = sorted(tuple(r) for r in layout_info(spark, out).collect())
+    assert via_stats == via_scan
+    assert len(via_stats) >= 3  # two types + rollup rows
