@@ -1087,14 +1087,23 @@ def _header_stamp_exprs(
             by_off.setdefault(o, []).append(c.connection_id)
     if not by_off:
         return "CAST(NULL AS INT)", "CAST(NULL AS INT)"
+    def _as_i32(u32_sql: str) -> str:
+        # EXPLICIT signed reinterpretation (u32 >= 2^31 -> negative), the
+        # reference's own INT32 storage for time pairs. A bare
+        # CAST(long AS INT) is NOT safe here: under ANSI mode (Spark 4's
+        # default) an overflowing cast throws instead of wrapping —
+        # caught by the edge-value equivalence test.
+        return (
+            f"CAST({u32_sql} - CASE WHEN {u32_sql} >= 2147483648"
+            f" THEN 4294967296 ELSE 0 END AS INT)"
+        )
+
     sec, nsec = "CASE", "CASE"
     for o, cids in sorted(by_off.items()):
         ids = ",".join(str(i) for i in sorted(cids))
         guard = f"conn_id IN ({ids}) AND length(data) >= {o + 8}"
-        # long -> int cast wraps to the signed reinterpretation — the
-        # reference's own INT32 storage for time pairs
-        sec += f" WHEN {guard} THEN CAST({_le32_sql(o)} AS INT)"
-        nsec += f" WHEN {guard} THEN CAST({_le32_sql(o + 4)} AS INT)"
+        sec += f" WHEN {guard} THEN {_as_i32(_le32_sql(o))}"
+        nsec += f" WHEN {guard} THEN {_as_i32(_le32_sql(o + 4))}"
     return sec + " ELSE CAST(NULL AS INT) END", nsec + " ELSE CAST(NULL AS INT) END"
 
 

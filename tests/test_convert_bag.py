@@ -399,3 +399,44 @@ def test_layout_info_from_stats_equals_messages_scan(spark, two_type_bag, tmp_pa
     via_scan = sorted(tuple(r) for r in layout_info(spark, out).collect())
     assert via_stats == via_scan
     assert len(via_stats) >= 3  # two types + rollup rows
+
+
+def test_header_stamp_jvm_decode_agrees_with_python_decoder(spark, tmp_path):
+    """The Messages table's JVM blob-prefix stamp decode must agree with
+    the Python per-row decoder's typed header_stamp columns — including
+    at the signed-wrap edge (sec >= 2^31 reinterprets negative in BOTH,
+    the reference's own INT32 storage) and nsec extremes."""
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+    from tests.test_msgdef import IMU_DEF
+
+    edge_stamps = [
+        (0, 0),
+        (1, 999_999_999),
+        (2**31 - 1, 1),          # max positive int32 sec
+        (2**31, 0),              # wraps negative in int32 storage
+        (2**32 - 1, 123),        # u32 max -> -1
+    ]
+    path = str(tmp_path / "edge.sbag")
+    conns = [ConnectionInfo(1, "/imu", "sensor_msgs/Imu", "m", IMU_DEF)]
+    msgs = [
+        (1, 1_000 + i, _imu_payload(i, st, FRAME, QUAT, ANGVEL, LINACC))
+        for i, st in enumerate(edge_stamps)
+    ]
+    write_bag(path, conns, msgs)
+    out = str(tmp_path / "out")
+    convert_bag(spark, path, out)
+
+    got = {
+        r.seqno: (r.header_stamp_sec, r.header_stamp_nsec)
+        for r in spark.read.parquet(os.path.join(out, "Messages")).collect()
+    }
+    typed = {
+        r.seqno: (r.header_stamp_sec, r.header_stamp_nsec)
+        for r in spark.read.parquet(
+            os.path.join(out, "sensor_msgs_Imu")
+        ).collect()
+    }
+    assert got == typed
+    # spot-check the signed reinterpretation explicitly
+    assert got[3][0] == -(2**31)
+    assert got[4][0] == -1
