@@ -462,3 +462,28 @@ def test_margin_probe_budget_cross_engine(spark, duck, monkeypatch):
     }
     assert got == want and len(got) > 0
     spark.catalog.clearCache()
+
+
+def test_embed_quantize_roundtrip_error_bound(spark):
+    """int8 quantization semantics pinned end-to-end: the compared
+    codes_str parses back to codes in [-127, 127], and dequantizing
+    (code * max_abs / 127) reconstructs every component within ONE
+    quantization step (max_abs/127) — the floor construction's exact
+    error bound. Also pins that codes_str carries the full vector
+    (64 entries, no truncation)."""
+    from rosbag2parquet_spark.functions.similarity import q_embed_quantize
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    rows = q_embed_quantize(spark, SF_DIR).collect()
+    raw = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    assert len(rows) == 500
+    for r in rows[:50]:
+        codes = [int(c) for c in r["codes_str"].split(",")]
+        assert len(codes) == 64
+        assert all(-127 <= c <= 127 for c in codes)
+        step = r["max_abs"] / 127.0
+        for c, x in zip(codes, raw[r["vec_id"]]):
+            assert abs(c * step - x) <= step + 1e-12, (r["vec_id"], c, x)

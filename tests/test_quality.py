@@ -194,3 +194,56 @@ def test_rowcount_rule(spark):
     assert out["rowcount:[1,10]"] == (7, 0, True)
     assert out["rowcount:[10,20]"] == (7, 3, False)  # 3 short of 10
     assert out["rowcount:[1,5]"] == (7, 2, False)    # 2 over 5
+
+
+def test_floor_division_semantics_negative_operands(spark):
+    """The advice-r7 class pinned at the expression level: Spark `div`
+    truncates toward zero while DuckDB `//` floors — the monitoring
+    suite's midpoint/hour-bucket derivations use (a - pmod(a,b)) div b,
+    which must equal Python's floor `//` for NEGATIVE operands
+    (pre-1970 timestamps) too."""
+    from rosbag2parquet_spark.operators.quality import _MID_US
+
+    rows = [(-7, -3), (-1, -1), (0, 0), (7, 3), (-3600000001, -3600000000)]
+    df = spark.createDataFrame(
+        [(a,) for a, _ in rows] , "t_us long"
+    ).selectExpr(
+        "t_us",
+        "(t_us - pmod(t_us, 3600000000)) div 3600000000 AS h",
+        "t_us div 3600000000 AS h_trunc",
+    )
+    got = {r.t_us: (r.h, r.h_trunc) for r in df.collect()}
+    for a, _ in rows:
+        assert got[a][0] == a // 3_600_000_000, a  # floor semantics
+    # the truncating form genuinely differs on the negative non-multiple
+    assert got[-3600000001][1] == -1 and got[-3600000001][0] == -2
+
+    # midpoint: both-negative epoch bounds floor like Python
+    mid = spark.createDataFrame(
+        [(-7, -2)], "t_lo long, t_hi long"
+    ).selectExpr(f"{_MID_US} AS m").collect()[0].m
+    assert mid == (-7 + -2) // 2 == -5
+
+
+def test_drift_bps_survives_wide_counts(spark, duck):
+    """The DECIMAL(38,0)/HUGEINT widening holds where BIGINT wraps:
+    epoch counts around 2^33 rows make n1*t2 products ~2^66 — both
+    engines must agree on the exact basis points."""
+    from rosbag2parquet_spark.operators.quality import (
+        DRIFT_BPS_DUCK,
+        DRIFT_BPS_SQL,
+    )
+
+    n1, n2 = 2**33, 2**33 + 12345678
+    t1, t2 = n1 + 99, n2 + 17
+    s = spark.createDataFrame(
+        [(n1, n2, t1, t2)], "n1 long, n2 long, t1 long, t2 long"
+    ).selectExpr(f"{DRIFT_BPS_SQL} AS bps").collect()[0].bps
+    d = duck.sql(
+        f"SELECT {DRIFT_BPS_DUCK} AS bps FROM (SELECT {n1}::BIGINT n1,"
+        f" {n2}::BIGINT n2, {t1}::BIGINT t1, {t2}::BIGINT t2)"
+    ).fetchall()[0][0]
+    import decimal as _d
+
+    exact = abs(n1 * t2 - n2 * t1) * 10000 // (t1 * t2)
+    assert s == d == exact
