@@ -30,13 +30,21 @@ conns AS (
 """
 
 
+#: bump whenever the converter's OUTPUT SCHEMA changes (r8: Messages
+#: gained the header-stamp pair, layouts gained Stats) — the /tmp scratch
+#: below persists ACROSS processes, and a stale pre-change layout under
+#: the old key would feed the driver's sink gate a wrong schema
+LAYOUT_CACHE_VERSION = 2
+
+
 def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
     """Run the converter once per sf_dir into a deterministic scratch path.
     The conversion writes into a unique temp dir and atomically renames it
     into place — a concurrent run either wins the rename or reuses the
-    winner's output, never interleaves writes. (The scratch lives in /tmp
-    across processes; delete it after changing converter code or fixtures.)"""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    winner's output, never interleaves writes. The scratch lives in /tmp
+    across processes; the path is VERSIONED by LAYOUT_CACHE_VERSION so a
+    converter-schema change can never serve a stale layout."""
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_v{LAYOUT_CACHE_VERSION}"
     root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out")
     out = os.path.join(root, tag)
     if not os.path.isdir(out):
