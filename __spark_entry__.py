@@ -105,8 +105,10 @@ _MODULES = (
 # were the only rows older than r5), then the 7 changed queries
 # (embed-quantize fixed from the r7 red; the drift trio and two samplers
 # hardened per ADVICE), then the new + refactored similarity queries.
-# Registry growth this round is deliberately throttled (<= 14 new) so the
-# window covers stale + changed + new: 34 + 7 + new + 2 <= 50.
+# Registry growth this round is deliberately throttled so the window
+# covers stale + changed + new EXACTLY: 34 stale + 7 changed + 6 new +
+# sink (late-changed: Messages gained the header-stamp pair) +
+# 2 refactored = 50/50.
 # ROUND-9 NOTE: after the r8 driver run the freshness histogram should be
 # r5: ~40 (the "stream-sink".. block tail the r8 window could not reach),
 # r6: ~47, r7/r8: the rest. For r9: lead with the r5-proven block
