@@ -647,3 +647,37 @@ def test_stream_validate_cross_batch(spark, tmp_path):
     assert out["range:value:[0,100]"] == (7, 2, False)   # 150.0 and -1.0
     assert out["set:event_type:known4"] == (7, 1, False)
     assert out["positive:value"] == (7, 1, False)        # only -1.0
+
+
+def test_numeric_drift_literal_bucket_equals_broadcast_form(spark):
+    """stream-numeric-drift rebuilds the bucket expression from DRIVER
+    scalars via repr-literals while batch drift-numeric broadcasts the
+    same scalars as columns — repr round-trips the exact double, so the
+    two formulations must bucket EVERY row identically (including the
+    clamp edges and values outside the reference range)."""
+    from pyspark.sql import functions as F
+
+    vals = [0.0, 1e-9, 0.3333333333333333, 7.125, 99.99999999999999,
+            100.0, -5.0, 150.0, 33.333333333333336]
+    v_lo, v_hi = 0.0, 99.99999999999999
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    broadcast_form = (
+        df.withColumn("v_lo", F.lit(v_lo))
+        .withColumn("v_hi", F.lit(v_hi))
+        .selectExpr(
+            "v",
+            "CAST(coalesce(greatest(0, least(9,"
+            " floor((v - v_lo) * 10 / nullif(v_hi - v_lo, 0.0d)))),"
+            " 0) AS BIGINT) AS b",
+        )
+    )
+    literal_form = df.selectExpr(
+        "v",
+        f"CAST(coalesce(greatest(0, least(9,"
+        f" floor((v - {v_lo!r}D) * 10"
+        f" / nullif({v_hi!r}D - {v_lo!r}D, 0.0d)))), 0) AS BIGINT) AS b",
+    )
+    a = {r.v: r.b for r in broadcast_form.collect()}
+    b = {r.v: r.b for r in literal_form.collect()}
+    assert a == b
+    assert a[-5.0] == 0 and a[150.0] == 9  # clamped alarms
