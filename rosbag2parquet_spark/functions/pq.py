@@ -30,6 +30,15 @@ map-only against broadcast-literal codebooks, and `knn-pq` scans codes at
 PQ_M bytes per candidate with no float vector read at all — the memory-
 bandwidth bound `knn-quantized` lowers 4x, lowered ~128x. Reference
 analog: the "query the output efficiently" posture (README.md:14-18).
+
+Measured cost note: the quantize pass's wall time at fixture scale is
+dominated by the DECIMAL-exact argmin itself (PQ_M*PQ_K*PQ_SUB = 1024
+BigDecimal fold terms per row — twice the kmeans assign construction),
+the deliberate price of a bit-exact oracle for an approximate index.
+The known cheaper construction — per-term floor(x*1e12) integer
+quantization, the `_sign_bucket` lesson (~10x less than a decimal
+accumulator) — would need the kmeans/IVF/PQ oracles rewritten in
+lockstep and is queued as a round-9 item (SURVEY 7.1).
 """
 
 from __future__ import annotations
