@@ -3,25 +3,29 @@ quantization (`embed-quantize`: 4x) that a real 100 TB ANN corpus runs on
 (Jégou et al., "Product Quantization for Nearest Neighbor Search", IEEE
 TPAMI 2011 — public): the normalized vector splits into PQ_M subvectors,
 each subspace trains its own PQ_K-codeword k-means codebook, and a vector
-is stored as PQ_M small code ids — here 64 doubles (512 B) → 4 codes
-(4 B), a 128x reduction, searched without decompression via ADC
-(asymmetric distance computation: the QUERY stays float, each candidate's
-score is PQ_M table lookups).
+is stored as PQ_M small code ids — here 64 doubles (512 B) → 8 codes
+(8 B one-byte-wide, ~64x; 4 B / ~128x if the 4-bit K=16 codes are
+nibble-packed), searched without decompression via ADC (asymmetric
+distance computation: the QUERY stays float, each candidate's score is
+PQ_M = 8 table lookups).
 
 Cross-engine DETERMINISTIC — and therefore exact-oracled, like the
 `kmeans`/`knn-ivf` pair this builds on:
 
 - codebooks come from the same deterministic Lloyd's trainer
-  (functions.kmeans: decimal-exact distances, index tie-breaks, first-K
-  init, fixed iterations) run per subspace on the normalized slices;
-- code assignment is the same decimal-exact argmin, executed MAP-SIDE
-  over literal codebooks (zero shuffle — the quantize pass at 100 TB is
-  embarrassingly parallel);
+  (functions.kmeans: integer-quantized exact distances, index tie-breaks,
+  first-K init, fixed iterations) run per subspace on the normalized
+  slices;
+- code assignment is the same integer-quantized argmin (per-term
+  floor((a-b)²·1e12) BIGINT sums — exact and order-free), executed
+  MAP-SIDE over literal codebooks (zero shuffle — the quantize pass at
+  100 TB is embarrassingly parallel);
 - the ADC lookup table is PQ_M x PQ_K dot products computed driver-side
-  with per-term DECIMAL(28,12) rounding (the knn-ivf cell-score
-  construction), so each LUT entry is bit-identical to the oracle's;
+  with per-term DECIMAL(28,12) rounding (M×K tiny sums — a driver-side
+  constant, unlike the per-row argmin), so each LUT entry is
+  bit-identical to the oracle's;
 - a candidate's score sums its PQ_M LUT entries in fixed subspace order —
-  four IEEE additions of identical doubles, identical in both engines —
+  eight IEEE additions of identical doubles, identical in both engines —
   and rounds to 6 decimals like every similarity score in this engine.
 
 Scale posture: training touches a sample (here the fixture corpus; in
@@ -31,14 +35,13 @@ PQ_M bytes per candidate with no float vector read at all — the memory-
 bandwidth bound `knn-quantized` lowers 4x, lowered ~128x. Reference
 analog: the "query the output efficiently" posture (README.md:14-18).
 
-Measured cost note: the quantize pass's wall time at fixture scale is
-dominated by the DECIMAL-exact argmin itself (PQ_M*PQ_K*PQ_SUB = 1024
-BigDecimal fold terms per row — twice the kmeans assign construction),
-the deliberate price of a bit-exact oracle for an approximate index.
-The known cheaper construction — per-term floor(x*1e12) integer
-quantization, the `_sign_bucket` lesson (~10x less than a decimal
-accumulator) — would need the kmeans/IVF/PQ oracles rewritten in
-lockstep and is queued as a round-9 item (SURVEY 7.1).
+Cost note (round 9): the argmin fold is integer-quantized — per-term
+floor((a-b)²·1e12) BIGINT sums, the `_sign_bucket` construction applied
+to distances (~10x cheaper per term than the previous DECIMAL(28,12)
+BigDecimal accumulator, measured on the r8 bench where pq-quantize +
+knn-pq cost ~8.4 s at sf0.1). The kmeans/IVF/PQ oracles quantize
+identically, so the assignments — approximation included — stay
+bit-exact cross-engine.
 """
 
 from __future__ import annotations
@@ -84,7 +87,7 @@ def pq_fit_cached(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
 def pq_fit(emb: DataFrame) -> list[list[list[float]]]:
     """JOINT training of all PQ_M codebooks — value-identical to PQ_M
     independent ``kmeans_fit`` runs over the slices (same first-K init,
-    same decimal-exact argmin, same exact-decimal mean update, same
+    same integer-quantized argmin, same exact-decimal mean update, same
     empty-codeword carry-forward; the per-subspace oracle CTE chains pin
     this equivalence), but each Lloyd's iteration is ONE assignment
     projection (all PQ_M argmins in one map-side pass) plus ONE
@@ -101,15 +104,7 @@ def pq_fit(emb: DataFrame) -> list[list[list[float]]]:
     ]
     code_arr = "array(" + ",".join(f"c{m}" for m in range(PQ_M)) + ")"
     for _ in range(PQ_N_ITER):
-        coded = emb.select(
-            "en",
-            *[
-                _argmin_code(
-                    F.slice("en", m * PQ_SUB + 1, PQ_SUB), books[m]
-                ).alias(f"c{m}")
-                for m in range(PQ_M)
-            ],
-        )
+        coded = _coded(emb.select("en"), books)
         # each exploded (vector, pos) element belongs to exactly ONE
         # subspace; its codeword there keys the mean — grouped rows are
         # exactly the per-subspace member sets, so the decimal sum /
@@ -148,10 +143,11 @@ def pq_fit(emb: DataFrame) -> list[list[list[float]]]:
 
 def _argmin_code(vec: Column, centroids: list[list[float]]) -> Column:
     """Codeword id for one subvector against a literal codebook — the
-    assign_clusters construction (decimal-exact squared distances,
-    min-of-(dist, index) structs) over an arbitrary Column instead of the
-    fixed ``e`` column, so PQ can assign all PQ_M subspaces in ONE
-    map-side projection."""
+    assign_clusters construction (integer-quantized exact squared
+    distances, min-of-(dist, index) structs) over an arbitrary Column
+    instead of the fixed ``e`` column, so PQ can assign all PQ_M
+    subspaces in ONE map-side projection. Long adds, not BigDecimal —
+    this fold is the entire per-row cost of the quantize pass."""
     cents = F.expr(
         "array("
         + ",".join(
@@ -164,9 +160,11 @@ def _argmin_code(vec: Column, centroids: list[list[float]]) -> Column:
         cents,
         lambda c, i: F.struct(
             F.aggregate(
-                F.zip_with(vec, c, lambda a, b: ((a - b) * (a - b)).cast(_DEC)),
-                F.lit(0).cast(_DEC),
-                lambda acc, x: (acc + x).cast(_DEC),
+                F.zip_with(
+                    vec, c, lambda a, b: F.floor((a - b) * (a - b) * F.lit(1e12))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
             ).alias("d"),
             i.alias("i"),
         ),
@@ -174,19 +172,61 @@ def _argmin_code(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(pairs).getField("i").cast("int")
 
 
+def _argmin_codes_vectorized(books: list[list[list[float]]]):
+    """Arrow-vectorized code assignment: ONE pandas_udf computing all PQ_M
+    codes per row as ``array<int>``, bit-identical to `_argmin_code` (the
+    pure-expression reference tier, cross-checked in tests).
+
+    Why a UDF when the semantics ARE expressible as Catalyst HOFs: the
+    higher-order fold evaluates interpreted per element (~1 µs/term at
+    PQ_M·PQ_K·PQ_SUB = 1024 terms/row this is ~1 ms/row — measured ~1.9 s
+    of the sf0.1 quantize pass). The numpy formulation is the same
+    arithmetic — elementwise float64 ``floor((a-b)²·1e12)`` then exact
+    int64 sums, ``argmin`` taking the FIRST minimum (= the lowest-index
+    tie-break) — so codes are IEEE-identical at batch matmul throughput.
+    The `_sign_buckets_vectorized` pattern applied to distances."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.array(b, dtype=np.float64) for b in books]  # (PQ_K, PQ_SUB)
+
+    def codes(en):
+        E = np.vstack(en.to_numpy()).astype(np.float64)  # (n, dim)
+        out = []
+        for m in range(PQ_M):
+            D = E[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (n, PQ_SUB)
+            diff = D[:, None, :] - cents[m][None, :, :]  # (n, PQ_K, PQ_SUB)
+            # same left-assoc (d²)·1e12 as the expression tier; floor in
+            # float64 (terms ≤ 4e12 — exactly representable) then exact
+            # int64 accumulation over the subspace dims
+            terms = np.floor(diff * diff * 1e12).astype(np.int64)
+            out.append(np.argmin(terms.sum(axis=2), axis=1))
+        return pd.Series(np.stack(out, axis=1).astype(np.int32).tolist())
+
+    codes.__annotations__ = {"en": pd.Series, "return": pd.Series}
+    return F.pandas_udf(codes, "array<int>")
+
+
+def _coded(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """Attach ``c0..c{M-1}`` INT code columns to a normalized frame via the
+    vectorized tier — the map-only quantize pass (one ArrowEvalPython node;
+    the corpus never shuffles). Shared by `_with_codes` and the trainer."""
+    coded = emb.withColumn("__cs", _argmin_codes_vectorized(books)(F.col("en")))
+    return coded.select(
+        *emb.columns,
+        *[F.col("__cs").getItem(m).alias(f"c{m}") for m in range(PQ_M)],
+    )
+
+
 def _with_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, en, c0..c{M-1}) — the map-only quantize pass: every
-    subspace's argmin evaluates against its broadcast-literal codebook in
-    one projection; the corpus never shuffles."""
+    """(vec_id, label, en, c0..c{M-1}) — the map-only quantize pass: all
+    PQ_M argmins evaluate in one Arrow batch against the in-closure
+    codebooks; the corpus never shuffles."""
     books = pq_fit_cached(spark, sf_dir)
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
-    cols = [
-        _argmin_code(
-            F.slice("en", m * PQ_SUB + 1, PQ_SUB), books[m]
-        ).alias(f"c{m}")
-        for m in range(PQ_M)
-    ]
-    return emb.select("vec_id", "label", "en", *cols)
+    emb = _normalized(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "en"
+    )
+    return _coded(emb, books)
 
 
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +358,7 @@ c0_{m} AS MATERIALIZED (
                 f"""
 d{t}_{m} AS MATERIALIZED (
   SELECT d.vec_id, c.cl,
-         sum(CAST((d.x - c.m) * (d.x - c.m) AS {_DEC})) AS dist
+         sum(CAST(floor((d.x - c.m) * (d.x - c.m) * 1e12) AS BIGINT)) AS dist
   FROM dims d JOIN c{t}_{m} c USING (pos)
   WHERE d.pos BETWEEN {lo} AND {hi}
   GROUP BY d.vec_id, c.cl

@@ -476,11 +476,13 @@ def _dec12(x: float):
 
 def _ivf_probe_cells(spark, sf_dir: str, raw: DataFrame):
     """(probed cell ids, assignment frame) for the fixed query vector:
-    K tiny driver-side decimal-exact centroid scores (the same
-    DECIMAL(28,12) term rounding the trainer uses) pick the IVF_NPROBE
-    highest cells — bit-identical to the oracle's cell CTE, so engine
-    and oracle probe the SAME cells. Shared by `knn-ivf` (float scan of
-    the probed cells) and `knn-ivf-quantized` (int8 scan of the same)."""
+    K tiny driver-side integer-quantized centroid scores (per-term
+    floor(x·1e12) BIGINT sums — the same quantization the trainer's
+    argmin uses; the common 1e6 score scale cancels in the ranking) pick
+    the IVF_NPROBE highest cells — bit-identical to the oracle's cell
+    CTE, so engine and oracle probe the SAME cells. Shared by `knn-ivf`
+    (float scan of the probed cells) and `knn-ivf-quantized` (int8 scan
+    of the same)."""
     import math
 
     from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
@@ -494,8 +496,8 @@ def _ivf_probe_cells(spark, sf_dir: str, raw: DataFrame):
     ]
     scores = []
     for cl, c in enumerate(centroids):
-        num = sum((_dec12(ci * qi) for ci, qi in zip(c, qe)), start=_dec12(0.0))
-        den = sum((_dec12(ci * ci) for ci in c), start=_dec12(0.0))
+        num = sum(math.floor(ci * qi * 1e12) for ci, qi in zip(c, qe))
+        den = sum(math.floor(ci * ci * 1e12) for ci in c)
         scores.append((float(num) / math.sqrt(float(den)), cl))
     probe_cells = sorted(((-sc, cl) for sc, cl in scores))[:IVF_NPROBE]
     return [cl for _, cl in probe_cells], assigned
@@ -514,10 +516,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact scoring touches only ~nprobe/K of the corpus, which is the whole
     point of IVF at 100 TB.
 
-    Determinism: cell scores are decimal-exact dot products (same
-    DECIMAL(28,12) term rounding as the trainer) so the probed cell set is
-    bit-identical to the oracle's; the final cosine ranking uses the same
-    rounded-fold scoring as `knn`."""
+    Determinism: cell scores are integer-quantized exact dot products
+    (the same floor(x·1e12) per-term quantization as the trainer's argmin)
+    so the probed cell set is bit-identical to the oracle's; the final
+    cosine ranking uses the same rounded-fold scoring as `knn`."""
     raw = load_table(spark, sf_dir, "embeddings")
     cells, assigned = _ivf_probe_cells(spark, sf_dir, raw)
 
@@ -552,8 +554,8 @@ qdims AS (SELECT i AS pos, qe[i] AS x FROM q, unnest(generate_series(1, 64)) AS 
 cells AS (
   SELECT cl FROM (
     SELECT c.cl,
-           CAST(sum(CAST(c.m * qd.x AS DECIMAL(28,12))) AS DOUBLE)
-             / sqrt(CAST(sum(CAST(c.m * c.m AS DECIMAL(28,12))) AS DOUBLE)) AS score
+           CAST(sum(CAST(floor(c.m * qd.x * 1e12) AS BIGINT)) AS DOUBLE)
+             / sqrt(CAST(sum(CAST(floor(c.m * c.m * 1e12) AS BIGINT)) AS DOUBLE)) AS score
     FROM c{N_ITER} c JOIN qdims qd USING (pos)
     GROUP BY c.cl
   ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}
@@ -918,7 +920,7 @@ def q_knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     float vectors re-reads the full-width corpus; a quantized flat scan
     still reads every row — only the composition bounds both).
 
-    Plan: probe-cell selection is K tiny driver-side decimal-exact scores
+    Plan: probe-cell selection is K tiny driver-side integer-exact scores
     (shared helper `_ivf_probe_cells`, bit-identical to the oracle's cell
     CTE); membership restricts the scan via a broadcast semi-join; the
     scored expression is the integer code dot (exact — products and
@@ -969,8 +971,8 @@ qdims AS (SELECT i AS pos, qe[i] AS x FROM q0, unnest(generate_series(1, 64)) AS
 cells AS (
   SELECT cl FROM (
     SELECT c.cl,
-           CAST(sum(CAST(c.m * qd.x AS DECIMAL(28,12))) AS DOUBLE)
-             / sqrt(CAST(sum(CAST(c.m * c.m AS DECIMAL(28,12))) AS DOUBLE)) AS score
+           CAST(sum(CAST(floor(c.m * qd.x * 1e12) AS BIGINT)) AS DOUBLE)
+             / sqrt(CAST(sum(CAST(floor(c.m * c.m * 1e12) AS BIGINT)) AS DOUBLE)) AS score
     FROM c{N_ITER} c JOIN qdims qd USING (pos)
     GROUP BY c.cl
   ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}

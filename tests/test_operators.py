@@ -223,6 +223,41 @@ def test_pq_codes_compact_and_complete(spark):
             assert r[f"c{m}"] is not None and 0 <= r[f"c{m}"] < PQ_K
 
 
+def test_pq_vectorized_codes_equal_expression_tier(spark):
+    """The Arrow-vectorized code assignment (`_argmin_codes_vectorized`,
+    the serving tier) must be BIT-IDENTICAL to the pure-Catalyst
+    integer-quantized argmin (`_argmin_code`, the reference tier the
+    oracle mirrors) on every fixture vector — the `_sign_bucket`
+    vectorized/expression cross-check applied to PQ."""
+    import pyspark.sql.functions as F
+
+    from rosbag2parquet_spark.functions import pq as pqmod
+    from rosbag2parquet_spark.functions.similarity import _normalized
+
+    books = pqmod.pq_fit_cached(spark, SF_DIR)
+    emb = _normalized(load_table(spark, SF_DIR, "embeddings")).select(
+        "vec_id", "en"
+    )
+    vec = {
+        r["vec_id"]: [r[f"c{m}"] for m in range(pqmod.PQ_M)]
+        for r in pqmod._coded(emb, books).collect()
+    }
+    expr = {
+        r["vec_id"]: [r[f"c{m}"] for m in range(pqmod.PQ_M)]
+        for r in emb.select(
+            "vec_id",
+            *[
+                pqmod._argmin_code(
+                    F.slice("en", m * pqmod.PQ_SUB + 1, pqmod.PQ_SUB),
+                    books[m],
+                ).alias(f"c{m}")
+                for m in range(pqmod.PQ_M)
+            ],
+        ).collect()
+    }
+    assert vec == expr
+
+
 def test_pq_joint_training_equals_per_subspace(spark):
     """The joint trainer (one assignment projection + one grouped mean
     per iteration) must produce BIT-IDENTICAL codebooks to PQ_M
