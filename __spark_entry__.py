@@ -192,6 +192,9 @@ _QUERY_ORDER = [
     "stream-gap-detect", "heavy-hitters", "stream-heavy-hitters",
     "asof-nearest", "resample-interpolate", "stream-sliding",
     "stream-sessionize",
+    # NEW round 9 (placed provisionally; final window ordering is set at
+    # end of round): the composed IVF×PQ serve stack + its recall row
+    "knn-ivf-pq", "ivf-pq-recall",
 ]
 
 

@@ -260,6 +260,16 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks), so the oracle reproduces the REAL shortlist —
     approximation included — and the exact rescoring on top. Shortlist
     recall vs exact `knn` is measured in tests/test_operators.py."""
+    return _adc_search(spark, sf_dir, members=None)
+
+
+def _adc_search(
+    spark: SparkSession, sf_dir: str, members: DataFrame | None
+) -> DataFrame:
+    """Two-stage ADC shortlist + exact re-rank, optionally restricted to a
+    ``members`` (vec_id) frame via a broadcast semi-join BEFORE the code
+    scan — `knn-pq` passes None (full-corpus ADC baseline), `knn-ivf-pq`
+    passes the probed IVF cells' membership (the composed serve stack)."""
     books = pq_fit_cached(spark, sf_dir)
     coded = _with_codes(spark, sf_dir)
     qen = [
@@ -289,9 +299,11 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f"), c{m} + 1)"
         for m in range(PQ_M)
     )
+    base = coded.filter(F.col("vec_id") != KNN_QUERY_ID)
+    if members is not None:
+        base = base.join(F.broadcast(members), "vec_id", "left_semi")
     shortlist = (
-        coded.filter(F.col("vec_id") != KNN_QUERY_ID)
-        .select("vec_id", F.expr(score).alias("adc"))
+        base.select("vec_id", F.expr(score).alias("adc"))
         .orderBy(F.desc("adc"), F.asc("vec_id"))
         .limit(PQ_SHORTLIST)
         .select("vec_id")
@@ -315,6 +327,55 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(KNN_K)
+    )
+
+
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL FAISS-style production serve stack (IVFADC, Jégou et al.
+    §VI): IVF bounds SEARCH (only the IVF_NPROBE best cells' codes are
+    scanned — ~nprobe/K of the corpus), PQ bounds BANDWIDTH (the scanned
+    candidates move at PQ_M bytes per row, no float read), and a fixed
+    PQ_SHORTLIST of ADC winners is re-ranked by exact cosine. The three
+    pieces prove separately (`knn-ivf` the cell pruning, `knn-pq` the
+    ADC+re-rank, `knn-ivf-quantized` the composed-scan shape over int8) —
+    this is their composition, the index a 100 TB corpus actually serves:
+    at 1000 executors the probed cells' code partitions are the ONLY
+    thing the query touches before the shortlist semi-join.
+
+    Plan: probe-cell selection is K tiny driver-side integer-exact scores
+    (`_ivf_probe_cells`, bit-identical to the oracle's cell CTE); cell
+    membership restricts the ADC scan via a broadcast semi-join; the
+    shortlist re-reads float vectors for PQ_SHORTLIST rows only.
+    Deterministic end to end, so the oracle reproduces the REAL pruned
+    shortlist — both approximations included — and the exact rescoring on
+    top. Recall vs exact `knn` is the `ivf-pq-recall` driver row."""
+    from rosbag2parquet_spark.functions.similarity import _ivf_probe_cells
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    cells, assigned = _ivf_probe_cells(spark, sf_dir, raw)
+    members = assigned.filter(F.col("cluster").isin(cells)).select("vec_id")
+    return _adc_search(spark, sf_dir, members=members)
+
+
+def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVF×PQ search against the exact scan — the
+    `pq-recall` measurement for the full serve stack: what cell pruning
+    costs ON TOP of ADC quantization error (compare the two driver rows).
+    Reproducible integer, not a sample estimate."""
+    from rosbag2parquet_spark.functions.similarity import q_knn
+
+    exact = q_knn(spark, sf_dir).select("vec_id")
+    approx = q_knn_ivf_pq(spark, sf_dir).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            F.lit(KNN_K).cast("int").alias("k"),
+            "n_overlap",
+            F.expr(f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)").alias(
+                "recall_bps"
+            ),
+        )
     )
 
 
@@ -412,10 +473,13 @@ SELECT vec_id, {cols} FROM codes ORDER BY vec_id
     )
 
 
-def _oracle_knn_pq() -> str:
-    # LUT per (subspace, codeword): decimal-exact dot of the query's
-    # normalized subvector with the final codebook entry, cast to double —
-    # identical to the engine's driver-side computation
+def _adc_oracle(extra_ctes: str = "", member_pred: str = "") -> str:
+    """The ADC + exact-re-rank oracle tail over the PQ CTE chain. LUT per
+    (subspace, codeword): decimal-exact dot of the query's normalized
+    subvector with the final codebook entry, cast to double — identical
+    to the engine's driver-side computation. ``extra_ctes`` (leading
+    comma included) and ``member_pred`` (an ``AND …`` on codes.vec_id)
+    inject the IVF membership restriction for `knn-ivf-pq`."""
     lut_ctes = ",".join(
         f"""
 lut_{m} AS MATERIALIZED (
@@ -432,13 +496,14 @@ lut_{m} AS MATERIALIZED (
     )
     return (
         _pq_cte_sql()
+        + extra_ctes
         + ","
         + lut_ctes
         + f""",
 shortlist AS MATERIALIZED (
   SELECT codes.vec_id
   FROM codes {joins}
-  WHERE codes.vec_id != {KNN_QUERY_ID}
+  WHERE codes.vec_id != {KNN_QUERY_ID}{member_pred}
   ORDER BY {score} DESC, codes.vec_id LIMIT {PQ_SHORTLIST}
 ),
 q AS (SELECT en AS qen FROM n WHERE vec_id = {KNN_QUERY_ID})
@@ -447,6 +512,48 @@ SELECT n.vec_id, n.label,
 FROM n JOIN shortlist USING (vec_id) CROSS JOIN q
 ORDER BY cos_sim DESC, n.vec_id LIMIT {KNN_K}
 """
+    )
+
+
+def _oracle_knn_pq() -> str:
+    return _adc_oracle()
+
+
+def _ivf_member_ctes() -> str:
+    """The IVF side of the knn-ivf-pq oracle: the km_-prefixed kmeans
+    chain over RAW embeddings (the PQ chain's ``dims`` is normalized —
+    prefix avoids the collision), the integer-quantized probe-cell
+    scores (knn-ivf's cells CTE verbatim, over km_ names), and the
+    probed cells' membership."""
+    from rosbag2parquet_spark.functions.kmeans import N_ITER, kmeans_cte_sql
+    from rosbag2parquet_spark.functions.similarity import IVF_NPROBE
+
+    km = kmeans_cte_sql(prefix="km_")
+    assert km.startswith("WITH ")
+    return (
+        ","
+        + km[len("WITH ") :]
+        + f""",
+ivf_cells AS (
+  SELECT cl FROM (
+    SELECT c.cl,
+           CAST(sum(CAST(floor(c.m * qd.x * 1e12) AS BIGINT)) AS DOUBLE)
+             / sqrt(CAST(sum(CAST(floor(c.m * c.m * 1e12) AS BIGINT)) AS DOUBLE)) AS score
+    FROM km_c{N_ITER} c
+    JOIN (SELECT pos, x FROM km_dims WHERE vec_id = {KNN_QUERY_ID}) qd USING (pos)
+    GROUP BY c.cl
+  ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}
+),
+ivf_members AS (
+  SELECT vec_id FROM km_a{N_ITER} WHERE cl IN (SELECT cl FROM ivf_cells)
+)"""
+    )
+
+
+def _oracle_knn_ivf_pq() -> str:
+    return _adc_oracle(
+        extra_ctes=_ivf_member_ctes(),
+        member_pred=" AND codes.vec_id IN (SELECT vec_id FROM ivf_members)",
     )
 
 
@@ -486,14 +593,29 @@ FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_pq()}) p USING (vec_id)
 """
 
 
+def _oracle_ivf_pq_recall() -> str:
+    from rosbag2parquet_spark.functions.similarity import ORACLE_KNN
+
+    return f"""
+SELECT CAST({KNN_K} AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
+FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_ivf_pq()}) p USING (vec_id)
+"""
+
+
 QUERIES = {
     "pq-quantize": q_pq_quantize,
     "knn-pq": q_knn_pq,
     "pq-recall": q_pq_recall,
+    "knn-ivf-pq": q_knn_ivf_pq,
+    "ivf-pq-recall": q_ivf_pq_recall,
 }
 
 ORACLES = {
     "pq-quantize": _oracle_pq_quantize(),
     "knn-pq": _oracle_knn_pq(),
     "pq-recall": _oracle_pq_recall(),
+    "knn-ivf-pq": _oracle_knn_ivf_pq(),
+    "ivf-pq-recall": _oracle_ivf_pq_recall(),
 }
