@@ -143,8 +143,9 @@ _QUERY_ORDER = [
     # the live twins completing the monitoring trio's streaming coverage
     # (frozen-reference numeric histogram, <=10-row state; per-type-hour
     # volume counts, state bounded by time span not stream length)
-    # and the product-quantization rung (M=4 x K=8 codebooks from the
-    # deterministic trainer; ADC search from PQ codes — ~128x compression)
+    # and the product-quantization rung (M=8 x K=16 codebooks from the
+    # deterministic trainer; ADC search from PQ codes — ~64x at one byte
+    # per code, ~128x nibble-packed)
     "knn-ivf-quantized", "stream-numeric-drift", "stream-volume-trend",
     "pq-quantize", "knn-pq", "pq-recall",
     # CHANGED round 8 (late): every converter's Messages table gains the
@@ -193,8 +194,9 @@ _QUERY_ORDER = [
     "asof-nearest", "resample-interpolate", "stream-sliding",
     "stream-sessionize",
     # NEW round 9 (placed provisionally; final window ordering is set at
-    # end of round): the composed IVF×PQ serve stack + its recall row
-    "knn-ivf-pq", "ivf-pq-recall",
+    # end of round): the composed IVF×PQ serve stack + its recall row,
+    # and the OPQ rotated-PQ rung + its recall row
+    "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
 ]
 
 
