@@ -105,6 +105,11 @@ EXTENDED = [
     "knn-pq",
     "stream-numeric-drift",
     "stream-volume-trend",
+    # round-9 operators — measured cost from day one (the composed
+    # IVF×PQ serve stack and the OPQ rotated-PQ rung; both include their
+    # in-query codebook training at this scale, a once-per-deploy cost)
+    "knn-ivf-pq",
+    "knn-opq",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
@@ -204,6 +209,11 @@ def main() -> None:
     mcap_stats = None
     protobuf_stats = None
     json_stats = None
+    # per-SECTION host-speed samples: the r8 convert numbers moved 2-5x
+    # while the query suite moved +1.4% — one whole-run calib cannot say
+    # whether that is the host or the engine. A sample beside every
+    # convert grammar pins each number to the host speed at ITS moment.
+    calib_sections: dict[str, float] = {"queries": _calibrate()}
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
@@ -220,6 +230,7 @@ def main() -> None:
             (_convert_run(6_000, spark=spark) for _ in range(2)),
             key=lambda d: d["convert_s"],
         )
+        calib_sections["convert_sbag"] = _calibrate()
         print(f"# convert walkthrough: {convert_stats}", file=sys.stderr)
         # fleet path at the SAME total volume (4 bags x 1500 msgs): the
         # delta vs the single-bag number is the multi-bag machinery cost
@@ -227,6 +238,7 @@ def main() -> None:
             (_fleet_run(spark=spark) for _ in range(2)),
             key=lambda d: d["convert_s"],
         )
+        calib_sections["convert_fleet"] = _calibrate()
         print(f"# convert fleet: {fleet_stats}", file=sys.stderr)
         # the other two real grammars at the SAME corpus (6000 msgs x 4 KB
         # blobs): .db3 via the self-describing embedded-schema path, MCAP
@@ -235,11 +247,13 @@ def main() -> None:
             (_db3_run(spark=spark) for _ in range(2)),
             key=lambda d: d["convert_s"],
         )
+        calib_sections["convert_db3"] = _calibrate()
         print(f"# convert db3: {db3_stats}", file=sys.stderr)
         mcap_stats = min(
             (_mcap_run(spark=spark) for _ in range(2)),
             key=lambda d: d["convert_s"],
         )
+        calib_sections["convert_mcap"] = _calibrate()
         print(f"# convert mcap: {mcap_stats}", file=sys.stderr)
         # the fourth grammar: protobuf-encoded MCAP at the same corpus,
         # decoded by the wire-walk tier (sources/protobuf.py)
@@ -247,18 +261,21 @@ def main() -> None:
             (_protobuf_run(spark=spark) for _ in range(2)),
             key=lambda d: d["convert_s"],
         )
+        calib_sections["convert_protobuf"] = _calibrate()
         print(f"# convert protobuf: {protobuf_stats}", file=sys.stderr)
         # the json grammar: from_json tier, zero Python in the row loop
         json_stats = min(
             (_json_run(spark=spark) for _ in range(2)),
             key=lambda d: d["convert_s"],
         )
+        calib_sections["convert_json"] = _calibrate()
         print(f"# convert json: {json_stats}", file=sys.stderr)
         # the reverse direction at the same corpus: layout -> MCAP parts
         export_stats = min(
             (_export_run(spark=spark) for _ in range(2)),
             key=lambda d: d["export_s"],
         )
+        calib_sections["export_mcap"] = _calibrate()
         print(f"# export mcap: {export_stats}", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
@@ -290,6 +307,13 @@ def main() -> None:
                 "convert_protobuf": protobuf_stats,
                 "convert_json": json_stats,
                 "export_mcap": export_stats,
+                # host speed sampled at the END of each convert section
+                # (min-of-5 matmul ms): divide a section's seconds by
+                # (its calib / a reference round's calib) before calling
+                # a regression — r9 A/B-measured the r8 converter
+                # additions (header-stamp CASE + Stats write) at <10%,
+                # within host noise; the r8 flag was the host window
+                "calib_sections": calib_sections,
                 # engine-independent host calibration: min-of-5 wall of a
                 # fixed numpy kernel (1600x1600 float64 matmul). The shared
                 # VM's throughput drifts 1.3-2.5x between rounds on

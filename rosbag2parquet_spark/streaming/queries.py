@@ -379,15 +379,22 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(
         running_merge_upsert(events, _MERGE_CUTOFF_US), tbl, mode="update"
     )
-    # last emission per user = the max-last_t row: last_t is monotone
-    # across a user's emissions (post_t > any pre_t by the cutoff), and
-    # emissions at EQUAL last_t are identical rows (the argmax state is
-    # idempotent), so this pick is value-deterministic — no reliance on
-    # memory-sink row order
+    return _merge_finisher(spark.table(tbl))
+
+
+def _merge_finisher(emissions: DataFrame) -> DataFrame:
+    """Shared finishing query over merge-apply emissions: last emission
+    per user = the max-last_t row (last_t is monotone across a user's
+    emissions — post_t > any pre_t by the cutoff — and emissions at EQUAL
+    last_t are identical rows, the argmax state being idempotent), so the
+    pick is value-deterministic with no reliance on memory-sink row
+    order; tombstoned rows drop, matching the batch delete semantics."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     w = W.partitionBy("user_id").orderBy(F.col("last_t").desc())
     return (
-        spark.table(tbl)
-        .withColumn("rn", F.row_number().over(w))
+        emissions.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("deleted") == 0))
         .select("user_id", "value", "last_t", "src")
     )
@@ -397,6 +404,82 @@ def _merge_oracle() -> str:
     from rosbag2parquet_spark.operators.behavior import ORACLE_MERGE_UPSERT
 
     return ORACLE_MERGE_UPSERT
+
+
+def write_cdc_landing(spark: SparkSession, sf_dir: str):
+    """Materialize the CDC LANDING-DIRECTORY contract for the fixture:
+    a fresh directory holding one parquet file per change batch — file
+    000 is the pre-cutoff base snapshot (the initial CDC load), files
+    001..003 are the post-cutoff changes split into three time-ordered
+    drops. This is the file-landing ingest contract `stream-cdc-apply`
+    closes: in production a Debezium/DMS-style job drops each extracted
+    batch as a file and the streaming query picks it up; here the drops
+    are staged up front and maxFilesPerTrigger=1 replays them one
+    micro-batch each. Returns (landing_dir, spark_schema)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    shaped = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    pdf = (
+        shaped.toPandas()
+        .sort_values(["ts_us", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    landing = tempfile.mkdtemp(prefix="rosbag2parquet_spark_cdc_")
+    base = pdf[pdf.ts_us < _MERGE_CUTOFF_US]
+    changes = pdf[pdf.ts_us >= _MERGE_CUTOFF_US].reset_index(drop=True)
+    n = len(changes)
+    batches = [("000_base", base)] + [
+        (f"{i + 1:03d}_changes", changes.iloc[i * n // 3 : (i + 1) * n // 3])
+        for i in range(3)
+    ]
+    for name, part in batches:
+        papq.write_table(
+            pa.Table.from_pandas(
+                part.reset_index(drop=True), preserve_index=False
+            ),
+            os.path.join(landing, f"{name}.parquet"),
+        )
+    return landing, shaped.schema
+
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC file-landing ingest: `readStream` over a landing DIRECTORY of
+    change-batch parquet files feeding the existing last-writer-wins
+    merge apply (`running_merge_upsert`) — the contract that closes the
+    ingest loop `stream-merge-upsert` proves from a staged stream. Each
+    dropped file is one micro-batch (maxFilesPerTrigger=1); the per-key
+    state is two commutative argmaxes, so the merged table converges
+    under ANY batch split or arrival order — the convergence test drops
+    the change files AFTER a first run and resumes from the checkpoint
+    (tests/test_streaming.py). Batch `merge-upsert`'s oracle verbatim."""
+    from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
+    from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
+
+    landing, schema = write_cdc_landing(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    tbl = _fresh("stream_cdc")
+    run_to_memory(
+        running_merge_upsert(stream, _MERGE_CUTOFF_US), tbl, mode="update"
+    )
+    return _merge_finisher(spark.table(tbl))
 
 
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,6 +1182,7 @@ QUERIES = {
     "stream-dedup": q_stream_dedup,
     "stream-resample": q_stream_resample,
     "stream-merge-upsert": q_stream_merge_upsert,
+    "stream-cdc-apply": q_stream_cdc_apply,
     "stream-gap-detect": q_stream_gap_detect,
     "stream-heavy-hitters": q_stream_heavy_hitters,
     "stream-funnel": q_stream_funnel,
@@ -1156,6 +1240,7 @@ ORACLES = {
     "stream-dedup": _dedup_exact_oracle(),
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
+    "stream-cdc-apply": _merge_oracle(),
     "stream-gap-detect": _gap_oracle(),
     "stream-heavy-hitters": _hh_oracle(),
     "stream-funnel": _funnel_oracle(),

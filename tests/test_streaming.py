@@ -22,3 +22,80 @@ def test_streaming_tumbling_equals_batch(spark):
     assert streamed.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+@pytest.mark.slow
+def test_cdc_landing_incremental_drop_converges(spark):
+    """The CDC file-landing contract: run the merge apply over a landing
+    dir holding ONLY the base snapshot (checkpointed), then DROP the
+    change-batch files and RESUME from the same checkpoint — the union of
+    both runs' emissions must converge to exactly the batch
+    `merge-upsert` answer (the per-key state is commutative argmaxes, so
+    any batch split converges). This is the test the registered
+    `stream-cdc-apply` docstring promises."""
+    import os
+    import shutil
+    import tempfile
+
+    from rosbag2parquet_spark.operators.behavior import (
+        _MERGE_CUTOFF_US,
+        q_merge_upsert,
+    )
+    from rosbag2parquet_spark.streaming.queries import (
+        _merge_finisher,
+        write_cdc_landing,
+    )
+    from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
+
+    staged, schema = write_cdc_landing(spark, SF_DIR)
+    landing = tempfile.mkdtemp(prefix="cdc_test_landing_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_test_ckpt_")
+    emissions = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            running_merge_upsert(stream, _MERGE_CUTOFF_US)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _eid: emissions.append(df.toPandas())
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        files = sorted(os.listdir(staged))
+        assert files[0].startswith("000_base") and len(files) == 4
+        # drop 1: the base snapshot only
+        shutil.copy(os.path.join(staged, files[0]), landing)
+        drain()
+        n_base_emissions = sum(len(p) for p in emissions)
+        assert n_base_emissions > 0
+        # drop 2: the three change batches land later; RESUME from the
+        # checkpoint — only the new files process
+        for f in files[1:]:
+            shutil.copy(os.path.join(staged, f), landing)
+        drain()
+        assert sum(len(p) for p in emissions) > n_base_emissions
+        import pandas as pd
+
+        all_em = spark.createDataFrame(
+            pd.concat(emissions, ignore_index=True)
+        )
+        got = _merge_finisher(all_em)
+        batch = q_merge_upsert(spark, SF_DIR)
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
