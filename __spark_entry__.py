@@ -197,7 +197,7 @@ _QUERY_ORDER = [
     # end of round): the composed IVF×PQ serve stack + its recall row,
     # and the OPQ rotated-PQ rung + its recall row
     "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
-    "stream-cdc-apply",
+    "stream-cdc-apply", "alert-rules",
 ]
 
 

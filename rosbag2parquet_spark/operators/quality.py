@@ -164,7 +164,129 @@ class RowCountBetween:
         return f"rowcount:[{self.lo},{self.hi}]"
 
 
+@dataclass(frozen=True)
+class DriftBelow:
+    """ALERT-THRESHOLD rule over the categorical drift monitor: every
+    category of ``column`` must shift less than ``max_bps`` basis points
+    between the table's first and second time epoch (the `drift-detect`
+    computation as a gate verdict instead of a report — monitors and the
+    quality gate share ONE (rule, checked, violations, ok) surface, so a
+    pipeline wires alarms and constraints through the same API).
+    ``violations`` counts alarming CATEGORIES."""
+
+    column: str
+    ts_column: str
+    max_bps: int
+
+    @property
+    def name(self) -> str:
+        return f"drift:{self.column}<{self.max_bps}bps"
+
+
+@dataclass(frozen=True)
+class SlopeAtLeast:
+    """ALERT-THRESHOLD rule over the volume-trend monitor: every group of
+    ``column`` must have an hourly-count OLS slope ≥ ``min_slope`` (the
+    `volume-trend` computation as a gate verdict — the dying-producer
+    alarm). Groups with undefined slope (single observed hour) do not
+    violate; ``violations`` counts alarming GROUPS."""
+
+    column: str
+    ts_column: str
+    min_slope: float
+
+    @property
+    def name(self) -> str:
+        return f"slope:{self.column}>={self.min_slope}/h"
+
+
 _ROW_LOCAL = (Completeness, InRange, InSet, Positive)
+
+
+def _us_expr(df: DataFrame, col: str) -> F.Column:
+    """Microsecond LONG view of a time column: unix_micros for a real
+    TimestampType, a cast for an already-long micros column."""
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(df.schema[col].dataType, TimestampType):
+        return F.unix_micros(F.col(col))
+    return F.col(col).cast("long")
+
+
+def _drift_alarms(df: DataFrame, rule: "DriftBelow") -> DataFrame:
+    """1-row (count of categories over the drift threshold) — the
+    q_drift_detect plan shape verbatim: a 2-scalar epoch-bounds reduce
+    broadcast back, one partial-combined (category, epoch) groupBy, then
+    the |categories|-row threshold count."""
+    ev = df.select(
+        F.col(rule.column).alias("k"),
+        _us_expr(df, rule.ts_column).alias("t_us"),
+    )
+    bounds = ev.agg(F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi"))
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("epoch", (F.col("t_us") < F.expr(_MID_US)).cast("int"))
+        .groupBy("k")
+        .agg(
+            F.sum("epoch").cast("long").alias("n1"),
+            F.sum(F.lit(1) - F.col("epoch")).cast("long").alias("n2"),
+        )
+    )
+    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(F.expr(DRIFT_BPS_SQL).alias("bps"))
+        .agg(
+            F.sum(
+                F.when(F.col("bps") > rule.max_bps, 1).otherwise(0)
+            ).cast("long")
+        )
+    )
+
+
+def _slope_alarms(df: DataFrame, rule: "SlopeAtLeast") -> DataFrame:
+    """1-row (count of groups whose hourly OLS slope is below the floor) —
+    the q_volume_trend plan shape verbatim: one hour-grain groupBy, the
+    per-group regression over tiny rows, NULL slopes never alarm."""
+    ev = df.select(
+        F.col(rule.column).alias("k"),
+        _us_expr(df, rule.ts_column).alias("t_us"),
+    ).select(
+        "k",
+        F.expr("(t_us - pmod(t_us, 3600000000)) div 3600000000").alias("h"),
+    )
+    base = ev.agg(F.min("h").alias("h0"))
+    hourly = (
+        ev.crossJoin(F.broadcast(base))
+        .select("k", (F.col("h") - F.col("h0")).alias("x"))
+        .groupBy("k", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    slopes = (
+        hourly.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .select(
+            F.expr(
+                "CAST(n_hours * sxy - sx * sy AS DOUBLE)"
+                " / nullif(n_hours * sxx - sx * sx, 0)"
+            ).alias("slope")
+        )
+    )
+    return slopes.agg(
+        F.sum(
+            F.when(
+                F.col("slope").isNotNull()
+                & (F.col("slope") < rule.min_slope),
+                1,
+            ).otherwise(0)
+        ).cast("long")
+    )
 
 
 def _surplus(reduced: DataFrame) -> DataFrame:
@@ -195,6 +317,8 @@ def validate(
         key=lambda r: -len(r.columns),
     )
     fks = [r for r in rules if isinstance(r, ForeignKey)]
+    drifts = [r for r in rules if isinstance(r, DriftBelow)]
+    slopes = [r for r in rules if isinstance(r, SlopeAtLeast)]
 
     pieces, cols = [], []  # 1-row DataFrames to cross, (name, viol sql)
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
@@ -256,6 +380,17 @@ def validate(
         pieces.append(orphan)
         cols.append((fk.name, f"f{k}"))
 
+    # monitoring alert thresholds: each contributes one scalar piece
+    # (alarming categories/groups), same cross-join posture as the
+    # uniqueness/FK scalars — the gate and the monitors share one
+    # verdict surface
+    for d_i, dr in enumerate(drifts):
+        pieces.append(_drift_alarms(df, dr).toDF(f"md{d_i}"))
+        cols.append((dr.name, f"md{d_i}"))
+    for s_i, sl in enumerate(slopes):
+        pieces.append(_slope_alarms(df, sl).toDF(f"ms{s_i}"))
+        cols.append((sl.name, f"ms{s_i}"))
+
     wide = pieces[0]
     for p in pieces[1:]:
         wide = wide.crossJoin(p)
@@ -300,6 +435,16 @@ def rules_from_spec(
             rules.append(Unique(tuple(r["columns"])))
         elif t == "row_count":
             rules.append(RowCountBetween(r["lo"], r["hi"]))
+        elif t == "drift_below":
+            rules.append(
+                DriftBelow(r["column"], r["ts_column"], int(r["max_bps"]))
+            )
+        elif t == "slope_at_least":
+            rules.append(
+                SlopeAtLeast(
+                    r["column"], r["ts_column"], float(r["min_slope"])
+                )
+            )
         elif t == "foreign_key":
             label = r.get(
                 "label", f"{'+'.join(r['columns'])}->{r['parent']}"
@@ -714,12 +859,104 @@ FROM s ORDER BY event_type
 """
 
 
+#: alert thresholds for the registered `alert-rules` query — chosen so the
+#: fixture exercises BOTH verdict paths (sf0.01: max drift 91 bps so <200
+#: passes and <50 fails with 2 alarming types; purchase's slope
+#: -0.000411/h trips the -0.0001 floor)
+ALERT_DRIFT_LOOSE_BPS = 200
+ALERT_DRIFT_TIGHT_BPS = 50
+ALERT_MIN_SLOPE = -0.0001
+
+
+def q_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative MONITORING thresholds through the same rule API as the
+    quality gate (SURVEY §7.1 #5): `drift_bps < X` and `slope >= Y` are
+    rules beside completeness/range/unique — one `validate()` call plans
+    row-local folds AND monitor passes, and a pipeline reads one
+    (rule, checked, violations, ok) verdict surface for both. The rule
+    set deliberately includes a passing and a failing drift threshold
+    plus a tripped slope floor, so both verdict paths prove end-to-end.
+    CLI-expressible: the `validate` subcommand's JSON spec accepts
+    `drift_below` / `slope_at_least` rule types."""
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        Completeness("value"),
+        DriftBelow("event_type", "ts", ALERT_DRIFT_LOOSE_BPS),
+        DriftBelow("event_type", "ts", ALERT_DRIFT_TIGHT_BPS),
+        SlopeAtLeast("event_type", "ts", ALERT_MIN_SLOPE),
+    ]
+    return validate(ev, rules).orderBy("rule")
+
+
+ORACLE_ALERT_RULES = f"""
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS t_lo, epoch_us(max(ts)) AS t_hi FROM events
+), cells AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN epoch_us(e.ts) < (b.t_lo + b.t_hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN epoch_us(e.ts) < (b.t_lo + b.t_hi) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM events e CROSS JOIN b
+  GROUP BY event_type
+), tot AS (
+  SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells
+), bps AS (
+  SELECT {DRIFT_BPS_DUCK} AS bps FROM cells CROSS JOIN tot
+), hb AS (
+  SELECT min(epoch_us(ts) // 3600000000) AS h0 FROM events
+), hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 - hb.h0 AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events CROSS JOIN hb
+  GROUP BY 1, 2
+), sl AS (
+  SELECT CAST(n_hours * sxy - sx * sy AS DOUBLE)
+             / nullif(n_hours * sxx - sx * sx, 0) AS slope
+  FROM (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM hourly GROUP BY event_type
+  )
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS checked,
+         CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS v_comp
+  FROM events
+), verdicts AS (
+  SELECT 'completeness:value' AS rule, checked, v_comp AS violations FROM n
+  UNION ALL
+  SELECT 'drift:event_type<{ALERT_DRIFT_LOOSE_BPS}bps', n.checked,
+         (SELECT CAST(count(*) FILTER (WHERE bps > {ALERT_DRIFT_LOOSE_BPS})
+                 AS BIGINT) FROM bps)
+  FROM n
+  UNION ALL
+  SELECT 'drift:event_type<{ALERT_DRIFT_TIGHT_BPS}bps', n.checked,
+         (SELECT CAST(count(*) FILTER (WHERE bps > {ALERT_DRIFT_TIGHT_BPS})
+                 AS BIGINT) FROM bps)
+  FROM n
+  UNION ALL
+  SELECT 'slope:event_type>={ALERT_MIN_SLOPE}/h', n.checked,
+         (SELECT CAST(count(*) FILTER (WHERE slope IS NOT NULL
+                 AND slope < {ALERT_MIN_SLOPE}) AS BIGINT) FROM sl)
+  FROM n
+)
+SELECT rule, checked, violations, violations = 0 AS ok
+FROM verdicts ORDER BY rule
+"""
+
+
 QUERIES = {
     "validate-constraints": q_validate_constraints,
     "pseudonymize": q_pseudonymize,
     "drift-detect": q_drift_detect,
     "drift-numeric": q_drift_numeric,
     "volume-trend": q_volume_trend,
+    "alert-rules": q_alert_rules,
 }
 
 ORACLES = {
@@ -728,4 +965,5 @@ ORACLES = {
     "drift-detect": ORACLE_DRIFT_DETECT,
     "drift-numeric": ORACLE_DRIFT_NUMERIC,
     "volume-trend": ORACLE_VOLUME_TREND,
+    "alert-rules": ORACLE_ALERT_RULES,
 }

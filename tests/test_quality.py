@@ -247,3 +247,67 @@ def test_drift_bps_survives_wide_counts(spark, duck):
 
     exact = abs(n1 * t2 - n2 * t1) * 10000 // (t1 * t2)
     assert s == d == exact
+
+def test_monitoring_rules_through_api_and_spec(spark, tmp_path, capsys):
+    """DriftBelow / SlopeAtLeast are first-class rules: a synthetic table
+    whose category mix shifts and whose one group's volume decays must
+    trip exactly the configured thresholds, through BOTH the Python API
+    and the CLI's JSON spec (the monitors and the gate share one verdict
+    surface)."""
+    import json
+
+    from rosbag2parquet_spark.__main__ import main
+    from rosbag2parquet_spark.operators.quality import (
+        DriftBelow,
+        SlopeAtLeast,
+        validate,
+    )
+
+    # epoch 1 (hours 0..4): a=50/hour, b=10/hour; epoch 2 (hours 5..9):
+    # a decays 50->10 linearly, b stays 10 -> a's mix share collapses
+    # (big drift) and a's slope is clearly negative
+    rows = []
+    h_us = 3_600_000_000
+    for h in range(10):
+        n_a = 50 if h < 5 else 50 - 10 * (h - 4)
+        for i in range(n_a):
+            rows.append(("a", h * h_us + i))
+        for i in range(10):
+            rows.append(("b", h * h_us + 500_000 + i))
+    df = spark.createDataFrame(rows, "cat string, t_us long")
+    out = {
+        r["rule"]: (r["violations"], r["ok"])
+        for r in validate(
+            df,
+            [
+                DriftBelow("cat", "t_us", 5000),
+                DriftBelow("cat", "t_us", 500),
+                SlopeAtLeast("cat", "t_us", -1.0),
+            ],
+        ).collect()
+    }
+    assert out["drift:cat<5000bps"] == (0, True)
+    # the mix shift is well above 500 bps and symmetric: both categories'
+    # shares move, so both alarm
+    assert out["drift:cat<500bps"][1] is False
+    # a decays ~ -5.3/hour over the full span; b is flat
+    assert out["slope:cat>=-1.0/h"] == (1, False)
+
+    # the same thresholds through the CLI's self-contained JSON spec
+    tbl = str(tmp_path / "monitored")
+    df.write.parquet(tbl)
+    spec = {
+        "rules": [
+            {"type": "drift_below", "column": "cat", "ts_column": "t_us",
+             "max_bps": 5000},
+            {"type": "slope_at_least", "column": "cat",
+             "ts_column": "t_us", "min_slope": -1.0},
+        ]
+    }
+    rf = tmp_path / "monitor.json"
+    rf.write_text(json.dumps(spec))
+    rc = main(["validate", "--table", tbl, "--rules", str(rf)])
+    outtext = capsys.readouterr().out
+    assert rc == 1
+    assert "ok   drift:cat<5000bps" in outtext
+    assert "FAIL slope:cat>=-1.0/h" in outtext

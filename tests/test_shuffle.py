@@ -86,6 +86,9 @@ def test_no_unexpected_single_partition_exchange(spark):
         # as one more 2-scalar reduce broadcast into the bucket expr
         "volume-trend",  # the min-hour rebase is one 1-scalar reduce
         # broadcast back; the regression re-aggregates hour-grain rows
+        "alert-rules",  # same posture as validate-constraints: monitor
+        # thresholds reduce to per-rule scalars (drift cells / slope rows
+        # partial-combine map-side), stacked into the verdict surface
         "validate-constraints",  # rule verdicts ARE global scalars: the
         # row-local rules fold into one map-side-partial aggregate, the
         # uniqueness/FK passes reduce key tables; ~8 scalars cross total
