@@ -102,6 +102,41 @@ def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: boo
     return existing
 
 
+#: Messages columns added AFTER the reference's 5-column layout, in the
+#: order they were introduced (r8: the TODO-#6 header-stamp pair; r9: the
+#: TODO-#7 derived timestamp). They are always TRAILING, so any older
+#: layout's Messages schema is a column-prefix of a newer batch's.
+_MESSAGES_OPTIONAL = ("header_stamp_sec", "header_stamp_nsec", "time")
+
+
+def _pad_append_messages(
+    spark: SparkSession, msg_path: str, messages: DataFrame
+) -> DataFrame:
+    """Append path for Messages across SCHEMA VINTAGES: a layout converted
+    before the header-stamp pair (r8) or the derived ``time`` column (r9)
+    must stay appendable — when the only difference is that the incoming
+    batch carries trailing optional columns the on-disk files lack, the
+    batch PROJECTS DOWN to the on-disk column set (never the reverse:
+    old files are immutable, and NULL-padding them on read would claim
+    the old batches recorded stamps they didn't). Any other difference
+    still refuses via the fingerprint guard."""
+    if not os.path.isdir(msg_path):
+        return messages
+    existing = spark.read.parquet(msg_path).schema
+    have = [f.name for f in existing.fields]
+    extra = [c for c in messages.columns if c not in have]
+    if (
+        extra
+        and set(extra) <= set(_MESSAGES_OPTIONAL)
+        and set(have) <= set(messages.columns)
+    ):
+        projected = messages.select(*have)
+        if schema_fingerprint(projected.schema) == schema_fingerprint(existing):
+            return projected
+    assert_append_compatible(spark, msg_path, messages.schema)
+    return messages
+
+
 def read_layout_table(spark: SparkSession, layout_dir: str, table: str) -> DataFrame:
     """Read a converted-layout table with schema merging ON — required for
     layouts built with ``evolve=True`` appends, where files carry different
@@ -280,6 +315,12 @@ def convert(
         # (reference TODO #6: "adding nulls for msgs without header stamp")
         F.lit(None).cast("int").alias("header_stamp_sec"),
         F.lit(None).cast("int").alias("header_stamp_nsec"),
+        # reference TODO #7 ("want native timestamps"): the derived
+        # TimestampType view of the same instant, MICROSECOND precision
+        # (parquet TIMESTAMP(MICROS); the sec/nsec pair remains the
+        # bit-exact ns-precision record) — trailing so older layouts stay
+        # a column-prefix (see _pad_append_messages)
+        F.col(time_col).alias("time"),
     )
     # per-connection batch stats (reference TODO #2/#2.1) — same shape as
     # the bag converters' Stats table
@@ -296,7 +337,7 @@ def convert(
         "compression": compression,
     }
     if mode == "append":
-        assert_append_compatible(spark, msg_path, messages.schema)
+        messages = _pad_append_messages(spark, msg_path, messages)
         assert_append_compatible(spark, conn_path, connections.schema)
         assert_append_compatible(spark, stats_path, stats.schema)
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
@@ -1184,6 +1225,15 @@ def _write_bag_tables(
         F.col("conn_id").alias("connection_id"),
         F.expr(hs_sec).alias("header_stamp_sec"),
         F.expr(hs_nsec).alias("header_stamp_nsec"),
+        # reference TODO #7 ("want native timestamps"): derived
+        # TimestampType at MICROSECOND precision (floor of time_ns/1000 —
+        # explicit floor semantics so pre-1970 stamps round down like
+        # every bucket derivation here); the sec/nsec pair remains the
+        # bit-exact ns record. Trailing column — older layouts stay a
+        # prefix (see _pad_append_messages)
+        F.timestamp_micros(
+            F.expr("(time_ns - pmod(time_ns, 1000)) div 1000")
+        ).alias("time"),
     )
     # per-connection batch statistics (reference TODO #2/#2.1: the
     # `rosbag info` aggregates persisted beside the layout): shares the
@@ -1350,7 +1400,9 @@ def _write_bag_tables(
         pertype_writes.append((table, table_path, pertype))
 
     if mode == "append":
-        assert_append_compatible(messages.sparkSession, msg_path, messages.schema)
+        messages = _pad_append_messages(
+            messages.sparkSession, msg_path, messages
+        )
         assert_append_compatible(messages.sparkSession, stats_path, stats.schema)
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
     (conns_write_df if conns_write_df is not None else conns_df).write.options(

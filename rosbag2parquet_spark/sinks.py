@@ -31,10 +31,12 @@ conns AS (
 
 
 #: bump whenever the converter's OUTPUT SCHEMA changes (r8: Messages
-#: gained the header-stamp pair, layouts gained Stats) — the /tmp scratch
-#: below persists ACROSS processes, and a stale pre-change layout under
-#: the old key would feed the driver's sink gate a wrong schema
-LAYOUT_CACHE_VERSION = 2
+#: gained the header-stamp pair, layouts gained Stats; r9: Messages
+#: gained the derived TimestampType `time` column, reference TODO #7) —
+#: the /tmp scratch below persists ACROSS processes, and a stale
+#: pre-change layout under the old key would feed the driver's sink gate
+#: a wrong schema
+LAYOUT_CACHE_VERSION = 3
 
 
 def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -116,7 +118,8 @@ SELECT seqno,
        CAST((epoch_us(ts) % 1000000) * 1000 AS INTEGER) AS time_nsec,
        value AS size, connection_id,
        CAST(NULL AS INTEGER) AS header_stamp_sec,
-       CAST(NULL AS INTEGER) AS header_stamp_nsec
+       CAST(NULL AS INTEGER) AS header_stamp_nsec,
+       ts AS time
 FROM seq JOIN conns USING (user_id, event_type)
 """
 )

@@ -38,7 +38,7 @@ def test_tables_exist_with_schema(converted, spark):
     # the reference's exact Messages layout (README.md:26-32)
     assert messages.columns == [
         "seqno", "time_sec", "time_nsec", "size", "connection_id",
-        "header_stamp_sec", "header_stamp_nsec",
+        "header_stamp_sec", "header_stamp_nsec", "time",
     ]
     assert set(connections.columns) == {
         "connection_id", "topic", "datatype", "md5sum", "msg_def", "callerid",
@@ -298,3 +298,39 @@ def test_decode_permissive_cdr(spark, tmp_path):
     assert len(out) == 5
     assert sum(1 for r in out if r._decode_error is not None) == 1
     assert [r.s for r in out if r._decode_error is None] == ["ok"] * 4
+
+
+def test_append_pads_to_older_messages_vintage(spark, tmp_path):
+    """Appending into a layout converted BEFORE the trailing optional
+    Messages columns existed (r8 header-stamp pair, r9 derived `time`)
+    must succeed by projecting the incoming batch DOWN to the on-disk
+    column set (the advisor-flagged migration path) — old files are
+    immutable, so the layout keeps the older vintage's schema. A
+    non-vintage difference still refuses."""
+    from rosbag2parquet_spark.convert import _MESSAGES_OPTIONAL
+    from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
+
+    out = str(tmp_path / "vintage")
+    events = load_table(spark, SF_DIR, "events").limit(50)
+    convert(
+        spark, events, out,
+        order_cols=["ts", "event_id"], payload_schema=PROPS_SCHEMA,
+    )
+    msg_path = os.path.join(out, "Messages")
+    # rewrite the layout's Messages as the PRE-r8 5-column vintage
+    old = spark.read.parquet(msg_path).drop(*_MESSAGES_OPTIONAL)
+    old_pdf = old.toPandas()
+    import shutil
+
+    shutil.rmtree(msg_path)
+    spark.createDataFrame(old_pdf, old.schema).write.parquet(msg_path)
+
+    convert(
+        spark, events, out, order_cols=["ts", "event_id"],
+        payload_schema=PROPS_SCHEMA, mode="append",
+    )
+    appended = spark.read.parquet(msg_path)
+    assert appended.columns == [
+        "seqno", "time_sec", "time_nsec", "size", "connection_id",
+    ]
+    assert appended.count() == 100

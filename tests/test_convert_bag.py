@@ -311,7 +311,7 @@ def test_header_stamp_in_messages_table(spark, two_type_bag, tmp_path):
     out = str(tmp_path / "out_hs")
     convert_bag(spark, two_type_bag, out)
     msgs = spark.read.parquet(os.path.join(out, "Messages"))
-    assert msgs.columns[-2:] == ["header_stamp_sec", "header_stamp_nsec"]
+    assert msgs.columns[-3:] == ["header_stamp_sec", "header_stamp_nsec", "time"]
     rows = {r.seqno: r for r in msgs.collect()}
     # seqno 0, 2 are Imu (Header-led); 1, 3, 4 are Gps (no Header)
     for sq in (0, 2):
@@ -440,3 +440,23 @@ def test_header_stamp_jvm_decode_agrees_with_python_decoder(spark, tmp_path):
     # spot-check the signed reinterpretation explicitly
     assert got[3][0] == -(2**31)
     assert got[4][0] == -1
+
+
+def test_derived_time_column_matches_ns_pair(spark, two_type_bag, tmp_path):
+    """Reference TODO #7 (rosbag2parquet.cpp:31-32, "want native
+    timestamps"): Messages carries a derived TimestampType `time` beside
+    the bit-exact sec/nsec pair — microsecond precision (the documented
+    ns→µs loss), floor semantics so a pre-1970 instant rounds DOWN like
+    every bucket derivation in the engine."""
+    import datetime
+
+    out = str(tmp_path / "out_time")
+    convert_bag(spark, two_type_bag, out)
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    assert dict(msgs.dtypes)["time"] == "timestamp"
+    for r in msgs.collect():
+        ns = r.time_sec * 1_000_000_000 + r.time_nsec
+        want = datetime.datetime.fromtimestamp(
+            (ns - (ns % 1000)) // 1000 / 1e6, tz=datetime.timezone.utc
+        )
+        assert r.time.replace(tzinfo=datetime.timezone.utc) == want
