@@ -1139,10 +1139,21 @@ def _header_stamp_exprs(
             f" THEN 4294967296 ELSE 0 END AS INT)"
         )
 
+    # CDR payloads declare their endianness in the encapsulation header
+    # (bytes 0-1: 0x0001 = little-endian CDR). The typed decoders gate on
+    # it per message; Messages is written BEFORE the per-type decode runs,
+    # so without this guard a big-endian payload would land garbage stamps
+    # here before the typed pass fails loudly — non-LE payloads yield NULL
+    # stamps instead (advisor r8).
+    le_guard = (
+        " AND substring(data, 1, 2) = X'0001'"
+        if serialization == "cdr"
+        else ""
+    )
     sec, nsec = "CASE", "CASE"
     for o, cids in sorted(by_off.items()):
         ids = ",".join(str(i) for i in sorted(cids))
-        guard = f"conn_id IN ({ids}) AND length(data) >= {o + 8}"
+        guard = f"conn_id IN ({ids}) AND length(data) >= {o + 8}{le_guard}"
         sec += f" WHEN {guard} THEN {_as_i32(_le32_sql(o))}"
         nsec += f" WHEN {guard} THEN {_as_i32(_le32_sql(o + 4))}"
     return sec + " ELSE CAST(NULL AS INT) END", nsec + " ELSE CAST(NULL AS INT) END"

@@ -19,6 +19,11 @@ Lifecycle contract (documented, test-pinned):
   refuses with a clear error instead of silently returning wrong rows.
   A format with tombstones keeps those reads alive; a manifest-less
   layout cannot, and saying so loudly is the correct behavior.
+- RELOCATION: moving or copying a layout WITHOUT preserving mtimes
+  (cp/rsync without -a, restore from a backup that stamps new times)
+  also invalidates its snapshots — the mtime check cannot distinguish a
+  byte-identical relocation from a same-size rewrite, and refusing is
+  the safe side. Preserve mtimes when relocating, or re-snapshot after.
 
 Scale posture: ``snapshot_create`` is a driver-side metadata walk (the
 LIST an object store pays for any read planning) writing one small JSON
@@ -149,18 +154,23 @@ def read_snapshot(
                 e.get("mtime_ns") is not None
                 and st.st_mtime_ns != e["mtime_ns"]
             ):
-                # equal size but touched since the manifest: the same-size
-                # rewrite case size-only verification silently passes
-                stale.append(f"rewritten {e['path']} (same size, new mtime)")
+                # equal size but touched since the manifest: catches the
+                # same-size in-place rewrite that size-only verification
+                # silently passes. Deliberately also fires on byte-identical
+                # relocations (cp/rsync without -a, restore from backup) —
+                # "touched" is the honest claim; a moved/copied layout
+                # invalidates snapshots unless mtimes were preserved
+                stale.append(f"touched {e['path']} (same size, new mtime)")
         paths.append(p)
     if stale:
         raise ValueError(
-            f"{layout}: snapshot v{version} invalidated by in-place "
-            f"mutation — {'; '.join(stale[:5])}"
+            f"{layout}: snapshot v{version} invalidated — "
+            f"{'; '.join(stale[:5])}"
             + (f" (+{len(stale) - 5} more)" if len(stale) > 5 else "")
             + ". In-place ops (delete/compact) rewrite files and void "
-            "older snapshots on a manifest-less layout; re-snapshot "
-            "after mutating."
+            "older snapshots; moving/copying a layout without preserving "
+            "mtimes (cp/rsync without -a) also invalidates them. "
+            "Re-snapshot after mutating or relocating."
         )
     if not paths:
         raise ValueError(f"{layout}: snapshot v{version} records no files")

@@ -883,3 +883,42 @@ def test_header_stamp_in_messages_cdr(spark, db3_bag, tmp_path):
         else:  # imu: no leading Header
             assert m.header_stamp_sec is None
             assert m.header_stamp_nsec is None
+
+def test_header_stamp_big_endian_cdr_yields_null(spark):
+    """The Messages header-stamp prefix decode assumes little-endian CDR;
+    a payload whose encapsulation declares big-endian (bytes 0-1 !=
+    0x0001) must yield NULL stamps rather than byte-swapped garbage —
+    Messages is written BEFORE the per-type decode runs (which refuses BE
+    loudly), so this guard is the only thing standing between a BE
+    payload and garbage in the global table (advisor r8). Exercised
+    directly on the CASE expression the converter builds."""
+    import struct
+    from collections import namedtuple
+
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.convert import _header_stamp_exprs
+
+    Conn = namedtuple("Conn", "connection_id datatype msg_def")
+    msg_def = (
+        "std_msgs/Header header\nfloat64 x\n"
+        + "=" * 80
+        + "\nMSG: std_msgs/Header\nbuiltin_interfaces/Time stamp\n"
+        "string frame_id\n"
+        + "=" * 80
+        + "\nMSG: builtin_interfaces/Time\nint32 sec\nuint32 nanosec\n"
+    )
+    conns = [Conn(0, "pkg/HdrLed", msg_def)]
+    sec_sql, nsec_sql = _header_stamp_exprs(conns, "cdr")
+    # stamp at byte 4 (post-encapsulation, Time leads the Header)
+    body = struct.pack("<iI", 123, 456) + b"\x00" * 16
+    le = b"\x00\x01\x00\x00" + body
+    be = b"\x00\x00\x00\x00" + body
+    df = spark.createDataFrame(
+        [(0, bytearray(le)), (0, bytearray(be))], "conn_id int, data binary"
+    )
+    rows = df.select(
+        F.expr(sec_sql).alias("s"), F.expr(nsec_sql).alias("n")
+    ).collect()
+    assert (rows[0].s, rows[0].n) == (123, 456)  # LE decodes
+    assert (rows[1].s, rows[1].n) == (None, None)  # BE guards to NULL

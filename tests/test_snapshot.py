@@ -128,7 +128,7 @@ def test_delete_where_invalidates_snapshot(spark, tmp_path):
 
     delete_where(spark, lay, F.col("bucket") == 3)
 
-    with pytest.raises(ValueError, match="invalidated by in-place"):
+    with pytest.raises(ValueError, match="invalidated"):
         read_snapshot(spark, lay, v1)
     v2 = snapshot_create(lay)
     got = read_snapshot(spark, lay, v2)
