@@ -307,15 +307,78 @@ def _coded(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def _norm_codes_vectorized(books: list[list[list[float]]], rotated: bool):
+    """ONE Arrow pass for the serve path: raw embedding → unit-normalize
+    (the `_normalized` sequential fold replicated bit-exactly in numpy —
+    the `_normalize_and_sign_vectorized` precedent) → optionally the
+    quantized OPQ rotation → all PQ_M codes. Without fusion the rotated
+    path chains a Catalyst HOF normalize + a rotate UDF + a codes UDF,
+    each re-evaluated per action (measured: knn-opq 6.2 s at sf0.1 vs
+    knn-pq's 1.7 s); fused it is one ArrowEvalPython stage. Returns
+    struct<en, cs> where ``en`` is the representation the codes live in
+    (rotated when ``rotated``)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.array(b, dtype=np.float64) for b in books]
+    R = (
+        np.array(opq_rotation(), dtype=np.float64) if rotated else None
+    )
+
+    def f(emb):
+        E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros(E.shape[0], dtype=np.float64)
+        for i in range(E.shape[1]):  # sequential fold, vectorized over rows
+            acc = acc + E[:, i] * E[:, i]
+        X = E / np.sqrt(acc)[:, None]
+        if R is not None:
+            ints = (
+                np.floor(X[:, None, :] * R[None, :, :] * 1e12)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            X = ints.astype(np.float64) / 1e12
+        codes = []
+        for m in range(PQ_M):
+            D = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            diff = D[:, None, :] - cents[m][None, :, :]
+            terms = np.floor(diff * diff * 1e12).astype(np.int64)
+            codes.append(np.argmin(terms.sum(axis=2), axis=1))
+        cs = np.stack(codes, axis=1).astype(np.int32)
+        return pd.DataFrame({"en": list(X), "cs": cs.tolist()})
+
+    f.__annotations__ = {"emb": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(f, "struct<en:array<double>,cs:array<int>>")
+
+
 def _with_codes(
     spark: SparkSession, sf_dir: str, rotated: bool = False
 ) -> DataFrame:
-    """(vec_id, label, en, c0..c{M-1}) — the map-only quantize pass: all
-    PQ_M argmins evaluate in one Arrow batch against the in-closure
-    codebooks; the corpus never shuffles. With ``rotated``, ``en`` is the
-    quantized OPQ rotation and codes come from the rotated-space books."""
+    """(vec_id, label, en, c0..c{M-1}) — the map-only quantize pass, ONE
+    fused Arrow stage from the raw embedding (normalize [+ rotate] +
+    all PQ_M argmins against the in-closure codebooks); the corpus never
+    shuffles. With ``rotated``, ``en`` is the quantized OPQ rotation and
+    codes come from the rotated-space books. Fused/unfused parity is
+    test-pinned (the training path builds the same representation via
+    `_pq_frame` + `_coded`)."""
+    from rosbag2parquet_spark.functions.similarity import _as_double
+
     books = pq_fit_cached(spark, sf_dir, rotated)
-    return _coded(_pq_frame(spark, sf_dir, rotated), books)
+    raw = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("__e")
+    )
+    st = raw.withColumn(
+        "__s", _norm_codes_vectorized(books, rotated)(F.col("__e"))
+    )
+    return st.select(
+        "vec_id",
+        "label",
+        F.col("__s").getField("en").alias("en"),
+        *[
+            F.col("__s").getField("cs").getItem(m).alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    )
 
 
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

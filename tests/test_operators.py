@@ -229,6 +229,35 @@ def test_knn_ivf_pq_composed_stack(spark):
     assert plan.count("LeftSemi") >= 2  # IVF membership + shortlist re-read
 
 
+def test_fused_serve_path_equals_training_path(spark):
+    """The serve path's fused Arrow stage (normalize [+ rotate] + codes in
+    one pass, `_norm_codes_vectorized`) must be BIT-IDENTICAL to the
+    training path's staged construction (`_pq_frame` + `_coded`) — for
+    both the plain and the rotated representation, representation vector
+    AND codes."""
+    from rosbag2parquet_spark.functions import pq as pqmod
+
+    for rotated in (False, True):
+        staged = {
+            r["vec_id"]: (
+                list(r["en"]),
+                [r[f"c{m}"] for m in range(pqmod.PQ_M)],
+            )
+            for r in pqmod._coded(
+                pqmod._pq_frame(spark, SF_DIR, rotated),
+                pqmod.pq_fit_cached(spark, SF_DIR, rotated),
+            ).collect()
+        }
+        fused = {
+            r["vec_id"]: (
+                list(r["en"]),
+                [r[f"c{m}"] for m in range(pqmod.PQ_M)],
+            )
+            for r in pqmod._with_codes(spark, SF_DIR, rotated).collect()
+        }
+        assert fused == staged, f"rotated={rotated}"
+
+
 def test_opq_rotation_orthogonal_and_recall_gain(spark):
     """X3 OPQ rung: the seeded Householder product must be orthogonal
     (RRᵀ = I — it is a rotation, not an arbitrary mix), and the rotated-PQ
