@@ -100,65 +100,27 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-8 ROTATION (executing the r7 note verbatim): the THIRTY-FOUR
-# r4-latest rows lead ("stream-neardup" .. "histogram" — after r7 these
-# were the only rows older than r5), then the 7 changed queries
-# (embed-quantize fixed from the r7 red; the drift trio and two samplers
-# hardened per ADVICE), then the new + refactored similarity queries.
-# Registry growth this round is deliberately throttled so the window
-# covers stale + changed + new EXACTLY: 34 stale + 7 changed + 6 new +
-# sink (late-changed: Messages gained the header-stamp pair) +
-# 2 refactored = 50/50.
-# ROUND-9 NOTE: after the r8 driver run the freshness histogram should be
-# r5: ~40 (the "stream-sink".. block tail the r8 window could not reach),
-# r6: ~47, r7/r8: the rest. For r9: lead with the r5-proven block
-# ("stream-sink" onward, in this list's order), then new/changed; r6-,
-# r7- and r8-proven rotate to the back. At ~186 queries a full rotation
-# is 3.7 rounds — keep new-query growth <= 10/round or the oldest-row age
-# exceeds 4 rounds by arithmetic.
+# ROUND-9 ROTATION (executing the r8 note + the r8 verdict's sequencing
+# verbatim): the 48 r5-proven rows LEAD — after r8 they are the only rows
+# older than r6, and re-proving them first is what keeps "zero driver
+# rows older than r6" true at 193 queries / 50-row window. The window is
+# 48 + 2: slots 49-50 take the two highest-impact CHANGED queries
+# (kmeans — the integer-argmin root, its row is also the oldest changed
+# at r6 — and semdedup, its immediate dependent). The REMAINING 7 changed
+# (all argmin dependents + sink, which gained the TODO-#7 `time` column)
+# and the 6 new queries fall just outside the window: their correctness
+# this round is proven by the local full-registry sweep (SURVEY §8), and
+# they lead the r10 window by this ordering. Window arithmetic is the
+# honest trade: 9 changed + 6 new cannot fit after 48 stale rows, and
+# stale-first is what the r8 verdict sequenced.
+# ROUND-10 NOTE: lead with the 7 changed ("stream-semdedup" .. "pq-recall")
+# and 6 new ("knn-ivf-pq" .. "alert-rules") rows below, then the r6-proven
+# block; keep new-query growth <= 10/round — at 193 queries a full
+# rotation of the 50-row window is 3.9 rounds.
 _QUERY_ORDER = [
-    # --- r8 window ---------------------------------------------------------
-    # THE 34 r4-LATEST ROWS FIRST (executing the round-8 note verbatim:
-    # these are the oldest driver rows — 16 TPC-H shapes, the join/set-op
-    # tier, knn-recall, the r4 streaming twins — all code-unchanged and
-    # locally green, re-proven before anything else)
-    "stream-neardup", "stream-profile", "sql-q8", "sql-q21", "knn-recall",
-    "asof-tolerance", "scrub-terms", "interval-join", "sql-q4", "sql-q7",
-    "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
-    "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
-    "dedup-clusters", "like-filter", "anti-join", "range-join", "intersect",
-    "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
-    "pivot", "unpivot", "histogram",
-    # CHANGED round 8 — must re-prove: embed-quantize emits the codes as a
-    # comma-joined string (the r7 driver-red: a raw ARRAY cell is
-    # unhashable under the driver's canonicalizer); the drift trio + the
-    # two data-derived samplers widened to DECIMAL(38,0)/HUGEINT overflow-
-    # safe arithmetic, floor-division midpoints/hour-buckets, and the
-    # drift-numeric zero-range guard (advisor items)
-    "embed-quantize", "stratified-sample", "temperature-sample",
-    "drift-detect", "stream-drift", "drift-numeric", "volume-trend",
-    # NEW round 8: the composed production ANN serve shape (IVF cell
-    # pruning x int8 code scan — `knn-ivf` bounds SEARCH, `embed-quantize`
-    # bounds STORAGE; this is the index both docstrings gesture at), and
-    # the live twins completing the monitoring trio's streaming coverage
-    # (frozen-reference numeric histogram, <=10-row state; per-type-hour
-    # volume counts, state bounded by time span not stream length)
-    # and the product-quantization rung (M=8 x K=16 codebooks from the
-    # deterministic trainer; ADC search from PQ codes — ~64x at one byte
-    # per code, ~128x nibble-packed)
-    "knn-ivf-quantized", "stream-numeric-drift", "stream-volume-trend",
-    "pq-quantize", "knn-pq", "pq-recall",
-    # CHANGED round 8 (late): every converter's Messages table gains the
-    # nullable header-stamp pair (reference TODO #6) — the sink
-    # round-trip re-proves the new shape; the Stats table + fail-fast
-    # path validation landed in the same change
-    "sink",
-    # refactored round 8 (shared _ivf_probe_cells/_quantized_codes helpers
-    # — same expressions, same plans; re-proven out of caution)
-    "knn-quantized", "knn-ivf",
-    # --- window ends ~here (50); r5-proven head re-proves in any slack ----
-    # proven green by the r5 driver run — the oldest remaining rows lead
-    # the post-window order, then the r6- and r7-proven blocks rotate back
+    # --- r9 window ---------------------------------------------------------
+    # THE 48 r5-PROVEN ROWS FIRST (the oldest driver rows; code-unchanged
+    # and locally green — re-proven before anything else)
     "stream-sink", "approx-stats", "compact-latest", "funnel",
     "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
     "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
@@ -168,36 +130,58 @@ _QUERY_ORDER = [
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
     "derived", "rollup", "dim-join", "semi-join", "first-seen", "sql",
-    "window-funcs", "window-tumbling", "stream-neardup-parity", "hll-sketch",
-    "scd2-intervals", "stream-scd2", "bloom-join", "cluster-write",
-    "zorder-write", "embed-neardup", "embed-recall", "asof", "cube",
-    "grouping-sets", "kmeans", "lag-lead", "multimodal-features",
-    "multimodal-pointers", "window-sliding", "zscore", "demux",
-    "token-count", "lang-id", "quality-score", "fingerprint", "dedup-exact",
-    "dedup-minhash-lsh", "dedup-ngram-jaccard", "dedup-simhash", "knn",
-    "knn-batch", "stats-corr", "string-agg", "explode-sequence",
-    "distinct-count", "quantiles", "sessionize", "text-stats",
-    "null-semantics", "sql-q12", "sample-hash", "split-train-test",
-    "mix-weighted", "cap-per-group", "pack-sequences", "shuffle-global",
-    "contamination", "corpus-filter", "stream-tumbling",
-    # proven green by the r7 driver run (49/50; rotate to the back)
+    "window-funcs", "window-tumbling",
+    # CHANGED round 9, slots 49-50: the integer-quantized argmin replaced
+    # the DECIMAL(28,12) fold in every kmeans/IVF/PQ assign pass (oracles
+    # rewritten in lockstep)
+    "kmeans", "semdedup",
+    # --- window ends here (50) ---------------------------------------------
+    # CHANGED round 9, outside the window (re-prove first in r10): the
+    # remaining argmin dependents; sink's Messages gained the derived
+    # TimestampType column (reference TODO #7)
+    "stream-semdedup", "sink", "knn-ivf", "knn-ivf-quantized", "pq-quantize",
+    "knn-pq", "pq-recall",
+    # NEW round 9: the composed IVF x PQ x exact-re-rank serve stack +
+    # its recall row; the OPQ rotated-PQ rung + its recall row; the CDC
+    # file-landing ingest twin; monitoring alert thresholds in the
+    # quality rule API
+    "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
+    "stream-cdc-apply", "alert-rules",
+    # r6-proven block (oldest after the window re-proves), then r7, r8
+    "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
+    "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
+    "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
+    "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
+    "demux", "token-count", "lang-id", "quality-score", "fingerprint",
+    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
+    "dedup-simhash", "knn", "knn-batch", "stats-corr", "string-agg",
+    "explode-sequence", "distinct-count", "quantiles", "sessionize",
+    "text-stats", "null-semantics", "sql-q12", "sample-hash",
+    "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
+    "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
+    # r7-proven
     "table-diff", "substring-dedup", "skew-profile", "incr-rollup",
     "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
     "validate-constraints", "stream-validate", "snapshot-read",
     "dedup-editdist", "pseudonymize", "schema-evolution", "scrub-dup-spans",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
-    "stream-analyze", "semdedup", "stream-asof", "stream-semdedup",
-    "export-roundtrip", "stream-knn", "lm-surprise", "ewma", "stream-ewma",
-    "scd2-asof", "compact-files", "stream-resample", "merge-upsert",
-    "compact-partitioned", "stream-merge-upsert", "gap-detect",
-    "stream-gap-detect", "heavy-hitters", "stream-heavy-hitters",
-    "asof-nearest", "resample-interpolate", "stream-sliding",
-    "stream-sessionize",
-    # NEW round 9 (placed provisionally; final window ordering is set at
-    # end of round): the composed IVF×PQ serve stack + its recall row,
-    # and the OPQ rotated-PQ rung + its recall row
-    "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
-    "stream-cdc-apply", "alert-rules",
+    "stream-analyze", "stream-asof", "export-roundtrip", "stream-knn",
+    "lm-surprise", "ewma", "stream-ewma", "scd2-asof", "compact-files",
+    "stream-resample", "merge-upsert", "compact-partitioned",
+    "stream-merge-upsert", "gap-detect", "stream-gap-detect",
+    "heavy-hitters", "stream-heavy-hitters", "asof-nearest",
+    "resample-interpolate", "stream-sliding", "stream-sessionize",
+    # r8-proven (freshest — rotate to the back)
+    "stream-neardup", "stream-profile", "sql-q8", "sql-q21", "knn-recall",
+    "asof-tolerance", "scrub-terms", "interval-join", "sql-q4", "sql-q7",
+    "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
+    "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
+    "dedup-clusters", "like-filter", "anti-join", "range-join", "intersect",
+    "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
+    "pivot", "unpivot", "histogram", "embed-quantize", "stratified-sample",
+    "temperature-sample", "drift-detect", "stream-drift", "drift-numeric",
+    "volume-trend", "stream-numeric-drift", "stream-volume-trend",
+    "knn-quantized",
 ]
 
 

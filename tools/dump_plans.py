@@ -254,6 +254,13 @@ def main() -> None:
         # pair (map-only code assignment against literal codebooks; ADC
         # shortlist TakeOrdered + broadcast-semi-join exact re-rank)
         "knn-ivf-quantized", "pq-quantize", "knn-pq",
+        # round-9: the FULL IVFADC stack (cell-membership semi-join
+        # restricts the ADC code scan, then shortlist semi-join restricts
+        # the float re-read), the OPQ rotated-PQ search (one extra Arrow
+        # map step fused into the quantize pass), and the monitor
+        # thresholds through the gate (scalar pieces cross-joined into
+        # the stacked verdict surface — by design)
+        "knn-ivf-pq", "knn-opq", "alert-rules",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
