@@ -536,6 +536,39 @@ def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIBBLE-PACKED PQ codes — the storage rung that makes the ~128x
+    claim real: K=16 codewords fit 4 bits, so the PQ_M=8 codes pack into
+    FOUR bytes per vector (byte i = c_{2i}·16 + c_{2i+1}; 512 B of floats
+    → 4 B). Map-only over the quantize pass — packing is arithmetic on
+    the codes, no extra pass, no shuffle. The compared output surfaces
+    the packed byte VALUES as ints (a raw binary column is unhashable
+    under the driver's canonicalizer — the r4 lesson); byte-exactness is
+    the value identity b = hi·16 + lo, and the unpack round-trip is
+    test-pinned (tests/test_operators.py)."""
+    coded = _with_codes(spark, sf_dir)
+    cols = [
+        (F.col(f"c{2 * i}") * 16 + F.col(f"c{2 * i + 1}"))
+        .cast("int")
+        .alias(f"b{i}")
+        for i in range(PQ_M // 2)
+    ]
+    return coded.select("vec_id", *cols).orderBy("vec_id")
+
+
+def _oracle_pq_pack() -> str:
+    cols = ", ".join(
+        f"CAST(c{2 * i} * 16 + c{2 * i + 1} AS INTEGER) AS b{i}"
+        for i in range(PQ_M // 2)
+    )
+    return (
+        _pq_cte_sql()
+        + f"""
+SELECT vec_id, {cols} FROM codes ORDER BY vec_id
+"""
+    )
+
+
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn-pq` with the OPQ rotation on: codes, codebooks, and the ADC
     lookup table live in the ROTATED space (see `opq_rotation`); the
@@ -852,6 +885,7 @@ QUERIES = {
     "ivf-pq-recall": q_ivf_pq_recall,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
+    "pq-pack": q_pq_pack,
 }
 
 ORACLES = {
@@ -862,4 +896,5 @@ ORACLES = {
     "ivf-pq-recall": _oracle_ivf_pq_recall(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
+    "pq-pack": _oracle_pq_pack(),
 }

@@ -607,7 +607,7 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from rosbag2parquet_spark.functions.kmeans import (
-        assign_clusters,
+        assign_clusters_vectorized,
         kmeans_fit_cached,
     )
     from rosbag2parquet_spark.streaming.stateful import running_semdedup
@@ -617,7 +617,7 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    assigned = assign_clusters(vecs, centroids)
+    assigned = assign_clusters_vectorized(vecs, centroids)
     tbl = _fresh("stream_semdedup")
     run_to_memory(running_semdedup(assigned), tbl, mode="append")
     return spark.table(tbl).select("vec_id", "cluster")

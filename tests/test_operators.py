@@ -229,6 +229,33 @@ def test_knn_ivf_pq_composed_stack(spark):
     assert plan.count("LeftSemi") >= 2  # IVF membership + shortlist re-read
 
 
+def test_kmeans_vectorized_assign_equals_expression_tier(spark):
+    """The Arrow-vectorized cluster assignment (the tier the trainer and
+    the registered queries use) must be BIT-IDENTICAL to the Catalyst
+    expression tier the oracle mirrors — on the final trained centroids
+    over every fixture vector."""
+    from rosbag2parquet_spark.functions.kmeans import (
+        assign_clusters,
+        assign_clusters_vectorized,
+        kmeans_fit_cached,
+    )
+    from rosbag2parquet_spark.functions.similarity import _as_double
+
+    centroids, _ = kmeans_fit_cached(spark, SF_DIR)
+    vecs = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    expr = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(vecs, centroids).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_vectorized(vecs, centroids).collect()
+    }
+    assert vec == expr
+
+
 def test_fused_serve_path_equals_training_path(spark):
     """The serve path's fused Arrow stage (normalize [+ rotate] + codes in
     one pass, `_norm_codes_vectorized`) must be BIT-IDENTICAL to the
@@ -326,6 +353,25 @@ def test_pq_vectorized_codes_equal_expression_tier(spark):
         ).collect()
     }
     assert vec == expr
+
+
+def test_pq_pack_unpacks_to_codes(spark):
+    """Nibble packing is lossless: every packed byte is in [0, 255] (a
+    real byte — the 4 B/vector storage claim) and (b div 16, b mod 16)
+    reproduces the code pair exactly."""
+    from rosbag2parquet_spark.functions.pq import PQ_M, q_pq_pack, q_pq_quantize
+
+    codes = {
+        r["vec_id"]: [r[f"c{m}"] for m in range(PQ_M)]
+        for r in q_pq_quantize(spark, SF_DIR).collect()
+    }
+    for r in q_pq_pack(spark, SF_DIR).collect():
+        unpacked = []
+        for i in range(PQ_M // 2):
+            b = r[f"b{i}"]
+            assert 0 <= b <= 255
+            unpacked += [b // 16, b % 16]
+        assert unpacked == codes[r["vec_id"]]
 
 
 def test_pq_joint_training_equals_per_subspace(spark):
