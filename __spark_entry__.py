@@ -103,19 +103,19 @@ _MODULES = (
 # ROUND-9 ROTATION (executing the r8 note + the r8 verdict's sequencing
 # verbatim): the 48 r5-proven rows LEAD — after r8 they are the only rows
 # older than r6, and re-proving them first is what keeps "zero driver
-# rows older than r6" true at 194 queries / 50-row window. The window is
+# rows older than r6" true at 195 queries / 50-row window. The window is
 # 48 + 2: slots 49-50 take the two highest-impact CHANGED queries
 # (kmeans — the integer-argmin root, its row is also the oldest changed
 # at r6 — and semdedup, its immediate dependent). The REMAINING 7 changed
 # (all argmin dependents + sink, which gained the TODO-#7 `time` column)
-# and the 7 new queries fall just outside the window: their correctness
+# and the 8 new queries fall just outside the window: their correctness
 # this round is proven by the local full-registry sweep (SURVEY §8), and
 # they lead the r10 window by this ordering. Window arithmetic is the
-# honest trade: 9 changed + 7 new cannot fit after 48 stale rows, and
+# honest trade: 9 changed + 8 new cannot fit after 48 stale rows, and
 # stale-first is what the r8 verdict sequenced.
 # ROUND-10 NOTE: lead with the 7 changed ("stream-semdedup" .. "pq-recall")
-# and 7 new ("knn-ivf-pq" .. "pq-pack") rows below, then the r6-proven
-# block; keep new-query growth <= 10/round — at 194 queries a full
+# and 8 new ("knn-ivf-pq" .. "stream-knn-ivf") rows below, then the r6-proven
+# block; keep new-query growth <= 10/round — at 195 queries a full
 # rotation of the 50-row window is 3.9 rounds.
 _QUERY_ORDER = [
     # --- r9 window ---------------------------------------------------------
@@ -146,7 +146,7 @@ _QUERY_ORDER = [
     # file-landing ingest twin; monitoring alert thresholds in the
     # quality rule API
     "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
-    "stream-cdc-apply", "alert-rules", "pq-pack",
+    "stream-cdc-apply", "alert-rules", "pq-pack", "stream-knn-ivf",
     # r6-proven block (oldest after the window re-proves), then r7, r8
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",

@@ -703,6 +703,97 @@ def _knn_oracle() -> str:
     return ORACLE_KNN_BATCH
 
 
+def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED IVF serve stack LIVE — the streaming twin of `knn-ivf`
+    (the index a fleet's ingest keeps warm): the coarse quantizer is
+    FROZEN (the batch k-means fit — production trains once and ships it),
+    the fixed query probes its IVF_NPROBE cells once driver-side, and
+    corpus vectors STREAM in. A stateless Arrow stage assigns each
+    arriving vector its cell with the SAME integer-quantized argmin as
+    batch and drops everything OUTSIDE the probed cells before any
+    scoring — only ~nprobe/K of the stream pays the cosine, which is the
+    IVF economics applied to ingest — then a per-query stateful top-k
+    maintains the running answer (commutative merge: any arrival order
+    converges). Batch `knn-ivf`'s oracle verbatim; the finishing query
+    keeps the last emission and re-attaches labels from the tiny batch
+    dim (broadcast)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+    from rosbag2parquet_spark.functions.similarity import (
+        KNN_K,
+        KNN_QUERY_ID,
+        _ivf_probe_cells,
+    )
+    from rosbag2parquet_spark.sources.catalog import load_table
+    from rosbag2parquet_spark.streaming.stateful import running_topk
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    cells, _ = _ivf_probe_cells(spark, sf_dir, raw)
+    centroids, _ = kmeans_fit_cached(spark, sf_dir)
+    C = np.array(centroids, dtype=np.float64)
+    probe = np.array(sorted(cells), dtype=np.int64)
+    qe = np.asarray(
+        raw.filter(F.col("vec_id") == KNN_QUERY_ID).collect()[0][
+            "embedding"
+        ],
+        dtype=np.float64,
+    )
+    qn = qe / np.linalg.norm(qe)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            # frozen-quantizer assignment: the batch argmin verbatim
+            diff = E[:, None, :] - C[None, :, :]
+            cell = np.argmin(
+                np.floor(diff * diff * 1e12).astype(np.int64).sum(axis=2),
+                axis=1,
+            )
+            mask = np.isin(cell, probe) & (ids != KNN_QUERY_ID)
+            if not mask.any():
+                continue
+            V = E[mask]
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(int(mask.sum()), KNN_QUERY_ID),
+                    "vec_id": ids[mask],
+                    "cos_sim": np.round(V @ qn, 6),
+                }
+            )
+
+    scored = stream_embeddings(spark, sf_dir).mapInPandas(
+        score, "query_id long, vec_id long, cos_sim double"
+    )
+    tbl = _fresh("stream_knn_ivf")
+    run_to_memory(running_topk(scored, KNN_K), tbl, mode="append")
+    t = spark.table(tbl)
+    last = (
+        t.withColumn(
+            "maxn", F.expr("max(n) OVER (PARTITION BY query_id)")
+        )
+        .filter(F.col("n") == F.col("maxn"))
+        .select("vec_id", "cos_sim")
+    )
+    return last.join(
+        F.broadcast(raw.select("vec_id", "label")), "vec_id"
+    ).select("vec_id", "label", "cos_sim")
+
+
+def _knn_ivf_oracle() -> str:
+    from rosbag2parquet_spark.functions.similarity import ORACLES as _SIM
+
+    return _SIM["knn-ivf"]
+
+
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EWMA filter running LIVE: per-entity state is one (ordinal,
     smoothed value) pair — the O(1) telemetry-smoothing shape; emissions
@@ -1183,6 +1274,7 @@ QUERIES = {
     "stream-resample": q_stream_resample,
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-cdc-apply": q_stream_cdc_apply,
+    "stream-knn-ivf": q_stream_knn_ivf,
     "stream-gap-detect": q_stream_gap_detect,
     "stream-heavy-hitters": q_stream_heavy_hitters,
     "stream-funnel": q_stream_funnel,
@@ -1241,6 +1333,7 @@ ORACLES = {
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
     "stream-cdc-apply": _merge_oracle(),
+    "stream-knn-ivf": _knn_ivf_oracle(),
     "stream-gap-detect": _gap_oracle(),
     "stream-heavy-hitters": _hh_oracle(),
     "stream-funnel": _funnel_oracle(),
