@@ -378,7 +378,13 @@ def _with_codes(
             F.col("__s").getField("cs").getItem(m).alias(f"c{m}")
             for m in range(PQ_M)
         ],
-    )
+        # cache: this frame IS the stored code table (what a production
+        # serve reads from disk — pq-quantize is its materialization);
+        # a search touches it for the query row, the ADC scan, and across
+        # repeated queries — Spark's cache manager keys on the logical
+        # plan, so all of them share one materialization instead of
+        # re-running the Arrow quantize pass per action
+    ).cache()
 
 
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
