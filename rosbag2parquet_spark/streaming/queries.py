@@ -469,6 +469,8 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
     from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
 
+    import shutil
+
     landing, schema = write_cdc_landing(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
@@ -476,9 +478,14 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(landing)
     )
     tbl = _fresh("stream_cdc")
-    run_to_memory(
-        running_merge_upsert(stream, _MERGE_CUTOFF_US), tbl, mode="update"
-    )
+    try:
+        run_to_memory(
+            running_merge_upsert(stream, _MERGE_CUTOFF_US), tbl, mode="update"
+        )
+    finally:
+        # the memory sink holds the emissions; the staged landing files
+        # are not read again after the drain
+        shutil.rmtree(landing, ignore_errors=True)
     return _merge_finisher(spark.table(tbl))
 
 
