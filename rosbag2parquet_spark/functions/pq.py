@@ -363,6 +363,15 @@ def _with_codes(
     `_pq_frame` + `_coded`)."""
     from rosbag2parquet_spark.functions.similarity import _as_double
 
+    # memoize the DataFrame OBJECT per (session, sf, representation):
+    # this frame IS the stored code table (what a production serve reads
+    # from disk — pq-quantize is its materialization), and one cached
+    # object guarantees ONE cache-manager entry serving the query row,
+    # the ADC scan, and every later search — rather than relying on two
+    # independently-pickled UDF closures canonicalizing to the same plan
+    key = (spark.sparkContext.applicationId, sf_dir, rotated, "coded")
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
     books = pq_fit_cached(spark, sf_dir, rotated)
     raw = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("__e")
@@ -370,7 +379,7 @@ def _with_codes(
     st = raw.withColumn(
         "__s", _norm_codes_vectorized(books, rotated)(F.col("__e"))
     )
-    return st.select(
+    coded = st.select(
         "vec_id",
         "label",
         F.col("__s").getField("en").alias("en"),
@@ -378,13 +387,9 @@ def _with_codes(
             F.col("__s").getField("cs").getItem(m).alias(f"c{m}")
             for m in range(PQ_M)
         ],
-        # cache: this frame IS the stored code table (what a production
-        # serve reads from disk — pq-quantize is its materialization);
-        # a search touches it for the query row, the ADC scan, and across
-        # repeated queries — Spark's cache manager keys on the logical
-        # plan, so all of them share one materialization instead of
-        # re-running the Arrow quantize pass per action
     ).cache()
+    _FIT_CACHE[key] = coded
+    return coded
 
 
 def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,23 +528,9 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the composed IVF×PQ search against the exact scan — the
     `pq-recall` measurement for the full serve stack: what cell pruning
-    costs ON TOP of ADC quantization error (compare the two driver rows).
-    Reproducible integer, not a sample estimate."""
-    from rosbag2parquet_spark.functions.similarity import q_knn
-
-    exact = q_knn(spark, sf_dir).select("vec_id")
-    approx = q_knn_ivf_pq(spark, sf_dir).select("vec_id")
-    return (
-        exact.join(approx, "vec_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .select(
-            F.lit(KNN_K).cast("int").alias("k"),
-            "n_overlap",
-            F.expr(f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)").alias(
-                "recall_bps"
-            ),
-        )
-    )
+    costs ON TOP of ADC quantization error (compare the two driver
+    rows)."""
+    return _recall_vs_exact(spark, sf_dir, q_knn_ivf_pq)
 
 
 def q_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,21 +584,7 @@ def q_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation lifts shortlist recall@10 from 8/10 to 10/10 at the driver
     gate's sf0.01 (and 6/10 → 9/10 at sf0.001): the driver pair IS the
     measured proof the OPQ rung earns its place above PQ."""
-    from rosbag2parquet_spark.functions.similarity import q_knn
-
-    exact = q_knn(spark, sf_dir).select("vec_id")
-    approx = q_knn_opq(spark, sf_dir).select("vec_id")
-    return (
-        exact.join(approx, "vec_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-        .select(
-            F.lit(KNN_K).cast("int").alias("k"),
-            "n_overlap",
-            F.expr(f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)").alias(
-                "recall_bps"
-            ),
-        )
-    )
+    return _recall_vs_exact(spark, sf_dir, q_knn_opq)
 
 
 # ------------------------------------------------------------- oracles
@@ -819,22 +796,22 @@ def _oracle_knn_ivf_pq() -> str:
     )
 
 
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the two-stage PQ search against the exact scan — the
-    quality number a PQ index is tuned by (PQ_M/PQ_K/PQ_SHORTLIST trade),
-    the `knn-recall` posture for the compression ladder's coarsest rung.
-    Both sides are the engine's own deterministic queries, so recall is a
-    reproducible integer, not a sample estimate — and the driver row IS
-    the measured-accuracy proof (8/10 -> 8000 bps on the fixture's
-    near-noise embeddings at shortlist 50 with the integer-quantized
-    argmin; the r8 decimal argmin trained marginally different codebooks
-    and measured 6/10)."""
+def _oracle_knn_opq() -> str:
+    return _adc_oracle(rotated=True)
+
+
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
+    """Recall@KNN_K of an approximate search against the exact scan —
+    the single-sourced measurement every ANN rung's `*-recall` row uses.
+    Both sides are the engine's own deterministic queries, so recall is
+    a reproducible integer, not a sample estimate — the driver row IS
+    the measured-accuracy proof."""
     from rosbag2parquet_spark.functions.similarity import q_knn
 
     exact = q_knn(spark, sf_dir).select("vec_id")
-    pq = q_knn_pq(spark, sf_dir).select("vec_id")
+    got = approx(spark, sf_dir).select("vec_id")
     return (
-        exact.join(pq, "vec_id")
+        exact.join(got, "vec_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .select(
             F.lit(KNN_K).cast("int").alias("k"),
@@ -846,41 +823,37 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_pq_recall() -> str:
+def _oracle_recall(approx_sql: str) -> str:
     from rosbag2parquet_spark.functions.similarity import ORACLE_KNN
 
     return f"""
 SELECT CAST({KNN_K} AS INTEGER) AS k,
        CAST(count(*) AS BIGINT) AS n_overlap,
        CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
-FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_pq()}) p USING (vec_id)
+FROM ({ORACLE_KNN}) e JOIN ({approx_sql}) p USING (vec_id)
 """
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two-stage PQ search against the exact scan — the
+    quality number a PQ index is tuned by (PQ_M/PQ_K/PQ_SHORTLIST trade),
+    the `knn-recall` posture for the compression ladder's coarsest rung
+    (8/10 -> 8000 bps on the fixture's near-noise embeddings at
+    shortlist 50 with the integer-quantized argmin; the r8 decimal
+    argmin trained marginally different codebooks and measured 6/10)."""
+    return _recall_vs_exact(spark, sf_dir, q_knn_pq)
+
+
+def _oracle_pq_recall() -> str:
+    return _oracle_recall(_oracle_knn_pq())
 
 
 def _oracle_ivf_pq_recall() -> str:
-    from rosbag2parquet_spark.functions.similarity import ORACLE_KNN
-
-    return f"""
-SELECT CAST({KNN_K} AS INTEGER) AS k,
-       CAST(count(*) AS BIGINT) AS n_overlap,
-       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
-FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_ivf_pq()}) p USING (vec_id)
-"""
-
-
-def _oracle_knn_opq() -> str:
-    return _adc_oracle(rotated=True)
+    return _oracle_recall(_oracle_knn_ivf_pq())
 
 
 def _oracle_opq_recall() -> str:
-    from rosbag2parquet_spark.functions.similarity import ORACLE_KNN
-
-    return f"""
-SELECT CAST({KNN_K} AS INTEGER) AS k,
-       CAST(count(*) AS BIGINT) AS n_overlap,
-       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
-FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_opq()}) p USING (vec_id)
-"""
+    return _oracle_recall(_oracle_knn_opq())
 
 
 QUERIES = {

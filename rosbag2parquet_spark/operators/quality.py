@@ -205,27 +205,54 @@ _ROW_LOCAL = (Completeness, InRange, InSet, Positive)
 
 def _us_expr(df: DataFrame, col: str) -> F.Column:
     """Microsecond LONG view of a time column: unix_micros for a real
-    TimestampType, a cast for an already-long micros column."""
-    from pyspark.sql.types import TimestampType
+    timestamp type; an integral column is taken AS epoch-microseconds
+    (the documented contract — a seconds-grain long would bucket wrong
+    silently, so the caller owns the unit). Any other type REFUSES loudly
+    instead of casting to garbage/NULLs — a monitoring rule that
+    silently reports ok=true on an unparseable time column is the worst
+    failure mode a gate can have."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
-    if isinstance(df.schema[col].dataType, TimestampType):
-        return F.unix_micros(F.col(col))
-    return F.col(col).cast("long")
+    dt = df.schema[col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, (LongType, IntegerType)):
+        return F.col(col).cast("long")
+    raise ValueError(
+        f"monitoring rule time column {col!r} has type "
+        f"{dt.simpleString()}; expected a timestamp or an "
+        "epoch-microseconds integer"
+    )
 
 
-def _drift_alarms(df: DataFrame, rule: "DriftBelow") -> DataFrame:
-    """1-row (count of categories over the drift threshold) — the
-    q_drift_detect plan shape verbatim: a 2-scalar epoch-bounds reduce
-    broadcast back, one partial-combined (category, epoch) groupBy, then
-    the |categories|-row threshold count."""
+def _drift_bps_cells(df: DataFrame, column: str, ts_column: str) -> DataFrame:
+    """Per-category drift basis points — the q_drift_detect plan shape
+    verbatim: a 2-scalar epoch-bounds reduce broadcast back, one
+    partial-combined (category, epoch) groupBy, the |categories|-row bps
+    projection. ONE of these frames serves every DriftBelow threshold on
+    the same (column, ts_column) — thresholds are counts over the same
+    tiny cells, so extra thresholds cost zero extra table scans."""
     ev = df.select(
-        F.col(rule.column).alias("k"),
-        _us_expr(df, rule.ts_column).alias("t_us"),
+        F.col(column).alias("k"),
+        _us_expr(df, ts_column).alias("t_us"),
     )
     bounds = ev.agg(F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi"))
     cells = (
         ev.crossJoin(F.broadcast(bounds))
-        .withColumn("epoch", (F.col("t_us") < F.expr(_MID_US)).cast("int"))
+        .withColumn(
+            "epoch",
+            # NULL-ts rows land in epoch 2 like the oracle's CASE (the
+            # NULL condition takes n1's ELSE 0 / n2's ELSE 1); a bare
+            # NULL epoch would drop the row from BOTH counts engine-side
+            F.coalesce(
+                (F.col("t_us") < F.expr(_MID_US)).cast("int"), F.lit(0)
+            ),
+        )
         .groupBy("k")
         .agg(
             F.sum("epoch").cast("long").alias("n1"),
@@ -233,24 +260,19 @@ def _drift_alarms(df: DataFrame, rule: "DriftBelow") -> DataFrame:
         )
     )
     totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
-    return (
-        cells.crossJoin(F.broadcast(totals))
-        .select(F.expr(DRIFT_BPS_SQL).alias("bps"))
-        .agg(
-            F.sum(
-                F.when(F.col("bps") > rule.max_bps, 1).otherwise(0)
-            ).cast("long")
-        )
+    return cells.crossJoin(F.broadcast(totals)).select(
+        F.expr(DRIFT_BPS_SQL).alias("bps")
     )
 
 
-def _slope_alarms(df: DataFrame, rule: "SlopeAtLeast") -> DataFrame:
-    """1-row (count of groups whose hourly OLS slope is below the floor) —
-    the q_volume_trend plan shape verbatim: one hour-grain groupBy, the
-    per-group regression over tiny rows, NULL slopes never alarm."""
+def _slope_cells(df: DataFrame, column: str, ts_column: str) -> DataFrame:
+    """Per-group hourly OLS slopes — the q_volume_trend plan shape
+    verbatim: one hour-grain groupBy (the only full-data shuffle), the
+    per-group regression over tiny rows. ONE frame serves every
+    SlopeAtLeast floor on the same (column, ts_column)."""
     ev = df.select(
-        F.col(rule.column).alias("k"),
-        _us_expr(df, rule.ts_column).alias("t_us"),
+        F.col(column).alias("k"),
+        _us_expr(df, ts_column).alias("t_us"),
     ).select(
         "k",
         F.expr("(t_us - pmod(t_us, 3600000000)) div 3600000000").alias("h"),
@@ -262,7 +284,7 @@ def _slope_alarms(df: DataFrame, rule: "SlopeAtLeast") -> DataFrame:
         .groupBy("k", "x")
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
-    slopes = (
+    return (
         hourly.groupBy("k")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_hours"),
@@ -277,15 +299,6 @@ def _slope_alarms(df: DataFrame, rule: "SlopeAtLeast") -> DataFrame:
                 " / nullif(n_hours * sxx - sx * sx, 0)"
             ).alias("slope")
         )
-    )
-    return slopes.agg(
-        F.sum(
-            F.when(
-                F.col("slope").isNotNull()
-                & (F.col("slope") < rule.min_slope),
-                1,
-            ).otherwise(0)
-        ).cast("long")
     )
 
 
@@ -380,16 +393,57 @@ def validate(
         pieces.append(orphan)
         cols.append((fk.name, f"f{k}"))
 
-    # monitoring alert thresholds: each contributes one scalar piece
-    # (alarming categories/groups), same cross-join posture as the
-    # uniqueness/FK scalars — the gate and the monitors share one
-    # verdict surface
+    # monitoring alert thresholds: rules sharing a (column, ts_column)
+    # share ONE cells frame and fold all their threshold counts into ONE
+    # aggregate — extra thresholds cost no extra table scan; each group
+    # contributes one multi-column scalar piece, same cross-join posture
+    # as the uniqueness/FK scalars
+    drift_groups: "dict[tuple, list]" = {}
     for d_i, dr in enumerate(drifts):
-        pieces.append(_drift_alarms(df, dr).toDF(f"md{d_i}"))
-        cols.append((dr.name, f"md{d_i}"))
+        drift_groups.setdefault((dr.column, dr.ts_column), []).append(
+            (d_i, dr)
+        )
+    for (g_col, g_ts), members in drift_groups.items():
+        bps = _drift_bps_cells(df, g_col, g_ts)
+        pieces.append(
+            bps.agg(
+                *[
+                    F.sum(
+                        F.when(F.col("bps") > dr.max_bps, 1).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"md{d_i}")
+                    for d_i, dr in members
+                ]
+            )
+        )
+        for d_i, dr in members:
+            cols.append((dr.name, f"md{d_i}"))
+    slope_groups: "dict[tuple, list]" = {}
     for s_i, sl in enumerate(slopes):
-        pieces.append(_slope_alarms(df, sl).toDF(f"ms{s_i}"))
-        cols.append((sl.name, f"ms{s_i}"))
+        slope_groups.setdefault((sl.column, sl.ts_column), []).append(
+            (s_i, sl)
+        )
+    for (g_col, g_ts), members in slope_groups.items():
+        sc = _slope_cells(df, g_col, g_ts)
+        pieces.append(
+            sc.agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("slope").isNotNull()
+                            & (F.col("slope") < sl.min_slope),
+                            1,
+                        ).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"ms{s_i}")
+                    for s_i, sl in members
+                ]
+            )
+        )
+        for s_i, sl in members:
+            cols.append((sl.name, f"ms{s_i}"))
 
     wide = pieces[0]
     for p in pieces[1:]:
@@ -645,7 +699,10 @@ def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(bounds))
         .withColumn(
             "epoch",
-            (F.col("t_us") < F.expr(_MID_US)).cast("int"),
+            # NULL-ts → epoch 2, matching the oracle CASE's ELSE paths
+            F.coalesce(
+                (F.col("t_us") < F.expr(_MID_US)).cast("int"), F.lit(0)
+            ),
         )
         .groupBy("event_type")
         .agg(

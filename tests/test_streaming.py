@@ -99,3 +99,23 @@ def test_cdc_landing_incremental_drop_converges(spark):
         shutil.rmtree(staged, ignore_errors=True)
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_knn_ivf_equals_batch(spark):
+    """The live composed IVF serve must produce EXACTLY the batch
+    `knn-ivf` rows — vec_id set, labels, and the rounded cosines. This is
+    the parity pin for the streaming kernel's third arithmetic (numpy
+    norm + BLAS dot + round-6): the round absorbs fold-order low bits
+    (the stream-knn/semdedup precedent), and this test is what keeps that
+    claim measured rather than assumed."""
+    from rosbag2parquet_spark.functions.similarity import q_knn_ivf
+    from rosbag2parquet_spark.streaming.queries import q_stream_knn_ivf
+
+    batch = q_knn_ivf(spark, SF_DIR).select("vec_id", "label", "cos_sim")
+    streamed = q_stream_knn_ivf(spark, SF_DIR).select(
+        "vec_id", "label", "cos_sim"
+    )
+    assert streamed.count() == batch.count() == 10
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
