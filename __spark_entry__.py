@@ -138,9 +138,12 @@ _QUERY_ORDER = [
     # --- window ends here (50) ---------------------------------------------
     # CHANGED round 9, outside the window (re-prove first in r10): the
     # remaining argmin dependents; sink's Messages gained the derived
-    # TimestampType column (reference TODO #7)
+    # TimestampType column (reference TODO #7); drift-detect/drift-numeric
+    # hardened late-r9 (NULL-ts rows land in epoch 2 engine-side like the
+    # oracle CASE — value-identical on the NULL-free fixture)
     "stream-semdedup", "sink", "knn-ivf", "knn-ivf-quantized", "pq-quantize",
     "knn-pq", "pq-recall",
+    "drift-detect", "drift-numeric",
     # NEW round 9: the composed IVF x PQ x exact-re-rank serve stack +
     # its recall row; the OPQ rotated-PQ rung + its recall row; the CDC
     # file-landing ingest twin; monitoring alert thresholds in the
@@ -179,7 +182,7 @@ _QUERY_ORDER = [
     "dedup-clusters", "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
     "pivot", "unpivot", "histogram", "embed-quantize", "stratified-sample",
-    "temperature-sample", "drift-detect", "stream-drift", "drift-numeric",
+    "temperature-sample", "stream-drift", 
     "volume-trend", "stream-numeric-drift", "stream-volume-trend",
     "knn-quantized",
 ]
