@@ -111,10 +111,11 @@ _MODULES = (
 # and the 8 new queries fall just outside the window: their correctness
 # this round is proven by the local full-registry sweep (SURVEY §8), and
 # they lead the r10 window by this ordering. Window arithmetic is the
-# honest trade: 9 changed + 8 new cannot fit after 48 stale rows, and
+# honest trade: 11 changed + 8 new cannot fit after 48 stale rows, and
 # stale-first is what the r8 verdict sequenced.
-# ROUND-10 NOTE: lead with the 7 changed ("stream-semdedup" .. "pq-recall")
-# and 8 new ("knn-ivf-pq" .. "stream-knn-ivf") rows below, then the r6-proven
+# ROUND-10 NOTE: lead with the 9 changed ("stream-semdedup" ..
+# "drift-numeric") and 8 new ("knn-ivf-pq" .. "stream-knn-ivf") rows
+# below, then the r6-proven
 # block; keep new-query growth <= 10/round — at 195 queries a full
 # rotation of the 50-row window is 3.9 rounds.
 _QUERY_ORDER = [
