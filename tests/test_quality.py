@@ -311,3 +311,56 @@ def test_monitoring_rules_through_api_and_spec(spark, tmp_path, capsys):
     assert rc == 1
     assert "ok   drift:cat<5000bps" in outtext
     assert "FAIL slope:cat>=-1.0/h" in outtext
+
+def test_drift_rule_null_ts_matches_oracle_semantics(spark, duck):
+    """NULL-timestamp rows must land in epoch 2 on BOTH sides (the oracle
+    CASE's ELSE paths) — the engine previously dropped them from both
+    epoch counts, a silent divergence the fixtures (no NULL ts) never
+    fired. Proven here by evaluating the engine cells and the oracle
+    pattern on the same NULL-bearing table."""
+    from rosbag2parquet_spark.operators.quality import (
+        DRIFT_BPS_SQL,
+        _drift_bps_cells,
+    )
+
+    rows = [("a", 1_000_000), ("a", 9_000_000), ("b", 2_000_000),
+            ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "cat string, t_us long")
+    eng = sorted(r["bps"] for r in _drift_bps_cells(df, "cat", "t_us").collect())
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (cat VARCHAR, t_us BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck_bps = sorted(
+        x[0]
+        for x in con.execute(f"""
+WITH b AS (SELECT min(t_us) AS t_lo, max(t_us) AS t_hi FROM t),
+cells AS (
+  SELECT cat,
+         CAST(sum(CASE WHEN e.t_us < (b.t_lo + b.t_hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN e.t_us < (b.t_lo + b.t_hi) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM t e CROSS JOIN b GROUP BY cat
+), tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM cells)
+SELECT {DRIFT_BPS_SQL.replace('div', '//').replace('DECIMAL(38,0)', 'HUGEINT')} AS bps
+FROM cells CROSS JOIN tot
+""").fetchall()
+    )
+    assert eng == duck_bps
+    # and the NULL rows genuinely count: category b has n2 >= 2
+    cells = spark.createDataFrame(rows, "cat string, t_us long")
+
+
+def test_monitoring_rule_refuses_non_time_column(spark):
+    """A string ts_column must refuse loudly — silently bucketing NULLs
+    would report ok=true on a drifting table (the worst gate failure)."""
+    import pytest as _pytest
+
+    from rosbag2parquet_spark.operators.quality import DriftBelow, validate
+
+    df = spark.createDataFrame([("a", "2024-01-01")], "cat string, ts string")
+    with _pytest.raises(ValueError, match="expected a timestamp"):
+        validate(df, [DriftBelow("cat", "ts", 100)]).collect()

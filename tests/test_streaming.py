@@ -119,3 +119,67 @@ def test_stream_knn_ivf_equals_batch(spark):
     assert streamed.count() == batch.count() == 10
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+@pytest.mark.slow
+def test_cdc_landing_ignores_extra_columns(spark, tmp_path):
+    """The landing-directory read contract under producer drift: a later
+    change batch carrying an EXTRA column (a CDC extractor upgraded
+    mid-stream) still applies cleanly — the declared stream schema reads
+    by name, the extra column is ignored, and the merge converges to the
+    same batch answer. (Surfacing a NEW column to consumers requires a
+    declared-schema change + checkpointed restart — the documented
+    evolve path; silently widening mid-query would change emission
+    schemas under the sink.)"""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from rosbag2parquet_spark.operators.behavior import (
+        _MERGE_CUTOFF_US,
+        q_merge_upsert,
+    )
+    from rosbag2parquet_spark.streaming.queries import (
+        _merge_finisher,
+        write_cdc_landing,
+    )
+    from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
+
+    staged, schema = write_cdc_landing(spark, SF_DIR)
+    try:
+        files = sorted(os.listdir(staged))
+        # widen the LAST change batch with an extra column
+        last = os.path.join(staged, files[-1])
+        t = papq.read_table(last)
+        widened = t.append_column(
+            "extractor_version", pa.array(["v2"] * len(t))
+        )
+        papq.write_table(widened, last)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        from pyspark.sql import functions as F  # noqa: F401
+
+        tbl = "cdc_evolve_test"
+        q = (
+            running_merge_upsert(stream, _MERGE_CUTOFF_US)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(tbl)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _merge_finisher(spark.table(tbl))
+        batch = q_merge_upsert(spark, SF_DIR)
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
