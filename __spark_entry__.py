@@ -103,7 +103,7 @@ _MODULES = (
 # ROUND-9 ROTATION (executing the r8 note + the r8 verdict's sequencing
 # verbatim): the 48 r5-proven rows LEAD — after r8 they are the only rows
 # older than r6, and re-proving them first is what keeps "zero driver
-# rows older than r6" true at 195 queries / 50-row window. The window is
+# rows older than r6" true at 196 queries / 50-row window. The window is
 # 48 + 2: slots 49-50 take the two highest-impact CHANGED queries
 # (kmeans — the integer-argmin root, its row is also the oldest changed
 # at r6 — and semdedup, its immediate dependent). The REMAINING 7 changed
@@ -111,12 +111,13 @@ _MODULES = (
 # and the 8 new queries fall just outside the window: their correctness
 # this round is proven by the local full-registry sweep (SURVEY §8), and
 # they lead the r10 window by this ordering. Window arithmetic is the
-# honest trade: 11 changed + 8 new cannot fit after 48 stale rows, and
+# honest trade: 11 changed + 9 new cannot fit after 48 stale rows, and
 # stale-first is what the r8 verdict sequenced.
 # ROUND-10 NOTE: lead with the 9 changed ("stream-semdedup" ..
-# "drift-numeric") and 8 new ("knn-ivf-pq" .. "stream-knn-ivf") rows
+# "drift-numeric") and 9 new ("knn-ivf-pq" .. "stream-weighted-sample")
+# rows
 # below, then the r6-proven
-# block; keep new-query growth <= 10/round — at 195 queries a full
+# block; keep new-query growth <= 10/round — at 196 queries a full
 # rotation of the 50-row window is 3.9 rounds.
 _QUERY_ORDER = [
     # --- r9 window ---------------------------------------------------------
@@ -151,6 +152,7 @@ _QUERY_ORDER = [
     # quality rule API
     "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
     "stream-cdc-apply", "alert-rules", "pq-pack", "stream-knn-ivf",
+    "stream-weighted-sample",
     # r6-proven block (oldest after the window re-proves), then r7, r8
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",

@@ -801,6 +801,63 @@ def _knn_ivf_oracle() -> str:
     return _SIM["knn-ivf"]
 
 
+def q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPS corpus sampler LIVE — the training-data primitive batch
+    `weighted-sample` proves, run against an unbounded landing stream:
+    each arriving document computes its Sequential-Poisson priority with
+    the SAME Catalyst expression as batch (one IEEE division of exact
+    integers — bit-identical cross-engine), and a running BOTTOM-K keeps
+    the K smallest (priority, doc_id). Bottom-K maintenance is
+    commutative, so ANY arrival order converges to the batch sample —
+    and a chosen document's priority never changes as more data arrives,
+    the order-sampling property that makes the live sampler sound.
+    Implemented over the shared top-k state by negating the priority
+    (IEEE negation is exact, so the round-trip is bit-exact and the
+    (-sims, ids) state ordering IS batch's (priority, doc_id)). Batch
+    `weighted-sample`'s oracle verbatim; lang/n_chars re-attach from the
+    tiny batch dim."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.sampling import _WS_K, _WS_PRIORITY
+    from rosbag2parquet_spark.sources.catalog import load_table
+    from rosbag2parquet_spark.streaming.neardup import stream_documents
+    from rosbag2parquet_spark.streaming.stateful import running_topk
+
+    docs = stream_documents(spark, sf_dir).filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    scored = docs.select(
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("doc_id").alias("vec_id"),
+        (-F.expr(_WS_PRIORITY)).alias("cos_sim"),
+    )
+    tbl = _fresh("stream_wsample")
+    run_to_memory(running_topk(scored, _WS_K), tbl, mode="append")
+    t = spark.table(tbl)
+    last = (
+        t.withColumn("maxn", F.expr("max(n) OVER (PARTITION BY query_id)"))
+        .filter(F.col("n") == F.col("maxn"))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (-F.col("cos_sim")).alias("priority"),
+        )
+    )
+    dim = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return last.join(F.broadcast(dim), "doc_id").select(
+        "doc_id", "lang", "n_chars", "priority"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from rosbag2parquet_spark.functions.sampling import (
+        ORACLE_WEIGHTED_SAMPLE,
+    )
+
+    return ORACLE_WEIGHTED_SAMPLE
+
+
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EWMA filter running LIVE: per-entity state is one (ordinal,
     smoothed value) pair — the O(1) telemetry-smoothing shape; emissions
@@ -1282,6 +1339,7 @@ QUERIES = {
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-cdc-apply": q_stream_cdc_apply,
     "stream-knn-ivf": q_stream_knn_ivf,
+    "stream-weighted-sample": q_stream_weighted_sample,
     "stream-gap-detect": q_stream_gap_detect,
     "stream-heavy-hitters": q_stream_heavy_hitters,
     "stream-funnel": q_stream_funnel,
@@ -1341,6 +1399,7 @@ ORACLES = {
     "stream-merge-upsert": _merge_oracle(),
     "stream-cdc-apply": _merge_oracle(),
     "stream-knn-ivf": _knn_ivf_oracle(),
+    "stream-weighted-sample": _weighted_sample_oracle(),
     "stream-gap-detect": _gap_oracle(),
     "stream-heavy-hitters": _hh_oracle(),
     "stream-funnel": _funnel_oracle(),
