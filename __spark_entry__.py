@@ -100,60 +100,32 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-9 ROTATION (executing the r8 note + the r8 verdict's sequencing
-# verbatim): the 48 r5-proven rows LEAD — after r8 they are the only rows
-# older than r6, and re-proving them first is what keeps "zero driver
-# rows older than r6" true at 196 queries / 50-row window. The window is
-# 48 + 2: slots 49-50 take the two highest-impact CHANGED queries
-# (kmeans — the integer-argmin root, its row is also the oldest changed
-# at r6 — and semdedup, its immediate dependent). The REMAINING 7 changed
-# (all argmin dependents + sink, which gained the TODO-#7 `time` column)
-# and the 8 new queries fall just outside the window: their correctness
-# this round is proven by the local full-registry sweep (SURVEY §8), and
-# they lead the r10 window by this ordering. Window arithmetic is the
-# honest trade: 11 changed + 9 new cannot fit after 48 stale rows, and
-# stale-first is what the r8 verdict sequenced.
-# ROUND-10 NOTE: lead with the 9 changed ("stream-semdedup" ..
-# "drift-numeric") and 9 new ("knn-ivf-pq" .. "stream-weighted-sample")
-# rows
-# below, then the r6-proven
-# block; keep new-query growth <= 10/round — at 196 queries a full
-# rotation of the 50-row window is 3.9 rounds.
+# ROUND-10 ROTATION (executing the r9 verdict's sequencing verbatim): the
+# 18 rows with no green driver row yet LEAD — the 9 CHANGED in r9
+# (argmin dependents + sink/drift, all locally green since) and the 9 NEW
+# in r9 (driver-unsampled; replica-verified by the judge). Slots 19-50
+# take the first 32 of the 46 r6-proven rows — after the r9 window
+# re-proved the r5 block, r6 rows are the oldest in the histogram. The
+# remaining 14 r6 rows (quantiles .. stream-tumbling) lead r11, then r7.
+# Freshness histogram going into r10: r6:46, r7:41, r8:50, r9:50 (+9
+# r9-new unsampled). After this window: r6:14, r7:41, r8:50, r9:50,
+# r10:50 — zero rows older than r7 by r11 stays on track.
 _QUERY_ORDER = [
-    # --- r9 window ---------------------------------------------------------
-    # THE 48 r5-PROVEN ROWS FIRST (the oldest driver rows; code-unchanged
-    # and locally green — re-proven before anything else)
-    "stream-sink", "approx-stats", "compact-latest", "funnel",
-    "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
-    "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
-    "dedup-normalized", "rolling-window", "sql-q2", "sql-q9", "sql-q11",
-    "sql-q16", "sql-q20", "repetition-score", "bm25-search", "stream-dedup",
-    "bucket-join", "join", "salted-join", "tokenize-chunk", "markov-chain",
-    "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
-    "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
-    "derived", "rollup", "dim-join", "semi-join", "first-seen", "sql",
-    "window-funcs", "window-tumbling",
-    # CHANGED round 9, slots 49-50: the integer-quantized argmin replaced
-    # the DECIMAL(28,12) fold in every kmeans/IVF/PQ assign pass (oracles
-    # rewritten in lockstep)
-    "kmeans", "semdedup",
-    # --- window ends here (50) ---------------------------------------------
-    # CHANGED round 9, outside the window (re-prove first in r10): the
-    # remaining argmin dependents; sink's Messages gained the derived
-    # TimestampType column (reference TODO #7); drift-detect/drift-numeric
-    # hardened late-r9 (NULL-ts rows land in epoch 2 engine-side like the
-    # oracle CASE — value-identical on the NULL-free fixture)
+    # --- r10 window --------------------------------------------------------
+    # CHANGED round 9 without a fresh driver row: the argmin dependents;
+    # sink's Messages gained the TODO-#7 `time` column (and, round 10, the
+    # TODO bag_index provenance column); drift-detect/drift-numeric
+    # hardened late-r9 (NULL-ts rows land in epoch 2 engine-side)
     "stream-semdedup", "sink", "knn-ivf", "knn-ivf-quantized", "pq-quantize",
-    "knn-pq", "pq-recall",
-    "drift-detect", "drift-numeric",
-    # NEW round 9: the composed IVF x PQ x exact-re-rank serve stack +
-    # its recall row; the OPQ rotated-PQ rung + its recall row; the CDC
-    # file-landing ingest twin; monitoring alert thresholds in the
-    # quality rule API
+    "knn-pq", "pq-recall", "drift-detect", "drift-numeric",
+    # NEW round 9, never driver-sampled: the composed IVFADC serve stack +
+    # recall; the OPQ rung + recall (learned alternation round 10); the CDC
+    # file-landing ingest twin (schema evolution round 10); alert rules;
+    # nibble-packed codes; the live IVF serve; the live PPS sampler
     "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
     "stream-cdc-apply", "alert-rules", "pq-pack", "stream-knn-ivf",
     "stream-weighted-sample",
-    # r6-proven block (oldest after the window re-proves), then r7, r8
+    # r6-PROVEN rows 1-32 (the oldest driver rows once the 18 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
@@ -161,7 +133,10 @@ _QUERY_ORDER = [
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
     "dedup-simhash", "knn", "knn-batch", "stats-corr", "string-agg",
-    "explode-sequence", "distinct-count", "quantiles", "sessionize",
+    "explode-sequence", "distinct-count",
+    # --- window ends here (50) ---------------------------------------------
+    # r6-proven rows 33-46 (lead the r11 window)
+    "quantiles", "sessionize",
     "text-stats", "null-semantics", "sql-q12", "sample-hash",
     "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
     "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
@@ -177,7 +152,7 @@ _QUERY_ORDER = [
     "stream-merge-upsert", "gap-detect", "stream-gap-detect",
     "heavy-hitters", "stream-heavy-hitters", "asof-nearest",
     "resample-interpolate", "stream-sliding", "stream-sessionize",
-    # r8-proven (freshest — rotate to the back)
+    # r8-proven
     "stream-neardup", "stream-profile", "sql-q8", "sql-q21", "knn-recall",
     "asof-tolerance", "scrub-terms", "interval-join", "sql-q4", "sql-q7",
     "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
@@ -185,9 +160,21 @@ _QUERY_ORDER = [
     "dedup-clusters", "like-filter", "anti-join", "range-join", "intersect",
     "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
     "pivot", "unpivot", "histogram", "embed-quantize", "stratified-sample",
-    "temperature-sample", "stream-drift", 
+    "temperature-sample", "stream-drift",
     "volume-trend", "stream-numeric-drift", "stream-volume-trend",
     "knn-quantized",
+    # r9-proven (freshest — rotate to the back): the 48 re-proven r5 rows
+    # plus the two changed rows that closed the r9 window
+    "stream-sink", "approx-stats", "compact-latest", "funnel",
+    "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
+    "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
+    "dedup-normalized", "rolling-window", "sql-q2", "sql-q9", "sql-q11",
+    "sql-q16", "sql-q20", "repetition-score", "bm25-search", "stream-dedup",
+    "bucket-join", "join", "salted-join", "tokenize-chunk", "markov-chain",
+    "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
+    "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
+    "derived", "rollup", "dim-join", "semi-join", "first-seen", "sql",
+    "window-funcs", "window-tumbling", "kmeans", "semdedup",
 ]
 
 
