@@ -125,7 +125,10 @@ _QUERY_ORDER = [
     "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
     "stream-cdc-apply", "alert-rules", "pq-pack", "stream-knn-ivf",
     "stream-weighted-sample",
-    # r6-PROVEN rows 1-32 (the oldest driver rows once the 18 above land)
+    # CHANGED round 10: the stateful shuffle is sized to the key domain
+    # (result-invariant — partitioning only; the r9 perf flag's fix)
+    "stream-resample",
+    # r6-PROVEN rows 1-31 (the oldest driver rows once the 19 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
@@ -133,10 +136,10 @@ _QUERY_ORDER = [
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
     "dedup-simhash", "knn", "knn-batch", "stats-corr", "string-agg",
-    "explode-sequence", "distinct-count",
+    "explode-sequence",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 33-46 (lead the r11 window)
-    "quantiles", "sessionize",
+    # r6-proven rows 32-46 (lead the r11 window)
+    "distinct-count", "quantiles", "sessionize",
     "text-stats", "null-semantics", "sql-q12", "sample-hash",
     "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
     "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
@@ -148,7 +151,7 @@ _QUERY_ORDER = [
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze", "stream-asof", "export-roundtrip", "stream-knn",
     "lm-surprise", "ewma", "stream-ewma", "scd2-asof", "compact-files",
-    "stream-resample", "merge-upsert", "compact-partitioned",
+    "merge-upsert", "compact-partitioned",
     "stream-merge-upsert", "gap-detect", "stream-gap-detect",
     "heavy-hitters", "stream-heavy-hitters", "asof-nearest",
     "resample-interpolate", "stream-sliding", "stream-sessionize",

@@ -217,7 +217,10 @@ def main() -> None:
     # while the query suite moved +1.4% — one whole-run calib cannot say
     # whether that is the host or the engine. A sample beside every
     # convert grammar pins each number to the host speed at ITS moment.
-    calib_sections: dict[str, float] = {"queries": _calibrate()}
+    calib_sections: dict[str, float] = {
+        "queries": _calibrate(),
+        "io_32mb": _calibrate_io(),
+    }
     if os.environ.get("SPARK_GRAFT_BENCH_CONVERT", "1") != "0":
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_convert import run as _convert_run
@@ -388,6 +391,31 @@ def _calibrate() -> float:
     for _ in range(5):
         t0 = _time.perf_counter()
         (a @ a).sum()
+        best = min(best, _time.perf_counter() - t0)
+    return round(best * 1000, 2)
+
+
+def _calibrate_io() -> float:
+    """Fixed-work DISK probe: write + fsync + read back 32 MB in the same
+    tempdir the file-shaped queries (compact-files, cluster-write, vacuum,
+    the convert grammars) stage into, min-of-3 ms. The matmul probe cannot
+    attribute an IO-bound regression — r9's compact-files flag (2.2x raw)
+    sat on a host whose CPUs calibrated at 1.3x but whose disk was not
+    sampled at all; this closes that blind spot."""
+    import tempfile
+    import time as _time
+
+    buf = os.urandom(1 << 20) * 32
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as fh:
+            fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+            fh.seek(0)
+            while fh.read(1 << 22):
+                pass
         best = min(best, _time.perf_counter() - t0)
     return round(best * 1000, 2)
 
