@@ -385,21 +385,28 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_finisher(spark.table(tbl))
 
 
-def _merge_finisher(emissions: DataFrame) -> DataFrame:
+def _merge_finisher(
+    emissions: DataFrame, extra_col: "str | None" = None
+) -> DataFrame:
     """Shared finishing query over merge-apply emissions: last emission
     per user = the max-last_t row (last_t is monotone across a user's
     emissions — post_t > any pre_t by the cutoff — and emissions at EQUAL
     last_t are identical rows, the argmax state being idempotent), so the
     pick is value-deterministic with no reliance on memory-sink row
-    order; tombstoned rows drop, matching the batch delete semantics."""
+    order; tombstoned rows drop, matching the batch delete semantics.
+    ``extra_col`` keeps an evolved column (it rides the argmax, so equal
+    last_t still means identical rows)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    cols = ["user_id", "value", "last_t", "src"]
+    if extra_col is not None:
+        cols.append(extra_col)
     w = W.partitionBy("user_id").orderBy(F.col("last_t").desc())
     return (
         emissions.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("deleted") == 0))
-        .select("user_id", "value", "last_t", "src")
+        .select(*cols)
     )
 
 
@@ -409,7 +416,61 @@ def _merge_oracle() -> str:
     return ORACLE_MERGE_UPSERT
 
 
-def write_cdc_landing(spark: SparkSession, sf_dir: str):
+def _cdc_evolve_oracle() -> str:
+    """Batch `merge-upsert`'s oracle extended with the landing EVOLUTION
+    boundary: `write_cdc_landing(evolve=True)` sorts the post-cutoff
+    changes by (ts_us, event_id) and drops them as three files of
+    idx ∈ [0, n//3), [n//3, 2n//3), [2n//3, n); `source_seq` (= event_id)
+    exists from the SECOND file on, so a user's merged row carries it iff
+    the latest change's global index ≥ n//3 — pure integer arithmetic
+    DuckDB reproduces exactly, NULL otherwise (including base-only
+    users — the NULL-filled history the batch `_pad_union` contract
+    promises)."""
+    from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),
+chg AS (
+  SELECT *,
+         row_number() OVER (ORDER BY t_us, event_id) - 1 AS idx,
+         count(*) OVER () AS n
+  FROM ev WHERE t_us >= {_MERGE_CUTOFF_US}
+),
+base AS (
+  SELECT user_id, value AS base_value, t_us AS base_t
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t_us DESC, event_id DESC) AS rn
+    FROM ev WHERE t_us < {_MERGE_CUTOFF_US}
+  ) WHERE rn = 1
+),
+last_change AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value AS chg_value, t_us AS chg_t,
+         CASE WHEN idx >= n // 3 THEN event_id END AS source_seq
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY t_us DESC, event_id DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT user_id, value, last_t, src, source_seq FROM (
+  SELECT coalesce(b.user_id, c.user_id) AS user_id,
+         coalesce(c.chg_value, b.base_value) AS value,
+         coalesce(c.chg_t, b.base_t) AS last_t,
+         CASE WHEN c.op IS NULL THEN 'base' ELSE 'change' END AS src,
+         c.source_seq AS source_seq, c.op AS op
+  FROM base b FULL OUTER JOIN last_change c ON b.user_id = c.user_id
+) WHERE op IS NULL OR op = 'U'
+"""
+
+
+def write_cdc_landing(spark: SparkSession, sf_dir: str, evolve: bool = False):
     """Materialize the CDC LANDING-DIRECTORY contract for the fixture:
     a fresh directory holding one parquet file per change batch — file
     000 is the pre-cutoff base snapshot (the initial CDC load), files
@@ -418,7 +479,15 @@ def write_cdc_landing(spark: SparkSession, sf_dir: str):
     closes: in production a Debezium/DMS-style job drops each extracted
     batch as a file and the streaming query picks it up; here the drops
     are staged up front and maxFilesPerTrigger=1 replays them one
-    micro-batch each. Returns (landing_dir, spark_schema)."""
+    micro-batch each. Returns (landing_dir, spark_schema).
+
+    ``evolve=True`` plays the producer-upgrade scenario the batch layout
+    handles with `_pad_union` (convert.py:999): the extractor starts
+    stamping a ``source_seq`` column (here = the change's event_id, so
+    the oracle can reproduce it) FROM THE SECOND CHANGE DROP ON — files
+    000/001 lack the column entirely, files 002/003 carry it. Readers
+    take the union schema (`landing_union_schema`) and see NULL for
+    pre-evolution rows."""
     import os
     import tempfile
 
@@ -449,47 +518,102 @@ def write_cdc_landing(spark: SparkSession, sf_dir: str):
         (f"{i + 1:03d}_changes", changes.iloc[i * n // 3 : (i + 1) * n // 3])
         for i in range(3)
     ]
-    for name, part in batches:
+    for bi, (name, part) in enumerate(batches):
+        part = part.reset_index(drop=True)
+        if evolve and bi >= 2:  # files 002_changes and 003_changes
+            part = part.assign(source_seq=part["event_id"])
         papq.write_table(
-            pa.Table.from_pandas(
-                part.reset_index(drop=True), preserve_index=False
-            ),
+            pa.Table.from_pandas(part, preserve_index=False),
             os.path.join(landing, f"{name}.parquet"),
         )
     return landing, shaped.schema
 
 
+def landing_union_schema(spark: SparkSession, landing: str):
+    """The UNION schema of every parquet file in a landing directory —
+    the source-side mirror of batch `_pad_union` (convert.py:999) under
+    the same additive-evolution contract as `assert_append_compatible`
+    (convert.py): a column present in several files must agree on type
+    (a changed type is refused loudly, never coerced), new columns append
+    in first-seen file order as NULLABLE. Declaring this schema on the
+    `readStream` makes the parquet source NULL-fill pre-evolution files —
+    no data rewrite, no second pass; footer-only probing (one schema read
+    per landing file, metadata-only)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    seen: dict[str, str] = {}
+    fields: list = []
+    for f in sorted(os.listdir(landing)):
+        if not f.endswith(".parquet"):
+            continue
+        sch = spark.read.parquet(os.path.join(landing, f)).schema
+        for fld in sch.fields:
+            simple = fld.dataType.simpleString()
+            if fld.name in seen:
+                if seen[fld.name] != simple:
+                    raise ValueError(
+                        f"landing schema evolution in {landing}: column "
+                        f"{fld.name} type conflict {seen[fld.name]} != "
+                        f"{simple} (type changes are never silently "
+                        "coerced — the assert_append_compatible contract)"
+                    )
+            else:
+                seen[fld.name] = simple
+                fields.append(
+                    T.StructField(fld.name, fld.dataType, nullable=True)
+                )
+    return T.StructType(fields)
+
+
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC file-landing ingest: `readStream` over a landing DIRECTORY of
-    change-batch parquet files feeding the existing last-writer-wins
-    merge apply (`running_merge_upsert`) — the contract that closes the
-    ingest loop `stream-merge-upsert` proves from a staged stream. Each
-    dropped file is one micro-batch (maxFilesPerTrigger=1); the per-key
-    state is two commutative argmaxes, so the merged table converges
-    under ANY batch split or arrival order — the convergence test drops
-    the change files AFTER a first run and resumes from the checkpoint
-    (tests/test_streaming.py). Batch `merge-upsert`'s oracle verbatim."""
+    """CDC file-landing ingest WITH SCHEMA EVOLUTION: `readStream` over a
+    landing DIRECTORY of change-batch parquet files feeding the existing
+    last-writer-wins merge apply (`running_merge_upsert`) — the contract
+    that closes the ingest loop `stream-merge-upsert` proves from a
+    staged stream. Each dropped file is one micro-batch
+    (maxFilesPerTrigger=1); the per-key state is two commutative
+    argmaxes, so the merged table converges under ANY batch split or
+    arrival order — the convergence tests drop files AFTER a first run
+    and resume from the checkpoint (tests/test_streaming.py).
+
+    The landing EVOLVES mid-stream (the batch `_pad_union` contract on
+    the streaming path, convert.py:999): the extractor starts stamping a
+    ``source_seq`` column from the second change drop on; the stream
+    declares the union schema (`landing_union_schema`), the parquet
+    source NULL-fills the pre-evolution files, and the merged row carries
+    the column NULL-filled for keys last changed before the evolution —
+    exactly how a later-epoch batch part NULL-fills history. Oracle =
+    batch `merge-upsert` extended with the same deterministic
+    evolution-boundary arithmetic (the batch split is index math over the
+    (ts_us, event_id) ordering, so DuckDB reproduces which drop each
+    change landed in)."""
     from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
     from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
 
     import shutil
 
-    landing, schema = write_cdc_landing(spark, sf_dir)
+    landing, _base_schema = write_cdc_landing(spark, sf_dir, evolve=True)
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(landing_union_schema(spark, landing))
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
     )
     tbl = _fresh("stream_cdc")
     try:
         run_to_memory(
-            running_merge_upsert(stream, _MERGE_CUTOFF_US), tbl, mode="update"
+            running_merge_upsert(
+                stream, _MERGE_CUTOFF_US, extra_col="source_seq"
+            ),
+            tbl,
+            mode="update",
         )
     finally:
         # the memory sink holds the emissions; the staged landing files
         # are not read again after the drain
         shutil.rmtree(landing, ignore_errors=True)
-    return _merge_finisher(spark.table(tbl))
+    return _merge_finisher(spark.table(tbl), extra_col="source_seq")
 
 
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,7 +1524,7 @@ ORACLES = {
     "stream-dedup": _dedup_exact_oracle(),
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
-    "stream-cdc-apply": _merge_oracle(),
+    "stream-cdc-apply": _cdc_evolve_oracle(),
     "stream-knn-ivf": _knn_ivf_oracle(),
     "stream-weighted-sample": _weighted_sample_oracle(),
     "stream-gap-detect": _gap_oracle(),

@@ -265,7 +265,7 @@ MERGE_STATE_SCHEMA = (
 )
 
 
-def make_merge_updater(cutoff_us: int):
+def make_merge_updater(cutoff_us: int, extra_col: "str | None" = None):
     """Incremental CDC MERGE (the streaming twin of batch `merge-upsert`):
     per-key state is two argmaxes — the latest BASE row (events before the
     cutoff) and the latest CHANGE row (events at/after it, remembering
@@ -274,7 +274,16 @@ def make_merge_updater(cutoff_us: int):
     across replays — converges to the same final row; like
     `running_compaction`, this needs NO ordering contract at all (stronger
     than the SCD2 twin). Emission is update-mode: the current merged row
-    per key, the finishing query keeps the last."""
+    per key, the finishing query keeps the last.
+
+    ``extra_col`` is the streaming-side `_pad_union` (convert.py:999): an
+    EVOLVED landing schema's added nullable column. Pre-evolution rows
+    carry NULL there (the parquet source NULL-fills a declared column a
+    file lacks); the value RIDES THE ARGMAX — whenever the latest-change
+    row updates, its extra value (NULL included, as the -1 sentinel — the
+    fixture event ids are non-negative) updates with it, so the emitted
+    column converges under any arrival order exactly like the row it
+    belongs to, and keys last touched before the evolution emit NULL."""
 
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -282,13 +291,19 @@ def make_merge_updater(cutoff_us: int):
         (user_id,) = key
         if state.exists:
             (pre_t, pre_eid, pre_v, post_t, post_eid, post_v,
-             post_del) = state.get
+             post_del, post_x) = (*state.get, -1)[:8]
         else:
             pre_t, pre_eid, pre_v = -1, -1, 0.0
-            post_t, post_eid, post_v, post_del = -1, -1, 0.0, 0
+            post_t, post_eid, post_v, post_del, post_x = -1, -1, 0.0, 0, -1
         for pdf in batches:
-            for t, eid, etype, v in zip(
-                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            xs = (
+                pdf[extra_col]
+                if extra_col is not None and extra_col in pdf.columns
+                else [None] * len(pdf)
+            )
+            for t, eid, etype, v, x in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"],
+                pdf["value"], xs,
             ):
                 t, eid, v = int(t), int(eid), float(v)
                 if t < cutoff_us:
@@ -297,30 +312,41 @@ def make_merge_updater(cutoff_us: int):
                 elif (t, eid) > (post_t, post_eid):
                     post_t, post_eid, post_v = t, eid, v
                     post_del = 1 if str(etype) == "error" else 0
-        state.update(
-            (pre_t, pre_eid, pre_v, post_t, post_eid, post_v, post_del)
-        )
+                    post_x = -1 if pd.isna(x) else int(x)
+        st = (pre_t, pre_eid, pre_v, post_t, post_eid, post_v, post_del)
+        state.update(st + (post_x,) if extra_col is not None else st)
         if post_t >= 0:
-            row = (user_id, post_v, post_t, "change", post_del)
+            row = (user_id, post_v, post_t, "change", post_del, post_x)
         elif pre_t >= 0:
-            row = (user_id, pre_v, pre_t, "base", 0)
+            row = (user_id, pre_v, pre_t, "base", 0, -1)
         else:
             return
-        yield pd.DataFrame(
-            [row],
-            columns=["user_id", "value", "last_t", "src", "deleted"],
-        )
+        cols = ["user_id", "value", "last_t", "src", "deleted"]
+        if extra_col is not None:
+            cols.append(extra_col)
+            row = row[:5] + (None if row[5] < 0 else row[5],)
+        else:
+            row = row[:5]
+        yield pd.DataFrame([row], columns=cols)
 
     return update
 
 
-def running_merge_upsert(events: DataFrame, cutoff_us: int) -> DataFrame:
-    """events (streaming: user_id, ts_us, event_id, event_type, value) →
-    update-mode merged row per user."""
+def running_merge_upsert(
+    events: DataFrame, cutoff_us: int, extra_col: "str | None" = None
+) -> DataFrame:
+    """events (streaming: user_id, ts_us, event_id, event_type, value
+    [+ an evolved nullable ``extra_col``]) → update-mode merged row per
+    user."""
+    out = MERGE_OUTPUT_SCHEMA
+    st = MERGE_STATE_SCHEMA
+    if extra_col is not None:
+        out += f", {extra_col} long"
+        st += ", post_x long"
     return events.groupBy("user_id").applyInPandasWithState(
-        make_merge_updater(cutoff_us),
-        outputStructType=MERGE_OUTPUT_SCHEMA,
-        stateStructType=MERGE_STATE_SCHEMA,
+        make_merge_updater(cutoff_us, extra_col),
+        outputStructType=out,
+        stateStructType=st,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -122,6 +122,108 @@ def test_stream_knn_ivf_equals_batch(spark):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
+def test_cdc_landing_schema_evolution_converges(spark):
+    """The evolve-append contract on the STREAMING path (the batch
+    `_pad_union` behavior, convert.py:999): the landing's later change
+    drops ADD a nullable ``source_seq`` column. The stream declares the
+    union schema; a checkpointed first run sees only pre-evolution files
+    (NULL-filled), the resume ingests the evolved drops, and the merged
+    union of both runs' emissions equals the registered single-pass
+    `stream-cdc-apply` answer — with NULL source_seq for every base-only
+    key and for keys last changed before the evolution, and real values
+    after it."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
+    from rosbag2parquet_spark.streaming.queries import (
+        _merge_finisher,
+        landing_union_schema,
+        q_stream_cdc_apply,
+        write_cdc_landing,
+    )
+    from rosbag2parquet_spark.streaming.stateful import running_merge_upsert
+
+    staged, _ = write_cdc_landing(spark, SF_DIR, evolve=True)
+    landing = tempfile.mkdtemp(prefix="cdc_evolve_landing_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_evolve_ckpt_")
+    emissions = []
+
+    # the union schema comes from the full staged drop set — the shape a
+    # restart declares once the producer upgrade is known
+    union = landing_union_schema(spark, staged)
+    assert "source_seq" in union.fieldNames()
+
+    def drain():
+        stream = (
+            spark.readStream.schema(union)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            running_merge_upsert(
+                stream, _MERGE_CUTOFF_US, extra_col="source_seq"
+            )
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _eid: emissions.append(df.toPandas()))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        files = sorted(os.listdir(staged))
+        assert len(files) == 4
+        # phase 1: only the PRE-evolution files land (base + change drop 1,
+        # neither carries source_seq) — the union-schema read NULL-fills
+        for f in files[:2]:
+            shutil.copy(os.path.join(staged, f), landing)
+        drain()
+        n_phase1 = sum(len(p) for p in emissions)
+        assert n_phase1 > 0
+        import pandas as pd
+
+        # pre-evolution files NULL-fill: every phase-1 emission carries
+        # NULL source_seq (the union-schema read invented the column)
+        phase1 = pd.concat(emissions, ignore_index=True)
+        assert phase1["source_seq"].isna().all()
+        # phase 2: the evolved drops land; RESUME from the checkpoint
+        for f in files[2:]:
+            shutil.copy(os.path.join(staged, f), landing)
+        drain()
+        assert sum(len(p) for p in emissions) > n_phase1
+        got = _merge_finisher(
+            spark.createDataFrame(pd.concat(emissions, ignore_index=True)),
+            extra_col="source_seq",
+        )
+        single_pass = q_stream_cdc_apply(spark, SF_DIR)
+        assert got.exceptAll(single_pass).count() == 0
+        assert single_pass.exceptAll(got).count() == 0
+        # the evolved drops stamp real values (on this fixture every
+        # user's LATEST change falls in an evolved drop — the NULL-filled
+        # history is pinned at the emissions level above, where phase 1
+        # is entirely pre-evolution)
+        assert got.filter(F.col("source_seq").isNotNull()).count() > 0
+        # non-NULL stamps appear on change rows only, verbatim event ids
+        assert (
+            got.filter(F.col("source_seq").isNotNull())
+            .filter(F.col("src") != "change")
+            .count()
+            == 0
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_cdc_landing_ignores_extra_columns(spark, tmp_path):
     """The landing-directory read contract under producer drift: a later
     change batch carrying an EXTRA column (a CDC extractor upgraded
