@@ -104,9 +104,10 @@ def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: boo
 
 #: Messages columns added AFTER the reference's 5-column layout, in the
 #: order they were introduced (r8: the TODO-#6 header-stamp pair; r9: the
-#: TODO-#7 derived timestamp). They are always TRAILING, so any older
+#: TODO-#7 derived timestamp; r10: the file-provenance ordinal of
+#: FlattenedRosWriter.cpp:183). They are always TRAILING, so any older
 #: layout's Messages schema is a column-prefix of a newer batch's.
-_MESSAGES_OPTIONAL = ("header_stamp_sec", "header_stamp_nsec", "time")
+_MESSAGES_OPTIONAL = ("header_stamp_sec", "header_stamp_nsec", "time", "bag_index")
 
 
 def _pad_append_messages(
@@ -321,6 +322,11 @@ def convert(
         # bit-exact ns-precision record) — trailing so older layouts stay
         # a column-prefix (see _pad_append_messages)
         F.col(time_col).alias("time"),
+        # file provenance (reference TODO FlattenedRosWriter.cpp:183) —
+        # NULL on this path: the input is a DataFrame stream, not a bag
+        # file, so there is no source-file ordinal to record; the column
+        # exists so every converter emits ONE Messages shape
+        F.lit(None).cast("int").alias("bag_index"),
     )
     # per-connection batch stats (reference TODO #2/#2.1) — same shape as
     # the bag converters' Stats table
@@ -1192,6 +1198,7 @@ def _write_bag_tables(
     conns_write_df: "DataFrame | None" = None,
     attachments_df: "DataFrame | None" = None,
     metadata_df: "DataFrame | None" = None,
+    base_bag_index: int = 0,
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
     ``seq`` already carries ``seqno``; write ``Messages``, ``Connections``,
@@ -1245,6 +1252,19 @@ def _write_bag_tables(
         F.timestamp_micros(
             F.expr("(time_ns - pmod(time_ns, 1000)) div 1000")
         ).alias("time"),
+        # per-row FILE PROVENANCE (reference TODO, FlattenedRosWriter.cpp:
+        # 183 "we should add a file ID to all entries"): which bag of a
+        # fleet/append ingest this row came from — the same ordinal the
+        # Attachments/Metadata side-cars carry, resolvable to a path via
+        # the Metadata table. Fleet seq frames carry the batch-relative
+        # index; single-bag conversions are ordinal base_bag_index (0 for
+        # a fresh layout; a resume re-ingests the SAME file, so the
+        # ordinal stays). Trailing — older layouts stay a prefix.
+        (
+            (F.col("bag_index") + F.lit(base_bag_index)).cast("int")
+            if "bag_index" in seq.columns
+            else F.lit(base_bag_index).cast("int")
+        ).alias("bag_index"),
     )
     # per-connection batch statistics (reference TODO #2/#2.1: the
     # `rosbag info` aggregates persisted beside the layout): shares the
@@ -1893,18 +1913,18 @@ def convert_bags(
     md_rows = []
     base_bag_index = 0
     if mode == "append":
-        # shared base over BOTH provenance tables so one bag's ordinal
-        # agrees between Attachments and Metadata across ingest batches
+        # shared base over EVERY provenance carrier (Messages since r10,
+        # the Attachments/Metadata side-cars since r7) so one bag's
+        # ordinal agrees across all three tables and ingest batches
         prevs = []
-        for t in ("Attachments", "Metadata"):
+        for t in ("Attachments", "Metadata", "Messages"):
             tp = os.path.join(out_dir, t)
             if os.path.isdir(tp):
-                prevs.append(
-                    spark.read.parquet(tp)
-                    .agg(F.max("bag_index").alias("m"))
-                    .collect()[0]
-                    .m
-                )
+                tdf = spark.read.parquet(tp)
+                if "bag_index" in tdf.columns:  # pre-r10 Messages lack it
+                    prevs.append(
+                        tdf.agg(F.max("bag_index").alias("m")).collect()[0].m
+                    )
         prevs = [p for p in prevs if p is not None]
         base_bag_index = (max(prevs) if prevs else -1) + 1
     for i, meta in enumerate(metas):
@@ -1937,6 +1957,7 @@ def convert_bags(
         conns_write_df=conns_write_df,
         attachments_df=att_df,
         metadata_df=md_df,
+        base_bag_index=base_bag_index,
     )
     seq.unpersist()
     return ConvertInfo(

@@ -36,7 +36,7 @@ conns AS (
 #: the /tmp scratch below persists ACROSS processes, and a stale
 #: pre-change layout under the old key would feed the driver's sink gate
 #: a wrong schema
-LAYOUT_CACHE_VERSION = 3
+LAYOUT_CACHE_VERSION = 4  # r10: Messages gained the bag_index provenance col
 
 
 def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -105,7 +105,10 @@ def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back — the reference's exact (seqno, time_sec, time_nsec, size,
     connection_id) layout — plus the nullable header-stamp pair every
     converter emits since r8 (reference TODO #6; NULL here: SBAG
-    payloads are JSON, no leading ros Header) — must survive the sink."""
+    payloads are JSON, no leading ros Header), the derived TimestampType
+    (TODO #7) and the r10 file-provenance ordinal (reference TODO
+    FlattenedRosWriter.cpp:183; NULL here: the input is a stream, not a
+    bag file) — must survive the sink."""
     out = _converted_dir(spark, sf_dir)
     return spark.read.parquet(os.path.join(out, "Messages"))
 
@@ -119,7 +122,8 @@ SELECT seqno,
        value AS size, connection_id,
        CAST(NULL AS INTEGER) AS header_stamp_sec,
        CAST(NULL AS INTEGER) AS header_stamp_nsec,
-       ts AS time
+       ts AS time,
+       CAST(NULL AS INTEGER) AS bag_index
 FROM seq JOIN conns USING (user_id, event_type)
 """
 )

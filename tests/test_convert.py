@@ -38,7 +38,7 @@ def test_tables_exist_with_schema(converted, spark):
     # the reference's exact Messages layout (README.md:26-32)
     assert messages.columns == [
         "seqno", "time_sec", "time_nsec", "size", "connection_id",
-        "header_stamp_sec", "header_stamp_nsec", "time",
+        "header_stamp_sec", "header_stamp_nsec", "time", "bag_index",
     ]
     assert set(connections.columns) == {
         "connection_id", "topic", "datatype", "md5sum", "msg_def", "callerid",

@@ -311,7 +311,9 @@ def test_header_stamp_in_messages_table(spark, two_type_bag, tmp_path):
     out = str(tmp_path / "out_hs")
     convert_bag(spark, two_type_bag, out)
     msgs = spark.read.parquet(os.path.join(out, "Messages"))
-    assert msgs.columns[-3:] == ["header_stamp_sec", "header_stamp_nsec", "time"]
+    assert msgs.columns[-4:] == [
+        "header_stamp_sec", "header_stamp_nsec", "time", "bag_index",
+    ]
     rows = {r.seqno: r for r in msgs.collect()}
     # seqno 0, 2 are Imu (Header-led); 1, 3, 4 are Gps (no Header)
     for sq in (0, 2):

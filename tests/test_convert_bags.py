@@ -92,6 +92,18 @@ def test_pertype_counts_equal_per_bag_sums(spark, fleet_out):
     assert sorted(r.status for r in gps.collect()) == ["fix0", "fix1", "fix2"]
 
 
+def test_messages_bag_provenance(spark, fleet_out):
+    """Reference TODO (FlattenedRosWriter.cpp:183 "we should add a file ID
+    to all entries"): every Messages row names the bag it came from. The
+    fleet's input order is golden — bag 0's three messages (times
+    1k..3k ns) take seqno 0..2, bag 1's (4k..6k) take 3..5 — so the
+    per-row ordinal round-trips exactly."""
+    out, _ = fleet_out
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    rows = messages.orderBy("seqno").collect()
+    assert [r.bag_index for r in rows] == [0, 0, 0, 1, 1, 1]
+
+
 def test_messages_fk_consistency(spark, fleet_out):
     out, _ = fleet_out
     messages = spark.read.parquet(os.path.join(out, "Messages"))
