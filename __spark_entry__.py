@@ -128,17 +128,21 @@ _QUERY_ORDER = [
     # CHANGED round 10: the stateful shuffle is sized to the key domain
     # (result-invariant — partitioning only; the r9 perf flag's fix)
     "stream-resample",
-    # r6-PROVEN rows 1-31 (the oldest driver rows once the 19 above land)
+    # NEW round 10: the residual-encoded IVFADC rung (PQ codes describe
+    # the residual against the coarse cell's normalized centroid — the
+    # shape FAISS stores) + its measured-recall row
+    "knn-ivfadc", "ivfadc-recall",
+    # r6-PROVEN rows 1-29 (the oldest driver rows once the 21 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
-    "dedup-simhash", "knn", "knn-batch", "stats-corr", "string-agg",
-    "explode-sequence",
+    "dedup-simhash", "knn", "knn-batch", "stats-corr",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 32-46 (lead the r11 window)
+    # r6-proven rows 30-46 (lead the r11 window)
+    "string-agg", "explode-sequence",
     "distinct-count", "quantiles", "sessionize",
     "text-stats", "null-semantics", "sql-q12", "sample-hash",
     "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",

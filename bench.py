@@ -114,6 +114,8 @@ EXTENDED = [
     # in-query codebook training at this scale, a once-per-deploy cost)
     "knn-ivf-pq",
     "knn-opq",
+    # round-10: the residual-encoded IVFADC rung (training included)
+    "knn-ivfadc",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

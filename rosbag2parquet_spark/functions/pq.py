@@ -586,6 +586,181 @@ SELECT vec_id, {cols} FROM codes ORDER BY vec_id
     )
 
 
+def _ivfadc_fit(spark: SparkSession, sf_dir: str):
+    """Memoized training for the RESIDUAL-encoded IVFADC stack (Jégou et
+    al. §VI eq. 17 — the shape FAISS's IVFADC actually stores): each
+    vector's PQ code describes its residual against its coarse cell's
+    NORMALIZED-space centroid, not the vector itself. Residual energy is
+    a fraction of vector energy, so the same M×K codebook budget spends
+    its resolution on a smaller ball — the recall headroom `ivfadc-recall`
+    measures over `ivf-pq-recall`.
+
+    Returns (probe_cells, ncent, coded, books):
+    - probe_cells: the IVF_NPROBE cells for the fixed query (raw-space
+      integer-exact scores, shared with knn-ivf);
+    - ncent[cl][i]: exact-decimal mean of the normalized vectors per
+      coarse cell (the reconstruction anchor — computed in NORMALIZED
+      space because cosine is scored there, while the coarse quantizer
+      stays the raw-space kmeans knn-ivf proves);
+    - coded: (vec_id, label, cluster, c0..c{M-1}) — the stored index:
+      coarse cell + PQ_M residual codes per row, built MAP-SIDE
+      (normalize + coarse argmin + residual subtract + code argmins; the
+      corpus never shuffles — ncent's one groupBy is the only exchange,
+      a once-per-deploy training cost);
+    - books: per-subspace residual codebooks (same deterministic trainer).
+    """
+    from rosbag2parquet_spark.functions.kmeans import (
+        K as IVF_K,
+    )
+    from rosbag2parquet_spark.functions.kmeans import (
+        _as_double as _km_as_double,
+    )
+    from rosbag2parquet_spark.functions.kmeans import (
+        assign_clusters_vectorized,
+        kmeans_fit_cached,
+    )
+    from rosbag2parquet_spark.functions.similarity import _ivf_probe_cells
+
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfadc")
+    if key in _FIT_CACHE:
+        return _FIT_CACHE[key]
+    raw = load_table(spark, sf_dir, "embeddings")
+    cells, _ = _ivf_probe_cells(spark, sf_dir, raw)
+    centroids, _ = kmeans_fit_cached(spark, sf_dir)
+    # map-side: normalize (the proven _normalized expressions) + coarse
+    # cell via the raw-space integer argmin (bit-identical to the oracle)
+    frame = _normalized(raw).withColumn("e", _km_as_double("embedding"))
+    frame = assign_clusters_vectorized(frame, centroids).select(
+        "vec_id", "label", "cluster", "en"
+    )
+    # normalized-space cell centroids: the kmeans mean-update expression
+    # verbatim (exact decimal sum / count), one tiny (K×dim)-row collect
+    ncent_rows = (
+        frame.select("cluster", F.posexplode("en").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    ncent = [[0.0] * EMBED_DIM for _ in range(IVF_K)]
+    for r in ncent_rows:
+        # posexplode is 0-based (the oracle's dims.pos is 1-based)
+        ncent[int(r["cluster"])][int(r["pos"])] = float(r["m"])
+    cent_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in ncent
+        )
+        + ")"
+    )
+    res = frame.withColumn(
+        "en",
+        F.zip_with(
+            "en",
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    books = pq_fit(res.select("vec_id", "en"))
+    coded = _coded(res.select("vec_id", "label", "cluster", "en"), books)
+    coded = coded.drop("en").cache()
+    _FIT_CACHE[key] = (cells, ncent, coded, books)
+    return _FIT_CACHE[key]
+
+
+def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-encoded IVFADC serve (Jégou et al. §VI eq. 17):
+    dot(q, x̂) decomposes as dot(q, ncent[cell(x)]) + dot(q, r̂) — one
+    per-cell constant plus PQ_M lookups in a LUT built from the QUERY
+    itself against the residual codebooks. Stage 1 scans only the probed
+    cells' codes (cluster + PQ_M bytes per candidate, no float read);
+    stage 2 re-ranks a fixed shortlist exactly. Same plan economics as
+    `knn-ivf-pq`; the difference is WHAT the codes describe — residuals,
+    whose smaller dynamic range is where the recall gain comes from
+    (`ivfadc-recall` vs `ivf-pq-recall` is the measured pair).
+    Deterministic end to end like every rung: exact-decimal ncent,
+    integer-quantized argmins, decimal-exact LUT and cell constants,
+    fixed left-to-right addition order mirrored in the oracle."""
+    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    qen = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("en")
+        .collect()[0]["en"]
+    ]
+    luts = []
+    for m in range(PQ_M):
+        qs = qen[m * PQ_SUB : (m + 1) * PQ_SUB]
+        luts.append(
+            [
+                float(
+                    sum(
+                        (_dec12(ci * qi) for ci, qi in zip(c, qs)),
+                        start=_dec12(0.0),
+                    )
+                )
+                for c in books[m]
+            ]
+        )
+    consts = [
+        float(
+            sum(
+                (_dec12(ci * qi) for ci, qi in zip(row, qen)),
+                start=_dec12(0.0),
+            )
+        )
+        for row in ncent
+    ]
+    score = (
+        "element_at(array("
+        + ",".join(f"{v!r}D" for v in consts)
+        + "), cluster + 1)"
+        + "".join(
+            " + element_at(array("
+            + ",".join(f"{v!r}D" for v in luts[m])
+            + f"), c{m} + 1)"
+            for m in range(PQ_M)
+        )
+    )
+    base = coded.filter(F.col("vec_id") != KNN_QUERY_ID).filter(
+        F.col("cluster").isin([int(c) for c in cells])
+    )
+    shortlist = (
+        base.select("vec_id", F.expr(score).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    dotp = F.aggregate(
+        F.zip_with(F.col("en"), F.col("qen"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+def q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the residual-encoded IVFADC against the exact scan —
+    the measured pair with `ivf-pq-recall` (same cells, same code budget,
+    residual vs raw encoding)."""
+    return _recall_vs_exact(spark, sf_dir, q_knn_ivfadc)
+
+
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn-pq` with the OPQ rotation on: codes, codebooks, and the ADC
     lookup table live in the ROTATED space (see `opq_rotation`); the
@@ -610,7 +785,7 @@ def q_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- oracles
 
 
-def _pq_cte_sql(rotated: bool = False) -> str:
+def _pq_cte_sql(rotated: bool = False, residual: bool = False) -> str:
     """Per-subspace unrolled k-means CTE chains over the NORMALIZED
     embedding dims (global 1-based pos keys; subspace m covers pos in
     [m*PQ_SUB+1, (m+1)*PQ_SUB]) — the kmeans_cte_sql construction
@@ -618,8 +793,14 @@ def _pq_cte_sql(rotated: bool = False) -> str:
     ``codes (vec_id, c0..c{M-1})``. With ``rotated``, an ``rdims`` CTE
     applies the literal OPQ rotation with the engine's exact
     floor(x·r·1e12)/1e12 quantization and the chains (init, distances,
-    means) read it instead of ``dims``."""
-    dsrc = "rdims" if rotated else "dims"
+    means) read it instead of ``dims``. With ``residual``, the km_
+    coarse-quantizer chain (raw space, knn-ivf's) plus an exact-decimal
+    normalized-space cell-centroid CTE (``ncent``) define ``rsdims`` =
+    dims minus the row's cell centroid, and the chains quantize THAT —
+    the IVFADC residual encoding."""
+    if rotated and residual:
+        raise ValueError("rotated and residual are separate rungs")
+    dsrc = "rsdims" if residual else ("rdims" if rotated else "dims")
     parts = [
         """
 n AS MATERIALIZED (
@@ -654,6 +835,33 @@ rdims AS MATERIALIZED (
          CAST(sum(CAST(floor(d.x * rm.rm[j.j][d.pos] * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS x
   FROM dims d, opq_rm rm, unnest(generate_series(1, {EMBED_DIM})) AS j(j)
   GROUP BY d.vec_id, j.j
+)"""
+        )
+    if residual:
+        from rosbag2parquet_spark.functions.kmeans import (
+            N_ITER as _KM_N_ITER,
+        )
+        from rosbag2parquet_spark.functions.kmeans import kmeans_cte_sql
+
+        km = kmeans_cte_sql(prefix="km_")
+        assert km.startswith("WITH ")
+        parts.append(km[len("WITH ") :])
+        # ncent = kmeans mean-update expression verbatim (exact decimal
+        # sum / count) over the NORMALIZED dims grouped by the raw-space
+        # coarse cell; rsdims = the residual each row's PQ code describes
+        parts.append(
+            f"""
+ncent AS MATERIALIZED (
+  SELECT a.cl, d.pos,
+         CAST(sum(CAST(d.x AS {_DEC})) AS DOUBLE) / count(*) AS m
+  FROM dims d JOIN km_a{_KM_N_ITER} a USING (vec_id)
+  GROUP BY a.cl, d.pos
+),
+rsdims AS MATERIALIZED (
+  SELECT d.vec_id, d.pos, d.x - nc.m AS x
+  FROM dims d
+  JOIN km_a{_KM_N_ITER} a USING (vec_id)
+  JOIN ncent nc ON nc.cl = a.cl AND nc.pos = d.pos
 )"""
         )
     for m in range(PQ_M):
@@ -728,7 +936,10 @@ SELECT vec_id, {cols} FROM codes ORDER BY vec_id
 
 
 def _adc_oracle(
-    extra_ctes: str = "", member_pred: str = "", rotated: bool = False
+    extra_ctes: str = "",
+    member_pred: str = "",
+    rotated: bool = False,
+    residual: bool = False,
 ) -> str:
     """The ADC + exact-re-rank oracle tail over the PQ CTE chain. LUT per
     (subspace, codeword): decimal-exact dot of the query's normalized
@@ -737,14 +948,21 @@ def _adc_oracle(
     comma included) and ``member_pred`` (an ``AND …`` on codes.vec_id)
     inject the IVF membership restriction for `knn-ivf-pq`; ``rotated``
     moves codes and LUT into the OPQ-rotated space (`knn-opq`) while the
-    re-rank stays on the original ``n``."""
-    dsrc = "rdims" if rotated else "dims"
+    re-rank stays on the original ``n``; ``residual`` scores the IVFADC
+    decomposition — per-cell constant dot(q, ncent[cl]) plus LUTs built
+    from the query's NORMALIZED dims against the RESIDUAL codebooks, the
+    candidate set restricted to the probed cells, addition order
+    (constant first, then subspaces 0..M-1) mirroring the engine's
+    expression text."""
+    # residual LUTs pair the query's normalized dims with residual-space
+    # codebooks (dot(q, r̂) in the IVFADC decomposition)
+    lut_dsrc = "dims" if residual else ("rdims" if rotated else "dims")
     lut_ctes = ",".join(
         f"""
 lut_{m} AS MATERIALIZED (
   SELECT c.cl, CAST(sum(CAST(c.m * d.x AS {_DEC})) AS DOUBLE) AS v
   FROM c{PQ_N_ITER}_{m} c
-  JOIN {dsrc} d ON d.pos = c.pos AND d.vec_id = {KNN_QUERY_ID}
+  JOIN {lut_dsrc} d ON d.pos = c.pos AND d.vec_id = {KNN_QUERY_ID}
   GROUP BY c.cl
 )"""
         for m in range(PQ_M)
@@ -753,8 +971,28 @@ lut_{m} AS MATERIALIZED (
     joins = " ".join(
         f"JOIN lut_{m} ON lut_{m}.cl = codes.c{m}" for m in range(PQ_M)
     )
+    if residual:
+        from rosbag2parquet_spark.functions.kmeans import (
+            N_ITER as _KM_N_ITER,
+        )
+
+        lut_ctes += f""",
+cellconst AS MATERIALIZED (
+  SELECT nc.cl, CAST(sum(CAST(nc.m * d.x AS {_DEC})) AS DOUBLE) AS v
+  FROM ncent nc
+  JOIN dims d ON d.pos = nc.pos AND d.vec_id = {KNN_QUERY_ID}
+  GROUP BY nc.cl
+)"""
+        score = "cellconst.v + " + score
+        joins = (
+            f"JOIN km_a{_KM_N_ITER} ka ON ka.vec_id = codes.vec_id "
+            "JOIN cellconst ON cellconst.cl = ka.cl " + joins
+        )
+        member_pred = (
+            member_pred + " AND ka.cl IN (SELECT cl FROM ivf_cells)"
+        )
     return (
-        _pq_cte_sql(rotated)
+        _pq_cte_sql(rotated, residual)
         + extra_ctes
         + ","
         + lut_ctes
@@ -778,21 +1016,14 @@ def _oracle_knn_pq() -> str:
     return _adc_oracle()
 
 
-def _ivf_member_ctes() -> str:
-    """The IVF side of the knn-ivf-pq oracle: the km_-prefixed kmeans
-    chain over RAW embeddings (the PQ chain's ``dims`` is normalized —
-    prefix avoids the collision), the integer-quantized probe-cell
-    scores (knn-ivf's cells CTE verbatim, over km_ names), and the
-    probed cells' membership."""
-    from rosbag2parquet_spark.functions.kmeans import N_ITER, kmeans_cte_sql
+def _ivf_cells_cte() -> str:
+    """The probe-cell CTE alone (knn-ivf's integer-quantized cell scores
+    over the km_-prefixed chain, which the caller must have emitted) —
+    leading comma included."""
+    from rosbag2parquet_spark.functions.kmeans import N_ITER
     from rosbag2parquet_spark.functions.similarity import IVF_NPROBE
 
-    km = kmeans_cte_sql(prefix="km_")
-    assert km.startswith("WITH ")
-    return (
-        ","
-        + km[len("WITH ") :]
-        + f""",
+    return f""",
 ivf_cells AS (
   SELECT cl FROM (
     SELECT c.cl,
@@ -802,7 +1033,24 @@ ivf_cells AS (
     JOIN (SELECT pos, x FROM km_dims WHERE vec_id = {KNN_QUERY_ID}) qd USING (pos)
     GROUP BY c.cl
   ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}
-),
+)"""
+
+
+def _ivf_member_ctes() -> str:
+    """The IVF side of the knn-ivf-pq oracle: the km_-prefixed kmeans
+    chain over RAW embeddings (the PQ chain's ``dims`` is normalized —
+    prefix avoids the collision), the integer-quantized probe-cell
+    scores (knn-ivf's cells CTE verbatim, over km_ names), and the
+    probed cells' membership."""
+    from rosbag2parquet_spark.functions.kmeans import N_ITER, kmeans_cte_sql
+
+    km = kmeans_cte_sql(prefix="km_")
+    assert km.startswith("WITH ")
+    return (
+        ","
+        + km[len("WITH ") :]
+        + _ivf_cells_cte()
+        + f""",
 ivf_members AS (
   SELECT vec_id FROM km_a{N_ITER} WHERE cl IN (SELECT cl FROM ivf_cells)
 )"""
@@ -818,6 +1066,10 @@ def _oracle_knn_ivf_pq() -> str:
 
 def _oracle_knn_opq() -> str:
     return _adc_oracle(rotated=True)
+
+
+def _oracle_knn_ivfadc() -> str:
+    return _adc_oracle(extra_ctes=_ivf_cells_cte(), residual=True)
 
 
 def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
@@ -876,12 +1128,18 @@ def _oracle_opq_recall() -> str:
     return _oracle_recall(_oracle_knn_opq())
 
 
+def _oracle_ivfadc_recall() -> str:
+    return _oracle_recall(_oracle_knn_ivfadc())
+
+
 QUERIES = {
     "pq-quantize": q_pq_quantize,
     "knn-pq": q_knn_pq,
     "pq-recall": q_pq_recall,
     "knn-ivf-pq": q_knn_ivf_pq,
     "ivf-pq-recall": q_ivf_pq_recall,
+    "knn-ivfadc": q_knn_ivfadc,
+    "ivfadc-recall": q_ivfadc_recall,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -893,6 +1151,8 @@ ORACLES = {
     "pq-recall": _oracle_pq_recall(),
     "knn-ivf-pq": _oracle_knn_ivf_pq(),
     "ivf-pq-recall": _oracle_ivf_pq_recall(),
+    "knn-ivfadc": _oracle_knn_ivfadc(),
+    "ivfadc-recall": _oracle_ivfadc_recall(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

@@ -229,6 +229,30 @@ def test_knn_ivf_pq_composed_stack(spark):
     assert plan.count("LeftSemi") >= 2  # IVF membership + shortlist re-read
 
 
+def test_ivfadc_residual_recall_at_least_raw_composed(spark):
+    """X3 residual-encoded IVFADC (Jégou §VI eq. 17): with the SAME cells
+    and the SAME M×K code budget, encoding residuals against the coarse
+    cell's normalized centroid must recall AT LEAST what raw-vector
+    encoding does (measured: +1 at both fixtures — 6/10 → 7/10 at
+    sf0.01, 8/10 → 9/10 at sf0.001 — the headroom the residual's smaller
+    dynamic range buys). Also pins the stored-index shape: coarse cell +
+    codes, no float column."""
+    from rosbag2parquet_spark.functions.pq import (
+        PQ_M,
+        _ivfadc_fit,
+        q_ivfadc_recall,
+        q_ivf_pq_recall,
+    )
+
+    raw = q_ivf_pq_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    res = q_ivfadc_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    assert res >= raw, f"residual encoding lost recall: {res} < {raw}"
+    _, _, coded, _ = _ivfadc_fit(spark, SF_DIR)
+    assert set(coded.columns) == (
+        {"vec_id", "label", "cluster"} | {f"c{m}" for m in range(PQ_M)}
+    )
+
+
 def test_kmeans_vectorized_assign_equals_expression_tier(spark):
     """The Arrow-vectorized cluster assignment (the tier the trainer and
     the registered queries use) must be BIT-IDENTICAL to the Catalyst
