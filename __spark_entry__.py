@@ -130,18 +130,21 @@ _QUERY_ORDER = [
     "stream-resample",
     # NEW round 10: the residual-encoded IVFADC rung (PQ codes describe
     # the residual against the coarse cell's normalized centroid — the
-    # shape FAISS stores) + its measured-recall row
-    "knn-ivfadc", "ivfadc-recall",
-    # r6-PROVEN rows 1-29 (the oldest driver rows once the 21 above land)
+    # shape FAISS stores) + its measured-recall row, then the two r10
+    # rungs COMPOSED (rotate -> coarse-quantize -> encode rotated
+    # residuals, FAISS's OPQ,IVF,PQ chain — SURVEY §7.1 #4's composition)
+    "knn-ivfadc", "ivfadc-recall", "knn-ivfadc-opq", "ivfadc-opq-recall",
+    # r6-PROVEN rows 1-27 (the oldest driver rows once the 23 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
-    "dedup-simhash", "knn", "knn-batch", "stats-corr",
+    "dedup-simhash", "knn",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 30-46 (lead the r11 window)
+    # r6-proven rows 28-46 (lead the r11 window)
+    "knn-batch", "stats-corr",
     "string-agg", "explode-sequence",
     "distinct-count", "quantiles", "sessionize",
     "text-stats", "null-semantics", "sql-q12", "sample-hash",

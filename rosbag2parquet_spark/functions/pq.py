@@ -586,7 +586,7 @@ SELECT vec_id, {cols} FROM codes ORDER BY vec_id
     )
 
 
-def _ivfadc_fit(spark: SparkSession, sf_dir: str):
+def _ivfadc_fit(spark: SparkSession, sf_dir: str, rotated: bool = False):
     """Memoized training for the RESIDUAL-encoded IVFADC stack (Jégou et
     al. §VI eq. 17 — the shape FAISS's IVFADC actually stores): each
     vector's PQ code describes its residual against its coarse cell's
@@ -594,6 +594,14 @@ def _ivfadc_fit(spark: SparkSession, sf_dir: str):
     a fraction of vector energy, so the same M×K codebook budget spends
     its resolution on a smaller ball — the recall headroom `ivfadc-recall`
     measures over `ivf-pq-recall`.
+
+    With ``rotated``, the learned OPQ rotation is applied to the
+    normalized vectors BEFORE the residual step (FAISS's
+    ``OPQ…,IVF…,PQ…`` pre-transform chain): the coarse cell stays the
+    raw-space kmeans assignment (shared with `knn-ivf`; rotation is
+    orthogonal, so which cell a vector lands in is a free choice of
+    basis), while ncent, residuals, codebooks, and LUTs all live in the
+    rotated space — the two proven rungs composed.
 
     Returns (probe_cells, ncent, coded, books):
     - probe_cells: the IVF_NPROBE cells for the fixed query (raw-space
@@ -621,7 +629,7 @@ def _ivfadc_fit(spark: SparkSession, sf_dir: str):
     )
     from rosbag2parquet_spark.functions.similarity import _ivf_probe_cells
 
-    key = (spark.sparkContext.applicationId, sf_dir, "ivfadc")
+    key = (spark.sparkContext.applicationId, sf_dir, "ivfadc", rotated)
     if key in _FIT_CACHE:
         return _FIT_CACHE[key]
     raw = load_table(spark, sf_dir, "embeddings")
@@ -633,6 +641,10 @@ def _ivfadc_fit(spark: SparkSession, sf_dir: str):
     frame = assign_clusters_vectorized(frame, centroids).select(
         "vec_id", "label", "cluster", "en"
     )
+    if rotated:
+        # same quantized matvec the `knn-opq` representation uses — one
+        # more fused Arrow step before the residual subtraction
+        frame = frame.withColumn("en", _rotate_vectorized()(F.col("en")))
     # normalized-space cell centroids: the kmeans mean-update expression
     # verbatim (exact decimal sum / count), one tiny (K×dim)-row collect
     ncent_rows = (
@@ -686,11 +698,25 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end to end like every rung: exact-decimal ncent,
     integer-quantized argmins, decimal-exact LUT and cell constants,
     fixed left-to-right addition order mirrored in the oracle."""
-    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
+    return _ivfadc_search(spark, sf_dir)
+
+
+def _ivfadc_search(
+    spark: SparkSession, sf_dir: str, rotated: bool = False
+) -> DataFrame:
+    """The IVFADC two-stage serve over `_ivfadc_fit`'s stored index —
+    `knn-ivfadc` passes the identity basis, `knn-ivfadc-opq` the learned
+    OPQ rotation (LUT, cell constants, and the query representation move
+    to the rotated space together; the stage-2 exact re-rank always reads
+    the ORIGINAL vectors, like every rotated rung)."""
+    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir, rotated)
     emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    # the query in the codes' basis: `_pq_frame` is the same
+    # normalize[+quantized-rotate] pipeline the fit ran
     qen = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == KNN_QUERY_ID)
+        for x in _pq_frame(spark, sf_dir, rotated)
+        .filter(F.col("vec_id") == KNN_QUERY_ID)
         .select("en")
         .collect()[0]["en"]
     ]
@@ -761,6 +787,27 @@ def q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, q_knn_ivfadc)
 
 
+def q_knn_ivfadc_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two r10 rungs COMPOSED — FAISS's ``OPQ,IVF,PQ`` index string:
+    rotate (learned OPQ basis), coarse-quantize (shared raw-space cells;
+    an orthogonal rotation never changes which neighbors are near, only
+    the coordinates PQ splits), then PQ-encode the ROTATED residuals.
+    dot(q, x̂) = dot(Rq, ncent_rot[cell]) + dot(Rq, r̂) — the same
+    per-cell constant + LUT plan as `knn-ivfadc`, every literal now in
+    the rotated basis. Search economics identical (probed cells' codes
+    only, fixed exact re-rank); what changes is the encoding error the
+    codes carry — `ivfadc-opq-recall` vs `ivfadc-recall` is the measured
+    pair, closing SURVEY §7.1 #4."""
+    return _ivfadc_search(spark, sf_dir, rotated=True)
+
+
+def q_ivfadc_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the rotated residual-encoded serve against the exact
+    scan — the measured proof the composition earns its place above its
+    two parents (compare `ivfadc-recall` and `opq-recall`)."""
+    return _recall_vs_exact(spark, sf_dir, q_knn_ivfadc_opq)
+
+
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn-pq` with the OPQ rotation on: codes, codebooks, and the ADC
     lookup table live in the ROTATED space (see `opq_rotation`); the
@@ -798,9 +845,10 @@ def _pq_cte_sql(rotated: bool = False, residual: bool = False) -> str:
     normalized-space cell-centroid CTE (``ncent``) define ``rsdims`` =
     dims minus the row's cell centroid, and the chains quantize THAT —
     the IVFADC residual encoding."""
-    if rotated and residual:
-        raise ValueError("rotated and residual are separate rungs")
     dsrc = "rsdims" if residual else ("rdims" if rotated else "dims")
+    # the basis the residual step reads: rotated coordinates when both
+    # rungs compose (`knn-ivfadc-opq`), plain normalized dims otherwise
+    rbase = "rdims" if rotated else "dims"
     parts = [
         """
 n AS MATERIALIZED (
@@ -854,12 +902,12 @@ rdims AS MATERIALIZED (
 ncent AS MATERIALIZED (
   SELECT a.cl, d.pos,
          CAST(sum(CAST(d.x AS {_DEC})) AS DOUBLE) / count(*) AS m
-  FROM dims d JOIN km_a{_KM_N_ITER} a USING (vec_id)
+  FROM {rbase} d JOIN km_a{_KM_N_ITER} a USING (vec_id)
   GROUP BY a.cl, d.pos
 ),
 rsdims AS MATERIALIZED (
   SELECT d.vec_id, d.pos, d.x - nc.m AS x
-  FROM dims d
+  FROM {rbase} d
   JOIN km_a{_KM_N_ITER} a USING (vec_id)
   JOIN ncent nc ON nc.cl = a.cl AND nc.pos = d.pos
 )"""
@@ -954,9 +1002,10 @@ def _adc_oracle(
     candidate set restricted to the probed cells, addition order
     (constant first, then subspaces 0..M-1) mirroring the engine's
     expression text."""
-    # residual LUTs pair the query's normalized dims with residual-space
-    # codebooks (dot(q, r̂) in the IVFADC decomposition)
-    lut_dsrc = "dims" if residual else ("rdims" if rotated else "dims")
+    # residual LUTs pair the query's normalized dims (rotated dims when
+    # the OPQ basis composes in) with residual-space codebooks
+    # (dot(q, r̂) — resp. dot(Rq, r̂) — in the IVFADC decomposition)
+    lut_dsrc = "rdims" if rotated else "dims"
     lut_ctes = ",".join(
         f"""
 lut_{m} AS MATERIALIZED (
@@ -980,7 +1029,7 @@ lut_{m} AS MATERIALIZED (
 cellconst AS MATERIALIZED (
   SELECT nc.cl, CAST(sum(CAST(nc.m * d.x AS {_DEC})) AS DOUBLE) AS v
   FROM ncent nc
-  JOIN dims d ON d.pos = nc.pos AND d.vec_id = {KNN_QUERY_ID}
+  JOIN {lut_dsrc} d ON d.pos = nc.pos AND d.vec_id = {KNN_QUERY_ID}
   GROUP BY nc.cl
 )"""
         score = "cellconst.v + " + score
@@ -1072,6 +1121,12 @@ def _oracle_knn_ivfadc() -> str:
     return _adc_oracle(extra_ctes=_ivf_cells_cte(), residual=True)
 
 
+def _oracle_knn_ivfadc_opq() -> str:
+    return _adc_oracle(
+        extra_ctes=_ivf_cells_cte(), rotated=True, residual=True
+    )
+
+
 def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
     """Recall@KNN_K of an approximate search against the exact scan —
     the single-sourced measurement every ANN rung's `*-recall` row uses.
@@ -1132,6 +1187,10 @@ def _oracle_ivfadc_recall() -> str:
     return _oracle_recall(_oracle_knn_ivfadc())
 
 
+def _oracle_ivfadc_opq_recall() -> str:
+    return _oracle_recall(_oracle_knn_ivfadc_opq())
+
+
 QUERIES = {
     "pq-quantize": q_pq_quantize,
     "knn-pq": q_knn_pq,
@@ -1140,6 +1199,8 @@ QUERIES = {
     "ivf-pq-recall": q_ivf_pq_recall,
     "knn-ivfadc": q_knn_ivfadc,
     "ivfadc-recall": q_ivfadc_recall,
+    "knn-ivfadc-opq": q_knn_ivfadc_opq,
+    "ivfadc-opq-recall": q_ivfadc_opq_recall,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1153,6 +1214,8 @@ ORACLES = {
     "ivf-pq-recall": _oracle_ivf_pq_recall(),
     "knn-ivfadc": _oracle_knn_ivfadc(),
     "ivfadc-recall": _oracle_ivfadc_recall(),
+    "knn-ivfadc-opq": _oracle_knn_ivfadc_opq(),
+    "ivfadc-opq-recall": _oracle_ivfadc_opq_recall(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

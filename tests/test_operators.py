@@ -253,6 +253,33 @@ def test_ivfadc_residual_recall_at_least_raw_composed(spark):
     )
 
 
+def test_ivfadc_opq_composition_recall_and_shape(spark):
+    """X3 OPQ×IVFADC composition (FAISS's ``OPQ,IVF,PQ`` chain, SURVEY
+    §7.1 #4): rotating before residual-encoding must recall at least the
+    RAW residual rung under the same cells and code budget (the probed
+    cells bound what any encoding can recall, so equality is the floor —
+    measured: equal at both fixtures, with the unpruned rotation's gain
+    visible in `opq-recall`), and the stored index keeps the
+    cluster+codes shape with codebooks in the rotated basis (distinct
+    from the identity-basis books)."""
+    from rosbag2parquet_spark.functions.pq import (
+        PQ_M,
+        _ivfadc_fit,
+        q_ivfadc_opq_recall,
+        q_ivfadc_recall,
+    )
+
+    raw = q_ivfadc_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    rot = q_ivfadc_opq_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    assert rot >= raw, f"rotated residual encoding lost recall: {rot} < {raw}"
+    _, _, coded, books = _ivfadc_fit(spark, SF_DIR, rotated=True)
+    assert set(coded.columns) == (
+        {"vec_id", "label", "cluster"} | {f"c{m}" for m in range(PQ_M)}
+    )
+    _, _, _, books_raw = _ivfadc_fit(spark, SF_DIR, rotated=False)
+    assert books != books_raw  # the rotated basis trained its own books
+
+
 def test_kmeans_vectorized_assign_equals_expression_tier(spark):
     """The Arrow-vectorized cluster assignment (the tier the trainer and
     the registered queries use) must be BIT-IDENTICAL to the Catalyst
