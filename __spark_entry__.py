@@ -134,17 +134,21 @@ _QUERY_ORDER = [
     # rungs COMPOSED (rotate -> coarse-quantize -> encode rotated
     # residuals, FAISS's OPQ,IVF,PQ chain — SURVEY §7.1 #4's composition)
     "knn-ivfadc", "ivfadc-recall", "knn-ivfadc-opq", "ivfadc-opq-recall",
-    # r6-PROVEN rows 1-27 (the oldest driver rows once the 23 above land)
+    # NEW round 10: alert ROUTING — the monitor's verdict EDGES
+    # (ok→violating pages, violating→ok recoveries) as a live stream
+    # (SURVEY §7.1 r11 #2)
+    "stream-alert-transitions",
+    # r6-PROVEN rows 1-26 (the oldest driver rows once the 24 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
-    "dedup-simhash", "knn",
+    "dedup-simhash",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 28-46 (lead the r11 window)
-    "knn-batch", "stats-corr",
+    # r6-proven rows 27-46 (lead the r11 window)
+    "knn", "knn-batch", "stats-corr",
     "string-agg", "explode-sequence",
     "distinct-count", "quantiles", "sessionize",
     "text-stats", "null-semantics", "sql-q12", "sample-hash",

@@ -1442,12 +1442,125 @@ def _volume_trend_oracle() -> str:
     return ORACLE_VOLUME_TREND
 
 
+#: alert-transition rule literals — the error-share ceiling (the fixture's
+#: error mix hovers ~20%, so daily verdicts flip repeatedly at 2000 bps:
+#: 16 edges at sf0.01 AND sf0.001) and the volume floor as a percentage of
+#: the reference period's daily mean (95% → 4 edges sf0.01, 14 sf0.001);
+#: both rules verdict in pure BIGINT arithmetic, cross-engine exact
+ALERT_ERRSHARE_BPS = 2000
+ALERT_VOLUME_PCT = 95
+
+
+def q_stream_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert ROUTING — what a production monitor pages on (SURVEY §7.1
+    r11 #2, closing the `alert-rules` loop): not the verdict table but
+    its EDGES. The stream folds into one per-day counting aggregate
+    (checked + error count; state is one row per day in the monitored
+    span, bounded by time not stream length), each refresh re-verdicts
+    every day against two declarative rules — error share ≤
+    ALERT_ERRSHARE_BPS, daily volume ≥ ALERT_VOLUME_PCT% of the frozen
+    reference-period mean (deployment config: two batch-side scalars,
+    the stream-drift posture) — and emits ONLY the days whose verdict
+    DIFFERS from the previous day's (monitor baseline: ok), via one lag
+    window over the tiny per-day verdict surface. Rows are ok→violating
+    pages and violating→ok recoveries; a steady state emits nothing.
+    Verdicts are integer-exact (BIGINT bps / scaled counts), so the
+    oracle reproduces every edge bit-for-bit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    # frozen monitor config: the reference period's day count and total
+    # volume (one 2-scalar reduce over the batch table at deploy time)
+    ev_b = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    )
+    cfg = ev_b.groupBy("day").count().agg(
+        F.count(F.lit(1)).alias("days"), F.sum("count").alias("total")
+    ).collect()[0]
+    days, total = int(cfg["days"]), int(cfg["total"])
+
+    daily = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("e"),
+        )
+        .select(F.unix_micros(F.col("w.start")).alias("start_us"), "c", "e")
+    )
+    tbl = _fresh("stream_alert_transitions")
+    run_to_memory(daily, tbl, mode="complete")
+
+    d = spark.table(tbl)
+    verdicts = d.select(
+        F.lit(f"errshare:<={ALERT_ERRSHARE_BPS}bps").alias("rule"),
+        "start_us",
+        F.expr("e * 10000 div c").cast("long").alias("measure"),
+        (F.col("e") * 10000 <= F.lit(ALERT_ERRSHARE_BPS) * F.col("c")).alias(
+            "ok"
+        ),
+    ).unionAll(
+        d.select(
+            F.lit(f"volume:>={ALERT_VOLUME_PCT}pct-mean").alias("rule"),
+            "start_us",
+            F.col("c").alias("measure"),
+            (
+                F.col("c") * 100 * F.lit(days) >= F.lit(ALERT_VOLUME_PCT * total)
+            ).alias("ok"),
+        )
+    )
+    w = Window.partitionBy("rule").orderBy("start_us")
+    return (
+        verdicts.withColumn("prev_ok", F.lag("ok").over(w))
+        .filter(F.coalesce(F.col("prev_ok"), F.lit(True)) != F.col("ok"))
+        .select("rule", "start_us", "measure", "ok")
+        .orderBy("rule", "start_us")
+    )
+
+
+ORACLE_STREAM_ALERT_TRANSITIONS = f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS e
+  FROM events GROUP BY 1
+), cfg AS (
+  SELECT CAST(count(*) AS BIGINT) AS days, CAST(sum(c) AS BIGINT) AS total
+  FROM d
+), v AS (
+  SELECT 'errshare:<={ALERT_ERRSHARE_BPS}bps' AS rule,
+         day * 86400000000 AS start_us,
+         e * 10000 // c AS measure,
+         e * 10000 <= {ALERT_ERRSHARE_BPS} * c AS ok
+  FROM d
+  UNION ALL
+  SELECT 'volume:>={ALERT_VOLUME_PCT}pct-mean', day * 86400000000, c,
+         c * 100 * cfg.days >= {ALERT_VOLUME_PCT} * cfg.total
+  FROM d CROSS JOIN cfg
+), w AS (
+  SELECT rule, start_us, measure, ok,
+         lag(ok) OVER (PARTITION BY rule ORDER BY start_us) AS prev_ok
+  FROM v
+)
+SELECT rule, start_us, measure, ok
+FROM w WHERE coalesce(prev_ok, TRUE) != ok
+ORDER BY rule, start_us
+"""
+
+
 QUERIES = {
     "stream-asof": q_stream_asof,
     "stream-validate": q_stream_validate,
     "stream-drift": q_stream_drift,
     "stream-numeric-drift": q_stream_numeric_drift,
     "stream-volume-trend": q_stream_volume_trend,
+    "stream-alert-transitions": q_stream_alert_transitions,
     "stream-analyze": q_stream_analyze,
     "stream-semdedup": q_stream_semdedup,
     "stream-knn": q_stream_knn,
@@ -1508,6 +1621,7 @@ ORACLES = {
     "stream-drift": _drift_oracle(),
     "stream-numeric-drift": _numeric_drift_oracle(),
     "stream-volume-trend": _volume_trend_oracle(),
+    "stream-alert-transitions": ORACLE_STREAM_ALERT_TRANSITIONS,
     "stream-analyze": ORACLE_STREAM_ANALYZE,
     "stream-semdedup": _semdedup_oracle(),
     "stream-knn": _knn_oracle(),

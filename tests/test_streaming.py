@@ -285,3 +285,29 @@ def test_cdc_landing_ignores_extra_columns(spark, tmp_path):
         assert batch.exceptAll(got).count() == 0
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_stream_alert_transitions_edge_semantics(spark):
+    """X15 alert routing: the emitted rows are exactly the verdict EDGES —
+    per rule they strictly alternate ok False/True, the FIRST emitted row
+    is always a violation (the monitor baseline is ok, so a leading
+    all-green prefix emits nothing), and recoveries are present on the
+    fixture (both directions of the page/recover loop are live)."""
+    from rosbag2parquet_spark.streaming.queries import (
+        q_stream_alert_transitions,
+    )
+
+    rows = q_stream_alert_transitions(spark, SF_DIR).collect()
+    assert rows, "fixture produced no verdict edges"
+    by_rule = {}
+    for r in rows:
+        by_rule.setdefault(r.rule, []).append(r)
+    assert set(by_rule) == {"errshare:<=2000bps", "volume:>=95pct-mean"}
+    for rule, rs in by_rule.items():
+        oks = [r.ok for r in rs]
+        assert oks[0] is False, f"{rule}: first edge must be a violation"
+        assert all(a != b for a, b in zip(oks, oks[1:])), (
+            f"{rule}: edges must strictly alternate"
+        )
+        assert [r.start_us for r in rs] == sorted(r.start_us for r in rs)
+    assert any(r.ok for r in rows), "no recovery edge on the fixture"
