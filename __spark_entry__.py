@@ -138,17 +138,20 @@ _QUERY_ORDER = [
     # (ok→violating pages, violating→ok recoveries) as a live stream
     # (SURVEY §7.1 r11 #2)
     "stream-alert-transitions",
-    # r6-PROVEN rows 1-26 (the oldest driver rows once the 24 above land)
+    # NEW round 10: bag provenance surfaced end to end — per-type rows
+    # joined to Messages' (seqno, bag_index) over a two-batch fleet
+    # layout (reference TODO FlattenedRosWriter.cpp:183; SURVEY §7.1 #3)
+    "provenance-read",
+    # r6-PROVEN rows 1-25 (the oldest driver rows once the 25 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
-    "dedup-simhash",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 27-46 (lead the r11 window)
-    "knn", "knn-batch", "stats-corr",
+    # r6-proven rows 26-46 (lead the r11 window)
+    "dedup-simhash", "knn", "knn-batch", "stats-corr",
     "string-agg", "explode-sequence",
     "distinct-count", "quantiles", "sessionize",
     "text-stats", "null-semantics", "sql-q12", "sample-hash",

@@ -189,6 +189,7 @@ def convert(
     payload_schema=None,
     mode: str = "overwrite",
     compression: str = "snappy",
+    bag_index: int | None = None,
 ) -> ConvertInfo:
     """Convert a message-stream DataFrame into the reference's output layout:
     ``Messages``, ``Connections``, and per-type partitioned tables under
@@ -323,10 +324,11 @@ def convert(
         # a column-prefix (see _pad_append_messages)
         F.col(time_col).alias("time"),
         # file provenance (reference TODO FlattenedRosWriter.cpp:183) —
-        # NULL on this path: the input is a DataFrame stream, not a bag
-        # file, so there is no source-file ordinal to record; the column
-        # exists so every converter emits ONE Messages shape
-        F.lit(None).cast("int").alias("bag_index"),
+        # NULL by default on this path (a DataFrame stream has no source
+        # file), but a caller converting a KNOWN batch of a larger corpus
+        # passes its ordinal so appended conversions stay distinguishable
+        # (the DataFrame analog of the fleet path's per-bag stamp)
+        F.lit(bag_index).cast("int").alias("bag_index"),
     )
     # per-connection batch stats (reference TODO #2/#2.1) — same shape as
     # the bag converters' Stats table
@@ -988,6 +990,13 @@ _METADATA_SCHEMA = (
     "bag_index int, bag string, name string, key string, value string"
 )
 
+#: fleet manifest — one row per source bag per conversion, the table the
+#: reference TODO's "file ID" (FlattenedRosWriter.cpp:183) resolves
+#: through: Messages.bag_index → (bag name, path, grammar). Written by
+#: `convert_bags` for EVERY grammar (Metadata/Attachments exist only
+#: where the container format carries them; the manifest always does)
+_BAGS_SCHEMA = "bag_index int, bag string, path string, format string"
+
 
 def _metadata_rows(bag_path: str, bag_index: int) -> list:
     """Metadata records of one MCAP as _METADATA_SCHEMA rows; an empty-map
@@ -1198,6 +1207,7 @@ def _write_bag_tables(
     conns_write_df: "DataFrame | None" = None,
     attachments_df: "DataFrame | None" = None,
     metadata_df: "DataFrame | None" = None,
+    bags_df: "DataFrame | None" = None,
     base_bag_index: int = 0,
 ) -> tuple[int, float]:
     """Shared table-writing tail of :func:`convert_bag`/:func:`convert_bags`:
@@ -1465,6 +1475,15 @@ def _write_bag_tables(
             )
         metadata_df.write.options(**writer_opts).mode(mode).parquet(md_path)
         tables["Metadata"] = metadata_df.schema
+
+    if bags_df is not None:
+        bags_path = os.path.join(out_dir, "Bags")
+        if mode == "append":
+            assert_append_compatible(
+                bags_df.sparkSession, bags_path, bags_df.schema
+            )
+        bags_df.write.options(**writer_opts).mode(mode).parquet(bags_path)
+        tables["Bags"] = bags_df.schema
 
     if mode == "append":
         # the DDL script must list EVERY table in the layout, including
@@ -1917,7 +1936,7 @@ def convert_bags(
         # the Attachments/Metadata side-cars since r7) so one bag's
         # ordinal agrees across all three tables and ingest batches
         prevs = []
-        for t in ("Attachments", "Metadata", "Messages"):
+        for t in ("Attachments", "Metadata", "Messages", "Bags"):
             tp = os.path.join(out_dir, t)
             if os.path.isdir(tp):
                 tdf = spark.read.parquet(tp)
@@ -1941,6 +1960,18 @@ def convert_bags(
         att_df = spark.createDataFrame(att_rows, _ATTACHMENTS_SCHEMA)
     if md_rows:
         md_df = spark.createDataFrame(md_rows, _METADATA_SCHEMA)
+    bags_df = spark.createDataFrame(
+        [
+            (
+                base_bag_index + i,
+                os.path.basename(meta["path"]),
+                meta["path"],
+                meta["format"],
+            )
+            for i, meta in enumerate(metas)
+        ],
+        _BAGS_SCHEMA,
+    )
 
     count, size = _write_bag_tables(
         seq,
@@ -1957,6 +1988,7 @@ def convert_bags(
         conns_write_df=conns_write_df,
         attachments_df=att_df,
         metadata_df=md_df,
+        bags_df=bags_df,
         base_bag_index=base_bag_index,
     )
     seq.unpersist()
@@ -1965,3 +1997,35 @@ def convert_bags(
         count=count,
         size=float(size),
     )
+
+
+def pertype_with_provenance(
+    spark: SparkSession, out_dir: str, table: str
+) -> DataFrame:
+    """Per-type rows WITH file provenance — the user-visible end of the
+    reference TODO (FlattenedRosWriter.cpp:183 "we should add a file ID
+    to all entries"): joins a per-type table to ``Messages`` projected to
+    its (seqno, bag_index) pair — seqno is the cross-table key the
+    layout is built around (reference README.md:119-121); the projection
+    is column-pruned to 12 bytes/row and both sides arrive seqno-ordered
+    from the writer, so the join is the cheap co-sorted kind at any
+    scale — and resolves ``bag_index`` to the source bag's NAME via the
+    ``Bags`` fleet manifest (every `convert_bags` layout has one; the
+    Metadata side-car serves older/MCAP-only layouts; a DataFrame-stream
+    layout has no files, so ``bag`` stays NULL there)."""
+    pertype = spark.read.parquet(os.path.join(out_dir, table))
+    msgs = spark.read.parquet(os.path.join(out_dir, "Messages")).select(
+        "seqno", "bag_index"
+    )
+    out = pertype.join(msgs, "seqno")
+    for side_car in ("Bags", "Metadata"):
+        path = os.path.join(out_dir, side_car)
+        if os.path.isdir(path):
+            # one row per bag — a broadcast dim by construction
+            bags = (
+                spark.read.parquet(path)
+                .select("bag_index", "bag")
+                .distinct()
+            )
+            return out.join(F.broadcast(bags), "bag_index", "left")
+    return out.withColumn("bag", F.lit(None).cast("string"))

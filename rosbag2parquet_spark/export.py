@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: layout directories that are not per-type message tables
-_META_TABLES = {"Messages", "Connections", "Attachments", "Metadata", "Stats"}
+_META_TABLES = {
+    "Messages", "Connections", "Attachments", "Metadata", "Stats", "Bags",
+}
 
 #: default target bytes of payload per exported part file
 _TARGET_PART_BYTES = 256 << 20

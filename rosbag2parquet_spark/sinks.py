@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rosbag2parquet_spark.convert import convert
+from rosbag2parquet_spark.convert import convert, pertype_with_provenance
 from rosbag2parquet_spark.sources.catalog import load_table
 
 _SEQ_CONN_SQL = """
@@ -111,6 +111,90 @@ def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag file) — must survive the sink."""
     out = _converted_dir(spark, sf_dir)
     return spark.read.parquet(os.path.join(out, "Messages"))
+
+
+def _converted_fleet_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A two-batch FLEET conversion of the events stream into ONE layout
+    (the `_converted_dir` scratch discipline: unique work dir, atomic
+    rename, LAYOUT_CACHE_VERSION-tagged): the stream splits at its time
+    midpoint — every batch-0 row precedes every batch-1 row in the
+    (ts, event_id) total order, so the appended seqno continues the
+    global rank exactly — and each batch stamps its ordinal into
+    Messages.bag_index (the DataFrame analog of convert_bags' per-bag
+    provenance)."""
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_fleet_v{LAYOUT_CACHE_VERSION}"
+    )
+    root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out")
+    out = os.path.join(root, tag)
+    if not os.path.isdir(out):
+        from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
+
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        events = load_table(spark, sf_dir, "events")
+        us = F.unix_micros(F.col("ts"))
+        lo, hi = events.agg(F.min(us), F.max(us)).collect()[0]
+        mid = (int(lo) + int(hi)) // 2
+        for i, batch in enumerate(
+            (events.filter(us < F.lit(mid)), events.filter(us >= F.lit(mid)))
+        ):
+            convert(
+                spark,
+                batch,
+                work,
+                order_cols=["ts", "event_id"],
+                payload_schema=PROPS_SCHEMA,
+                mode="overwrite" if i == 0 else "append",
+                bag_index=i,
+            )
+        try:
+            os.rename(work, out)
+        except OSError:
+            pass  # another process won the race; its output is equivalent
+    return out
+
+
+def q_provenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance surfaced END TO END (reference TODO
+    FlattenedRosWriter.cpp:183, SURVEY §7.1 r11 #3): a two-batch fleet
+    conversion, then `pertype_with_provenance` — per-type rows joined to
+    Messages' (seqno, bag_index) on the layout's seqno key — aggregated
+    per (bag_index, datatype). The seqno ranges prove the append
+    continued the global order (batch 1's lo = batch 0's hi + 1 within
+    interleaved types); the oracle recomputes the midpoint split and the
+    global rank from the raw events."""
+    out = _converted_fleet_dir(spark, sf_dir)
+    pt = pertype_with_provenance(spark, out, "pertype")
+    return (
+        pt.groupBy("bag_index", "datatype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("seqno").cast("long").alias("seqno_lo"),
+            F.max("seqno").cast("long").alias("seqno_hi"),
+        )
+        .orderBy("bag_index", "datatype")
+    )
+
+
+ORACLE_PROVENANCE_READ = """
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+),
+seq AS (
+  SELECT row_number() OVER (ORDER BY ts, event_id) - 1 AS seqno,
+         event_type,
+         CASE WHEN epoch_us(ts) < b.mid THEN 0 ELSE 1 END AS bag_index
+  FROM events CROSS JOIN b
+)
+SELECT CAST(bag_index AS INTEGER) AS bag_index,
+       event_type AS datatype,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(seqno) AS BIGINT) AS seqno_lo,
+       CAST(max(seqno) AS BIGINT) AS seqno_hi
+FROM seq GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 ORACLE_SINK = (
@@ -1389,6 +1473,7 @@ QUERIES = {
     "demux": q_demux,
     "schema-evolution": q_schema_evolution,
     "sink": q_sink,
+    "provenance-read": q_provenance_read,
     "export-roundtrip": q_export_roundtrip,
     "protobuf-roundtrip": q_protobuf_roundtrip,
     "convert-resume": q_convert_resume,
@@ -1405,6 +1490,7 @@ ORACLES = {
     "demux": ORACLE_DEMUX,
     "schema-evolution": ORACLE_SCHEMA_EVOLUTION,
     "sink": ORACLE_SINK,
+    "provenance-read": ORACLE_PROVENANCE_READ,
     "export-roundtrip": ORACLE_EXPORT_ROUNDTRIP,
     "protobuf-roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
     "convert-resume": ORACLE_CONVERT_RESUME,

@@ -429,3 +429,27 @@ def test_append_evolve_additive_schema(spark, tmp_path):
     # runs before ANY table write (no orphan Messages/Connections rows)
     assert spark.read.parquet(os.path.join(out, "Messages")).count() == before_msgs
     assert read_layout_table(spark, out, "demo_Evolving").count() == before_rows
+
+
+def test_pertype_with_provenance_resolves_bag_names(spark, fleet_out):
+    """The layout-level provenance read (reference TODO
+    FlattenedRosWriter.cpp:183 surfaced end to end): per-type rows join
+    Messages' (seqno, bag_index) and the Metadata side-car resolves the
+    ordinal to the source bag's NAME — every Imu row names a.bag or
+    b.sbag exactly as recorded."""
+    from rosbag2parquet_spark.convert import pertype_with_provenance
+
+    out, _ = fleet_out
+    imu = pertype_with_provenance(spark, out, "sensor_msgs_Imu")
+    rows = imu.orderBy("seqno").collect()
+    assert [(r.bag_index, r.bag) for r in rows] == [
+        (0, "a.bag"),
+        (0, "a.bag"),
+        (1, "b.sbag"),
+    ]
+    gps = pertype_with_provenance(spark, out, "nav_msgs_Gps")
+    assert sorted((r.bag_index, r.bag) for r in gps.collect()) == [
+        (0, "a.bag"),
+        (1, "b.sbag"),
+        (1, "b.sbag"),
+    ]
