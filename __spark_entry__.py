@@ -142,15 +142,20 @@ _QUERY_ORDER = [
     # joined to Messages' (seqno, bag_index) over a two-batch fleet
     # layout (reference TODO FlattenedRosWriter.cpp:183; SURVEY §7.1 #3)
     "provenance-read",
-    # r6-PROVEN rows 1-25 (the oldest driver rows once the 25 above land)
+    # NEW round 10: the ADC serve reading ONLY the packed 4 B/vector
+    # nibbles (unpack in-expression; value-identical to knn-pq, shared
+    # oracle), and the IVF imbalance report the index is tuned by
+    "knn-pq-packed", "ivf-stats",
+    # r6-PROVEN rows 1-23 (the oldest driver rows once the 27 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
-    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
+    "dedup-exact",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 26-46 (lead the r11 window)
+    # r6-proven rows 24-46 (lead the r11 window)
+    "dedup-minhash-lsh", "dedup-ngram-jaccard",
     "dedup-simhash", "knn", "knn-batch", "stats-corr",
     "string-agg", "explode-sequence",
     "distinct-count", "quantiles", "sessionize",

@@ -573,6 +573,84 @@ def q_pq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.select("vec_id", *cols).orderBy("vec_id")
 
 
+def q_knn_pq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served DIRECTLY FROM the nibble-packed bytes — proof the 4 B/
+    vector stored form (`pq-pack`) is the SERVING form, not an archival
+    one: the ADC stage-1 scan reads only b0..b3 and unpacks in-expression
+    (hi = b div 16, lo = b mod 16 — two integer ops, still
+    whole-stage-codegen JVM arithmetic, no Python, no float read), sums
+    the same decimal-exact LUT entries, and re-ranks the same fixed
+    shortlist exactly. Identical codes → identical shortlist → identical
+    answer to `knn-pq`; the packed serve shares its oracle, so the
+    driver row proves pack → scan → unpack → ADC end to end. At 100 TB
+    this is the rung that matters: the full-corpus scan moves 4 bytes
+    per row off disk, period."""
+    books = pq_fit_cached(spark, sf_dir)
+    coded = _with_codes(spark, sf_dir)
+    packed = coded.select(
+        "vec_id",
+        *[
+            (F.col(f"c{2 * i}") * 16 + F.col(f"c{2 * i + 1}"))
+            .cast("int")
+            .alias(f"b{i}")
+            for i in range(PQ_M // 2)
+        ],
+    )
+    qen = [
+        float(x)
+        for x in _pq_frame(spark, sf_dir, rotated=False)
+        .filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("en")
+        .collect()[0]["en"]
+    ]
+    luts = []
+    for m in range(PQ_M):
+        qs = qen[m * PQ_SUB : (m + 1) * PQ_SUB]
+        luts.append(
+            [
+                float(
+                    sum(
+                        (_dec12(ci * qi) for ci, qi in zip(c, qs)),
+                        start=_dec12(0.0),
+                    )
+                )
+                for c in books[m]
+            ]
+        )
+    lut_lit = [
+        "array(" + ",".join(f"{v!r}D" for v in luts[m]) + ")"
+        for m in range(PQ_M)
+    ]
+    score = " + ".join(
+        f"element_at({lut_lit[2 * i]}, CAST((b{i} div 16) + 1 AS INT))"
+        f" + element_at({lut_lit[2 * i + 1]}, CAST((b{i} % 16) + 1 AS INT))"
+        for i in range(PQ_M // 2)
+    )
+    shortlist = (
+        packed.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .select("vec_id", F.expr(score).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    dotp = F.aggregate(
+        F.zip_with(F.col("en"), F.col("qen"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
 def _oracle_pq_pack() -> str:
     cols = ", ".join(
         f"CAST(c{2 * i} * 16 + c{2 * i + 1} AS INTEGER) AS b{i}"
@@ -1204,6 +1282,7 @@ QUERIES = {
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
+    "knn-pq-packed": q_knn_pq_packed,
 }
 
 ORACLES = {
@@ -1219,4 +1298,8 @@ ORACLES = {
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),
+    # the packed serve is value-identical to knn-pq by construction
+    # (same codes, same LUT, same addition order) — sharing the oracle
+    # makes the driver prove exactly that
+    "knn-pq-packed": _oracle_knn_pq(),
 }

@@ -253,6 +253,34 @@ def test_ivfadc_residual_recall_at_least_raw_composed(spark):
     )
 
 
+def test_knn_pq_packed_equals_unpacked_serve(spark):
+    """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
+    byte columns must return EXACTLY `knn-pq`'s answer — same codes,
+    same LUT, same addition order, shortlist and re-rank identical.
+    Pins that pack → in-expression unpack is lossless on the serving
+    path, not just the storage round-trip (`test_pq_pack_unpacks`)."""
+    from rosbag2parquet_spark.functions.pq import q_knn_pq, q_knn_pq_packed
+
+    a = [tuple(r) for r in q_knn_pq(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in q_knn_pq_packed(spark, SF_DIR).collect()]
+    assert a == b
+
+
+def test_ivf_stats_shares_sum_and_count(spark):
+    """X3 index report: per-cell counts sum to the corpus, every cell is
+    non-empty (first-K init + carry-forward guarantee), and shares are
+    the integer bps of the counts."""
+    from rosbag2parquet_spark.functions.kmeans import K, q_ivf_stats
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    rows = q_ivf_stats(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == K
+    assert sum(r.n_vectors for r in rows) == total
+    assert all(r.n_vectors > 0 for r in rows)
+    assert all(r.share_bps == r.n_vectors * 10000 // total for r in rows)
+
+
 def test_ivfadc_opq_composition_recall_and_shape(spark):
     """X3 OPQ×IVFADC composition (FAISS's ``OPQ,IVF,PQ`` chain, SURVEY
     §7.1 #4): rotating before residual-encoding must recall at least the
