@@ -116,6 +116,14 @@ EXTENDED = [
     "knn-opq",
     # round-10: the residual-encoded IVFADC rung (training included)
     "knn-ivfadc",
+    # late round-10: the OPQ×residual composition, the packed-nibble
+    # serve, the IVF imbalance report, alert routing, and the
+    # provenance read (fleet conversion included on first invocation)
+    "knn-ivfadc-opq",
+    "knn-pq-packed",
+    "ivf-stats",
+    "stream-alert-transitions",
+    "provenance-read",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its
