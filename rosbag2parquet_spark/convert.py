@@ -586,6 +586,12 @@ def convert_bag(
         md_rows = _metadata_rows(bag_path, 0)
         if md_rows:
             md_df = spark.createDataFrame(md_rows, _METADATA_SCHEMA)
+    # the Bags manifest (one row, ordinal 0) — single and fleet layouts
+    # resolve provenance identically; resume re-ingests the SAME file, so
+    # its append passes no manifest delta (the row already stands)
+    bags_df = spark.createDataFrame(
+        [(0, os.path.basename(bag_path), bag_path, fmt)], _BAGS_SCHEMA
+    )
     count, size = _write_bag_tables(
         seq,
         conns_df,
@@ -598,6 +604,7 @@ def convert_bag(
         on_error=on_error,
         attachments_df=att_df,
         metadata_df=md_df,
+        bags_df=bags_df,
     )
     if (
         topics is None and start_ns is None and end_ns is None

@@ -462,3 +462,45 @@ def test_derived_time_column_matches_ns_pair(spark, two_type_bag, tmp_path):
             (ns - (ns % 1000)) // 1000 / 1e6, tz=datetime.timezone.utc
         )
         assert r.time.replace(tzinfo=datetime.timezone.utc) == want
+
+
+def test_single_bag_layout_has_bags_manifest(spark, tmp_path):
+    """Single-bag conversions write the same Bags manifest the fleet path
+    does (one row, ordinal 0), so pertype_with_provenance resolves names
+    uniformly across ingest modes; a later fleet APPEND continues the
+    ordinal from the manifest."""
+    import os
+
+    from rosbag2parquet_spark.convert import convert_bag
+    from rosbag2parquet_spark.sources.baglike import ConnectionInfo, write_bag
+    from tests.test_baglike import (
+        ANGVEL,
+        FRAME,
+        LINACC,
+        QUAT,
+        SEQ,
+        STAMP,
+        _imu_payload,
+    )
+    from tests.test_msgdef import IMU_DEF
+
+    bag = str(tmp_path / "solo.sbag")
+    imu = _imu_payload(SEQ, STAMP, FRAME, QUAT, ANGVEL, LINACC)
+    write_bag(
+        bag,
+        [ConnectionInfo(1, topic="/imu", datatype="sensor_msgs/Imu",
+                        md5sum="imu_md5", msg_def=IMU_DEF)],
+        [(1, 1_000, imu), (1, 2_000, imu)],
+    )
+    out = str(tmp_path / "solo_out")
+    convert_bag(spark, bag, out)
+    rows = spark.read.parquet(os.path.join(out, "Bags")).collect()
+    assert [(r.bag_index, r.bag, r.format) for r in rows] == [
+        (0, "solo.sbag", "sbag")
+    ]
+    assert rows[0].path == bag
+
+    from rosbag2parquet_spark.convert import pertype_with_provenance
+
+    got = pertype_with_provenance(spark, out, "sensor_msgs_Imu")
+    assert {(r.bag_index, r.bag) for r in got.collect()} == {(0, "solo.sbag")}
