@@ -144,18 +144,19 @@ _QUERY_ORDER = [
     "provenance-read",
     # NEW round 10: the ADC serve reading ONLY the packed 4 B/vector
     # nibbles (unpack in-expression; value-identical to knn-pq, shared
-    # oracle), and the IVF imbalance report the index is tuned by
-    "knn-pq-packed", "ivf-stats",
-    # r6-PROVEN rows 1-23 (the oldest driver rows once the 27 above land)
+    # oracle), the IVF imbalance report the index is tuned by, and the
+    # recall@nprobe sensitivity curve (§7.1 #5 — MEASURES that the probe
+    # set, not the encoding, binds pruned recall on this fixture)
+    "knn-pq-packed", "ivf-stats", "ivf-nprobe-curve",
+    # r6-PROVEN rows 1-22 (the oldest driver rows once the 28 above land)
     "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
     "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
     "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
     "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
     "demux", "token-count", "lang-id", "quality-score", "fingerprint",
-    "dedup-exact",
     # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 24-46 (lead the r11 window)
-    "dedup-minhash-lsh", "dedup-ngram-jaccard",
+    # r6-proven rows 23-46 (lead the r11 window)
+    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
     "dedup-simhash", "knn", "knn-batch", "stats-corr",
     "string-agg", "explode-sequence",
     "distinct-count", "quantiles", "sessionize",

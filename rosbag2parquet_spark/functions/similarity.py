@@ -668,6 +668,134 @@ FROM ({ORACLE_KNN}) e JOIN ({_oracle_knn_ivf()}) i USING (vec_id)
 """
 
 
+#: nprobe values the sensitivity curve sweeps (K = 8 coarse cells, so 4
+#: probes = half the index — past the knee any real deployment cares about)
+NPROBE_CURVE = (1, 2, 3, 4)
+
+
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall@nprobe SENSITIVITY CURVE — the tuning table an IVF
+    deployment reads before fixing nprobe (§7.1 #5: at sf0.01 every
+    IVF-pruned rung tops at 7/10 while unpruned rungs reach 10/10, so
+    the probe set, not the encoding, binds recall — this query MEASURES
+    that, one row per probe depth). Cell ranking is computed ONCE (the
+    same K driver-side integer-exact scores `_ivf_probe_cells` uses);
+    each curve point restricts the exact scan to the top-``nprobe``
+    cells via a broadcast semi-join and counts overlap with the exact
+    top-k — four cheap corpus-fraction scans, one tiny union. At 100 TB
+    the curve is what justifies nprobe: recall_bps per extra cell
+    scanned, measured not guessed."""
+    import math
+
+    from functools import reduce
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = kmeans_fit_cached(spark, sf_dir)
+    qe = [
+        float(x)
+        for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select(_as_double("embedding").alias("e"))
+        .collect()[0]["e"]
+    ]
+    scores = []
+    for cl, c in enumerate(centroids):
+        num = sum(math.floor(ci * qi * 1e12) for ci, qi in zip(c, qe))
+        den = sum(math.floor(ci * ci * 1e12) for ci in c)
+        scores.append((float(num) / math.sqrt(float(den)), cl))
+    ranked = [cl for _, cl in sorted(((-sc, cl) for sc, cl in scores))]
+
+    emb = _normalized(raw)
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    exact = q_knn(spark, sf_dir).select("vec_id")
+    pieces = []
+    for nprobe in NPROBE_CURVE:
+        members = assigned.filter(
+            F.col("cluster").isin(ranked[:nprobe])
+        ).select("vec_id")
+        approx = (
+            emb.filter(F.col("vec_id") != KNN_QUERY_ID)
+            .join(F.broadcast(members), "vec_id", "left_semi")
+            .crossJoin(F.broadcast(query))
+            .select(
+                "vec_id",
+                F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(KNN_K)
+            .select("vec_id")
+        )
+        pieces.append(
+            exact.join(approx, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "n_overlap",
+                F.expr(
+                    f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)"
+                ).alias("recall_bps"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), pieces).orderBy("nprobe")
+
+
+def _oracle_ivf_nprobe_curve() -> str:
+    from rosbag2parquet_spark.functions.kmeans import N_ITER, kmeans_cte_sql
+
+    score6 = (
+        "round(list_dot_product(e.embedding::DOUBLE[], q.qe)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qe, q.qe))), 6)"
+    )
+    sels = []
+    rows = []
+    for nprobe in NPROBE_CURVE:
+        sels.append(
+            f"""
+sel{nprobe} AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.vec_id != {KNN_QUERY_ID}
+    AND e.vec_id IN (
+      SELECT vec_id FROM a{N_ITER}
+      WHERE cl IN (SELECT cl FROM ranked
+                   ORDER BY score DESC, cl LIMIT {nprobe}))
+  ORDER BY {score6} DESC, e.vec_id LIMIT {KNN_K}
+)"""
+        )
+        rows.append(
+            f"""
+SELECT CAST({nprobe} AS INTEGER) AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
+FROM exact JOIN sel{nprobe} USING (vec_id)"""
+        )
+    return (
+        kmeans_cte_sql()
+        + f""",
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {KNN_QUERY_ID}),
+qdims AS (SELECT i AS pos, qe[i] AS x FROM q, unnest(generate_series(1, 64)) AS t(i)),
+ranked AS (
+  SELECT c.cl,
+         CAST(sum(CAST(floor(c.m * qd.x * 1e12) AS BIGINT)) AS DOUBLE)
+           / sqrt(CAST(sum(CAST(floor(c.m * c.m * 1e12) AS BIGINT)) AS DOUBLE)) AS score
+  FROM c{N_ITER} c JOIN qdims qd USING (pos)
+  GROUP BY c.cl
+),
+exact AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.vec_id != {KNN_QUERY_ID}
+  ORDER BY {score6} DESC, e.vec_id LIMIT {KNN_K}
+),"""
+        + ",".join(sels)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(rows)
+        + "\n) ORDER BY nprobe\n"
+    )
+
+
 #: similarity-band edges for the recall report (left-closed; values are
 #: round-6 cosines so band assignment is bit-identical across engines)
 _RECALL_BANDS = (0.45, 0.40, 0.35)
@@ -1016,6 +1144,7 @@ QUERIES = {
     "knn-recall": q_knn_recall,
     "embed-neardup": q_embed_neardup,
     "embed-recall": q_embed_recall,
+    "ivf-nprobe-curve": q_ivf_nprobe_curve,
 }
 
 ORACLES = {
@@ -1028,4 +1157,5 @@ ORACLES = {
     "knn-recall": _oracle_knn_recall(),
     "embed-neardup": _oracle_embed_neardup(),
     "embed-recall": _oracle_embed_recall(),
+    "ivf-nprobe-curve": _oracle_ivf_nprobe_curve(),
 }

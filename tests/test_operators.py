@@ -253,6 +253,26 @@ def test_ivfadc_residual_recall_at_least_raw_composed(spark):
     )
 
 
+def test_ivf_nprobe_curve_monotone_and_anchored(spark):
+    """X3 nprobe sensitivity: recall is non-decreasing in probe depth,
+    the point at the deployed IVF_NPROBE equals `knn-recall`'s number
+    (same cells, same scan), and probing every ranked cell in the curve
+    reaches at least the deployed recall — the tuning table that proves
+    the probe set is what binds pruned recall on this fixture."""
+    from rosbag2parquet_spark.functions.similarity import (
+        IVF_NPROBE,
+        q_ivf_nprobe_curve,
+        q_knn_recall,
+    )
+
+    rows = q_ivf_nprobe_curve(spark, SF_DIR).collect()
+    overlaps = [r.n_overlap for r in sorted(rows, key=lambda r: r.nprobe)]
+    assert all(a <= b for a, b in zip(overlaps, overlaps[1:]))
+    deployed = q_knn_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    by_np = {r.nprobe: r.n_overlap for r in rows}
+    assert by_np[IVF_NPROBE] == deployed
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,
