@@ -261,6 +261,15 @@ def main() -> None:
         # thresholds through the gate (scalar pieces cross-joined into
         # the stacked verdict surface — by design)
         "knn-ivf-pq", "knn-opq", "alert-rules",
+        # round-10: the residual rungs (same two-semi-join economics as
+        # knn-ivf-pq; what changes is WHAT the codes describe), the
+        # packed-nibble serve (div/mod unpack inside whole-stage
+        # codegen — no extra operator at all), the provenance read
+        # (seqno join + broadcast name dim), and the index reports
+        # (per-cell groupBy; the curve's four scans are each the knn-ivf
+        # shape)
+        "knn-ivfadc", "knn-ivfadc-opq", "knn-pq-packed",
+        "provenance-read", "ivf-stats", "ivf-nprobe-curve",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
