@@ -2025,14 +2025,24 @@ def pertype_with_provenance(
         "seqno", "bag_index"
     )
     out = pertype.join(msgs, "seqno")
-    for side_car in ("Bags", "Metadata"):
-        path = os.path.join(out_dir, side_car)
-        if os.path.isdir(path):
-            # one row per bag — a broadcast dim by construction
-            bags = (
-                spark.read.parquet(path)
-                .select("bag_index", "bag")
-                .distinct()
-            )
-            return out.join(F.broadcast(bags), "bag_index", "left")
-    return out.withColumn("bag", F.lit(None).cast("string"))
+    # the name dim UNIONS both side-cars: a pre-Bags layout appended into
+    # by a newer converter has a PARTIAL manifest (only the appended
+    # ordinals) while the Metadata side-car still names the older bags —
+    # preferring one table alone would NULL the other's names. Both
+    # derive the name from basename(path), so same-ordinal rows agree
+    # and distinct() collapses them; still one row per bag — a broadcast
+    # dim by construction.
+    dims = [
+        spark.read.parquet(p).select("bag_index", "bag")
+        for p in (
+            os.path.join(out_dir, side_car)
+            for side_car in ("Bags", "Metadata")
+        )
+        if os.path.isdir(p)
+    ]
+    if not dims:
+        return out.withColumn("bag", F.lit(None).cast("string"))
+    bags = dims[0]
+    for d in dims[1:]:
+        bags = bags.unionAll(d)
+    return out.join(F.broadcast(bags.distinct()), "bag_index", "left")

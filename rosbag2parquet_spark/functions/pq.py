@@ -451,13 +451,17 @@ def _adc_search(
     sf_dir: str,
     members: DataFrame | None,
     rotated: bool = False,
+    packed: bool = False,
 ) -> DataFrame:
     """Two-stage ADC shortlist + exact re-rank, optionally restricted to a
     ``members`` (vec_id) frame via a broadcast semi-join BEFORE the code
     scan — `knn-pq` passes None (full-corpus ADC baseline), `knn-ivf-pq`
     passes the probed IVF cells' membership (the composed serve stack),
     `knn-opq` sets ``rotated`` (codes/LUT live in the rotated space; the
-    stage-2 exact re-rank always reads the ORIGINAL vectors)."""
+    stage-2 exact re-rank always reads the ORIGINAL vectors), and
+    `knn-pq-packed` sets ``packed`` (stage 1 reads ONLY the 4 nibble-
+    packed byte columns, unpacking in-expression — same LUT, same
+    addition order, so the answer is value-identical by construction)."""
     books = pq_fit_cached(spark, sf_dir, rotated)
     coded = _with_codes(spark, sf_dir, rotated)
     qen = [
@@ -481,13 +485,36 @@ def _adc_search(
                 for c in books[m]
             ]
         )
-    score = " + ".join(
-        "element_at(array("
-        + ",".join(f"{v!r}D" for v in luts[m])
-        + f"), c{m} + 1)"
+    lut_lit = [
+        "array(" + ",".join(f"{v!r}D" for v in luts[m]) + ")"
         for m in range(PQ_M)
-    )
-    base = coded.filter(F.col("vec_id") != KNN_QUERY_ID)
+    ]
+    if packed:
+        # stage 1 over the packed bytes: subspace 2i's code is the high
+        # nibble, 2i+1's the low — the same left-to-right addition order
+        # (luts 0..M-1), so every ADC double is bit-identical to the
+        # unpacked scan's
+        base = coded.select(
+            "vec_id",
+            *[
+                (F.col(f"c{2 * i}") * 16 + F.col(f"c{2 * i + 1}"))
+                .cast("int")
+                .alias(f"b{i}")
+                for i in range(PQ_M // 2)
+            ],
+        )
+        score = " + ".join(
+            f"element_at({lut_lit[2 * i]}, CAST((b{i} div 16) + 1 AS INT))"
+            f" + element_at({lut_lit[2 * i + 1]},"
+            f" CAST((b{i} % 16) + 1 AS INT))"
+            for i in range(PQ_M // 2)
+        )
+    else:
+        base = coded
+        score = " + ".join(
+            f"element_at({lut_lit[m]}, c{m} + 1)" for m in range(PQ_M)
+        )
+    base = base.filter(F.col("vec_id") != KNN_QUERY_ID)
     if members is not None:
         base = base.join(F.broadcast(members), "vec_id", "left_semi")
     shortlist = (
@@ -585,70 +612,7 @@ def q_knn_pq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row proves pack → scan → unpack → ADC end to end. At 100 TB
     this is the rung that matters: the full-corpus scan moves 4 bytes
     per row off disk, period."""
-    books = pq_fit_cached(spark, sf_dir)
-    coded = _with_codes(spark, sf_dir)
-    packed = coded.select(
-        "vec_id",
-        *[
-            (F.col(f"c{2 * i}") * 16 + F.col(f"c{2 * i + 1}"))
-            .cast("int")
-            .alias(f"b{i}")
-            for i in range(PQ_M // 2)
-        ],
-    )
-    qen = [
-        float(x)
-        for x in _pq_frame(spark, sf_dir, rotated=False)
-        .filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select("en")
-        .collect()[0]["en"]
-    ]
-    luts = []
-    for m in range(PQ_M):
-        qs = qen[m * PQ_SUB : (m + 1) * PQ_SUB]
-        luts.append(
-            [
-                float(
-                    sum(
-                        (_dec12(ci * qi) for ci, qi in zip(c, qs)),
-                        start=_dec12(0.0),
-                    )
-                )
-                for c in books[m]
-            ]
-        )
-    lut_lit = [
-        "array(" + ",".join(f"{v!r}D" for v in luts[m]) + ")"
-        for m in range(PQ_M)
-    ]
-    score = " + ".join(
-        f"element_at({lut_lit[2 * i]}, CAST((b{i} div 16) + 1 AS INT))"
-        f" + element_at({lut_lit[2 * i + 1]}, CAST((b{i} % 16) + 1 AS INT))"
-        for i in range(PQ_M // 2)
-    )
-    shortlist = (
-        packed.filter(F.col("vec_id") != KNN_QUERY_ID)
-        .select("vec_id", F.expr(score).alias("adc"))
-        .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
-        .select("vec_id")
-    )
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
-        F.col("en").alias("qen")
-    )
-    dotp = F.aggregate(
-        F.zip_with(F.col("en"), F.col("qen"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
-        .crossJoin(F.broadcast(query))
-        .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(KNN_K)
-    )
+    return _adc_search(spark, sf_dir, members=None, packed=True)
 
 
 def _oracle_pq_pack() -> str:

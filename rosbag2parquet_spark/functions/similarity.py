@@ -483,6 +483,15 @@ def _ivf_probe_cells(spark, sf_dir: str, raw: DataFrame):
     CTE, so engine and oracle probe the SAME cells. Shared by `knn-ivf`
     (float scan of the probed cells) and `knn-ivf-quantized` (int8 scan
     of the same)."""
+    ranked, assigned = _ivf_cell_ranking(spark, sf_dir, raw)
+    return ranked[:IVF_NPROBE], assigned
+
+
+def _ivf_cell_ranking(spark, sf_dir: str, raw: DataFrame):
+    """The FULL score-ordered cell list for the fixed query (plus the
+    assignment frame) — `_ivf_probe_cells` slices the deployed prefix,
+    `q_ivf_nprobe_curve` sweeps deeper prefixes of the SAME ranking, so
+    the two can never desync on the quantization."""
     import math
 
     from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
@@ -499,8 +508,7 @@ def _ivf_probe_cells(spark, sf_dir: str, raw: DataFrame):
         num = sum(math.floor(ci * qi * 1e12) for ci, qi in zip(c, qe))
         den = sum(math.floor(ci * ci * 1e12) for ci in c)
         scores.append((float(num) / math.sqrt(float(den)), cl))
-    probe_cells = sorted(((-sc, cl) for sc, cl in scores))[:IVF_NPROBE]
-    return [cl for _, cl in probe_cells], assigned
+    return [cl for _, cl in sorted(((-sc, cl) for sc, cl in scores))], assigned
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,32 +693,22 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k — four cheap corpus-fraction scans, one tiny union. At 100 TB
     the curve is what justifies nprobe: recall_bps per extra cell
     scanned, measured not guessed."""
-    import math
-
     from functools import reduce
 
-    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
-
     raw = load_table(spark, sf_dir, "embeddings")
-    centroids, assigned = kmeans_fit_cached(spark, sf_dir)
-    qe = [
-        float(x)
-        for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select(_as_double("embedding").alias("e"))
-        .collect()[0]["e"]
-    ]
-    scores = []
-    for cl, c in enumerate(centroids):
-        num = sum(math.floor(ci * qi * 1e12) for ci, qi in zip(c, qe))
-        den = sum(math.floor(ci * ci * 1e12) for ci in c)
-        scores.append((float(num) / math.sqrt(float(den)), cl))
-    ranked = [cl for _, cl in sorted(((-sc, cl) for sc, cl in scores))]
+    ranked, assigned = _ivf_cell_ranking(spark, sf_dir, raw)
 
     emb = _normalized(raw)
     query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
         F.col("en").alias("qen")
     )
-    exact = q_knn(spark, sf_dir).select("vec_id")
+    # the exact top-k is KNN_K ids — collect ONCE and inline, so each of
+    # the union's four branches pays only its corpus-FRACTION scan, not
+    # a redundant full exact scan per curve point
+    exact_ids = [
+        int(r["vec_id"])
+        for r in q_knn(spark, sf_dir).select("vec_id").collect()
+    ]
     pieces = []
     for nprobe in NPROBE_CURVE:
         members = assigned.filter(
@@ -729,7 +727,7 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id")
         )
         pieces.append(
-            exact.join(approx, "vec_id")
+            approx.filter(F.col("vec_id").isin(exact_ids))
             .agg(F.count(F.lit(1)).alias("n_overlap"))
             .select(
                 F.lit(nprobe).cast("int").alias("nprobe"),

@@ -39,34 +39,45 @@ conns AS (
 LAYOUT_CACHE_VERSION = 4  # r10: Messages gained the bag_index provenance col
 
 
-def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Run the converter once per sf_dir into a deterministic scratch path.
-    The conversion writes into a unique temp dir and atomically renames it
-    into place — a concurrent run either wins the rename or reuses the
-    winner's output, never interleaves writes. The scratch lives in /tmp
-    across processes; the path is VERSIONED by LAYOUT_CACHE_VERSION so a
-    converter-schema change can never serve a stale layout."""
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_v{LAYOUT_CACHE_VERSION}"
+def _cached_layout(sf_dir: str, suffix: str, build) -> str:
+    """Shared scratch-dir discipline for converted-layout fixtures: a
+    deterministic /tmp path tagged by sf_dir and LAYOUT_CACHE_VERSION
+    (a converter-schema change can never serve a stale layout), built
+    once into a unique work dir and atomically renamed into place — a
+    concurrent run either wins the rename or reuses the winner's output,
+    never interleaves writes. ``build(work_dir)`` runs the conversion."""
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"{suffix}_v{LAYOUT_CACHE_VERSION}"
+    )
     root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out")
     out = os.path.join(root, tag)
     if not os.path.isdir(out):
-        from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
-
         os.makedirs(root, exist_ok=True)
         work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
-        events = load_table(spark, sf_dir, "events")
-        convert(
-            spark,
-            events,
-            work,
-            order_cols=["ts", "event_id"],
-            payload_schema=PROPS_SCHEMA,
-        )
+        build(work)
         try:
             os.rename(work, out)  # atomic on same filesystem
         except OSError:
             pass  # another process won the race; its output is equivalent
     return out
+
+
+def _converted_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Run the converter once per sf_dir into the shared scratch path."""
+
+    def build(work: str) -> None:
+        from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
+
+        convert(
+            spark,
+            load_table(spark, sf_dir, "events"),
+            work,
+            order_cols=["ts", "event_id"],
+            payload_schema=PROPS_SCHEMA,
+        )
+
+    return _cached_layout(sf_dir, "", build)
 
 
 def q_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,24 +126,16 @@ def q_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _converted_fleet_dir(spark: SparkSession, sf_dir: str) -> str:
     """A two-batch FLEET conversion of the events stream into ONE layout
-    (the `_converted_dir` scratch discipline: unique work dir, atomic
-    rename, LAYOUT_CACHE_VERSION-tagged): the stream splits at its time
-    midpoint — every batch-0 row precedes every batch-1 row in the
-    (ts, event_id) total order, so the appended seqno continues the
-    global rank exactly — and each batch stamps its ordinal into
+    (the shared `_cached_layout` scratch discipline): the stream splits
+    at its time midpoint — every batch-0 row precedes every batch-1 row
+    in the (ts, event_id) total order, so the appended seqno continues
+    the global rank exactly — and each batch stamps its ordinal into
     Messages.bag_index (the DataFrame analog of convert_bags' per-bag
     provenance)."""
-    tag = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_fleet_v{LAYOUT_CACHE_VERSION}"
-    )
-    root = os.path.join(tempfile.gettempdir(), "rosbag2parquet_spark_out")
-    out = os.path.join(root, tag)
-    if not os.path.isdir(out):
+
+    def build(work: str) -> None:
         from rosbag2parquet_spark.operators.keys import PROPS_SCHEMA
 
-        os.makedirs(root, exist_ok=True)
-        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
         events = load_table(spark, sf_dir, "events")
         us = F.unix_micros(F.col("ts"))
         lo, hi = events.agg(F.min(us), F.max(us)).collect()[0]
@@ -149,11 +152,8 @@ def _converted_fleet_dir(spark: SparkSession, sf_dir: str) -> str:
                 mode="overwrite" if i == 0 else "append",
                 bag_index=i,
             )
-        try:
-            os.rename(work, out)
-        except OSError:
-            pass  # another process won the race; its output is equivalent
-    return out
+
+    return _cached_layout(sf_dir, "_fleet", build)
 
 
 def q_provenance_read(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,6 +92,9 @@ def test_no_unexpected_single_partition_exchange(spark):
         "validate-constraints",  # rule verdicts ARE global scalars: the
         # row-local rules fold into one map-side-partial aggregate, the
         # uniqueness/FK passes reduce key tables; ~8 scalars cross total
+        "ivf-stats",  # the corpus total is one 1-row sum over the K
+        # MATERIALIZED per-cell counts (K=8 rows cross the exchange, not
+        # corpus rows), broadcast back into the share expression
         "analyze-table",  # ANALYZE is BY DESIGN a global reduce: partial
         # aggs combine map-side, one wide stats row crosses the exchange,
         # then stack-unpivots to per-column rows (kilobytes at any scale)
