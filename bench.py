@@ -122,6 +122,7 @@ EXTENDED = [
     "knn-ivfadc-opq",
     "knn-pq-packed",
     "ivf-stats",
+    "ivf-nprobe-curve",
     "stream-alert-transitions",
     "provenance-read",
 ]
