@@ -688,11 +688,12 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe set, not the encoding, binds recall — this query MEASURES
     that, one row per probe depth). Cell ranking is computed ONCE (the
     same K driver-side integer-exact scores `_ivf_probe_cells` uses);
-    each curve point restricts the exact scan to the top-``nprobe``
-    cells via a broadcast semi-join and counts overlap with the exact
-    top-k — four cheap corpus-fraction scans, one tiny union. At 100 TB
-    the curve is what justifies nprobe: recall_bps per extra cell
-    scanned, measured not guessed."""
+    the deepest prefix's cells are scored in ONE corpus-fraction scan
+    (each candidate tagged with its cell's probe RANK and materialized —
+    KNN-score-table sized, not corpus sized), then every curve point is
+    a rank-prefix filter + top-k + overlap over that table. At 100 TB
+    the curve costs ONE scan of the max(NPROBE_CURVE) cells, not one
+    scan per point: recall_bps per extra cell, measured not guessed."""
     from functools import reduce
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -702,26 +703,41 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
         F.col("en").alias("qen")
     )
-    # the exact top-k is KNN_K ids — collect ONCE and inline, so each of
-    # the union's four branches pays only its corpus-FRACTION scan, not
-    # a redundant full exact scan per curve point
+    # the exact top-k is KNN_K ids — collect ONCE and inline, so the
+    # overlap count never rescans the corpus per curve point
     exact_ids = [
         int(r["vec_id"])
         for r in q_knn(spark, sf_dir).select("vec_id").collect()
     ]
+    # members of the DEEPEST prefix, tagged with their cell's probe rank
+    # (1-based) via a tiny literal map — one broadcast join, one scan
+    depth = max(NPROBE_CURVE)
+    rank_expr = F.create_map(
+        *[
+            x
+            for cl_rank, cl in enumerate(ranked[:depth], start=1)
+            for x in (F.lit(int(cl)), F.lit(cl_rank))
+        ]
+    )
+    members = (
+        assigned.filter(F.col("cluster").isin(ranked[:depth]))
+        .select("vec_id", rank_expr[F.col("cluster")].alias("probe_rank"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .join(F.broadcast(members), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "probe_rank",
+            F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
+        )
+        .localCheckpoint(eager=True)  # the one corpus-fraction pass
+    )
     pieces = []
     for nprobe in NPROBE_CURVE:
-        members = assigned.filter(
-            F.col("cluster").isin(ranked[:nprobe])
-        ).select("vec_id")
         approx = (
-            emb.filter(F.col("vec_id") != KNN_QUERY_ID)
-            .join(F.broadcast(members), "vec_id", "left_semi")
-            .crossJoin(F.broadcast(query))
-            .select(
-                "vec_id",
-                F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
-            )
+            scored.filter(F.col("probe_rank") <= nprobe)
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(KNN_K)
             .select("vec_id")
