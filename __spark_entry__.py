@@ -100,16 +100,19 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-10 ROTATION (executing the r9 verdict's sequencing verbatim): the
-# 18 rows with no green driver row yet LEAD — the 9 CHANGED in r9
-# (argmin dependents + sink/drift, all locally green since) and the 9 NEW
-# in r9 (driver-unsampled; replica-verified by the judge). Slots 19-50
-# take the first 32 of the 46 r6-proven rows — after the r9 window
-# re-proved the r5 block, r6 rows are the oldest in the histogram. The
-# remaining 14 r6 rows (quantiles .. stream-tumbling) lead r11, then r7.
-# Freshness histogram going into r10: r6:46, r7:41, r8:50, r9:50 (+9
-# r9-new unsampled). After this window: r6:14, r7:41, r8:50, r9:50,
-# r10:50 — zero rows older than r7 by r11 stays on track.
+# ROUND-10 ROTATION (executing the r9 verdict's sequencing, then the
+# late-r10 depth sweep): the 18 rows with no green driver row yet LEAD —
+# the 9 CHANGED in r9 (argmin dependents + sink/drift, all locally green
+# since) and the 9 NEW in r9 (driver-unsampled; replica-verified by the
+# judge) — then stream-resample (changed r10: state-shuffle sizing) and
+# the 9 NEW r10 rows (knn-ivfadc .. ivf-nprobe-curve), filling slots
+# 1-28. Slots 29-50 take the first 22 of the 46 r6-proven rows — after
+# the r9 window re-proved the r5 block, r6 rows are the oldest in the
+# histogram. The remaining 24 r6 rows (dedup-exact .. stream-tumbling)
+# lead r11, then the r7 block. Freshness histogram going into r10:
+# r6:46, r7:41, r8:50, r9:50 (+9 r9-new unsampled). After this window:
+# r6:24, r7:41, r8:50, r9:50, r10:50 — r11 clears the r6 tail and
+# starts on r7; zero rows older than r8 lands by r12.
 _QUERY_ORDER = [
     # --- r10 window --------------------------------------------------------
     # CHANGED round 9 without a fresh driver row: the argmin dependents;

@@ -2021,9 +2021,17 @@ def pertype_with_provenance(
     Metadata side-car serves older/MCAP-only layouts; a DataFrame-stream
     layout has no files, so ``bag`` stays NULL there)."""
     pertype = spark.read.parquet(os.path.join(out_dir, table))
-    msgs = spark.read.parquet(os.path.join(out_dir, "Messages")).select(
-        "seqno", "bag_index"
-    )
+    msgs = spark.read.parquet(os.path.join(out_dir, "Messages"))
+    if "bag_index" in msgs.columns:
+        msgs = msgs.select("seqno", "bag_index")
+    else:
+        # pre-r10 vintage: Messages never gained the provenance column
+        # (appends into such a layout project it away — per-row ordinals
+        # genuinely don't exist there), so every row reads NULL rather
+        # than crashing the resolve
+        msgs = msgs.select(
+            "seqno", F.lit(None).cast("int").alias("bag_index")
+        )
     out = pertype.join(msgs, "seqno")
     # the name dim UNIONS both side-cars: a pre-Bags layout appended into
     # by a newer converter has a PARTIAL manifest (only the appended

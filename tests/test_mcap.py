@@ -958,3 +958,17 @@ def test_provenance_names_resolve_from_metadata_without_bags(spark, tmp_path):
     partial.write.parquet(os.path.join(out, "Bags"))
     got = pertype_with_provenance(spark, out, "geometry_msgs_PoseLite")
     assert {(r.bag_index, r.bag) for r in got.collect()} == want
+
+    # pre-r10 Messages vintage (no bag_index column at all — appends into
+    # such a layout project the column away): the resolve degrades to
+    # NULL provenance instead of crashing on the missing column
+    mpath = os.path.join(out, "Messages")
+    legacy = spark.read.parquet(mpath).drop("bag_index").collect()
+    schema = spark.read.parquet(mpath).drop("bag_index").schema
+    shutil.rmtree(mpath)
+    spark.createDataFrame(legacy, schema).write.parquet(mpath)
+    got = pertype_with_provenance(spark, out, "geometry_msgs_PoseLite")
+    rows = got.collect()
+    assert rows and all(
+        r.bag_index is None and r.bag is None for r in rows
+    )

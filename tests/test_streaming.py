@@ -122,7 +122,6 @@ def test_stream_knn_ivf_equals_batch(spark):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_cdc_landing_schema_evolution_converges(spark):
     """The evolve-append contract on the STREAMING path (the batch
     `_pad_union` behavior, convert.py:999): the landing's later change
@@ -224,6 +223,7 @@ def test_cdc_landing_schema_evolution_converges(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_cdc_landing_ignores_extra_columns(spark, tmp_path):
     """The landing-directory read contract under producer drift: a later
     change batch carrying an EXTRA column (a CDC extractor upgraded

@@ -202,7 +202,7 @@ def main() -> None:
         fh.write(
             '"""Learned OPQ rotation — pinned literals.\n\n'
             "Produced by tools/learn_opq.py (deterministic: seeded-rotation\n"
-            f"init, {T_STEPS} alternation steps of assign->reconstruct->\n"
+            f"init, {steps} alternation steps of assign->reconstruct->\n"
             f"Procrustes with a {NS_ITERS}-iteration Newton-Schulz polar\n"
             f"factor) over the {TRAIN_SF} embeddings fixture. Regenerate\n"
             "with `python tools/learn_opq.py` whenever the fixture data\n"
