@@ -61,6 +61,12 @@ def compact_fragmented_partitions(
         k = 1
         if target_file_bytes:
             k = max(1, -(-nbytes // target_file_bytes))
+        if len(parquet) <= k:
+            # already at (or under) the byte-target's own file count — a
+            # partition whose data NEEDS more than max_files files must
+            # not be rewritten to the same k on every trigger; the no-op
+            # threshold is max(max_files_per_partition, k)
+            continue
         tmp = root + _TMP_SUFFIX
         old = root + _OLD_SUFFIX
         (

@@ -365,7 +365,6 @@ def q_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free streaming twin of batch `merge-upsert`, same oracle. The
     finishing query keeps each user's LAST update emission and drops
     tombstoned rows, matching the batch delete semantics."""
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from rosbag2parquet_spark.operators.behavior import _MERGE_CUTOFF_US
@@ -389,20 +388,21 @@ def _merge_finisher(
     emissions: DataFrame, extra_col: "str | None" = None
 ) -> DataFrame:
     """Shared finishing query over merge-apply emissions: last emission
-    per user = the max-last_t row (last_t is monotone across a user's
-    emissions — post_t > any pre_t by the cutoff — and emissions at EQUAL
-    last_t are identical rows, the argmax state being idempotent), so the
-    pick is value-deterministic with no reliance on memory-sink row
-    order; tombstoned rows drop, matching the batch delete semantics.
-    ``extra_col`` keeps an evolved column (it rides the argmax, so equal
-    last_t still means identical rows)."""
+    per user = the max-(last_t, eid) row — the batch oracle's exact tie
+    rule (t DESC, event_id DESC), so two changes at the SAME timestamp
+    straddling a micro-batch boundary still surface the larger-eid one
+    deterministically; tombstoned rows drop, matching the batch delete
+    semantics. ``extra_col`` keeps an evolved column (it rides the
+    argmax with its row)."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     cols = ["user_id", "value", "last_t", "src"]
     if extra_col is not None:
         cols.append(extra_col)
-    w = W.partitionBy("user_id").orderBy(F.col("last_t").desc())
+    w = W.partitionBy("user_id").orderBy(
+        F.col("last_t").desc(), F.col("eid").desc()
+    )
     return (
         emissions.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("deleted") == 0))

@@ -175,7 +175,8 @@ RESAMPLE_OUTPUT_SCHEMA = (
 )
 RESAMPLE_STATE_SCHEMA = "prev_t long, prev_v double, pending int"
 
-_HOUR_US = 3_600_000_000
+# owned by the batch resample operator (baked into ORACLE_RESAMPLE)
+from rosbag2parquet_spark.operators.asof import _HOUR_US  # noqa: E402
 
 
 def _update_resample(
@@ -257,7 +258,8 @@ def running_resample(events: DataFrame) -> DataFrame:
 # ------------------------------------------------------- streaming merge
 
 MERGE_OUTPUT_SCHEMA = (
-    "user_id long, value double, last_t long, src string, deleted int"
+    "user_id long, value double, last_t long, eid long, src string, "
+    "deleted int"
 )
 MERGE_STATE_SCHEMA = (
     "pre_t long, pre_eid long, pre_v double, "
@@ -280,10 +282,13 @@ def make_merge_updater(cutoff_us: int, extra_col: "str | None" = None):
     EVOLVED landing schema's added nullable column. Pre-evolution rows
     carry NULL there (the parquet source NULL-fills a declared column a
     file lacks); the value RIDES THE ARGMAX — whenever the latest-change
-    row updates, its extra value (NULL included, as the -1 sentinel — the
-    fixture event ids are non-negative) updates with it, so the emitted
-    column converges under any arrival order exactly like the row it
-    belongs to, and keys last touched before the evolution emit NULL."""
+    row updates, its extra value updates with it (NULL tracked by an
+    explicit presence flag in the state, so ANY integer value — negative
+    included — round-trips), the emitted column converges under any
+    arrival order exactly like the row it belongs to, and keys last
+    touched before the evolution emit NULL. Emissions carry the source
+    row's event id (``eid``) so the finisher can break equal-``last_t``
+    ties exactly like the batch oracle (t DESC, event_id DESC)."""
 
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -291,10 +296,11 @@ def make_merge_updater(cutoff_us: int, extra_col: "str | None" = None):
         (user_id,) = key
         if state.exists:
             (pre_t, pre_eid, pre_v, post_t, post_eid, post_v,
-             post_del, post_x) = (*state.get, -1)[:8]
+             post_del, post_x, post_x_set) = (*state.get, 0, 0)[:9]
         else:
             pre_t, pre_eid, pre_v = -1, -1, 0.0
-            post_t, post_eid, post_v, post_del, post_x = -1, -1, 0.0, 0, -1
+            post_t, post_eid, post_v, post_del = -1, -1, 0.0, 0
+            post_x, post_x_set = 0, 0
         for pdf in batches:
             xs = (
                 pdf[extra_col]
@@ -312,21 +318,24 @@ def make_merge_updater(cutoff_us: int, extra_col: "str | None" = None):
                 elif (t, eid) > (post_t, post_eid):
                     post_t, post_eid, post_v = t, eid, v
                     post_del = 1 if str(etype) == "error" else 0
-                    post_x = -1 if pd.isna(x) else int(x)
+                    post_x_set = 0 if pd.isna(x) else 1
+                    post_x = 0 if pd.isna(x) else int(x)
         st = (pre_t, pre_eid, pre_v, post_t, post_eid, post_v, post_del)
-        state.update(st + (post_x,) if extra_col is not None else st)
+        state.update(
+            st + (post_x, post_x_set) if extra_col is not None else st
+        )
         if post_t >= 0:
-            row = (user_id, post_v, post_t, "change", post_del, post_x)
+            row = (user_id, post_v, post_t, post_eid, "change", post_del)
+            extra = post_x if post_x_set else None
         elif pre_t >= 0:
-            row = (user_id, pre_v, pre_t, "base", 0, -1)
+            row = (user_id, pre_v, pre_t, pre_eid, "base", 0)
+            extra = None
         else:
             return
-        cols = ["user_id", "value", "last_t", "src", "deleted"]
+        cols = ["user_id", "value", "last_t", "eid", "src", "deleted"]
         if extra_col is not None:
             cols.append(extra_col)
-            row = row[:5] + (None if row[5] < 0 else row[5],)
-        else:
-            row = row[:5]
+            row = row + (extra,)
         yield pd.DataFrame([row], columns=cols)
 
     return update
@@ -342,7 +351,7 @@ def running_merge_upsert(
     st = MERGE_STATE_SCHEMA
     if extra_col is not None:
         out += f", {extra_col} long"
-        st += ", post_x long"
+        st += ", post_x long, post_x_set int"
     return events.groupBy("user_id").applyInPandasWithState(
         make_merge_updater(cutoff_us, extra_col),
         outputStructType=out,
@@ -360,7 +369,11 @@ GAP_OUTPUT_SCHEMA = (
 )
 GAP_STATE_SCHEMA = "prev_t long, prev_eid long"
 
-_GAP_THRESHOLD_US = 30 * 60 * 1_000_000
+# the batch operator OWNS the threshold (it is baked into
+# ORACLE_GAP_DETECT); importing it means stream and oracle cannot diverge
+from rosbag2parquet_spark.operators.asof import (  # noqa: E402
+    _GAP_THRESHOLD_US,
+)
 
 
 def _update_gaps(
@@ -412,7 +425,10 @@ def running_gap_detect(events: DataFrame) -> DataFrame:
 HH_OUTPUT_SCHEMA = "bucket int, term string, est long, dec long, n long, seen long"
 HH_STATE_SCHEMA = "terms array<string>, counts array<long>, dec long, n long"
 
-_HH_K = 50  # per-bucket Misra-Gries capacity (matches batch _MG_K)
+# per-bucket Misra-Gries capacity — the BATCH constant (functions/text.py
+# _MG_K) imported, so the stream state capacity and the audit threshold
+# q_stream_heavy_hitters derives from _MG_K can never drift apart
+from rosbag2parquet_spark.functions.text import _MG_K as _HH_K  # noqa: E402
 
 
 def _update_heavy_hitters(
@@ -580,18 +596,36 @@ def _update_semdedup(
     pdf = pd.concat(list(batches), ignore_index=True)
     pdf = pdf.sort_values("vec_id", kind="mergesort")
     kept_ids: list[int] = []
+    # accumulate the batch's vectors in lists and stack ONCE at commit:
+    # comparisons run against the pre-batch matrix plus the accumulated
+    # in-batch rows, so per-batch copy traffic is O(m·dim), not the
+    # O((s+m)·m·dim) a per-row vstack of a size-s cluster would move
+    new_vecs: list = []
+    new_norms: list[float] = []
     for vid, vec in zip(pdf["vec_id"], pdf["e"]):
         v = np.asarray(vec, dtype=np.float64)
         nv = float(np.sqrt((v * v).sum()))
         dup = False
         if len(ids):
-            cos = np.round((seen @ v) / (norms * nv), 6)
+            m = len(new_vecs)
+            pre = len(ids) - m
+            cos_parts = []
+            if pre:
+                cos_parts.append((seen[:pre] @ v) / (norms[:pre] * nv))
+            if m:
+                nb = np.asarray(new_vecs)
+                cos_parts.append(
+                    (nb @ v) / (np.asarray(new_norms) * nv)
+                )
+            cos = np.round(np.concatenate(cos_parts), 6)
             dup = bool((cos >= SEMDEDUP_TAU).any())
         if not dup:
             kept_ids.append(int(vid))
         ids.append(int(vid))
-        seen = np.vstack([seen, v[None, :]])
-        norms = np.append(norms, nv)
+        new_vecs.append(v)
+        new_norms.append(nv)
+    if new_vecs:
+        seen = np.vstack([seen, np.asarray(new_vecs)])
     state.update((ids, seen.tobytes()))
     yield pd.DataFrame(
         {

@@ -46,8 +46,16 @@ def stage_stream_file(sf_dir: str, filename: str, tag: str) -> str:
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, filename)
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, filename), link)
+    target = os.path.join(sf_dir, filename)
+    # lexists (not exists): a DANGLING link must be repaired, not
+    # re-created into FileExistsError; and a link left by a DIFFERENT
+    # sf_dir that shares this basename must be re-pointed, or every
+    # stream would silently read the stale corpus
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            return stage
+        os.remove(link)
+    os.symlink(target, link)
     return stage
 
 
@@ -102,10 +110,20 @@ def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
-def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+def sessionized(
+    events: DataFrame,
+    gap: "str | None" = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
     """Streaming sessionization via the native session_window state merge.
     Emits the SAME columns as the batch twin (operators.windows.q_sessionize)
-    so stream==batch equality is checkable row-for-row."""
+    so stream==batch equality is checkable row-for-row; the gap defaults to
+    the BATCH constant (windows.SESSION_GAP_MIN — baked into the shared
+    oracle) so the two cannot drift."""
+    if gap is None:
+        from rosbag2parquet_spark.operators.windows import SESSION_GAP_MIN
+
+        gap = f"{SESSION_GAP_MIN} minutes"
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("sw"))

@@ -132,3 +132,50 @@ def test_interrupted_swap_repairs(spark, tmp_path):
     compact_fragmented_partitions(spark, out, max_files_per_partition=99)
     assert not os.path.isdir(part + _TMP_SUFFIX)
     assert {r.event_id for r in spark.read.parquet(out).collect()} == want
+
+
+def test_compact_noop_when_byte_target_exceeds_max_files(spark, tmp_path):
+    """A partition whose BYTES legitimately need more files than
+    max_files_per_partition must not be rewritten on every pass: the
+    first call compacts to k = ceil(bytes/target); the second call sees
+    len(files) == k > max_files and is a NO-OP (the r10 review's
+    rewrite-forever case)."""
+    from rosbag2parquet_spark.streaming.compaction_service import (
+        compact_fragmented_partitions,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a", "x" * 2000) for i in range(400)],
+        "event_id long, event_type string, payload string",
+    )
+    df.repartition(12).write.partitionBy("event_type").parquet(out)
+    assert _parquet_files(out)["event_type=a"] == 12
+    # tiny byte target -> k well above max_files(4) but below 12
+    nbytes = sum(
+        os.path.getsize(os.path.join(out, "event_type=a", f))
+        for f in os.listdir(os.path.join(out, "event_type=a"))
+        if f.endswith(".parquet")
+    )
+    target = nbytes // 6  # k = ceil(n/(n/6)) ~ 6-7 > max_files=4
+    first = compact_fragmented_partitions(
+        spark, out, max_files_per_partition=4, target_file_bytes=target
+    )
+    assert first == ["event_type=a"]
+    k = _parquet_files(out)["event_type=a"]
+    assert 4 < k < 12
+    # fixpoint: recompression can shift the byte total enough to lower k
+    # by one more pass, but the loop must reach two consecutive no-ops
+    # (pre-fix this rewrote the partition on EVERY pass forever)
+    passes = 0
+    while compact_fragmented_partitions(
+        spark, out, max_files_per_partition=4, target_file_bytes=target
+    ):
+        passes += 1
+        assert passes <= 2, "compaction did not reach a fixpoint"
+    assert compact_fragmented_partitions(
+        spark, out, max_files_per_partition=4, target_file_bytes=target
+    ) == []
+    # recompression may legitimately shrink bytes (and so k) below
+    # max_files — the invariant is the fixpoint above, not the count
+    assert _parquet_files(out)["event_type=a"] >= 1
