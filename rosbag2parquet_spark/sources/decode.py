@@ -59,6 +59,56 @@ _SCALAR_FMT = {
 _FIXED_SIZE = {k: v[1] for k, v in _SCALAR_FMT.items()}
 
 
+def decimal_col_names(flat) -> "tuple[list[str], list[str]]":
+    """(scalar, array) column names typed DECIMAL in a flattened schema —
+    the exact-mode uint64 columns whose pandas cells must become plain
+    Python ints before Arrow accepts them against a decimal type. The
+    ONE scan every decode tier (ros/CDR/protobuf) shares."""
+    dec = [
+        f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
+    ]
+    dec_arr = [
+        f.name
+        for f in flat.fields
+        if isinstance(f.dataType, T.ArrayType)
+        and isinstance(f.dataType.elementType, T.DecimalType)
+    ]
+    return dec, dec_arr
+
+
+def decimalize_cols(
+    cols: dict, dec_names: "list[str]", dec_arr_names: "list[str]"
+) -> None:
+    """Convert exact-mode uint64 decode outputs IN PLACE to the Python
+    ints Arrow takes against DECIMAL(20,0): scalar cells to int, array
+    cells via numpy ``tolist()`` (ONE C call per cell — u64→int is exact;
+    the per-row tier's plain-int lists pass through untouched). Shared by
+    the ros, CDR, and protobuf decode tiers so the conversion can never
+    drift between grammars."""
+    import pandas as pd
+
+    for n in dec_names:
+        v = cols[n]
+        vals = v.tolist() if hasattr(v, "tolist") else list(v)
+        cols[n] = pd.Series(
+            [None if x is None else int(x) for x in vals], dtype=object
+        )
+    for n in dec_arr_names:
+        cols[n] = pd.Series(
+            [
+                None
+                if x is None
+                else (
+                    x.tolist()
+                    if hasattr(x, "tolist")
+                    else [int(e) for e in x]
+                )
+                for x in list(cols[n])
+            ],
+            dtype=object,
+        )
+
+
 def make_decoder(
     root_type: str,
     specs: dict[str, MsgSpec],
@@ -324,7 +374,6 @@ def variable_layout(
         # carries DECIMAL(20,0) / array<DECIMAL(20,0)> (msgdef r8)
         np_dtype_map["uint32"] = "<u4"
         np_dtype_map["uint64"] = "<u8"
-    np_scalar_map = np_dtype_map
     ops: list[tuple] = []
 
     def fixed_bytes(spec: MsgSpec) -> int | None:
@@ -394,9 +443,9 @@ def variable_layout(
                 ops.append(("string", name))
             elif f.type_name in TIME_TYPES:
                 ops.append(("time", name))
-            elif f.type_name in np_scalar_map:
+            elif f.type_name in np_dtype_map:
                 ops.append(
-                    ("fixed", name, np_scalar_map[f.type_name], _FIXED_SIZE[f.type_name])
+                    ("fixed", name, np_dtype_map[f.type_name], _FIXED_SIZE[f.type_name])
                 )
             else:
                 sub = _resolve(f.type_name, pkg, specs)
@@ -548,18 +597,7 @@ def decode_messages(
         [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
     flat_names = [f.name for f in flat.fields]
-    # exact-mode uint64 columns ship as DECIMAL(20,0): Arrow refuses a
-    # numeric-dtype pandas column against a decimal type, so these convert
-    # to object Series of Python ints (u64 tolist is exact) before yield
-    dec_names = [
-        f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
-    ]
-    dec_arr_names = [
-        f.name
-        for f in flat.fields
-        if isinstance(f.dataType, T.ArrayType)
-        and isinstance(f.dataType.elementType, T.DecimalType)
-    ]
+    dec_names, dec_arr_names = decimal_col_names(flat)
 
     layout = fixed_layout(root_type, specs, arrays=arrays, unsigned=unsigned)
     np_dtype = None
@@ -646,24 +684,7 @@ def decode_messages(
                     cols.update(_decode_salvage(pdf))
             else:
                 cols.update(_decode_fast(pdf))
-            for n in dec_names:
-                v = cols[n]
-                vals = v.tolist() if hasattr(v, "tolist") else list(v)
-                cols[n] = pd.Series(
-                    [None if x is None else int(x) for x in vals],
-                    dtype=object,
-                )
-            for n in dec_arr_names:
-                # array<DECIMAL(20,0)> cells arrive as numpy u8 arrays
-                # (vector tiers) or int lists (per-row tier); Arrow takes
-                # plain-int lists against a decimal element type
-                cols[n] = pd.Series(
-                    [
-                        None if x is None else [int(e) for e in x]
-                        for x in list(cols[n])
-                    ],
-                    dtype=object,
-                )
+            decimalize_cols(cols, dec_names, dec_arr_names)
             yield pd.DataFrame(cols)
 
     # data_col may itself be a keep_col (the converter passes the raw blob

@@ -170,12 +170,11 @@ def to_struct_type(
 
     builtin = dict(BUILTIN_TYPES)
     if unsigned == "exact":
+        # scalars AND array elements promote identically (r8): the decode
+        # tiers read u64 unsigned in exact mode, so the type must hold
+        # 2^63..2^64 wherever it appears
         builtin["uint32"] = T.LongType()
-    if unsigned == "exact":
         builtin["uint64"] = T.DecimalType(20, 0)
-    # array ELEMENT types promote identically (r8): the decode tiers read
-    # u64 unsigned in exact mode, so the element type must hold 2^63..2^64
-    elem_types = dict(builtin)
 
     fields: list[T.StructField] = []
 
@@ -195,7 +194,7 @@ def to_struct_type(
                     # reference consumes it string-style (MessageTable.cpp:63-67)
                     fields.append(T.StructField(name, T.BinaryType(), False))
                     continue
-                elem = elem_types.get(f.type_name)
+                elem = builtin.get(f.type_name)
                 if elem is None:
                     # time/duration and nested-struct arrays stay skipped in
                     # native mode: their decode has no stable column shape

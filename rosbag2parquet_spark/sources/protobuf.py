@@ -530,9 +530,13 @@ def make_proto_decoder(compiled: _Compiled):
                     if wt == _WT_VARINT:
                         v, s = read_varint(buf, s, e)
                     elif wt == _WT_I64:
+                        if s + 8 > e:
+                            raise ValueError("truncated repeated fixed64")
                         v = int.from_bytes(buf[s : s + 8], "little")
                         s += 8
                     else:
+                        if s + 4 > e:
+                            raise ValueError("truncated repeated fixed32")
                         v = int.from_bytes(buf[s : s + 4], "little")
                         s += 4
                     acc.append(conv(v))
@@ -586,13 +590,16 @@ def decode_messages_protobuf(
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
+    from rosbag2parquet_spark.sources.decode import (
+        decimal_col_names,
+        decimalize_cols,
+    )
+
     flat_names = [f.name for f in flat.fields]
-    # exact-mode uint64 scalars ship as DECIMAL(20,0): object Series of
-    # Python ints (same Arrow constraint the ros tier documents,
-    # decode.py:628-637)
-    dec_names = [
-        f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
-    ]
+    # exact-mode uint64 columns ship as DECIMAL(20,0) — the shared scan
+    # covers array<DECIMAL> too (this tier's repeated-uint64 decode
+    # yields plain-int lists, which the shared converter passes through)
+    dec_names, dec_arr_names = decimal_col_names(flat)
 
     def run(batches) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -619,11 +626,7 @@ def decode_messages_protobuf(
                 decoded = [decode(bytes(b)) for b in pdf[data_col]]
                 for i, n in enumerate(flat_names):
                     cols[n] = [row[i] for row in decoded]
-            for n in dec_names:
-                cols[n] = pd.Series(
-                    [None if x is None else int(x) for x in cols[n]],
-                    dtype=object,
-                )
+            decimalize_cols(cols, dec_names, dec_arr_names)
             yield pd.DataFrame(cols)
 
     sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])

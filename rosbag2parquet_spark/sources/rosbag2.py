@@ -423,7 +423,6 @@ def cdr_fixed_layout(
     }
     # exact mode reads u64 unsigned for scalars AND array elements; the
     # shared schema carries DECIMAL(20,0) / array<DECIMAL(20,0)> (r8)
-    np_scalar = np_fmt
     size_of = {
         "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
         "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
@@ -474,7 +473,7 @@ def cdr_fixed_layout(
                 sz = size_of[f.type_name]
                 pos = align(pos, sz)
                 names.append(name)
-                formats.append(f"<{np_scalar[f.type_name]}")
+                formats.append(f"<{np_fmt[f.type_name]}")
                 offsets.append(pos)
                 pos += sz
             else:
@@ -522,7 +521,6 @@ def cdr_variable_layout(
     }
     # exact mode reads u64 unsigned for scalars AND array elements; the
     # shared schema carries DECIMAL(20,0) / array<DECIMAL(20,0)> (r8)
-    np_scalar = np_fmt
     size_of = {
         "bool": 1, "int8": 1, "uint8": 1, "byte": 1, "char": 1,
         "int16": 2, "uint16": 2, "int32": 4, "uint32": 4,
@@ -601,7 +599,7 @@ def cdr_variable_layout(
             elif f.type_name == "string":
                 ops.append(("string", name))
             elif f.type_name in size_of:
-                ops.append(("fixed", name, np_scalar[f.type_name],
+                ops.append(("fixed", name, np_fmt[f.type_name],
                             size_of[f.type_name]))
             else:
                 sub = _resolve(f.type_name, pkg, specs)
@@ -918,19 +916,13 @@ def decode_messages_cdr(
     out_schema = T.StructType(
         [df.schema[c] for c in keep_cols] + list(flat.fields) + extra
     )
+    from rosbag2parquet_spark.sources.decode import (
+        decimal_col_names,
+        decimalize_cols,
+    )
+
     flat_names = [f.name for f in flat.fields]
-    # exact-mode uint64 columns ship as DECIMAL(20,0): Arrow refuses a
-    # numeric-dtype pandas column against a decimal type, so these convert
-    # to object Series of Python ints (u64 tolist is exact) before yield
-    dec_names = [
-        f.name for f in flat.fields if isinstance(f.dataType, T.DecimalType)
-    ]
-    dec_arr_names = [
-        f.name
-        for f in flat.fields
-        if isinstance(f.dataType, T.ArrayType)
-        and isinstance(f.dataType.elementType, T.DecimalType)
-    ]
+    dec_names, dec_arr_names = decimal_col_names(flat)
 
     def _decode_fast(pdf) -> dict:
         cols: dict = {}
@@ -994,24 +986,7 @@ def decode_messages_cdr(
                     cols.update(_decode_salvage(pdf))
             else:
                 cols.update(_decode_fast(pdf))
-            for n in dec_names:
-                v = cols[n]
-                vals = v.tolist() if hasattr(v, "tolist") else list(v)
-                cols[n] = pd.Series(
-                    [None if x is None else int(x) for x in vals],
-                    dtype=object,
-                )
-            for n in dec_arr_names:
-                # array<DECIMAL(20,0)> cells arrive as numpy u8 arrays
-                # (vector tiers) or int lists (per-row tier); Arrow takes
-                # plain-int lists against a decimal element type
-                cols[n] = pd.Series(
-                    [
-                        None if x is None else [int(e) for e in x]
-                        for x in list(cols[n])
-                    ],
-                    dtype=object,
-                )
+            decimalize_cols(cols, dec_names, dec_arr_names)
             yield pd.DataFrame(cols)
 
     sel = list(keep_cols) + ([data_col] if data_col not in keep_cols else [])

@@ -432,3 +432,27 @@ def test_reserved_column_collision_sanitized():
         )
     )
     assert row["seqno_"] == 9 and row["data_"] == b"\x01\x02"
+
+
+def test_truncated_unpacked_repeated_fixed_raises():
+    """The UNPACKED repeated fixed64/fixed32 element path must bounds-check
+    exactly like the scalar and packed paths (the decoder contract:
+    truncation RAISES, so permissive mode dead-letters the row instead of
+    silently decoding a short slice to a wrong small integer)."""
+    from rosbag2parquet_spark.sources.protobuf import (
+        TYPE_FIXED32,
+        TYPE_FIXED64,
+    )
+
+    fds = build_fds(
+        "t",
+        {"M": [("r64", 1, TYPE_FIXED64, True), ("r32", 2, TYPE_FIXED32, True)]},
+    )
+    comp = compile_proto("t.M", fds, arrays="native")
+    dec = make_proto_decoder(comp)
+    ok = enc_tag(1, 1) + struct.pack("<Q", 7) + enc_tag(2, 5) + struct.pack("<I", 9)
+    assert dec(ok) == ([7], [9])
+    with pytest.raises(ValueError, match="truncated repeated fixed64"):
+        dec(enc_tag(1, 1) + struct.pack("<Q", 7) + enc_tag(1, 1) + b"\x01\x02")
+    with pytest.raises(ValueError, match="truncated repeated fixed32"):
+        dec(enc_tag(2, 5) + b"\x01")
