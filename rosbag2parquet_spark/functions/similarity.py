@@ -463,7 +463,11 @@ WHERE round(list_dot_product(a.e, b.e)
 
 # ------------------------------------------------------------- knn-ivf (X3)
 
-IVF_NPROBE = 2
+# Deployed probe depth. 3 since round 11: the `ivf-nprobe-curve` sensitivity
+# sweep (and a full-pipeline A/B replica at both fixtures) measured recall@10
+# 7/10 -> 9/10 at sf0.01 for raw IVFADC (no change at sf0.001) for +50%
+# probed-cell scan — the probe set, not the encoding, was the recall ceiling.
+IVF_NPROBE = 3
 
 
 def _dec12(x: float):
