@@ -138,6 +138,35 @@ def _pad_append_messages(
     return messages
 
 
+def _pad_append_trailing(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    optional: tuple = ("bag_index",),
+) -> DataFrame:
+    """Per-type analog of :func:`_pad_append_messages`: per-type tables
+    gained a trailing ``bag_index`` provenance column in r11 (reference
+    TODO FlattenedRosWriter.cpp:183 asks for a file ID on ALL entries) —
+    appending into an older-vintage table PROJECTS the batch DOWN to the
+    on-disk column set (old files are immutable; per-row ordinals simply
+    don't exist there and the provenance reader falls back to the seqno
+    join). Any other difference still refuses via the fingerprint guard."""
+    if not os.path.isdir(path):
+        return df
+    existing = spark.read.parquet(path).schema
+    have = [f.name for f in existing.fields]
+    extra = [c for c in df.columns if c not in have]
+    if (
+        extra
+        and set(extra) <= set(optional)
+        and set(have) <= set(df.columns)
+    ):
+        projected = df.select(*have)
+        if schema_fingerprint(projected.schema) == schema_fingerprint(existing):
+            return projected
+    return df
+
+
 def read_layout_table(spark: SparkSession, layout_dir: str, table: str) -> DataFrame:
     """Read a converted-layout table with schema merging ON — required for
     layouts built with ``evolve=True`` appends, where files carry different
@@ -377,8 +406,23 @@ def convert(
         F.col(payload_col).cast("binary").alias("data"),
         F.col(type_col).alias("datatype"),
     )
+    if "bag_index" not in pertype.columns:
+        # write-time provenance stamp on the per-type rows too (reference
+        # TODO FlattenedRosWriter.cpp:183 "we should add a file ID to ALL
+        # entries"): map-side literal, so pertype_with_provenance is a
+        # projection + broadcast name resolve — no seqno join. Trailing
+        # (before the partition column), like Messages' optional columns;
+        # skipped if a flattened payload field already owns the name (the
+        # provenance reader then falls back to the seqno join).
+        cols = [c for c in pertype.columns if c != "datatype"]
+        pertype = pertype.select(
+            *cols, F.lit(bag_index).cast("int").alias("bag_index"), "datatype"
+        )
     pertype_path = os.path.join(out_dir, "pertype")
     if mode == "append":
+        # older-vintage layouts (pre-r11 per-type tables) lack the trailing
+        # stamp — project the batch down rather than refuse
+        pertype = _pad_append_trailing(spark, pertype_path, pertype)
         assert_append_compatible(spark, pertype_path, pertype.schema)
     (
         # sortWithinPartitions, NOT repartition(datatype): hashing on the
@@ -1249,6 +1293,17 @@ def _write_bag_tables(
         "compression": compression,
     }
     sec = F.expr("(time_ns - pmod(time_ns, 1000000000)) div 1000000000")
+    # per-row FILE-PROVENANCE ordinal (reference TODO FlattenedRosWriter.
+    # cpp:183 "we should add a file ID to all entries") — stamped into
+    # Messages AND (since r11) every per-type table. Fleet seq frames
+    # carry the batch-relative index; single-bag conversions are ordinal
+    # base_bag_index (0 for a fresh layout; a resume re-ingests the SAME
+    # file, so the ordinal stays).
+    bag_ordinal = (
+        (F.col("bag_index") + F.lit(base_bag_index)).cast("int")
+        if "bag_index" in seq.columns
+        else F.lit(base_bag_index).cast("int")
+    )
     # header stamp (reference TODO #6): nullable int32 pair decoded from
     # the blob prefix for Header-led types, NULL for everything else
     hs_sec, hs_nsec = _header_stamp_exprs(conn_rows, serialization)
@@ -1269,19 +1324,11 @@ def _write_bag_tables(
         F.timestamp_micros(
             F.expr("(time_ns - pmod(time_ns, 1000)) div 1000")
         ).alias("time"),
-        # per-row FILE PROVENANCE (reference TODO, FlattenedRosWriter.cpp:
-        # 183 "we should add a file ID to all entries"): which bag of a
-        # fleet/append ingest this row came from — the same ordinal the
-        # Attachments/Metadata side-cars carry, resolvable to a path via
-        # the Metadata table. Fleet seq frames carry the batch-relative
-        # index; single-bag conversions are ordinal base_bag_index (0 for
-        # a fresh layout; a resume re-ingests the SAME file, so the
-        # ordinal stays). Trailing — older layouts stay a prefix.
-        (
-            (F.col("bag_index") + F.lit(base_bag_index)).cast("int")
-            if "bag_index" in seq.columns
-            else F.lit(base_bag_index).cast("int")
-        ).alias("bag_index"),
+        # the provenance ordinal (shared expression above) — the same one
+        # the Attachments/Metadata side-cars carry, resolvable to a path
+        # via the Bags/Metadata tables. Trailing — older layouts stay a
+        # prefix.
+        bag_ordinal.alias("bag_index"),
     )
     # per-connection batch statistics (reference TODO #2/#2.1: the
     # `rosbag info` aggregates persisted beside the layout): shares the
@@ -1326,6 +1373,12 @@ def _write_bag_tables(
         "Stats": stats.schema,
     }
     pertype_writes: list = []
+    # the provenance ordinal rides THROUGH the decoders like seqno and the
+    # raw blob (keep_cols): it is a 4-byte column already in the Arrow
+    # batch, so stamping per-type tables at write time is map-side free —
+    # the alternative (resolving it later via a seqno join against
+    # Messages) shuffles the full-width per-type side at read time
+    seq = seq.withColumn("__bag_index__", bag_ordinal)
     for datatype, cs in sorted(by_type.items()):
         # one decode per DEFINITION VERSION: identical everywhere except
         # evolve mode, where connections of the same type may carry
@@ -1357,7 +1410,9 @@ def _write_bag_tables(
                 # connection + the raw payload blob still land, and a
                 # later pass with real msgdefs can flatten from this
                 # table alone
-                flat = slice_df.select("seqno", "conn_id", "__raw__")
+                flat = slice_df.select(
+                    "seqno", "conn_id", "__raw__", "__bag_index__"
+                )
             elif msg_def.startswith(PROTOBUF_DEF_PREFIX):
                 # protobuf channel (MCAP schema encoding 'protobuf'): the
                 # msg_def slot carries the marked FileDescriptorSet; the
@@ -1372,7 +1427,7 @@ def _write_bag_tables(
                     datatype,
                     msg_def,
                     data_col="__raw__",
-                    keep_cols=("seqno", "conn_id", "__raw__"),
+                    keep_cols=("seqno", "conn_id", "__raw__", "__bag_index__"),
                     arrays=arrays,
                     unsigned=unsigned,
                     on_error=on_error,
@@ -1390,7 +1445,7 @@ def _write_bag_tables(
                     datatype,
                     msg_def,
                     data_col="__raw__",
-                    keep_cols=("seqno", "conn_id", "__raw__"),
+                    keep_cols=("seqno", "conn_id", "__raw__", "__bag_index__"),
                     arrays=arrays,
                     unsigned=unsigned,
                     on_error=on_error,
@@ -1401,7 +1456,7 @@ def _write_bag_tables(
                     datatype,
                     msg_def,
                     data_col="__raw__",
-                    keep_cols=("seqno", "conn_id", "__raw__"),
+                    keep_cols=("seqno", "conn_id", "__raw__", "__bag_index__"),
                     arrays=arrays,
                     unsigned=unsigned,
                     on_error=on_error,
@@ -1411,15 +1466,30 @@ def _write_bag_tables(
                 .withColumnRenamed("__raw__", "data")
             )
         pertype = _pad_union(datatype, group_frames)
-        # column order per MessageTable.cpp:326-343
+        # column order per MessageTable.cpp:326-343, plus the trailing r11
+        # provenance stamp (skipped — with the seqno-join fallback intact —
+        # when a decoded payload field already owns the name)
         value_cols = [
             c for c in pertype.columns
-            if c not in ("seqno", "connection_id", "data")
+            if c not in ("seqno", "connection_id", "data", "__bag_index__")
         ]
-        pertype = pertype.select("seqno", *value_cols, "connection_id", "data")
+        stamped = "bag_index" not in value_cols
+        tail = (
+            [F.col("__bag_index__").alias("bag_index")] if stamped else []
+        )
+        pertype = pertype.select(
+            "seqno", *value_cols, "connection_id", "data", *tail
+        )
         table = table_name_for_type(datatype)
         table_path = os.path.join(out_dir, table)
         if mode == "append":
+            if not evolve:
+                # pre-r11 vintages: per-type tables without the trailing
+                # stamp stay appendable (the batch projects down; evolve
+                # mode instead treats bag_index as an additive column)
+                pertype = _pad_append_trailing(
+                    pertype.sparkSession, table_path, pertype
+                )
             existing = assert_append_compatible(
                 pertype.sparkSession, table_path, pertype.schema,
                 evolve=evolve,
@@ -1441,9 +1511,15 @@ def _write_bag_tables(
                 vals = [
                     c for c in pertype.columns
                     if c not in ("seqno", "connection_id", "data")
+                    and not (stamped and c == "bag_index")
                 ]
+                tail = (
+                    ["bag_index"]
+                    if stamped and "bag_index" in pertype.columns
+                    else []
+                )
                 pertype = pertype.select(
-                    "seqno", *vals, "connection_id", "data"
+                    "seqno", *vals, "connection_id", "data", *tail
                 )
         pertype_writes.append((table, table_path, pertype))
 
@@ -2011,28 +2087,40 @@ def pertype_with_provenance(
 ) -> DataFrame:
     """Per-type rows WITH file provenance — the user-visible end of the
     reference TODO (FlattenedRosWriter.cpp:183 "we should add a file ID
-    to all entries"): joins a per-type table to ``Messages`` projected to
-    its (seqno, bag_index) pair — seqno is the cross-table key the
-    layout is built around (reference README.md:119-121); the projection
-    is column-pruned to 12 bytes/row and both sides arrive seqno-ordered
-    from the writer, so the join is the cheap co-sorted kind at any
-    scale — and resolves ``bag_index`` to the source bag's NAME via the
-    ``Bags`` fleet manifest (every `convert_bags` layout has one; the
-    Metadata side-car serves older/MCAP-only layouts; a DataFrame-stream
-    layout has no files, so ``bag`` stays NULL there)."""
-    pertype = spark.read.parquet(os.path.join(out_dir, table))
-    msgs = spark.read.parquet(os.path.join(out_dir, "Messages"))
-    if "bag_index" in msgs.columns:
-        msgs = msgs.select("seqno", "bag_index")
+    to all entries"). Since r11 every converter stamps ``bag_index`` into
+    the per-type tables at write time (map-side free), so the normal path
+    here is a PROJECTION plus a broadcast name resolve — nothing shuffles
+    at any scale. Pre-r11 per-type tables lack the stamp and fall back to
+    a join against ``Messages`` projected to its (seqno, bag_index) pair
+    (seqno is the cross-table key, reference README.md:119-121; the
+    Messages side is column-pruned to 12 bytes/row, but the per-type side
+    does hash-shuffle on seqno — exactly the cost the write-time stamp
+    removes). Either way ``bag_index`` resolves to the source bag's NAME
+    via the ``Bags`` fleet manifest (every `convert_bags` layout has one;
+    the Metadata side-car serves older/MCAP-only layouts; a
+    DataFrame-stream layout has no files, so ``bag`` stays NULL there)."""
+    # mergeSchema: an evolve-appended mixed-vintage table carries the
+    # stamp only in post-r11 files; older files read NULL (their per-row
+    # ordinals were never recorded in the per-type table)
+    pertype = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out_dir, table))
+    )
+    if "bag_index" in pertype.columns:
+        out = pertype  # write-time stamp: projection only, no join
     else:
-        # pre-r10 vintage: Messages never gained the provenance column
-        # (appends into such a layout project it away — per-row ordinals
-        # genuinely don't exist there), so every row reads NULL rather
-        # than crashing the resolve
-        msgs = msgs.select(
-            "seqno", F.lit(None).cast("int").alias("bag_index")
-        )
-    out = pertype.join(msgs, "seqno")
+        msgs = spark.read.parquet(os.path.join(out_dir, "Messages"))
+        if "bag_index" in msgs.columns:
+            msgs = msgs.select("seqno", "bag_index")
+        else:
+            # pre-r10 vintage: Messages never gained the provenance column
+            # (appends into such a layout project it away — per-row
+            # ordinals genuinely don't exist there), so every row reads
+            # NULL rather than crashing the resolve
+            msgs = msgs.select(
+                "seqno", F.lit(None).cast("int").alias("bag_index")
+            )
+        out = pertype.join(msgs, "seqno")
     # the name dim UNIONS both side-cars: a pre-Bags layout appended into
     # by a newer converter has a PARTIAL manifest (only the appended
     # ordinals) while the Metadata side-car still names the older bags —

@@ -36,7 +36,7 @@ conns AS (
 #: the /tmp scratch below persists ACROSS processes, and a stale
 #: pre-change layout under the old key would feed the driver's sink gate
 #: a wrong schema
-LAYOUT_CACHE_VERSION = 4  # r10: Messages gained the bag_index provenance col
+LAYOUT_CACHE_VERSION = 5  # r11: per-type tables gained the bag_index stamp
 
 
 def _cached_layout(sf_dir: str, suffix: str, build) -> str:
@@ -59,7 +59,11 @@ def _cached_layout(sf_dir: str, suffix: str, build) -> str:
         try:
             os.rename(work, out)  # atomic on same filesystem
         except OSError:
-            pass  # another process won the race; its output is equivalent
+            # another process won the race; its output is equivalent —
+            # drop the losing work dir instead of leaking it in /tmp
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
     return out
 
 

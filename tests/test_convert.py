@@ -125,13 +125,15 @@ def test_blob_round_trip(converted, spark):
 
 def test_pertype_layout_and_flattened_payload(converted, spark):
     """Per-type table layout parity (reference MessageTable.cpp:326-343:
-    seqno, flattened fields, connection_id, data) and S5 flatten applied to
-    the payload: the flattened `k` column equals the JSON-decoded blob."""
+    seqno, flattened fields, connection_id, data — plus the r11 trailing
+    bag_index provenance stamp, TODO FlattenedRosWriter.cpp:183) and S5
+    flatten applied to the payload: the flattened `k` column equals the
+    JSON-decoded blob."""
     out, _, _ = converted
     pertype = spark.read.parquet(os.path.join(out, "pertype"))
     cols = [c for c in pertype.columns if c != "datatype"]
     assert cols[0] == "seqno"
-    assert cols[-2:] == ["connection_id", "data"]
+    assert cols[-3:] == ["connection_id", "data", "bag_index"]
     assert "k" in cols
     mismatch = pertype.filter(
         F.col("k")

@@ -62,7 +62,8 @@ def test_convert_bag_layout_and_values(spark, two_type_bag, tmp_path):
     assert r.header_frame_id == FRAME and r.orientation_w == pytest.approx(0.44)
     assert r.data is not None  # raw blob carried (MessageTable.cpp:339-343)
     # layout: seqno first, connection_id+data last (MessageTable.cpp:326-343)
-    assert imu.columns[0] == "seqno" and imu.columns[-2:] == ["connection_id", "data"]
+    assert imu.columns[0] == "seqno"
+    assert imu.columns[-3:] == ["connection_id", "data", "bag_index"]
 
     gps = spark.read.parquet(os.path.join(out, "nav_msgs_Gps"))
     rows = gps.orderBy("seqno").collect()
@@ -293,7 +294,9 @@ def test_reserved_column_collision_sanitized(spark, tmp_path):
     convert_bag(spark, bag, out, arrays="blobs")
 
     im = spark.read.parquet(os.path.join(out, "demo_Img"))
-    assert im.columns == ["seqno", "format", "data_", "connection_id", "data"]
+    assert im.columns == [
+        "seqno", "format", "data_", "connection_id", "data", "bag_index"
+    ]
     r = im.first()
     assert bytes(r.data_) == blob and r.format == "jpeg"
     assert bytes(r.data) == img  # raw payload column intact

@@ -453,3 +453,27 @@ def test_pertype_with_provenance_resolves_bag_names(spark, fleet_out):
         (1, "b.sbag"),
         (1, "b.sbag"),
     ]
+
+
+def test_pertype_bag_index_stamped_and_matches_messages(spark, fleet_out):
+    """r11: the ordinal is STAMPED into per-type tables at write time
+    (reference TODO FlattenedRosWriter.cpp:183 asks for a file ID on ALL
+    entries) — provenance reads are a projection, no seqno join. Golden:
+    per-type ordinals equal Messages' ordinals row-for-row across the
+    whole fleet layout."""
+    from rosbag2parquet_spark.convert import pertype_with_provenance
+    from rosbag2parquet_spark.plans.inspect import physical_plan
+
+    out, _ = fleet_out
+    messages = spark.read.parquet(os.path.join(out, "Messages"))
+    expect = {r.seqno: r.bag_index for r in messages.collect()}
+    seen: dict = {}
+    for t in ("sensor_msgs_Imu", "nav_msgs_Gps"):
+        pt = spark.read.parquet(os.path.join(out, t))
+        assert pt.columns[-1] == "bag_index"  # trailing, like Messages
+        seen.update({r.seqno: r.bag_index for r in pt.collect()})
+    assert seen == expect
+    # and the provenance read plans WITHOUT a seqno join: the only join
+    # left is the broadcast name resolve
+    plan = physical_plan(pertype_with_provenance(spark, out, "sensor_msgs_Imu"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
