@@ -125,6 +125,10 @@ EXTENDED = [
     "ivf-nprobe-curve",
     "stream-alert-transitions",
     "provenance-read",
+    # round-11: the deeper per-query probe serve (nprobe=4 — one more
+    # ranked cell scanned on the same stored index; the marginal probe
+    # cost is exactly what this row prices)
+    "knn-ivfadc-np4",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

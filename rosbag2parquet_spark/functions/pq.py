@@ -767,14 +767,28 @@ def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfadc_search(
-    spark: SparkSession, sf_dir: str, rotated: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    rotated: bool = False,
+    nprobe: "int | None" = None,
 ) -> DataFrame:
     """The IVFADC two-stage serve over `_ivfadc_fit`'s stored index —
     `knn-ivfadc` passes the identity basis, `knn-ivfadc-opq` the learned
     OPQ rotation (LUT, cell constants, and the query representation move
     to the rotated space together; the stage-2 exact re-rank always reads
-    the ORIGINAL vectors, like every rotated rung)."""
+    the ORIGINAL vectors, like every rotated rung). ``nprobe`` overrides
+    the deployed probe depth PER QUERY (the FAISS search-time knob the
+    `ivf-nprobe-curve` row tunes by): the stored index — codes, ncent,
+    codebooks — is untouched; only the probed-cell slice of the SAME
+    driver-side cell ranking widens, so a deeper probe costs exactly the
+    extra cells' code scan and nothing at build time."""
+    from rosbag2parquet_spark.functions.similarity import _ivf_probe_cells
+
     cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir, rotated)
+    if nprobe is not None:
+        cells, _ = _ivf_probe_cells(
+            spark, sf_dir, load_table(spark, sf_dir, "embeddings"), nprobe
+        )
     # the query in the codes' basis: `_pq_frame` is the same
     # normalize[+quantized-rotate] pipeline the fit ran
     qen = [
@@ -836,6 +850,37 @@ def q_ivfadc_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — the measured proof the composition earns its place above its
     two parents (compare `ivfadc-recall` and `opq-recall`)."""
     return _recall_vs_exact(spark, sf_dir, q_knn_ivfadc_opq)
+
+
+#: probe depth of the deeper-probe serve row — the point where the
+#: measured `ivf-nprobe-curve` says the EXACT scan of the probed cells
+#: reaches full recall at sf0.01 (10/10 at nprobe=4 vs 9/10 at the
+#: deployed 3)
+IVFADC_NP_DEEP = 4
+
+
+def q_knn_ivfadc_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVFADC serve at a DEEPER per-query probe depth
+    (nprobe=4 vs the deployed 3) — proof that nprobe is a search-time
+    parameter of the serve, not a property of the stored index (SURVEY
+    §7.1 #5's remaining headroom; FAISS's per-search nprobe knob): same
+    codes, same ncent, same LUTs, one more ranked cell scanned. The
+    recall this buys is the `ivfadc-np4-recall` driver row."""
+    return _ivfadc_search(spark, sf_dir, nprobe=IVFADC_NP_DEEP)
+
+
+def q_ivfadc_np4_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the deeper-probe IVFADC serve against the exact scan —
+    the point that closes the loop with `ivf-nprobe-curve` AND names the
+    next binder: the curve's exact-scan ceiling at depth 4 is 10/10
+    (sf0.01), the residual-ADC serve measures 9/10 at both fixtures —
+    once the probe set stops binding (3→4 buys the exact scan its last
+    neighbor), the ADC shortlist becomes the binder. The production
+    reading: past nprobe=3 on this cell profile, spend budget on codes
+    (M, K, shortlist), not probes."""
+    return _recall_vs_exact(
+        spark, sf_dir, lambda s, d: _ivfadc_search(s, d, nprobe=IVFADC_NP_DEEP)
+    )
 
 
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,10 +1140,11 @@ def _oracle_knn_pq() -> str:
     return _adc_oracle()
 
 
-def _ivf_cells_cte() -> str:
+def _ivf_cells_cte(nprobe: "int | None" = None) -> str:
     """The probe-cell CTE alone (knn-ivf's integer-quantized cell scores
     over the km_-prefixed chain, which the caller must have emitted) —
-    leading comma included."""
+    leading comma included. ``nprobe`` mirrors the engine's per-query
+    probe-depth parameter (deployed IVF_NPROBE when None)."""
     from rosbag2parquet_spark.functions.kmeans import N_ITER
     from rosbag2parquet_spark.functions.similarity import IVF_NPROBE
 
@@ -1111,7 +1157,7 @@ ivf_cells AS (
     FROM km_c{N_ITER} c
     JOIN (SELECT pos, x FROM km_dims WHERE vec_id = {KNN_QUERY_ID}) qd USING (pos)
     GROUP BY c.cl
-  ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE}
+  ) ORDER BY score DESC, cl LIMIT {IVF_NPROBE if nprobe is None else nprobe}
 )"""
 
 
@@ -1154,6 +1200,14 @@ def _oracle_knn_ivfadc() -> str:
 def _oracle_knn_ivfadc_opq() -> str:
     return _adc_oracle(
         extra_ctes=_ivf_cells_cte(), rotated=True, residual=True
+    )
+
+
+def _oracle_knn_ivfadc_np4() -> str:
+    # the same oracle CTE family as knn-ivfadc, probe depth widened to
+    # the engine's per-query override — both sides slice the SAME ranking
+    return _adc_oracle(
+        extra_ctes=_ivf_cells_cte(IVFADC_NP_DEEP), residual=True
     )
 
 
@@ -1231,6 +1285,8 @@ QUERIES = {
     "ivfadc-recall": q_ivfadc_recall,
     "knn-ivfadc-opq": q_knn_ivfadc_opq,
     "ivfadc-opq-recall": q_ivfadc_opq_recall,
+    "knn-ivfadc-np4": q_knn_ivfadc_np4,
+    "ivfadc-np4-recall": q_ivfadc_np4_recall,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1247,6 +1303,8 @@ ORACLES = {
     "ivfadc-recall": _oracle_ivfadc_recall(),
     "knn-ivfadc-opq": _oracle_knn_ivfadc_opq(),
     "ivfadc-opq-recall": _oracle_ivfadc_opq_recall(),
+    "knn-ivfadc-np4": _oracle_knn_ivfadc_np4(),
+    "ivfadc-np4-recall": _oracle_recall(_oracle_knn_ivfadc_np4()),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

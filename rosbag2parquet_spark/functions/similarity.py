@@ -478,17 +478,25 @@ def _dec12(x: float):
     return Decimal(x).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
 
 
-def _ivf_probe_cells(spark, sf_dir: str, raw: DataFrame):
+def _ivf_probe_cells(
+    spark, sf_dir: str, raw: DataFrame, nprobe: "int | None" = None
+):
     """(probed cell ids, assignment frame) for the fixed query vector:
     K tiny driver-side integer-quantized centroid scores (per-term
     floor(x·1e12) BIGINT sums — the same quantization the trainer's
     argmin uses; the common 1e6 score scale cancels in the ranking) pick
-    the IVF_NPROBE highest cells — bit-identical to the oracle's cell
-    CTE, so engine and oracle probe the SAME cells. Shared by `knn-ivf`
-    (float scan of the probed cells) and `knn-ivf-quantized` (int8 scan
-    of the same)."""
+    the ``nprobe`` highest cells (deployed default IVF_NPROBE) —
+    bit-identical to the oracle's cell CTE, so engine and oracle probe
+    the SAME cells. Shared by `knn-ivf` (float scan of the probed cells)
+    and `knn-ivf-quantized` (int8 scan of the same). ``nprobe`` is the
+    per-QUERY production knob (FAISS's search-time nprobe — for a flat
+    coarse quantizer, deeper ranked probing IS the multiprobe expansion;
+    the bucket-perturbation flavor of multiprobe lives in the sign-LSH
+    path, `LSH_PROBE_BITS`): a latency-tolerant caller probes deeper for
+    the recall `ivf-nprobe-curve` measures, without retraining or
+    re-registering anything."""
     ranked, assigned = _ivf_cell_ranking(spark, sf_dir, raw)
-    return ranked[:IVF_NPROBE], assigned
+    return ranked[: (IVF_NPROBE if nprobe is None else nprobe)], assigned
 
 
 def _ivf_cell_ranking(spark, sf_dir: str, raw: DataFrame):

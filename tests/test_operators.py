@@ -273,6 +273,39 @@ def test_ivf_nprobe_curve_monotone_and_anchored(spark):
     assert by_np[IVF_NPROBE] == deployed
 
 
+def test_ivfadc_per_query_nprobe_override(spark):
+    """X3 per-query probe depth (r11): nprobe is a SEARCH-time parameter
+    — overriding it must not rebuild or mutate the stored index (same
+    cached fit object before and after), a deeper probe must recall at
+    least the deployed depth (its candidate set is a superset of the
+    same ranking's prefix), and the probed sets nest."""
+    from rosbag2parquet_spark.functions.pq import (
+        IVFADC_NP_DEEP,
+        _FIT_CACHE,
+        _ivfadc_search,
+        q_ivfadc_np4_recall,
+        q_ivfadc_recall,
+    )
+    from rosbag2parquet_spark.functions.similarity import (
+        IVF_NPROBE,
+        _ivf_probe_cells,
+    )
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    deployed = q_ivfadc_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    key = (spark.sparkContext.applicationId, SF_DIR, "ivfadc", False)
+    fit_before = _FIT_CACHE.get(key)
+    deep = q_ivfadc_np4_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    assert deep >= deployed
+    assert _FIT_CACHE.get(key) is fit_before  # no rebuild, no mutation
+    raw = load_table(spark, SF_DIR, "embeddings")
+    shallow_cells, _ = _ivf_probe_cells(spark, SF_DIR, raw)
+    deep_cells, _ = _ivf_probe_cells(spark, SF_DIR, raw, IVFADC_NP_DEEP)
+    assert deep_cells[:IVF_NPROBE] == shallow_cells  # same ranking, nested
+    assert len(deep_cells) == IVFADC_NP_DEEP
+    assert len(_ivfadc_search(spark, SF_DIR, nprobe=IVFADC_NP_DEEP).collect()) == 10
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,

@@ -270,6 +270,9 @@ def main() -> None:
         # shape)
         "knn-ivfadc", "knn-ivfadc-opq", "knn-pq-packed",
         "provenance-read", "ivf-stats", "ivf-nprobe-curve",
+        # round-11: the deeper per-query probe serve (same plan shape as
+        # knn-ivfadc — the probed-cell filter just lists one more cell)
+        "knn-ivfadc-np4",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
