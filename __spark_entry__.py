@@ -100,65 +100,39 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-10 ROTATION (executing the r9 verdict's sequencing, then the
-# late-r10 depth sweep): the 18 rows with no green driver row yet LEAD —
-# the 9 CHANGED in r9 (argmin dependents + sink/drift, all locally green
-# since) and the 9 NEW in r9 (driver-unsampled; replica-verified by the
-# judge) — then stream-resample (changed r10: state-shuffle sizing) and
-# the 9 NEW r10 rows (knn-ivfadc .. ivf-nprobe-curve), filling slots
-# 1-28. Slots 29-50 take the first 22 of the 46 r6-proven rows — after
-# the r9 window re-proved the r5 block, r6 rows are the oldest in the
-# histogram. The remaining 24 r6 rows (dedup-exact .. stream-tumbling)
-# lead r11, then the r7 block. Freshness histogram going into r10:
-# r6:46, r7:41, r8:50, r9:50 (+9 r9-new unsampled). After this window:
-# r6:24, r7:41, r8:50, r9:50, r10:50 — r11 clears the r6 tail and
-# starts on r7; zero rows older than r8 lands by r12.
+# ROUND-11 ROTATION (executing the r10 verdict's sequencing): the
+# IVF_NPROBE 2→3 deploy (the verdict's #1 — measured by ivf-nprobe-curve
+# and a full-pipeline A/B replica) changes the ANSWERS of the 10 probed
+# serves + recall rows, so they LEAD with the 2 NEW per-query-nprobe rows
+# (knn-ivfadc-np4 + its recall), then the 3 converter-dependent rows the
+# write-time per-type bag_index stamp re-plans (provenance-read now reads
+# the stamped column — no seqno join; sink/demux ride the same converter,
+# values unchanged) — slots 1-15. Slots 16-39 take ALL 24 remaining
+# r6-proven rows (dedup-exact .. stream-tumbling); slots 40-50 the 11
+# oldest r7 rows. Freshness histogram going into r11: r6:24, r7:39,
+# r8:50, r9:50, r10:50. After this window: r7:28, r8:50, r9:50, r10:50,
+# r11:50 — r12 clears the r7 tail (28 rows) and starts on r8; zero rows
+# older than r8 lands at r12 as planned.
 _QUERY_ORDER = [
-    # --- r10 window --------------------------------------------------------
-    # CHANGED round 9 without a fresh driver row: the argmin dependents;
-    # sink's Messages gained the TODO-#7 `time` column (and, round 10, the
-    # TODO bag_index provenance column); drift-detect/drift-numeric
-    # hardened late-r9 (NULL-ts rows land in epoch 2 engine-side)
-    "stream-semdedup", "sink", "knn-ivf", "knn-ivf-quantized", "pq-quantize",
-    "knn-pq", "pq-recall", "drift-detect", "drift-numeric",
-    # NEW round 9, never driver-sampled: the composed IVFADC serve stack +
-    # recall; the OPQ rung + recall (learned alternation round 10); the CDC
-    # file-landing ingest twin (schema evolution round 10); alert rules;
-    # nibble-packed codes; the live IVF serve; the live PPS sampler
-    "knn-ivf-pq", "ivf-pq-recall", "knn-opq", "opq-recall",
-    "stream-cdc-apply", "alert-rules", "pq-pack", "stream-knn-ivf",
-    "stream-weighted-sample",
-    # CHANGED round 10: the stateful shuffle is sized to the key domain
-    # (result-invariant — partitioning only; the r9 perf flag's fix)
-    "stream-resample",
-    # NEW round 10: the residual-encoded IVFADC rung (PQ codes describe
-    # the residual against the coarse cell's normalized centroid — the
-    # shape FAISS stores) + its measured-recall row, then the two r10
-    # rungs COMPOSED (rotate -> coarse-quantize -> encode rotated
-    # residuals, FAISS's OPQ,IVF,PQ chain — SURVEY §7.1 #4's composition)
-    "knn-ivfadc", "ivfadc-recall", "knn-ivfadc-opq", "ivfadc-opq-recall",
-    # NEW round 10: alert ROUTING — the monitor's verdict EDGES
-    # (ok→violating pages, violating→ok recoveries) as a live stream
-    # (SURVEY §7.1 r11 #2)
-    "stream-alert-transitions",
-    # NEW round 10: bag provenance surfaced end to end — per-type rows
-    # joined to Messages' (seqno, bag_index) over a two-batch fleet
-    # layout (reference TODO FlattenedRosWriter.cpp:183; SURVEY §7.1 #3)
-    "provenance-read",
-    # NEW round 10: the ADC serve reading ONLY the packed 4 B/vector
-    # nibbles (unpack in-expression; value-identical to knn-pq, shared
-    # oracle), the IVF imbalance report the index is tuned by, and the
-    # recall@nprobe sensitivity curve (§7.1 #5 — MEASURES that the probe
-    # set, not the encoding, binds pruned recall on this fixture)
-    "knn-pq-packed", "ivf-stats", "ivf-nprobe-curve",
-    # r6-PROVEN rows 1-22 (the oldest driver rows once the 28 above land)
-    "stream-neardup-parity", "hll-sketch", "scd2-intervals", "stream-scd2",
-    "bloom-join", "cluster-write", "zorder-write", "embed-neardup",
-    "embed-recall", "asof", "cube", "grouping-sets", "lag-lead",
-    "multimodal-features", "multimodal-pointers", "window-sliding", "zscore",
-    "demux", "token-count", "lang-id", "quality-score", "fingerprint",
-    # --- window ends here (50) ---------------------------------------------
-    # r6-proven rows 23-46 (lead the r11 window)
+    # --- r11 window --------------------------------------------------------
+    # CHANGED round 11: IVF_NPROBE 2→3 (the r10 verdict's measured deploy;
+    # recall@10 at sf0.01: knn-recall/ivfadc 7→9, composed rungs +1 — the
+    # curve's prediction, now driver-provable). Every row whose answer the
+    # probe set feeds:
+    "knn-ivf", "knn-ivf-quantized", "knn-recall", "knn-ivf-pq",
+    "ivf-pq-recall", "knn-ivfadc", "ivfadc-recall", "knn-ivfadc-opq",
+    "ivfadc-opq-recall", "stream-knn-ivf",
+    # NEW round 11: nprobe as a PER-QUERY serve parameter (FAISS's
+    # search-time knob; SURVEY §7.1 #5's remaining headroom) — the deeper
+    # nprobe=4 residual serve + its measured recall row (the curve's
+    # exact-scan ceiling at that depth: 10/10 at sf0.01)
+    "knn-ivfadc-np4", "ivfadc-np4-recall",
+    # CHANGED round 11: per-type tables now carry the bag_index stamp at
+    # WRITE time (reference TODO FlattenedRosWriter.cpp:183 "ALL entries"),
+    # so provenance-read is a projection — the seqno join is gone from its
+    # plan; sink/demux ride the same converter (values unchanged)
+    "provenance-read", "sink", "demux",
+    # r6-proven rows 23-46 — the oldest driver rows, ALL re-proven here
     "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
     "dedup-simhash", "knn", "knn-batch", "stats-corr",
     "string-agg", "explode-sequence",
@@ -166,10 +140,12 @@ _QUERY_ORDER = [
     "text-stats", "null-semantics", "sql-q12", "sample-hash",
     "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
     "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
-    # r7-proven
+    # r7-proven rows 1-11 (the next-oldest)
     "table-diff", "substring-dedup", "skew-profile", "incr-rollup",
     "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
     "validate-constraints", "stream-validate", "snapshot-read",
+    # --- window ends here (50) ---------------------------------------------
+    # r7-proven rows 12-39 (lead the r12 window)
     "dedup-editdist", "pseudonymize", "schema-evolution", "scrub-dup-spans",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze", "stream-asof", "export-roundtrip", "stream-knn",
@@ -179,7 +155,7 @@ _QUERY_ORDER = [
     "heavy-hitters", "stream-heavy-hitters", "asof-nearest",
     "resample-interpolate", "stream-sliding", "stream-sessionize",
     # r8-proven
-    "stream-neardup", "stream-profile", "sql-q8", "sql-q21", "knn-recall",
+    "stream-neardup", "stream-profile", "sql-q8", "sql-q21",
     "asof-tolerance", "scrub-terms", "interval-join", "sql-q4", "sql-q7",
     "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
     "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
@@ -201,6 +177,18 @@ _QUERY_ORDER = [
     "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
     "derived", "rollup", "dim-join", "semi-join", "first-seen", "sql",
     "window-funcs", "window-tumbling", "kmeans", "semdedup",
+    # r10-proven (freshest — rotate to the back): the r10 window's rows
+    # minus those re-led above by the r11 nprobe deploy / converter stamp
+    "stream-semdedup", "pq-quantize", "knn-pq", "pq-recall", "drift-detect",
+    "drift-numeric", "knn-opq", "opq-recall", "stream-cdc-apply",
+    "alert-rules", "pq-pack", "stream-weighted-sample", "stream-resample",
+    "stream-alert-transitions", "knn-pq-packed", "ivf-stats",
+    "ivf-nprobe-curve", "stream-neardup-parity", "hll-sketch",
+    "scd2-intervals", "stream-scd2", "bloom-join", "cluster-write",
+    "zorder-write", "embed-neardup", "embed-recall", "asof", "cube",
+    "grouping-sets", "lag-lead", "multimodal-features",
+    "multimodal-pointers", "window-sliding", "zscore", "token-count",
+    "lang-id", "quality-score", "fingerprint",
 ]
 
 
