@@ -54,8 +54,19 @@ def stage_stream_file(sf_dir: str, filename: str, tag: str) -> str:
     if os.path.lexists(link):
         if os.path.islink(link) and os.readlink(link) == target:
             return stage
-        os.remove(link)
-    os.symlink(target, link)
+    # atomic repair: create at a unique temp name and rename over the
+    # link — two processes staging same-basename sf_dirs concurrently
+    # each install a complete link (last writer wins) instead of racing
+    # remove/symlink into FileExistsError
+    import uuid
+
+    tmp = os.path.join(stage, f".{filename}.{uuid.uuid4().hex[:8]}.tmp")
+    os.symlink(target, tmp)
+    try:
+        os.rename(tmp, link)  # atomically replaces an existing link
+    except OSError:
+        os.unlink(tmp)
+        raise
     return stage
 
 

@@ -223,7 +223,6 @@ def test_cdc_landing_schema_evolution_converges(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@pytest.mark.slow
 def test_cdc_landing_ignores_extra_columns(spark, tmp_path):
     """The landing-directory read contract under producer drift: a later
     change batch carrying an EXTRA column (a CDC extractor upgraded
