@@ -103,16 +103,17 @@ _MODULES = (
 # ROUND-11 ROTATION (executing the r10 verdict's sequencing): the
 # IVF_NPROBE 2→3 deploy (the verdict's #1 — measured by ivf-nprobe-curve
 # and a full-pipeline A/B replica) changes the ANSWERS of the 10 probed
-# serves + recall rows, so they LEAD with the 2 NEW per-query-nprobe rows
-# (knn-ivfadc-np4 + its recall), then the 3 converter-dependent rows the
-# write-time per-type bag_index stamp re-plans (provenance-read now reads
-# the stamped column — no seqno join; sink/demux ride the same converter,
-# values unchanged) — slots 1-15. Slots 16-39 take ALL 24 remaining
-# r6-proven rows (dedup-exact .. stream-tumbling); slots 40-50 the 11
-# oldest r7 rows. Freshness histogram going into r11: r6:24, r7:39,
-# r8:50, r9:50, r10:50. After this window: r7:28, r8:50, r9:50, r10:50,
-# r11:50 — r12 clears the r7 tail (28 rows) and starts on r8; zero rows
-# older than r8 lands at r12 as planned.
+# serves + recall rows, so they LEAD with the 3 NEW rows (the per-query
+# nprobe=4 serve + its recall, and incremental IVFADC maintenance), then
+# the 3 converter-dependent rows the write-time per-type bag_index stamp
+# re-plans (provenance-read now reads the stamped column — no seqno join;
+# sink/demux ride the same converter, values unchanged) — slots 1-16.
+# Slots 17-40 take ALL 24 remaining r6-proven rows (dedup-exact ..
+# stream-tumbling); slots 41-50 the 10 oldest r7 rows. Freshness
+# histogram going into r11: r6:24, r7:39, r8:50, r9:50, r10:50. After
+# this window: r7:29, r8:50, r9:50, r10:50, r11:50 — r12 clears the r7
+# tail (29 rows) and starts on r8; zero rows older than r8 lands at r12
+# as planned.
 _QUERY_ORDER = [
     # --- r11 window --------------------------------------------------------
     # CHANGED round 11: IVF_NPROBE 2→3 (the r10 verdict's measured deploy;
@@ -124,9 +125,12 @@ _QUERY_ORDER = [
     "ivfadc-opq-recall", "stream-knn-ivf",
     # NEW round 11: nprobe as a PER-QUERY serve parameter (FAISS's
     # search-time knob; SURVEY §7.1 #5's remaining headroom) — the deeper
-    # nprobe=4 residual serve + its measured recall row (the curve's
-    # exact-scan ceiling at that depth: 10/10 at sf0.01)
-    "knn-ivfadc-np4", "ivfadc-np4-recall",
+    # nprobe=4 residual serve + its measured recall row (9/10 vs the
+    # curve's exact-scan ceiling of 10/10: past nprobe=3 the ADC
+    # shortlist, not the probe set, binds) — and INCREMENTAL IVFADC index
+    # maintenance (§7.1 #7: arriving vectors append codes under the
+    # frozen quantizer; batch knn-ivfadc's oracle verbatim)
+    "knn-ivfadc-np4", "ivfadc-np4-recall", "stream-knn-ivfadc",
     # CHANGED round 11: per-type tables now carry the bag_index stamp at
     # WRITE time (reference TODO FlattenedRosWriter.cpp:183 "ALL entries"),
     # so provenance-read is a projection — the seqno join is gone from its
@@ -140,12 +144,13 @@ _QUERY_ORDER = [
     "text-stats", "null-semantics", "sql-q12", "sample-hash",
     "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
     "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
-    # r7-proven rows 1-11 (the next-oldest)
+    # r7-proven rows 1-10 (the next-oldest)
     "table-diff", "substring-dedup", "skew-profile", "incr-rollup",
     "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
-    "validate-constraints", "stream-validate", "snapshot-read",
+    "validate-constraints", "stream-validate",
     # --- window ends here (50) ---------------------------------------------
-    # r7-proven rows 12-39 (lead the r12 window)
+    # r7-proven rows 11-39 (lead the r12 window)
+    "snapshot-read",
     "dedup-editdist", "pseudonymize", "schema-evolution", "scrub-dup-spans",
     "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
     "stream-analyze", "stream-asof", "export-roundtrip", "stream-knn",

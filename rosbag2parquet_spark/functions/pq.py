@@ -446,14 +446,14 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_search(spark, sf_dir, members=None)
 
 
-def _query_luts(
+def _query_lut_values(
     books: list[list[list[float]]], qen: list[float]
-) -> "list[str]":
-    """Per-subspace ADC lookup tables as SQL array literals:
-    LUT[m][cl] = decimal-exact dot(query subvector m, codebook m[cl]) —
-    the driver-side constant every ADC rung shares; single-sourced so
-    the quantization (and therefore oracle parity) can never diverge
-    between the unpacked, packed, IVF-restricted, and residual serves."""
+) -> "list[list[float]]":
+    """Per-subspace ADC lookup-table VALUES: LUT[m][cl] = decimal-exact
+    dot(query subvector m, codebook m[cl]) — the driver-side constant
+    every ADC rung shares; single-sourced so the quantization (and
+    therefore oracle parity) can never diverge between the unpacked,
+    packed, IVF-restricted, residual, and STREAMING serves."""
     luts = []
     for m in range(PQ_M):
         qs = qen[m * PQ_SUB : (m + 1) * PQ_SUB]
@@ -468,6 +468,32 @@ def _query_luts(
                 for c in books[m]
             ]
         )
+    return luts
+
+
+def _ivfadc_cell_consts(
+    ncent: "list[list[float]]", qen: list[float]
+) -> "list[float]":
+    """The IVFADC decomposition's per-cell constant dot(q, ncent[cl]) —
+    same decimal-exact quantization as the LUTs; shared by the batch
+    serve and the streaming append twin."""
+    return [
+        float(
+            sum(
+                (_dec12(ci * qi) for ci, qi in zip(row, qen)),
+                start=_dec12(0.0),
+            )
+        )
+        for row in ncent
+    ]
+
+
+def _query_luts(
+    books: list[list[list[float]]], qen: list[float]
+) -> "list[str]":
+    """`_query_lut_values` as SQL array literals (the Catalyst serves'
+    form)."""
+    luts = _query_lut_values(books, qen)
     return [
         "array(" + ",".join(f"{v!r}D" for v in luts[m]) + ")"
         for m in range(PQ_M)
@@ -799,17 +825,9 @@ def _ivfadc_search(
         .collect()[0]["en"]
     ]
     lut_lit = _query_luts(books, qen)
-    # the IVFADC decomposition's extra term: per-cell constant
-    # dot(q, ncent[cl]) — same decimal-exact quantization as the LUTs
-    consts = [
-        float(
-            sum(
-                (_dec12(ci * qi) for ci, qi in zip(row, qen)),
-                start=_dec12(0.0),
-            )
-        )
-        for row in ncent
-    ]
+    # the IVFADC decomposition's extra term (shared helper — the
+    # streaming append twin uses the same values)
+    consts = _ivfadc_cell_consts(ncent, qen)
     score = (
         "element_at(array("
         + ",".join(f"{v!r}D" for v in consts)

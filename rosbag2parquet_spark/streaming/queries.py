@@ -928,6 +928,152 @@ def _knn_ivf_oracle() -> str:
     return _SIM["knn-ivf"]
 
 
+def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVFADC index maintenance — the missing piece of the
+    streaming ANN story (SURVEY §7.1 r11 #7): `stream-knn-ivf` keeps a
+    LIVE top-k but re-reads float vectors; a production IVFADC ingest
+    instead APPENDS CODES for each arriving vector under the FROZEN
+    quantizer (FAISS's add_with_ids posture: coarse centroids, ncent,
+    and residual codebooks train once and ship — arrivals never retrain).
+
+    One stateless Arrow stage per arriving vector replicates the batch
+    encode bit-for-bit (the pinned vectorized tiers' arithmetic:
+    sequential-fold normalize, raw-space integer-quantized coarse argmin,
+    residual against the exact-decimal ncent, per-subspace code argmins)
+    and scores it with the SAME frozen ADC literals the batch serve uses
+    (per-cell constant + PQ_M LUT lookups, fixed addition order) — rows
+    outside the probed cells drop BEFORE any scoring, so only ~nprobe/K
+    of the stream pays the encode+score. A running top-PQ_SHORTLIST state
+    (commutative merge, (score DESC, vec_id) — the batch shortlist rule)
+    IS the live index's answer set; the finishing query re-ranks the
+    final shortlist by exact cosine over the original vectors, exactly
+    like the batch `_shortlist_rerank` stage 2. Codes equal the batch
+    index's codes, the shortlist equals the batch shortlist, so batch
+    `knn-ivfadc`'s oracle is shared VERBATIM — the driver row proves
+    live-appended codes serve the identical answer to a rebuilt index."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+    from rosbag2parquet_spark.functions.pq import (
+        PQ_M,
+        PQ_SHORTLIST,
+        PQ_SUB,
+        _ivfadc_cell_consts,
+        _ivfadc_fit,
+        _pq_frame,
+        _query_lut_values,
+    )
+    from rosbag2parquet_spark.functions.similarity import (
+        KNN_K,
+        KNN_QUERY_ID,
+        _normalized,
+    )
+    from rosbag2parquet_spark.sources.catalog import load_table
+    from rosbag2parquet_spark.streaming.stateful import running_topk
+
+    cells, ncent, _, books = _ivfadc_fit(spark, sf_dir)
+    centroids, _ = kmeans_fit_cached(spark, sf_dir)
+    qen = [
+        float(x)
+        for x in _pq_frame(spark, sf_dir, rotated=False)
+        .filter(F.col("vec_id") == KNN_QUERY_ID)
+        .select("en")
+        .collect()[0]["en"]
+    ]
+    # the frozen serve constants — the batch serve's values via the
+    # shared helpers, so engine/stream/oracle can never desync
+    luts = [
+        np.array(v, dtype=np.float64)
+        for v in _query_lut_values(books, qen)
+    ]
+    consts = np.array(_ivfadc_cell_consts(ncent, qen), dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    NC = np.array(ncent, dtype=np.float64)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    probe = np.array(sorted(int(c) for c in cells), dtype=np.int64)
+
+    def encode_and_score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            # frozen coarse quantizer: the batch raw-space argmin verbatim
+            diff = E[:, None, :] - C[None, :, :]
+            cell = np.argmin(
+                np.floor(diff * diff * 1e12).astype(np.int64).sum(axis=2),
+                axis=1,
+            )
+            mask = np.isin(cell, probe) & (ids != KNN_QUERY_ID)
+            if not mask.any():
+                continue
+            Em, cm = E[mask], cell[mask]
+            # the batch normalize fold (sequential, vectorized over rows)
+            acc = np.zeros(Em.shape[0], dtype=np.float64)
+            for i in range(Em.shape[1]):
+                acc = acc + Em[:, i] * Em[:, i]
+            X = Em / np.sqrt(acc)[:, None]
+            R = X - NC[cm]  # residual vs the frozen exact-decimal ncent
+            # append-time encode: per-subspace integer-quantized argmins
+            # (the stored index grows by (cluster, c0..c{M-1}) per row)
+            adc = consts[cm].copy()
+            for m in range(PQ_M):
+                D = R[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+                d2 = D[:, None, :] - B[m][None, :, :]
+                codes = np.argmin(
+                    np.floor(d2 * d2 * 1e12).astype(np.int64).sum(axis=2),
+                    axis=1,
+                )
+                adc = adc + luts[m][codes]  # batch's fixed addition order
+            yield pd.DataFrame(
+                {
+                    "query_id": np.full(int(mask.sum()), KNN_QUERY_ID),
+                    "vec_id": ids[mask],
+                    "cos_sim": adc,
+                }
+            )
+
+    scored = stream_embeddings(spark, sf_dir).mapInPandas(
+        encode_and_score, "query_id long, vec_id long, cos_sim double"
+    )
+    tbl = _fresh("stream_knn_ivfadc")
+    run_to_memory(running_topk(scored, PQ_SHORTLIST), tbl, mode="append")
+    t = spark.table(tbl)
+    shortlist = (
+        t.withColumn("maxn", F.expr("max(n) OVER (PARTITION BY query_id)"))
+        .filter(F.col("n") == F.col("maxn"))
+        .select("vec_id")
+    )
+    # batch _shortlist_rerank stage 2 verbatim: exact cosine over the
+    # ORIGINAL vectors for the shortlist only
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    dotp = F.aggregate(
+        F.zip_with(F.col("en"), F.col("qen"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+def _knn_ivfadc_oracle() -> str:
+    from rosbag2parquet_spark.functions.pq import ORACLES as _PQ
+
+    return _PQ["knn-ivfadc"]
+
+
 def q_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PPS corpus sampler LIVE — the training-data primitive batch
     `weighted-sample` proves, run against an unbounded landing stream:
@@ -1579,6 +1725,7 @@ QUERIES = {
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-cdc-apply": q_stream_cdc_apply,
     "stream-knn-ivf": q_stream_knn_ivf,
+    "stream-knn-ivfadc": q_stream_knn_ivfadc,
     "stream-weighted-sample": q_stream_weighted_sample,
     "stream-gap-detect": q_stream_gap_detect,
     "stream-heavy-hitters": q_stream_heavy_hitters,
@@ -1640,6 +1787,9 @@ ORACLES = {
     "stream-merge-upsert": _merge_oracle(),
     "stream-cdc-apply": _cdc_evolve_oracle(),
     "stream-knn-ivf": _knn_ivf_oracle(),
+    # live-appended codes must serve the identical answer to the
+    # batch-built index — knn-ivfadc's oracle verbatim
+    "stream-knn-ivfadc": _knn_ivfadc_oracle(),
     "stream-weighted-sample": _weighted_sample_oracle(),
     "stream-gap-detect": _gap_oracle(),
     "stream-heavy-hitters": _hh_oracle(),

@@ -610,7 +610,9 @@ def test_idl_only_schema_blob_preserves(spark, tmp_path):
     msgs_t = spark.read.parquet(out + "/Messages")
     assert msgs_t.count() == 20
     pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
-    assert sorted(pose.columns) == ["connection_id", "data", "seqno"]
+    assert sorted(pose.columns) == [
+        "bag_index", "connection_id", "data", "seqno"
+    ]
     rows = pose.orderBy("seqno").collect()
     want = [p for cid, _, p in msgs if cid == 1]
     assert [bytes(r.data) for r in rows] == want
@@ -865,7 +867,9 @@ def test_protobuf_encoding_blob_preserves(spark, tmp_path):
     info = convert_bag(spark, path, out)
     assert info.count == 12
     pose = spark.read.parquet(out + "/geometry_msgs_PoseLite")
-    assert sorted(pose.columns) == ["connection_id", "data", "seqno"]
+    assert sorted(pose.columns) == [
+        "bag_index", "connection_id", "data", "seqno"
+    ]
     want = [p for cid, _, p in msgs if cid == 1]
     assert [bytes(r.data) for r in pose.orderBy("seqno").collect()] == want
 
@@ -959,14 +963,25 @@ def test_provenance_names_resolve_from_metadata_without_bags(spark, tmp_path):
     got = pertype_with_provenance(spark, out, "geometry_msgs_PoseLite")
     assert {(r.bag_index, r.bag) for r in got.collect()} == want
 
-    # pre-r10 Messages vintage (no bag_index column at all — appends into
-    # such a layout project the column away): the resolve degrades to
-    # NULL provenance instead of crashing on the missing column
+    # r11 stamped-column path survives a pre-r10 MESSAGES vintage: strip
+    # Messages' bag_index — the per-type stamp alone still resolves names
+    # (no join with Messages at all)
     mpath = os.path.join(out, "Messages")
     legacy = spark.read.parquet(mpath).drop("bag_index").collect()
     schema = spark.read.parquet(mpath).drop("bag_index").schema
     shutil.rmtree(mpath)
     spark.createDataFrame(legacy, schema).write.parquet(mpath)
+    got = pertype_with_provenance(spark, out, "geometry_msgs_PoseLite")
+    assert {(r.bag_index, r.bag) for r in got.collect()} == want
+
+    # full pre-r10 vintage (neither Messages NOR the per-type table has
+    # the column — appends into such a layout project it away): the
+    # resolve degrades to NULL provenance instead of crashing
+    tpath = os.path.join(out, "geometry_msgs_PoseLite")
+    pt_legacy = spark.read.parquet(tpath).drop("bag_index").collect()
+    pt_schema = spark.read.parquet(tpath).drop("bag_index").schema
+    shutil.rmtree(tpath)
+    spark.createDataFrame(pt_legacy, pt_schema).write.parquet(tpath)
     got = pertype_with_provenance(spark, out, "geometry_msgs_PoseLite")
     rows = got.collect()
     assert rows and all(

@@ -122,6 +122,26 @@ def test_stream_knn_ivf_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_stream_knn_ivfadc_equals_batch(spark):
+    """Incremental IVFADC maintenance parity: codes appended for arriving
+    vectors under the frozen quantizer must serve EXACTLY the batch
+    `knn-ivfadc` answer — same shortlist (same codes + same frozen ADC
+    constants + the same (score DESC, vec_id) rule), same exact re-rank.
+    This is the pin that the live index and a full rebuild are
+    indistinguishable to a query."""
+    from rosbag2parquet_spark.functions.pq import q_knn_ivfadc
+    from rosbag2parquet_spark.streaming.queries import q_stream_knn_ivfadc
+
+    batch = q_knn_ivfadc(spark, SF_DIR).select("vec_id", "label", "cos_sim")
+    streamed = q_stream_knn_ivfadc(spark, SF_DIR).select(
+        "vec_id", "label", "cos_sim"
+    )
+    assert streamed.count() == batch.count() == 10
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+@pytest.mark.slow
 def test_cdc_landing_schema_evolution_converges(spark):
     """The evolve-append contract on the STREAMING path (the batch
     `_pad_union` behavior, convert.py:999): the landing's later change
