@@ -60,8 +60,12 @@ def test_export_roundtrip_single_part(spark, tmp_path):
     assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
     # typed tables decode identically (payloads carried verbatim)
     for t in ("geometry_msgs_PoseLite", "sensor_msgs_ImuLite"):
-        a = _table(spark, layout1, t).orderBy("seqno").drop("connection_id")
-        b = _table(spark, layout2, t).orderBy("seqno").drop("connection_id")
+        a = _table(spark, layout1, t).orderBy("seqno").drop(
+            "connection_id", "bag_index"
+        )
+        b = _table(spark, layout2, t).orderBy("seqno").drop(
+            "connection_id", "bag_index"
+        )
         assert a.collect() == b.collect()
     # the attachment rode along
     att = _table(spark, layout2, "Attachments").collect()
@@ -148,9 +152,9 @@ def test_export_rosbag_roundtrip(spark, tmp_path):
     convert_bags(spark, info.paths, layout2)
     assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
     a = _table(spark, layout1, "sensor_msgs_Imu").orderBy("seqno").drop(
-        "connection_id")
+        "connection_id", "bag_index")
     b = _table(spark, layout2, "sensor_msgs_Imu").orderBy("seqno").drop(
-        "connection_id")
+        "connection_id", "bag_index")
     assert a.collect() == b.collect()
 
 
@@ -209,8 +213,12 @@ def test_export_db3_roundtrip(spark, tmp_path):
     convert_bags(spark, info.paths, layout2)
     assert _message_tuples(spark, layout1) == _message_tuples(spark, layout2)
     for t in ("geometry_msgs_PoseLite", "sensor_msgs_ImuLite"):
-        a = _table(spark, layout1, t).orderBy("seqno").drop("connection_id")
-        b = _table(spark, layout2, t).orderBy("seqno").drop("connection_id")
+        a = _table(spark, layout1, t).orderBy("seqno").drop(
+            "connection_id", "bag_index"
+        )
+        b = _table(spark, layout2, t).orderBy("seqno").drop(
+            "connection_id", "bag_index"
+        )
         assert a.collect() == b.collect()
 
 

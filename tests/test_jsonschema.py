@@ -111,7 +111,7 @@ def test_json_mcap_converts_to_typed_table(spark, tmp_path):
     # flatten + collision conventions: nested pose_x/pose_y, payload
     # field 'data' sanitized to 'data_' (the raw blob keeps 'data')
     assert {"seqno", "seq", "pose_x", "pose_y", "label", "ok", "samples",
-            "data_", "connection_id", "data"} == set(t.columns)
+            "data_", "connection_id", "data", "bag_index"} == set(t.columns)
     rows = {r.seq: r for r in t.collect()}
     assert rows[4].pose_x == 2.0 and rows[4].pose_y == -1.0
     assert rows[4].label == "s4" and rows[4].ok is True
@@ -152,7 +152,7 @@ def test_json_unsupported_schema_blob_preserves(spark, tmp_path):
     lay = str(tmp_path / "lay")
     convert_bag(spark, bag, lay)
     t = spark.read.parquet(os.path.join(lay, "demo_Hard"))
-    assert set(t.columns) == {"seqno", "connection_id", "data"}
+    assert set(t.columns) == {"seqno", "connection_id", "data", "bag_index"}
     assert bytes(t.collect()[0].data) == b'{"rows": [{"v": 1}]}'
 
 
