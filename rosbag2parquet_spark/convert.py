@@ -120,20 +120,12 @@ def _pad_append_messages(
     batch PROJECTS DOWN to the on-disk column set (never the reverse:
     old files are immutable, and NULL-padding them on read would claim
     the old batches recorded stamps they didn't). Any other difference
-    still refuses via the fingerprint guard."""
-    if not os.path.isdir(msg_path):
-        return messages
-    existing = spark.read.parquet(msg_path).schema
-    have = [f.name for f in existing.fields]
-    extra = [c for c in messages.columns if c not in have]
-    if (
-        extra
-        and set(extra) <= set(_MESSAGES_OPTIONAL)
-        and set(have) <= set(messages.columns)
-    ):
-        projected = messages.select(*have)
-        if schema_fingerprint(projected.schema) == schema_fingerprint(existing):
-            return projected
+    still refuses via the fingerprint guard. (The shared projection rule
+    lives in `_pad_append_trailing` — one implementation for Messages and
+    the per-type tables, so the vintage semantics cannot drift.)"""
+    messages = _pad_append_trailing(
+        spark, msg_path, messages, optional=_MESSAGES_OPTIONAL
+    )
     assert_append_compatible(spark, msg_path, messages.schema)
     return messages
 
@@ -175,6 +167,27 @@ def read_layout_table(spark: SparkSession, layout_dir: str, table: str) -> DataF
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(layout_dir, table))
     )
+
+
+def _all_files_have_column(table_dir: str, column: str) -> bool:
+    """True iff EVERY parquet file under ``table_dir`` carries ``column``
+    in its footer schema — the homogeneity probe `pertype_with_provenance`
+    dispatches on (a mixed-vintage evolve-appended table has the stamp in
+    post-append files only; the mergeSchema read would NULL-fill the
+    older rows, so the reader must fall back to the seqno join there).
+    Driver-side metadata reads only, O(#files) — the same footers any
+    planner touches."""
+    import pyarrow.parquet as _pq
+
+    found = False
+    for root, _dirs, files in os.walk(table_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            found = True
+            if column not in _pq.read_schema(os.path.join(root, fn)).names:
+                return False
+    return found
 
 
 def checked_union(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -395,8 +408,25 @@ def convert(
         resolved = resolved.withColumn(
             "__payload", F.from_json(F.col(payload_col), payload_schema)
         )
-        flat_cols = flatten_select_cols(payload_schema, "__payload")
+        # reserved = this table's fixed metadata columns: a payload field
+        # named data/bag_index/... sanitizes with trailing underscores
+        # (the bag decoders' msgdef.RESERVED_COLUMNS rule), so the stamp
+        # below — and the provenance reader's column dispatch — is
+        # UNCONDITIONAL
+        flat_cols = flatten_select_cols(
+            payload_schema,
+            "__payload",
+            reserved=frozenset(
+                {"seqno", "time", "size", "connection_id", "data",
+                 "datatype", "bag_index"}
+            ),
+        )
 
+    # write-time provenance stamp on the per-type rows too (reference
+    # TODO FlattenedRosWriter.cpp:183 "we should add a file ID to ALL
+    # entries"): map-side literal, so pertype_with_provenance is a
+    # projection + broadcast name resolve — no seqno join. Trailing
+    # (before the partition column), like Messages' optional columns.
     pertype = resolved.select(
         "seqno",
         F.col(time_col).alias("time"),
@@ -404,20 +434,9 @@ def convert(
         *flat_cols,
         "connection_id",
         F.col(payload_col).cast("binary").alias("data"),
+        F.lit(bag_index).cast("int").alias("bag_index"),
         F.col(type_col).alias("datatype"),
     )
-    if "bag_index" not in pertype.columns:
-        # write-time provenance stamp on the per-type rows too (reference
-        # TODO FlattenedRosWriter.cpp:183 "we should add a file ID to ALL
-        # entries"): map-side literal, so pertype_with_provenance is a
-        # projection + broadcast name resolve — no seqno join. Trailing
-        # (before the partition column), like Messages' optional columns;
-        # skipped if a flattened payload field already owns the name (the
-        # provenance reader then falls back to the seqno join).
-        cols = [c for c in pertype.columns if c != "datatype"]
-        pertype = pertype.select(
-            *cols, F.lit(bag_index).cast("int").alias("bag_index"), "datatype"
-        )
     pertype_path = os.path.join(out_dir, "pertype")
     if mode == "append":
         # older-vintage layouts (pre-r11 per-type tables) lack the trailing
@@ -1467,18 +1486,22 @@ def _write_bag_tables(
             )
         pertype = _pad_union(datatype, group_frames)
         # column order per MessageTable.cpp:326-343, plus the trailing r11
-        # provenance stamp (skipped — with the seqno-join fallback intact —
-        # when a decoded payload field already owns the name)
+        # provenance stamp. The stamp is UNCONDITIONAL: a payload field
+        # named bag_index sanitizes to bag_index_ in every decoder tier
+        # (msgdef.RESERVED_COLUMNS), which the provenance reader's column
+        # dispatch relies on — enforce the invariant loudly.
         value_cols = [
             c for c in pertype.columns
             if c not in ("seqno", "connection_id", "data", "__bag_index__")
         ]
-        stamped = "bag_index" not in value_cols
-        tail = (
-            [F.col("__bag_index__").alias("bag_index")] if stamped else []
-        )
+        if "bag_index" in value_cols:
+            raise AssertionError(
+                f"{datatype}: decoder emitted a payload column named "
+                "bag_index (RESERVED_COLUMNS sanitization must rename it)"
+            )
         pertype = pertype.select(
-            "seqno", *value_cols, "connection_id", "data", *tail
+            "seqno", *value_cols, "connection_id", "data",
+            F.col("__bag_index__").alias("bag_index"),
         )
         table = table_name_for_type(datatype)
         table_path = os.path.join(out_dir, table)
@@ -1510,13 +1533,12 @@ def _write_bag_tables(
                     )
                 vals = [
                     c for c in pertype.columns
-                    if c not in ("seqno", "connection_id", "data")
-                    and not (stamped and c == "bag_index")
+                    if c not in ("seqno", "connection_id", "data", "bag_index")
                 ]
+                # the stamp stays trailing unless the strict pad already
+                # projected it away for an older-vintage table
                 tail = (
-                    ["bag_index"]
-                    if stamped and "bag_index" in pertype.columns
-                    else []
+                    ["bag_index"] if "bag_index" in pertype.columns else []
                 )
                 pertype = pertype.select(
                     "seqno", *vals, "connection_id", "data", *tail
@@ -2099,16 +2121,18 @@ def pertype_with_provenance(
     via the ``Bags`` fleet manifest (every `convert_bags` layout has one;
     the Metadata side-car serves older/MCAP-only layouts; a
     DataFrame-stream layout has no files, so ``bag`` stays NULL there)."""
-    # mergeSchema: an evolve-appended mixed-vintage table carries the
-    # stamp only in post-r11 files; older files read NULL (their per-row
-    # ordinals were never recorded in the per-type table)
-    pertype = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(os.path.join(out_dir, table))
-    )
-    if "bag_index" in pertype.columns:
+    pertype = read_layout_table(spark, out_dir, table)
+    if "bag_index" in pertype.columns and _all_files_have_column(
+        os.path.join(out_dir, table), "bag_index"
+    ):
         out = pertype  # write-time stamp: projection only, no join
     else:
+        # No stamp anywhere (pre-r11 table), or a MIXED-vintage table
+        # (evolve-append added the stamp to later files only — the
+        # mergeSchema read would NULL-fill pre-append rows whose ordinals
+        # Messages still records): resolve via the seqno join, which is
+        # complete for every vintage Messages covers. The footer probe is
+        # a driver-side metadata read, O(#files).
         msgs = spark.read.parquet(os.path.join(out_dir, "Messages"))
         if "bag_index" in msgs.columns:
             msgs = msgs.select("seqno", "bag_index")
@@ -2120,7 +2144,9 @@ def pertype_with_provenance(
             msgs = msgs.select(
                 "seqno", F.lit(None).cast("int").alias("bag_index")
             )
-        out = pertype.join(msgs, "seqno")
+        # drop the partial mergeSchema column (mixed vintage) so the join
+        # provides THE bag_index — never two same-named columns
+        out = pertype.drop("bag_index").join(msgs, "seqno")
     # the name dim UNIONS both side-cars: a pre-Bags layout appended into
     # by a newer converter has a PARTIAL manifest (only the appended
     # ordinals) while the Metadata side-car still names the older bags —

@@ -500,20 +500,13 @@ def _query_luts(
     ]
 
 
-def _shortlist_rerank(
-    spark: SparkSession, sf_dir: str, base: DataFrame, score: str
+def _exact_rerank(
+    spark: SparkSession, sf_dir: str, shortlist: DataFrame
 ) -> DataFrame:
-    """The shared two-stage tail of every ADC serve: stage-1 shortlist
-    (``score`` over ``base``, deterministic vec_id tie-break, fixed
-    PQ_SHORTLIST) and stage-2 exact cosine re-rank reading the ORIGINAL
-    vectors for the shortlist only (semi-join restricts the float read;
-    the query row is a 1-row broadcast, like `knn`)."""
-    shortlist = (
-        base.select("vec_id", F.expr(score).alias("adc"))
-        .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
-        .select("vec_id")
-    )
+    """Stage 2 of every ADC serve (batch AND streaming): exact cosine
+    re-rank reading the ORIGINAL vectors for the ``shortlist`` (vec_id)
+    frame only — the semi-join restricts the float read; the query row is
+    a 1-row broadcast, like `knn`."""
     emb = _normalized(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
         F.col("en").alias("qen")
@@ -530,6 +523,21 @@ def _shortlist_rerank(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(KNN_K)
     )
+
+
+def _shortlist_rerank(
+    spark: SparkSession, sf_dir: str, base: DataFrame, score: str
+) -> DataFrame:
+    """The shared two-stage tail of every ADC serve: stage-1 shortlist
+    (``score`` over ``base``, deterministic vec_id tie-break, fixed
+    PQ_SHORTLIST) and stage-2 `_exact_rerank` of it."""
+    shortlist = (
+        base.select("vec_id", F.expr(score).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    return _exact_rerank(spark, sf_dir, shortlist)
 
 
 def _adc_search(

@@ -219,8 +219,11 @@ def to_struct_type(
 
 # the per-type table's metadata columns (table_schema below, reference
 # MessageTable.cpp:305-343) plus the permissive-mode dead-letter column
+# and the r11 write-time provenance stamp (a payload field named
+# bag_index sanitizes to bag_index_ so the stamp — and the provenance
+# reader's column dispatch — is unconditional)
 RESERVED_COLUMNS = frozenset(
-    {"seqno", "connection_id", "data", "_decode_error"}
+    {"seqno", "connection_id", "data", "_decode_error", "bag_index"}
 )
 
 

@@ -878,6 +878,8 @@ def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = qe / np.linalg.norm(qe)
 
     def score(batches):
+        from rosbag2parquet_spark.functions.kmeans import argmin_quantized_np
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -885,12 +887,8 @@ def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             E = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
-            # frozen-quantizer assignment: the batch argmin verbatim
-            diff = E[:, None, :] - C[None, :, :]
-            cell = np.argmin(
-                np.floor(diff * diff * 1e12).astype(np.int64).sum(axis=2),
-                axis=1,
-            )
+            # frozen-quantizer assignment: the batch argmin kernel verbatim
+            cell = argmin_quantized_np(E, C)
             mask = np.isin(cell, probe) & (ids != KNN_QUERY_ID)
             if not mask.any():
                 continue
@@ -960,17 +958,13 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_M,
         PQ_SHORTLIST,
         PQ_SUB,
+        _exact_rerank,
         _ivfadc_cell_consts,
         _ivfadc_fit,
         _pq_frame,
         _query_lut_values,
     )
-    from rosbag2parquet_spark.functions.similarity import (
-        KNN_K,
-        KNN_QUERY_ID,
-        _normalized,
-    )
-    from rosbag2parquet_spark.sources.catalog import load_table
+    from rosbag2parquet_spark.functions.similarity import KNN_QUERY_ID
     from rosbag2parquet_spark.streaming.stateful import running_topk
 
     cells, ncent, _, books = _ivfadc_fit(spark, sf_dir)
@@ -995,6 +989,8 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = np.array(sorted(int(c) for c in cells), dtype=np.int64)
 
     def encode_and_score(batches):
+        from rosbag2parquet_spark.functions.kmeans import argmin_quantized_np
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1002,12 +998,8 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             E = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
-            # frozen coarse quantizer: the batch raw-space argmin verbatim
-            diff = E[:, None, :] - C[None, :, :]
-            cell = np.argmin(
-                np.floor(diff * diff * 1e12).astype(np.int64).sum(axis=2),
-                axis=1,
-            )
+            # frozen coarse quantizer: the batch argmin kernel verbatim
+            cell = argmin_quantized_np(E, C)
             mask = np.isin(cell, probe) & (ids != KNN_QUERY_ID)
             if not mask.any():
                 continue
@@ -1018,15 +1010,12 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc = acc + Em[:, i] * Em[:, i]
             X = Em / np.sqrt(acc)[:, None]
             R = X - NC[cm]  # residual vs the frozen exact-decimal ncent
-            # append-time encode: per-subspace integer-quantized argmins
-            # (the stored index grows by (cluster, c0..c{M-1}) per row)
+            # append-time encode: per-subspace runs of the same argmin
+            # kernel (the stored index grows by (cluster, c0..c{M-1}))
             adc = consts[cm].copy()
             for m in range(PQ_M):
-                D = R[:, m * PQ_SUB:(m + 1) * PQ_SUB]
-                d2 = D[:, None, :] - B[m][None, :, :]
-                codes = np.argmin(
-                    np.floor(d2 * d2 * 1e12).astype(np.int64).sum(axis=2),
-                    axis=1,
+                codes = argmin_quantized_np(
+                    R[:, m * PQ_SUB:(m + 1) * PQ_SUB], B[m]
                 )
                 adc = adc + luts[m][codes]  # batch's fixed addition order
             yield pd.DataFrame(
@@ -1048,24 +1037,9 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") == F.col("maxn"))
         .select("vec_id")
     )
-    # batch _shortlist_rerank stage 2 verbatim: exact cosine over the
-    # ORIGINAL vectors for the shortlist only
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
-        F.col("en").alias("qen")
-    )
-    dotp = F.aggregate(
-        F.zip_with(F.col("en"), F.col("qen"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    return (
-        emb.join(F.broadcast(shortlist), "vec_id", "left_semi")
-        .crossJoin(F.broadcast(query))
-        .select("vec_id", "label", F.round(dotp, 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(KNN_K)
-    )
+    # batch stage 2 (the shared helper): exact cosine over the ORIGINAL
+    # vectors for the shortlist only
+    return _exact_rerank(spark, sf_dir, shortlist)
 
 
 def _knn_ivfadc_oracle() -> str:

@@ -306,6 +306,36 @@ def test_reserved_column_collision_sanitized(spark, tmp_path):
     assert cl.seqno == 1 and cl.connection_id == 2  # metadata untouched
 
 
+def test_payload_bag_index_sanitized_and_stamp_unconditional(spark, tmp_path):
+    """r11: `bag_index` is RESERVED — a payload field with that name
+    sanitizes to `bag_index_` in every decoder tier, so the write-time
+    provenance stamp (and `pertype_with_provenance`'s column dispatch) is
+    unconditional: the stamp column carries the ordinal, the payload value
+    survives under the sanitized name, and the provenance read resolves
+    the REAL ordinal, never the payload value."""
+    from rosbag2parquet_spark.convert import pertype_with_provenance
+
+    defs = "int32 bag_index\nint32 v\n"
+    conns = [ConnectionInfo(1, "/t", "demo/Tricky", "", defs)]
+    msgs = [(1, 1_000 + i, struct.pack("<ii", 900 + i, i)) for i in range(3)]
+    bag = str(tmp_path / "tricky.sbag")
+    write_bag(bag, conns, msgs)
+    out = str(tmp_path / "lay")
+    convert_bag(spark, bag, out)
+
+    t = spark.read.parquet(os.path.join(out, "demo_Tricky"))
+    assert t.columns == [
+        "seqno", "bag_index_", "v", "connection_id", "data", "bag_index"
+    ]
+    rows = {r.seqno: r for r in t.collect()}
+    assert [rows[i].bag_index_ for i in range(3)] == [900, 901, 902]
+    assert all(rows[i].bag_index == 0 for i in range(3))  # the real ordinal
+    prov = pertype_with_provenance(spark, out, "demo_Tricky")
+    assert {(r.bag_index, r.bag) for r in prov.collect()} == {
+        (0, "tricky.sbag")
+    }
+
+
 def test_header_stamp_in_messages_table(spark, two_type_bag, tmp_path):
     """Reference TODO #6 (rosbag2parquet.cpp:27): the global Messages table
     carries the leading Header's stamp as a nullable int32 pair — decoded

@@ -455,6 +455,46 @@ def test_pertype_with_provenance_resolves_bag_names(spark, fleet_out):
     ]
 
 
+def test_provenance_mixed_vintage_falls_back_to_join(spark, fleet, tmp_path):
+    """A MIXED-vintage per-type table (evolve-appended: some files carry
+    the r11 stamp, some predate it) must resolve via the seqno join — the
+    stamped-column fast path would NULL-fill the pre-stamp rows that
+    Messages still records. `_all_files_have_column` is the dispatch."""
+    from rosbag2parquet_spark.convert import (
+        _all_files_have_column,
+        pertype_with_provenance,
+    )
+
+    _, paths = fleet
+    out = str(tmp_path / "lay")
+    convert_bags(spark, paths, out)
+    tdir = os.path.join(out, "sensor_msgs_Imu")
+    assert _all_files_have_column(tdir, "bag_index")
+
+    # simulate the mixed vintage: rewrite HALF the table without the stamp
+    # (localCheckpoint materializes before the source files are deleted)
+    df = spark.read.parquet(tdir).localCheckpoint(eager=True)
+    with_stamp = df.filter("seqno >= 3")
+    without = df.filter("seqno < 3").drop("bag_index")
+    import shutil
+
+    shutil.rmtree(tdir)
+    without.write.parquet(tdir)  # pre-r11 files
+    with_stamp.write.mode("append").option("mergeSchema", "true").parquet(tdir)
+    assert not _all_files_have_column(tdir, "bag_index")
+
+    got = pertype_with_provenance(spark, out, "sensor_msgs_Imu")
+    rows = {r.seqno: (r.bag_index, r.bag) for r in got.collect()}
+    # every row — including the stripped pre-stamp ones — resolves from
+    # Messages' ordinals, none NULL
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    expect = {r.seqno: r.bag_index for r in msgs.collect()}
+    assert {s: bi for s, (bi, _) in rows.items()} == {
+        s: expect[s] for s in rows
+    }
+    assert all(bag is not None for _, bag in rows.values())
+
+
 def test_pertype_bag_index_stamped_and_matches_messages(spark, fleet_out):
     """r11: the ordinal is STAMPED into per-type tables at write time
     (reference TODO FlattenedRosWriter.cpp:183 asks for a file ID on ALL
