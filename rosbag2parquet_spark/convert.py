@@ -102,6 +102,15 @@ def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: boo
     return existing
 
 
+#: the stream converter's per-type FIXED metadata columns, in layout
+#: order (seqno, time, size, <flattened payload>, connection_id, data,
+#: bag_index, datatype) — the single source for both the payload
+#: reserved-name sanitization and the pertype select
+_STREAM_PERTYPE_META = (
+    "seqno", "time", "size", "connection_id", "data", "bag_index",
+    "datatype",
+)
+
 #: Messages columns added AFTER the reference's 5-column layout, in the
 #: order they were introduced (r8: the TODO-#6 header-stamp pair; r9: the
 #: TODO-#7 derived timestamp; r10: the file-provenance ordinal of
@@ -169,14 +178,22 @@ def read_layout_table(spark: SparkSession, layout_dir: str, table: str) -> DataF
     )
 
 
+#: marker file an evolve-append drops in a per-type table dir when it
+#: stamps bag_index into a table whose older files predate the stamp —
+#: the O(1) mixed-vintage signal `pertype_with_provenance` dispatches on
+#: (underscore-prefixed, so parquet listings ignore it). The evolve
+#: append is the only converter path that can create a mix (the strict
+#: path projects the batch down); a mix assembled by hand outside the
+#: converter API must carry the marker too.
+_BAG_INDEX_MIXED_MARKER = "_bag_index_mixed"
+
+
 def _all_files_have_column(table_dir: str, column: str) -> bool:
     """True iff EVERY parquet file under ``table_dir`` carries ``column``
-    in its footer schema — the homogeneity probe `pertype_with_provenance`
-    dispatches on (a mixed-vintage evolve-appended table has the stamp in
-    post-append files only; the mergeSchema read would NULL-fill the
-    older rows, so the reader must fall back to the seqno join there).
-    Driver-side metadata reads only, O(#files) — the same footers any
-    planner touches."""
+    in its footer schema — the exhaustive homogeneity check (driver-side
+    metadata reads, O(#files)). The provenance READER dispatches on the
+    O(1) `_BAG_INDEX_MIXED_MARKER` instead; this helper is the
+    verification tool tests pin the marker contract with."""
     import pyarrow.parquet as _pq
 
     found = False
@@ -408,18 +425,14 @@ def convert(
         resolved = resolved.withColumn(
             "__payload", F.from_json(F.col(payload_col), payload_schema)
         )
-        # reserved = this table's fixed metadata columns: a payload field
-        # named data/bag_index/... sanitizes with trailing underscores
-        # (the bag decoders' msgdef.RESERVED_COLUMNS rule), so the stamp
-        # below — and the provenance reader's column dispatch — is
-        # UNCONDITIONAL
+        # reserved = this table's fixed metadata columns (the single
+        # tuple the select below is built from): a payload field named
+        # data/bag_index/... sanitizes with trailing underscores (the bag
+        # decoders' msgdef.RESERVED_COLUMNS rule), so the stamp below —
+        # and the provenance reader's column dispatch — is UNCONDITIONAL
         flat_cols = flatten_select_cols(
-            payload_schema,
-            "__payload",
-            reserved=frozenset(
-                {"seqno", "time", "size", "connection_id", "data",
-                 "datatype", "bag_index"}
-            ),
+            payload_schema, "__payload",
+            reserved=frozenset(_STREAM_PERTYPE_META),
         )
 
     # write-time provenance stamp on the per-type rows too (reference
@@ -427,16 +440,24 @@ def convert(
     # entries"): map-side literal, so pertype_with_provenance is a
     # projection + broadcast name resolve — no seqno join. Trailing
     # (before the partition column), like Messages' optional columns.
-    pertype = resolved.select(
-        "seqno",
-        F.col(time_col).alias("time"),
-        F.col(size_col).alias("size"),
-        *flat_cols,
-        "connection_id",
-        F.col(payload_col).cast("binary").alias("data"),
-        F.lit(bag_index).cast("int").alias("bag_index"),
-        F.col(type_col).alias("datatype"),
-    )
+    # Column order follows _STREAM_PERTYPE_META — extend that tuple, not
+    # this select, when adding a metadata column.
+    meta_exprs = {
+        "seqno": F.col("seqno"),
+        "time": F.col(time_col).alias("time"),
+        "size": F.col(size_col).alias("size"),
+        "connection_id": F.col("connection_id"),
+        "data": F.col(payload_col).cast("binary").alias("data"),
+        "bag_index": F.lit(bag_index).cast("int").alias("bag_index"),
+        "datatype": F.col(type_col).alias("datatype"),
+    }
+    assert set(meta_exprs) == set(_STREAM_PERTYPE_META)
+    head = [meta_exprs[c] for c in ("seqno", "time", "size")]
+    tail = [
+        meta_exprs[c]
+        for c in ("connection_id", "data", "bag_index", "datatype")
+    ]
+    pertype = resolved.select(*head, *flat_cols, *tail)
     pertype_path = os.path.join(out_dir, "pertype")
     if mode == "append":
         # older-vintage layouts (pre-r11 per-type tables) lack the trailing
@@ -1398,6 +1419,7 @@ def _write_bag_tables(
     # the alternative (resolving it later via a seqno join against
     # Messages) shuffles the full-width per-type side at read time
     seq = seq.withColumn("__bag_index__", bag_ordinal)
+    mark_mixed: set = set()  # table dirs that become mixed-vintage (evolve)
     for datatype, cs in sorted(by_type.items()):
         # one decode per DEFINITION VERSION: identical everywhere except
         # evolve mode, where connections of the same type may carry
@@ -1517,6 +1539,16 @@ def _write_bag_tables(
                 pertype.sparkSession, table_path, pertype.schema,
                 evolve=evolve,
             )
+            if (
+                evolve
+                and existing is not None
+                and "bag_index" not in {f.name for f in existing.fields}
+            ):
+                # this append introduces the stamp into a table whose
+                # older files predate it — the table becomes MIXED-vintage
+                # and the provenance reader must take the seqno join (the
+                # O(1) dispatch marker, written with the table below)
+                mark_mixed.add(table_path)
             if evolve and existing is not None:
                 # pad the batch to the UNION schema: columns the layout has
                 # that this batch's definition dropped land as NULLs, so
@@ -1558,6 +1590,11 @@ def _write_bag_tables(
     for table, table_path, pertype in pertype_writes:
         pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
         tables[table] = pertype.schema
+        if table_path in mark_mixed:
+            with open(
+                os.path.join(table_path, _BAG_INDEX_MIXED_MARKER), "w"
+            ):
+                pass  # empty marker; presence is the signal
 
     if attachments_df is not None:
         att_path = os.path.join(out_dir, "Attachments")
@@ -2122,17 +2159,17 @@ def pertype_with_provenance(
     the Metadata side-car serves older/MCAP-only layouts; a
     DataFrame-stream layout has no files, so ``bag`` stays NULL there)."""
     pertype = read_layout_table(spark, out_dir, table)
-    if "bag_index" in pertype.columns and _all_files_have_column(
-        os.path.join(out_dir, table), "bag_index"
-    ):
+    mixed = os.path.isfile(
+        os.path.join(out_dir, table, _BAG_INDEX_MIXED_MARKER)
+    )
+    if "bag_index" in pertype.columns and not mixed:
         out = pertype  # write-time stamp: projection only, no join
     else:
         # No stamp anywhere (pre-r11 table), or a MIXED-vintage table
-        # (evolve-append added the stamp to later files only — the
-        # mergeSchema read would NULL-fill pre-append rows whose ordinals
-        # Messages still records): resolve via the seqno join, which is
-        # complete for every vintage Messages covers. The footer probe is
-        # a driver-side metadata read, O(#files).
+        # (evolve-append added the stamp to later files only, leaving the
+        # marker — the mergeSchema read would NULL-fill pre-append rows
+        # whose ordinals Messages still records): resolve via the seqno
+        # join, which is complete for every vintage Messages covers.
         msgs = spark.read.parquet(os.path.join(out_dir, "Messages"))
         if "bag_index" in msgs.columns:
             msgs = msgs.select("seqno", "bag_index")

@@ -297,19 +297,17 @@ def _argmin_codes_vectorized(books: list[list[list[float]]]):
     import numpy as np
     import pandas as pd
 
+    from rosbag2parquet_spark.functions.kmeans import argmin_quantized_np
+
     cents = [np.array(b, dtype=np.float64) for b in books]  # (PQ_K, PQ_SUB)
 
     def codes(en):
         E = np.vstack(en.to_numpy()).astype(np.float64)  # (n, dim)
-        out = []
-        for m in range(PQ_M):
-            D = E[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (n, PQ_SUB)
-            diff = D[:, None, :] - cents[m][None, :, :]  # (n, PQ_K, PQ_SUB)
-            # same left-assoc (d²)·1e12 as the expression tier; floor in
-            # float64 (terms ≤ 4e12 — exactly representable) then exact
-            # int64 accumulation over the subspace dims
-            terms = np.floor(diff * diff * 1e12).astype(np.int64)
-            out.append(np.argmin(terms.sum(axis=2), axis=1))
+        out = [
+            # the ONE pinned quantized-argmin kernel per subspace slice
+            argmin_quantized_np(E[:, m * PQ_SUB : (m + 1) * PQ_SUB], cents[m])
+            for m in range(PQ_M)
+        ]
         return pd.Series(np.stack(out, axis=1).astype(np.int32).tolist())
 
     codes.__annotations__ = {"en": pd.Series, "return": pd.Series}
@@ -345,6 +343,8 @@ def _norm_codes_vectorized(books: list[list[list[float]]], rotated: bool):
         np.array(opq_rotation(), dtype=np.float64) if rotated else None
     )
 
+    from rosbag2parquet_spark.functions.kmeans import argmin_quantized_np
+
     def f(emb):
         E = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, dim)
         acc = np.zeros(E.shape[0], dtype=np.float64)
@@ -358,12 +358,11 @@ def _norm_codes_vectorized(books: list[list[list[float]]], rotated: bool):
                 .sum(axis=2)
             )
             X = ints.astype(np.float64) / 1e12
-        codes = []
-        for m in range(PQ_M):
-            D = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
-            diff = D[:, None, :] - cents[m][None, :, :]
-            terms = np.floor(diff * diff * 1e12).astype(np.int64)
-            codes.append(np.argmin(terms.sum(axis=2), axis=1))
+        codes = [
+            # the ONE pinned quantized-argmin kernel per subspace slice
+            argmin_quantized_np(X[:, m * PQ_SUB : (m + 1) * PQ_SUB], cents[m])
+            for m in range(PQ_M)
+        ]
         cs = np.stack(codes, axis=1).astype(np.int32)
         return pd.DataFrame({"en": list(X), "cs": cs.tolist()})
 

@@ -218,12 +218,19 @@ def to_struct_type(
 
 
 # the per-type table's metadata columns (table_schema below, reference
-# MessageTable.cpp:305-343) plus the permissive-mode dead-letter column
-# and the r11 write-time provenance stamp (a payload field named
-# bag_index sanitizes to bag_index_ so the stamp — and the provenance
-# reader's column dispatch — is unconditional)
+# MessageTable.cpp:305-343) plus the permissive-mode dead-letter column,
+# the r11 write-time provenance stamp (a payload field named bag_index
+# sanitizes to bag_index_ so the stamp — and the provenance reader's
+# column dispatch — is unconditional), and the INTERNAL carrier names the
+# decode frame rides alongside the flattened fields (reader keep_cols
+# offset/time_ns/conn_id; the converter's __raw__/__bag_index__) — a
+# payload field shadowing a carrier would otherwise duplicate a column
+# in the decode output schema
 RESERVED_COLUMNS = frozenset(
-    {"seqno", "connection_id", "data", "_decode_error", "bag_index"}
+    {
+        "seqno", "connection_id", "data", "_decode_error", "bag_index",
+        "offset", "time_ns", "conn_id", "__raw__", "__bag_index__",
+    }
 )
 
 

@@ -459,8 +459,12 @@ def test_provenance_mixed_vintage_falls_back_to_join(spark, fleet, tmp_path):
     """A MIXED-vintage per-type table (evolve-appended: some files carry
     the r11 stamp, some predate it) must resolve via the seqno join — the
     stamped-column fast path would NULL-fill the pre-stamp rows that
-    Messages still records. `_all_files_have_column` is the dispatch."""
+    Messages still records. The evolve append drops the
+    `_BAG_INDEX_MIXED_MARKER` as the reader's O(1) dispatch signal;
+    `_all_files_have_column` is the exhaustive check the marker stands
+    in for."""
     from rosbag2parquet_spark.convert import (
+        _BAG_INDEX_MIXED_MARKER,
         _all_files_have_column,
         pertype_with_provenance,
     )
@@ -470,9 +474,12 @@ def test_provenance_mixed_vintage_falls_back_to_join(spark, fleet, tmp_path):
     convert_bags(spark, paths, out)
     tdir = os.path.join(out, "sensor_msgs_Imu")
     assert _all_files_have_column(tdir, "bag_index")
+    assert not os.path.isfile(os.path.join(tdir, _BAG_INDEX_MIXED_MARKER))
 
-    # simulate the mixed vintage: rewrite HALF the table without the stamp
-    # (localCheckpoint materializes before the source files are deleted)
+    # simulate the mixed vintage the evolve append creates: rewrite HALF
+    # the table without the stamp and drop the marker, exactly as the
+    # converter does (localCheckpoint materializes before the source
+    # files are deleted)
     df = spark.read.parquet(tdir).localCheckpoint(eager=True)
     with_stamp = df.filter("seqno >= 3")
     without = df.filter("seqno < 3").drop("bag_index")
@@ -481,12 +488,56 @@ def test_provenance_mixed_vintage_falls_back_to_join(spark, fleet, tmp_path):
     shutil.rmtree(tdir)
     without.write.parquet(tdir)  # pre-r11 files
     with_stamp.write.mode("append").option("mergeSchema", "true").parquet(tdir)
+    with open(os.path.join(tdir, _BAG_INDEX_MIXED_MARKER), "w"):
+        pass
     assert not _all_files_have_column(tdir, "bag_index")
 
     got = pertype_with_provenance(spark, out, "sensor_msgs_Imu")
     rows = {r.seqno: (r.bag_index, r.bag) for r in got.collect()}
     # every row — including the stripped pre-stamp ones — resolves from
     # Messages' ordinals, none NULL
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    expect = {r.seqno: r.bag_index for r in msgs.collect()}
+    assert {s: bi for s, (bi, _) in rows.items()} == {
+        s: expect[s] for s in rows
+    }
+    assert all(bag is not None for _, bag in rows.values())
+
+
+def test_evolve_append_onto_stampless_table_writes_mixed_marker(
+    spark, fleet, tmp_path
+):
+    """End-to-end marker contract: evolve-appending a stamped batch into a
+    per-type table whose files PREDATE the stamp must drop the
+    `_BAG_INDEX_MIXED_MARKER`, and the provenance read must then resolve
+    EVERY row (old and new) from Messages via the seqno join — no NULLs,
+    no misread payloads."""
+    import shutil
+
+    from rosbag2parquet_spark.convert import (
+        _BAG_INDEX_MIXED_MARKER,
+        pertype_with_provenance,
+    )
+
+    _, paths = fleet
+    out = str(tmp_path / "lay")
+    convert_bags(spark, [paths[0]], out)
+    # simulate the pre-r11 vintage: strip the stamp from the per-type table
+    for t in ("sensor_msgs_Imu", "nav_msgs_Gps"):
+        tdir = os.path.join(out, t)
+        legacy = spark.read.parquet(tdir).drop("bag_index").localCheckpoint(
+            eager=True
+        )
+        shutil.rmtree(tdir)
+        legacy.write.parquet(tdir)
+
+    convert_bags(spark, [paths[1]], out, mode="append", evolve=True)
+    for t in ("sensor_msgs_Imu", "nav_msgs_Gps"):
+        assert os.path.isfile(
+            os.path.join(out, t, _BAG_INDEX_MIXED_MARKER)
+        ), t
+    got = pertype_with_provenance(spark, out, "sensor_msgs_Imu")
+    rows = {r.seqno: (r.bag_index, r.bag) for r in got.collect()}
     msgs = spark.read.parquet(os.path.join(out, "Messages"))
     expect = {r.seqno: r.bag_index for r in msgs.collect()}
     assert {s: bi for s, (bi, _) in rows.items()} == {
