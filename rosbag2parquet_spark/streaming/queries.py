@@ -926,7 +926,9 @@ def _knn_ivf_oracle() -> str:
     return _SIM["knn-ivf"]
 
 
-def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_knn_ivfadc(
+    spark: SparkSession, sf_dir: str, nprobe: "int | None" = None
+) -> DataFrame:
     """INCREMENTAL IVFADC index maintenance — the missing piece of the
     streaming ANN story (SURVEY §7.1 r11 #7): `stream-knn-ivf` keeps a
     LIVE top-k but re-reads float vectors; a production IVFADC ingest
@@ -948,7 +950,13 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the batch `_shortlist_rerank` stage 2. Codes equal the batch
     index's codes, the shortlist equals the batch shortlist, so batch
     `knn-ivfadc`'s oracle is shared VERBATIM — the driver row proves
-    live-appended codes serve the identical answer to a rebuilt index."""
+    live-appended codes serve the identical answer to a rebuilt index.
+
+    ``nprobe`` is the same per-QUERY probe-depth override the batch
+    serve takes (`_ivfadc_search`): a deeper live serve admits one more
+    ranked cell's arrivals into the encode+score stage — the stored
+    quantizer, the state shape, and the registered query (deployed
+    depth) are untouched. Live-at-np4 == batch-at-np4 is test-pinned."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -968,6 +976,15 @@ def q_stream_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosbag2parquet_spark.streaming.stateful import running_topk
 
     cells, ncent, _, books = _ivfadc_fit(spark, sf_dir)
+    if nprobe is not None:
+        from rosbag2parquet_spark.functions.similarity import (
+            _ivf_probe_cells,
+        )
+        from rosbag2parquet_spark.sources.catalog import load_table
+
+        cells, _ = _ivf_probe_cells(
+            spark, sf_dir, load_table(spark, sf_dir, "embeddings"), nprobe
+        )
     centroids, _ = kmeans_fit_cached(spark, sf_dir)
     qen = [
         float(x)

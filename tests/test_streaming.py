@@ -142,6 +142,27 @@ def test_stream_knn_ivfadc_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_stream_knn_ivfadc_per_query_nprobe_equals_batch(spark):
+    """The per-query probe-depth override applies to the LIVE serve too
+    (the batch `knn-ivfadc-np4` knob, §7.2 symmetry): live at nprobe=4
+    must equal batch at nprobe=4 row-for-row — one more ranked cell's
+    arrivals pass the ingest filter, nothing about the frozen quantizer
+    or the state changes."""
+    from rosbag2parquet_spark.functions.pq import IVFADC_NP_DEEP, _ivfadc_search
+    from rosbag2parquet_spark.streaming.queries import q_stream_knn_ivfadc
+
+    batch = _ivfadc_search(spark, SF_DIR, nprobe=IVFADC_NP_DEEP).select(
+        "vec_id", "label", "cos_sim"
+    )
+    streamed = q_stream_knn_ivfadc(
+        spark, SF_DIR, nprobe=IVFADC_NP_DEEP
+    ).select("vec_id", "label", "cos_sim")
+    assert streamed.count() == batch.count() == 10
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+@pytest.mark.slow
 def test_cdc_landing_schema_evolution_converges(spark):
     """The evolve-append contract on the STREAMING path (the batch
     `_pad_union` behavior, convert.py:999): the landing's later change
