@@ -151,10 +151,20 @@ def _pad_append_trailing(
     appending into an older-vintage table PROJECTS the batch DOWN to the
     on-disk column set (old files are immutable; per-row ordinals simply
     don't exist there and the provenance reader falls back to the seqno
-    join). Any other difference still refuses via the fingerprint guard."""
+    join). Any other difference still refuses via the fingerprint guard.
+
+    The existing schema is read with mergeSchema: on a MIXED-vintage table
+    (some files stamped, some not) a plain read samples an arbitrary
+    footer, so whether the batch keeps or projects away the stamp would be
+    nondeterministic run to run (reads stay correct via the mixed marker,
+    but the file vintages written would diverge unpredictably). The merged
+    schema is deterministic — it includes the stamp, so strict appends
+    into a mixed table keep stamping."""
     if not os.path.isdir(path):
         return df
-    existing = spark.read.parquet(path).schema
+    existing = (
+        spark.read.option("mergeSchema", "true").parquet(path).schema
+    )
     have = [f.name for f in existing.fields]
     extra = [c for c in df.columns if c not in have]
     if (
@@ -1588,13 +1598,19 @@ def _write_bag_tables(
     ).mode(mode).parquet(conn_path)
     stats.write.options(**writer_opts).mode(mode).parquet(stats_path)
     for table, table_path, pertype in pertype_writes:
-        pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
-        tables[table] = pertype.schema
         if table_path in mark_mixed:
+            # the marker lands BEFORE the append commits: a crash between
+            # the two must fail SAFE (a spurious marker only forces the
+            # always-correct seqno-join fallback; the reverse order would
+            # leave a committed mixed table unmarked, and the fast path
+            # would then NULL-fill pre-append rows). The table dir exists
+            # here — mark_mixed only ever holds existing append targets.
             with open(
                 os.path.join(table_path, _BAG_INDEX_MIXED_MARKER), "w"
             ):
                 pass  # empty marker; presence is the signal
+        pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
+        tables[table] = pertype.schema
 
     if attachments_df is not None:
         att_path = os.path.join(out_dir, "Attachments")
@@ -2162,10 +2178,25 @@ def pertype_with_provenance(
     mixed = os.path.isfile(
         os.path.join(out_dir, table, _BAG_INDEX_MIXED_MARKER)
     )
-    if "bag_index" in pertype.columns and not mixed:
+    cols = pertype.columns
+    # The fast path requires the stamp in the STAMPED position — after the
+    # raw `data` blob (trailing for bag layouts, before `datatype` for the
+    # stream layout). A pre-r11 table whose PAYLOAD had a field named
+    # bag_index (the name only became RESERVED with the r11 stamp) carries
+    # that payload column among the value columns — i.e. BEFORE data —
+    # with no mixed marker; trusting it by name alone would serve payload
+    # values as provenance ordinals. Positional dispatch sends such tables
+    # to the always-correct seqno join instead.
+    stamped = (
+        "bag_index" in cols
+        and "data" in cols
+        and cols.index("bag_index") > cols.index("data")
+    )
+    if stamped and not mixed:
         out = pertype  # write-time stamp: projection only, no join
     else:
-        # No stamp anywhere (pre-r11 table), or a MIXED-vintage table
+        # No stamp anywhere (pre-r11 table, or a payload column squatting
+        # on the name pre-reservation), or a MIXED-vintage table
         # (evolve-append added the stamp to later files only, leaving the
         # marker — the mergeSchema read would NULL-fill pre-append rows
         # whose ordinals Messages still records): resolve via the seqno

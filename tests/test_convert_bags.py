@@ -568,3 +568,124 @@ def test_pertype_bag_index_stamped_and_matches_messages(spark, fleet_out):
     # left is the broadcast name resolve
     plan = physical_plan(pertype_with_provenance(spark, out, "sensor_msgs_Imu"))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_provenance_payload_column_named_bag_index_takes_join(
+    spark, fleet, tmp_path
+):
+    """r12 (advisor medium): a pre-r11 layout whose PAYLOAD had a field
+    named bag_index (the name only became RESERVED with the r11 stamp)
+    carries that payload column among the VALUE columns — before `data` —
+    with no mixed marker. The fast path must not trust the name alone:
+    positional dispatch (stamp = after `data`) sends such tables to the
+    seqno join, which serves Messages' true ordinals, never payload
+    values."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.convert import pertype_with_provenance
+
+    _, paths = fleet
+    out = str(tmp_path / "lay")
+    convert_bags(spark, paths, out)
+    tdir = os.path.join(out, "sensor_msgs_Imu")
+    # forge the pre-r11 squatter vintage: drop the trailing stamp, then
+    # insert a PAYLOAD column named bag_index among the value columns
+    # (position: right after seqno, well before data) holding garbage
+    # ordinals that a name-only fast path would serve as provenance
+    df = spark.read.parquet(tdir).drop("bag_index")
+    cols = df.columns
+    forged = df.select(
+        "seqno",
+        (F.col("seqno") + F.lit(900)).cast("int").alias("bag_index"),
+        *[c for c in cols if c != "seqno"],
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(tdir)
+    forged.write.parquet(tdir)
+
+    got = pertype_with_provenance(spark, out, "sensor_msgs_Imu")
+    rows = {r.seqno: (r.bag_index, r.bag) for r in got.collect()}
+    msgs = spark.read.parquet(os.path.join(out, "Messages"))
+    expect = {r.seqno: r.bag_index for r in msgs.collect()}
+    # true ordinals from Messages — NOT the 900+ payload garbage
+    assert {s: bi for s, (bi, _) in rows.items()} == {
+        s: expect[s] for s in rows
+    }
+    assert all(bi < 900 for bi, _ in rows.values())
+    assert all(bag is not None for _, bag in rows.values())
+
+
+def test_mixed_marker_lands_before_the_append_commits(
+    spark, fleet, tmp_path, monkeypatch
+):
+    """r12 (advisor low): the mixed marker is written BEFORE the evolve
+    append's parquet write — a crash between the two fails SAFE (spurious
+    marker = join fallback, always correct) rather than leaving a
+    committed mixed table unmarked (fast path would NULL-fill pre-append
+    rows). Simulated by making the parquet write raise and asserting the
+    marker is already on disk."""
+    import shutil
+
+    from pyspark.sql import DataFrameWriter
+
+    from rosbag2parquet_spark.convert import _BAG_INDEX_MIXED_MARKER
+
+    _, paths = fleet
+    out = str(tmp_path / "lay")
+    convert_bags(spark, [paths[0]], out)
+    tdir = os.path.join(out, "sensor_msgs_Imu")
+    legacy = spark.read.parquet(tdir).drop("bag_index").localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(tdir)
+    legacy.write.parquet(tdir)
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crashing_parquet(self, path, **kw):
+        if path == tdir:
+            raise RuntimeError("injected crash before the append commits")
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing_parquet)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        convert_bags(spark, [paths[1]], out, mode="append", evolve=True)
+    # the marker preceded the (failed) write: the table is still pure
+    # legacy on disk, and the spurious marker only forces the join path
+    assert os.path.isfile(os.path.join(tdir, _BAG_INDEX_MIXED_MARKER))
+
+
+def test_pad_append_trailing_deterministic_on_mixed_table(
+    spark, fleet, tmp_path
+):
+    """r12 (advisor low): `_pad_append_trailing` reads the existing schema
+    with mergeSchema, so on a MIXED-vintage table the projection decision
+    is deterministic — the merged schema includes the stamp, so a strict
+    append KEEPS stamping (reads stay correct via the marker either way;
+    this pins which vintage new files carry)."""
+    import shutil
+
+    from rosbag2parquet_spark.convert import (
+        _BAG_INDEX_MIXED_MARKER,
+        _pad_append_trailing,
+    )
+
+    _, paths = fleet
+    out = str(tmp_path / "lay")
+    convert_bags(spark, paths, out)
+    tdir = os.path.join(out, "sensor_msgs_Imu")
+    df = spark.read.parquet(tdir).localCheckpoint(eager=True)
+    stamped = df.filter("seqno >= 3")
+    stampless = df.filter("seqno < 3").drop("bag_index")
+    shutil.rmtree(tdir)
+    # write the STAMPLESS files first, then the stamped — a footer-order-
+    # sensitive read would sample the stampless schema here
+    stampless.write.parquet(tdir)
+    stamped.write.mode("append").option("mergeSchema", "true").parquet(tdir)
+    with open(os.path.join(tdir, _BAG_INDEX_MIXED_MARKER), "w"):
+        pass
+
+    batch = df.limit(1)
+    padded = _pad_append_trailing(spark, tdir, batch)
+    assert "bag_index" in padded.columns  # merged schema kept the stamp
