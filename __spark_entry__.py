@@ -100,79 +100,50 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-11 ROTATION (executing the r10 verdict's sequencing): the
-# IVF_NPROBE 2→3 deploy (the verdict's #1 — measured by ivf-nprobe-curve
-# and a full-pipeline A/B replica) changes the ANSWERS of the 10 probed
-# serves + recall rows, so they LEAD with the 3 NEW rows (the per-query
-# nprobe=4 serve + its recall, and incremental IVFADC maintenance), then
-# the 3 converter-dependent rows the write-time per-type bag_index stamp
-# re-plans (provenance-read now reads the stamped column — no seqno join;
-# sink/demux ride the same converter, values unchanged) — slots 1-16.
-# Slots 17-40 take ALL 24 remaining r6-proven rows (dedup-exact ..
-# stream-tumbling); slots 41-50 the 10 oldest r7 rows. Freshness
-# histogram going into r11: r6:24, r7:39, r8:50, r9:50, r10:50. After
-# this window: r7:29, r8:50, r9:50, r10:50, r11:50 — r12 clears the r7
-# tail (29 rows) and starts on r8; zero rows older than r8 lands at r12
-# as planned.
+# ROUND-12 ROTATION (executing the r11 verdict's sequencing): 3 NEW rows
+# lead — the per-query ADC shortlist depth (the binder `ivfadc-np4-recall`
+# measured: 9/10 at (np4, sl50); the deeper (np4, sl100) serve reaches the
+# exact-scan ceiling 10/10 at sf0.01) and the index-lifecycle cutover
+# (old identity index + re-trained OPQ index coexisting mid-migration,
+# SURVEY §7.2 #2). No answer-changed rows this round (the advisor fixes
+# harden vintage dispatch, values unchanged). Slots 4-32 take ALL 29
+# remaining r7-proven rows; slots 33-50 the oldest r8 rows, the TPC-H
+# sql-q3..q22 block first (the most user-visible stale surface), then
+# stream-neardup/stream-profile/asof-tolerance. Freshness histogram going
+# into r12: r7:29, r8:41, r9:50, r10:38, r11:50. After this window:
+# r8:23, r9:50, r10:38, r11:50, r12:50 (47 rotated + 3 new) — nothing
+# older than r8; r13 clears the remaining 23 r8 rows as planned.
 _QUERY_ORDER = [
-    # --- r11 window --------------------------------------------------------
-    # CHANGED round 11: IVF_NPROBE 2→3 (the r10 verdict's measured deploy;
-    # recall@10 at sf0.01: knn-recall/ivfadc 7→9, composed rungs +1 — the
-    # curve's prediction, now driver-provable). Every row whose answer the
-    # probe set feeds:
-    "knn-ivf", "knn-ivf-quantized", "knn-recall", "knn-ivf-pq",
-    "ivf-pq-recall", "knn-ivfadc", "ivfadc-recall", "knn-ivfadc-opq",
-    "ivfadc-opq-recall", "stream-knn-ivf",
-    # NEW round 11: nprobe as a PER-QUERY serve parameter (FAISS's
-    # search-time knob; SURVEY §7.1 #5's remaining headroom) — the deeper
-    # nprobe=4 residual serve + its measured recall row (9/10 vs the
-    # curve's exact-scan ceiling of 10/10: past nprobe=3 the ADC
-    # shortlist, not the probe set, binds) — and INCREMENTAL IVFADC index
-    # maintenance (§7.1 #7: arriving vectors append codes under the
-    # frozen quantizer; batch knn-ivfadc's oracle verbatim)
-    "knn-ivfadc-np4", "ivfadc-np4-recall", "stream-knn-ivfadc",
-    # CHANGED round 11: per-type tables now carry the bag_index stamp at
-    # WRITE time (reference TODO FlattenedRosWriter.cpp:183 "ALL entries"),
-    # so provenance-read is a projection — the seqno join is gone from its
-    # plan; sink/demux ride the same converter (values unchanged)
-    "provenance-read", "sink", "demux",
-    # r6-proven rows 23-46 — the oldest driver rows, ALL re-proven here
-    "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
-    "dedup-simhash", "knn", "knn-batch", "stats-corr",
-    "string-agg", "explode-sequence",
-    "distinct-count", "quantiles", "sessionize",
-    "text-stats", "null-semantics", "sql-q12", "sample-hash",
-    "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
-    "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
-    # r7-proven rows 1-10 (the next-oldest)
-    "table-diff", "substring-dedup", "skew-profile", "incr-rollup",
-    "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
-    "validate-constraints", "stream-validate",
+    # --- r12 window --------------------------------------------------------
+    # NEW round 12: the ADC shortlist as a per-query serve parameter
+    # (FAISS's k_factor; completes the tuning story nprobe started —
+    # measured knee at sl=60, deployed 100 = 2x) + its 10/10 recall row,
+    # and the quantizer re-train/cutover twin (two coexisting indexes,
+    # one serve surface, endpoints == pure-old / rebuilt-new test-pinned)
+    "knn-ivfadc-sl", "ivfadc-sl-recall", "ivfadc-cutover",
+    # r7-proven rows (the oldest driver rows — ALL 29 re-proven here)
+    "snapshot-read", "dedup-editdist", "pseudonymize", "schema-evolution",
+    "scrub-dup-spans", "protobuf-roundtrip", "convert-resume", "analyze-table",
+    "delete-rows", "stream-analyze", "stream-asof", "export-roundtrip",
+    "stream-knn", "lm-surprise", "ewma", "stream-ewma", "scd2-asof",
+    "compact-files", "merge-upsert", "compact-partitioned",
+    "stream-merge-upsert", "gap-detect", "stream-gap-detect", "heavy-hitters",
+    "stream-heavy-hitters", "asof-nearest", "resample-interpolate",
+    "stream-sliding", "stream-sessionize",
+    # r8-proven rows, TPC-H block first, then the next-oldest three
+    "sql-q8", "sql-q21", "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
+    "sql-q17", "sql-q19", "sql-q22", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
+    "sql-q18", "stream-neardup", "stream-profile", "asof-tolerance",
     # --- window ends here (50) ---------------------------------------------
-    # r7-proven rows 11-39 (lead the r12 window)
-    "snapshot-read",
-    "dedup-editdist", "pseudonymize", "schema-evolution", "scrub-dup-spans",
-    "protobuf-roundtrip", "convert-resume", "analyze-table", "delete-rows",
-    "stream-analyze", "stream-asof", "export-roundtrip", "stream-knn",
-    "lm-surprise", "ewma", "stream-ewma", "scd2-asof", "compact-files",
-    "merge-upsert", "compact-partitioned",
-    "stream-merge-upsert", "gap-detect", "stream-gap-detect",
-    "heavy-hitters", "stream-heavy-hitters", "asof-nearest",
-    "resample-interpolate", "stream-sliding", "stream-sessionize",
-    # r8-proven
-    "stream-neardup", "stream-profile", "sql-q8", "sql-q21",
-    "asof-tolerance", "scrub-terms", "interval-join", "sql-q4", "sql-q7",
-    "sql-q13", "sql-q14", "sql-q15", "sql-q17", "sql-q19", "sql-q22",
-    "rollup-hypertable", "top-terms", "outer-join", "salted-agg",
-    "dedup-clusters", "like-filter", "anti-join", "range-join", "intersect",
-    "sql-q3", "sql-q5", "sql-q6", "sql-q10", "sql-q18", "scalar-funcs",
-    "pivot", "unpivot", "histogram", "embed-quantize", "stratified-sample",
-    "temperature-sample", "stream-drift",
-    "volume-trend", "stream-numeric-drift", "stream-volume-trend",
-    "knn-quantized",
-    # r9-proven (freshest — rotate to the back): the 48 re-proven r5 rows
-    # plus the two changed rows that closed the r9 window
-    "stream-sink", "approx-stats", "compact-latest", "funnel",
+    # remaining r8-proven rows (lead the r13 window)
+    "scrub-terms", "interval-join", "rollup-hypertable",
+    "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",
+    "anti-join", "range-join", "intersect", "scalar-funcs", "pivot", "unpivot",
+    "histogram", "embed-quantize", "stratified-sample", "temperature-sample",
+    "stream-drift", "volume-trend", "stream-numeric-drift",
+    "stream-volume-trend",
+    # r9-proven (rotate to the back)
+    "knn-quantized", "stream-sink", "approx-stats", "compact-latest", "funnel",
     "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
     "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
     "dedup-normalized", "rolling-window", "sql-q2", "sql-q9", "sql-q11",
@@ -181,19 +152,32 @@ _QUERY_ORDER = [
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
     "derived", "rollup", "dim-join", "semi-join", "first-seen", "sql",
-    "window-funcs", "window-tumbling", "kmeans", "semdedup",
-    # r10-proven (freshest — rotate to the back): the r10 window's rows
-    # minus those re-led above by the r11 nprobe deploy / converter stamp
-    "stream-semdedup", "pq-quantize", "knn-pq", "pq-recall", "drift-detect",
-    "drift-numeric", "knn-opq", "opq-recall", "stream-cdc-apply",
-    "alert-rules", "pq-pack", "stream-weighted-sample", "stream-resample",
-    "stream-alert-transitions", "knn-pq-packed", "ivf-stats",
-    "ivf-nprobe-curve", "stream-neardup-parity", "hll-sketch",
+    "window-funcs", "window-tumbling", "kmeans",
+    # r10-proven
+    "semdedup", "stream-semdedup", "pq-quantize", "knn-pq", "pq-recall",
+    "drift-detect", "drift-numeric", "knn-opq", "opq-recall",
+    "stream-cdc-apply", "alert-rules", "pq-pack", "stream-weighted-sample",
+    "stream-resample", "stream-alert-transitions", "knn-pq-packed",
+    "ivf-stats", "ivf-nprobe-curve", "stream-neardup-parity", "hll-sketch",
     "scd2-intervals", "stream-scd2", "bloom-join", "cluster-write",
     "zorder-write", "embed-neardup", "embed-recall", "asof", "cube",
-    "grouping-sets", "lag-lead", "multimodal-features",
-    "multimodal-pointers", "window-sliding", "zscore", "token-count",
-    "lang-id", "quality-score", "fingerprint",
+    "grouping-sets", "lag-lead", "multimodal-features", "multimodal-pointers",
+    "window-sliding", "zscore", "token-count", "lang-id", "quality-score",
+    # r11-proven (freshest)
+    "fingerprint", "knn-ivf", "knn-ivf-quantized", "knn-recall", "knn-ivf-pq",
+    "ivf-pq-recall", "knn-ivfadc", "ivfadc-recall", "knn-ivfadc-opq",
+    "ivfadc-opq-recall", "stream-knn-ivf", "knn-ivfadc-np4",
+    "ivfadc-np4-recall", "stream-knn-ivfadc", "provenance-read",
+    "sink", "demux", "dedup-exact", "dedup-minhash-lsh", "dedup-ngram-jaccard",
+    "dedup-simhash", "knn", "knn-batch", "stats-corr", "string-agg",
+    "explode-sequence", "distinct-count", "quantiles", "sessionize",
+    "text-stats", "null-semantics", "sql-q12", "sample-hash",
+    "split-train-test", "mix-weighted", "cap-per-group", "pack-sequences",
+    "shuffle-global", "contamination", "corpus-filter", "stream-tumbling",
+    "table-diff", "substring-dedup", "skew-profile", "incr-rollup",
+    "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
+    "validate-constraints",
+    "stream-validate",
 ]
 
 

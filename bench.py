@@ -129,6 +129,11 @@ EXTENDED = [
     # ranked cell scanned on the same stored index; the marginal probe
     # cost is exactly what this row prices)
     "knn-ivfadc-np4",
+    # round-12: the deeper per-query ADC shortlist (50 more exact-re-rank
+    # rows on the same stored index — the marginal k_factor cost) and the
+    # two-index cutover serve (both stage-1 scans + one shared re-rank)
+    "knn-ivfadc-sl",
+    "ivfadc-cutover",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

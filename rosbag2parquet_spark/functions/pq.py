@@ -524,19 +524,34 @@ def _exact_rerank(
     )
 
 
-def _shortlist_rerank(
-    spark: SparkSession, sf_dir: str, base: DataFrame, score: str
+def _stage1_shortlist(
+    base: DataFrame, score: str, shortlist: "int | None" = None
 ) -> DataFrame:
-    """The shared two-stage tail of every ADC serve: stage-1 shortlist
-    (``score`` over ``base``, deterministic vec_id tie-break, fixed
-    PQ_SHORTLIST) and stage-2 `_exact_rerank` of it."""
-    shortlist = (
+    """Stage 1 of every ADC serve alone: the shortlist cut (``score``
+    over ``base``, deterministic vec_id tie-break, deployed PQ_SHORTLIST
+    unless ``shortlist`` overrides per query) as a (vec_id) frame — the
+    cutover serve unions two of these before one shared stage 2."""
+    depth = PQ_SHORTLIST if shortlist is None else shortlist
+    return (
         base.select("vec_id", F.expr(score).alias("adc"))
         .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
+        .limit(depth)
         .select("vec_id")
     )
-    return _exact_rerank(spark, sf_dir, shortlist)
+
+
+def _shortlist_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    base: DataFrame,
+    score: str,
+    shortlist: "int | None" = None,
+) -> DataFrame:
+    """The shared two-stage tail of every ADC serve: stage-1 shortlist
+    (`_stage1_shortlist`) and stage-2 `_exact_rerank` of it."""
+    return _exact_rerank(
+        spark, sf_dir, _stage1_shortlist(base, score, shortlist)
+    )
 
 
 def _adc_search(
@@ -804,6 +819,7 @@ def _ivfadc_search(
     sf_dir: str,
     rotated: bool = False,
     nprobe: "int | None" = None,
+    shortlist: "int | None" = None,
 ) -> DataFrame:
     """The IVFADC two-stage serve over `_ivfadc_fit`'s stored index —
     `knn-ivfadc` passes the identity basis, `knn-ivfadc-opq` the learned
@@ -814,7 +830,26 @@ def _ivfadc_search(
     `ivf-nprobe-curve` row tunes by): the stored index — codes, ncent,
     codebooks — is untouched; only the probed-cell slice of the SAME
     driver-side cell ranking widens, so a deeper probe costs exactly the
-    extra cells' code scan and nothing at build time."""
+    extra cells' code scan and nothing at build time. ``shortlist``
+    widens the stage-1 ADC cut the same way (FAISS's per-search k_factor
+    re-rank knob): the stored index is untouched; the only cost is the
+    extra rows whose float vectors stage 2 re-reads."""
+    base, score = _ivfadc_stage1(spark, sf_dir, rotated, nprobe)
+    return _shortlist_rerank(spark, sf_dir, base, score, shortlist)
+
+
+def _ivfadc_stage1(
+    spark: SparkSession,
+    sf_dir: str,
+    rotated: bool = False,
+    nprobe: "int | None" = None,
+) -> "tuple[DataFrame, str]":
+    """The ADC stage-1 scan of one stored IVFADC index before the
+    shortlist cut: (base, score) where ``base`` is the probed cells'
+    coded rows and ``score`` the per-cell-constant + LUT expression in
+    the index's basis — `_ivfadc_search` cuts and re-ranks one of these;
+    the cutover serve (`q_ivfadc_cutover`) scans TWO (old and new index)
+    and merges their shortlists."""
     from rosbag2parquet_spark.functions.similarity import _ivf_probe_cells
 
     cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir, rotated)
@@ -846,7 +881,7 @@ def _ivfadc_search(
     base = coded.filter(F.col("vec_id") != KNN_QUERY_ID).filter(
         F.col("cluster").isin([int(c) for c in cells])
     )
-    return _shortlist_rerank(spark, sf_dir, base, score)
+    return base, score
 
 
 def q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,6 +943,102 @@ def q_ivfadc_np4_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ADC shortlist depth of the deeper-shortlist serve row — 2x the
+#: deployed PQ_SHORTLIST (FAISS's k_factor posture). The measured curve
+#: at nprobe=4, sf0.01: 50->9/10, 55->9/10, 60->10/10 (the knee),
+#: 75/100/150/200->10/10 — the exact-scan ceiling `ivf-nprobe-curve`
+#: names. 100 deploys comfortably above the knee; at sf0.001 the PROBE
+#: SET binds instead (9/10 even with an UNBOUNDED shortlist: the 10th
+#: neighbor lives in an unprobed cell), so a deeper shortlist buys
+#: nothing there — the two fixtures together separate the two binders.
+IVFADC_SL_DEEP = 100
+
+
+def q_knn_ivfadc_sl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVFADC serve at (nprobe=4, shortlist=100) — the knob
+    `ivfadc-np4-recall` measured as the NEXT binder, now a per-query
+    serve parameter like nprobe (FAISS's k_factor re-rank knob): same
+    codes, same ncent, same LUTs, same probed cells as `knn-ivfadc-np4`;
+    the stage-1 ADC cut keeps 100 candidates instead of 50, so stage 2
+    re-reads 50 more float rows and nothing else changes. The recall
+    this buys is the `ivfadc-sl-recall` driver row — 10/10 at sf0.01,
+    the exact-scan ceiling, completing the tuning story the nprobe
+    curve started: probes bind below nprobe=4, the shortlist binds at
+    50, and (4, 100) reaches the ceiling."""
+    return _ivfadc_search(
+        spark, sf_dir, nprobe=IVFADC_NP_DEEP, shortlist=IVFADC_SL_DEEP
+    )
+
+
+def q_ivfadc_sl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the deeper-shortlist IVFADC serve against the exact
+    scan — the measured proof that the shortlist (not the encoding) was
+    the last gap: 9/10 at (4, 50) (`ivfadc-np4-recall`) becomes 10/10 at
+    (4, 100) at the driver gate's sf0.01. At sf0.001 the probe set is
+    the binder instead (unbounded shortlist still measures 9/10 — the
+    missing neighbor sits in an unprobed cell), which is exactly the
+    production reading: tune probes and shortlist SEPARATELY; past the
+    probe knee spend on the shortlist, past the shortlist knee go back
+    to probes."""
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda s, d: _ivfadc_search(
+            s, d, nprobe=IVFADC_NP_DEEP, shortlist=IVFADC_SL_DEEP
+        ),
+    )
+
+
+#: the cutover migration slice: vec_id % 2 == 0 rows have been
+#: RE-ENCODED into the new (rotated) index; odd rows still serve from
+#: the old (identity) index — the mid-migration state the registered
+#: `ivfadc-cutover` row freezes. Deterministic, so the oracle repeats it.
+CUTOVER_MOD = 2
+
+
+def _ivfadc_cutover_search(
+    spark: SparkSession, sf_dir: str, migrated
+) -> DataFrame:
+    """The cutover serve over TWO coexisting stored indexes (FAISS's
+    re-train-then-migrate lifecycle: a quantizer re-train — here the
+    learned OPQ basis replacing the identity basis, a REAL re-encode of
+    every migrated vector's codes — cannot rewrite a 100 TB index in
+    place; it migrates in slices while queries keep landing). Each
+    vector is served by exactly the index that currently holds it:
+    ``migrated`` rows by the NEW rotated-residual index, the rest by the
+    OLD identity-residual index (the old copy of a migrated row is
+    tombstoned — dedupe-by-vec_id is therefore structural, not a score
+    preference). Both stage-1 ADC cuts run in their own basis against
+    their own LUTs; the union of the two shortlists shares ONE exact
+    stage-2 re-rank over the original vectors, so the serve surface is
+    a single top-k regardless of migration progress. The coarse cells
+    are SHARED (rotation is basis choice — it never moves a vector
+    between raw-space cells), so the probe set prunes both scans
+    identically. Endpoints are test-pinned: migrated=false ==
+    `knn-ivfadc` row-for-row, migrated=true == a REBUILT `knn-ivfadc-opq`
+    row-for-row — old+new coexistence converges to the rebuilt index."""
+    base_o, score_o = _ivfadc_stage1(spark, sf_dir, rotated=False)
+    base_n, score_n = _ivfadc_stage1(spark, sf_dir, rotated=True)
+    sl_old = _stage1_shortlist(base_o.filter(~migrated), score_o)
+    sl_new = _stage1_shortlist(base_n.filter(migrated), score_n)
+    return _exact_rerank(
+        spark, sf_dir, sl_old.unionByName(sl_new).distinct()
+    )
+
+
+def q_ivfadc_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-lifecycle cutover MID-MIGRATION (SURVEY §7.2 #2): half the
+    corpus (vec_id % 2 == 0) re-encoded into the re-trained OPQ-rotated
+    index, half still in the old identity index — one query surface over
+    both. See `_ivfadc_cutover_search` for the serve contract; the
+    endpoint equalities (nothing migrated == old index, everything
+    migrated == rebuilt new index) are test-pinned, this row drives the
+    coexistence state neither endpoint exercises."""
+    return _ivfadc_cutover_search(
+        spark, sf_dir, (F.col("vec_id") % CUTOVER_MOD) == 0
+    )
+
+
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn-pq` with the OPQ rotation on: codes, codebooks, and the ADC
     lookup table live in the ROTATED space (see `opq_rotation`); the
@@ -932,7 +1063,12 @@ def q_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- oracles
 
 
-def _pq_cte_sql(rotated: bool = False, residual: bool = False) -> str:
+def _pq_cte_sql(
+    rotated: bool = False,
+    residual: bool = False,
+    prefix: str = "",
+    emit_km: bool = True,
+) -> str:
     """Per-subspace unrolled k-means CTE chains over the NORMALIZED
     embedding dims (global 1-based pos keys; subspace m covers pos in
     [m*PQ_SUB+1, (m+1)*PQ_SUB]) — the kmeans_cte_sql construction
@@ -944,23 +1080,34 @@ def _pq_cte_sql(rotated: bool = False, residual: bool = False) -> str:
     coarse-quantizer chain (raw space, knn-ivf's) plus an exact-decimal
     normalized-space cell-centroid CTE (``ncent``) define ``rsdims`` =
     dims minus the row's cell centroid, and the chains quantize THAT —
-    the IVFADC residual encoding."""
-    dsrc = "rsdims" if residual else ("rdims" if rotated else "dims")
+    the IVFADC residual encoding. ``prefix`` renames every CTE this
+    function emits (the kmeans_cte_sql composition rule) so TWO chains —
+    e.g. the cutover oracle's old identity index and new rotated index —
+    coexist in one statement; the km_ coarse chain keeps its fixed name
+    (the raw-space cells are SHARED between bases — rotation never moves
+    a vector between cells), so the second chain passes ``emit_km=False``
+    to reuse the first's."""
+    pfx = prefix
+    dsrc = (
+        f"{pfx}rsdims"
+        if residual
+        else (f"{pfx}rdims" if rotated else f"{pfx}dims")
+    )
     # the basis the residual step reads: rotated coordinates when both
     # rungs compose (`knn-ivfadc-opq`), plain normalized dims otherwise
-    rbase = "rdims" if rotated else "dims"
+    rbase = f"{pfx}rdims" if rotated else f"{pfx}dims"
     parts = [
-        """
-n AS MATERIALIZED (
+        f"""
+{pfx}n AS MATERIALIZED (
   SELECT vec_id, label,
          list_transform(embedding::DOUBLE[],
              x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                             embedding::DOUBLE[]))) AS en
   FROM embeddings
 ),
-dims AS MATERIALIZED (
+{pfx}dims AS MATERIALIZED (
   SELECT vec_id, i AS pos, en[i] AS x
-  FROM n, unnest(generate_series(1, 64)) AS t(i)
+  FROM {pfx}n, unnest(generate_series(1, 64)) AS t(i)
 )"""
     ]
     if rotated:
@@ -977,11 +1124,11 @@ dims AS MATERIALIZED (
         # sum <= 6.4e13 is exact in the DOUBLE the CAST produces
         parts.append(
             f"""
-opq_rm AS MATERIALIZED (SELECT {rm_lit} AS rm),
-rdims AS MATERIALIZED (
+{pfx}opq_rm AS MATERIALIZED (SELECT {rm_lit} AS rm),
+{pfx}rdims AS MATERIALIZED (
   SELECT d.vec_id, j.j AS pos,
          CAST(sum(CAST(floor(d.x * rm.rm[j.j][d.pos] * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS x
-  FROM dims d, opq_rm rm, unnest(generate_series(1, {EMBED_DIM})) AS j(j)
+  FROM {pfx}dims d, {pfx}opq_rm rm, unnest(generate_series(1, {EMBED_DIM})) AS j(j)
   GROUP BY d.vec_id, j.j
 )"""
         )
@@ -991,32 +1138,33 @@ rdims AS MATERIALIZED (
         )
         from rosbag2parquet_spark.functions.kmeans import kmeans_cte_sql
 
-        km = kmeans_cte_sql(prefix="km_")
-        assert km.startswith("WITH ")
-        parts.append(km[len("WITH ") :])
+        if emit_km:
+            km = kmeans_cte_sql(prefix="km_")
+            assert km.startswith("WITH ")
+            parts.append(km[len("WITH ") :])
         # ncent = kmeans mean-update expression verbatim (exact decimal
         # sum / count) over the NORMALIZED dims grouped by the raw-space
         # coarse cell; rsdims = the residual each row's PQ code describes
         parts.append(
             f"""
-ncent AS MATERIALIZED (
+{pfx}ncent AS MATERIALIZED (
   SELECT a.cl, d.pos,
          CAST(sum(CAST(d.x AS {_DEC})) AS DOUBLE) / count(*) AS m
   FROM {rbase} d JOIN km_a{_KM_N_ITER} a USING (vec_id)
   GROUP BY a.cl, d.pos
 ),
-rsdims AS MATERIALIZED (
+{pfx}rsdims AS MATERIALIZED (
   SELECT d.vec_id, d.pos, d.x - nc.m AS x
   FROM {rbase} d
   JOIN km_a{_KM_N_ITER} a USING (vec_id)
-  JOIN ncent nc ON nc.cl = a.cl AND nc.pos = d.pos
+  JOIN {pfx}ncent nc ON nc.cl = a.cl AND nc.pos = d.pos
 )"""
         )
     for m in range(PQ_M):
         lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
         parts.append(
             f"""
-c0_{m} AS MATERIALIZED (
+{pfx}c0_{m} AS MATERIALIZED (
   SELECT r.cl, d.pos, d.x AS m
   FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
         FROM embeddings ORDER BY vec_id LIMIT {PQ_K}) r
@@ -1027,47 +1175,47 @@ c0_{m} AS MATERIALIZED (
         for t in range(PQ_N_ITER + 1):
             parts.append(
                 f"""
-d{t}_{m} AS MATERIALIZED (
+{pfx}d{t}_{m} AS MATERIALIZED (
   SELECT d.vec_id, c.cl,
          sum(CAST(floor((d.x - c.m) * (d.x - c.m) * 1e12) AS BIGINT)) AS dist
-  FROM {dsrc} d JOIN c{t}_{m} c USING (pos)
+  FROM {dsrc} d JOIN {pfx}c{t}_{m} c USING (pos)
   WHERE d.pos BETWEEN {lo} AND {hi}
   GROUP BY d.vec_id, c.cl
 ),
-a{t}_{m} AS MATERIALIZED (
+{pfx}a{t}_{m} AS MATERIALIZED (
   SELECT vec_id, cl FROM (
     SELECT vec_id, cl,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
-    FROM d{t}_{m}
+    FROM {pfx}d{t}_{m}
   ) WHERE rk = 1
 )"""
             )
             if t < PQ_N_ITER:
                 parts.append(
                     f"""
-c{t + 1}_{m} AS MATERIALIZED (
+{pfx}c{t + 1}_{m} AS MATERIALIZED (
   SELECT a.cl, d.pos,
          CAST(sum(CAST(d.x AS {_DEC})) AS DOUBLE) / count(*) AS m
-  FROM {dsrc} d JOIN a{t}_{m} a USING (vec_id)
+  FROM {dsrc} d JOIN {pfx}a{t}_{m} a USING (vec_id)
   WHERE d.pos BETWEEN {lo} AND {hi}
   GROUP BY a.cl, d.pos
   UNION ALL
-  SELECT c.cl, c.pos, c.m FROM c{t}_{m} c
-  WHERE c.cl NOT IN (SELECT DISTINCT cl FROM a{t}_{m})
+  SELECT c.cl, c.pos, c.m FROM {pfx}c{t}_{m} c
+  WHERE c.cl NOT IN (SELECT DISTINCT cl FROM {pfx}a{t}_{m})
 )"""
                 )
     code_cols = ", ".join(
-        f"a{PQ_N_ITER}_{m}.cl AS c{m}" for m in range(PQ_M)
+        f"{pfx}a{PQ_N_ITER}_{m}.cl AS c{m}" for m in range(PQ_M)
     )
     joins = " ".join(
-        f"JOIN a{PQ_N_ITER}_{m} ON a{PQ_N_ITER}_{m}.vec_id = n.vec_id"
+        f"JOIN {pfx}a{PQ_N_ITER}_{m} ON {pfx}a{PQ_N_ITER}_{m}.vec_id = n.vec_id"
         for m in range(PQ_M)
     )
     parts.append(
         f"""
-codes AS MATERIALIZED (
+{pfx}codes AS MATERIALIZED (
   SELECT n.vec_id, n.label, {code_cols}
-  FROM n {joins}
+  FROM {pfx}n n {joins}
 )"""
     )
     return "WITH " + ",".join(parts)
@@ -1088,6 +1236,7 @@ def _adc_oracle(
     member_pred: str = "",
     rotated: bool = False,
     residual: bool = False,
+    shortlist: "int | None" = None,
 ) -> str:
     """The ADC + exact-re-rank oracle tail over the PQ CTE chain. LUT per
     (subspace, codeword): decimal-exact dot of the query's normalized
@@ -1150,7 +1299,7 @@ shortlist AS MATERIALIZED (
   SELECT codes.vec_id
   FROM codes {joins}
   WHERE codes.vec_id != {KNN_QUERY_ID}{member_pred}
-  ORDER BY {score} DESC, codes.vec_id LIMIT {PQ_SHORTLIST}
+  ORDER BY {score} DESC, codes.vec_id LIMIT {PQ_SHORTLIST if shortlist is None else shortlist}
 ),
 q AS (SELECT en AS qen FROM n WHERE vec_id = {KNN_QUERY_ID})
 SELECT n.vec_id, n.label,
@@ -1236,6 +1385,97 @@ def _oracle_knn_ivfadc_np4() -> str:
     )
 
 
+def _oracle_ivfadc_cutover() -> str:
+    """The cutover oracle: BOTH index chains in one statement — the old
+    identity-residual chain unprefixed, the new rotated-residual chain
+    under the ``nw_`` prefix reusing the SHARED km_ coarse chain
+    (`_pq_cte_sql(emit_km=False)`) — each with its own LUT/cell-constant
+    CTEs, each shortlist sliced to its migration side, UNION (dedupe by
+    vec_id) into one exact re-rank. Mirrors `_ivfadc_cutover_search`
+    term for term."""
+    from rosbag2parquet_spark.functions.kmeans import N_ITER as _KM_N
+
+    def luts(pfx: str, dsrc: str) -> str:
+        out = ",".join(
+            f"""
+{pfx}lut_{m} AS MATERIALIZED (
+  SELECT c.cl, CAST(sum(CAST(c.m * d.x AS {_DEC})) AS DOUBLE) AS v
+  FROM {pfx}c{PQ_N_ITER}_{m} c
+  JOIN {dsrc} d ON d.pos = c.pos AND d.vec_id = {KNN_QUERY_ID}
+  GROUP BY c.cl
+)"""
+            for m in range(PQ_M)
+        )
+        return (
+            out
+            + f""",
+{pfx}cellconst AS MATERIALIZED (
+  SELECT nc.cl, CAST(sum(CAST(nc.m * d.x AS {_DEC})) AS DOUBLE) AS v
+  FROM {pfx}ncent nc
+  JOIN {dsrc} d ON d.pos = nc.pos AND d.vec_id = {KNN_QUERY_ID}
+  GROUP BY nc.cl
+)"""
+        )
+
+    def sl(pfx: str, name: str, side_pred: str) -> str:
+        score = f"{pfx}cellconst.v + " + " + ".join(
+            f"{pfx}lut_{m}.v" for m in range(PQ_M)
+        )
+        joins = (
+            f"JOIN km_a{_KM_N} ka ON ka.vec_id = {pfx}codes.vec_id "
+            f"JOIN {pfx}cellconst ON {pfx}cellconst.cl = ka.cl "
+            + " ".join(
+                f"JOIN {pfx}lut_{m} ON {pfx}lut_{m}.cl = {pfx}codes.c{m}"
+                for m in range(PQ_M)
+            )
+        )
+        return f""",
+{name} AS MATERIALIZED (
+  SELECT {pfx}codes.vec_id
+  FROM {pfx}codes {joins}
+  WHERE {pfx}codes.vec_id != {KNN_QUERY_ID} AND {side_pred}
+    AND ka.cl IN (SELECT cl FROM ivf_cells)
+  ORDER BY {score} DESC, {pfx}codes.vec_id LIMIT {PQ_SHORTLIST}
+)"""
+
+    old_chain = _pq_cte_sql(rotated=False, residual=True)
+    new_chain = _pq_cte_sql(
+        rotated=True, residual=True, prefix="nw_", emit_km=False
+    )
+    assert new_chain.startswith("WITH ")
+    return (
+        old_chain
+        + ","
+        + new_chain[len("WITH ") :]
+        + _ivf_cells_cte()
+        + ","
+        + luts("", "dims")
+        + ","
+        + luts("nw_", "nw_rdims")
+        + sl("", "sl_old", f"codes.vec_id % {CUTOVER_MOD} != 0")
+        + sl("nw_", "sl_new", f"nw_codes.vec_id % {CUTOVER_MOD} = 0")
+        + f""",
+shortlist AS (SELECT vec_id FROM sl_old UNION SELECT vec_id FROM sl_new),
+q AS (SELECT en AS qen FROM n WHERE vec_id = {KNN_QUERY_ID})
+SELECT n.vec_id, n.label,
+       round(list_dot_product(n.en, q.qen), 6) AS cos_sim
+FROM n JOIN shortlist USING (vec_id) CROSS JOIN q
+ORDER BY cos_sim DESC, n.vec_id LIMIT {KNN_K}
+"""
+    )
+
+
+def _oracle_knn_ivfadc_sl() -> str:
+    # knn-ivfadc-np4's oracle with the shortlist LIMIT widened the same
+    # way the engine widens it — the two per-query knobs parameterize the
+    # SAME CTE family, so an engine/oracle desync on either is impossible
+    return _adc_oracle(
+        extra_ctes=_ivf_cells_cte(IVFADC_NP_DEEP),
+        residual=True,
+        shortlist=IVFADC_SL_DEEP,
+    )
+
+
 def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx) -> DataFrame:
     """Recall@KNN_K of an approximate search against the exact scan —
     the single-sourced measurement every ANN rung's `*-recall` row uses.
@@ -1312,6 +1552,9 @@ QUERIES = {
     "ivfadc-opq-recall": q_ivfadc_opq_recall,
     "knn-ivfadc-np4": q_knn_ivfadc_np4,
     "ivfadc-np4-recall": q_ivfadc_np4_recall,
+    "knn-ivfadc-sl": q_knn_ivfadc_sl,
+    "ivfadc-sl-recall": q_ivfadc_sl_recall,
+    "ivfadc-cutover": q_ivfadc_cutover,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1330,6 +1573,9 @@ ORACLES = {
     "ivfadc-opq-recall": _oracle_ivfadc_opq_recall(),
     "knn-ivfadc-np4": _oracle_knn_ivfadc_np4(),
     "ivfadc-np4-recall": _oracle_recall(_oracle_knn_ivfadc_np4()),
+    "knn-ivfadc-sl": _oracle_knn_ivfadc_sl(),
+    "ivfadc-sl-recall": _oracle_recall(_oracle_knn_ivfadc_sl()),
+    "ivfadc-cutover": _oracle_ivfadc_cutover(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

@@ -927,7 +927,10 @@ def _knn_ivf_oracle() -> str:
 
 
 def q_stream_knn_ivfadc(
-    spark: SparkSession, sf_dir: str, nprobe: "int | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: "int | None" = None,
+    shortlist: "int | None" = None,
 ) -> DataFrame:
     """INCREMENTAL IVFADC index maintenance — the missing piece of the
     streaming ANN story (SURVEY §7.1 r11 #7): `stream-knn-ivf` keeps a
@@ -956,7 +959,11 @@ def q_stream_knn_ivfadc(
     serve takes (`_ivfadc_search`): a deeper live serve admits one more
     ranked cell's arrivals into the encode+score stage — the stored
     quantizer, the state shape, and the registered query (deployed
-    depth) are untouched. Live-at-np4 == batch-at-np4 is test-pinned."""
+    depth) are untouched. Live-at-np4 == batch-at-np4 is test-pinned.
+    ``shortlist`` mirrors the batch serve's second per-query knob (r12):
+    a deeper running top-N state keeps more ADC candidates for the
+    final exact re-rank — again only a serve parameter; live-at-(np4,
+    sl100) == batch-at-(np4, sl100) is test-pinned the same way."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -1047,7 +1054,8 @@ def q_stream_knn_ivfadc(
         encode_and_score, "query_id long, vec_id long, cos_sim double"
     )
     tbl = _fresh("stream_knn_ivfadc")
-    run_to_memory(running_topk(scored, PQ_SHORTLIST), tbl, mode="append")
+    depth = PQ_SHORTLIST if shortlist is None else shortlist
+    run_to_memory(running_topk(scored, depth), tbl, mode="append")
     t = spark.table(tbl)
     shortlist = (
         t.withColumn("maxn", F.expr("max(n) OVER (PARTITION BY query_id)"))

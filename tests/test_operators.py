@@ -306,6 +306,62 @@ def test_ivfadc_per_query_nprobe_override(spark):
     assert len(_ivfadc_search(spark, SF_DIR, nprobe=IVFADC_NP_DEEP).collect()) == 10
 
 
+def test_ivfadc_per_query_shortlist_override(spark):
+    """X3 per-query ADC shortlist depth (r12): the shortlist is the
+    SECOND search-time parameter (FAISS's k_factor), measured as the
+    binder past nprobe=3 by `ivfadc-np4-recall`. Overriding it must not
+    rebuild or mutate the stored index (same cached fit object), a
+    deeper shortlist must recall at least the deployed depth (its
+    re-rank set is a superset of the same ADC ranking's prefix), and
+    the deep serve still returns exactly k rows."""
+    from rosbag2parquet_spark.functions.pq import (
+        IVFADC_NP_DEEP,
+        IVFADC_SL_DEEP,
+        _FIT_CACHE,
+        q_ivfadc_np4_recall,
+        q_ivfadc_sl_recall,
+        q_knn_ivfadc_sl,
+    )
+
+    np4 = q_ivfadc_np4_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    key = (spark.sparkContext.applicationId, SF_DIR, "ivfadc", False)
+    fit_before = _FIT_CACHE.get(key)
+    deep = q_ivfadc_sl_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    assert deep >= np4  # superset of the same ranking's prefix
+    assert _FIT_CACHE.get(key) is fit_before  # no rebuild, no mutation
+    assert IVFADC_SL_DEEP > 0 and IVFADC_NP_DEEP > 0
+    assert len(q_knn_ivfadc_sl(spark, SF_DIR).collect()) == 10
+
+
+def test_ivfadc_cutover_endpoints_equal_pure_indexes(spark):
+    """X3 index-lifecycle cutover (r12, SURVEY 7.2 #2): the two-index
+    serve must CONVERGE to the pure indexes at the migration endpoints —
+    nothing migrated == the old identity-basis serve (`knn-ivfadc`)
+    row-for-row, everything migrated == a REBUILT rotated index
+    (`knn-ivfadc-opq`) row-for-row — and the registered mid-migration
+    state still returns exactly k rows. This is the old+new == rebuilt
+    pin: coexistence during cutover loses nothing and invents nothing."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.pq import (
+        _ivfadc_cutover_search,
+        q_ivfadc_cutover,
+        q_knn_ivfadc,
+        q_knn_ivfadc_opq,
+    )
+
+    def rows(df):
+        return [tuple(r) for r in df.select("vec_id", "label", "cos_sim").collect()]
+
+    start = _ivfadc_cutover_search(spark, SF_DIR, F.lit(False))
+    assert rows(start) == rows(q_knn_ivfadc(spark, SF_DIR))
+    done = _ivfadc_cutover_search(spark, SF_DIR, F.lit(True))
+    assert rows(done) == rows(q_knn_ivfadc_opq(spark, SF_DIR))
+    mid = q_ivfadc_cutover(spark, SF_DIR).collect()
+    assert len(mid) == 10
+    assert len({r.vec_id for r in mid}) == 10  # dedupe by vec_id holds
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,

@@ -163,6 +163,31 @@ def test_stream_knn_ivfadc_per_query_nprobe_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_stream_knn_ivfadc_per_query_shortlist_equals_batch(spark):
+    """The per-query ADC shortlist override applies to the LIVE serve
+    too (the batch `knn-ivfadc-sl` knob, r12 symmetry): live at
+    (nprobe=4, shortlist=100) must equal batch at the same knobs
+    row-for-row — the running top-N state keeps more candidates,
+    nothing about the frozen quantizer changes."""
+    from rosbag2parquet_spark.functions.pq import (
+        IVFADC_NP_DEEP,
+        IVFADC_SL_DEEP,
+        _ivfadc_search,
+    )
+    from rosbag2parquet_spark.streaming.queries import q_stream_knn_ivfadc
+
+    batch = _ivfadc_search(
+        spark, SF_DIR, nprobe=IVFADC_NP_DEEP, shortlist=IVFADC_SL_DEEP
+    ).select("vec_id", "label", "cos_sim")
+    streamed = q_stream_knn_ivfadc(
+        spark, SF_DIR, nprobe=IVFADC_NP_DEEP, shortlist=IVFADC_SL_DEEP
+    ).select("vec_id", "label", "cos_sim")
+    assert streamed.count() == batch.count() == 10
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+@pytest.mark.slow
 def test_cdc_landing_schema_evolution_converges(spark):
     """The evolve-append contract on the STREAMING path (the batch
     `_pad_union` behavior, convert.py:999): the landing's later change

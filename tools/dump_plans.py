@@ -273,6 +273,10 @@ def main() -> None:
         # round-11: the deeper per-query probe serve (same plan shape as
         # knn-ivfadc — the probed-cell filter just lists one more cell)
         "knn-ivfadc-np4",
+        # round-12: the deeper-shortlist serve (same shape, wider limit)
+        # and the two-index cutover (two stage-1 scans, one union re-rank)
+        "knn-ivfadc-sl",
+        "ivfadc-cutover",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
