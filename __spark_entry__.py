@@ -100,19 +100,21 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-12 ROTATION (executing the r11 verdict's sequencing): 3 NEW rows
+# ROUND-12 ROTATION (executing the r11 verdict's sequencing): 4 NEW rows
 # lead — the per-query ADC shortlist depth (the binder `ivfadc-np4-recall`
 # measured: 9/10 at (np4, sl50); the deeper (np4, sl100) serve reaches the
-# exact-scan ceiling 10/10 at sf0.01) and the index-lifecycle cutover
+# exact-scan ceiling 10/10 at sf0.01), the index-lifecycle cutover
 # (old identity index + re-trained OPQ index coexisting mid-migration,
-# SURVEY §7.2 #2). No answer-changed rows this round (the advisor fixes
-# harden vintage dispatch, values unchanged). Slots 4-32 take ALL 29
-# remaining r7-proven rows; slots 33-50 the oldest r8 rows, the TPC-H
-# sql-q3..q22 block first (the most user-visible stale surface), then
-# stream-neardup/stream-profile/asof-tolerance. Freshness histogram going
-# into r12: r7:29, r8:41, r9:50, r10:38, r11:50. After this window:
-# r8:23, r9:50, r10:38, r11:50, r12:50 (47 rotated + 3 new) — nothing
-# older than r8; r13 clears the remaining 23 r8 rows as planned.
+# SURVEY §7.2 #2), and the shard-merge build (two independently-encoded
+# halves union into the single-build index — knn-ivfadc's oracle
+# verbatim). No answer-changed rows this round (the advisor fixes harden
+# vintage dispatch, values unchanged). Slots 5-33 take ALL 29 remaining
+# r7-proven rows; slots 34-50 the oldest r8 rows, the TPC-H sql-q3..q22
+# block first (the most user-visible stale surface), then
+# stream-neardup/stream-profile. Freshness histogram going into r12:
+# r7:29, r8:41, r9:50, r10:38, r11:50. After this window: r8:24, r9:50,
+# r10:38, r11:50, r12:50 (46 rotated + 4 new) — nothing older than r8;
+# r13 clears the remaining 24 r8 rows as planned.
 _QUERY_ORDER = [
     # --- r12 window --------------------------------------------------------
     # NEW round 12: the ADC shortlist as a per-query serve parameter
@@ -121,6 +123,7 @@ _QUERY_ORDER = [
     # and the quantizer re-train/cutover twin (two coexisting indexes,
     # one serve surface, endpoints == pure-old / rebuilt-new test-pinned)
     "knn-ivfadc-sl", "ivfadc-sl-recall", "ivfadc-cutover",
+    "ivfadc-shard-merge",
     # r7-proven rows (the oldest driver rows — ALL 29 re-proven here)
     "snapshot-read", "dedup-editdist", "pseudonymize", "schema-evolution",
     "scrub-dup-spans", "protobuf-roundtrip", "convert-resume", "analyze-table",
@@ -133,10 +136,10 @@ _QUERY_ORDER = [
     # r8-proven rows, TPC-H block first, then the next-oldest three
     "sql-q8", "sql-q21", "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
     "sql-q17", "sql-q19", "sql-q22", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
-    "sql-q18", "stream-neardup", "stream-profile", "asof-tolerance",
+    "sql-q18", "stream-neardup", "stream-profile",
     # --- window ends here (50) ---------------------------------------------
     # remaining r8-proven rows (lead the r13 window)
-    "scrub-terms", "interval-join", "rollup-hypertable",
+    "asof-tolerance", "scrub-terms", "interval-join", "rollup-hypertable",
     "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",
     "anti-join", "range-join", "intersect", "scalar-funcs", "pivot", "unpivot",
     "histogram", "embed-quantize", "stratified-sample", "temperature-sample",

@@ -134,6 +134,9 @@ EXTENDED = [
     # two-index cutover serve (both stage-1 scans + one shared re-rank)
     "knn-ivfadc-sl",
     "ivfadc-cutover",
+    # round-12: the shard-merged index serve (two map-side shard encodes
+    # + union — prices the zero-coordination multi-worker build)
+    "ivfadc-shard-merge",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

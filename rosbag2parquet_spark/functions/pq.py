@@ -775,6 +775,18 @@ def _ivfadc_fit(spark: SparkSession, sf_dir: str, rotated: bool = False):
     for r in ncent_rows:
         # posexplode is 0-based (the oracle's dims.pos is 1-based)
         ncent[int(r["cluster"])][int(r["pos"])] = float(r["m"])
+    res = _ivfadc_residuals(frame, ncent)
+    books = pq_fit(res.select("vec_id", "en"))
+    coded = _coded(res.select("vec_id", "label", "cluster", "en"), books)
+    coded = coded.drop("en").cache()
+    _FIT_CACHE[key] = (cells, ncent, coded, books)
+    return _FIT_CACHE[key]
+
+
+def _ivfadc_residuals(frame: DataFrame, ncent) -> DataFrame:
+    """Subtract each row's coarse-cell centroid (the exact-decimal
+    ``ncent`` literal) from its normalized/rotated coordinates — the
+    residual the PQ codes describe (Jégou et al. §VI eq. 17)."""
     cent_lit = F.expr(
         "array("
         + ",".join(
@@ -783,7 +795,7 @@ def _ivfadc_fit(spark: SparkSession, sf_dir: str, rotated: bool = False):
         )
         + ")"
     )
-    res = frame.withColumn(
+    return frame.withColumn(
         "en",
         F.zip_with(
             "en",
@@ -791,11 +803,42 @@ def _ivfadc_fit(spark: SparkSession, sf_dir: str, rotated: bool = False):
             lambda a, b: a - b,
         ),
     )
-    books = pq_fit(res.select("vec_id", "en"))
-    coded = _coded(res.select("vec_id", "label", "cluster", "en"), books)
-    coded = coded.drop("en").cache()
-    _FIT_CACHE[key] = (cells, ncent, coded, books)
-    return _FIT_CACHE[key]
+
+
+def _ivfadc_encode(
+    raw: DataFrame,
+    centroids,
+    ncent,
+    books,
+    rotated: bool = False,
+) -> DataFrame:
+    """Encode ``raw`` embedding rows into IVFADC index entries —
+    (vec_id, label, cluster, c0..c{M-1}) — under a FROZEN quantizer
+    (centroids, ncent, books all given, nothing trained): normalize,
+    raw-space coarse argmin, [rotate], residual against ncent, per-
+    subspace code argmins — `_ivfadc_fit`'s encode tail verbatim, every
+    step MAP-SIDE per row. No step reads any other row, which is the
+    property the index-build story rests on: independently-encoded
+    SHARDS union into exactly the single-build index
+    (`ivfadc-shard-merge`), and live appends match the batch codes
+    (`stream-knn-ivfadc`)."""
+    from rosbag2parquet_spark.functions.kmeans import (
+        _as_double as _km_as_double,
+    )
+    from rosbag2parquet_spark.functions.kmeans import (
+        assign_clusters_vectorized,
+    )
+
+    frame = _normalized(raw).withColumn("e", _km_as_double("embedding"))
+    frame = assign_clusters_vectorized(frame, centroids).select(
+        "vec_id", "label", "cluster", "en"
+    )
+    if rotated:
+        frame = frame.withColumn("en", _rotate_vectorized()(F.col("en")))
+    res = _ivfadc_residuals(frame, ncent)
+    return _coded(
+        res.select("vec_id", "label", "cluster", "en"), books
+    ).drop("en")
 
 
 def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,16 +886,21 @@ def _ivfadc_stage1(
     sf_dir: str,
     rotated: bool = False,
     nprobe: "int | None" = None,
+    coded_override: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, str]":
     """The ADC stage-1 scan of one stored IVFADC index before the
     shortlist cut: (base, score) where ``base`` is the probed cells'
     coded rows and ``score`` the per-cell-constant + LUT expression in
     the index's basis — `_ivfadc_search` cuts and re-ranks one of these;
     the cutover serve (`q_ivfadc_cutover`) scans TWO (old and new index)
-    and merges their shortlists."""
+    and merges their shortlists. ``coded_override`` serves a DIFFERENT
+    stored-codes frame under the same frozen quantizer (the shard-merged
+    index of `ivfadc-shard-merge`)."""
     from rosbag2parquet_spark.functions.similarity import _ivf_probe_cells
 
     cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir, rotated)
+    if coded_override is not None:
+        coded = coded_override
     if nprobe is not None:
         cells, _ = _ivf_probe_cells(
             spark, sf_dir, load_table(spark, sf_dir, "embeddings"), nprobe
@@ -1037,6 +1085,41 @@ def q_ivfadc_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_cutover_search(
         spark, sf_dir, (F.col("vec_id") % CUTOVER_MOD) == 0
     )
+
+
+def q_ivfadc_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-WORKER index-build story (FAISS's merge_from /
+    merge_ondisk posture): two index shards encoded INDEPENDENTLY —
+    disjoint halves of the corpus (vec_id parity), each run through the
+    full `_ivfadc_encode` pipeline on its own, neither seeing the
+    other's rows — union into one serving index. Because every encode
+    step is map-side per row under the FROZEN quantizer (coarse argmin,
+    residual, code argmins read only the row and the shipped constants),
+    shard codes are byte-identical to the single-build index's codes for
+    the same rows, so the merged index serves `knn-ivfadc`'s answer
+    EXACTLY — the oracle is shared verbatim, and the code-level identity
+    (shards union == single build, frame-compared) plus the serve-level
+    identity are test-pinned. At 100 TB this is the build plan: N
+    workers each encode their partition with zero coordination, and
+    "merge" is a metadata union — no shuffle, no re-encode, no global
+    pass. (Contrast `ivfadc-cutover`, where the QUANTIZER differs
+    between the two indexes and coexistence needs two scoring bases;
+    here the quantizer is shared and the union is the whole story.)"""
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+
+    _, ncent, _, books = _ivfadc_fit(spark, sf_dir)
+    centroids, _ = kmeans_fit_cached(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    shard_a = _ivfadc_encode(
+        raw.filter((F.col("vec_id") % 2) == 0), centroids, ncent, books
+    )
+    shard_b = _ivfadc_encode(
+        raw.filter((F.col("vec_id") % 2) != 0), centroids, ncent, books
+    )
+    base, score = _ivfadc_stage1(
+        spark, sf_dir, coded_override=shard_a.unionByName(shard_b)
+    )
+    return _shortlist_rerank(spark, sf_dir, base, score)
 
 
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1638,7 @@ QUERIES = {
     "knn-ivfadc-sl": q_knn_ivfadc_sl,
     "ivfadc-sl-recall": q_ivfadc_sl_recall,
     "ivfadc-cutover": q_ivfadc_cutover,
+    "ivfadc-shard-merge": q_ivfadc_shard_merge,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1576,6 +1660,9 @@ ORACLES = {
     "knn-ivfadc-sl": _oracle_knn_ivfadc_sl(),
     "ivfadc-sl-recall": _oracle_recall(_oracle_knn_ivfadc_sl()),
     "ivfadc-cutover": _oracle_ivfadc_cutover(),
+    # the merged index serves the single-build answer EXACTLY (map-side
+    # per-row encode under the frozen quantizer) — oracle shared verbatim
+    "ivfadc-shard-merge": _oracle_knn_ivfadc(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

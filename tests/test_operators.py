@@ -362,6 +362,43 @@ def test_ivfadc_cutover_endpoints_equal_pure_indexes(spark):
     assert len({r.vec_id for r in mid}) == 10  # dedupe by vec_id holds
 
 
+def test_ivfadc_shard_merge_equals_single_build(spark):
+    """X3 multi-worker index build (r12): two shards encoded
+    INDEPENDENTLY (disjoint vec_id halves, neither sees the other's
+    rows) under the frozen quantizer must union into EXACTLY the
+    single-build index — code-level identity (frame compare against
+    `_ivfadc_fit`'s coded) — and the merged index must serve
+    `knn-ivfadc`'s answer row-for-row. This is the zero-coordination
+    build claim: merge is a metadata union, never a re-encode."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+    from rosbag2parquet_spark.functions.pq import (
+        _ivfadc_encode,
+        _ivfadc_fit,
+        q_ivfadc_shard_merge,
+        q_knn_ivfadc,
+    )
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    _, ncent, coded_full, books = _ivfadc_fit(spark, SF_DIR)
+    centroids, _ = kmeans_fit_cached(spark, SF_DIR)
+    raw = load_table(spark, SF_DIR, "embeddings")
+    shard_a = _ivfadc_encode(
+        raw.filter((F.col("vec_id") % 2) == 0), centroids, ncent, books
+    )
+    shard_b = _ivfadc_encode(
+        raw.filter((F.col("vec_id") % 2) != 0), centroids, ncent, books
+    )
+    merged = shard_a.unionByName(shard_b)
+    assert merged.columns == coded_full.columns
+    assert merged.exceptAll(coded_full).count() == 0
+    assert coded_full.exceptAll(merged).count() == 0
+    got = [tuple(r) for r in q_ivfadc_shard_merge(spark, SF_DIR).collect()]
+    want = [tuple(r) for r in q_knn_ivfadc(spark, SF_DIR).collect()]
+    assert got == want
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,

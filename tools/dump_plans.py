@@ -277,6 +277,7 @@ def main() -> None:
         # and the two-index cutover (two stage-1 scans, one union re-rank)
         "knn-ivfadc-sl",
         "ivfadc-cutover",
+        "ivfadc-shard-merge",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
