@@ -77,10 +77,19 @@ def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: boo
     type is still refused — while added/removed columns are allowed; the
     caller pads the incoming batch to the union so every new file carries
     a superset schema. Returns the existing on-disk schema (None when the
-    table doesn't exist yet) so the caller can pad."""
+    table doesn't exist yet) so the caller can pad.
+
+    The existing schema is read with mergeSchema — the same determinism
+    rule as `_pad_append_trailing` (r12): on a table whose files carry
+    different (superset) schemas — repeated evolve appends, or the
+    bag_index-mixed vintage — a plain read samples an arbitrary footer,
+    making the evolve union pad (and the strict fingerprint verdict)
+    vary run to run; the merged schema is the true union and is stable."""
     if not os.path.isdir(path):
         return None
-    existing = spark.read.parquet(path).schema
+    existing = (
+        spark.read.option("mergeSchema", "true").parquet(path).schema
+    )
     if evolve:
         old = {f.name: f.dataType.simpleString() for f in existing.fields}
         new = {f.name: f.dataType.simpleString() for f in schema.fields}
