@@ -120,8 +120,10 @@ _QUERY_ORDER = [
     # NEW round 12: the ADC shortlist as a per-query serve parameter
     # (FAISS's k_factor; completes the tuning story nprobe started —
     # measured knee at sl=60, deployed 100 = 2x) + its 10/10 recall row,
-    # and the quantizer re-train/cutover twin (two coexisting indexes,
-    # one serve surface, endpoints == pure-old / rebuilt-new test-pinned)
+    # the quantizer re-train/cutover twin (two coexisting indexes, one
+    # serve surface, endpoints == pure-old / rebuilt-new test-pinned),
+    # and the shard-merge build (independent encodes union into the
+    # single-build index byte-identically — the multi-worker story)
     "knn-ivfadc-sl", "ivfadc-sl-recall", "ivfadc-cutover",
     "ivfadc-shard-merge",
     # r7-proven rows (the oldest driver rows — ALL 29 re-proven here)
