@@ -62,7 +62,10 @@ PQ_M = 8  # subspaces
 PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = EMBED_DIM = 64)
 PQ_K = 16  # codewords per subspace
 PQ_N_ITER = 2  # Lloyd's iterations per codebook (oracle unrolls them)
-PQ_SHORTLIST = 50  # ADC shortlist size re-ranked exactly (10% of fixture)
+#: deployed ADC shortlist size re-ranked exactly (10% of fixture);
+#: a per-query override exists since r12 (`knn-ivfadc-sl`, FAISS's
+#: k_factor posture — see IVFADC_SL_DEEP for the measured curve)
+PQ_SHORTLIST = 50
 
 #: OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR 2013 —
 #: public): an orthogonal rotation before the subspace split decorrelates
@@ -985,7 +988,9 @@ def q_ivfadc_np4_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     once the probe set stops binding (3→4 buys the exact scan its last
     neighbor), the ADC shortlist becomes the binder. The production
     reading: past nprobe=3 on this cell profile, spend budget on codes
-    (M, K, shortlist), not probes."""
+    (M, K, shortlist), not probes. r12 closed the loop: `knn-ivfadc-sl`
+    widens the shortlist to 100 at this probe depth and
+    `ivfadc-sl-recall` measures the predicted 10/10 at sf0.01."""
     return _recall_vs_exact(
         spark, sf_dir, lambda s, d: _ivfadc_search(s, d, nprobe=IVFADC_NP_DEEP)
     )

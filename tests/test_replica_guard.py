@@ -105,3 +105,32 @@ def test_hugeint_oracle_rejected(duck):
         if bad:
             offenders[name] = bad
     assert offenders == {}
+
+
+def test_pq_cte_prefix_chains_are_disjoint():
+    """r12 structural guard for the cutover oracle's two-chain
+    composition: the CTE names a prefixed `_pq_cte_sql` chain defines
+    must be disjoint from the unprefixed chain's — EXCEPT the shared
+    km_ coarse-quantizer chain, which the prefixed chain must not
+    re-emit (emit_km=False) because the raw-space cells are shared
+    between bases. A collision would silently shadow a CTE in DuckDB
+    and score one index with the other's codebooks."""
+    import re
+
+    from rosbag2parquet_spark.functions.pq import _pq_cte_sql
+
+    def defined(sql):
+        return set(re.findall(r"(?m)^(\w+) AS MATERIALIZED", sql)) | set(
+            re.findall(r"(?m)^(\w+) AS \(", sql)
+        )
+
+    old = defined(_pq_cte_sql(rotated=False, residual=True))
+    new = defined(
+        _pq_cte_sql(rotated=True, residual=True, prefix="nw_", emit_km=False)
+    )
+    overlap = old & new
+    assert overlap == set(), overlap
+    assert all(n.startswith("nw_") for n in new), sorted(new)[:5]
+    # the shared coarse chain lives only in the unprefixed emission
+    assert any(n.startswith("km_") for n in old)
+    assert not any(n.startswith("km_") for n in new)
