@@ -140,6 +140,10 @@ _QUERY_ORDER = [
     "sql-q17", "sql-q19", "sql-q22", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
     "sql-q18", "stream-neardup", "stream-profile",
     # --- window ends here (50) ---------------------------------------------
+    # NEW round 12, built past the window (the r11 verdict's "keep new
+    # queries <=4" sequencing): the BM25 incremental-index twin — leads
+    # the r13 window as its only never-proven row
+    "stream-bm25",
     # remaining r8-proven rows (lead the r13 window)
     "asof-tolerance", "scrub-terms", "interval-join", "rollup-hypertable",
     "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",

@@ -327,6 +327,95 @@ def _dedup_exact_oracle() -> str:
     return ORACLE_DEDUP_EXACT
 
 
+def q_stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BM25 index maintenance — the text surface's streaming
+    twin of batch `bm25-search` (the r11 verdict's named depth item): a
+    search engine does not re-tokenize its corpus per query; it APPENDS
+    each arriving document's index entry and computes the corpus-level
+    scoring constants (N, avgdl, per-term df) from the live index AT
+    QUERY TIME — they legitimately change as documents arrive, which is
+    exactly why they cannot be baked into the stored entries.
+
+    The live index here is an append-only FORWARD index: one stateless
+    map-side row per arriving document — (doc_id, dl, tf per query
+    term), the term frequencies computed in-expression
+    (size(filter(words, = term)); whole-stage codegen, no explode, no
+    stream-side aggregation state, no shuffle at ingest). Arrival order
+    is irrelevant by construction (per-doc rows, order-free finishing
+    aggregates), so the drained index scores IDENTICALLY to the batch
+    pass: the finishing query derives dl/stats/tf/df from the index and
+    applies the SHARED `_BM25_TERM_SCORE` expression text — batch
+    `bm25-search`'s oracle verbatim, the stream==batch row-for-row pin
+    in tests. At scale the ingest is embarrassingly parallel (each doc
+    touches only itself) and the per-query cost is the posting scan +
+    two tiny aggregates — the index never rebuilds.
+
+    Reference: the reference has no text surface; BM25 per Robertson &
+    Zaragoza (2009), the same k1=1.2/b=0.75 rational-idf form as batch
+    (see `_BM25_TERM_SCORE` for the bit-identical-doubles argument)."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.text import (
+        _BM25_TERM_SCORE,
+        BM25_TERMS,
+    )
+    from rosbag2parquet_spark.streaming.neardup import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+
+    def _eq(term):
+        # one-arg lambda factory: a two-parameter lambda would be read
+        # by the HOF binder as (element, index)
+        return lambda x: x == F.lit(term)
+
+    fwd = w.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("w", _eq(t))).cast("bigint").alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    tbl = _fresh("stream_bm25")
+    run_to_memory(fwd, tbl, mode="append")
+    # finishing query over the LIVE index: unpack the per-term columns
+    # into posting rows (tf > 0 == the word occurs, batch's tf CTE),
+    # derive df/N/avgdl, and score with the SHARED expression text
+    term_map = ", ".join(
+        f"'{t}', tf_{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    return spark.sql(
+        f"""
+WITH dl AS (SELECT doc_id, dl FROM {tbl}),
+stats AS (SELECT count(*) AS n_total,
+                 CAST(sum(dl) AS BIGINT) / count(*) AS avgdl FROM {tbl}),
+tf AS (SELECT doc_id, word, tf
+       FROM {tbl} LATERAL VIEW explode(map({term_map})) AS word, tf
+       WHERE tf > 0),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+{_BM25_TERM_SCORE}
+  FROM tf JOIN df ON tf.word = df.word
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+)
+SELECT doc_id, count(*) AS n_terms_matched,
+       CAST(sum(term_score) AS DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+    )
+
+
+def _bm25_oracle() -> str:
+    from rosbag2parquet_spark.functions.text import ORACLE_BM25
+
+    return ORACLE_BM25
+
+
 def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental time-grid fill (applyInPandasWithState): each arriving
     event closes the bracket over the grid points behind it, emitting LOCF
@@ -1721,6 +1810,7 @@ QUERIES = {
     "stream-scd2": q_stream_scd2,
     "stream-dedup": q_stream_dedup,
     "stream-resample": q_stream_resample,
+    "stream-bm25": q_stream_bm25,
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-cdc-apply": q_stream_cdc_apply,
     "stream-knn-ivf": q_stream_knn_ivf,
@@ -1782,6 +1872,7 @@ ORACLES = {
     "stream-compact": _compact_oracle(),
     "stream-scd2": _scd2_oracle(),
     "stream-dedup": _dedup_exact_oracle(),
+    "stream-bm25": _bm25_oracle(),
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
     "stream-cdc-apply": _cdc_evolve_oracle(),

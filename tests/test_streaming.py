@@ -188,6 +188,22 @@ def test_stream_knn_ivfadc_per_query_shortlist_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_stream_bm25_equals_batch(spark):
+    """X4/X11 (r12): the incrementally-built BM25 forward index must
+    score IDENTICALLY to the batch pass once drained — same top-20,
+    same n_terms_matched, same doubles (the shared _BM25_TERM_SCORE
+    expression text; corpus constants derived from the live index at
+    query time)."""
+    from rosbag2parquet_spark.functions.text import q_bm25_search
+    from rosbag2parquet_spark.streaming.queries import q_stream_bm25
+
+    batch = [tuple(r) for r in q_bm25_search(spark, SF_DIR).collect()]
+    streamed = [tuple(r) for r in q_stream_bm25(spark, SF_DIR).collect()]
+    assert streamed == batch
+    assert len(batch) == 20
+
+
+@pytest.mark.slow
 def test_cdc_landing_schema_evolution_converges(spark):
     """The evolve-append contract on the STREAMING path (the batch
     `_pad_union` behavior, convert.py:999): the landing's later change
