@@ -141,9 +141,10 @@ _QUERY_ORDER = [
     "sql-q18", "stream-neardup", "stream-profile",
     # --- window ends here (50) ---------------------------------------------
     # NEW round 12, built past the window (the r11 verdict's "keep new
-    # queries <=4" sequencing): the BM25 incremental-index twin — leads
-    # the r13 window as its only never-proven row
-    "stream-bm25",
+    # queries <=4" sequencing): the BM25 incremental-index twin and the
+    # index-deletion op completing the lifecycle triple — they lead the
+    # r13 window as its only never-proven rows
+    "stream-bm25", "ivfadc-delete",
     # remaining r8-proven rows (lead the r13 window)
     "asof-tolerance", "scrub-terms", "interval-join", "rollup-hypertable",
     "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",

@@ -1127,6 +1127,33 @@ def q_ivfadc_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shortlist_rerank(spark, sf_dir, base, score)
 
 
+#: the deletion slice: vec_id % 7 == 0 rows are TOMBSTONED — removed
+#: from the serving index without touching the quantizer or any other
+#: row's codes. Deterministic, so the oracle repeats it.
+DELETE_MOD = 7
+
+
+def q_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETION — the third index-lifecycle op (add =
+    `ivfadc-shard-merge` / `stream-knn-ivfadc`, re-train =
+    `ivfadc-cutover`, delete = this; FAISS's remove_ids posture): a
+    tombstone set drops out of the serving index as a stage-1 filter on
+    the stored codes — BEFORE any scoring, so deleted rows cost nothing
+    at serve time — and the quantizer, ncent, codebooks, and every
+    surviving row's codes are untouched. Because encoding is map-side
+    per row (`_ivfadc_encode`'s property), the tombstone-filtered index
+    is byte-identical to a frozen-quantizer re-encode of the surviving
+    corpus — deletion never forces a rebuild; compaction is an
+    OPTIONAL storage pass, not a correctness one (test-pinned). The
+    oracle is `knn-ivfadc`'s CTE family with the same tombstone
+    predicate on the shortlist scan; stage 2 re-ranks only shortlist
+    members, so a deleted vector can never re-enter through the exact
+    pass."""
+    base, score = _ivfadc_stage1(spark, sf_dir)
+    live = base.filter((F.col("vec_id") % DELETE_MOD) != 0)
+    return _shortlist_rerank(spark, sf_dir, live, score)
+
+
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn-pq` with the OPQ rotation on: codes, codebooks, and the ADC
     lookup table live in the ROTATED space (see `opq_rotation`); the
@@ -1553,6 +1580,18 @@ ORDER BY cos_sim DESC, n.vec_id LIMIT {KNN_K}
     )
 
 
+def _oracle_ivfadc_delete() -> str:
+    # knn-ivfadc's oracle with the tombstone predicate on the shortlist
+    # scan — the member_pred hook the IVF membership restriction already
+    # uses; the final re-rank joins the shortlist, so deleted vectors
+    # cannot re-enter
+    return _adc_oracle(
+        extra_ctes=_ivf_cells_cte(),
+        member_pred=f" AND codes.vec_id % {DELETE_MOD} != 0",
+        residual=True,
+    )
+
+
 def _oracle_knn_ivfadc_sl() -> str:
     # knn-ivfadc-np4's oracle with the shortlist LIMIT widened the same
     # way the engine widens it — the two per-query knobs parameterize the
@@ -1644,6 +1683,7 @@ QUERIES = {
     "ivfadc-sl-recall": q_ivfadc_sl_recall,
     "ivfadc-cutover": q_ivfadc_cutover,
     "ivfadc-shard-merge": q_ivfadc_shard_merge,
+    "ivfadc-delete": q_ivfadc_delete,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1668,6 +1708,7 @@ ORACLES = {
     # the merged index serves the single-build answer EXACTLY (map-side
     # per-row encode under the frozen quantizer) — oracle shared verbatim
     "ivfadc-shard-merge": _oracle_knn_ivfadc(),
+    "ivfadc-delete": _oracle_ivfadc_delete(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

@@ -399,6 +399,44 @@ def test_ivfadc_shard_merge_equals_single_build(spark):
     assert got == want
 
 
+def test_ivfadc_delete_tombstones_without_rebuild(spark):
+    """X3 index deletion (r12, the lifecycle triple's third op): the
+    tombstone-filtered index must (a) never serve a deleted vec_id,
+    (b) equal a frozen-quantizer re-encode of the surviving corpus
+    byte-for-byte (deletion never forces a rebuild — compaction is a
+    storage pass, not a correctness one), and (c) leave the stored fit
+    untouched (cache identity)."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
+    from rosbag2parquet_spark.functions.pq import (
+        DELETE_MOD,
+        _FIT_CACHE,
+        _ivfadc_encode,
+        _ivfadc_fit,
+        q_ivfadc_delete,
+    )
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    _, ncent, coded_full, books = _ivfadc_fit(spark, SF_DIR)
+    key = (spark.sparkContext.applicationId, SF_DIR, "ivfadc", False)
+    fit_before = _FIT_CACHE.get(key)
+    got = q_ivfadc_delete(spark, SF_DIR).collect()
+    assert len(got) == 10
+    assert all(r.vec_id % DELETE_MOD != 0 for r in got)
+    assert _FIT_CACHE.get(key) is fit_before
+    # tombstone-filter == re-encode of the surviving rows (frame compare)
+    centroids, _ = kmeans_fit_cached(spark, SF_DIR)
+    raw = load_table(spark, SF_DIR, "embeddings")
+    survivors = _ivfadc_encode(
+        raw.filter((F.col("vec_id") % DELETE_MOD) != 0),
+        centroids, ncent, books,
+    )
+    filtered = coded_full.filter((F.col("vec_id") % DELETE_MOD) != 0)
+    assert filtered.exceptAll(survivors).count() == 0
+    assert survivors.exceptAll(filtered).count() == 0
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,
