@@ -144,7 +144,7 @@ _QUERY_ORDER = [
     # queries <=4" sequencing): the BM25 incremental-index twin and the
     # index-deletion op completing the lifecycle triple — they lead the
     # r13 window as its only never-proven rows
-    "stream-bm25", "ivfadc-delete",
+    "stream-bm25", "ivfadc-delete", "stream-ivfadc-delete",
     # remaining r8-proven rows (lead the r13 window)
     "asof-tolerance", "scrub-terms", "interval-join", "rollup-hypertable",
     "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",

@@ -1053,6 +1053,36 @@ def q_stream_knn_ivfadc(
     a deeper running top-N state keeps more ADC candidates for the
     final exact re-rank — again only a serve parameter; live-at-(np4,
     sl100) == batch-at-(np4, sl100) is test-pinned the same way."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.pq import PQ_SHORTLIST, _exact_rerank
+    from rosbag2parquet_spark.streaming.stateful import running_topk
+
+    scored = _ivfadc_scored_stream(spark, sf_dir, nprobe)
+    tbl = _fresh("stream_knn_ivfadc")
+    depth = PQ_SHORTLIST if shortlist is None else shortlist
+    run_to_memory(running_topk(scored, depth), tbl, mode="append")
+    t = spark.table(tbl)
+    sl = (
+        t.withColumn("maxn", F.expr("max(n) OVER (PARTITION BY query_id)"))
+        .filter(F.col("n") == F.col("maxn"))
+        .select("vec_id")
+    )
+    # batch stage 2 (the shared helper): exact cosine over the ORIGINAL
+    # vectors for the shortlist only
+    return _exact_rerank(spark, sf_dir, sl)
+
+
+def _ivfadc_scored_stream(
+    spark: SparkSession, sf_dir: str, nprobe: "int | None" = None
+) -> DataFrame:
+    """The shared ingest kernel of the live IVFADC serves: one stateless
+    Arrow stage per arriving vector — frozen coarse argmin, probe-cell
+    drop BEFORE any scoring, bit-pinned encode, ADC score with the
+    batch serve's frozen constants — yielding (query_id, vec_id,
+    cos_sim) rows. `stream-knn-ivfadc` keeps a running top-N over it;
+    `stream-ivfadc-delete` appends it as the live scored log and
+    excludes tombstones at query time."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -1060,16 +1090,13 @@ def q_stream_knn_ivfadc(
     from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
     from rosbag2parquet_spark.functions.pq import (
         PQ_M,
-        PQ_SHORTLIST,
         PQ_SUB,
-        _exact_rerank,
         _ivfadc_cell_consts,
         _ivfadc_fit,
         _pq_frame,
         _query_lut_values,
     )
     from rosbag2parquet_spark.functions.similarity import KNN_QUERY_ID
-    from rosbag2parquet_spark.streaming.stateful import running_topk
 
     cells, ncent, _, books = _ivfadc_fit(spark, sf_dir)
     if nprobe is not None:
@@ -1139,21 +1166,66 @@ def q_stream_knn_ivfadc(
                 }
             )
 
-    scored = stream_embeddings(spark, sf_dir).mapInPandas(
+    return stream_embeddings(spark, sf_dir).mapInPandas(
         encode_and_score, "query_id long, vec_id long, cos_sim double"
     )
-    tbl = _fresh("stream_knn_ivfadc")
-    depth = PQ_SHORTLIST if shortlist is None else shortlist
-    run_to_memory(running_topk(scored, depth), tbl, mode="append")
-    t = spark.table(tbl)
-    shortlist = (
-        t.withColumn("maxn", F.expr("max(n) OVER (PARTITION BY query_id)"))
-        .filter(F.col("n") == F.col("maxn"))
+
+
+def q_stream_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE index deletion — the streaming twin of batch `ivfadc-delete`
+    (the lifecycle triple's third op, live): ADDS and TOMBSTONES both
+    arrive on streams, and the serve is correct under ANY interleaving —
+    including a delete arriving long after its add — because deletion is
+    a serve-time BITMAP, not a state mutation (Lucene's deleted-docs /
+    FAISS's IDSelector posture). The add stream runs the shared ingest
+    kernel (`_ivfadc_scored_stream`: probe-cell drop before scoring,
+    bit-pinned encode+ADC) and APPENDS the scored rows — this log is the
+    live index's probed slice for the fixed query; nothing is evicted at
+    ingest, which is exactly what makes retroactive deletion exact (a
+    tombstoned row inside any running top-N would have to be replaced by
+    the (N+1)th candidate the eviction already discarded). The tombstone
+    stream appends bare vec_ids. The finishing query anti-joins the
+    tombstone set, cuts the batch shortlist (score DESC, vec_id — the
+    same deterministic rule), and exact-re-ranks: batch `ivfadc-delete`'s
+    oracle VERBATIM, so the driver row proves add/delete interleave ==
+    rebuild-without-the-deleted. Stream==batch is also test-pinned."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.pq import (
+        DELETE_MOD,
+        PQ_SHORTLIST,
+        _exact_rerank,
+    )
+
+    scored = _ivfadc_scored_stream(spark, sf_dir)
+    tbl = _fresh("stream_ivfadc_del_scored")
+    run_to_memory(scored, tbl, mode="append")
+    # the tombstone channel: delete commands for the DELETE_MOD slice
+    # arrive as their own stream (in production a CDC topic; here the
+    # same landing replayed as commands — arrival order vs adds is
+    # irrelevant by the bitmap argument above)
+    tomb = (
+        stream_embeddings(spark, sf_dir)
+        .select("vec_id")
+        .filter((F.col("vec_id") % DELETE_MOD) == 0)
+    )
+    tomb_tbl = _fresh("stream_ivfadc_del_tomb")
+    run_to_memory(tomb, tomb_tbl, mode="append")
+    live = spark.table(tbl).join(
+        spark.table(tomb_tbl), "vec_id", "left_anti"
+    )
+    sl = (
+        live.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
         .select("vec_id")
     )
-    # batch stage 2 (the shared helper): exact cosine over the ORIGINAL
-    # vectors for the shortlist only
-    return _exact_rerank(spark, sf_dir, shortlist)
+    return _exact_rerank(spark, sf_dir, sl)
+
+
+def _ivfadc_delete_oracle() -> str:
+    from rosbag2parquet_spark.functions.pq import ORACLES as _PQ
+
+    return _PQ["ivfadc-delete"]
 
 
 def _knn_ivfadc_oracle() -> str:
@@ -1811,6 +1883,7 @@ QUERIES = {
     "stream-dedup": q_stream_dedup,
     "stream-resample": q_stream_resample,
     "stream-bm25": q_stream_bm25,
+    "stream-ivfadc-delete": q_stream_ivfadc_delete,
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-cdc-apply": q_stream_cdc_apply,
     "stream-knn-ivf": q_stream_knn_ivf,
@@ -1873,6 +1946,7 @@ ORACLES = {
     "stream-scd2": _scd2_oracle(),
     "stream-dedup": _dedup_exact_oracle(),
     "stream-bm25": _bm25_oracle(),
+    "stream-ivfadc-delete": _ivfadc_delete_oracle(),
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
     "stream-cdc-apply": _cdc_evolve_oracle(),

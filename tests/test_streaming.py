@@ -188,6 +188,30 @@ def test_stream_knn_ivfadc_per_query_shortlist_equals_batch(spark):
 
 
 @pytest.mark.slow
+def test_stream_ivfadc_delete_equals_batch(spark):
+    """X3/X11 (r12): adds and tombstones interleaving on streams must
+    serve exactly the batch tombstone-filtered index — deletion is a
+    serve-time bitmap, so arrival order (even delete-after-add) cannot
+    change the answer; no deleted vec_id appears."""
+    from rosbag2parquet_spark.functions.pq import DELETE_MOD, q_ivfadc_delete
+    from rosbag2parquet_spark.streaming.queries import q_stream_ivfadc_delete
+
+    batch = [
+        tuple(r)
+        for r in q_ivfadc_delete(spark, SF_DIR)
+        .select("vec_id", "label", "cos_sim")
+        .collect()
+    ]
+    streamed_df = q_stream_ivfadc_delete(spark, SF_DIR)
+    streamed = [
+        tuple(r)
+        for r in streamed_df.select("vec_id", "label", "cos_sim").collect()
+    ]
+    assert streamed == batch
+    assert all(v % DELETE_MOD != 0 for v, _, _ in streamed)
+
+
+@pytest.mark.slow
 def test_stream_bm25_equals_batch(spark):
     """X4/X11 (r12): the incrementally-built BM25 forward index must
     score IDENTICALLY to the batch pass once drained — same top-20,
