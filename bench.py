@@ -135,8 +135,10 @@ EXTENDED = [
     "knn-ivfadc-sl",
     "ivfadc-cutover",
     # round-12: the shard-merged index serve (two map-side shard encodes
-    # + union — prices the zero-coordination multi-worker build)
+    # + union — prices the zero-coordination multi-worker build) and the
+    # tombstone-filtered serve (stage-1 filter; prices nothing extra)
     "ivfadc-shard-merge",
+    "ivfadc-delete",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

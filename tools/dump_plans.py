@@ -278,6 +278,7 @@ def main() -> None:
         "knn-ivfadc-sl",
         "ivfadc-cutover",
         "ivfadc-shard-merge",
+        "ivfadc-delete",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
