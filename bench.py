@@ -139,6 +139,9 @@ EXTENDED = [
     # tombstone-filtered serve (stage-1 filter; prices nothing extra)
     "ivfadc-shard-merge",
     "ivfadc-delete",
+    # round-12: the recall@shortlist sensitivity table (one ADC scan,
+    # four prefix cuts + shortlist-sized exact re-ranks)
+    "ivf-shortlist-curve",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

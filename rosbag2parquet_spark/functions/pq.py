@@ -1042,6 +1042,61 @@ def q_ivfadc_sl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shortlist depths of the measured recall@shortlist curve: below the
+#: deployed 50, the deployed 50 (ties `ivfadc-np4-recall`), the measured
+#: knee at 60, and the deployed-deep 100 (`knn-ivfadc-sl`)
+SHORTLIST_CURVE = (25, 50, 60, 100)
+
+
+def q_ivf_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall@shortlist SENSITIVITY CURVE — `ivf-nprobe-curve`'s
+    twin for the serve's SECOND knob, making the measured numbers that
+    chose IVFADC_SL_DEEP=100 a driver-proven table instead of a
+    docstring claim (and a tripwire: a fixture regen that moves the
+    knee shows up as a changed row, not a silently-stale constant).
+    One row per depth at the fixed deeper probe (nprobe=4, where the
+    shortlist — not the probe set — binds at sf0.01).
+
+    Economics mirror the nprobe curve: the ADC ranking is computed ONCE
+    (one scan of the probed cells' codes, materialized — KNN-score-table
+    sized), then every curve point is a prefix cut + its own exact
+    re-rank (reads at most `depth` float rows) + an overlap count
+    against the exact top-k ids inlined as literals. At 100 TB the
+    curve costs one code scan plus four shortlist-sized float reads."""
+    from functools import reduce
+
+    from rosbag2parquet_spark.functions.similarity import q_knn
+
+    base, score = _ivfadc_stage1(spark, sf_dir, nprobe=IVFADC_NP_DEEP)
+    scored = base.select(
+        "vec_id", F.expr(score).alias("adc")
+    ).localCheckpoint(eager=True)
+    exact_ids = [
+        int(r["vec_id"])
+        for r in q_knn(spark, sf_dir).select("vec_id").collect()
+    ]
+    pieces = []
+    for d in SHORTLIST_CURVE:
+        sl = (
+            scored.orderBy(F.desc("adc"), F.asc("vec_id"))
+            .limit(d)
+            .select("vec_id")
+        )
+        rr = _exact_rerank(spark, sf_dir, sl).select("vec_id")
+        pieces.append(
+            rr.filter(F.col("vec_id").isin(exact_ids))
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .select(
+                F.lit(d).cast("int").alias("shortlist"),
+                "n_overlap",
+                F.expr(
+                    f"CAST(n_overlap * 10000 div {KNN_K} AS BIGINT)"
+                ).alias("recall_bps"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), pieces).orderBy("shortlist")
+
+
 #: the cutover migration slice: vec_id % 2 == 0 rows have been
 #: RE-ENCODED into the new (rotated) index; odd rows still serve from
 #: the old (identity) index — the mid-migration state the registered
@@ -1500,6 +1555,118 @@ def _oracle_knn_ivfadc_np4() -> str:
     )
 
 
+def _adc_lut_ctes(pfx: str, dsrc: str) -> str:
+    """The residual-ADC LUT + cell-constant CTEs over a (possibly
+    prefixed) `_pq_cte_sql` chain — shared by the cutover and
+    shortlist-curve oracles (the `_adc_oracle` construction factored
+    for multi-chain / multi-cut statements)."""
+    out = ",".join(
+        f"""
+{pfx}lut_{m} AS MATERIALIZED (
+  SELECT c.cl, CAST(sum(CAST(c.m * d.x AS {_DEC})) AS DOUBLE) AS v
+  FROM {pfx}c{PQ_N_ITER}_{m} c
+  JOIN {dsrc} d ON d.pos = c.pos AND d.vec_id = {KNN_QUERY_ID}
+  GROUP BY c.cl
+)"""
+        for m in range(PQ_M)
+    )
+    return (
+        out
+        + f""",
+{pfx}cellconst AS MATERIALIZED (
+  SELECT nc.cl, CAST(sum(CAST(nc.m * d.x AS {_DEC})) AS DOUBLE) AS v
+  FROM {pfx}ncent nc
+  JOIN {dsrc} d ON d.pos = nc.pos AND d.vec_id = {KNN_QUERY_ID}
+  GROUP BY nc.cl
+)"""
+    )
+
+
+def _adc_shortlist_cte(
+    pfx: str, name: str, side_pred: str = "TRUE", limit: "int | None" = None
+) -> str:
+    """One stage-1 ADC shortlist CTE (leading comma included) over a
+    (possibly prefixed) chain + its `_adc_lut_ctes` — probe-cell
+    restricted, deterministic (score DESC, vec_id) cut at ``limit``
+    (deployed PQ_SHORTLIST when None)."""
+    from rosbag2parquet_spark.functions.kmeans import N_ITER as _KM_N
+
+    score = f"{pfx}cellconst.v + " + " + ".join(
+        f"{pfx}lut_{m}.v" for m in range(PQ_M)
+    )
+    joins = (
+        f"JOIN km_a{_KM_N} ka ON ka.vec_id = {pfx}codes.vec_id "
+        f"JOIN {pfx}cellconst ON {pfx}cellconst.cl = ka.cl "
+        + " ".join(
+            f"JOIN {pfx}lut_{m} ON {pfx}lut_{m}.cl = {pfx}codes.c{m}"
+            for m in range(PQ_M)
+        )
+    )
+    return f""",
+{name} AS MATERIALIZED (
+  SELECT {pfx}codes.vec_id
+  FROM {pfx}codes {joins}
+  WHERE {pfx}codes.vec_id != {KNN_QUERY_ID} AND {side_pred}
+    AND ka.cl IN (SELECT cl FROM ivf_cells)
+  ORDER BY {score} DESC, {pfx}codes.vec_id LIMIT {PQ_SHORTLIST if limit is None else limit}
+)"""
+
+
+def _oracle_ivf_shortlist_curve() -> str:
+    """One residual chain + per-depth shortlist CTEs off the SAME luts
+    (the engine's one-scan-many-cuts shape), per-depth exact re-rank in
+    the ADC oracle's normalized form, overlap vs the exact top-k in
+    ORACLE_KNN's raw-quotient form — each side the formulation its
+    engine twin is hash-proven against."""
+    from rosbag2parquet_spark.functions.similarity import KNN_QUERY_ID as _Q
+
+    sls = "".join(
+        _adc_shortlist_cte("", f"sl_{d}", limit=d) for d in SHORTLIST_CURVE
+    )
+    score6 = (
+        "round(list_dot_product(e.embedding::DOUBLE[], qraw.qe)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])) * sqrt(list_dot_product(qraw.qe,"
+        " qraw.qe))), 6)"
+    )
+    rrs = "".join(
+        f""",
+rr_{d} AS (
+  SELECT n.vec_id FROM n JOIN sl_{d} USING (vec_id) CROSS JOIN q
+  ORDER BY round(list_dot_product(n.en, q.qen), 6) DESC, n.vec_id
+  LIMIT {KNN_K}
+)"""
+        for d in SHORTLIST_CURVE
+    )
+    rows = " UNION ALL ".join(
+        f"""
+SELECT CAST({d} AS INTEGER) AS shortlist,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       CAST(count(*) * 10000 // {KNN_K} AS BIGINT) AS recall_bps
+FROM exact JOIN rr_{d} USING (vec_id)"""
+        for d in SHORTLIST_CURVE
+    )
+    return (
+        _pq_cte_sql(residual=True)
+        + _ivf_cells_cte(IVFADC_NP_DEEP)
+        + ","
+        + _adc_lut_ctes("", "dims")
+        + sls
+        + f""",
+q AS (SELECT en AS qen FROM n WHERE vec_id = {_Q}),
+qraw AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {_Q}),
+exact AS (
+  SELECT e.vec_id FROM embeddings e, qraw
+  WHERE e.vec_id != {_Q}
+  ORDER BY {score6} DESC, e.vec_id LIMIT {KNN_K}
+)"""
+        + rrs
+        + "\nSELECT * FROM ("
+        + rows
+        + "\n) ORDER BY shortlist\n"
+    )
+
+
 def _oracle_ivfadc_cutover() -> str:
     """The cutover oracle: BOTH index chains in one statement — the old
     identity-residual chain unprefixed, the new rotated-residual chain
@@ -1508,51 +1675,6 @@ def _oracle_ivfadc_cutover() -> str:
     CTEs, each shortlist sliced to its migration side, UNION (dedupe by
     vec_id) into one exact re-rank. Mirrors `_ivfadc_cutover_search`
     term for term."""
-    from rosbag2parquet_spark.functions.kmeans import N_ITER as _KM_N
-
-    def luts(pfx: str, dsrc: str) -> str:
-        out = ",".join(
-            f"""
-{pfx}lut_{m} AS MATERIALIZED (
-  SELECT c.cl, CAST(sum(CAST(c.m * d.x AS {_DEC})) AS DOUBLE) AS v
-  FROM {pfx}c{PQ_N_ITER}_{m} c
-  JOIN {dsrc} d ON d.pos = c.pos AND d.vec_id = {KNN_QUERY_ID}
-  GROUP BY c.cl
-)"""
-            for m in range(PQ_M)
-        )
-        return (
-            out
-            + f""",
-{pfx}cellconst AS MATERIALIZED (
-  SELECT nc.cl, CAST(sum(CAST(nc.m * d.x AS {_DEC})) AS DOUBLE) AS v
-  FROM {pfx}ncent nc
-  JOIN {dsrc} d ON d.pos = nc.pos AND d.vec_id = {KNN_QUERY_ID}
-  GROUP BY nc.cl
-)"""
-        )
-
-    def sl(pfx: str, name: str, side_pred: str) -> str:
-        score = f"{pfx}cellconst.v + " + " + ".join(
-            f"{pfx}lut_{m}.v" for m in range(PQ_M)
-        )
-        joins = (
-            f"JOIN km_a{_KM_N} ka ON ka.vec_id = {pfx}codes.vec_id "
-            f"JOIN {pfx}cellconst ON {pfx}cellconst.cl = ka.cl "
-            + " ".join(
-                f"JOIN {pfx}lut_{m} ON {pfx}lut_{m}.cl = {pfx}codes.c{m}"
-                for m in range(PQ_M)
-            )
-        )
-        return f""",
-{name} AS MATERIALIZED (
-  SELECT {pfx}codes.vec_id
-  FROM {pfx}codes {joins}
-  WHERE {pfx}codes.vec_id != {KNN_QUERY_ID} AND {side_pred}
-    AND ka.cl IN (SELECT cl FROM ivf_cells)
-  ORDER BY {score} DESC, {pfx}codes.vec_id LIMIT {PQ_SHORTLIST}
-)"""
-
     old_chain = _pq_cte_sql(rotated=False, residual=True)
     new_chain = _pq_cte_sql(
         rotated=True, residual=True, prefix="nw_", emit_km=False
@@ -1564,11 +1686,15 @@ def _oracle_ivfadc_cutover() -> str:
         + new_chain[len("WITH ") :]
         + _ivf_cells_cte()
         + ","
-        + luts("", "dims")
+        + _adc_lut_ctes("", "dims")
         + ","
-        + luts("nw_", "nw_rdims")
-        + sl("", "sl_old", f"codes.vec_id % {CUTOVER_MOD} != 0")
-        + sl("nw_", "sl_new", f"nw_codes.vec_id % {CUTOVER_MOD} = 0")
+        + _adc_lut_ctes("nw_", "nw_rdims")
+        + _adc_shortlist_cte(
+            "", "sl_old", f"codes.vec_id % {CUTOVER_MOD} != 0"
+        )
+        + _adc_shortlist_cte(
+            "nw_", "sl_new", f"nw_codes.vec_id % {CUTOVER_MOD} = 0"
+        )
         + f""",
 shortlist AS (SELECT vec_id FROM sl_old UNION SELECT vec_id FROM sl_new),
 q AS (SELECT en AS qen FROM n WHERE vec_id = {KNN_QUERY_ID})
@@ -1684,6 +1810,7 @@ QUERIES = {
     "ivfadc-cutover": q_ivfadc_cutover,
     "ivfadc-shard-merge": q_ivfadc_shard_merge,
     "ivfadc-delete": q_ivfadc_delete,
+    "ivf-shortlist-curve": q_ivf_shortlist_curve,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1709,6 +1836,7 @@ ORACLES = {
     # per-row encode under the frozen quantizer) — oracle shared verbatim
     "ivfadc-shard-merge": _oracle_knn_ivfadc(),
     "ivfadc-delete": _oracle_ivfadc_delete(),
+    "ivf-shortlist-curve": _oracle_ivf_shortlist_curve(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

@@ -437,6 +437,27 @@ def test_ivfadc_delete_tombstones_without_rebuild(spark):
     assert survivors.exceptAll(filtered).count() == 0
 
 
+def test_ivf_shortlist_curve_monotone_and_anchored(spark):
+    """X3 (r12): the recall@shortlist curve must be monotone
+    non-decreasing in depth (a deeper cut re-ranks a superset of the
+    same ADC ranking's prefix), and its depth-50 point must equal the
+    registered (np4, sl=deployed-50) recall row — the curve and the
+    serve measure the same thing."""
+    from rosbag2parquet_spark.functions.pq import (
+        SHORTLIST_CURVE,
+        q_ivf_shortlist_curve,
+        q_ivfadc_np4_recall,
+    )
+
+    rows = q_ivf_shortlist_curve(spark, SF_DIR).collect()
+    assert [r.shortlist for r in rows] == sorted(SHORTLIST_CURVE)
+    overlaps = [r.n_overlap for r in rows]
+    assert all(a <= b for a, b in zip(overlaps, overlaps[1:]))
+    by_depth = {r.shortlist: r.n_overlap for r in rows}
+    anchored = q_ivfadc_np4_recall(spark, SF_DIR).collect()[0]["n_overlap"]
+    assert by_depth[50] == anchored
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,

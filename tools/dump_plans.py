@@ -279,6 +279,7 @@ def main() -> None:
         "ivfadc-cutover",
         "ivfadc-shard-merge",
         "ivfadc-delete",
+        "ivf-shortlist-curve",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
