@@ -145,7 +145,7 @@ _QUERY_ORDER = [
     # index-deletion op completing the lifecycle triple — they lead the
     # r13 window as its only never-proven rows
     "stream-bm25", "ivfadc-delete", "stream-ivfadc-delete",
-    "ivf-shortlist-curve",
+    "ivf-shortlist-curve", "ivfadc-persist",
     # remaining r8-proven rows (lead the r13 window)
     "asof-tolerance", "scrub-terms", "interval-join", "rollup-hypertable",
     "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",

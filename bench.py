@@ -142,6 +142,9 @@ EXTENDED = [
     # round-12: the recall@shortlist sensitivity table (one ADC scan,
     # four prefix cuts + shortlist-sized exact re-ranks)
     "ivf-shortlist-curve",
+    # round-12: serve from the persisted index (build+write memoized;
+    # the steady-state cost is the cold-artifact read path)
+    "ivfadc-persist",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -46,6 +46,8 @@ bit-exact cross-engine.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -908,6 +910,22 @@ def _ivfadc_stage1(
         cells, _ = _ivf_probe_cells(
             spark, sf_dir, load_table(spark, sf_dir, "embeddings"), nprobe
         )
+    score = _ivfadc_score_expr(spark, sf_dir, ncent, books, rotated)
+    base = coded.filter(F.col("vec_id") != KNN_QUERY_ID).filter(
+        F.col("cluster").isin([int(c) for c in cells])
+    )
+    return base, score
+
+
+def _ivfadc_score_expr(
+    spark: SparkSession, sf_dir: str, ncent, books, rotated: bool = False
+) -> str:
+    """The ADC score expression for ONE query against given quantizer
+    constants — per-cell constant + PQ_M LUT lookups, fixed addition
+    order. Takes ncent/books as VALUES (not the fit cache) so a serve
+    can run from stored artifacts alone (`ivfadc-persist`); the query
+    representation (`_pq_frame`) is computed at search time like every
+    serve — it is a property of the query, not of the stored index."""
     # the query in the codes' basis: `_pq_frame` is the same
     # normalize[+quantized-rotate] pipeline the fit ran
     qen = [
@@ -921,7 +939,7 @@ def _ivfadc_stage1(
     # the IVFADC decomposition's extra term (shared helper — the
     # streaming append twin uses the same values)
     consts = _ivfadc_cell_consts(ncent, qen)
-    score = (
+    return (
         "element_at(array("
         + ",".join(f"{v!r}D" for v in consts)
         + "), cluster + 1)"
@@ -929,10 +947,6 @@ def _ivfadc_stage1(
             f" + element_at({lut_lit[m]}, c{m} + 1)" for m in range(PQ_M)
         )
     )
-    base = coded.filter(F.col("vec_id") != KNN_QUERY_ID).filter(
-        F.col("cluster").isin([int(c) for c in cells])
-    )
-    return base, score
 
 
 def q_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,6 +1221,73 @@ def q_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, score = _ivfadc_stage1(spark, sf_dir)
     live = base.filter((F.col("vec_id") % DELETE_MOD) != 0)
     return _shortlist_rerank(spark, sf_dir, live, score)
+
+
+def q_ivfadc_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index PERSISTENCE — FAISS's write_index/read_index: the stored
+    index is codes-as-parquet (the distributable part — at 100 TB the
+    only corpus-sized artifact, partitionable like any table) plus a
+    tiny quantizer side-car (probe cells, exact-decimal ncent, residual
+    codebooks — kilobytes, shipped to every serving session). The serve
+    path (`_ivfadc_serve_from`) reads ONLY those artifacts: no fit, no
+    training pass, no touch of the in-session fit cache (test-pinned by
+    clearing it and serving again) — the operational claim that an index
+    built once serves from cold storage forever. The query-side
+    representation is computed at search time from the query vector
+    alone, exactly like every serve (it is a property of the query, not
+    the index). JSON round-trips Python floats exactly (repr-based), so
+    LUTs and cell constants rebuilt from the side-car are bit-identical
+    to the build session's — `knn-ivfadc`'s oracle is shared VERBATIM.
+    The parquet+side-car layout is memoized per fixture like
+    `incr-rollup`'s stored rollup (atomic rename; concurrent builders
+    converge on identical content — every artifact is deterministic)."""
+    import json
+    import tempfile
+
+    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        tempfile.gettempdir(), "rosbag2parquet_spark_ivfadc_index"
+    )
+    base = os.path.join(root, tag)
+    if not os.path.isdir(base):
+        os.makedirs(root, exist_ok=True)
+        work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
+        coded.write.parquet(os.path.join(work, "codes"))
+        with open(os.path.join(work, "quantizer.json"), "w") as f:
+            json.dump(
+                {
+                    "cells": [int(c) for c in cells],
+                    "ncent": ncent,
+                    "books": books,
+                },
+                f,
+            )
+        try:
+            os.rename(work, base)
+        except OSError:
+            pass  # another builder won the race; content identical
+    return _ivfadc_serve_from(spark, sf_dir, base)
+
+
+def _ivfadc_serve_from(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve from a PERSISTED index directory alone (codes parquet +
+    quantizer side-car) — no `_ivfadc_fit`, no training, no fit-cache
+    access; the `ivfadc-persist` read path, callable from any session."""
+    import json
+
+    with open(os.path.join(index_dir, "quantizer.json")) as f:
+        meta = json.load(f)
+    coded = spark.read.parquet(os.path.join(index_dir, "codes"))
+    score = _ivfadc_score_expr(
+        spark, sf_dir, meta["ncent"], meta["books"]
+    )
+    base = coded.filter(F.col("vec_id") != KNN_QUERY_ID).filter(
+        F.col("cluster").isin([int(c) for c in meta["cells"]])
+    )
+    return _shortlist_rerank(spark, sf_dir, base, score)
 
 
 def q_knn_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1811,6 +1892,7 @@ QUERIES = {
     "ivfadc-shard-merge": q_ivfadc_shard_merge,
     "ivfadc-delete": q_ivfadc_delete,
     "ivf-shortlist-curve": q_ivf_shortlist_curve,
+    "ivfadc-persist": q_ivfadc_persist,
     "knn-opq": q_knn_opq,
     "opq-recall": q_opq_recall,
     "pq-pack": q_pq_pack,
@@ -1837,6 +1919,9 @@ ORACLES = {
     "ivfadc-shard-merge": _oracle_knn_ivfadc(),
     "ivfadc-delete": _oracle_ivfadc_delete(),
     "ivf-shortlist-curve": _oracle_ivf_shortlist_curve(),
+    # the persisted index serves the build session's answer EXACTLY
+    # (repr-exact JSON floats, deterministic codes) — oracle verbatim
+    "ivfadc-persist": _oracle_knn_ivfadc(),
     "knn-opq": _oracle_knn_opq(),
     "opq-recall": _oracle_opq_recall(),
     "pq-pack": _oracle_pq_pack(),

@@ -458,6 +458,44 @@ def test_ivf_shortlist_curve_monotone_and_anchored(spark):
     assert by_depth[50] == anchored
 
 
+def test_ivfadc_persist_serves_from_cold_artifacts(spark):
+    """X3 index persistence (r12): after the index is written, the
+    serve path must run from the stored artifacts ALONE — fit cache
+    cleared, no retrain triggered (cache stays empty), answer equal to
+    the in-session `knn-ivfadc` row-for-row. The write_index/read_index
+    operational claim."""
+    from rosbag2parquet_spark.functions.pq import (
+        _FIT_CACHE,
+        _ivfadc_serve_from,
+        q_ivfadc_persist,
+        q_knn_ivfadc,
+    )
+
+    want = [tuple(r) for r in q_knn_ivfadc(spark, SF_DIR).collect()]
+    got = [tuple(r) for r in q_ivfadc_persist(spark, SF_DIR).collect()]
+    assert got == want
+    import os
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "rosbag2parquet_spark_ivfadc_index",
+        os.path.basename(os.path.normpath(SF_DIR)),
+    )
+    saved = dict(_FIT_CACHE)
+    try:
+        _FIT_CACHE.clear()
+        cold = [
+            tuple(r)
+            for r in _ivfadc_serve_from(spark, SF_DIR, base).collect()
+        ]
+        assert cold == want
+        ivfadc_keys = [k for k in _FIT_CACHE if "ivfadc" in str(k)]
+        assert ivfadc_keys == []  # the cold serve trained nothing
+    finally:
+        _FIT_CACHE.update(saved)
+
+
 def test_knn_pq_packed_equals_unpacked_serve(spark):
     """X3 packed serve: the ADC search reading ONLY the 4 nibble-packed
     byte columns must return EXACTLY `knn-pq`'s answer — same codes,

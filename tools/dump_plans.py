@@ -280,6 +280,7 @@ def main() -> None:
         "ivfadc-shard-merge",
         "ivfadc-delete",
         "ivf-shortlist-curve",
+        "ivfadc-persist",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
