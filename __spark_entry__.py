@@ -100,65 +100,44 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-12 ROTATION (executing the r11 verdict's sequencing): 4 NEW rows
-# lead — the per-query ADC shortlist depth (the binder `ivfadc-np4-recall`
-# measured: 9/10 at (np4, sl50); the deeper (np4, sl100) serve reaches the
-# exact-scan ceiling 10/10 at sf0.01), the index-lifecycle cutover
-# (old identity index + re-trained OPQ index coexisting mid-migration,
-# SURVEY §7.2 #2), and the shard-merge build (two independently-encoded
-# halves union into the single-build index — knn-ivfadc's oracle
-# verbatim). No answer-changed rows this round (the advisor fixes harden
-# vintage dispatch, values unchanged). Slots 5-33 take ALL 29 remaining
-# r7-proven rows; slots 34-50 the oldest r8 rows, the TPC-H sql-q3..q22
-# block first (the most user-visible stale surface), then
-# stream-neardup/stream-profile. Freshness histogram going into r12:
-# r7:29, r8:41, r9:50, r10:38, r11:50. After this window: r8:24, r9:50,
-# r10:38, r11:50, r12:50 (46 rotated + 4 new) — nothing older than r8;
-# r13 clears the remaining 24 r8 rows as planned.
+# ROUND-13 ROTATION (executing the r12 verdict's sequencing): 2 NEW rows
+# lead — the IVFADC storage COMPACTION pass (verdict #3: rewrite the
+# surviving codes, drop the tombstone set; `ivfadc-delete`'s oracle
+# verbatim proves rewrite == filter) and the LIVE cutover twin (verdict
+# #4: migrated vectors stream into the new rotated index while old
+# slices keep serving — batch `ivfadc-cutover`'s oracle verbatim). No
+# answer-changed rows (the r12 advisor fixes change artifact keying and
+# error faces, not values). Slots 3-7 take the 5 late-r12 rows that have
+# never had a driver row (built after the r12 window froze); slots 8-31
+# ALL 24 remaining r8-proven rows; slots 32-50 the 19 oldest r9 rows.
+# Freshness histogram going into r13: r8:24, r9:50, r10:38, r11:50,
+# r12:50 (+5 never-proven). After this window nothing is older than r9;
+# r14's window clears the remaining 31 r9 rows and starts on r10.
 _QUERY_ORDER = [
-    # --- r12 window --------------------------------------------------------
-    # NEW round 12: the ADC shortlist as a per-query serve parameter
-    # (FAISS's k_factor; completes the tuning story nprobe started —
-    # measured knee at sl=60, deployed 100 = 2x) + its 10/10 recall row,
-    # the quantizer re-train/cutover twin (two coexisting indexes, one
-    # serve surface, endpoints == pure-old / rebuilt-new test-pinned),
-    # and the shard-merge build (independent encodes union into the
-    # single-build index byte-identically — the multi-worker story)
-    "knn-ivfadc-sl", "ivfadc-sl-recall", "ivfadc-cutover",
-    "ivfadc-shard-merge",
-    # r7-proven rows (the oldest driver rows — ALL 29 re-proven here)
-    "snapshot-read", "dedup-editdist", "pseudonymize", "schema-evolution",
-    "scrub-dup-spans", "protobuf-roundtrip", "convert-resume", "analyze-table",
-    "delete-rows", "stream-analyze", "stream-asof", "export-roundtrip",
-    "stream-knn", "lm-surprise", "ewma", "stream-ewma", "scd2-asof",
-    "compact-files", "merge-upsert", "compact-partitioned",
-    "stream-merge-upsert", "gap-detect", "stream-gap-detect", "heavy-hitters",
-    "stream-heavy-hitters", "asof-nearest", "resample-interpolate",
-    "stream-sliding", "stream-sessionize",
-    # r8-proven rows, TPC-H block first, then the next-oldest three
-    "sql-q8", "sql-q21", "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
-    "sql-q17", "sql-q19", "sql-q22", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
-    "sql-q18", "stream-neardup", "stream-profile",
-    # --- window ends here (50) ---------------------------------------------
-    # NEW round 12, built past the window (the r11 verdict's "keep new
-    # queries <=4" sequencing): the BM25 incremental-index twin and the
-    # index-deletion op completing the lifecycle triple — they lead the
-    # r13 window as its only never-proven rows
+    # --- r13 window --------------------------------------------------------
+    # NEW round 13: the compaction storage pass (delete's optional pass
+    # made provable — serves with NO tombstone predicate from a rewritten
+    # artifact) and the zero-downtime live migration serve
+    "ivfadc-compact", "stream-ivfadc-cutover",
+    # late-r12 rows with no driver row yet (replica-green both fixtures)
     "stream-bm25", "ivfadc-delete", "stream-ivfadc-delete",
     "ivf-shortlist-curve", "ivfadc-persist",
-    # remaining r8-proven rows (lead the r13 window)
+    # r8-proven rows (the oldest driver rows — ALL 24 re-proven here)
     "asof-tolerance", "scrub-terms", "interval-join", "rollup-hypertable",
     "top-terms", "outer-join", "salted-agg", "dedup-clusters", "like-filter",
     "anti-join", "range-join", "intersect", "scalar-funcs", "pivot", "unpivot",
     "histogram", "embed-quantize", "stratified-sample", "temperature-sample",
     "stream-drift", "volume-trend", "stream-numeric-drift",
-    "stream-volume-trend",
-    # r9-proven (rotate to the back)
-    "knn-quantized", "stream-sink", "approx-stats", "compact-latest", "funnel",
+    "stream-volume-trend", "knn-quantized",
+    # the 19 oldest r9-proven rows fill the window
+    "stream-sink", "approx-stats", "compact-latest", "funnel",
     "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
     "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
     "dedup-normalized", "rolling-window", "sql-q2", "sql-q9", "sql-q11",
-    "sql-q16", "sql-q20", "repetition-score", "bm25-search", "stream-dedup",
+    "sql-q16", "sql-q20",
+    # --- window ends here (50) ---------------------------------------------
+    # remaining r9-proven rows (lead the r14 window)
+    "repetition-score", "bm25-search", "stream-dedup",
     "bucket-join", "join", "salted-join", "tokenize-chunk", "markov-chain",
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",
@@ -189,6 +168,20 @@ _QUERY_ORDER = [
     "stream-funnel", "vacuum", "doc-keywords", "json-roundtrip",
     "validate-constraints",
     "stream-validate",
+    # r12-proven (freshest — the r12 window, in its proven order)
+    "knn-ivfadc-sl", "ivfadc-sl-recall", "ivfadc-cutover",
+    "ivfadc-shard-merge",
+    "snapshot-read", "dedup-editdist", "pseudonymize", "schema-evolution",
+    "scrub-dup-spans", "protobuf-roundtrip", "convert-resume", "analyze-table",
+    "delete-rows", "stream-analyze", "stream-asof", "export-roundtrip",
+    "stream-knn", "lm-surprise", "ewma", "stream-ewma", "scd2-asof",
+    "compact-files", "merge-upsert", "compact-partitioned",
+    "stream-merge-upsert", "gap-detect", "stream-gap-detect", "heavy-hitters",
+    "stream-heavy-hitters", "asof-nearest", "resample-interpolate",
+    "stream-sliding", "stream-sessionize",
+    "sql-q8", "sql-q21", "sql-q4", "sql-q7", "sql-q13", "sql-q14", "sql-q15",
+    "sql-q17", "sql-q19", "sql-q22", "sql-q3", "sql-q5", "sql-q6", "sql-q10",
+    "sql-q18", "stream-neardup", "stream-profile",
 ]
 
 

@@ -145,6 +145,10 @@ EXTENDED = [
     # round-12: serve from the persisted index (build+write memoized;
     # the steady-state cost is the cold-artifact read path)
     "ivfadc-persist",
+    # round-13: the compaction storage pass (rewrite surviving codes,
+    # then serve tombstone-free from the rewritten artifact — prices the
+    # rewrite on first invocation, the filter-free serve after)
+    "ivfadc-compact",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -65,6 +65,29 @@ def schema_fingerprint(schema) -> str:
     return hashlib.md5(canon.encode()).hexdigest()
 
 
+def _read_existing_schema(spark: SparkSession, path: str):
+    """The existing table's schema under the mergeSchema determinism rule
+    (see the callers' docstrings). On an EXTERNALLY-produced table whose
+    files carry genuinely conflicting types for one column, Spark's
+    schema merge itself fails — re-raised here as the append guard's
+    structured refusal (r12 advisor), so incompatible tables are
+    rejected with the same actionable never-silently-coerced message on
+    both code paths instead of surfacing a raw merge exception."""
+    try:
+        return spark.read.option("mergeSchema", "true").parquet(path).schema
+    except Exception as e:
+        # only the schema-merge conflict is ours to translate; anything
+        # else (missing files, permissions) keeps its original face
+        if "merg" not in str(e).lower():
+            raise
+        raise ValueError(
+            f"append to {path}: existing files carry conflicting types "
+            f"for the same column (schema merge failed: "
+            f"{str(e).splitlines()[0]}) — type changes are never "
+            "silently coerced"
+        ) from e
+
+
 def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: bool = False):
     """Refuse to append into an existing table whose schema fingerprint
     differs — silent unionByName coercion would mask exactly the drift the
@@ -87,9 +110,7 @@ def assert_append_compatible(spark: SparkSession, path: str, schema, evolve: boo
     vary run to run; the merged schema is the true union and is stable."""
     if not os.path.isdir(path):
         return None
-    existing = (
-        spark.read.option("mergeSchema", "true").parquet(path).schema
-    )
+    existing = _read_existing_schema(spark, path)
     if evolve:
         old = {f.name: f.dataType.simpleString() for f in existing.fields}
         new = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -171,9 +192,7 @@ def _pad_append_trailing(
     into a mixed table keep stamping."""
     if not os.path.isdir(path):
         return df
-    existing = (
-        spark.read.option("mergeSchema", "true").parquet(path).schema
-    )
+    existing = _read_existing_schema(spark, path)
     have = [f.name for f in existing.fields]
     extra = [c for c in df.columns if c not in have]
     if (

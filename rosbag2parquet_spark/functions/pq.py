@@ -58,7 +58,7 @@ from rosbag2parquet_spark.functions.similarity import (
     _dec12,
     _normalized,
 )
-from rosbag2parquet_spark.sources.catalog import load_table
+from rosbag2parquet_spark.sources.catalog import load_table, publish_scratch
 
 PQ_M = 8  # subspaces
 PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = EMBED_DIM = 64)
@@ -1241,11 +1241,47 @@ def q_ivfadc_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     The parquet+side-car layout is memoized per fixture like
     `incr-rollup`'s stored rollup (atomic rename; concurrent builders
     converge on identical content — every artifact is deterministic)."""
+    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
+    base = _ivfadc_store(spark, sf_dir, coded, cells, ncent, books)
+    return _ivfadc_serve_from(spark, sf_dir, base)
+
+
+def _ivfadc_store(
+    spark: SparkSession,
+    sf_dir: str,
+    coded: DataFrame,
+    cells,
+    ncent,
+    books,
+    variant: str = "full",
+) -> str:
+    """Write-once layout of a serving IVFADC index under /tmp: the codes
+    parquet + the quantizer side-car, returned as the directory
+    `_ivfadc_serve_from` reads. The memo key is the fixture basename AND
+    a CONTENT fingerprint of the quantizer constants (sha256 over the
+    canonical side-car JSON — cells, exact-decimal ncent, residual
+    codebooks, all deterministic functions of the data): a regenerated
+    fixture at the same path, or two fixture roots sharing a basename,
+    trains different constants and therefore lands in a DIFFERENT
+    directory instead of silently serving the stale index (r12 advisor).
+    ``variant`` separates layouts whose CODES differ under the same
+    quantizer (the compacted post-delete index vs the full one).
+    Publication is the shared atomic-rename discipline: one winner,
+    losers drop their work dir, non-race failures re-raise."""
+    import hashlib
     import json
     import tempfile
 
-    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    blob = json.dumps(
+        {
+            "cells": [int(c) for c in cells],
+            "ncent": ncent,
+            "books": books,
+        },
+        sort_keys=True,
+    )
+    fp = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{variant}_{fp}"
     root = os.path.join(
         tempfile.gettempdir(), "rosbag2parquet_spark_ivfadc_index"
     )
@@ -1255,18 +1291,36 @@ def q_ivfadc_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
         coded.write.parquet(os.path.join(work, "codes"))
         with open(os.path.join(work, "quantizer.json"), "w") as f:
-            json.dump(
-                {
-                    "cells": [int(c) for c in cells],
-                    "ncent": ncent,
-                    "books": books,
-                },
-                f,
-            )
-        try:
-            os.rename(work, base)
-        except OSError:
-            pass  # another builder won the race; content identical
+            f.write(blob)
+        publish_scratch(work, base)
+    return base
+
+
+def q_ivfadc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index COMPACTION — the optional STORAGE pass `ivfadc-delete`'s
+    contract names (and FAISS deployments run after enough remove_ids
+    tombstones accumulate): rewrite the SURVIVING rows' codes into a
+    fresh stored index and drop the tombstone set entirely, so the
+    serve stops paying the per-query tombstone filter and storage stops
+    carrying dead codes. Correctness rests on the already-pinned
+    identity (tombstone-filtered index == frozen-quantizer re-encode of
+    the survivors, byte-for-byte): compaction is a pure COPY of
+    surviving codes — quantizer, ncent, codebooks untouched, no row
+    re-encoded — so the rewritten index serves batch `ivfadc-delete`'s
+    answer row-for-row with NO tombstone predicate anywhere in the
+    plan. The oracle is `ivfadc-delete`'s verbatim: the driver row
+    proves rewrite == filter. At 100 TB the rewrite is one map-side
+    scan of the codes table (tombstone anti-filter, no shuffle, no
+    float read) — `vacuum`'s economics applied to the ANN index, which
+    completes the delete story the way `vacuum` completed the layout's.
+    The rewritten artifact shares `ivfadc-persist`'s layout (codes
+    parquet + quantizer side-car, fingerprint-keyed, atomic publish)
+    and is served by the same cold-capable `_ivfadc_serve_from` path."""
+    cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
+    survivors = coded.filter((F.col("vec_id") % DELETE_MOD) != 0)
+    base = _ivfadc_store(
+        spark, sf_dir, survivors, cells, ncent, books, variant="compact"
+    )
     return _ivfadc_serve_from(spark, sf_dir, base)
 
 
@@ -1891,6 +1945,7 @@ QUERIES = {
     "ivfadc-cutover": q_ivfadc_cutover,
     "ivfadc-shard-merge": q_ivfadc_shard_merge,
     "ivfadc-delete": q_ivfadc_delete,
+    "ivfadc-compact": q_ivfadc_compact,
     "ivf-shortlist-curve": q_ivf_shortlist_curve,
     "ivfadc-persist": q_ivfadc_persist,
     "knn-opq": q_knn_opq,
@@ -1918,6 +1973,10 @@ ORACLES = {
     # per-row encode under the frozen quantizer) — oracle shared verbatim
     "ivfadc-shard-merge": _oracle_knn_ivfadc(),
     "ivfadc-delete": _oracle_ivfadc_delete(),
+    # the compacted index is a pure copy of the surviving codes — the
+    # rewrite must serve the tombstone-filtered answer EXACTLY, so the
+    # driver row proves rewrite == filter by sharing delete's oracle
+    "ivfadc-compact": _oracle_ivfadc_delete(),
     "ivf-shortlist-curve": _oracle_ivf_shortlist_curve(),
     # the persisted index serves the build session's answer EXACTLY
     # (repr-exact JSON floats, deterministic codes) — oracle verbatim

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rosbag2parquet_spark.sources.catalog import load_table
+from rosbag2parquet_spark.sources.catalog import load_table, publish_scratch
 
 SESSION_GAP_MIN = 30
 
@@ -275,10 +275,12 @@ def q_incr_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rollup_partials(
             ev.filter(F.unix_micros("ts") < _REFRESH_CUTOFF_US)
         ).write.parquet(os.path.join(work, "base"))
-        try:
-            os.rename(os.path.join(work, "base"), base_path)
-        except OSError:
-            pass  # another process won the race; output equivalent
+        # a lost publish race drops the loser's work dir; any non-race
+        # failure re-raises (the r12-advisor rule, shared helper)
+        publish_scratch(os.path.join(work, "base"), base_path)
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)  # emptied (or stale) shell
     base = spark.read.parquet(base_path)
     delta = rollup_partials(
         ev.filter(F.unix_micros("ts") >= _REFRESH_CUTOFF_US)

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rosbag2parquet_spark.convert import convert, pertype_with_provenance
-from rosbag2parquet_spark.sources.catalog import load_table
+from rosbag2parquet_spark.sources.catalog import load_table, publish_scratch
 
 _SEQ_CONN_SQL = """
 WITH seq AS (
@@ -56,14 +56,9 @@ def _cached_layout(sf_dir: str, suffix: str, build) -> str:
         os.makedirs(root, exist_ok=True)
         work = tempfile.mkdtemp(prefix=f"{tag}_", dir=root)
         build(work)
-        try:
-            os.rename(work, out)  # atomic on same filesystem
-        except OSError:
-            # another process won the race; its output is equivalent —
-            # drop the losing work dir instead of leaking it in /tmp
-            import shutil
-
-            shutil.rmtree(work, ignore_errors=True)
+        # a lost publish race drops the losing work dir; any non-race
+        # failure re-raises (the r12-advisor rule, shared helper)
+        publish_scratch(work, out)
     return out
 
 

@@ -79,3 +79,27 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     the data'; here the engine itself serves the SQL)."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def publish_scratch(work: str, dest: str) -> None:
+    """Atomically publish a fully-built scratch directory at ``dest``
+    (one ``os.rename`` — same filesystem by construction: every caller
+    builds ``work`` under ``dest``'s parent). Exactly one concurrent
+    builder wins the rename; losers see the destination already present
+    (EEXIST, or ENOTEMPTY on POSIX when ``dest`` is a non-empty
+    directory) and drop their work dir instead of leaking a full copy
+    under /tmp per race. Any OTHER OSError (permissions, cross-device
+    EXDEV, ...) re-raises immediately — swallowing it would leave
+    ``dest`` absent and surface later as an unrelated FileNotFoundError
+    far from the cause (r12 advisor). Shared by every memoized-artifact
+    layout (converted fixtures, the stored rollup, the persisted ANN
+    index)."""
+    import errno
+    import shutil
+
+    try:
+        os.rename(work, dest)
+    except OSError as e:
+        if e.errno not in (errno.EEXIST, errno.ENOTEMPTY) or not os.path.isdir(dest):
+            raise
+        shutil.rmtree(work, ignore_errors=True)

@@ -1074,7 +1074,11 @@ def q_stream_knn_ivfadc(
 
 
 def _ivfadc_scored_stream(
-    spark: SparkSession, sf_dir: str, nprobe: "int | None" = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: "int | None" = None,
+    rotated: bool = False,
+    source: "DataFrame | None" = None,
 ) -> DataFrame:
     """The shared ingest kernel of the live IVFADC serves: one stateless
     Arrow stage per arriving vector — frozen coarse argmin, probe-cell
@@ -1082,7 +1086,19 @@ def _ivfadc_scored_stream(
     batch serve's frozen constants — yielding (query_id, vec_id,
     cos_sim) rows. `stream-knn-ivfadc` keeps a running top-N over it;
     `stream-ivfadc-delete` appends it as the live scored log and
-    excludes tombstones at query time."""
+    excludes tombstones at query time; `stream-ivfadc-cutover` runs it
+    in the NEW index's basis over the migrated slice of the stream.
+
+    ``rotated`` moves the whole scoring chain to the learned-OPQ basis
+    (the r12 cutover's NEW index): ncent/books/LUTs/cell-constants come
+    from the rotated fit, the query representation from the rotated
+    `_pq_frame`, and the kernel applies the batch's exact QUANTIZED
+    rotation (floor(x·r·1e12) int64 sums — `_norm_codes_vectorized`'s
+    arithmetic verbatim) after the normalize fold; the coarse argmin
+    stays raw-space, exactly like the batch fit (rotation never moves a
+    vector between cells). ``source`` overrides the arrival stream
+    (default: the staged embeddings stream) — the cutover twin feeds
+    only the migrated slice through the new-basis kernel."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -1095,10 +1111,11 @@ def _ivfadc_scored_stream(
         _ivfadc_fit,
         _pq_frame,
         _query_lut_values,
+        opq_rotation,
     )
     from rosbag2parquet_spark.functions.similarity import KNN_QUERY_ID
 
-    cells, ncent, _, books = _ivfadc_fit(spark, sf_dir)
+    cells, ncent, _, books = _ivfadc_fit(spark, sf_dir, rotated)
     if nprobe is not None:
         from rosbag2parquet_spark.functions.similarity import (
             _ivf_probe_cells,
@@ -1111,7 +1128,7 @@ def _ivfadc_scored_stream(
     centroids, _ = kmeans_fit_cached(spark, sf_dir)
     qen = [
         float(x)
-        for x in _pq_frame(spark, sf_dir, rotated=False)
+        for x in _pq_frame(spark, sf_dir, rotated=rotated)
         .filter(F.col("vec_id") == KNN_QUERY_ID)
         .select("en")
         .collect()[0]["en"]
@@ -1126,6 +1143,7 @@ def _ivfadc_scored_stream(
     C = np.array(centroids, dtype=np.float64)
     NC = np.array(ncent, dtype=np.float64)
     B = [np.array(b, dtype=np.float64) for b in books]
+    R = np.array(opq_rotation(), dtype=np.float64) if rotated else None
     probe = np.array(sorted(int(c) for c in cells), dtype=np.int64)
 
     def encode_and_score(batches):
@@ -1149,13 +1167,24 @@ def _ivfadc_scored_stream(
             for i in range(Em.shape[1]):
                 acc = acc + Em[:, i] * Em[:, i]
             X = Em / np.sqrt(acc)[:, None]
-            R = X - NC[cm]  # residual vs the frozen exact-decimal ncent
+            if R is not None:
+                # the batch quantized rotation verbatim (exact int64 sums
+                # of floor(x·r·1e12) — `_norm_codes_vectorized`): the
+                # live encode lands in the SAME rotated coordinates
+                X = (
+                    np.floor(X[:, None, :] * R[None, :, :] * 1e12)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                    .astype(np.float64)
+                    / 1e12
+                )
+            Res = X - NC[cm]  # residual vs the frozen exact-decimal ncent
             # append-time encode: per-subspace runs of the same argmin
             # kernel (the stored index grows by (cluster, c0..c{M-1}))
             adc = consts[cm].copy()
             for m in range(PQ_M):
                 codes = argmin_quantized_np(
-                    R[:, m * PQ_SUB:(m + 1) * PQ_SUB], B[m]
+                    Res[:, m * PQ_SUB:(m + 1) * PQ_SUB], B[m]
                 )
                 adc = adc + luts[m][codes]  # batch's fixed addition order
             yield pd.DataFrame(
@@ -1166,7 +1195,8 @@ def _ivfadc_scored_stream(
                 }
             )
 
-    return stream_embeddings(spark, sf_dir).mapInPandas(
+    src = stream_embeddings(spark, sf_dir) if source is None else source
+    return src.mapInPandas(
         encode_and_score, "query_id long, vec_id long, cos_sim double"
     )
 
@@ -1222,10 +1252,79 @@ def q_stream_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(spark, sf_dir, sl)
 
 
+def q_stream_ivfadc_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE serve DURING a quantizer re-train — the streaming twin of
+    batch `ivfadc-cutover` and the last index-lifecycle op without one
+    (add/delete/re-tune all have live twins since r11–r12): the
+    ZERO-DOWNTIME migration, where vectors being migrated arrive on a
+    stream and encode into the NEW (learned-OPQ) index while the
+    un-migrated slice keeps serving from the OLD (identity) stored
+    index — one query surface over both, at every point of the
+    migration.
+
+    The migrated slice (the batch row's deterministic `vec_id %
+    CUTOVER_MOD == 0`) flows through the shared ingest kernel in the
+    NEW basis (`_ivfadc_scored_stream(rotated=True)`: raw-space coarse
+    argmin — rotation never moves a vector between cells, so the probe
+    set prunes identically — then the batch's exact quantized rotation,
+    residual vs the rotated ncent, frozen rotated codebooks/LUTs/cell
+    constants) and APPENDS its scored rows; probe-cell drop happens
+    before any scoring, exactly like every live serve. The old side
+    never streams: its rows are by definition the ones NOT yet
+    migrated, served from the stored identity index's stage-1 scan
+    (`_ivfadc_stage1(rotated=False)`, tombstoning the migrated copies —
+    dedupe-by-vec_id is structural, each vector served by exactly the
+    index that holds it). The live new-side shortlist cuts the scored
+    log by the batch rule (score DESC, vec_id), unions with the old
+    shortlist, and ONE shared exact re-rank finishes — batch
+    `_ivfadc_cutover_search` term for term, so batch `ivfadc-cutover`'s
+    two-chain oracle is shared VERBATIM and stream == batch is
+    test-pinned. At 100 TB this is the cutover runbook: re-encode
+    slices stream into the new index with zero serve downtime, and the
+    answer at any interleaving equals the frozen mid-migration state."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.pq import (
+        CUTOVER_MOD,
+        PQ_SHORTLIST,
+        _exact_rerank,
+        _ivfadc_stage1,
+        _stage1_shortlist,
+    )
+
+    migrating = stream_embeddings(spark, sf_dir).filter(
+        (F.col("vec_id") % CUTOVER_MOD) == 0
+    )
+    scored = _ivfadc_scored_stream(
+        spark, sf_dir, rotated=True, source=migrating
+    )
+    tbl = _fresh("stream_ivfadc_cutover")
+    run_to_memory(scored, tbl, mode="append")
+    sl_new = (
+        spark.table(tbl)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    base_o, score_o = _ivfadc_stage1(spark, sf_dir, rotated=False)
+    sl_old = _stage1_shortlist(
+        base_o.filter((F.col("vec_id") % CUTOVER_MOD) != 0), score_o
+    )
+    return _exact_rerank(
+        spark, sf_dir, sl_old.unionByName(sl_new).distinct()
+    )
+
+
 def _ivfadc_delete_oracle() -> str:
     from rosbag2parquet_spark.functions.pq import ORACLES as _PQ
 
     return _PQ["ivfadc-delete"]
+
+
+def _ivfadc_cutover_oracle() -> str:
+    from rosbag2parquet_spark.functions.pq import ORACLES as _PQ
+
+    return _PQ["ivfadc-cutover"]
 
 
 def _knn_ivfadc_oracle() -> str:
@@ -1884,6 +1983,7 @@ QUERIES = {
     "stream-resample": q_stream_resample,
     "stream-bm25": q_stream_bm25,
     "stream-ivfadc-delete": q_stream_ivfadc_delete,
+    "stream-ivfadc-cutover": q_stream_ivfadc_cutover,
     "stream-merge-upsert": q_stream_merge_upsert,
     "stream-cdc-apply": q_stream_cdc_apply,
     "stream-knn-ivf": q_stream_knn_ivf,
@@ -1947,6 +2047,9 @@ ORACLES = {
     "stream-dedup": _dedup_exact_oracle(),
     "stream-bm25": _bm25_oracle(),
     "stream-ivfadc-delete": _ivfadc_delete_oracle(),
+    # the live migration must serve the frozen mid-migration state —
+    # batch ivfadc-cutover's two-chain oracle verbatim
+    "stream-ivfadc-cutover": _ivfadc_cutover_oracle(),
     "stream-resample": _resample_oracle(),
     "stream-merge-upsert": _merge_oracle(),
     "stream-cdc-apply": _cdc_evolve_oracle(),

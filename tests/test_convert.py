@@ -336,3 +336,51 @@ def test_append_pads_to_older_messages_vintage(spark, tmp_path):
         "seqno", "time_sec", "time_nsec", "size", "connection_id",
     ]
     assert appended.count() == 100
+
+
+def test_append_guard_refuses_conflicting_file_schemas(spark, tmp_path):
+    """r12 advisor: an EXTERNALLY-produced table whose files carry
+    genuinely conflicting types for one column must be refused with the
+    guard's structured never-silently-coerced error on the mergeSchema
+    read path — not surface Spark's raw schema-merge exception."""
+    import pytest
+
+    from rosbag2parquet_spark.convert import assert_append_compatible
+
+    out = str(tmp_path / "conflicted")
+    spark.range(3).selectExpr("CAST(id AS BIGINT) AS x").write.parquet(out)
+    spark.createDataFrame([("a",)], "x string").write.mode(
+        "append"
+    ).parquet(out)
+    incoming = spark.range(1).selectExpr("CAST(id AS BIGINT) AS x").schema
+    with pytest.raises(ValueError, match="never\\s+silently coerced"):
+        assert_append_compatible(spark, out, incoming)
+    # the evolve path reads the same schema — same structured refusal
+    with pytest.raises(ValueError, match="never\\s+silently coerced"):
+        assert_append_compatible(spark, out, incoming, evolve=True)
+
+
+def test_publish_scratch_race_drops_loser_and_reraises_real_errors(tmp_path):
+    """r12 advisor: the memoized-artifact publish must treat ONLY a lost
+    race as benign (loser's work dir removed, winner's content
+    untouched); any non-race OSError re-raises at the rename instead of
+    surfacing later as an unrelated FileNotFoundError."""
+    import pytest
+
+    from rosbag2parquet_spark.sources.catalog import publish_scratch
+
+    dest = tmp_path / "artifact"
+    dest.mkdir()
+    (dest / "winner.txt").write_text("winner")
+    work = tmp_path / "work"
+    work.mkdir()
+    (work / "loser.txt").write_text("loser")
+    publish_scratch(str(work), str(dest))  # lost race: benign
+    assert not work.exists()  # loser cleaned up, not leaked
+    assert (dest / "winner.txt").read_text() == "winner"
+    # non-race failure (destination parent missing) re-raises
+    work2 = tmp_path / "work2"
+    work2.mkdir()
+    with pytest.raises(OSError):
+        publish_scratch(str(work2), str(tmp_path / "no_parent" / "x"))
+    assert work2.exists()  # nothing silently discarded on a real error

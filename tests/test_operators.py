@@ -466,7 +466,9 @@ def test_ivfadc_persist_serves_from_cold_artifacts(spark):
     operational claim."""
     from rosbag2parquet_spark.functions.pq import (
         _FIT_CACHE,
+        _ivfadc_fit,
         _ivfadc_serve_from,
+        _ivfadc_store,
         q_ivfadc_persist,
         q_knn_ivfadc,
     )
@@ -474,14 +476,9 @@ def test_ivfadc_persist_serves_from_cold_artifacts(spark):
     want = [tuple(r) for r in q_knn_ivfadc(spark, SF_DIR).collect()]
     got = [tuple(r) for r in q_ivfadc_persist(spark, SF_DIR).collect()]
     assert got == want
-    import os
-    import tempfile
-
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "rosbag2parquet_spark_ivfadc_index",
-        os.path.basename(os.path.normpath(SF_DIR)),
-    )
+    # the fingerprint-keyed directory (memoized — persist already built it)
+    cells, ncent, coded, books = _ivfadc_fit(spark, SF_DIR)
+    base = _ivfadc_store(spark, SF_DIR, coded, cells, ncent, books)
     saved = dict(_FIT_CACHE)
     try:
         _FIT_CACHE.clear()
@@ -960,3 +957,69 @@ def test_embed_quantize_roundtrip_error_bound(spark):
         step = r["max_abs"] / 127.0
         for c, x in zip(codes, raw[r["vec_id"]]):
             assert abs(c * step - x) <= step + 1e-12, (r["vec_id"], c, x)
+
+
+def test_ivfadc_compact_rewrite_equals_filtered_serve(spark):
+    """X3 index compaction (r13, the verdict's #3): the storage pass
+    `ivfadc-delete`'s contract named must (a) serve the tombstone-
+    filtered answer row-for-row (rewrite == filter — delete's oracle is
+    shared, this is the engine-side pin), (b) store EXACTLY the
+    surviving rows' codes byte-for-byte (a pure copy — no re-encode, no
+    quantizer touch), and (c) carry NO tombstone predicate anywhere in
+    the serving plan — the rewrite is what removes the per-query filter
+    cost."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.pq import (
+        DELETE_MOD,
+        _ivfadc_fit,
+        _ivfadc_store,
+        q_ivfadc_compact,
+        q_ivfadc_delete,
+    )
+
+    got = q_ivfadc_compact(spark, SF_DIR)
+    want = [tuple(r) for r in q_ivfadc_delete(spark, SF_DIR).collect()]
+    assert [tuple(r) for r in got.collect()] == want
+    # no tombstone predicate survives into the compacted serve's plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert f"% {DELETE_MOD})" not in plan
+    # the stored artifact is a pure copy of the surviving codes
+    import os
+
+    cells, ncent, coded, books = _ivfadc_fit(spark, SF_DIR)
+    survivors = coded.filter((F.col("vec_id") % DELETE_MOD) != 0)
+    base = _ivfadc_store(
+        spark, SF_DIR, survivors, cells, ncent, books, variant="compact"
+    )
+    stored = spark.read.parquet(os.path.join(base, "codes"))
+    assert sorted(stored.columns) == sorted(survivors.columns)
+    stored = stored.select(*survivors.columns)
+    assert stored.exceptAll(survivors).count() == 0
+    assert survivors.exceptAll(stored).count() == 0
+    assert stored.filter((F.col("vec_id") % DELETE_MOD) == 0).count() == 0
+
+
+def test_ivfadc_store_keys_by_quantizer_fingerprint(spark):
+    """r12 advisor: the persisted-index memo must key on the quantizer
+    CONTENT, not just the fixture basename — perturbed constants land in
+    a different directory (a regenerated fixture can never silently
+    serve the stale index), identical constants land in the same one,
+    and the full/compact variants never collide."""
+    from rosbag2parquet_spark.functions.pq import _ivfadc_fit, _ivfadc_store
+
+    cells, ncent, coded, books = _ivfadc_fit(spark, SF_DIR)
+    small = coded.limit(1)
+    base = _ivfadc_store(spark, SF_DIR, small, cells, ncent, books, "fp_t")
+    again = _ivfadc_store(spark, SF_DIR, small, cells, ncent, books, "fp_t")
+    assert base == again  # deterministic: same constants, same dir
+    perturbed = [[list(c) for c in b] for b in books]
+    perturbed[0][0][0] += 1.0
+    other = _ivfadc_store(
+        spark, SF_DIR, small, cells, ncent, perturbed, "fp_t"
+    )
+    assert other != base  # content change ⇒ new dir, stale never served
+    compact = _ivfadc_store(
+        spark, SF_DIR, small, cells, ncent, books, "fp_t2"
+    )
+    assert compact != base  # variants with shared constants stay apart

@@ -416,3 +416,30 @@ def test_stream_alert_transitions_edge_semantics(spark):
         )
         assert [r.start_us for r in rs] == sorted(r.start_us for r in rs)
     assert any(r.ok for r in rows), "no recovery edge on the fixture"
+
+
+@pytest.mark.slow
+def test_stream_ivfadc_cutover_equals_batch(spark):
+    """X3/X11 (r13): the live migration serve — migrated vectors arrive
+    on a stream and encode into the NEW rotated index while un-migrated
+    rows keep serving from the OLD stored identity index — must equal
+    batch `ivfadc-cutover`'s frozen mid-migration answer row-for-row
+    (the zero-downtime re-train claim), with every returned vector
+    served by exactly the index that holds it (dedupe by vec_id)."""
+    from rosbag2parquet_spark.functions.pq import q_ivfadc_cutover
+    from rosbag2parquet_spark.streaming.queries import q_stream_ivfadc_cutover
+
+    batch = [
+        tuple(r)
+        for r in q_ivfadc_cutover(spark, SF_DIR)
+        .select("vec_id", "label", "cos_sim")
+        .collect()
+    ]
+    streamed = [
+        tuple(r)
+        for r in q_stream_ivfadc_cutover(spark, SF_DIR)
+        .select("vec_id", "label", "cos_sim")
+        .collect()
+    ]
+    assert streamed == batch
+    assert len({v for v, _, _ in streamed}) == len(streamed)

@@ -281,6 +281,10 @@ def main() -> None:
         "ivfadc-delete",
         "ivf-shortlist-curve",
         "ivfadc-persist",
+        # round-13: the tombstone-free serve from the compacted artifact
+        # (same shape as ivfadc-persist's cold serve; the point of the
+        # plan is what's ABSENT — no tombstone predicate anywhere)
+        "ivfadc-compact",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
