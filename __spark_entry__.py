@@ -100,25 +100,30 @@ _MODULES = (
 # the FIRST 50 queries per round): queries whose driver row is red, changed,
 # or new this round come first, then the least-recently-proven ones.
 #
-# ROUND-13 ROTATION (executing the r12 verdict's sequencing): 2 NEW rows
-# lead — the IVFADC storage COMPACTION pass (verdict #3: rewrite the
-# surviving codes, drop the tombstone set; `ivfadc-delete`'s oracle
-# verbatim proves rewrite == filter) and the LIVE cutover twin (verdict
-# #4: migrated vectors stream into the new rotated index while old
-# slices keep serving — batch `ivfadc-cutover`'s oracle verbatim). No
-# answer-changed rows (the r12 advisor fixes change artifact keying and
-# error faces, not values). Slots 3-7 take the 5 late-r12 rows that have
-# never had a driver row (built after the r12 window froze); slots 8-31
-# ALL 24 remaining r8-proven rows; slots 32-50 the 19 oldest r9 rows.
-# Freshness histogram going into r13: r8:24, r9:50, r10:38, r11:50,
-# r12:50 (+5 never-proven). After this window nothing is older than r9;
-# r14's window clears the remaining 31 r9 rows and starts on r10.
+# ROUND-13 ROTATION (executing the r12 verdict's sequencing): 3 NEW rows
+# lead (the verdict's ≤3 cap) — the IVFADC storage COMPACTION pass
+# (verdict #3: rewrite the surviving codes, drop the tombstone set;
+# `ivfadc-delete`'s oracle verbatim proves rewrite == filter), the LIVE
+# cutover twin (verdict #4: migrated vectors stream into the new rotated
+# index while old slices keep serving — batch `ivfadc-cutover`'s oracle
+# verbatim), and FILTERED ANN (verdict #6 optional depth: a metadata
+# predicate composed with the IVFADC serve — the `WHERE lang='en'`
+# production shape, predicate in the tombstone bitmap's stage-1 slot).
+# No answer-changed rows (the r12 advisor fixes change artifact keying
+# and error faces, not values). Slots 4-8 take the 5 late-r12 rows that
+# have never had a driver row (built after the r12 window froze); slots
+# 9-32 ALL 24 remaining r8-proven rows; slots 33-50 the 18 oldest r9
+# rows. Freshness histogram going into r13: r8:24, r9:50, r10:38,
+# r11:50, r12:50 (+5 never-proven). After this window nothing is older
+# than r9; r14's window clears the remaining 32 r9 rows, starting with
+# sql-q20.
 _QUERY_ORDER = [
     # --- r13 window --------------------------------------------------------
     # NEW round 13: the compaction storage pass (delete's optional pass
     # made provable — serves with NO tombstone predicate from a rewritten
-    # artifact) and the zero-downtime live migration serve
-    "ivfadc-compact", "stream-ivfadc-cutover",
+    # artifact), the zero-downtime live migration serve, and the
+    # metadata-filtered IVFADC serve
+    "ivfadc-compact", "stream-ivfadc-cutover", "knn-ivfadc-filtered",
     # late-r12 rows with no driver row yet (replica-green both fixtures)
     "stream-bm25", "ivfadc-delete", "stream-ivfadc-delete",
     "ivf-shortlist-curve", "ivfadc-persist",
@@ -134,10 +139,10 @@ _QUERY_ORDER = [
     "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
     "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",
     "dedup-normalized", "rolling-window", "sql-q2", "sql-q9", "sql-q11",
-    "sql-q16", "sql-q20",
+    "sql-q16",
     # --- window ends here (50) ---------------------------------------------
     # remaining r9-proven rows (lead the r14 window)
-    "repetition-score", "bm25-search", "stream-dedup",
+    "sql-q20", "repetition-score", "bm25-search", "stream-dedup",
     "bucket-join", "join", "salted-join", "tokenize-chunk", "markov-chain",
     "scan", "project", "filter", "limit", "topk", "union", "topk-per-group",
     "time-split", "cast", "flatten", "decode-blob", "seqno", "groupby-agg",

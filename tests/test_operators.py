@@ -1023,3 +1023,41 @@ def test_ivfadc_store_keys_by_quantizer_fingerprint(spark):
         spark, SF_DIR, small, cells, ncent, books, "fp_t2"
     )
     assert compact != base  # variants with shared constants stay apart
+
+
+def test_knn_ivfadc_filtered_semantics(spark):
+    """X3 filtered ANN (r13, the r12 verdict's optional-depth item):
+    every returned vector must satisfy the metadata predicate; and
+    because the matching probed candidates fit the shortlist at this
+    fixture, the filtered serve must equal the EXACT cosine top-k over
+    (probed cells ∩ matching rows) — the filter loses nothing the probe
+    set didn't already exclude (FAISS IDSelector semantics)."""
+    from pyspark.sql import functions as F
+
+    from rosbag2parquet_spark.functions.pq import (
+        FILTER_LABEL,
+        PQ_SHORTLIST,
+        _exact_rerank,
+        _ivfadc_stage1,
+        q_knn_ivfadc_filtered,
+    )
+
+    got = [
+        tuple(r)
+        for r in q_knn_ivfadc_filtered(spark, SF_DIR)
+        .select("vec_id", "label", "cos_sim")
+        .collect()
+    ]
+    assert got and all(lab == FILTER_LABEL for _, lab, _ in got)
+    # exact ground truth over (probed ∩ matching): the stage-1 base IS
+    # that candidate set; re-rank all of it exactly (no ADC cut)
+    base, _ = _ivfadc_stage1(spark, SF_DIR)
+    matching = base.filter(F.col("label") == FILTER_LABEL).select("vec_id")
+    assert matching.count() <= PQ_SHORTLIST  # the premise of the pin
+    want = [
+        tuple(r)
+        for r in _exact_rerank(spark, SF_DIR, matching)
+        .select("vec_id", "label", "cos_sim")
+        .collect()
+    ]
+    assert got == want

@@ -283,8 +283,11 @@ def main() -> None:
         "ivfadc-persist",
         # round-13: the tombstone-free serve from the compacted artifact
         # (same shape as ivfadc-persist's cold serve; the point of the
-        # plan is what's ABSENT — no tombstone predicate anywhere)
+        # plan is what's ABSENT — no tombstone predicate anywhere) and
+        # the metadata-filtered serve (the label predicate lands in the
+        # stage-1 code-scan Filter beside the cell pruning)
         "ivfadc-compact",
+        "knn-ivfadc-filtered",
     ]
     for name in HEADLINE + extra:
         df = qs[name](spark, sf_dir)
