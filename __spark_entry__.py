@@ -134,7 +134,10 @@ _QUERY_ORDER = [
     "histogram", "embed-quantize", "stratified-sample", "temperature-sample",
     "stream-drift", "volume-trend", "stream-numeric-drift",
     "stream-volume-trend", "knn-quantized",
-    # the 19 oldest r9-proven rows fill the window
+    # (knn-quantized closes the r8 block — the r12 verdict's freshness
+    # ledger counts it r8-proven, though earlier files grouped it with
+    # the r9 rows; either way it is among the oldest and re-proves here)
+    # the 18 oldest r9-proven rows fill the window (3+5+24+18 = 50)
     "stream-sink", "approx-stats", "compact-latest", "funnel",
     "cohort-retention", "weighted-sample", "lsh-recall", "stream-compact",
     "multimodal-frames", "json-funcs", "array-funcs", "dedup-containment",

@@ -77,8 +77,19 @@ def _read_existing_schema(spark: SparkSession, path: str):
         return spark.read.option("mergeSchema", "true").parquet(path).schema
     except Exception as e:
         # only the schema-merge conflict is ours to translate; anything
-        # else (missing files, permissions) keeps its original face
-        if "merg" not in str(e).lower():
+        # else (missing files, corrupt footers, permissions) keeps its
+        # original face. Match Spark's merge-error markers, not a loose
+        # substring — an unrelated error whose text embeds a path like
+        # /data/merged/... must not be misclassified (r13 review)
+        msg = str(e).lower()
+        if not any(
+            marker in msg
+            for marker in (
+                "failed to merge",
+                "failed merging schema",
+                "cannot_merge",
+            )
+        ):
             raise
         raise ValueError(
             f"append to {path}: existing files carry conflicting types "

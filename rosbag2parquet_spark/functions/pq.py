@@ -142,15 +142,35 @@ def opq_seeded_rotation() -> "list[list[float]]":
     return [[float(x) for x in row] for row in R]
 
 
+def rotate_quantized_np(X, R):
+    """The ONE quantized-rotation kernel every tier shares: row-vectors
+    ``X`` (n, dim) → the QUANTIZED rotated vectors, coordinate j =
+    toDouble(Σᵢ floor(x[i]·R[j,i]·1e12)) / 1e12. The per-term floor
+    makes the rotated representation cross-engine exact (a raw float
+    matvec's summation order would leak engine low bits into every
+    downstream argmin); the 1e-12 quantization is far below the
+    codebook scale, so the rotation's geometry survives. Terms ≤ 1e12,
+    64-term sums ≤ 6.4e13 — exact in int64 AND in the float64 the
+    oracle's CAST produces. This arithmetic is bit-load-bearing (the
+    fused serve, the standalone rotate UDF, the live cutover encode,
+    and the oracle's CTE must all agree), so it lives in exactly one
+    place (r13 review)."""
+    import numpy as np
+
+    # same operand order as the oracle: (x · r) · 1e12, floored
+    ints = (
+        np.floor(X[:, None, :] * R[None, :, :] * 1e12)
+        .astype(np.int64)
+        .sum(axis=2)
+    )
+    return ints.astype(np.float64) / 1e12
+
+
 def _rotate_vectorized():
-    """Arrow-vectorized rotation application: en → the QUANTIZED rotated
-    vector, coordinate j = toDouble(Σᵢ floor(en[i]·R[j,i]·1e12)) / 1e12.
-    The per-term floor makes the rotated representation cross-engine
-    exact (a raw float matvec's summation order would leak engine low
-    bits into every downstream argmin); the 1e-12 quantization is
-    far below the codebook scale, so the rotation's geometry survives.
-    Terms ≤ 1e12, 64-term sums ≤ 6.4e13 — exact in int64 AND in the
-    float64 the oracle's CAST produces."""
+    """Arrow-vectorized rotation application — `rotate_quantized_np`
+    over the learned rotation as a pandas_udf (the training path's
+    standalone rotate step; the serve path fuses the same kernel into
+    `_norm_codes_vectorized`)."""
     import numpy as np
     import pandas as pd
 
@@ -158,13 +178,7 @@ def _rotate_vectorized():
 
     def rot(en):
         E = np.vstack(en.to_numpy()).astype(np.float64)  # (n, dim)
-        # same operand order as the oracle: (x · r) · 1e12, floored
-        ints = (
-            np.floor(E[:, None, :] * R[None, :, :] * 1e12)
-            .astype(np.int64)
-            .sum(axis=2)
-        )
-        return pd.Series((ints.astype(np.float64) / 1e12).tolist())
+        return pd.Series(rotate_quantized_np(E, R).tolist())
 
     rot.__annotations__ = {"en": pd.Series, "return": pd.Series}
     return F.pandas_udf(rot, "array<double>")
@@ -357,12 +371,7 @@ def _norm_codes_vectorized(books: list[list[list[float]]], rotated: bool):
             acc = acc + E[:, i] * E[:, i]
         X = E / np.sqrt(acc)[:, None]
         if R is not None:
-            ints = (
-                np.floor(X[:, None, :] * R[None, :, :] * 1e12)
-                .astype(np.int64)
-                .sum(axis=2)
-            )
-            X = ints.astype(np.float64) / 1e12
+            X = rotate_quantized_np(X, R)  # the one shared kernel
         codes = [
             # the ONE pinned quantized-argmin kernel per subspace slice
             argmin_quantized_np(X[:, m * PQ_SUB : (m + 1) * PQ_SUB], cents[m])
@@ -1264,15 +1273,12 @@ def q_knn_ivfadc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_knn_ivfadc_filtered() -> str:
     # knn-ivfadc's oracle with the metadata predicate on the shortlist
-    # scan — the member_pred hook ivfadc-delete introduced (the codes
-    # CTE carries no label, so the predicate resolves membership through
-    # the base table: same rows, engine-independent formulation)
+    # scan — the member_pred hook ivfadc-delete introduced; the codes
+    # CTE carries label beside the code columns, so the predicate is
+    # the engine's base.filter(label == FILTER_LABEL) verbatim
     return _adc_oracle(
         extra_ctes=_ivf_cells_cte(),
-        member_pred=(
-            " AND codes.vec_id IN "
-            f"(SELECT vec_id FROM embeddings WHERE label = {FILTER_LABEL})"
-        ),
+        member_pred=f" AND codes.label = {FILTER_LABEL}",
         residual=True,
     )
 
@@ -1372,8 +1378,13 @@ def q_ivfadc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is served by the same cold-capable `_ivfadc_serve_from` path."""
     cells, ncent, coded, books = _ivfadc_fit(spark, sf_dir)
     survivors = coded.filter((F.col("vec_id") % DELETE_MOD) != 0)
+    # the variant key carries the survivor predicate: the quantizer
+    # fingerprint can't see WHICH rows were kept, so a changed
+    # DELETE_MOD must land in a fresh directory, never serve the old
+    # survivor set from a warm /tmp (r13 review)
     base = _ivfadc_store(
-        spark, sf_dir, survivors, cells, ncent, books, variant="compact"
+        spark, sf_dir, survivors, cells, ncent, books,
+        variant=f"compact{DELETE_MOD}",
     )
     return _ivfadc_serve_from(spark, sf_dir, base)
 

@@ -1112,6 +1112,7 @@ def _ivfadc_scored_stream(
         _pq_frame,
         _query_lut_values,
         opq_rotation,
+        rotate_quantized_np,
     )
     from rosbag2parquet_spark.functions.similarity import KNN_QUERY_ID
 
@@ -1168,16 +1169,10 @@ def _ivfadc_scored_stream(
                 acc = acc + Em[:, i] * Em[:, i]
             X = Em / np.sqrt(acc)[:, None]
             if R is not None:
-                # the batch quantized rotation verbatim (exact int64 sums
-                # of floor(x·r·1e12) — `_norm_codes_vectorized`): the
-                # live encode lands in the SAME rotated coordinates
-                X = (
-                    np.floor(X[:, None, :] * R[None, :, :] * 1e12)
-                    .astype(np.int64)
-                    .sum(axis=2)
-                    .astype(np.float64)
-                    / 1e12
-                )
+                # the batch quantized rotation — the ONE shared kernel
+                # (pq.rotate_quantized_np), so the live encode lands in
+                # bit-identical rotated coordinates by construction
+                X = rotate_quantized_np(X, R)
             Res = X - NC[cm]  # residual vs the frozen exact-decimal ncent
             # append-time encode: per-subspace runs of the same argmin
             # kernel (the stored index grows by (cluster, c0..c{M-1}))
@@ -1223,8 +1218,8 @@ def q_stream_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rosbag2parquet_spark.functions.pq import (
         DELETE_MOD,
-        PQ_SHORTLIST,
         _exact_rerank,
+        _stage1_shortlist,
     )
 
     scored = _ivfadc_scored_stream(spark, sf_dir)
@@ -1244,12 +1239,8 @@ def q_stream_ivfadc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = spark.table(tbl).join(
         spark.table(tomb_tbl), "vec_id", "left_anti"
     )
-    sl = (
-        live.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
-        .select("vec_id")
-    )
-    return _exact_rerank(spark, sf_dir, sl)
+    # the batch shortlist rule verbatim — the shared cut, never inlined
+    return _exact_rerank(spark, sf_dir, _stage1_shortlist(live, "cos_sim"))
 
 
 def q_stream_ivfadc_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,7 +1277,6 @@ def q_stream_ivfadc_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rosbag2parquet_spark.functions.pq import (
         CUTOVER_MOD,
-        PQ_SHORTLIST,
         _exact_rerank,
         _ivfadc_stage1,
         _stage1_shortlist,
@@ -1300,12 +1290,8 @@ def q_stream_ivfadc_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = _fresh("stream_ivfadc_cutover")
     run_to_memory(scored, tbl, mode="append")
-    sl_new = (
-        spark.table(tbl)
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
-        .select("vec_id")
-    )
+    # the batch shortlist rule verbatim — the shared cut, never inlined
+    sl_new = _stage1_shortlist(spark.table(tbl), "cos_sim")
     base_o, score_o = _ivfadc_stage1(spark, sf_dir, rotated=False)
     sl_old = _stage1_shortlist(
         base_o.filter((F.col("vec_id") % CUTOVER_MOD) != 0), score_o

@@ -990,7 +990,8 @@ def test_ivfadc_compact_rewrite_equals_filtered_serve(spark):
     cells, ncent, coded, books = _ivfadc_fit(spark, SF_DIR)
     survivors = coded.filter((F.col("vec_id") % DELETE_MOD) != 0)
     base = _ivfadc_store(
-        spark, SF_DIR, survivors, cells, ncent, books, variant="compact"
+        spark, SF_DIR, survivors, cells, ncent, books,
+        variant=f"compact{DELETE_MOD}",
     )
     stored = spark.read.parquet(os.path.join(base, "codes"))
     assert sorted(stored.columns) == sorted(survivors.columns)
