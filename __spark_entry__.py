@@ -115,8 +115,9 @@ _MODULES = (
 # 9-32 ALL 24 remaining r8-proven rows; slots 33-50 the 18 oldest r9
 # rows. Freshness histogram going into r13: r8:24, r9:50, r10:38,
 # r11:50, r12:50 (+5 never-proven). After this window nothing is older
-# than r9; r14's window clears the remaining 32 r9 rows, starting with
-# sql-q20.
+# than r9; r14's window clears the remaining 31 r9 rows (sql-q20 ..
+# kmeans — count them below, the staged block IS the ledger) and starts
+# on r10.
 _QUERY_ORDER = [
     # --- r13 window --------------------------------------------------------
     # NEW round 13: the compaction storage pass (delete's optional pass

@@ -2020,6 +2020,10 @@ QUERIES = {
     "knn-pq-packed": q_knn_pq_packed,
 }
 
+#: constructed once — the delete row and the compact row share the SAME
+#: oracle text (rewrite == filter is exactly what the shared string proves)
+_ORACLE_IVFADC_DELETE = _oracle_ivfadc_delete()
+
 ORACLES = {
     "pq-quantize": _oracle_pq_quantize(),
     "knn-pq": _oracle_knn_pq(),
@@ -2038,11 +2042,12 @@ ORACLES = {
     # the merged index serves the single-build answer EXACTLY (map-side
     # per-row encode under the frozen quantizer) — oracle shared verbatim
     "ivfadc-shard-merge": _oracle_knn_ivfadc(),
-    "ivfadc-delete": _oracle_ivfadc_delete(),
+    "ivfadc-delete": _ORACLE_IVFADC_DELETE,
     # the compacted index is a pure copy of the surviving codes — the
     # rewrite must serve the tombstone-filtered answer EXACTLY, so the
     # driver row proves rewrite == filter by sharing delete's oracle
-    "ivfadc-compact": _oracle_ivfadc_delete(),
+    # (the ONE constructed string, not a second expansion)
+    "ivfadc-compact": _ORACLE_IVFADC_DELETE,
     "knn-ivfadc-filtered": _oracle_knn_ivfadc_filtered(),
     "ivf-shortlist-curve": _oracle_ivf_shortlist_curve(),
     # the persisted index serves the build session's answer EXACTLY

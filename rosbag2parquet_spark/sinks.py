@@ -1098,10 +1098,8 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             encoding="ros1", schema_encoding="ros1msg",
         )
         convert_bag(spark, info.paths[0], os.path.join(work, "lay2"))
-        try:
-            os.rename(os.path.join(work, "lay2"), out2)
-        except OSError:
-            pass  # another process won the race; output equivalent
+        # lost race -> drop; real failure -> re-raise (the shared rule)
+        publish_scratch(os.path.join(work, "lay2"), out2)
     return (
         spark.read.parquet(os.path.join(out2, "demo_Event"))
         .select("event_id", "value")
@@ -1200,10 +1198,8 @@ def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bag = os.path.join(work, "slice.mcap")
         write_mcap(bag, conns, msgs)
         convert_bag(spark, bag, os.path.join(work, "lay"))
-        try:
-            os.rename(os.path.join(work, "lay"), out)
-        except OSError:
-            pass  # another process won the race; output equivalent
+        # lost race -> drop; real failure -> re-raise (the shared rule)
+        publish_scratch(os.path.join(work, "lay"), out)
     return spark.read.parquet(os.path.join(out, "demo_PbEvent")).select(
         "event_id",
         F.col("meta_neg_user"),
@@ -1298,10 +1294,8 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bag = os.path.join(work, "slice.mcap")
         write_mcap(bag, conns, msgs)
         convert_bag(spark, bag, os.path.join(work, "lay"))
-        try:
-            os.rename(os.path.join(work, "lay"), out)
-        except OSError:
-            pass  # another process won the race; output equivalent
+        # lost race -> drop; real failure -> re-raise (the shared rule)
+        publish_scratch(os.path.join(work, "lay"), out)
     return spark.read.parquet(os.path.join(out, "demo_JsEvent")).select(
         "event_id",
         F.col("meta_neg_user"),
@@ -1391,10 +1385,8 @@ def q_convert_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             con.close()
         resume_convert_bag(spark, bag, lay)
-        try:
-            os.rename(lay, out)
-        except OSError:
-            pass  # another process won the race; output equivalent
+        # lost race -> drop; real failure -> re-raise (the shared rule)
+        publish_scratch(lay, out)
     return spark.read.parquet(os.path.join(out, "demo_RsEvent")).select(
         "event_id", "value", "user_id", "event_type"
     )
