@@ -1083,10 +1083,22 @@ def q_ivf_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Economics mirror the nprobe curve: the ADC ranking is computed ONCE
     (one scan of the probed cells' codes, materialized — KNN-score-table
     sized), then every curve point is a prefix cut + its own exact
-    re-rank (reads at most `depth` float rows) + an overlap count
-    against the exact top-k ids inlined as literals. At 100 TB the
-    curve costs one code scan plus four shortlist-sized float reads."""
+    re-rank + an overlap count against the exact top-k ids inlined as
+    literals. r13 optimization (guide §2.4/§3): the per-point re-rank no
+    longer re-joins the corpus — the DEEPEST prefix is cut once with its
+    stage-1 rank attached, the float vectors are read for that one
+    max(SHORTLIST_CURVE)-row frame, and every curve point becomes a
+    rank-prefix filter + top-k over the materialized ≤100-row exact-score
+    table. Per point, `top-k among (rank ≤ d) by exact score` is
+    row-for-row `_exact_rerank(prefix-cut d)` — both orderings are the
+    identical (adc DESC, vec_id) / (cos DESC, vec_id) ties — so the
+    oracle is untouched. Plan diff: 8 parquet scans + 16 Exchanges in
+    the final job → 0 (all branches read the checkpointed 100-row
+    frame). At 100 TB the curve now costs one code scan plus ONE
+    shortlist-sized float read (was: one per curve point)."""
     from functools import reduce
+
+    from pyspark.sql import Window
 
     from rosbag2parquet_spark.functions.similarity import q_knn
 
@@ -1098,14 +1110,46 @@ def q_ivf_shortlist_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"])
         for r in q_knn(spark, sf_dir).select("vec_id").collect()
     ]
+    dmax = max(SHORTLIST_CURVE)
+    # the deepest stage-1 cut, rank attached: the window is ordered
+    # exactly like the cut (adc DESC, vec_id), runs over ≤ dmax rows
+    # (post-limit), so rank ≤ d IS the depth-d prefix cut
+    sl = (
+        scored.orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(dmax)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("adc"), F.asc("vec_id")))
+            .alias("rk"),
+        )
+    )
+    # ONE exact re-rank read of the float vectors for the deepest prefix
+    # (same score expression as `_exact_rerank`), materialized so the
+    # curve points below are prefix cuts of local rows, not re-joins
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    dotp = F.aggregate(
+        F.zip_with(F.col("en"), F.col("qen"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rr_all = (
+        emb.join(F.broadcast(sl), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "rk", F.round(dotp, 6).alias("cos_sim"))
+        .localCheckpoint(eager=True)
+    )
     pieces = []
     for d in SHORTLIST_CURVE:
-        sl = (
-            scored.orderBy(F.desc("adc"), F.asc("vec_id"))
-            .limit(d)
+        rr = (
+            rr_all.filter(F.col("rk") <= d)
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(KNN_K)
             .select("vec_id")
         )
-        rr = _exact_rerank(spark, sf_dir, sl).select("vec_id")
         pieces.append(
             rr.filter(F.col("vec_id").isin(exact_ids))
             .agg(F.count(F.lit(1)).alias("n_overlap"))
