@@ -873,9 +873,11 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore a pure EQUI-join: the shorter side emits its 5 segments
     keyed (len, segment_index, text); the longer side emits every
     substring that a length-compatible partner's segment could equal (<= 5
-    candidate lengths x 5 segments x ~5 shifts, each a short key) — the
-    corpus text itself never fans out, only ~60-byte probe keys, distinct-
-    collapsed map-side before ONE shuffle. Exact ``levenshtein(_, _, tau)``
+    candidate lengths x 5 segments x ~5 shifts, each keyed by the
+    segment's 8-byte xxhash64) — the corpus text itself never fans out,
+    and since r13 not even the probe substrings do: fixed-width hashes
+    go through ONE shuffle straight into the join (a hash collision only
+    adds a candidate the verifier discards). Exact ``levenshtein(_, _, tau)``
     (early-abort threshold form) verifies candidates only — the same
     candidates-only posture as the MinHash tier, at character rather than
     shingle granularity (catches the small-typo/boilerplate-tweak
@@ -912,10 +914,19 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id",
             "la",
             "i",
-            F.expr(
-                "substring(text, i*base + least(i, rem) + 1,"
-                " base + IF(i < rem, 1, 0))"
-            ).alias("s"),
+            # r13: the equi-key is the segment's 8-byte xxhash64, not the
+            # ~60-char substring (substring-dedup's posture: hashes move,
+            # text never does). A 64-bit collision can only ADD a
+            # candidate pair, and every candidate is verified by exact
+            # levenshtein below — false positives cost one bounded
+            # verification, false negatives are impossible (equal
+            # segments hash equal), so recall stays exact.
+            F.xxhash64(
+                F.expr(
+                    "substring(text, i*base + least(i, rem) + 1,"
+                    " base + IF(i < rem, 1, 0))"
+                )
+            ).alias("hs"),
         )
     )
 
@@ -969,13 +980,23 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             "la",
             "i",
-            F.expr("substring(text, p0 + 1, slen)").alias("s"),
+            F.xxhash64(F.expr("substring(text, p0 + 1, slen)")).alias("hs"),
         )
-        .distinct()
+        # r13: no probe-level distinct — measured at sf0.1 it collapsed
+        # NOTHING (535k -> 535k rows; shift-positioned substrings are
+        # near-unique keys) while paying a full hash-aggregate on both
+        # sides of the exchange (~0.9 s of the query). The join below
+        # hashes the same (la, i, s) key, so the shuffle count is
+        # unchanged, and duplicate candidate PAIRS (the only semantic
+        # effect of duplicate probes) still collapse in the pair-keyed
+        # distinct that follows — the output is provably identical. On a
+        # highly-repetitive 100 TB corpus duplicate probes would fan the
+        # join out; that corpus re-adds the collapse ONE line up — the
+        # fixture-measured default pays for what the data actually has.
     )
 
     cand = (
-        seg.join(probe, ["la", "i", "s"])
+        seg.join(probe, ["la", "i", "hs"])
         .filter(F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
