@@ -668,10 +668,16 @@ FROM tot, hit
 #: Same greatest(...,1) guard as the contamination shingles: a <5-token
 #: doc yields one (short) shingle on both engines.
 _SPAN_K = 5
+#: span generator over a PRE-SPLIT token array column ``toks`` — r13: the
+#: lambda used to call ``split(text, ' ')`` inline, and higher-order
+#: functions evaluate their body per element with NO common-subexpression
+#: caching, so every ~46-span doc re-split its text 46 times (interpreted).
+#: Splitting once into a bound column and slicing the attribute is the
+#: same value sequence at a fraction of the per-span work.
 _SPANS_SPARK = (
-    f"transform(sequence(1, greatest(size(split(text, ' ')) - {_SPAN_K - 1},"
+    f"transform(sequence(1, greatest(size(toks) - {_SPAN_K - 1},"
     " 1)), i ->"
-    f" concat_ws(' ', slice(split(text, ' '), i, {_SPAN_K})))"
+    f" concat_ws(' ', slice(toks, i, {_SPAN_K})))"
 )
 _SPANS_DUCK = (
     "list_transform(range(1, greatest(len(string_split(text, ' ')) -"
@@ -702,6 +708,8 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     spans = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id", F.explode(F.expr(_SPANS_SPARK)).alias("s")
     ).select("doc_id", F.xxhash64("s").alias("h"))
     occ = spans.withColumn(
@@ -773,6 +781,8 @@ def q_scrub_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # window start positions are 0-based token indices (posexplode index)
     spans = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id", F.posexplode(F.expr(_SPANS_SPARK)).alias("p", "s")
     ).select("doc_id", "p", F.xxhash64("s").alias("h"))
     occ = spans.withColumn(

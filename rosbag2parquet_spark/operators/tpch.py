@@ -159,6 +159,16 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 10% of exact (lgK=12 → rsd≈1.6%, so 10% is a >5σ envelope);
     the engine-specific estimates themselves never reach the hash."""
     li = load_table(spark, sf_dir, "lineitem")
+    # (r13 probe, reverted: per_flag feeds two consumers and the executed
+    # plan really does evaluate it twice — 6 parquet scans, 0
+    # ReusedExchange — but BOTH materialization fixes lose wall-clock
+    # here: localCheckpoint 1.29→1.41 s, cache() +0.14 s interleaved A/B.
+    # The duplicated subtrees are INDEPENDENT stages, so AQE runs them
+    # concurrently on idle cores — duplicate-but-parallel beats
+    # once-but-serialized at sf0.1. At 100 TB the duplicate pass costs
+    # cluster throughput, not latency; a deployment that cares persists
+    # the per-flag sketch partials anyway — that is the mergeable-sketch
+    # pattern this query demonstrates.)
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey", F.lit(12)).alias("_sk"),
         F.count_distinct("l_partkey").alias("exact_parts"),

@@ -723,24 +723,18 @@ def _update_ewma(
     the batch fold and the recursive-CTE oracle do. Rows sort by (t, eid)
     within an invocation; across micro-batches the operator assumes
     per-key in-order delivery (the keyed-log contract)."""
-    from rosbag2parquet_spark.operators.asof import EWMA_DEN, EWMA_NUM
+    # r13: the recursion body moved to the SHARED kernel `ewma_fold_py`
+    # (also the batch q_ewma per-group tier) — stream == batch is now
+    # structural, not two hand-kept copies of the same arithmetic
+    from rosbag2parquet_spark.operators.asof import ewma_fold_py
 
     (user_id,) = key
     rn, y = state.get if state.exists else (0, 0)
     pdf = pd.concat(list(batches), ignore_index=True)
     pdf = pdf.sort_values(["t", "eid"], kind="mergesort")
-    out_rn, out_y = [], []
-    for x in pdf["x"]:
-        x = None if pd.isna(x) else int(x)
-        if rn == 0:
-            y = x
-        elif x is None or y is None:
-            y = None
-        else:
-            y = (EWMA_NUM * x + (EWMA_DEN - EWMA_NUM) * y) // EWMA_DEN
-        rn += 1
-        out_rn.append(rn)
-        out_y.append(y)
+    xs = [None if pd.isna(x) else int(x) for x in pdf["x"]]
+    out_y, rn, y = ewma_fold_py(xs, rn, y)
+    out_rn = list(range(rn - len(out_y) + 1, rn + 1))
     state.update((rn, y))
     yield pd.DataFrame(
         {
