@@ -784,6 +784,39 @@ def test_lsh_vectorized_tier_matches_expression_tier(spark):
     }
 
 
+def test_knn_cosine_vectorized_tier_matches_expression_tier(spark):
+    """The r13 Arrow cosine tier serving `knn` must be BIT-IDENTICAL
+    (pre-round doubles compared exactly) to the pure-expression
+    `_normalized` + `dot` reference: same float64 left-fold operand
+    order for the norm and the dot, same elementwise division, driver-
+    normalized query components equal to the expression tier's."""
+    from rosbag2parquet_spark.functions import similarity as sim
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    raw = load_table(spark, SF_DIR, "embeddings")
+    qen = sim._norm_query_vec(spark, SF_DIR)
+    udf_rows = raw.select(
+        "vec_id",
+        sim._cos_vs_query_vectorized(qen)(
+            sim._as_double("embedding")
+        ).alias("c"),
+    ).collect()
+    emb = sim._normalized(raw)
+    query = emb.filter(F.col("vec_id") == sim.KNN_QUERY_ID).select(
+        F.col("en").alias("qen")
+    )
+    expr_rows = (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", sim.dot(F.col("en"), F.col("qen")).alias("c")
+        )
+        .collect()
+    )
+    assert {r["vec_id"]: r["c"] for r in udf_rows} == {
+        r["vec_id"]: r["c"] for r in expr_rows
+    }
+
+
 def test_connected_components_min_label(spark):
     """CC fixpoint on a hand graph: two components and an isolated edge —
     labels converge to the component-min regardless of iteration order."""
