@@ -99,6 +99,8 @@ def _normalized(df: DataFrame) -> DataFrame:
 
 
 _QEN_CACHE: "dict[tuple[str, str], list[float]]" = {}
+#: raw (un-normalized) fixed-query components, same memo posture
+_RAWQ_CACHE: "dict[tuple[str, str], list[float]]" = {}
 
 
 def _norm_query_vec(spark: SparkSession, sf_dir: str) -> "list[float]":
@@ -576,12 +578,17 @@ def _ivf_cell_ranking(spark, sf_dir: str, raw: DataFrame):
     from rosbag2parquet_spark.functions.kmeans import kmeans_fit_cached
 
     centroids, assigned = kmeans_fit_cached(spark, sf_dir)
-    qe = [
-        float(x)
-        for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
-        .select(_as_double("embedding").alias("e"))
-        .collect()[0]["e"]
-    ]
+    # r13: memoized like `_norm_query_vec` — every IVF-probed serve was
+    # paying a 1-row collect job per invocation for the fixed query row
+    qkey = (spark.sparkContext.applicationId, sf_dir)
+    if qkey not in _RAWQ_CACHE:
+        _RAWQ_CACHE[qkey] = [
+            float(x)
+            for x in raw.filter(F.col("vec_id") == KNN_QUERY_ID)
+            .select(_as_double("embedding").alias("e"))
+            .collect()[0]["e"]
+        ]
+    qe = _RAWQ_CACHE[qkey]
     scores = []
     for cl, c in enumerate(centroids):
         num = sum(math.floor(ci * qi * 1e12) for ci, qi in zip(c, qe))
