@@ -617,20 +617,24 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     cells, assigned = _ivf_probe_cells(spark, sf_dir, raw)
 
-    emb = _normalized(raw)
-    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
-        F.col("en").alias("qen")
-    )
+    # r13: the membership semi-join now restricts the RAW rows BEFORE any
+    # scoring work (normalization is per-row pure, so join-then-normalize
+    # is value-identical to normalize-then-join — the optimizer was not
+    # reordering the semi-join below the HOF projections itself), and the
+    # member rows score through the Arrow cosine tier `knn` uses
+    # (bit-identical to the expression fold, pair-pinned in tests).
     members = assigned.filter(F.col("cluster").isin(cells)).select("vec_id")
-    probed = emb.filter(F.col("vec_id") != KNN_QUERY_ID).join(
+    probed = raw.filter(F.col("vec_id") != KNN_QUERY_ID).join(
         F.broadcast(members), "vec_id", "left_semi"
     )
+    qen = _norm_query_vec(spark, sf_dir)
     return (
-        probed.crossJoin(F.broadcast(query))
-        .select(
+        probed.select(
             "vec_id",
             "label",
-            F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
+            F.round(
+                _cos_vs_query_vectorized(qen)(_as_double("embedding")), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(KNN_K)
@@ -1161,15 +1165,24 @@ def q_knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "embeddings")
     cells, assigned = _ivf_probe_cells(spark, sf_dir, raw)
 
-    qn = _quantized_codes(_normalized(raw))
-    query = qn.filter(F.col("vec_id") == KNN_QUERY_ID).select(
-        F.col("codes").alias("qc"), F.col("s").alias("qs")
-    )
+    # r13: membership restricts the raw rows BEFORE normalize+quantize —
+    # both are per-row pure, so join-then-encode is value-identical to
+    # encode-then-join, and the interpreted HOF encode work shrinks to
+    # the probed fraction of the corpus (the optimizer was not reordering
+    # the semi-join below the HOF projections itself)
     members = assigned.filter(F.col("cluster").isin(cells)).select("vec_id")
+    query = _quantized_codes(
+        _normalized(raw.filter(F.col("vec_id") == KNN_QUERY_ID))
+    ).select(F.col("codes").alias("qc"), F.col("s").alias("qs"))
+    qn = _quantized_codes(
+        _normalized(
+            raw.filter(F.col("vec_id") != KNN_QUERY_ID).join(
+                F.broadcast(members), "vec_id", "left_semi"
+            )
+        )
+    )
     scored = (
-        qn.filter(F.col("vec_id") != KNN_QUERY_ID)
-        .join(F.broadcast(members), "vec_id", "left_semi")
-        .crossJoin(F.broadcast(query))
+        qn.crossJoin(F.broadcast(query))
         .select(
             "vec_id",
             "label",
