@@ -1631,11 +1631,10 @@ def _write_bag_tables(
             messages.sparkSession, msg_path, messages
         )
         assert_append_compatible(messages.sparkSession, stats_path, stats.schema)
+    # Messages goes FIRST and alone: its scan populates the `seq` cache
+    # every later table reads; racing another job here would make both
+    # compute the uncached partitions instead of one filling them for all
     messages.write.options(**writer_opts).mode(mode).parquet(msg_path)
-    (conns_write_df if conns_write_df is not None else conns_df).write.options(
-        **writer_opts
-    ).mode(mode).parquet(conn_path)
-    stats.write.options(**writer_opts).mode(mode).parquet(stats_path)
     for table, table_path, pertype in pertype_writes:
         if table_path in mark_mixed:
             # the marker lands BEFORE the append commits: a crash between
@@ -1648,7 +1647,35 @@ def _write_bag_tables(
                 os.path.join(table_path, _BAG_INDEX_MIXED_MARKER), "w"
             ):
                 pass  # empty marker; presence is the signal
-        pertype.write.options(**writer_opts).mode(mode).parquet(table_path)
+    # r13 (guide §2.6): Connections, Stats and the per-type tables are
+    # INDEPENDENT jobs over the now-cached `seq` — submitted from a small
+    # thread pool so each job's task tail back-fills the executors the
+    # others free, instead of serializing ~4 full job latencies. Every
+    # append guard (schema fingerprint, mixed-vintage marker) already ran
+    # above, so ordering between these writes carries no correctness
+    # weight; a failure in any write re-raises at result() and fails the
+    # conversion exactly as the sequential form did.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_table(df: DataFrame, path: str) -> None:
+        df.write.options(**writer_opts).mode(mode).parquet(path)
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _futs = [
+            _pool.submit(
+                _write_table,
+                conns_write_df if conns_write_df is not None else conns_df,
+                conn_path,
+            ),
+            _pool.submit(_write_table, stats, stats_path),
+        ]
+        _futs += [
+            _pool.submit(_write_table, pertype, table_path)
+            for _, table_path, pertype in pertype_writes
+        ]
+        for _f in _futs:
+            _f.result()
+    for table, _table_path, pertype in pertype_writes:
         tables[table] = pertype.schema
 
     if attachments_df is not None:
@@ -1699,9 +1726,13 @@ def _write_bag_tables(
     with open(os.path.join(out_dir, "load_tables.sql"), "w") as f:
         f.write(load_script(tables))
 
-    count = seq.count()
-    size = seq.agg(F.sum(F.length("data"))).collect()[0][0] or 0
-    return count, float(size)
+    # one job for both scalars (was two back-to-back actions on the
+    # same cached frame)
+    _row = seq.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.length("data")).alias("__sz"),
+    ).collect()[0]
+    return int(_row["__n"]), float(_row["__sz"] or 0)
 
 
 #: conn_id slot width in the combined (bag_index, conn_id) remap key — bags
