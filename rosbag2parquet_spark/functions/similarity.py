@@ -778,27 +778,19 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe set, not the encoding, binds recall — this query MEASURES
     that, one row per probe depth). Cell ranking is computed ONCE (the
     same K driver-side integer-exact scores `_ivf_probe_cells` uses);
-    the deepest prefix's cells are scored in ONE corpus-fraction scan
-    (each candidate tagged with its cell's probe RANK and materialized —
-    KNN-score-table sized, not corpus sized), then every curve point is
-    a rank-prefix filter + top-k + overlap over that table. At 100 TB
-    the curve costs ONE scan of the max(NPROBE_CURVE) cells, not one
-    scan per point: recall_bps per extra cell, measured not guessed."""
+    ONE corpus pass (r13) scores every row through the Arrow cosine
+    tier and tags probed-cell members with their cell's probe RANK
+    (NULL outside the deepest prefix), materialized once — both the
+    exact top-k baseline AND every curve point's candidate set then
+    read that table (a rank-prefix filter + top-k + overlap), so the
+    measurement costs one corpus scan total instead of an exact-scan
+    pass PLUS a probed-fraction pass. recall_bps per extra cell,
+    measured not guessed."""
     from functools import reduce
 
     raw = load_table(spark, sf_dir, "embeddings")
     ranked, assigned = _ivf_cell_ranking(spark, sf_dir, raw)
 
-    emb = _normalized(raw)
-    query = emb.filter(F.col("vec_id") == KNN_QUERY_ID).select(
-        F.col("en").alias("qen")
-    )
-    # the exact top-k is KNN_K ids — collect ONCE and inline, so the
-    # overlap count never rescans the corpus per curve point
-    exact_ids = [
-        int(r["vec_id"])
-        for r in q_knn(spark, sf_dir).select("vec_id").collect()
-    ]
     # members of the DEEPEST prefix, tagged with their cell's probe rank
     # (1-based) via a tiny literal map — one broadcast join, one scan
     depth = max(NPROBE_CURVE)
@@ -813,17 +805,34 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.filter(F.col("cluster").isin(ranked[:depth]))
         .select("vec_id", rank_expr[F.col("cluster")].alias("probe_rank"))
     )
+    # r13: ONE corpus pass serves BOTH sides of the comparison — every
+    # row scores through the Arrow cosine tier (bit-identical to the
+    # `knn` expression fold, pair-pinned), non-members carry a NULL
+    # probe_rank via the left join, and the checkpoint is the only scan.
+    # The exact top-k ids come from the SAME materialized table (the
+    # full-corpus ordering is exactly `q_knn`'s: same scores, same
+    # (cos DESC, vec_id) ties), so the previous second corpus scan
+    # (q_knn) and its collect are gone.
+    qen = _norm_query_vec(spark, sf_dir)
     scored = (
-        emb.filter(F.col("vec_id") != KNN_QUERY_ID)
-        .join(F.broadcast(members), "vec_id")
-        .crossJoin(F.broadcast(query))
+        raw.filter(F.col("vec_id") != KNN_QUERY_ID)
+        .join(F.broadcast(members), "vec_id", "left")
         .select(
             "vec_id",
             "probe_rank",
-            F.round(dot(F.col("en"), F.col("qen")), 6).alias("cos_sim"),
+            F.round(
+                _cos_vs_query_vectorized(qen)(_as_double("embedding")), 6
+            ).alias("cos_sim"),
         )
-        .localCheckpoint(eager=True)  # the one corpus-fraction pass
+        .localCheckpoint(eager=True)  # the one corpus pass
     )
+    exact_ids = [
+        int(r["vec_id"])
+        for r in scored.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+        .select("vec_id")
+        .collect()
+    ]
     pieces = []
     for nprobe in NPROBE_CURVE:
         approx = (
