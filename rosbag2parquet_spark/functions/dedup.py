@@ -118,17 +118,12 @@ BAND_SIZE = 2  # 4 bands × 2 rows — b·r = 8
 JACCARD_THRESHOLD = 0.8
 
 
-def minhash_signatures(shingle_sets: DataFrame) -> DataFrame:
-    """MinHash signature per doc: 8 independent min-hashes derived from TWO
-    md5 evaluations per shingle (each 32-hex digest sliced into four 8-hex
-    values ≈ four independent 32-bit hashes) — 4× less hashing than
-    hash-per-permutation. One explode + one groupBy(doc_id): the md5s are
-    projected before the aggregation so they are evaluated exactly once per
-    shingle, and the shuffle materializes the signature (no downstream
-    re-evaluation — Catalyst inlines narrow expression trees into every
-    consumer branch, which turns 'compute once' into 'compute per use'
-    without this barrier). Partial aggregation (map-side min) means the
-    shuffle carries one row per (doc, partial-min), not per shingle."""
+def minhash_signatures_expr(shingle_sets: DataFrame) -> DataFrame:
+    """The pure-expression REFERENCE tier for `minhash_signatures` (r13:
+    serving moved to the Arrow tier below; this formulation stays as the
+    oracle-shaped reference the pair-pin test checks against): 8
+    min-hashes from TWO md5 evaluations per shingle via one explode +
+    one groupBy(doc_id) with map-side partial mins."""
     hashed = shingle_sets.select(
         "doc_id", F.explode("sset").alias("s")
     ).select(
@@ -141,6 +136,57 @@ def minhash_signatures(shingle_sets: DataFrame) -> DataFrame:
         for k in range(N_HASHES)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(shingle_sets: DataFrame) -> DataFrame:
+    """MinHash signature per doc: 8 independent min-hashes derived from TWO
+    md5 evaluations per shingle (each 32-hex digest sliced into four 8-hex
+    values ≈ four independent 32-bit hashes) — 4× less hashing than
+    hash-per-permutation.
+
+    r13: computed MAP-SIDE in one Arrow pass over the per-doc shingle
+    arrays — each doc's signature is a function of its OWN shingles, so
+    the explode + groupBy of the expression tier (230k shingle rows
+    through a shuffle at sf0.1, 0.66 s) was pure mechanism; the Python
+    md5s produce the IDENTICAL hex strings (hashlib md5 of the same
+    UTF-8 bytes, the same [8k, 8k+8) hex slices, the same lexicographic
+    min — pair-pinned against `minhash_signatures_expr` in tests), and
+    the signature stage now shuffles NOTHING at any scale."""
+    import hashlib
+
+    import pandas as pd
+
+    def sigs(ssets):
+        rows = []
+        for sset in ssets:
+            h0s = [
+                hashlib.md5(("0|" + s).encode("utf-8")).hexdigest()
+                for s in sset
+            ]
+            h1s = [
+                hashlib.md5(("1|" + s).encode("utf-8")).hexdigest()
+                for s in sset
+            ]
+            rows.append(
+                [
+                    min(h[8 * (k % 4): 8 * (k % 4) + 8] for h in
+                        (h0s if k < 4 else h1s))
+                    for k in range(N_HASHES)
+                ]
+            )
+        return pd.Series(rows)
+
+    sigs.__annotations__ = {"ssets": pd.Series, "return": pd.Series}
+    mh = F.pandas_udf(sigs, "array<string>")
+    return shingle_sets.select(
+        "doc_id", mh(F.col("sset")).alias("__mh")
+    ).select(
+        "doc_id",
+        *[
+            F.element_at("__mh", k + 1).alias(f"mh{k}")
+            for k in range(N_HASHES)
+        ],
+    )
 
 
 def _verify_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:

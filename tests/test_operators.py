@@ -817,6 +817,24 @@ def test_knn_cosine_vectorized_tier_matches_expression_tier(spark):
     }
 
 
+def test_minhash_vectorized_tier_matches_expression_tier(spark):
+    """The r13 Arrow minhash tier must emit IDENTICAL signature strings
+    to the explode+groupBy expression reference — same md5 input bytes,
+    same hex slices, same lexicographic min."""
+    from rosbag2parquet_spark.functions import dedup as dd
+
+    sets = dd._doc_shingle_sets(spark, SF_DIR)
+    new = {
+        r["doc_id"]: [r[f"mh{k}"] for k in range(dd.N_HASHES)]
+        for r in dd.minhash_signatures(sets).collect()
+    }
+    ref = {
+        r["doc_id"]: [r[f"mh{k}"] for k in range(dd.N_HASHES)]
+        for r in dd.minhash_signatures_expr(sets).collect()
+    }
+    assert new == ref
+
+
 def test_connected_components_min_label(spark):
     """CC fixpoint on a hand graph: two components and an isolated edge —
     labels converge to the component-min regardless of iteration order."""
