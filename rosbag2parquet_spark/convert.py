@@ -1004,8 +1004,10 @@ def resume_convert_bag(
             os.path.join(out_dir, "Connections")
         ).collect()
     }
+    from rosbag2parquet_spark.sources import conn_rows_of
+
     new_rows = []
-    for r in conns_df.collect():
+    for r in conn_rows_of(conns_df):
         if r.connection_id in existing:
             if tuple(r) != existing[r.connection_id]:
                 raise ValueError(
@@ -1373,7 +1375,11 @@ def _write_bag_tables(
     else:
         from rosbag2parquet_spark.sources.decode import decode_messages
 
-    conn_rows = conns_df.collect()  # tiny dim (reference snapshots it at open)
+    from rosbag2parquet_spark.sources import conn_rows_of
+
+    # tiny dim (reference snapshots it at open); the driver-parsed memo
+    # serves it without a job when conns_df came straight from a builder
+    conn_rows = conn_rows_of(conns_df)
     _check_compression(compression)
 
     # ---- Messages (seqno, time_sec, time_nsec, size, connection_id)

@@ -294,13 +294,19 @@ def connections_df(spark: SparkSession, path: str) -> DataFrame:
     full 7-column shape (README.md:35-42) — callerid/latching are padded
     "" for SBAG, which doesn't carry them — so single-bag and fleet
     conversions produce union-compatible Connections tables."""
+    from rosbag2parquet_spark.sources import attach_conn_rows
+
     conns, _ = read_header(path)
-    return spark.createDataFrame(
-        [
-            (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def,
-             c.callerid or "", c.latching or "")
-            for c in conns
-        ],
-        "connection_id int, topic string, datatype string, md5sum string, "
-        "msg_def string, callerid string, latching string",
+    rows = [
+        (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def,
+         c.callerid or "", c.latching or "")
+        for c in conns
+    ]
+    return attach_conn_rows(
+        spark.createDataFrame(
+            rows,
+            "connection_id int, topic string, datatype string, md5sum string, "
+            "msg_def string, callerid string, latching string",
+        ),
+        rows,
     )

@@ -668,10 +668,16 @@ def mcap_connections_df(spark: SparkSession, path: str) -> DataFrame:
     """Connections dim from the embedded Channel+Schema records — the
     engine's 7-column shape; see :func:`mcap_connection_rows` for the
     per-encoding msg_def contract."""
-    return spark.createDataFrame(
-        mcap_connection_rows(path),
-        "connection_id int, topic string, datatype string, md5sum string, "
-        "msg_def string, callerid string, latching string",
+    from rosbag2parquet_spark.sources import attach_conn_rows
+
+    rows = mcap_connection_rows(path)
+    return attach_conn_rows(
+        spark.createDataFrame(
+            rows,
+            "connection_id int, topic string, datatype string, md5sum string, "
+            "msg_def string, callerid string, latching string",
+        ),
+        rows,
     )
 
 

@@ -553,14 +553,20 @@ def prune_chunks(
 def rosbag_connections_df(spark: SparkSession, path: str) -> DataFrame:
     """The Connections dim with the reference's full column set including
     callerid and latching (FlattenedRosWriter.cpp:209-224, README.md:35-42)."""
+    from rosbag2parquet_spark.sources import attach_conn_rows
+
     conns, _ = scan_rosbag(path)
-    return spark.createDataFrame(
-        [
-            (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def, c.callerid, c.latching)
-            for c in conns
-        ],
-        "connection_id int, topic string, datatype string, md5sum string, "
-        "msg_def string, callerid string, latching string",
+    rows = [
+        (c.conn_id, c.topic, c.datatype, c.md5sum, c.msg_def, c.callerid, c.latching)
+        for c in conns
+    ]
+    return attach_conn_rows(
+        spark.createDataFrame(
+            rows,
+            "connection_id int, topic string, datatype string, md5sum string, "
+            "msg_def string, callerid string, latching string",
+        ),
+        rows,
     )
 
 

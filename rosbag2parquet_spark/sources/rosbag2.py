@@ -275,13 +275,19 @@ def rosbag2_connections_df(
             "embeds none (pre-Iron storage has no message_definitions "
             "table); pass msgdefs={type: text}"
         )
-    return spark.createDataFrame(
-        [
-            (t.topic_id, t.name, t.datatype, "", msgdefs[t.datatype], "", "")
-            for t in topics
-        ],
-        "connection_id int, topic string, datatype string, md5sum string, "
-        "msg_def string, callerid string, latching string",
+    from rosbag2parquet_spark.sources import attach_conn_rows
+
+    rows = [
+        (t.topic_id, t.name, t.datatype, "", msgdefs[t.datatype], "", "")
+        for t in topics
+    ]
+    return attach_conn_rows(
+        spark.createDataFrame(
+            rows,
+            "connection_id int, topic string, datatype string, md5sum string, "
+            "msg_def string, callerid string, latching string",
+        ),
+        rows,
     )
 
 
