@@ -54,11 +54,15 @@ RATIONALE = {
         "EXACT — unlike MinHash/SimHash this tier cannot miss a pair — and "
         "blocking precision is measured, not hoped: 271 candidates -> 251 "
         "true pairs at sf0.1 (93%). The fan-out is a fixed constant per doc "
-        "(never the corpus text, only ~60-byte substrings), one shuffle, "
-        "candidates-only levenshtein with early-abort threshold; linear in "
-        "the corpus at any scale. A single-projection higher-order-function "
-        "rewrite was measured SLOWER (3.3 s vs 2.3 s probe stage — array "
-        "lambdas fall out of whole-stage codegen) and rejected."
+        "(never the corpus text; since r13 the equi-keys are 8-byte "
+        "xxhash64 of the segments — a collision only adds a candidate the "
+        "exact verifier discards), one shuffle, candidates-only "
+        "levenshtein with early-abort threshold; linear in the corpus at "
+        "any scale. A single-projection higher-order-function rewrite was "
+        "measured SLOWER (3.3 s vs 2.3 s probe stage — array lambdas fall "
+        "out of whole-stage codegen) and rejected; r13 also dropped the "
+        "probe-level distinct (collapsed nothing, cost a two-sided hash "
+        "aggregate — the pair-level distinct already owns the collapse)."
     ),
     "scd2-asof": (
         "Point-in-time join done as the co-partitioned as-of union (interval "
@@ -117,10 +121,13 @@ RATIONALE = {
         "per-document sum."
     ),
     "ewma": (
-        "Inherently sequential per entity — ONE entity shuffle collects "
-        "each ordered series and an aggregate fold threads the running "
-        "smoothed value; no UDF, no per-row driver loop. Integer "
-        "fixed-point (shift step) is what lets a recursive filter be "
+        "Inherently sequential per entity — ONE entity shuffle + sort, "
+        "then (r13) mapInPandas streams each partition through the shared "
+        "integer kernel ewma_fold_py — the SAME function the streaming "
+        "state twin calls, so stream==batch is structural. This replaced "
+        "the Catalyst aggregate fold whose per-step accumulator concat "
+        "was an interpreted O(n²)-per-entity loop (1.42 -> 0.66 s at "
+        "sf0.1). Integer fixed-point is what lets a recursive filter be "
         "value-oracled at all. Entities parallelize; per-entity series "
         "are bounded by construction."
     ),
