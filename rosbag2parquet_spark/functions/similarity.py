@@ -166,6 +166,147 @@ def _cos_vs_query_vectorized(qen: "list[float]"):
     return F.pandas_udf(score, "double")
 
 
+def _pair_cos_vectorized():
+    """Arrow-vectorized PAIR-cosine tier (r13, serving `embed-recall`'s
+    O(N²) brute-force truth scan): the raw-quotient cosine of two raw
+    float vectors in ONE pandas_udf — bit-identical to the expression
+    `cosine()` = dot/(norm·norm) it replaces (pair-pinned in tests): the
+    dot and both sum-of-squares are the same float64 sequential left
+    folds (loop over dims, vectorized over rows), then the same
+    sqrt·sqrt product and single IEEE division. Inputs ship as the
+    parquet float32 arrays — HALF the Arrow bytes of pre-cast doubles
+    across N² pair rows — and widen in numpy (float32→float64 is exact,
+    the same values `_as_double` produces). Why a UDF: the interpreted
+    HOF cosine costs ~180 µs/pair at dim=64, and the truth side is the
+    one N² surface in the repo (2M pairs at sf0.1 — ~57 s measured);
+    the numpy formulation is the same arithmetic at batch throughput."""
+    import numpy as np
+    import pandas as pd
+
+    def score(ea, eb):
+        A = np.vstack(ea.to_numpy()).astype(np.float64)  # exact widen
+        B = np.vstack(eb.to_numpy()).astype(np.float64)
+        d = np.zeros(A.shape[0], dtype=np.float64)
+        sa = np.zeros(A.shape[0], dtype=np.float64)
+        sb = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):  # same fold order as dot()/norm()
+            d = d + A[:, i] * B[:, i]
+            sa = sa + A[:, i] * A[:, i]
+            sb = sb + B[:, i] * B[:, i]
+        return pd.Series(d / (np.sqrt(sa) * np.sqrt(sb)))
+
+    score.__annotations__ = {
+        "ea": pd.Series, "eb": pd.Series, "return": pd.Series
+    }
+    return F.pandas_udf(score, "double")
+
+
+#: rows per block of the blocked all-pairs truth scan (`embed-recall`) —
+#: the block COUNT derives from the corpus size (ceil(N/256)), so group
+#: count (and with it parallelism) grows as N²/256² exactly like the
+#: pair work itself; nothing is tuned to the local core count
+_TRUTH_BLOCK_ROWS = 256
+
+
+def _truth_block_kernel(pdf):
+    """Kernel of the blocked all-pairs cosine: one group = one block
+    pair (bi ≤ bj); members are the rows of both blocks. Emits
+    (a_id, b_id, c) for every unordered pair with a_id < b_id whose
+    blocks are exactly {bi, bj} — across the whole group fan-out each
+    unordered pair surfaces in exactly one group. The arithmetic is the
+    expression `cosine()` fold exactly (pair-pinned in tests): the dot
+    accumulates X[p,i]·Y[q,i] over dims in the same sequential order
+    (vectorized over the pair grid), the sums of squares likewise, then
+    the same sqrt·sqrt product and single IEEE division — and swapped
+    operands for pairs oriented (q, p) change nothing, since IEEE
+    multiply is commutative and the add order over dims is fixed."""
+    import numpy as np
+    import pandas as pd
+
+    bi = int(pdf["bi"].iat[0])
+    bj = int(pdf["bj"].iat[0])
+    P = pdf[pdf["blk"] == bi]
+    Q = P if bj == bi else pdf[pdf["blk"] == bj]
+    if len(P) == 0 or len(Q) == 0:
+        return pd.DataFrame(
+            {
+                "a_id": np.array([], dtype=np.int64),
+                "b_id": np.array([], dtype=np.int64),
+                "c": np.array([], dtype=np.float64),
+            }
+        )
+    X = np.vstack(P["embedding"].to_numpy()).astype(np.float64)  # exact widen
+    Y = X if bj == bi else np.vstack(Q["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    D = np.zeros((X.shape[0], Y.shape[0]), dtype=np.float64)
+    sx = np.zeros(X.shape[0], dtype=np.float64)
+    sy = np.zeros(Y.shape[0], dtype=np.float64)
+    for i in range(X.shape[1]):  # same left-fold order as dot()/norm()
+        D = D + X[:, i][:, None] * Y[None, :, i]
+        sx = sx + X[:, i] * X[:, i]
+        sy = sy + Y[:, i] * Y[:, i]
+    C = D / (np.sqrt(sx)[:, None] * np.sqrt(sy)[None, :])
+    pid = P["vec_id"].to_numpy()
+    qid = Q["vec_id"].to_numpy()
+    PI = np.broadcast_to(pid[:, None], C.shape)
+    QI = np.broadcast_to(qid[None, :], C.shape)
+    # same-block groups see both orientations of each pair — keep one;
+    # cross-block groups see each pair once (blocks are disjoint)
+    mask = (PI < QI) if bj == bi else np.ones(C.shape, dtype=bool)
+    return pd.DataFrame(
+        {
+            "a_id": np.minimum(PI, QI)[mask],
+            "b_id": np.maximum(PI, QI)[mask],
+            "c": C[mask],
+        }
+    )
+
+
+def _truth_pairs_blocked(emb: DataFrame) -> DataFrame:
+    """All-pairs raw-quotient cosine (a_id < b_id, unrounded `c`) via a
+    BLOCKED nested loop in ONE applyInPandas stage (r13, serving
+    `embed-recall`'s brute-force truth side). Why: the BNLJ+pair-UDF
+    formulation ships BOTH 64-float vectors on every one of the N²/2
+    pair rows across the Arrow boundary — measured 9.0 s of the 11 s
+    truth scan at sf0.1 against 0.4 s for the join itself. Here every
+    row ships to its nb block-pair groups ONCE (nb·N input rows, ~16k
+    at sf0.1 vs 2M pair rows), pairs materialize only as a numpy grid
+    inside the kernel, and only the (a_id, b_id, c) triple leaves
+    Python. The one extra job is a count() to size the block count from
+    the data (the `embed-neardup` bits precedent)."""
+    n = emb.count()
+    nb = max(1, -(-n // _TRUTH_BLOCK_ROWS))
+    g = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias("blk"),
+    )
+    groups = F.array(
+        *[
+            F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+            for i in range(nb)
+            for j in range(i, nb)
+        ]
+    )
+    rep = (
+        g.select("vec_id", "embedding", "blk", F.explode(groups).alias("gp"))
+        .filter(
+            (F.col("gp.bi") == F.col("blk")) | (F.col("gp.bj") == F.col("blk"))
+        )
+        .select(
+            F.col("gp.bi").alias("bi"),
+            F.col("gp.bj").alias("bj"),
+            "blk",
+            "vec_id",
+            "embedding",
+        )
+    )
+    return rep.groupBy("bi", "bj").applyInPandas(
+        _truth_block_kernel, "a_id long, b_id long, c double"
+    )
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k nearest neighbours of the query vector (vec_id=0) by cosine.
     The query's normalized components ship as literals into one Arrow
@@ -923,18 +1064,23 @@ def q_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N²) truth side is the measurement harness (run at audit scale / on
     a sample); the banded LSH is the production path. Cosine uses the
     identical round-6 raw-quotient formulation as the LSH verify step, so
-    truth ⊇ found structurally and recall is exact integer arithmetic."""
+    truth ⊇ found structurally and recall is exact integer arithmetic.
+    r13: the N² truth scan runs as a BLOCKED nested loop in one
+    applyInPandas stage (`_truth_pairs_blocked` — value-identical to
+    the expression `cosine()` fold by construction and by the pair-pin
+    tests; see also `_pair_cos_vectorized`, the pinned intermediate
+    pair-row tier this superseded); the final round(…, 6) stays a Spark
+    expression so rounding semantics are unchanged."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
+        "vec_id", "embedding"
     )
-    a, b = emb.alias("a"), emb.alias("b")
     hi, mid, lo = _RECALL_BANDS
     truth = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        _truth_pairs_blocked(emb)
         .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cs"),
+            "a_id",
+            "b_id",
+            F.round(F.col("c"), 6).alias("cs"),
         )
         .filter(F.col("cs") >= NEARDUP_THRESHOLD)
         .select(

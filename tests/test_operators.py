@@ -817,6 +817,84 @@ def test_knn_cosine_vectorized_tier_matches_expression_tier(spark):
     }
 
 
+def test_pair_cos_vectorized_tier_matches_expression_tier(spark):
+    """The r13 Arrow pair-cosine tier serving `embed-recall`'s truth scan
+    must be BIT-IDENTICAL (pre-round doubles compared exactly) to the
+    expression `cosine()` = dot/(norm·norm) reference on every pair:
+    same float64 left-fold operand order for the dot and both norms,
+    same sqrt·sqrt product and division — and the float32→float64 widen
+    inside the UDF must equal `_as_double`'s cast."""
+    from rosbag2parquet_spark.functions import similarity as sim
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    udf_rows = pairs.select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        sim._pair_cos_vectorized()(
+            F.col("a.embedding"), F.col("b.embedding")
+        ).alias("c"),
+    ).collect()
+    expr_rows = pairs.select(
+        F.col("a.vec_id").alias("a_id"),
+        F.col("b.vec_id").alias("b_id"),
+        sim.cosine(
+            sim._as_double(F.col("a.embedding")),
+            sim._as_double(F.col("b.embedding")),
+        ).alias("c"),
+    ).collect()
+    assert len(udf_rows) > 0
+    assert {(r["a_id"], r["b_id"]): r["c"] for r in udf_rows} == {
+        (r["a_id"], r["b_id"]): r["c"] for r in expr_rows
+    }
+
+
+def test_truth_pairs_blocked_matches_expression_tier(spark):
+    """The r13 blocked all-pairs kernel serving `embed-recall`'s truth
+    scan must produce EXACTLY the expression tier's pair set — every
+    (a_id < b_id) pair exactly once, no matter how the modulo blocks
+    split it — with BIT-IDENTICAL unrounded cosines (same float64 fold
+    order; orientation-swapped pairs unchanged because IEEE multiply is
+    commutative). Runs at a block size that forces MULTIPLE blocks, so
+    cross-block, same-block, and empty-slice paths all execute."""
+    from rosbag2parquet_spark.functions import similarity as sim
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    old_rows = sim._TRUTH_BLOCK_ROWS
+    sim._TRUTH_BLOCK_ROWS = 7  # force many blocks at fixture scale
+    try:
+        blocked = {
+            (r["a_id"], r["b_id"]): r["c"]
+            for r in sim._truth_pairs_blocked(emb).collect()
+        }
+    finally:
+        sim._TRUTH_BLOCK_ROWS = old_rows
+    a, b = emb.alias("a"), emb.alias("b")
+    expr_rows = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            sim.cosine(
+                sim._as_double(F.col("a.embedding")),
+                sim._as_double(F.col("b.embedding")),
+            ).alias("c"),
+        )
+        .collect()
+    )
+    assert len(blocked) == len(expr_rows) > 0
+    assert blocked == {
+        (r["a_id"], r["b_id"]): r["c"] for r in expr_rows
+    }
+
+
 def test_minhash_vectorized_tier_matches_expression_tier(spark):
     """The r13 Arrow minhash tier must emit IDENTICAL signature strings
     to the explode+groupBy expression reference — same md5 input bytes,
