@@ -816,16 +816,124 @@ ORDER BY cos_sim DESC, vec_id LIMIT {KNN_K}
 KNN_BATCH_QUERIES = 5  # vec_id 0..4 are the query set
 
 
+#: (applicationId, sf_dir) → (query vec_ids ascending, their unit-normalized
+#: float64 components) — the `_QEN_CACHE` memo posture for the batch set
+_QBATCH_CACHE: "dict[tuple[str, str], tuple[list[int], list[list[float]]]]" = {}
+
+
+def _norm_query_batch(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[int], list[list[float]]]":
+    """The KNN_BATCH_QUERIES fixed query vectors (vec_id ascending),
+    unit-normalized DRIVER-side with exactly `_normalized`'s arithmetic —
+    `_norm_query_vec`'s proof extended to the batch (Python floats are
+    IEEE float64, so each query's components are bit-identical to the
+    expression tier's). One pushdown-filtered M-row collect, memoized per
+    (applicationId, sf_dir) like every fit collect — computed from the
+    parquet inputs once per session per fixture, never across runs."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _QBATCH_CACHE:
+        return _QBATCH_CACHE[key]
+    rows = sorted(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KNN_BATCH_QUERIES)
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids, qens = [], []
+    for r in rows:
+        raw = [float(x) for x in r["e"]]
+        acc = 0.0
+        for x in raw:
+            acc = acc + x * x
+        n = math.sqrt(acc)
+        qids.append(int(r["vec_id"]))
+        qens.append([x / n for x in raw])
+    _QBATCH_CACHE[key] = (qids, qens)
+    return _QBATCH_CACHE[key]
+
+
+def _cos_vs_query_batch_vectorized(qens: "list[list[float]]"):
+    """Arrow-vectorized cosine-vs-M-queries tier (`_cos_vs_query_vectorized`
+    extended to the batch): normalize each row once and dot it against
+    every (already normalized) query's components in ONE pandas_udf
+    returning the M scores as an array — bit-identical per (row, query)
+    to the `_normalized` + `dot` reference (pair-pinned in tests): same
+    float64 left folds, same elementwise division."""
+    import numpy as np
+    import pandas as pd
+
+    Q = np.array(qens, dtype=np.float64)  # (M, dim)
+
+    def score(emb):
+        E = np.vstack(emb.to_numpy()).astype(np.float64)  # exact widen
+        acc = np.zeros(E.shape[0], dtype=np.float64)
+        for i in range(E.shape[1]):  # sequential left fold per row
+            acc = acc + E[:, i] * E[:, i]
+        en = E / np.sqrt(acc)[:, None]
+        out = np.empty((E.shape[0], Q.shape[0]), dtype=np.float64)
+        for m in range(Q.shape[0]):
+            s = np.zeros(E.shape[0], dtype=np.float64)
+            for i in range(E.shape[1]):  # same fold order as dot()
+                s = s + en[:, i] * Q[m, i]
+            out[:, m] = s
+        return pd.Series(list(out))
+
+    score.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(score, "array<double>")
+
+
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query top-k — the production ANN shape (score a whole
     query BATCH in one corpus pass, not one driver round-trip per query).
 
-    Plan: the M query vectors broadcast (tiny); one narrow pass scores
-    corpus×M via the codegen'd fold; a window partitioned by query_id takes
-    each query's top-k — the shuffle key is the query id, so adding queries
+    Plan: the M query vectors' normalized components ship as literals
+    into one Arrow scoring pass emitting all M scores per row
+    (`_cos_vs_query_batch_vectorized` — r13: replaced the interpreted
+    `_normalized`+crossJoin-dot chain, value-identical by construction
+    and by the pair-pin test); posexplode fans the score array out to
+    (query, row) pairs, and a window partitioned by query_id takes each
+    query's top-k — the shuffle key is the query id, so adding queries
     adds reducers, not passes. At very large M the window becomes a
-    per-(query, partition) local top-k pre-prune + final merge; at M this
-    size the single window is the right plan."""
+    per-(query, partition) local top-k pre-prune + final merge; at M
+    this size the single window is the right plan."""
+    qids, qens = _norm_query_batch(spark, sf_dir)
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    scored = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .select(
+            "vec_id",
+            F.posexplode(
+                _cos_vs_query_batch_vectorized(qens)(
+                    _as_double("embedding")
+                )
+            ).alias("qi", "s"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qi") + F.lit(1)).alias("query_id"),
+            "vec_id",
+            F.round(F.col("s"), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("query_id", "rk", "vec_id", "cos_sim")
+    )
+
+
+def _knn_batch_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-expression `knn-batch` formulation (pre-r13) — retained
+    as the pinned reference the Arrow batch tier is proven against."""
     emb = _normalized(load_table(spark, sf_dir, "embeddings"))
     queries = F.broadcast(
         emb.filter(F.col("vec_id") < KNN_BATCH_QUERIES).select(

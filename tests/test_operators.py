@@ -853,6 +853,59 @@ def test_pair_cos_vectorized_tier_matches_expression_tier(spark):
     }
 
 
+def test_knn_batch_vectorized_tier_matches_expression_tier(spark):
+    """The r13 Arrow batch-scoring tier serving `knn-batch` must be
+    BIT-IDENTICAL (pre-round doubles compared exactly) to the
+    `_normalized` + crossJoin `dot` reference on EVERY (row, query)
+    score — same float64 left folds, driver-normalized query components
+    equal to the expression tier's — and the full query must return
+    exactly the retained expression formulation's rows."""
+    from rosbag2parquet_spark.functions import similarity as sim
+    from rosbag2parquet_spark.sources.catalog import load_table
+
+    qids, qens = sim._norm_query_batch(spark, SF_DIR)
+    raw = load_table(spark, SF_DIR, "embeddings")
+    qid_arr = F.array(*[F.lit(q).cast("long") for q in qids])
+    udf_scores = {
+        (r["query_id"], r["vec_id"]): r["s"]
+        for r in raw.filter(F.col("vec_id") >= sim.KNN_BATCH_QUERIES)
+        .select(
+            "vec_id",
+            F.posexplode(
+                sim._cos_vs_query_batch_vectorized(qens)(
+                    sim._as_double("embedding")
+                )
+            ).alias("qi", "s"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("qi") + F.lit(1)).alias("query_id"),
+            "vec_id",
+            "s",
+        )
+        .collect()
+    }
+    emb = sim._normalized(raw)
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < sim.KNN_BATCH_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("en").alias("qen")
+        )
+    )
+    expr_scores = {
+        (r["query_id"], r["vec_id"]): r["s"]
+        for r in emb.filter(F.col("vec_id") >= sim.KNN_BATCH_QUERIES)
+        .crossJoin(queries)
+        .select(
+            "query_id", "vec_id", sim.dot(F.col("en"), F.col("qen")).alias("s")
+        )
+        .collect()
+    }
+    assert len(udf_scores) > 0
+    assert udf_scores == expr_scores
+    new_rows = [tuple(r) for r in sim.q_knn_batch(spark, SF_DIR).collect()]
+    ref_rows = [tuple(r) for r in sim._knn_batch_expr(spark, SF_DIR).collect()]
+    assert sorted(new_rows) == sorted(ref_rows)
+
+
 def test_truth_pairs_blocked_matches_expression_tier(spark):
     """The r13 blocked all-pairs kernel serving `embed-recall`'s truth
     scan must produce EXACTLY the expression tier's pair set — every
