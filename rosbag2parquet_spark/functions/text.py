@@ -578,25 +578,11 @@ tok AS (SELECT doc_id, unnest(w) AS word FROM words),
 # ---------------------------------------------------- lm-surprise (X4)
 
 
-def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram language-model quality scoring (the CCNet-style perplexity
-    signal) in INTEGER-EXACT form: per document, the sum over its bigrams
-    of floor((C1(w1) + V) / (C2(w1, w2) + 1)) — the floored inverse of the
-    add-one-smoothed conditional bigram probability. Common continuations
-    contribute small terms, rare/unnatural ones large terms, so the score
-    ranks documents by LM surprise exactly like a negative log-likelihood
-    would — but every term is integer arithmetic over corpus counts, so
-    Spark and DuckDB agree bit-for-bit (a log/exp formulation could not be
-    value-oracled: libm transcendentals differ across engines).
-
-    Plan: one explode for bigrams; the bigram-count join is co-keyed with
-    the groupBy that built it (one shuffle reused); the unigram table
-    broadcasts when small (AQE decides); V rides as a 1-row broadcast
-    cross join. Per-doc aggregation is the only doc-keyed shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    bi = (
+def _lm_surprise_bigrams(docs: DataFrame) -> DataFrame:
+    """The exploded (doc_id, w1, w2) bigram stream both lm-surprise
+    formulations score — one row per bigram OCCURRENCE (multiplicity
+    kept: per-doc surprise sums over occurrences, not distinct pairs)."""
+    return (
         docs.filter(F.size("w") >= 2)
         .select(
             "doc_id",
@@ -609,6 +595,32 @@ def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+
+
+def _lm_surprise_from(docs: DataFrame, scored: DataFrame) -> DataFrame:
+    """Shared tail: left-join the per-doc scores back onto every doc_id
+    (docs with <2 tokens score 0) with the pinned output types."""
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("surprise", F.lit(0)).cast("long").alias("surprise"),
+        )
+    )
+
+
+def _lm_surprise_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r13 join formulation, retained as the pair-pin reference for
+    `q_lm_surprise` (the test pins row-identical output): the bigram
+    count C2 is a groupBy over a SECOND build of the bigram stream,
+    equi-joined back onto the first — two explode passes over the corpus
+    and, at scale, a join against a bigram-cardinality table."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bi = _lm_surprise_bigrams(docs)
     uni = (
         docs.select(F.explode("w").alias("w1"))
         .groupBy("w1")
@@ -626,15 +638,59 @@ def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("(c1 + v) div (c2 + 1)")).alias("surprise"),
         )
     )
-    return (
-        docs.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("surprise", F.lit(0)).cast("long").alias("surprise"),
+    return _lm_surprise_from(docs, scored)
+
+
+def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring (the CCNet-style perplexity
+    signal) in INTEGER-EXACT form: per document, the sum over its bigrams
+    of floor((C1(w1) + V) / (C2(w1, w2) + 1)) — the floored inverse of the
+    add-one-smoothed conditional bigram probability. Common continuations
+    contribute small terms, rare/unnatural ones large terms, so the score
+    ranks documents by LM surprise exactly like a negative log-likelihood
+    would — but every term is integer arithmetic over corpus counts, so
+    Spark and DuckDB agree bit-for-bit (a log/exp formulation could not be
+    value-oracled: libm transcendentals differ across engines).
+
+    Plan (r13): ONE explode for bigrams — C2 is a count over the
+    (w1, w2) window on the same stream, so the bigram build is never
+    repeated and no bigram-cardinality table is aggregated, broadcast,
+    or joined (the pre-r13 join formulation is retained as
+    `_lm_surprise_joined` and pinned row-identical by test; a window
+    count over the partition equals the self-equi-joined groupBy count
+    by definition, and the inner join could never drop rows — every
+    probe key came from the same stream). The unigram table broadcasts
+    when small (AQE decides); V rides as a 1-row broadcast cross join.
+    The (w1, w2) window exchange and the per-doc aggregation are the
+    only corpus-sized shuffles at any scale — the same count as the
+    join formulation's SMJ path, minus one of its two sorts and the
+    join itself. The vocab subtree re-derives the unigram aggregate
+    rather than checkpointing it: same verdict as hll-sketch's probe —
+    AQE runs the independent subtree concurrently on idle cores, and a
+    deployment shares the unigram dim anyway."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bi = _lm_surprise_bigrams(docs)
+    uni = (
+        docs.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bi.withColumn(
+            "c2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("(c1 + v) div (c2 + 1)")).alias("surprise"),
         )
     )
+    return _lm_surprise_from(docs, scored)
 
 
 ORACLE_LM_SURPRISE = """

@@ -1244,3 +1244,26 @@ def test_knn_ivfadc_filtered_semantics(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_lm_surprise_window_matches_join_formulation(spark):
+    """The r13 window-count formulation of lm-surprise (C2 as a count
+    over the (w1, w2) window on the single bigram stream) must be
+    row-identical to the retained pre-r13 join formulation (C2 as a
+    groupBy over a second bigram build, equi-joined back): a window
+    count over the partition equals the self-joined group count by
+    definition, and the inner join never dropped rows because every
+    probe key came from the stream that built the counts. Integer-exact
+    columns, so plain tuple equality — no float tolerance."""
+    from rosbag2parquet_spark.functions.text import (
+        _lm_surprise_joined,
+        q_lm_surprise,
+    )
+
+    new_rows = sorted(
+        tuple(r) for r in q_lm_surprise(spark, SF_DIR).collect()
+    )
+    ref_rows = sorted(
+        tuple(r) for r in _lm_surprise_joined(spark, SF_DIR).collect()
+    )
+    assert new_rows and new_rows == ref_rows
