@@ -114,10 +114,14 @@ RATIONALE = {
     "lm-surprise": (
         "Every arithmetic term is an integer over corpus counts, so the "
         "perplexity-style ranking value-oracles bit-for-bit (a log/exp "
-        "formulation cannot cross engines). The bigram-count join reuses "
-        "the partitioning of the groupBy that built the counts; the "
-        "unigram dim broadcasts under AQE; V is a 1-row broadcast scalar "
-        "(the hll-sketch class). One doc-keyed shuffle for the final "
+        "formulation cannot cross engines). The bigram count C2 is (r13) "
+        "a count over the (w1, w2) window on the single bigram stream — "
+        "the pre-r13 self-join built the explode twice and, at scale, "
+        "either broadcasts a bigram-cardinality table or pays an SMJ's "
+        "two sorts; the window is one exchange + one sort, pinned "
+        "row-identical to the retained join formulation. The unigram dim "
+        "broadcasts under AQE; V is a 1-row broadcast scalar (the "
+        "hll-sketch class). One doc-keyed shuffle for the final "
         "per-document sum."
     ),
     "ewma": (
