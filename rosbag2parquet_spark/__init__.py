@@ -22,10 +22,6 @@ Tungsten choose the physical strategy; Pandas UDFs appear only where built-in
 operators cannot express the semantics (documented per call site).
 """
 
-from rosbag2parquet_spark.convert import convert, convert_bag
-from rosbag2parquet_spark.session import get_spark
-from rosbag2parquet_spark.sources.catalog import TABLES, load_table, register_views
-
 __all__ = [
     "convert",
     "convert_bag",
@@ -36,3 +32,38 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+#: PEP 562 lazy re-exports (r13, guide §5 "the driver should do almost no
+#: data work"): every Python DataSource plan/read round-trip forks a worker
+#: that unpickles the source class and therefore imports this package. The
+#: eager re-exports dragged convert/session/catalog (11 modules, ~52 ms
+#: measured marginal with pyspark preloaded) into every one of those forks —
+#: 2 driver-side planner children per scan action plus each executor read
+#: worker's first task — for names none of those workers ever touch. Resolved
+#: on first attribute access instead; the public surface is unchanged.
+_LAZY = {
+    "convert": ("rosbag2parquet_spark.convert", "convert"),
+    "convert_bag": ("rosbag2parquet_spark.convert", "convert_bag"),
+    "get_spark": ("rosbag2parquet_spark.session", "get_spark"),
+    "TABLES": ("rosbag2parquet_spark.sources.catalog", "TABLES"),
+    "load_table": ("rosbag2parquet_spark.sources.catalog", "load_table"),
+    "register_views": ("rosbag2parquet_spark.sources.catalog", "register_views"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        modname, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    value = getattr(importlib.import_module(modname), attr)
+    globals()[name] = value  # cache: next access skips __getattr__
+    return value
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
