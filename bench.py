@@ -166,6 +166,19 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    # scaling evidence (r13 PERF flagged suspect_cpus_ignored because the
+    # output proved nothing about the effective master/parallelism): record
+    # what the session ACTUALLY runs with, so the driver can attribute
+    # flat core-count ratios to fixed-cost domination instead of a harness
+    # bug. Values come from the live SparkContext, not the env request.
+    env_evidence = {
+        "master": spark.sparkContext.master,
+        "defaultParallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "sf_dir": SF_DIR,
+    }
+
     # warm the JVM, codegen, and the parquet footers of every fixture table
     # so the first timed query measures the query, not session startup
     from rosbag2parquet_spark.sources.catalog import TABLES, load_table
@@ -366,6 +379,9 @@ def main() -> None:
         # drift from plan regressions
         "calib_matmul_ms": final_calib,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # effective execution config (see env_evidence above): the proof
+        # that $SPARK_GRAFT_CPUS reached the master and the shuffle sizing
+        "env": env_evidence,
     }
     # full per-query payload goes to a FILE; stdout gets a compact summary
     # as the FINAL line. The driver stores only the last 2 kB of stdout and
@@ -389,6 +405,7 @@ def main() -> None:
         "extended_seconds": ext_total,
         "timing": full["timing"],
         "calib_matmul_ms": final_calib,
+        "env": env_evidence,
         "queries": timings,
         "calib_sections": calib_sections,
         "top_extended": top_ext,

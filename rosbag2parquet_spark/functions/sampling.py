@@ -173,8 +173,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     without re-shuffling anything."""
     docs = load_table(spark, sf_dir, "documents")
     strata = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    nmin = strata.agg(F.min("n_s").alias("n_min"))
-    dim = F.broadcast(strata.crossJoin(F.broadcast(nmin)))
+    # n_min as a window min over the |strata|-row frame: the former
+    # strata.agg(min) cross-joined back evaluated the strata subtree (and
+    # its documents scan) twice — once for the scalar, once for the dim
+    # rows (r14, guide §2.4 duplicated subtrees). One single-partition
+    # exchange of tiny rows computes the identical integer min.
+    dim = F.broadcast(
+        strata.withColumn("n_min", F.expr("min(n_s) OVER ()"))
+    )
     # bucket * n_s wraps BIGINT once a stratum passes ~2^43 rows; widened to
     # DECIMAL(38,0) (exact integers to 1e38) so the keep decision survives
     # the 100 TB posture. The oracle widens to HUGEINT (int128) — both
@@ -247,11 +253,21 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT)"),
         )
     )
-    totals = strata.agg(
-        F.sum("w_s").alias("s_w"),
-        F.expr("CAST(sum(n_s) div 2 AS BIGINT)").alias("t_goal"),
+    # totals as window sums over the |strata|-row frame — the same
+    # duplicated-subtree fix as stratified-sample (the crossJoin form
+    # re-ran the per-stratum count, a second documents scan, for the two
+    # scalars); integer sums are order-free, so values are identical
+    dim = F.broadcast(
+        strata.select(
+            "lang",
+            "n_s",
+            "w_s",
+            F.expr("sum(w_s) OVER ()").alias("s_w"),
+            F.expr(
+                "CAST(sum(n_s) OVER () div 2 AS BIGINT)"
+            ).alias("t_goal"),
+        )
     )
-    dim = F.broadcast(strata.crossJoin(F.broadcast(totals)))
     # bucket * s_w * n_s (and t_goal * w_s * 2^20) wrap BIGINT at a few
     # billion rows — far below the posture this docstring advertises. Both
     # sides widen to DECIMAL(38,0) (engine) / HUGEINT (oracle): exact

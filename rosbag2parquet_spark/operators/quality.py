@@ -259,10 +259,19 @@ def _drift_bps_cells(df: DataFrame, column: str, ts_column: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("epoch")).cast("long").alias("n2"),
         )
     )
-    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
-    return cells.crossJoin(F.broadcast(totals)).select(
-        F.expr(DRIFT_BPS_SQL).alias("bps")
-    )
+    # totals as window sums over the tiny cells frame, NOT
+    # cells.agg(...) cross-joined back: the crossJoin form evaluates the
+    # cells subtree twice (once under the broadcast, once as the probe
+    # side), which re-scans the fact table — r14 measured 2 extra scans
+    # per totals use (guide §2.4/§7.2 "duplicated subtrees"). The window
+    # needs one single-partition exchange of |categories| rows; integer
+    # sums are order-free, so values are identical by construction.
+    return cells.select(
+        "n1",
+        "n2",
+        F.expr("sum(n1) OVER ()").alias("t1"),
+        F.expr("sum(n2) OVER ()").alias("t2"),
+    ).select(F.expr(DRIFT_BPS_SQL).alias("bps"))
 
 
 def _slope_cells(df: DataFrame, column: str, ts_column: str) -> DataFrame:
@@ -710,11 +719,20 @@ def q_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("epoch")).cast("long").alias("n2"),
         )
     )
-    totals = cells.agg(
-        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
-    )
+    # corpus totals as window sums over the |types|-row cells frame: the
+    # former cells.agg(...) cross-joined back evaluated the cells subtree
+    # (and its fact scan) TWICE — once under the BroadcastExchange, once
+    # as the probe side (r14: 8 scan refs → 4 in the formatted plan, 0.74
+    # → ~0.5 s at sf0.1). One single-partition exchange of tiny rows
+    # replaces it; integer sums are order-free, values identical.
     return (
-        cells.crossJoin(F.broadcast(totals))
+        cells.select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr("sum(n1) OVER ()").alias("t1"),
+            F.expr("sum(n2) OVER ()").alias("t2"),
+        )
         .select(
             "event_type",
             "n1",
@@ -795,9 +813,17 @@ def q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("epoch")).cast("long").alias("n2"),
         )
     )
-    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    # window totals over the ≤10-bucket cells frame — same duplicated-
+    # subtree fix as q_drift_detect (the crossJoin form re-ran the whole
+    # bounds→epoch→bucket→groupBy chain, 4 fact scans, for the 2 scalars)
     return (
-        cells.crossJoin(F.broadcast(totals))
+        cells.select(
+            "bucket",
+            "n1",
+            "n2",
+            F.expr("sum(n1) OVER ()").alias("t1"),
+            F.expr("sum(n2) OVER ()").alias("t2"),
+        )
         .select(
             "bucket",
             "n1",

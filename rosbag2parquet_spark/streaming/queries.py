@@ -1676,9 +1676,19 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
         )
     )
-    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    # window totals over the |types|-row cells frame: the former
+    # cells.agg(...) crossJoin evaluated the cells subtree twice — each
+    # evaluation re-scanned the batch events table for ref (r14, guide
+    # §2.4 duplicated subtrees); one single-partition exchange of tiny
+    # rows computes identical integer sums
     return (
-        cells.crossJoin(F.broadcast(totals))
+        cells.select(
+            "event_type",
+            "n1",
+            "n2",
+            F.expr("sum(n1) OVER ()").alias("t1"),
+            F.expr("sum(n2) OVER ()").alias("t2"),
+        )
         .select(
             "event_type",
             "n1",
@@ -1757,9 +1767,17 @@ def q_stream_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
         F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
     )
-    totals = cells.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    # window totals over the ≤10-bucket cells frame — same duplicated-
+    # subtree fix as stream-drift (the crossJoin form re-scanned events
+    # for ref under the broadcast side)
     return (
-        cells.crossJoin(F.broadcast(totals))
+        cells.select(
+            "bucket",
+            "n1",
+            "n2",
+            F.expr("sum(n1) OVER ()").alias("t1"),
+            F.expr("sum(n2) OVER ()").alias("t2"),
+        )
         .select("bucket", "n1", "n2", F.expr(DRIFT_BPS_SQL).alias("drift_bps"))
         .orderBy("bucket")
     )
