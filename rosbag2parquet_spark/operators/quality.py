@@ -7,8 +7,10 @@ engine-level generalization over relational outputs).
 A rule set is validated in as few passes as the rule classes allow:
 
 - ROW-LOCAL rules (completeness, range, set membership, sign) all fold
-  into ONE aggregate over the fact table — map-side partials, a single
-  wide row crosses the exchange regardless of table size.
+  into ONE aggregate — and when any keyed rule (uniqueness/FK) exists,
+  that aggregate RIDES the finest key reduction as per-key partials
+  (r14), so the fact table is scanned once for the whole rule set
+  instead of once for the row-local pass plus once for the keys.
 - UNIQUENESS rules share one two-level aggregate: the fine-grained key
   (``l_orderkey, l_linenumber``) groupBy partial-combines map-side, and
   the coarser key (``l_orderkey``) re-aggregates the ALREADY-REDUCED
@@ -343,9 +345,32 @@ def validate(
     slopes = [r for r in rules if isinstance(r, SlopeAtLeast)]
 
     pieces, cols = [], []  # 1-row DataFrames to cross, (name, viol sql)
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+
+    # ONE-PASS FUSION (r14, guide §2.4 "remove the scan outright"): when a
+    # keyed rule exists, the fact table would be scanned once for the
+    # row-local aggregate and again for the finest key reduction. Instead
+    # the row-local violation counters ride the finest groupBy as per-key
+    # partials (integer sums re-aggregate exactly over any partition of
+    # the rows), and the scalar piece folds n / v_i / that key's surplus
+    # out of the reduced rows — the fact table is scanned ONCE, and every
+    # coarser key / FK re-aggregates the reduced table, whose exchange the
+    # planner shares via ReusedExchange (plan-asserted in plans/r14).
+    # Cost shape at 100 TB: the keyed shuffle (already paid by the
+    # uniqueness rule) carries len(row_local) extra longs per DISTINCT
+    # key row; in exchange a whole second fact scan disappears.
+    # r14 A/B honesty note: at sf0.1 this fusion is LATENCY-NEUTRAL on an
+    # idle host (interleaved same-window pairs: min 1.28 vs 1.37 s, median
+    # 1.69 vs 1.65) because AQE runs the old shape's duplicate subtrees
+    # concurrently on spare cores; under CPU contention the fused shape
+    # won 1.3× (min 2.40 vs 3.30 s) — fewer scans is what survives when
+    # cores are busy, which is the 100 TB regime.
+    fused_key: "tuple | None" = None
+    if uniques:
+        fused_key = uniques[0].columns  # sorted finest-first above
+    elif fks:
+        fused_key = fks[0].columns
+
     for i, r in enumerate(row_local):
-        aggs.append(_viol(r.cond()).alias(f"v{i}"))
         cols.append((r.name, f"v{i}"))
     for r in counts:
         # rides the already-computed n; violation = distance out of bound
@@ -355,7 +380,6 @@ def validate(
                 f"CAST(greatest(0L, {r.lo} - n, n - {r.hi}) AS BIGINT)",
             )
         )
-    pieces.append(df.agg(*aggs))
 
     # uniqueness ladder: coarser keys re-aggregate finer reduced tables
     reduced: "dict[frozenset, DataFrame]" = {}
@@ -378,7 +402,50 @@ def validate(
         reduced[want] = out
         return out
 
+    fused_uniques: "set[int]" = set()
+    if fused_key is None:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for i, r in enumerate(row_local):
+            aggs.append(_viol(r.cond()).alias(f"v{i}"))
+        pieces.append(df.agg(*aggs))
+    else:
+        fine_aggs = [F.count(F.lit(1)).alias("c")]
+        for i, r in enumerate(row_local):
+            fine_aggs.append(_viol(r.cond()).alias(f"pv{i}"))
+        # probed and rejected (r14): localCheckpoint(fine) — materializing
+        # the reduced table once instead of letting the 3 consumers
+        # re-evaluate it — LOSES at sf0.1 (interleaved A/B min 2.60 vs
+        # 2.40, median 3.31 vs 2.85): AQE runs the duplicate subtrees
+        # concurrently on idle cores, the hll-sketch probe verdict again.
+        # At 100 TB the checkpoint trades a second fact scan for a
+        # |distinct keys|-row materialization — revisit if the gate ever
+        # runs on a saturated cluster where duplicate work costs real
+        # throughput.
+        fine = df.groupBy(*fused_key).agg(*fine_aggs)
+        reduced[frozenset(fused_key)] = fine
+        scalar_aggs = [F.sum("c").cast("long").alias("n")]
+        for i, _r in enumerate(row_local):
+            scalar_aggs.append(F.sum(f"pv{i}").cast("long").alias(f"v{i}"))
+        # the finest unique's surplus reads the same reduced rows — fold
+        # it into the same scalar pass instead of a separate piece
+        for j, u in enumerate(uniques):
+            if u.columns == fused_key:
+                fused_uniques.add(j)
+                scalar_aggs.append(
+                    F.sum(
+                        F.when(F.col("c") > 1, F.col("c") - 1).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    .cast("long")
+                    .alias(f"u{j}")
+                )
+                cols.append((u.name, f"u{j}"))
+        pieces.append(fine.agg(*scalar_aggs))
+
     for j, u in enumerate(uniques):
+        if j in fused_uniques:
+            continue
         pieces.append(
             _surplus(_reduced_for(u.columns)).toDF(f"u{j}")
         )

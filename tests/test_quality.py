@@ -196,6 +196,42 @@ def test_rowcount_rule(spark):
     assert out["rowcount:[1,5]"] == (7, 2, False)    # 2 over 5
 
 
+def test_validate_fk_only_fusion_path(spark):
+    """r14 one-pass fusion, FK-keyed branch: with no Unique rule the
+    row-local counters ride the FK child's groupBy (fused_key comes from
+    fks[0]) — n/violations must count EVERY fact row (NULL keys included,
+    they group but are filtered only on the FK branch), and rowcount must
+    still ride the fused n."""
+    from rosbag2parquet_spark.operators.quality import (
+        ForeignKey,
+        Positive,
+        RowCountBetween,
+        validate,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 5.0), (1, -2.0), (3, 1.0), (3, 4.0), (None, -9.0)],
+        "k long, v double",
+    )
+    dim = spark.createDataFrame([(1,)], "p long")
+    out = {
+        r["rule"]: (r["checked"], r["violations"], r["ok"])
+        for r in validate(
+            fact,
+            [
+                Positive("v"),
+                RowCountBetween(1, 3),
+                ForeignKey(("k",), ("p",), "fact->dim"),
+            ],
+            {"fact->dim": dim},
+        ).collect()
+    }
+    assert out["positive:v"] == (5, 2, False)        # -2 and -9
+    assert out["rowcount:[1,3]"] == (5, 2, False)    # 2 over 3
+    # k=3 carries TWO orphan fact rows; the NULL key is not an orphan
+    assert out["fk:fact->dim"] == (5, 2, False)
+
+
 def test_floor_division_semantics_negative_operands(spark):
     """The advice-r7 class pinned at the expression level: Spark `div`
     truncates toward zero while DuckDB `//` floors — the monitoring
