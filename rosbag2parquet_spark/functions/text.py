@@ -667,7 +667,26 @@ def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     join itself. The vocab subtree re-derives the unigram aggregate
     rather than checkpointing it: same verdict as hll-sketch's probe —
     AQE runs the independent subtree concurrently on idle cores, and a
-    deployment shares the unigram dim anyway."""
+    deployment shares the unigram dim anyway.
+
+    r14 skew probe (the r13 verdict's named residual hazard — a hot
+    bigram parks every occurrence in ONE window task, and AQE cannot
+    split a Window exchange): measured on a synthetic 400k-doc /
+    ~30M-bigram fixture with ~28%% of all occurrences on two hot keys
+    ("of the" / "the of"). The window form STILL won — 12.8 s min vs
+    15.2 s for the skew-safe two-level join (C2 as groupBy + AQE-skew
+    SMJ/broadcast join back, retained as `_lm_surprise_joined`) and
+    36.2 s for a (doc_id,w1,w2)-pre-reduced join variant (rejected
+    outright; its extra exchange dominates). The hot window partition
+    (~8M rows) costs one task a few seconds of sort — less than the
+    join form's second corpus build; exchange reuse cannot fuse the
+    join form's two builds because the final doc_id join pushes
+    isnotnull(doc_id) into only one branch (verified in the executed
+    plan). Crossover to the join form arrives only when a single hot
+    key's rows exceed one task's comfortable sort capacity (~10-100×
+    this probe); `_lm_surprise_joined` is the documented deploy-time
+    fallback for that regime, and the two formulations are pinned
+    row-identical by test."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
