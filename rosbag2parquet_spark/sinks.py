@@ -1450,9 +1450,22 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # epoch 2: upgraded producer appends the wider schema
         ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(lay)
         merged = spark.read.option("mergeSchema", "true").parquet(lay)
-        # the explicit-schema steady-state read must agree row-for-row
+        # the explicit-schema steady-state read must agree row-for-row:
+        # multiset equality as ONE weighted-union job (sum of +1/-1 per
+        # value-group is 0 for every group ⟺ both exceptAll counts are 0)
+        # — the r14 fusion of the former two exceptAll().count() jobs,
+        # which scanned the layout four times to assert the same property
         pinned = spark.read.schema(merged.schema).parquet(lay)
-        if pinned.exceptAll(merged).count() or merged.exceptAll(pinned).count():
+        disagree = (
+            merged.withColumn("__w", F.lit(1))
+            .unionByName(pinned.withColumn("__w", F.lit(-1)))
+            .groupBy(*merged.columns)
+            .agg(F.sum("__w").alias("__d"))
+            .filter(F.col("__d") != 0)
+            .limit(1)
+            .count()
+        )
+        if disagree:
             raise AssertionError(
                 "mergeSchema and pinned-schema reads disagree"
             )

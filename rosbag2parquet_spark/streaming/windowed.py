@@ -200,3 +200,51 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_all_to_memory(
+    drains: "list[tuple[DataFrame, str, str]]",
+    state_partitions: "int | None" = None,
+) -> None:
+    """Drive SEVERAL independent finite streams to completion
+    CONCURRENTLY (guide §2.6 — actions are only sequential because the
+    driver calls them sequentially): all queries start first, then each
+    is awaited and stopped. A query pair that a registered op drains
+    back-to-back (e.g. the live add log + the tombstone channel of
+    `stream-ivfadc-delete`) pays ONE micro-batch floor of wall clock
+    instead of one per stream; the scheduler back-fills the second
+    query's tasks onto cores the first one's tail frees. Same
+    state-partition sizing contract as `run_to_memory` (the conf is set
+    around the starts and restored — it is captured into each query's
+    cloned session at start())."""
+    import os as _os
+
+    if not drains:
+        return
+    spark = drains[0][0].sparkSession
+    if state_partitions is None:
+        state_partitions = (
+            int(_os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+            or None
+        )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    queries = []
+    try:
+        for df, name, mode in drains:
+            queries.append(
+                df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
