@@ -159,26 +159,30 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 10% of exact (lgK=12 → rsd≈1.6%, so 10% is a >5σ envelope);
     the engine-specific estimates themselves never reach the hash."""
     li = load_table(spark, sf_dir, "lineitem")
-    # (r13 probe, reverted: per_flag feeds two consumers and the executed
-    # plan really does evaluate it twice — 6 parquet scans, 0
-    # ReusedExchange — but BOTH materialization fixes lose wall-clock
-    # here: localCheckpoint 1.29→1.41 s, cache() +0.14 s interleaved A/B.
-    # The duplicated subtrees are INDEPENDENT stages, so AQE runs them
-    # concurrently on idle cores — duplicate-but-parallel beats
-    # once-but-serialized at sf0.1. At 100 TB the duplicate pass costs
-    # cluster throughput, not latency; a deployment that cares persists
-    # the per-flag sketch partials anyway — that is the mergeable-sketch
-    # pattern this query demonstrates.)
+    # (r13 probe: per_flag fed two consumers and the executed plan
+    # evaluated it twice — 6 parquet scans, 0 ReusedExchange — while BOTH
+    # materialization fixes lost wall-clock: localCheckpoint 1.29→1.41 s,
+    # cache() +0.14 s interleaved A/B, because AQE ran the duplicate
+    # subtrees concurrently on idle cores. r14 closes it a third way —
+    # see the window-union note below: the subtree now exists once in the
+    # plan, no materialization needed.)
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey", F.lit(12)).alias("_sk"),
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
-    merged = per_flag.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_gest")
-    )
     exact_global = li.agg(
         F.count_distinct("l_partkey").alias("exact_global")
     )
+    # r14: the global union-merge is a WINDOW aggregate over the |flags|-row
+    # per_flag frame (hll_union_agg OVER ()) instead of per_flag.agg(...)
+    # cross-joined back — the crossJoin form was the r13 probe's duplicated
+    # subtree (per_flag evaluated twice, 6 scans, 0 ReusedExchange); the
+    # window form keeps the subtree ONCE with no materialization, so it
+    # dodges both horns of that probe (duplicate work vs checkpoint cost).
+    # HLL union is register-wise max — commutative/associative, so the
+    # window's row order cannot change the estimate. exact_global stays a
+    # separate scan: a partkey can appear under several flags, so the
+    # global distinct cannot derive from the per-flag rows.
     return (
         per_flag.select(
             "l_returnflag",
@@ -187,9 +191,11 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.hll_sketch_estimate("_sk") - F.col("exact_parts"))
                 <= 0.10 * F.col("exact_parts")
             ).alias("flag_est_ok"),
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(_sk) OVER ())"
+            ).alias("_gest"),
         )
-        .crossJoin(F.broadcast(merged))  # 1-row scalar sides
-        .crossJoin(F.broadcast(exact_global))
+        .crossJoin(F.broadcast(exact_global))  # 1-row scalar side
         .select(
             "l_returnflag",
             "exact_parts",
