@@ -725,24 +725,42 @@ def _update_ewma(
     per-key in-order delivery (the keyed-log contract)."""
     # r13: the recursion body moved to the SHARED kernel `ewma_fold_py`
     # (also the batch q_ewma per-group tier) — stream == batch is now
-    # structural, not two hand-kept copies of the same arithmetic
+    # structural, not two hand-kept copies of the same arithmetic.
+    # r14: the per-invocation pandas overhead trimmed — this function runs
+    # ONCE PER USER per micro-batch (~1500 invocations at sf0.1), and
+    # profiling showed pandas sort_values + the nullable-Int64 output
+    # frame were 0.43 of the 0.77 ms body. np.lexsort is stable like the
+    # mergesort it replaces (and (t, eid) is unique anyway — eid is
+    # globally unique), and the no-NULL fast path emits plain int64;
+    # NULL-bearing batches take the exact r13 path.
+    import numpy as np
+
     from rosbag2parquet_spark.operators.asof import ewma_fold_py
 
     (user_id,) = key
     rn, y = state.get if state.exists else (0, 0)
-    pdf = pd.concat(list(batches), ignore_index=True)
-    pdf = pdf.sort_values(["t", "eid"], kind="mergesort")
-    xs = [None if pd.isna(x) else int(x) for x in pdf["x"]]
+    pdfs = list(batches)
+    pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+    order = np.lexsort((pdf["eid"].to_numpy(), pdf["t"].to_numpy()))
+    xcol = pdf["x"].take(order)
+    if xcol.isna().values.any():
+        xs = [None if pd.isna(x) else int(x) for x in xcol]
+    else:
+        xs = [int(x) for x in xcol.to_numpy()]
     out_y, rn, y = ewma_fold_py(xs, rn, y)
-    out_rn = list(range(rn - len(out_y) + 1, rn + 1))
+    out_rn = np.arange(rn - len(out_y) + 1, rn + 1, dtype=np.int64)
     state.update((rn, y))
+    if any(v is None for v in out_y):
+        # nullable Int64 so a propagated NULL survives the Arrow
+        # conversion (a plain list with None would coerce to float64)
+        ys = pd.array(out_y, dtype="Int64")
+    else:
+        ys = np.asarray(out_y, dtype=np.int64)
     yield pd.DataFrame(
         {
-            "user_id": [int(user_id)] * len(out_rn),
+            "user_id": np.full(len(out_rn), int(user_id), dtype=np.int64),
             "rn": out_rn,
-            # nullable Int64 so a propagated NULL survives the Arrow
-            # conversion (a plain list with None would coerce to float64)
-            "y": pd.array(out_y, dtype="Int64"),
+            "y": ys,
         }
     )
 
